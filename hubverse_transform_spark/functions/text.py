@@ -1,0 +1,101 @@
+"""Text-analysis column expressions (Layer B [EXT]).
+
+Language-ID, quality scoring, token counting, and document fingerprinting over
+the ``documents`` table — all built-in-function expressions (regexp/length/
+split/md5), so they stay inside whole-stage codegen at any scale. No model
+downloads: lang-ID is a stopword-profile heuristic, token counting is
+whitespace plus a BPE-ish word/digit/punct regex.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny high-frequency stopword profiles; enough signal to separate the
+# languages present in the synthetic corpus. Word-boundary matched.
+_LANG_PROFILES: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "is", "in", "that", "it", "for", "with"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "sich", "auf"),
+    "fr": ("le", "la", "les", "et", "est", "une", "que", "pour", "dans", "pas"),
+    "es": ("el", "la", "los", "que", "es", "una", "por", "con", "para", "del"),
+    "it": ("il", "la", "che", "di", "non", "una", "per", "sono", "con", "del"),
+}
+
+# GPT-2-flavored pre-tokenizer shape: word runs, digit runs, punct singles.
+_BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+
+
+def _profile_hits(text_lower: Column, words: tuple[str, ...]) -> Column:
+    """Count stopword occurrences for one language profile."""
+    pattern = r"\b(?:" + "|".join(words) + r")\b"
+    return F.regexp_count(text_lower, F.lit(pattern))
+
+
+def lang_id_expr(text: Column) -> Column:
+    """Best-guess language code by stopword-profile argmax; 'und' when no
+    profile matches at all."""
+    lowered = F.lower(text)
+    scored = F.array(
+        *[
+            F.struct(
+                _profile_hits(lowered, words).alias("score"),
+                F.lit(lang).alias("lang"),
+            )
+            for lang, words in sorted(_LANG_PROFILES.items())
+        ]
+    )
+    best = F.array_max(scored)
+    return F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und"))
+
+
+def whitespace_token_count(text: Column) -> Column:
+    """Number of whitespace-delimited tokens; 0 for empty/blank text."""
+    trimmed = F.trim(text)
+    return F.when(trimmed == "", F.lit(0)).otherwise(F.size(F.split(trimmed, r"\s+")))
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """Token count under a BPE-ish pre-tokenizer regex (word runs / single
+    digits / single punctuation marks)."""
+    return F.size(F.regexp_extract_all(text, F.lit(_BPE_ISH_PATTERN), 0))
+
+
+def alpha_ratio(text: Column) -> Column:
+    """Fraction of characters that are alphabetic."""
+    n = F.length(text)
+    return F.when(n > 0, F.regexp_count(text, F.lit(r"[A-Za-z]")) / n).otherwise(F.lit(0.0))
+
+
+def punct_ratio(text: Column) -> Column:
+    """Fraction of characters that are punctuation."""
+    n = F.length(text)
+    return F.when(n > 0, F.regexp_count(text, F.lit(r"[^\w\s]")) / n).otherwise(F.lit(0.0))
+
+
+def stopword_ratio(text: Column) -> Column:
+    """English stopword tokens / whitespace tokens (a classic quality signal)."""
+    tokens = whitespace_token_count(text)
+    hits = _profile_hits(F.lower(text), _LANG_PROFILES["en"])
+    return F.when(tokens > 0, hits / tokens).otherwise(F.lit(0.0))
+
+
+def quality_score(text: Column) -> Column:
+    """Composite [0,1] quality heuristic: length band + alpha ratio + stopword
+    presence + low punctuation noise. Weights are arbitrary but fixed."""
+    n = F.length(text)
+    length_band = F.when((n >= 50) & (n <= 20000), F.lit(1.0)).when(n > 0, F.lit(0.5)).otherwise(F.lit(0.0))
+    return F.round(
+        0.35 * length_band
+        + 0.30 * F.least(alpha_ratio(text) * 1.25, F.lit(1.0))
+        + 0.20 * F.least(stopword_ratio(text) * 4.0, F.lit(1.0))
+        + 0.15 * (1.0 - F.least(punct_ratio(text) * 4.0, F.lit(1.0))),
+        4,
+    )
+
+
+def doc_fingerprint(text: Column) -> Column:
+    """Deterministic content fingerprint: md5 over whitespace-collapsed,
+    lowercased text. md5 (not xxhash64) so a SQL oracle can reproduce it."""
+    normalized = F.lower(F.regexp_replace(F.trim(text), r"\s+", " "))
+    return F.md5(normalized)

@@ -1,0 +1,56 @@
+"""SparkSession factory tuned for the engine.
+
+Local testing runs on ``local[N]``; the same config block is what we would ship
+to a 1000-executor cluster — AQE handles runtime re-planning (skew joins,
+coalescing small shuffle partitions), Arrow makes pandas-UDF exchange cheap,
+and shuffle partitions default to a value AQE can coalesce down from.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "hubverse-transform-spark", cpus: int | None = None) -> SparkSession:
+    """Build (or fetch) a SparkSession with scale-appropriate defaults.
+
+    AQE is on: at 100 TB the static shuffle-partition count is always wrong for
+    some stage, so we set a generous initial count and let AQE coalesce.
+    """
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or (os.cpu_count() or 4)
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        # --- adaptive execution: runtime coalescing + skew-join splitting ---
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # initial shuffle parallelism; AQE coalesces small stages down
+        .config("spark.sql.shuffle.partitions", str(max(cpus, 32)))
+        # --- broadcast: dims (region/nation/supplier at test SF) go map-side ---
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # --- Arrow for pandas UDF / toPandas exchange ---
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # parquet: vectorized reader on, sane split size for local disks
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        .config("spark.sql.parquet.compression.codec", "snappy")
+        # timestamps in testdata are timestamp[ms]/[ns] without TZ; keep them stable
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    return builder.getOrCreate()
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    """Path of one driver-generated parquet table under an sf dir."""
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str):
+    """Read one testdata table lazily (predicate/column pushdown preserved)."""
+    return spark.read.parquet(table_path(sf_dir, name))

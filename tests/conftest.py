@@ -1,0 +1,166 @@
+"""Shared fixtures: one SparkSession per test run + synthetic hubverse files.
+
+Fixture data mirrors FIXTURES.md (F1-F7), which distills the reference's test
+corpus (ref test/unit/data/, test/integration/data/) — quirk rows pin the
+golden semantics (null tokens, leading zeros, cast formatting).
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from hubverse_transform_spark.session import get_spark
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark("hubverse-tests", cpus=8)
+    yield s
+
+
+# --- hub config (F5) ---------------------------------------------------------
+
+TASKS_JSON = {
+    "schema_version": "https://raw.githubusercontent.com/hubverse-org/schemas/main/v5.0.0/tasks-schema.json",
+    "rounds": [
+        {
+            "round_id_from_variable": True,
+            "round_id": "origin_date",
+            "model_tasks": [
+                {
+                    "task_ids": {
+                        "origin_date": {"required": None, "optional": ["2022-10-08", "2023-10-21"]},
+                        "target": {"required": None, "optional": ["wk inc flu hosp", "wk flu hosp rate change"]},
+                        "horizon": {"required": None, "optional": [-1, 0, 1, 2, 3, 4]},
+                        "location": {"required": None, "optional": ["02", "27", "US"]},
+                    },
+                    "output_type": {
+                        "quantile": {
+                            "output_type_id": {"required": [0.25, 0.5, 0.75, 0.99]},
+                            "value": {"type": "double", "minimum": 0},
+                        },
+                        "pmf": {
+                            "output_type_id": {"required": ["large", "small"]},
+                            "value": {"type": "double"},
+                        },
+                    },
+                }
+            ],
+        }
+    ],
+    "output_type_id_datatype": "auto",
+    "derived_task_ids": None,
+}
+
+
+@pytest.fixture()
+def hub_dir(tmp_path: Path) -> Path:
+    """A hub root with hub-config/tasks.json + raw/ input + output dirs."""
+    (tmp_path / "hub-config").mkdir()
+    (tmp_path / "hub-config" / "tasks.json").write_text(json.dumps(TASKS_JSON))
+    (tmp_path / "raw").mkdir()
+    (tmp_path / "out").mkdir()
+    return tmp_path
+
+
+# --- F1: CSV with numeric + null-token output_type_ids ----------------------
+
+CSV_NUMERIC = """\
+"origin_date","target","horizon","location","output_type","output_type_id","value"
+2022-10-08,"wk inc flu hosp",1,"","quantile",0.99,203
+2022-10-08,"wk inc flu hosp",1,02,"mean",,173
+2022-10-08,"wk inc flu hosp",1,"02","mean",NA,174
+2022-10-08,wk inc flu hosp,1,NaN,mean,0.0,175
+2022-10-08,wk inc flu hosp,1,string location,mean,null,176
+2023-10-21,wk flu hosp rate change,-1,27,pmf,111,0.0018554857403307722
+"""
+
+
+@pytest.fixture()
+def csv_numeric_file(hub_dir: Path) -> Path:
+    p = hub_dir / "raw" / "2024-07-07-teamabc-output_type_ids_numeric.csv"
+    p.write_text(CSV_NUMERIC)
+    return p
+
+
+# --- F2: CSV with mixed output_type_ids (12 rows -> 8 nulls) ----------------
+
+CSV_MIXED = """\
+"origin_date","target","horizon","location","output_type","output_type_id","value"
+2022-10-08,"wk inc flu hosp",1,"02","quantile",0.99,203
+2022-10-08,"wk inc flu hosp",1,"02","mean",,173
+2022-10-08,"wk inc flu hosp",1,"02","mean",NA,173
+2022-10-08,"wk inc flu hosp",1,"02","median","",0.98765
+2022-10-08,"wk inc flu hosp",1,"02","median",null,0.98765
+2022-10-08,"wk inc flu hosp",1,"02","median",Null,0.98765
+2022-10-08,"wk inc flu hosp",1,"02","median"," ",0.1.654
+2023-10-21,wk flu hosp rate change,-1,US,pmf,large,0.0018554857403307722
+2023-10-21,wk flu hosp rate change,-1,US,pmf,"large",0.0018554857403307722
+2023-10-21,wk flu hosp rate change,-1,US,pmf,"large",what if this is a big string with no quotes
+2022-10-08,"wk inc flu hosp",1,"02","mean",na,22.22
+2022-10-08,"wk inc flu hosp",1,"02","mean",nan,12.345
+"""
+
+
+@pytest.fixture()
+def csv_mixed_file(hub_dir: Path) -> Path:
+    """Mixed file is read under a string-typed value schema (malformed
+    '0.1.654' / free-text values survive) — mirrors ref conftest.py:157-169
+    (schema_origin_date_str_val)."""
+    tasks = json.loads(json.dumps(TASKS_JSON))
+    for mt in tasks["rounds"][0]["model_tasks"]:
+        for spec in mt["output_type"].values():
+            spec["value"] = {"type": "character"}
+    (hub_dir / "hub-config" / "tasks.json").write_text(json.dumps(tasks))
+    p = hub_dir / "raw" / "2024-07-07-teamabc-output_type_ids_mixed.csv"
+    p.write_text(CSV_MIXED)
+    return p
+
+
+# --- F4: Parquet with numeric-typed location / output_type_id ----------------
+
+
+@pytest.fixture()
+def parquet_numeric_file(hub_dir: Path) -> Path:
+    """Physical types: location int64, output_type_id double (pins
+    cast-on-read: 2 -> "2", 0.01 -> "0.01", 0.0 -> "0")."""
+    table = pa.table(
+        {
+            "origin_date": pa.array(["2022-10-08"] * 5 + ["2023-10-21"], pa.string()),
+            "target": pa.array(["wk inc flu hosp"] * 5 + ["wk flu hosp rate change"]),
+            "horizon": pa.array([1, 1, 1, 1, 1, -1], pa.int64()),
+            "location": pa.array([2, 2, 2, 2, 2, 27], pa.int64()),
+            "output_type": pa.array(["quantile", "mean", "mean", "mean", "mean", "pmf"]),
+            "output_type_id": pa.array([0.99, None, None, 0.0, None, 111.0], pa.float64()),
+            "value": pa.array([203.0, 173.0, 174.0, 175.0, 176.0, 0.0018554857403307722]),
+        }
+    )
+    p = hub_dir / "raw" / "2024-07-07-teamabc-output_type_ids_numeric.parquet"
+    pq.write_table(table, p)
+    return p
+
+
+# --- F3-ish: parquet with empty strings (no null normalization on parquet) ---
+
+
+@pytest.fixture()
+def parquet_empty_string_file(hub_dir: Path) -> Path:
+    table = pa.table(
+        {
+            "origin_date": pa.array(["2022-10-08", "2022-10-08"], pa.string()),
+            "target": pa.array(["wk inc flu hosp", "wk inc flu hosp"]),
+            "horizon": pa.array([1, 1], pa.int64()),
+            "location": pa.array(["", "02"], pa.string()),
+            "output_type": pa.array(["mean", "mean"]),
+            "output_type_id": pa.array(["", "0.99"], pa.string()),
+            "value": pa.array([1.0, 2.0]),
+        }
+    )
+    p = hub_dir / "raw" / "2024-07-07-teamabc-empty_strings.parquet"
+    pq.write_table(table, p)
+    return p
