@@ -1,38 +1,891 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` exposes the engine's declared operator surface (SURVEY.md §2):
+each entry is a thin wrapper over a ``hubverse_transform_spark`` library
+operator, and ``oracle_sql()`` carries the equivalent DuckDB SQL. Both sides
+alias every computed column identically and round floating aggregates the same
+way, so the driver's order-insensitive value hash compares equal numbers.
+
+Hash-sensitive design choices:
+- md5/sha256 (not xxhash64) anywhere a hash value is part of a result, so SQL
+  oracles reproduce signatures bit-for-bit;
+- double aggregates rounded at the precision their magnitude supports
+  (sums of ~1e9 -> 1 decimal; unit-scale avgs -> 6);
+- every rank/limit has an explicit deterministic tie-break key.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from hubverse_transform_spark.functions.text import (
+    _LANG_PROFILES,
+    lang_id_expr,
+    quality_score,
+    whitespace_token_count,
+)
+from hubverse_transform_spark.operators.asof import asof_join
+from hubverse_transform_spark.operators.dedup import (
+    MINHASH_PRIME,
+    SHINGLE_HASH_HEX,
+    content_hash_dedup,
+    minhash_lsh_pairs,
+    minhash_params,
+    minhash_signature,
+    ngram_jaccard_pairs,
+    shingle_ngrams,
+    simhash,
+)
+from hubverse_transform_spark.operators.similarity import (
+    cosine_brute_force_topk,
+    embedding_near_dup_pairs,
+)
+from hubverse_transform_spark.operators.topk import top_k_per_group
+from hubverse_transform_spark.session import load_table
+from hubverse_transform_spark.streaming.windows import (
+    session_window_agg,
+    sliding_window_agg,
+    tumbling_window_agg,
+)
+
+SF_SMOKE = "/root/testdata/sf0.001"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# =============================================================================
+# Relational core (TPC-H-flavored; SURVEY.md §2.2 joins/aggs/windows/set-ops)
+# =============================================================================
+
+
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-aggregate groupBy with filter pushdown (hash agg, partial+final)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 1).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 1).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 5).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def q02_revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-way join with broadcast dims (region/nation/customer) + agg."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 1).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+def q03_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join + agg + deterministic global top-10 (TakeOrderedAndProject)."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1996-07-01").cast("timestamp")
+    )
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp")
+    )
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    rev = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("o_orderkey")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+    )
+    return rev.orderBy(F.col("revenue").desc(), F.col("o_orderkey")).limit(10)
+
+
+def q04_priority_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join (EXISTS) + count by priority."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+def q05_customers_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join (NOT EXISTS) + count by segment."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+def q06_revenue_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure filter + single agg (all predicates pushed to the scan)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+def q07_topk_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-k via row_number window."""
+    p = _t(spark, sf_dir, "part")
+    return top_k_per_group(
+        p.select("p_brand", "p_partkey", "p_retailprice"),
+        ["p_brand"],
+        [F.col("p_retailprice").desc(), F.col("p_partkey")],
+        3,
+    )
+
+
+def q08_setops_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT set operations."""
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    cust_nations = n.join(c, n.n_nationkey == c.c_nationkey).select("n_name").distinct()
+    supp_nations = n.join(s, n.n_nationkey == s.s_nationkey).select("n_name").distinct()
+    both = cust_nations.intersect(supp_nations).withColumn("tag", F.lit("both"))
+    cust_only = cust_nations.exceptAll(supp_nations).withColumn("tag", F.lit("cust_only"))
+    return both.unionByName(cust_only)
+
+
+def q09_rollup_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping sets (subtotals + grand total)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+    )
+
+
+def q10_distinct_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(DISTINCT) per group over a join."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+def q11_events_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date bucketing + agg over the events table."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.date_format("ts", "yyyy-MM-dd").alias("day"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+    )
+
+
+def q12_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON field extraction from the props column."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.withColumn("k", F.get_json_object("props", "$.k"))
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+        )
+    )
+
+
+def q13_part_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String functions + agg."""
+    p = _t(spark, sf_dir, "part")
+    return (
+        p.withColumn("type_word", F.split(F.col("p_type"), " ").getItem(0))
+        .groupBy("type_word")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.round(F.avg("p_size"), 6).alias("avg_size"),
+            F.round(F.avg("p_retailprice"), 4).alias("avg_price"),
+        )
+    )
+
+
+def q14_asof_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each click matched to the user's latest prior purchase."""
+    e = _t(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select("user_id", "ts", "value")
+    purchases = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("p_value"))
+    )
+    joined = asof_join(
+        clicks,
+        purchases,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        value_cols=["p_value"],
+    )
+    return joined.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_clicks"),
+        F.count("p_value_asof").alias("n_matched"),
+        F.round(F.coalesce(F.sum("p_value_asof"), F.lit(0.0)), 4).alias("sum_purchase"),
+    )
+
+
+def q15_acctbal_above_nation_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window aggregate as correlated-subquery replacement."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    w = Window.partitionBy("c_nationkey")
+    rich = (
+        c.withColumn("nation_avg", F.avg("c_acctbal").over(w))
+        .filter(F.col("c_acctbal") > F.col("nation_avg"))
+    )
+    return (
+        rich.join(F.broadcast(n), rich.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_rich"),
+            F.round(F.avg("c_acctbal"), 4).alias("avg_bal"),
+        )
+    )
+
+
+# =============================================================================
+# LLM-data-pipeline operators (SURVEY.md §2.3 [EXT])
+# =============================================================================
+
+
+def q20_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-hash exact dedup over documents."""
+    d = _t(spark, sf_dir, "documents")
+    return content_hash_dedup(d, "text", "doc_id")
+
+
+def q21_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard near-dup pairs, blocked by lang."""
+    d = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(
+        d, "doc_id", "text", ngram=3, threshold=0.1, block_col="lang"
+    )
+    return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def q22_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures (md5 family), rendered as a comparable string."""
+    d = _t(spark, sf_dir, "documents")
+    sig = minhash_signature(shingle_ngrams(F.col("text"), 3), 8)
+    return d.select("doc_id", F.concat_ws(",", sig).alias("sig"))
+
+
+def q23_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidate pairs verified by true Jaccard."""
+    d = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        d, "doc_id", "text", ngram=3, num_hashes=8, bands=4, threshold=0.1
+    )
+    return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def q24_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 neighbors for query vectors vec_id < 10."""
+    emb = _t(spark, sf_dir, "embeddings")
+    out = cosine_brute_force_topk(
+        emb, emb.filter(F.col("vec_id") < 10), id_col="vec_id", vec_col="embedding", k=5
+    )
+    return out.select(
+        "query_id", "neighbor_id", F.round("cosine_sim", 6).alias("cosine_sim"), "rank"
+    )
+
+
+def q25_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (exact form, oracle-bounded; the
+    hyperplane-LSH form is the scale path, see operators.similarity)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = embedding_near_dup_pairs(emb, threshold=0.3, exact=True)
+    return pairs.select("id_a", "id_b", F.round("cosine_sim", 6).alias("cosine_sim"))
+
+
+def q26_text_quality_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus quality summary per language slice."""
+    d = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    return (
+        d.select(
+            "lang",
+            whitespace_token_count(t).alias("ws_tokens"),
+            F.length(t).alias("chars"),
+            quality_score(t).alias("quality"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.sum("ws_tokens").alias("total_tokens"),
+            F.round(F.avg("chars"), 4).alias("avg_chars"),
+            F.round(F.avg("quality"), 4).alias("avg_quality"),
+        )
+    )
+
+
+def q27_lang_guess_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-profile language ID vs the labeled lang column."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select("lang", lang_id_expr(F.col("text")).alias("lang_guess"))
+        .groupBy("lang", "lang_guess")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+def q28_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """md5 fingerprint over normalized text; keep-first semantics."""
+    d = _t(spark, sf_dir, "documents")
+    fp = F.md5(F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " ")))
+    return (
+        d.groupBy(fp.alias("fingerprint"))
+        .agg(
+            F.min("doc_id").alias("keep_id"),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+    )
+
+
+def q29_tumbling_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10-minute tumbling windows per event type (batch form of the
+    streaming operator)."""
+    e = _t(spark, sf_dir, "events")
+    agg = tumbling_window_agg(
+        e, ts_col="ts", window_duration="10 minutes", group_cols=["event_type"], watermark=None
+    )
+    return agg.select(
+        F.date_format(F.col("win.start"), "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+        "event_type",
+        "n_events",
+        F.round("sum_value", 4).alias("sum_value"),
+        F.round("avg_value", 6).alias("avg_value"),
+    )
+
+
+def q30_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10-minute windows sliding by 5 (each event in two windows)."""
+    e = _t(spark, sf_dir, "events")
+    agg = sliding_window_agg(
+        e,
+        ts_col="ts",
+        window_duration="10 minutes",
+        slide_duration="5 minutes",
+        group_cols=["event_type"],
+        watermark=None,
+    )
+    return agg.select(
+        F.date_format(F.col("win.start"), "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+        "event_type",
+        "n_events",
+        F.round("sum_value", 4).alias("sum_value"),
+    )
+
+
+def q31_session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (5-minute gap) per user: session count + max size."""
+    e = _t(spark, sf_dir, "events")
+    sessions = session_window_agg(
+        e, ts_col="ts", gap="5 minutes", group_cols=["user_id"], watermark=None
+    )
+    return sessions.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.max("n_events").alias("max_session_events"),
+    )
+
+
+def q32_binary_bytes_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-binary column handling: byte lengths of utf-8 payloads."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select("source", F.octet_length(F.encode(F.col("text"), "utf-8")).alias("bytes"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("bytes").alias("total_bytes"),
+        )
+    )
+
+
+def q33_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash fingerprints over 2-gram shingles."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", simhash(F.col("text"), bits=16, ngram=2).alias("simhash16"))
+
+
+# =============================================================================
+# Driver contract
+# =============================================================================
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return q01_pricing_summary(spark, SF_SMOKE)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "q01_pricing_summary": q01_pricing_summary,
+        "q02_revenue_by_region": q02_revenue_by_region,
+        "q03_top_orders": q03_top_orders,
+        "q04_priority_semijoin": q04_priority_semijoin,
+        "q05_customers_no_orders": q05_customers_no_orders,
+        "q06_revenue_filter": q06_revenue_filter,
+        "q07_topk_parts_per_brand": q07_topk_parts_per_brand,
+        "q08_setops_nations": q08_setops_nations,
+        "q09_rollup_lineitem": q09_rollup_lineitem,
+        "q10_distinct_customers": q10_distinct_customers,
+        "q11_events_daily": q11_events_daily,
+        "q12_events_json": q12_events_json,
+        "q13_part_type_stats": q13_part_type_stats,
+        "q14_asof_click_purchase": q14_asof_click_purchase,
+        "q15_acctbal_above_nation_avg": q15_acctbal_above_nation_avg,
+        "q20_exact_dedup": q20_exact_dedup,
+        "q21_ngram_jaccard_pairs": q21_ngram_jaccard_pairs,
+        "q22_minhash_signatures": q22_minhash_signatures,
+        "q23_minhash_lsh_pairs": q23_minhash_lsh_pairs,
+        "q24_cosine_topk": q24_cosine_topk,
+        "q25_embedding_neardup": q25_embedding_neardup,
+        "q26_text_quality_by_lang": q26_text_quality_by_lang,
+        "q27_lang_guess_counts": q27_lang_guess_counts,
+        "q28_fingerprint_dedup": q28_fingerprint_dedup,
+        "q29_tumbling_windows": q29_tumbling_windows,
+        "q30_sliding_windows": q30_sliding_windows,
+        "q31_session_counts": q31_session_counts,
+        "q32_binary_bytes_by_source": q32_binary_bytes_by_source,
+        "q33_simhash_fingerprints": q33_simhash_fingerprints,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# --- oracle SQL builders (kept in sync with the library operators) -----------
+
+_SHINGLES3 = (
+    "list_distinct(list_transform(range(1, greatest(len(toks)-3,0)+2), "
+    "i -> array_to_string(toks[i:i+2], ' ')))"
+)
+_SHINGLES2 = (
+    "list_distinct(list_transform(range(1, greatest(len(toks)-2,0)+2), "
+    "i -> array_to_string(toks[i:i+1], ' ')))"
+)
+_TOKS = "regexp_split_to_array(lower(trim(text)), '\\s+')"
+
+
+_SHINGLE_HASH = (
+    f"list_transform(sh, s -> CAST('0x' || substr(md5(s), 1, {SHINGLE_HASH_HEX}) AS BIGINT))"
+)
+
+
+def _sig_exprs(num_hashes: int) -> str:
+    """Per-seed MinHash minima over the (a*h + b) mod P permutation family —
+    parameters imported from the operator so both sides stay in sync."""
+    mins = ", ".join(
+        f"list_aggregate(list_transform(hs, h -> (CAST({a} AS BIGINT) * h + {b}) % {MINHASH_PRIME}), 'min')"
+        for a, b in minhash_params(num_hashes)
+    )
+    return f"[{mins}]"
+
+
+def _quality_sql(text: str = "text") -> str:
+    """DuckDB rendition of functions.text.quality_score (same expression tree)."""
+    en = "|".join(_LANG_PROFILES["en"])
+    n = f"length({text})"
+    ws = f"len(regexp_split_to_array(trim({text}), '\\s+'))"
+    alpha = f"(len(regexp_extract_all({text}, '[A-Za-z]')) * 1.0 / {n})"
+    punct = f"(len(regexp_extract_all({text}, '[^\\w\\s]')) * 1.0 / {n})"
+    stop = f"(len(regexp_extract_all(lower({text}), '\\b(?:{en})\\b')) * 1.0 / {ws})"
+    band = f"(CASE WHEN {n} >= 50 AND {n} <= 20000 THEN 1.0 WHEN {n} > 0 THEN 0.5 ELSE 0.0 END)"
+    return (
+        f"round(0.35 * {band} + 0.30 * least({alpha} * 1.25, 1.0) "
+        f"+ 0.20 * least({stop} * 4.0, 1.0) "
+        f"+ 0.15 * (1.0 - least({punct} * 4.0, 1.0)), 4)"
+    )
+
+
+def _lang_guess_sql(text: str = "text") -> str:
+    """argmax-by-(score, lang) via zero-padded score||lang string GREATEST —
+    identical ordering to array_max over struct(score, lang)."""
+    parts = []
+    for lang, words in sorted(_LANG_PROFILES.items()):
+        pat = "\\b(?:" + "|".join(words) + ")\\b"
+        parts.append(
+            f"lpad(CAST(len(regexp_extract_all(lower({text}), '{pat}')) AS VARCHAR), 10, '0') || '{lang}'"
+        )
+    g = "greatest(" + ", ".join(parts) + ")"
+    return f"(CASE WHEN substr({g}, 1, 10) = '0000000000' THEN 'und' ELSE substr({g}, 11) END)"
+
+
+def _simhash16_sql() -> str:
+    """16-bit SimHash from 2-gram shingles, md5-derived bits (matches
+    operators.dedup.simhash)."""
+    votes = [
+        "list_aggregate(list_transform(hs, h -> CASE WHEN ((h >> {j}) & 1) = 1 "
+        "THEN 1 ELSE -1 END), 'sum')".format(j=j)
+        for j in range(16)
+    ]
+    terms = " + ".join(
+        f"(CASE WHEN ({votes[j]}) > 0 THEN {2**j} ELSE 0 END)" for j in range(16)
+    )
+    return terms
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    en_profile = "|".join(_LANG_PROFILES["en"])
+    return {
+        "q01_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 1) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 1) AS sum_disc_price,
+                   round(avg(l_quantity), 5) AS avg_qty,
+                   round(avg(l_discount), 6) AS avg_disc,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "q02_revenue_by_region": """
+            SELECT r_name,
+                   round(sum(l_extendedprice * (1 - l_discount)), 1) AS revenue,
+                   count(*) AS n_items
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1997-01-01'
+            GROUP BY r_name
+        """,
+        "q03_top_orders": """
+            SELECT o_orderkey,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < TIMESTAMP '1996-07-01'
+              AND l_shipdate > TIMESTAMP '1996-07-01'
+            GROUP BY o_orderkey
+            ORDER BY revenue DESC, o_orderkey
+            LIMIT 10
+        """,
+        "q04_priority_semijoin": """
+            SELECT o_orderpriority, count(*) AS order_count
+            FROM orders
+            WHERE EXISTS (
+                SELECT 1 FROM lineitem
+                WHERE l_orderkey = o_orderkey AND l_returnflag = 'R'
+            )
+            GROUP BY o_orderpriority
+        """,
+        "q05_customers_no_orders": """
+            SELECT c_mktsegment, count(*) AS n_customers
+            FROM customer
+            WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+            GROUP BY c_mktsegment
+        """,
+        "q06_revenue_filter": """
+            SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+                   count(*) AS n_rows
+            FROM lineitem
+            WHERE l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24
+        """,
+        "q07_topk_parts_per_brand": """
+            SELECT p_brand, p_partkey, p_retailprice, rank
+            FROM (
+                SELECT p_brand, p_partkey, p_retailprice,
+                       row_number() OVER (PARTITION BY p_brand
+                                          ORDER BY p_retailprice DESC, p_partkey) AS rank
+                FROM part
+            )
+            WHERE rank <= 3
+        """,
+        "q08_setops_nations": """
+            WITH cust AS (SELECT DISTINCT n_name FROM nation JOIN customer ON n_nationkey = c_nationkey),
+                 supp AS (SELECT DISTINCT n_name FROM nation JOIN supplier ON n_nationkey = s_nationkey)
+            SELECT n_name, 'both' AS tag FROM (SELECT n_name FROM cust INTERSECT SELECT n_name FROM supp)
+            UNION ALL
+            SELECT n_name, 'cust_only' AS tag FROM (SELECT n_name FROM cust EXCEPT SELECT n_name FROM supp)
+        """,
+        "q09_rollup_lineitem": """
+            SELECT l_returnflag, l_linestatus,
+                   count(*) AS n_rows,
+                   round(sum(l_quantity), 2) AS sum_qty
+            FROM lineitem
+            GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        """,
+        "q10_distinct_customers": """
+            SELECT c_mktsegment,
+                   count(DISTINCT o_custkey) AS n_customers,
+                   count(*) AS n_orders
+            FROM customer JOIN orders ON c_custkey = o_custkey
+            GROUP BY c_mktsegment
+        """,
+        "q11_events_daily": """
+            SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
+                   count(*) AS n_events,
+                   round(sum(value), 4) AS sum_value
+            FROM events
+            GROUP BY 1, 2
+        """,
+        "q12_events_json": """
+            SELECT json_extract_string(props, '$.k') AS k,
+                   count(*) AS n_events,
+                   round(avg(value), 6) AS avg_value
+            FROM events
+            GROUP BY 1
+        """,
+        "q13_part_type_stats": """
+            SELECT string_split(p_type, ' ')[1] AS type_word,
+                   count(*) AS n_parts,
+                   round(avg(p_size), 6) AS avg_size,
+                   round(avg(p_retailprice), 4) AS avg_price
+            FROM part
+            GROUP BY 1
+        """,
+        "q14_asof_click_purchase": """
+            WITH clicks AS (
+                SELECT user_id, ts, value FROM events WHERE event_type = 'click'
+            ), purch AS (
+                SELECT user_id, ts, max(value) AS p_value
+                FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+            )
+            SELECT c.user_id AS user_id,
+                   count(*) AS n_clicks,
+                   count(p.p_value) AS n_matched,
+                   round(coalesce(sum(p.p_value), 0.0), 4) AS sum_purchase
+            FROM clicks c
+            ASOF LEFT JOIN purch p ON c.user_id = p.user_id AND c.ts >= p.ts
+            GROUP BY c.user_id
+        """,
+        "q15_acctbal_above_nation_avg": """
+            WITH avgs AS (
+                SELECT c_nationkey AS nk, avg(c_acctbal) AS nation_avg
+                FROM customer GROUP BY c_nationkey
+            )
+            SELECT n_name,
+                   count(*) AS n_rich,
+                   round(avg(c_acctbal), 4) AS avg_bal
+            FROM customer
+            JOIN avgs ON c_nationkey = nk
+            JOIN nation ON c_nationkey = n_nationkey
+            WHERE c_acctbal > nation_avg
+            GROUP BY n_name
+        """,
+        "q20_exact_dedup": """
+            SELECT sha256(text) AS content_hash,
+                   min(doc_id) AS keep_id,
+                   count(*) AS dup_count
+            FROM documents
+            GROUP BY sha256(text)
+        """,
+        "q21_ngram_jaccard_pairs": f"""
+            WITH tok AS (
+                SELECT doc_id, lang, {_TOKS} AS toks FROM documents
+            ), sh AS (
+                SELECT doc_id, lang, {_SHINGLES3} AS s FROM tok
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   round(len(list_intersect(a.s, b.s)) * 1.0
+                         / len(list_distinct(list_concat(a.s, b.s))), 6) AS jaccard
+            FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+            WHERE len(list_intersect(a.s, b.s)) * 1.0
+                  / len(list_distinct(list_concat(a.s, b.s))) >= 0.1
+        """,
+        "q22_minhash_signatures": f"""
+            WITH tok AS (
+                SELECT doc_id, {_TOKS} AS toks FROM documents
+            ), shg AS (
+                SELECT doc_id, {_SHINGLES3} AS sh FROM tok
+            ), hsh AS (
+                SELECT doc_id, {_SHINGLE_HASH} AS hs FROM shg
+            )
+            SELECT doc_id, array_to_string({_sig_exprs(8)}, ',') AS sig
+            FROM hsh
+        """,
+        "q23_minhash_lsh_pairs": f"""
+            WITH tok AS (
+                SELECT doc_id, {_TOKS} AS toks FROM documents
+            ), shg AS (
+                SELECT doc_id, {_SHINGLES3} AS sh FROM tok
+            ), sig AS (
+                SELECT doc_id, sh, {_sig_exprs(8)} AS sg
+                FROM (SELECT doc_id, sh, {_SHINGLE_HASH} AS hs FROM shg)
+            ), banded AS (
+                SELECT doc_id, sh, b AS band_idx,
+                       CAST(b AS VARCHAR) || '|' || array_to_string(sg[b*2+1:b*2+2], '|') AS band
+                FROM sig, (SELECT unnest(range(0, 4)) AS b)
+            ), cand AS (
+                SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                FROM banded a JOIN banded b ON a.band = b.band AND a.doc_id < b.doc_id
+            )
+            SELECT c.id_a, c.id_b,
+                   round(len(list_intersect(x.sh, y.sh)) * 1.0
+                         / len(list_distinct(list_concat(x.sh, y.sh))), 6) AS jaccard
+            FROM cand c
+            JOIN shg x ON x.doc_id = c.id_a
+            JOIN shg y ON y.doc_id = c.id_b
+            WHERE len(list_intersect(x.sh, y.sh)) * 1.0
+                  / len(list_distinct(list_concat(x.sh, y.sh))) >= 0.1
+        """,
+        "q24_cosine_topk": """
+            WITH q AS (
+                SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+                FROM embeddings WHERE vec_id < 10
+            ), scored AS (
+                SELECT q.query_id, e.vec_id AS neighbor_id,
+                       list_cosine_similarity(q.qv, CAST(e.embedding AS DOUBLE[])) AS sim
+                FROM q, embeddings e
+                WHERE e.vec_id != q.query_id
+            ), ranked AS (
+                SELECT query_id, neighbor_id, sim,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY sim DESC, neighbor_id) AS rank
+                FROM scored
+            )
+            SELECT query_id, neighbor_id, round(sim, 6) AS cosine_sim, rank
+            FROM ranked WHERE rank <= 5
+        """,
+        "q25_embedding_neardup": """
+            WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings)
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_cosine_similarity(a.ve, b.ve), 6) AS cosine_sim
+            FROM v a, v b
+            WHERE a.vec_id < b.vec_id
+              AND list_cosine_similarity(a.ve, b.ve) >= 0.3
+        """,
+        "q26_text_quality_by_lang": f"""
+            WITH ann AS (
+                SELECT lang,
+                       len(regexp_split_to_array(trim(text), '\\s+')) AS ws_tokens,
+                       length(text) AS chars,
+                       {_quality_sql("text")} AS quality
+                FROM documents
+            )
+            SELECT lang,
+                   count(*) AS docs,
+                   CAST(sum(ws_tokens) AS BIGINT) AS total_tokens,
+                   round(avg(chars), 4) AS avg_chars,
+                   round(avg(quality), 4) AS avg_quality
+            FROM ann GROUP BY lang
+        """,
+        "q27_lang_guess_counts": f"""
+            SELECT lang, {_lang_guess_sql("text")} AS lang_guess, count(*) AS n_docs
+            FROM documents
+            GROUP BY 1, 2
+        """,
+        "q28_fingerprint_dedup": """
+            SELECT md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fingerprint,
+                   min(doc_id) AS keep_id,
+                   count(*) AS dup_count
+            FROM documents
+            GROUP BY 1
+        """,
+        "q29_tumbling_windows": """
+            SELECT strftime(make_timestamp(CAST(floor(epoch(ts)/600)*600*1000000 AS BIGINT)),
+                            '%Y-%m-%d %H:%M:%S') AS win_start,
+                   event_type,
+                   count(*) AS n_events,
+                   round(sum(value), 4) AS sum_value,
+                   round(avg(value), 6) AS avg_value
+            FROM events
+            GROUP BY 1, 2
+        """,
+        "q30_sliding_windows": """
+            WITH expanded AS (
+                SELECT CAST(floor(epoch(ts)/300)*300 AS BIGINT) AS win_s, event_type, value FROM events
+                UNION ALL
+                SELECT CAST(floor(epoch(ts)/300)*300 - 300 AS BIGINT) AS win_s, event_type, value FROM events
+            )
+            SELECT strftime(make_timestamp(win_s * 1000000), '%Y-%m-%d %H:%M:%S') AS win_start,
+                   event_type,
+                   count(*) AS n_events,
+                   round(sum(value), 4) AS sum_value
+            FROM expanded
+            GROUP BY 1, 2
+        """,
+        "q31_session_counts": """
+            WITH flagged AS (
+                SELECT user_id, ts,
+                       CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                                 OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                                    >= INTERVAL 5 MINUTE
+                            THEN 1 ELSE 0 END AS new_session
+                FROM events
+            ), sessions AS (
+                SELECT user_id, ts,
+                       sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                              ROWS UNBOUNDED PRECEDING) AS session_id
+                FROM flagged
+            ), per_session AS (
+                SELECT user_id, session_id, count(*) AS n_events
+                FROM sessions GROUP BY user_id, session_id
+            )
+            SELECT user_id,
+                   count(*) AS n_sessions,
+                   max(n_events) AS max_session_events
+            FROM per_session GROUP BY user_id
+        """,
+        "q32_binary_bytes_by_source": """
+            SELECT source,
+                   count(*) AS n_docs,
+                   CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes
+            FROM documents
+            GROUP BY source
+        """,
+        "q33_simhash_fingerprints": f"""
+            WITH tok AS (
+                SELECT doc_id, {_TOKS} AS toks FROM documents
+            ), shg AS (
+                SELECT doc_id, {_SHINGLES2} AS sh FROM tok
+            ), hashed AS (
+                SELECT doc_id,
+                       list_transform(sh, s -> CAST('0x' || substr(md5(s), 1, 15) AS BIGINT)) AS hs
+                FROM shg
+            )
+            SELECT doc_id, CAST({_simhash16_sql()} AS BIGINT) AS simhash16
+            FROM hashed
+        """,
+    }

@@ -1,0 +1,40 @@
+"""Layer-B analytic + LLM-pipeline operators [EXT] (SURVEY.md §2.3).
+
+Not present in the reference (it has no joins/aggregations/windows anywhere —
+verified by grep, SURVEY.md §2.2); mandated by the driver's north star. Each
+operator is designed shuffle-first: broadcast the small side, partial-aggregate
+before exchange, never collect to the driver.
+"""
+
+from hubverse_transform_spark.operators.asof import asof_join
+from hubverse_transform_spark.operators.dedup import (
+    content_hash_dedup,
+    exact_dedup,
+    minhash_lsh_pairs,
+    minhash_signature,
+    ngram_jaccard_pairs,
+    shingle_ngrams,
+    simhash,
+)
+from hubverse_transform_spark.operators.similarity import (
+    cosine_brute_force_topk,
+    cosine_lsh_topk,
+    embedding_near_dup_pairs,
+)
+from hubverse_transform_spark.operators.topk import top_k_global, top_k_per_group
+
+__all__ = [
+    "asof_join",
+    "exact_dedup",
+    "content_hash_dedup",
+    "shingle_ngrams",
+    "minhash_signature",
+    "minhash_lsh_pairs",
+    "ngram_jaccard_pairs",
+    "simhash",
+    "cosine_brute_force_topk",
+    "cosine_lsh_topk",
+    "embedding_near_dup_pairs",
+    "top_k_per_group",
+    "top_k_global",
+]

@@ -1,0 +1,316 @@
+"""Deduplication operators [EXT]: exact, content-hash, n-gram Jaccard,
+MinHash+LSH, SimHash.
+
+Scale design notes (100 TB posture):
+
+- exact/content-hash dedup is a single hash-shuffle with map-side partial
+  aggregation — the canonical Spark groupBy;
+- MinHash signatures are computed **entirely map-side** as higher-order array
+  expressions (``array_min(transform(shingles, md5(...)))``) — no explode, no
+  shuffle, no Python. Only the LSH band self-join shuffles, and it shuffles on
+  band keys whose cardinality grows with the corpus (no skew pile-up on a
+  single reducer);
+- candidate verification (true Jaccard) runs only on LSH candidate pairs, so
+  the quadratic step never materializes;
+- hashes are md5-hex (lexicographic min of hex strings == min of 128-bit
+  hashes), chosen deliberately so a SQL oracle (DuckDB) can reproduce every
+  stage bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def exact_dedup(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """Exact row dedup on ``cols`` (all columns when None)."""
+    return df.dropDuplicates(cols) if cols else df.dropDuplicates()
+
+
+def content_hash_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Group rows by sha256(content); keep the smallest id per group.
+
+    Returns ``(content_hash, keep_id, dup_count)`` — one hash-shuffle with
+    partial aggregation; at 100 TB this is the cheapest possible exact dedup
+    (the alternative, a window over hash, sorts within partitions for no gain).
+    """
+    return (
+        df.groupBy(F.sha2(F.col(text_col), 256).alias("content_hash"))
+        .agg(
+            F.min(F.col(id_col)).alias("keep_id"),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+    )
+
+
+def tokens_expr(text: Column) -> Column:
+    """Lowercased whitespace tokens."""
+    return F.split(F.lower(F.trim(text)), r"\s+")
+
+
+def shingle_ngrams(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of ``text`` as an array column.
+
+    Pure map-side higher-order expression: for token list t of length L,
+    shingle i = t[i..i+n-1] joined by space, i in [0, L-n].
+    """
+    toks = tokens_expr(text)
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        )
+    )
+
+
+#: prime modulus for the MinHash permutation family (2^31 - 1)
+MINHASH_PRIME = 2_147_483_647
+#: hex chars of md5 used as the base shingle hash (28 bits -> a*h fits int64)
+SHINGLE_HASH_HEX = 7
+
+
+def minhash_params(num_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs for the permutation family
+    h_i(x) = (a_i * x + b_i) mod P. Shared with the SQL oracle."""
+    return [
+        ((2 * i + 1) * 2654435761 % MINHASH_PRIME, (i * 40503 + 17) % MINHASH_PRIME)
+        for i in range(num_hashes)
+    ]
+
+
+def shingle_hash(shingle: Column) -> Column:
+    """28-bit integer hash of a shingle (first 7 hex chars of md5) — md5 is
+    computed ONCE per shingle; the per-seed permutations are integer ops."""
+    return F.conv(F.substring(F.md5(shingle), 1, SHINGLE_HASH_HEX), 16, 10).cast("long")
+
+
+def minhash_signature(shingles: Column, num_hashes: int) -> Column:
+    """MinHash signature: per-seed minima of (a*h + b) mod P over shingle
+    hashes, computed in a SINGLE array pass.
+
+    Everything happens map-side in one ``aggregate`` whose accumulator is the
+    array of running minima — md5 runs once per shingle (not once per seed;
+    HOF expressions are interpreted, not codegen'd, so common-subexpression
+    elimination cannot be relied on to dedupe repeated hash subtrees).
+    """
+    params = minhash_params(num_hashes)
+    a_arr = F.array(*[F.lit(a) for a, _ in params])
+    b_arr = F.array(*[F.lit(b) for _, b in params])
+    hashed = F.transform(shingles, shingle_hash)
+    init = F.array_repeat(F.lit(MINHASH_PRIME).cast("long"), num_hashes)
+
+    def merge(acc: Column, h: Column) -> Column:
+        # two-arg transform lambda receives (element, index); index selects
+        # the seed's (a, b) from the literal arrays
+        return F.transform(
+            acc,
+            lambda m, i: F.least(
+                m,
+                (F.element_at(a_arr, i + 1) * h + F.element_at(b_arr, i + 1))
+                % F.lit(MINHASH_PRIME),
+            ),
+        )
+
+    return F.aggregate(hashed, init, merge)
+
+
+def _band_key(signature: Column, band: int, rows_per_band: int) -> Column:
+    """Concatenate one band's signature slice into a join key."""
+    slice_strs = F.transform(
+        F.slice(signature, band * rows_per_band + 1, rows_per_band),
+        lambda v: v.cast("string"),
+    )
+    return F.concat_ws("|", F.lit(str(band)), slice_strs)
+
+
+def jaccard_expr(a: Column, b: Column) -> Column:
+    """Jaccard similarity of two (distinct-element) array columns."""
+    inter = F.size(F.array_intersect(a, b))
+    union = F.size(F.array_union(a, b))
+    return F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(0.0))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    ngram: int = 3,
+    num_hashes: int = 8,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash banding + exact Jaccard verification.
+
+    Pipeline: shingle -> signature (map-side) -> explode bands -> self-join on
+    band key (shuffle on band hash) -> distinct candidate pair -> verify true
+    Jaccard >= threshold. Returns (id_a, id_b, jaccard), id_a < id_b.
+    """
+    rows_per_band = num_hashes // bands
+    sh = df.select(
+        F.col(id_col).alias("_id"),
+        shingle_ngrams(F.col(text_col), ngram).alias("_shingles"),
+    ).withColumn("_sig", minhash_signature(F.col("_shingles"), num_hashes))
+
+    banded = sh.select(
+        "_id",
+        "_shingles",
+        F.explode(
+            F.array(*[_band_key(F.col("_sig"), b, rows_per_band) for b in range(bands)])
+        ).alias("_band"),
+    )
+
+    left = banded.alias("a")
+    right = banded.alias("b")
+    candidates = (
+        left.join(right, on="_band")
+        .filter(F.col("a._id") < F.col("b._id"))
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.col("a._shingles").alias("_sa"),
+            F.col("b._shingles").alias("_sb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        candidates.withColumn("jaccard", jaccard_expr(F.col("_sa"), F.col("_sb")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    ngram: int = 3,
+    threshold: float = 0.5,
+    block_col: str | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity join via inverted index.
+
+    Instead of a quadratic self-join computing per-pair array intersections,
+    explode (doc, shingle) postings and equi-join on the shingle: the
+    intersection size of a pair is its join-match count, and
+    ``jaccard = inter / (|A| + |B| - inter)``. Cost is sum over shingles of
+    postings^2 — the textbook exact set-similarity join; pairs sharing no
+    shingle (jaccard 0) never materialize. An optional ``block_col``
+    additionally restricts pairs to equal blocks (e.g. same lang).
+    """
+    keys = ["_s"] + (["_blk"] if block_col else [])
+    sh = df.select(
+        F.col(id_col).alias("_id"),
+        *([F.col(block_col).alias("_blk")] if block_col else []),
+        shingle_ngrams(F.col(text_col), ngram).alias("_sh"),
+    ).select("_id", *(["_blk"] if block_col else []), F.size("_sh").alias("_sz"),
+             F.explode("_sh").alias("_s"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, on=keys)
+        .filter(F.col("a._id") < F.col("b._id"))
+        .groupBy(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.col("a._sz").alias("_sa"),
+            F.col("b._sz").alias("_sb"),
+        )
+        .agg(F.count(F.lit(1)).alias("_inter"))
+    )
+    jac = F.col("_inter").cast("double") / (F.col("_sa") + F.col("_sb") - F.col("_inter"))
+    return (
+        inter.select("id_a", "id_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash(text: Column, *, bits: int = 16, ngram: int = 2) -> Column:
+    """SimHash fingerprint of ``text`` over word n-gram shingles.
+
+    Each shingle votes +1/-1 per bit position using bits of its md5; the
+    fingerprint sets bit j when the vote sum is positive. Map-side only.
+    md5-derived bits keep it SQL-oracle-able (no engine-private hash).
+    """
+    sh = shingle_ngrams(text, ngram)
+    # per-shingle bits come from the first 15 hex chars of md5 -> 60-bit int
+    hashed = F.transform(sh, lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long"))
+
+    # single pass: the accumulator is the per-bit vote vector. Bit j is tested
+    # with (h & 2^j) != 0 — bitwiseAND accepts a Column mask, unlike
+    # F.shiftright whose shift amount must be a Python int. md5 runs once per
+    # shingle (HOFs are interpreted; 'bits' separate aggregates would
+    # re-evaluate the hash transform per bit).
+    pow2 = F.array(*[F.lit(2**j).cast("long") for j in range(bits)])
+    init = F.array_repeat(F.lit(0), bits)
+
+    def merge(acc: Column, h: Column) -> Column:
+        return F.zip_with(
+            acc,
+            pow2,
+            lambda cnt, p: cnt
+            + F.when(h.bitwiseAND(p) != 0, F.lit(1)).otherwise(F.lit(-1)),
+        )
+
+    votes = F.aggregate(hashed, init, merge)
+    return F.aggregate(
+        F.zip_with(votes, pow2, lambda v, p: F.when(v > 0, p).otherwise(F.lit(0).cast("long"))),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def hamming_distance(a: Column, b: Column) -> Column:
+    """Hamming distance between two integer fingerprints."""
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    bits: int = 16,
+    ngram: int = 2,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs whose SimHash fingerprints differ in <= max_hamming bits.
+
+    Blocking: fingerprints are split into (max_hamming+1) segments; by
+    pigeonhole, any pair within the distance budget shares at least one exact
+    segment — the self-join keys on (segment_idx, segment_value), never the
+    full cross product.
+    """
+    segs = max_hamming + 1
+    seg_bits = max(bits // segs, 1)
+    fp = df.select(F.col(id_col).alias("_id"), simhash(F.col(text_col), bits=bits, ngram=ngram).alias("_fp"))
+    mask = (1 << seg_bits) - 1
+    banded = fp.select(
+        "_id",
+        "_fp",
+        F.explode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        ":",
+                        F.lit(str(i)),
+                        F.shiftright(F.col("_fp"), i * seg_bits).bitwiseAND(F.lit(mask)).cast("string"),
+                    )
+                    for i in range(segs)
+                ]
+            )
+        ).alias("_seg"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(b, on="_seg")
+        .filter(F.col("a._id") < F.col("b._id"))
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            hamming_distance(F.col("a._fp"), F.col("b._fp")).alias("hamming"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+        .filter(F.col("hamming") <= max_hamming)
+    )

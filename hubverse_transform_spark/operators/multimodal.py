@@ -1,0 +1,172 @@
+"""Multimodal column plumbing [EXT]: image/audio/video as opaque binary
+columns with typed metadata.
+
+The decode kernels (image decode, audio resample, video frame extraction)
+need native libraries that are NOT in this container, so the *kernels* are
+stubbed — a deterministic fake when ``fake=True`` (for tests), else
+NotImplementedError. Everything Spark-side is real and tested: the asset
+schema, Arrow-batched ``mapInPandas`` plumbing, batch shapes, partition-size
+control for large blobs.
+
+Scale notes: binary payloads dominate row size, so assets are repartitioned
+by byte budget before any UDF stage (`target_partition_bytes`), and metadata
+extraction keeps payloads out of the exchange (select only what moves).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+#: canonical multimodal asset schema: payload + typed metadata
+ASSET_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType(), False),
+        StructField("modality", StringType(), False),  # image | audio | video
+        StructField("mime_type", StringType(), True),
+        StructField("payload", BinaryType(), True),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("duration_ms", LongType(), True),
+    ]
+)
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType(), False),
+        StructField("modality", StringType(), False),
+        StructField("byte_len", LongType(), True),
+        StructField("feature", StringType(), True),
+    ]
+)
+
+
+def _fake_decode(payload: bytes | None, modality: str) -> str:
+    """Deterministic stand-in for a real decode: stable digest of the bytes."""
+    import hashlib
+
+    if payload is None:
+        return "empty"
+    return f"{modality}:{hashlib.md5(payload).hexdigest()[:12]}"
+
+
+def decode_features(
+    assets: DataFrame,
+    *,
+    fake: bool = False,
+    batch_hint: int = 64,
+    target_partition_bytes: int = 256 * 1024 * 1024,
+    total_bytes: int | None = None,
+) -> DataFrame:
+    """Extract per-asset features from binary payloads via ``mapInPandas``.
+
+    Arrow streams column batches into pandas; each batch yields one output
+    frame — the UDF never holds more than a batch of payloads in memory.
+    With ``fake=False`` this raises NotImplementedError inside the executor
+    (the image/audio libraries are not installed here); the plumbing —
+    schema, batching, partition sizing — is the tested surface.
+
+    ``total_bytes`` (when known, e.g. from table stats) drives a
+    repartition so each task holds ~``target_partition_bytes`` of payload.
+    """
+    if total_bytes:
+        parts = max(1, total_bytes // target_partition_bytes)
+        assets = assets.repartition(int(parts))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "real decode requires image/audio libraries not present in this environment"
+                )
+            out = pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "modality": pdf["modality"],
+                    "byte_len": pdf["payload"].map(lambda b: len(b) if b is not None else 0),
+                    "feature": [
+                        _fake_decode(b, m)
+                        for b, m in zip(pdf["payload"], pdf["modality"])
+                    ],
+                }
+            )
+            yield out
+
+    return assets.mapInPandas(run, FEATURE_SCHEMA)
+
+
+def resize_images(assets: DataFrame, *, width: int, height: int, fake: bool = False) -> DataFrame:
+    """Image resize stub: same plumbing pattern, payload->payload.
+
+    Fake mode passes payloads through and rewrites metadata (deterministic);
+    real mode raises NotImplementedError in the executor.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError("image decode libraries unavailable")
+            pdf = pdf.copy()
+            pdf["width"] = width
+            pdf["height"] = height
+            yield pdf
+
+    return assets.mapInPandas(run, assets.schema)
+
+
+def frame_sample(assets: DataFrame, *, every_ms: int, fake: bool = False) -> DataFrame:
+    """Video frame-sampling stub: one output row per sampled frame.
+
+    Demonstrates the 1->N batch shape (explode inside the UDF); fake mode
+    fabricates frame ids from duration metadata.
+    """
+    out_schema = StructType(
+        [
+            StructField("asset_id", LongType(), False),
+            StructField("frame_idx", IntegerType(), False),
+            StructField("ts_ms", LongType(), False),
+            StructField("frame", BinaryType(), True),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError("video decode libraries unavailable")
+            rows: list[dict[str, Any]] = []
+            for _, r in pdf.iterrows():
+                dur = int(r["duration_ms"] or 0)
+                for i, ts in enumerate(range(0, dur, every_ms)):
+                    rows.append(
+                        {"asset_id": r["asset_id"], "frame_idx": i, "ts_ms": ts, "frame": None}
+                    )
+            yield pd.DataFrame(rows, columns=[f.name for f in out_schema.fields])
+
+    return assets.mapInPandas(run, out_schema)
+
+
+def asset_metadata_summary(assets: DataFrame) -> DataFrame:
+    """Metadata-only rollup — projects payload OUT before the shuffle so the
+    exchange moves kilobytes, not blobs."""
+    return (
+        assets.select("modality", F.octet_length("payload").alias("bytes"), "duration_ms")
+        .groupBy("modality")
+        .agg(
+            F.count(F.lit(1)).alias("assets"),
+            F.sum("bytes").alias("total_bytes"),
+            F.avg("bytes").alias("avg_bytes"),
+        )
+    )

@@ -42,6 +42,10 @@ def get_spark(app_name: str = "hubverse-transform-spark", cpus: int | None = Non
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
+        # parquet TIMESTAMP(NANOS) (events.ts) is rejected by default; read as
+        # long nanos and convert in load_table
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
     return builder.getOrCreate()
 
@@ -52,5 +56,17 @@ def table_path(sf_dir: str, name: str) -> str:
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str):
-    """Read one testdata table lazily (predicate/column pushdown preserved)."""
-    return spark.read.parquet(table_path(sf_dir, name))
+    """Read one testdata table lazily (predicate/column pushdown preserved).
+
+    ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark only reads as a
+    long (nanosAsLong) — convert to a microsecond timestamp with integer
+    division (``div``, not ``/``: epoch-nanos exceed 2^53, double math would
+    corrupt them). Truncation toward zero matches DuckDB's ns->us read.
+    """
+    from pyspark.sql import functions as F  # local import to avoid cycle
+
+    df = spark.read.parquet(table_path(sf_dir, name))
+    for field in df.schema.fields:
+        if field.name == "ts" and field.dataType.typeName() in ("long", "bigint"):
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return df
