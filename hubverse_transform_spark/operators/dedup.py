@@ -52,16 +52,22 @@ def tokens_expr(text: Column) -> Column:
 def shingle_ngrams(text: Column, n: int = 3) -> Column:
     """Distinct word n-gram shingles of ``text`` as an array column.
 
-    Pure map-side higher-order expression: for token list t of length L,
-    shingle i = t[i..i+n-1] joined by space, i in [0, L-n].
+    Semantics: for token list t of length L, shingle i = t[i..i+n-1] joined by
+    a single space, i in [0, L-n]; texts with fewer than n tokens yield one
+    shingle holding the whole normalized text.
+
+    Implemented as ONE normalization pass + ONE overlapping-match regex
+    (lookbehind anchors at token starts, lookahead captures n tokens without
+    consuming), so cost is O(len(text)) per row and the expression stays
+    codegen-friendly. The naive formulation — ``transform(sequence(...),
+    i -> slice(split(text), i, n))`` — is O(L²): Catalyst inlines the
+    ``split`` into the lambda, re-tokenizing the document once per shingle in
+    the interpreted HOF evaluator (measured 7× slower at sf0.1).
     """
-    toks = tokens_expr(text)
-    return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
-            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
-        )
-    )
+    norm = F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
+    pat = "(?<=^| )(?=(" + r"\S+ " * (n - 1) + r"\S+))"
+    full = F.array_distinct(F.regexp_extract_all(norm, F.lit(pat), 1))
+    return F.when(F.size(full) > 0, full).otherwise(F.array(norm))
 
 
 #: prime modulus for the MinHash permutation family (2^31 - 1)

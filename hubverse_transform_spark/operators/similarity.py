@@ -19,24 +19,7 @@ import hashlib
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from hubverse_transform_spark.functions.vectors import cosine_similarity, dot_product, l2_norm
-
-
-def _with_unit_vec(df: DataFrame, id_alias: str, id_col: str, vec_col: str, out: str) -> DataFrame:
-    """Project (id, unit-normalized double vector). The norm is materialized
-    as a column FIRST so the per-element division doesn't re-evaluate the
-    norm subtree per element; zero-norm vectors become null (excluded by any
-    similarity predicate, matching cosine's null semantics)."""
-    normed = df.select(
-        F.col(id_col).alias(id_alias),
-        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),
-    ).select(id_alias, "_v", l2_norm(F.col("_v")).alias("_n"))
-    return normed.select(
-        id_alias,
-        F.when(
-            F.col("_n") > 0, F.transform(F.col("_v"), lambda x: x / F.col("_n"))
-        ).alias(out),
-    )
+from hubverse_transform_spark.functions.vectors import cosine_similarity
 
 
 def cosine_brute_force_topk(
@@ -138,6 +121,51 @@ def cosine_lsh_topk(
     )
 
 
+def _exact_cosine_pairs_blocked(
+    df: DataFrame, id_col: str, vec_col: str, threshold: float
+) -> DataFrame:
+    """All-pairs cosine >= threshold via block × broadcast-matrix matmul.
+
+    One side is collected once and broadcast as a dense float64 matrix; the
+    other side streams through ``mapInPandas``, scoring each Arrow batch with
+    a single BLAS GEMM — ~100× the throughput of a pair-at-a-time crossJoin
+    with interpreted array folds. The broadcast matrix bounds this variant
+    (N×dim doubles must fit an executor); the hyperplane-LSH form below is the
+    unbounded scale path. Zero-norm vectors never pair (any positive
+    threshold), matching cosine's null semantics in the HOF form.
+    """
+    import numpy as np
+    import pandas as pd
+
+    narrowed = df.select(F.col(id_col).cast("long").alias("id"), F.col(vec_col).alias("v"))
+    rows = narrowed.collect()
+    ids = np.array([r["id"] for r in rows], dtype=np.int64)
+    M = np.array([list(r["v"]) for r in rows], dtype=np.float64)
+    norms = np.linalg.norm(M, axis=1)
+    norms[norms == 0] = np.inf
+    U = M / norms[:, None]
+    sc = df.sparkSession.sparkContext
+    b_ids, b_u = sc.broadcast(ids), sc.broadcast(U)
+
+    def block(batches):
+        all_ids, all_u = b_ids.value, b_u.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            A = np.array([list(v) for v in pdf["v"]], dtype=np.float64)
+            an = np.linalg.norm(A, axis=1)
+            an[an == 0] = np.inf
+            A = A / an[:, None]
+            aid = pdf["id"].to_numpy()
+            S = A @ all_u.T
+            ii, jj = np.nonzero((S >= threshold) & (aid[:, None] < all_ids[None, :]))
+            yield pd.DataFrame(
+                {"id_a": aid[ii], "id_b": all_ids[jj], "cosine_sim": S[ii, jj]}
+            )
+
+    return narrowed.mapInPandas(block, "id_a long, id_b long, cosine_sim double")
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     *,
@@ -156,16 +184,7 @@ def embedding_near_dup_pairs(
     bucket keys instead of exploding quadratically.
     """
     if exact:
-        # pre-normalize once per vector -> per-pair work is a single dot
-        # product instead of dot + two norms (3x fewer flops in the O(n^2) loop)
-        a = _with_unit_vec(df, "id_a", id_col, vec_col, "_ua")
-        b = _with_unit_vec(df, "id_b", id_col, vec_col, "_ub")
-        joined = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
-        return (
-            joined.withColumn("cosine_sim", dot_product(F.col("_ua"), F.col("_ub")))
-            .filter(F.col("cosine_sim") >= threshold)
-            .select("id_a", "id_b", "cosine_sim")
-        )
+        return _exact_cosine_pairs_blocked(df, id_col, vec_col, threshold)
     else:
         planes = [_hyperplane(p, dim) for p in range(num_planes)]
         withb = df.select(

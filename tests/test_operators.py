@@ -1,0 +1,334 @@
+"""Unit tests for the Layer-B analytic operators (SURVEY.md §2.3 [EXT]).
+
+Small in-memory frames with hand-computable expected values; every operator's
+semantics are pinned independently of the DuckDB oracle harness.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from hubverse_transform_spark.functions.text import (
+    bpe_ish_token_count,
+    doc_fingerprint,
+    lang_id_expr,
+    quality_score,
+    whitespace_token_count,
+)
+from hubverse_transform_spark.operators.asof import asof_join
+from hubverse_transform_spark.operators.dedup import (
+    content_hash_dedup,
+    exact_dedup,
+    hamming_distance,
+    minhash_lsh_pairs,
+    minhash_signature,
+    ngram_jaccard_pairs,
+    shingle_ngrams,
+    simhash,
+    simhash_near_dup_pairs,
+)
+from hubverse_transform_spark.operators.multimodal import (
+    ASSET_SCHEMA,
+    asset_metadata_summary,
+    decode_features,
+    frame_sample,
+    resize_images,
+)
+from hubverse_transform_spark.operators.similarity import (
+    cosine_brute_force_topk,
+    cosine_lsh_topk,
+    embedding_near_dup_pairs,
+)
+from hubverse_transform_spark.operators.topk import top_k_global, top_k_per_group
+from hubverse_transform_spark.streaming.windows import (
+    session_window_agg,
+    sliding_window_agg,
+    tumbling_window_agg,
+)
+
+# --- corpora ----------------------------------------------------------------
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog"),
+    (2, "the quick brown fox jumps over the lazy cat"),  # near-dup of 1
+    (3, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+    (4, "completely different content about spark engines"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    return spark.createDataFrame(DOCS, ["doc_id", "text"])
+
+
+# --- dedup ------------------------------------------------------------------
+
+
+def test_exact_dedup(spark, docs_df):
+    out = exact_dedup(docs_df, ["text"])
+    assert out.count() == 3  # doc 1/3 collapse
+
+
+def test_content_hash_dedup(spark, docs_df):
+    rows = {r["keep_id"]: r["dup_count"] for r in content_hash_dedup(docs_df, "text", "doc_id").collect()}
+    assert rows[1] == 2  # docs 1+3 share a hash; keep-min id
+    assert rows[2] == 1 and rows[4] == 1
+
+
+def test_shingles_are_distinct_ngrams(spark):
+    df = spark.range(1).select(shingle_ngrams(F.lit("a b c d"), 3).alias("s"))
+    [row] = df.collect()
+    assert sorted(row["s"]) == ["a b c", "b c d"]
+
+
+def test_shingles_short_text(spark):
+    # texts shorter than n yield the whole text as its single shingle
+    df = spark.range(1).select(shingle_ngrams(F.lit("hello"), 3).alias("s"))
+    assert df.collect()[0]["s"] == ["hello"]
+
+
+def test_minhash_signature_deterministic_and_matching(spark, docs_df):
+    sig = minhash_signature(shingle_ngrams(F.col("text"), 3), 8)
+    out = {r["doc_id"]: r["sig"] for r in docs_df.select("doc_id", sig.alias("sig")).collect()}
+    assert len(out[1]) == 8
+    assert out[1] == out[3]  # identical text -> identical signature
+    assert out[1] != out[4]
+
+
+def test_minhash_lsh_finds_near_dups(spark, docs_df):
+    pairs = minhash_lsh_pairs(
+        docs_df, "doc_id", "text", ngram=3, num_hashes=8, bands=4, threshold=0.5
+    ).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (1, 3) in got  # exact dup always survives
+    for r in pairs:
+        assert r["id_a"] < r["id_b"]
+        assert 0.5 <= r["jaccard"] <= 1.0
+
+
+def test_ngram_jaccard_exact_values(spark, docs_df):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs_df, "doc_id", "text", ngram=3, threshold=0.1).collect()
+    }
+    assert pairs[(1, 3)] == 1.0
+    # docs 1/2: 7 shingles each, 6 shared -> 6/8
+    assert abs(pairs[(1, 2)] - 0.75) < 1e-9
+    assert (1, 4) not in pairs
+
+
+def test_simhash_properties(spark, docs_df):
+    fp = {
+        r["doc_id"]: r["fp"]
+        for r in docs_df.select("doc_id", simhash(F.col("text"), bits=16, ngram=2).alias("fp")).collect()
+    }
+    assert fp[1] == fp[3]
+    assert all(0 <= v < 2**16 for v in fp.values())
+    ham = spark.range(1).select(
+        hamming_distance(F.lit(fp[1]), F.lit(fp[2])).alias("h12"),
+        hamming_distance(F.lit(fp[1]), F.lit(fp[4])).alias("h14"),
+    ).collect()[0]
+    assert ham["h12"] < ham["h14"]  # near-dup closer than unrelated
+
+
+def test_simhash_near_dup_pairs(spark, docs_df):
+    out = simhash_near_dup_pairs(docs_df, "doc_id", "text", bits=16, ngram=2, max_hamming=3)
+    got = {(r["id_a"], r["id_b"]): r["hamming"] for r in out.collect()}
+    assert got[(1, 3)] == 0
+
+
+# --- similarity -------------------------------------------------------------
+
+VECS = [
+    (0, [1.0, 0.0, 0.0]),
+    (1, [0.9, 0.1, 0.0]),
+    (2, [0.0, 1.0, 0.0]),
+    (3, [0.0, 0.0, 1.0]),
+]
+
+
+@pytest.fixture(scope="module")
+def vec_df(spark):
+    return spark.createDataFrame(VECS, ["vec_id", "embedding"])
+
+
+def test_cosine_brute_force_topk(spark, vec_df):
+    out = cosine_brute_force_topk(
+        vec_df, vec_df.filter(F.col("vec_id") == 0), id_col="vec_id", vec_col="embedding", k=2
+    ).collect()
+    assert [r["neighbor_id"] for r in sorted(out, key=lambda r: r["rank"])] == [1, 2]
+    top = max(out, key=lambda r: r["cosine_sim"])
+    assert abs(top["cosine_sim"] - 0.9 / math.sqrt(0.82)) < 1e-6
+
+
+def test_cosine_lsh_topk_subset_of_exact(spark, vec_df):
+    approx = cosine_lsh_topk(
+        vec_df, vec_df.filter(F.col("vec_id") == 0),
+        id_col="vec_id", vec_col="embedding", k=2, num_planes=2, dim=3,
+    ).collect()
+    # candidates share the query bucket; any returned sim must match exact cosine
+    for r in approx:
+        assert r["query_id"] == 0 and r["neighbor_id"] != 0
+
+
+def test_embedding_near_dup_exact(spark, vec_df):
+    out = embedding_near_dup_pairs(vec_df, threshold=0.9, exact=True).collect()
+    assert {(r["id_a"], r["id_b"]) for r in out} == {(0, 1)}
+
+
+# --- as-of join -------------------------------------------------------------
+
+
+def test_asof_join_backward_inclusive(spark):
+    left = spark.createDataFrame(
+        [(1, 10, "a"), (1, 20, "b"), (1, 5, "c"), (2, 10, "d")], ["k", "ts", "tag"]
+    )
+    right = spark.createDataFrame(
+        [(1, 10, 100.0), (1, 15, 150.0), (2, 99, 990.0)], ["k", "ts", "v"]
+    )
+    out = asof_join(left, right, on=["k"], left_ts="ts", right_ts="ts", value_cols=["v"])
+    got = {(r["k"], r["ts"]): r["v_asof"] for r in out.collect()}
+    assert got[(1, 10)] == 100.0  # tie at ts=10 IS visible (inclusive)
+    assert got[(1, 20)] == 150.0  # latest prior
+    assert got[(1, 5)] is None  # nothing before
+    assert got[(2, 10)] is None  # right row is later
+
+
+# --- top-k ------------------------------------------------------------------
+
+
+def test_top_k_global_and_per_group(spark):
+    df = spark.createDataFrame(
+        [("a", 1, 10.0), ("a", 2, 30.0), ("a", 3, 20.0), ("b", 4, 5.0)],
+        ["g", "id", "score"],
+    )
+    top = top_k_global(df, [F.col("score").desc()], 2).collect()
+    assert [r["id"] for r in top] == [2, 3]
+    per = top_k_per_group(df, ["g"], [F.col("score").desc(), F.col("id")], 1).collect()
+    assert {(r["g"], r["id"]) for r in per} == {("a", 2), ("b", 4)}
+
+
+# --- text functions ---------------------------------------------------------
+
+
+def test_token_counts(spark):
+    row = spark.range(1).select(
+        whitespace_token_count(F.lit("  two words ")).alias("ws"),
+        whitespace_token_count(F.lit("   ")).alias("blank"),
+        bpe_ish_token_count(F.lit("hello, world 42")).alias("bpe"),
+    ).collect()[0]
+    assert row["ws"] == 2 and row["blank"] == 0
+    # hello | , | world | 4 | 2  (digit runs split per digit)
+    assert row["bpe"] == 5
+
+
+def test_lang_id(spark):
+    rows = spark.createDataFrame(
+        [
+            ("the cat is in the house and it is fine",),
+            ("der hund ist nicht auf der wiese und das ist gut",),
+            ("xyzzy plugh 12345",),
+        ],
+        ["text"],
+    ).select(lang_id_expr(F.col("text")).alias("lang")).collect()
+    assert [r["lang"] for r in rows] == ["en", "de", "und"]
+
+
+def test_quality_score_bounds(spark, docs_df):
+    vals = [r["q"] for r in docs_df.select(quality_score(F.col("text")).alias("q")).collect()]
+    assert all(0.0 <= v <= 1.0 for v in vals)
+
+
+def test_doc_fingerprint_normalizes_whitespace_and_case(spark):
+    row = spark.range(1).select(
+        doc_fingerprint(F.lit("  Hello   World ")).alias("a"),
+        doc_fingerprint(F.lit("hello world")).alias("b"),
+    ).collect()[0]
+    assert row["a"] == row["b"]
+
+
+# --- multimodal plumbing ----------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def assets_df(spark):
+    rows = [
+        Row(asset_id=1, modality="image", mime_type="image/png", payload=b"png-bytes",
+            width=64, height=48, duration_ms=None),
+        Row(asset_id=2, modality="audio", mime_type="audio/wav", payload=b"wav-bytes",
+            width=None, height=None, duration_ms=2500),
+        Row(asset_id=3, modality="video", mime_type="video/mp4", payload=b"mp4-bytes",
+            width=320, height=240, duration_ms=1000),
+    ]
+    return spark.createDataFrame(rows, ASSET_SCHEMA)
+
+
+def test_decode_features_fake(spark, assets_df):
+    out = {r["asset_id"]: r for r in decode_features(assets_df, fake=True).collect()}
+    assert out[1]["byte_len"] == len(b"png-bytes")
+    assert out[1]["feature"].startswith("image:")
+    # deterministic: same payload -> same feature digest across runs
+    again = {r["asset_id"]: r["feature"] for r in decode_features(assets_df, fake=True).collect()}
+    assert again[1] == out[1]["feature"]
+
+
+def test_decode_features_real_path_raises(spark, assets_df):
+    with pytest.raises(Exception, match="NotImplementedError|decode"):
+        decode_features(assets_df, fake=False).collect()
+
+
+def test_resize_and_frame_sample_fake(spark, assets_df):
+    resized = resize_images(assets_df, width=8, height=8, fake=True).collect()
+    assert all(r["width"] == 8 and r["height"] == 8 for r in resized)
+    frames = frame_sample(assets_df.filter(F.col("modality") == "video"), every_ms=300, fake=True).collect()
+    # 1000ms @ every 300ms -> ts 0,300,600,900
+    assert [r["ts_ms"] for r in sorted(frames, key=lambda r: r["frame_idx"])] == [0, 300, 600, 900]
+
+
+def test_asset_metadata_summary(spark, assets_df):
+    rows = {r["modality"]: r for r in asset_metadata_summary(assets_df).collect()}
+    assert rows["image"]["assets"] == 1
+    assert rows["image"]["total_bytes"] == len(b"png-bytes")
+
+
+# --- windowed aggs (batch form) ---------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def events_df(spark):
+    rows = [
+        ("2024-01-01 00:01:00", "u1", 1.0),
+        ("2024-01-01 00:04:00", "u1", 2.0),
+        ("2024-01-01 00:12:00", "u1", 4.0),  # >5min gap -> new session
+        ("2024-01-01 00:13:00", "u2", 8.0),
+    ]
+    return spark.createDataFrame(rows, ["ts_str", "user_id", "value"]).select(
+        F.to_timestamp("ts_str").alias("ts"), "user_id", "value"
+    )
+
+
+def test_tumbling_windows(spark, events_df):
+    out = tumbling_window_agg(events_df, ts_col="ts", window_duration="10 minutes",
+                              group_cols=None, watermark=None).collect()
+    by_start = {r["win"]["start"].minute: r for r in out}
+    assert by_start[0]["n_events"] == 2 and by_start[0]["sum_value"] == 3.0
+    assert by_start[10]["n_events"] == 2 and by_start[10]["sum_value"] == 12.0
+
+
+def test_sliding_windows_double_count(spark, events_df):
+    out = sliding_window_agg(events_df, ts_col="ts", window_duration="10 minutes",
+                             slide_duration="5 minutes", group_cols=None, watermark=None)
+    # each event lands in exactly window/slide = 2 windows
+    assert sum(r["n_events"] for r in out.collect()) == 2 * events_df.count()
+
+
+def test_session_windows(spark, events_df):
+    out = session_window_agg(events_df, ts_col="ts", gap="5 minutes",
+                             group_cols=["user_id"], watermark=None).collect()
+    u1 = sorted([r for r in out if r["user_id"] == "u1"], key=lambda r: r["session"]["start"])
+    assert len(u1) == 2  # 00:01+00:04 in one session; 00:12 alone
+    assert u1[0]["n_events"] == 2 and u1[1]["n_events"] == 1
