@@ -23,6 +23,8 @@ from pyspark.sql import functions as F
 
 from hubverse_transform_spark.functions.text import (
     _LANG_PROFILES,
+    bpe_ish_token_count,
+    chargram_min_fingerprint,
     lang_id_expr,
     quality_score,
     whitespace_token_count,
@@ -38,9 +40,12 @@ from hubverse_transform_spark.operators.dedup import (
     ngram_jaccard_pairs,
     shingle_ngrams,
     simhash,
+    simhash_near_dup_pairs,
 )
 from hubverse_transform_spark.operators.similarity import (
+    _hyperplane,
     cosine_brute_force_topk,
+    cosine_lsh_topk,
     embedding_near_dup_pairs,
 )
 from hubverse_transform_spark.operators.topk import top_k_per_group
@@ -290,6 +295,48 @@ def q15_acctbal_above_nation_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q16_cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets (all 4 combinations incl. grand total)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+    )
+
+
+def q17_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic windows per customer: running sum, lag, sequence number."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wr = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(wr), 2).alias("running_total"),
+        F.round(F.lag("o_totalprice").over(w), 2).alias("prev_price"),
+        F.row_number().over(w).alias("order_seq"),
+    )
+
+
+def q18_range_join_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval) join against a tiny broadcast band table."""
+    li = _t(spark, sf_dir, "lineitem")
+    bands = spark.createDataFrame(
+        [("low", 0, 10), ("mid", 11, 25), ("high", 26, 50)], ["band", "lo", "hi"]
+    )
+    return (
+        li.join(
+            F.broadcast(bands),
+            (F.col("l_quantity") >= F.col("lo")) & (F.col("l_quantity") <= F.col("hi")),
+        )
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum("l_extendedprice"), 1).alias("sum_price"),
+        )
+    )
+
+
 # =============================================================================
 # LLM-data-pipeline operators (SURVEY.md §2.3 [EXT])
 # =============================================================================
@@ -455,6 +502,66 @@ def q33_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", simhash(F.col("text"), bits=16, ngram=2).alias("simhash16"))
 
 
+def q34_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting per source: whitespace + BPE-ish pre-tokenizer regex."""
+    d = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    return (
+        d.select(
+            "source",
+            whitespace_token_count(t).alias("ws"),
+            bpe_ish_token_count(t).alias("bpe"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("ws").alias("ws_tokens"),
+            F.sum("bpe").alias("bpe_tokens"),
+        )
+    )
+
+
+def q35_chargram_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling char-8-gram min-hash document fingerprints."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", chargram_min_fingerprint(F.col("text"), 8).alias("fp8"))
+
+
+def q36_lsh_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH bucketed ANN top-3 (the scale path of q24); the
+    deterministic md5-derived planes make it fully oracle-able."""
+    emb = _t(spark, sf_dir, "embeddings")
+    out = cosine_lsh_topk(
+        emb,
+        emb.filter(F.col("vec_id") < 5),
+        id_col="vec_id",
+        vec_col="embedding",
+        k=3,
+        num_planes=4,
+        dim=64,
+    )
+    return out.select(
+        "query_id", "neighbor_id", F.round("cosine_sim", 6).alias("cosine_sim"), "rank"
+    )
+
+
+def q37_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs via pigeonhole segment blocking; the blocked
+    plan provably returns exactly the all-pairs hamming<=3 set."""
+    d = _t(spark, sf_dir, "documents")
+    return simhash_near_dup_pairs(d, "doc_id", "text", bits=16, ngram=2, max_hamming=3)
+
+
+def q38_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ approximate distinct vs exact (no oracle: sketch is
+    implementation-defined; driver records the rows-only check)."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.countDistinct("user_id").alias("exact_users"),
+    )
+
+
 # =============================================================================
 # Driver contract
 # =============================================================================
@@ -482,6 +589,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q13_part_type_stats": q13_part_type_stats,
         "q14_asof_click_purchase": q14_asof_click_purchase,
         "q15_acctbal_above_nation_avg": q15_acctbal_above_nation_avg,
+        "q16_cube_orders": q16_cube_orders,
+        "q17_running_totals": q17_running_totals,
+        "q18_range_join_bands": q18_range_join_bands,
         "q20_exact_dedup": q20_exact_dedup,
         "q21_ngram_jaccard_pairs": q21_ngram_jaccard_pairs,
         "q22_minhash_signatures": q22_minhash_signatures,
@@ -496,6 +606,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q31_session_counts": q31_session_counts,
         "q32_binary_bytes_by_source": q32_binary_bytes_by_source,
         "q33_simhash_fingerprints": q33_simhash_fingerprints,
+        "q34_token_counts": q34_token_counts,
+        "q35_chargram_fingerprint": q35_chargram_fingerprint,
+        "q36_lsh_cosine_topk": q36_lsh_cosine_topk,
+        "q37_simhash_neardup": q37_simhash_neardup,
+        "q38_approx_distinct_users": q38_approx_distinct_users,
     }
 
 
@@ -568,6 +683,40 @@ def _simhash16_sql() -> str:
         f"(CASE WHEN ({votes[j]}) > 0 THEN {2**j} ELSE 0 END)" for j in range(16)
     )
     return terms
+
+
+def _lsh_topk_sql(*, k: int, num_planes: int, dim: int, max_query_id: int) -> str:
+    """Hyperplane-LSH top-k oracle: the deterministic md5-derived plane
+    components are inlined as SQL array literals, so DuckDB reproduces the
+    exact bucket assignment and candidate ranking of cosine_lsh_topk."""
+    bucket_terms = []
+    for p in range(num_planes):
+        comps = ", ".join(repr(c) for c in _hyperplane(p, dim))
+        bucket_terms.append(
+            f"(CASE WHEN list_dot_product(ve, [{comps}]) >= 0 THEN {2**p} ELSE 0 END)"
+        )
+    bucket = " + ".join(bucket_terms)
+    return f"""
+        WITH v AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings
+        ), b AS (
+            SELECT vec_id, ve, {bucket} AS bucket FROM v
+        ), q AS (
+            SELECT vec_id AS query_id, ve AS qv, bucket FROM b
+            WHERE vec_id < {max_query_id}
+        ), scored AS (
+            SELECT q.query_id, c.vec_id AS neighbor_id,
+                   list_cosine_similarity(q.qv, c.ve) AS sim
+            FROM q JOIN b c ON q.bucket = c.bucket AND c.vec_id != q.query_id
+        ), ranked AS (
+            SELECT query_id, neighbor_id, sim,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY sim DESC, neighbor_id) AS rank
+            FROM scored
+        )
+        SELECT query_id, neighbor_id, round(sim, 6) AS cosine_sim, rank
+        FROM ranked WHERE rank <= {k}
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -713,6 +862,34 @@ def oracle_sql() -> dict[str, str]:
             JOIN nation ON c_nationkey = n_nationkey
             WHERE c_acctbal > nation_avg
             GROUP BY n_name
+        """,
+        "q16_cube_orders": """
+            SELECT o_orderstatus, o_orderpriority,
+                   count(*) AS n_orders,
+                   round(sum(o_totalprice), 2) AS sum_price
+            FROM orders
+            GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        """,
+        "q17_running_totals": """
+            SELECT o_custkey, o_orderkey,
+                   round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+                         ORDER BY o_orderdate, o_orderkey
+                         ROWS UNBOUNDED PRECEDING), 2) AS running_total,
+                   round(lag(o_totalprice) OVER (PARTITION BY o_custkey
+                         ORDER BY o_orderdate, o_orderkey), 2) AS prev_price,
+                   row_number() OVER (PARTITION BY o_custkey
+                         ORDER BY o_orderdate, o_orderkey) AS order_seq
+            FROM orders
+        """,
+        "q18_range_join_bands": """
+            SELECT band,
+                   count(*) AS n_items,
+                   round(sum(l_extendedprice), 1) AS sum_price
+            FROM lineitem
+            JOIN (VALUES ('low', 0, 10), ('mid', 11, 25), ('high', 26, 50))
+                 AS b(band, lo, hi)
+              ON l_quantity >= lo AND l_quantity <= hi
+            GROUP BY band
         """,
         "q20_exact_dedup": """
             SELECT sha256(text) AS content_hash,
@@ -887,5 +1064,52 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, CAST({_simhash16_sql()} AS BIGINT) AS simhash16
             FROM hashed
+        """,
+        "q34_token_counts": """
+            WITH ann AS (
+                SELECT source,
+                       CASE WHEN trim(text) = '' THEN 0
+                            ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS ws,
+                       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS bpe
+                FROM documents
+            )
+            SELECT source,
+                   count(*) AS n_docs,
+                   CAST(sum(ws) AS BIGINT) AS ws_tokens,
+                   CAST(sum(bpe) AS BIGINT) AS bpe_tokens
+            FROM ann GROUP BY source
+        """,
+        "q35_chargram_fingerprint": """
+            WITH norm AS (
+                SELECT doc_id,
+                       regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
+                FROM documents
+            )
+            SELECT doc_id,
+                   CASE WHEN length(t) >= 8 THEN
+                       list_aggregate(list_transform(range(1, length(t) - 8 + 2),
+                                      i -> md5(substr(t, CAST(i AS INTEGER), 8))), 'min')
+                   ELSE md5(t) END AS fp8
+            FROM norm
+        """,
+        "q36_lsh_cosine_topk": _lsh_topk_sql(k=3, num_planes=4, dim=64, max_query_id=5),
+        "q37_simhash_neardup": f"""
+            WITH tok AS (
+                SELECT doc_id, {_TOKS} AS toks FROM documents
+            ), shg AS (
+                SELECT doc_id, {_SHINGLES2} AS sh FROM tok
+            ), hashed AS (
+                SELECT doc_id,
+                       list_transform(sh, s -> CAST('0x' || substr(md5(s), 1, 15) AS BIGINT)) AS hs
+                FROM shg
+            ), fp AS (
+                SELECT doc_id, CAST({_simhash16_sql()} AS BIGINT) AS f FROM hashed
+            )
+            -- pigeonhole: the engine's 4x4-bit segment blocking returns exactly
+            -- the all-pairs hamming<=3 set, so the oracle is the plain filter
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(bit_count(xor(a.f, b.f)) AS INTEGER) AS hamming
+            FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.f, b.f)) <= 3
         """,
     }

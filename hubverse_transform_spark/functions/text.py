@@ -94,6 +94,21 @@ def quality_score(text: Column) -> Column:
     )
 
 
+def chargram_min_fingerprint(text: Column, k: int = 8) -> Column:
+    """Rolling-window document fingerprint: minimum md5 over all overlapping
+    character k-grams of the whitespace-normalized text (the min-hash of the
+    char-shingle set, i.e. winnowing with a single global window).
+
+    One overlapping-match regex pass (lookahead capture, zero-width advance)
+    plus one md5 per gram — O(len) per row, no per-gram re-evaluation of the
+    normalization. Texts shorter than k fall back to hashing the whole
+    normalized text. md5 so a SQL oracle reproduces it bit-for-bit.
+    """
+    norm = F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
+    grams = F.regexp_extract_all(norm, F.lit(f"(?=(.{{{k}}}))"), 1)
+    return F.coalesce(F.array_min(F.transform(grams, F.md5)), F.md5(norm))
+
+
 def doc_fingerprint(text: Column) -> Column:
     """Deterministic content fingerprint: md5 over whitespace-collapsed,
     lowercased text. md5 (not xxhash64) so a SQL oracle can reproduce it."""
