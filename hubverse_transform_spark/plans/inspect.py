@@ -48,5 +48,25 @@ def has_broadcast_join(df: DataFrame) -> bool:
 
 
 def whole_stage_codegen_spans(df: DataFrame) -> int:
-    """Number of WholeStageCodegen spans — wider is better (fewer breaks)."""
-    return len(set(re.findall(r"WholeStageCodegen \((\d+)\)", explain_str(df))))
+    """Number of distinct WholeStageCodegen spans — wider is better (fewer
+    breaks). Handles both the tree form (``WholeStageCodegen (1)``) and the
+    formatted form (``[codegen id : 1]``)."""
+    plan = explain_str(df)
+    ids = set(re.findall(r"WholeStageCodegen \((\d+)\)", plan))
+    ids |= set(re.findall(r"codegen id : (\d+)", plan))
+    if ids:
+        return len(ids)
+    # under AQE, codegen happens per-stage at execution time and the
+    # pre-execution plan carries no annotation — probe a fresh Dataset
+    # (fresh QueryExecution) with AQE off to see the static codegen layout
+    spark = df.sparkSession
+    old = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    try:
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        m = re.search(
+            r"Found (\d+) WholeStageCodegen subtrees",
+            explain_str(df.alias("_codegen_probe"), mode="codegen"),
+        )
+        return int(m.group(1)) if m else 0
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", old)

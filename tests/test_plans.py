@@ -1,0 +1,60 @@
+"""Plan-shape assertions: at 100 TB the physical plan IS the product.
+
+These tests pin that filters reach the parquet scan, unused columns are
+pruned, small dimensions broadcast, the range join stays nested-loop over a
+broadcast (never a cross shuffle), and the hot path stays in whole-stage
+codegen.
+"""
+
+from __future__ import annotations
+
+import __spark_entry__ as entry
+from hubverse_transform_spark.plans.inspect import (
+    explain_str,
+    has_broadcast_join,
+    pushed_filters,
+    scanned_columns,
+    whole_stage_codegen_spans,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_q06_pushes_filters_to_scan(spark):
+    df = entry.q06_revenue_filter(spark, SF)
+    pf = " ".join(pushed_filters(df))
+    assert "l_discount" in pf and "l_quantity" in pf
+
+
+def test_q06_prunes_columns(spark):
+    cols = set(scanned_columns(df := entry.q06_revenue_filter(spark, SF)))
+    # only the three referenced columns leave the scan
+    assert cols == {"l_discount", "l_quantity", "l_extendedprice"}, explain_str(df)
+
+
+def test_q01_prunes_unused_lineitem_columns(spark):
+    cols = set(scanned_columns(entry.q01_pricing_summary(spark, SF)))
+    assert "l_partkey" not in cols and "l_tax" not in cols
+    assert {"l_returnflag", "l_linestatus", "l_quantity", "l_shipdate"} <= cols
+
+
+def test_q02_broadcasts_dimensions(spark):
+    df = entry.q02_revenue_by_region(spark, SF)
+    assert has_broadcast_join(df)
+
+
+def test_q18_range_join_is_broadcast_nested_loop(spark):
+    plan = explain_str(entry.q18_range_join_bands(spark, SF))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q01_whole_stage_codegen(spark):
+    assert whole_stage_codegen_spans(entry.q01_pricing_summary(spark, SF)) >= 1
+
+
+def test_q03_top10_is_take_ordered(spark):
+    # global top-k must not be a full sort: TakeOrderedAndProject does a
+    # per-partition partial top-k then a single driver merge
+    plan = explain_str(entry.q03_top_orders(spark, SF))
+    assert "TakeOrderedAndProject" in plan
