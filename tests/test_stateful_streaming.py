@@ -1,0 +1,77 @@
+"""applyInPandasWithState: state must survive across micro-batches and across
+restarts from the same checkpoint."""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+from pyspark.sql import functions as F
+
+from hubverse_transform_spark.streaming.stateful import (
+    stateful_running_totals,
+    stateful_seen_filter,
+)
+
+
+def _write_events(spark, src: Path, rows, mode="append"):
+    df = spark.createDataFrame(rows, ["user_id", "value", "event_id"]).select(
+        F.col("user_id").cast("long"),
+        F.col("value").cast("double"),
+        F.col("event_id").cast("long"),
+    )
+    df.coalesce(1).write.mode(mode).parquet(str(src))
+    return df.schema
+
+
+def _run_stream(spark, src: Path, schema, op, ckpt: str, name: str):
+    # foreachBatch (not the memory sink): only fault-tolerant sinks may resume
+    # from an existing checkpoint, and resuming is exactly what's under test
+    stream = spark.readStream.schema(schema).parquet(str(src))
+    results: list = []
+
+    def sink(batch_df, batch_id):
+        results.extend(batch_df.collect())
+
+    q = (
+        op(stream)
+        .writeStream.foreachBatch(sink)
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return results
+
+
+def test_running_totals_accumulate_across_restarts(spark, tmp_path: Path):
+    src, ckpt = tmp_path / "src", str(tmp_path / "ckpt")
+    schema = _write_events(spark, src, [(1, 10.0, 100), (1, 5.0, 101), (2, 1.0, 102)])
+
+    rows = _run_stream(spark, src, schema, stateful_running_totals, ckpt, "rt1")
+    got = {r["user_id"]: (r["n_events"], r["sum_value"]) for r in rows}
+    assert got == {1: (2, 15.0), 2: (1, 1.0)}
+
+    # second batch, new query from the SAME checkpoint: totals continue
+    _write_events(spark, src, [(1, 100.0, 103)])
+    rows2 = _run_stream(spark, src, schema, stateful_running_totals, ckpt, "rt2")
+    got2 = {r["user_id"]: (r["n_events"], r["sum_value"]) for r in rows2}
+    assert got2[1] == (3, 115.0)  # cumulative, not per-batch
+    assert 2 not in got2  # untouched keys don't re-emit in update mode
+
+
+def test_seen_filter_dedups_across_batches(spark, tmp_path: Path):
+    src, ckpt = tmp_path / "src", str(tmp_path / "ckpt")
+    schema = _write_events(spark, src, [(1, 1.0, 100), (2, 1.0, 101), (2, 2.0, 101)])
+
+    rows = _run_stream(
+        spark, src, schema, lambda df: stateful_seen_filter(df, key_col="event_id"), ckpt, "sf1"
+    )
+    assert sorted(r["event_id"] for r in rows) == [100, 101]  # in-batch dup collapsed
+
+    # replayed key 101 in a later batch is suppressed; 102 passes
+    _write_events(spark, src, [(3, 9.0, 101), (3, 9.0, 102)])
+    rows2 = _run_stream(
+        spark, src, schema, lambda df: stateful_seen_filter(df, key_col="event_id"), ckpt, "sf2"
+    )
+    assert sorted(r["event_id"] for r in rows2) == [102]
