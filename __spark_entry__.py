@@ -42,6 +42,7 @@ from hubverse_transform_spark.operators.dedup import (
     simhash,
     simhash_near_dup_pairs,
 )
+from hubverse_transform_spark.operators.multimodal import decode_features
 from hubverse_transform_spark.operators.similarity import (
     _hyperplane,
     cosine_brute_force_topk,
@@ -552,6 +553,56 @@ def q37_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_near_dup_pairs(d, "doc_id", "text", bits=16, ngram=2, max_hamming=3)
 
 
+def q39_pivot_linestatus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long->wide conditional aggregation) with explicit value list."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(F.round(F.sum("l_quantity"), 2))
+    )
+
+
+def q40_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (matches quantile_cont)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.25)"), 4).alias("p25_price"),
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("p50_price"),
+        F.round(F.expr("percentile(l_extendedprice, 0.75)"), 4).alias("p75_price"),
+        F.round(F.expr("percentile(l_quantity, 0.5)"), 4).alias("median_qty"),
+    )
+
+
+def q41_corr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates: correlation + sample stddev/variance."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+        F.round(F.stddev_samp("l_extendedprice"), 2).alias("sd_price"),
+        F.round(F.var_samp("l_quantity"), 4).alias("var_qty"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+def q42_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-binary multimodal plumbing inside an oracle-checked query:
+    build binary assets from documents, run the mapInPandas feature extractor
+    (fake decode = deterministic md5 digest), roll up per modality."""
+    d = _t(spark, sf_dir, "documents")
+    assets = d.select(
+        F.col("doc_id").alias("asset_id"),
+        F.col("source").alias("modality"),
+        F.encode("text", "utf-8").alias("payload"),
+    )
+    feats = decode_features(assets, fake=True)
+    return feats.groupBy("modality").agg(
+        F.count(F.lit(1)).alias("n_assets"),
+        F.sum("byte_len").alias("total_bytes"),
+        F.countDistinct("feature").alias("distinct_features"),
+    )
+
+
 def q38_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL++ approximate distinct vs exact (no oracle: sketch is
     implementation-defined; driver records the rows-only check)."""
@@ -611,6 +662,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q36_lsh_cosine_topk": q36_lsh_cosine_topk,
         "q37_simhash_neardup": q37_simhash_neardup,
         "q38_approx_distinct_users": q38_approx_distinct_users,
+        "q39_pivot_linestatus": q39_pivot_linestatus,
+        "q40_quantiles": q40_quantiles,
+        "q41_corr_stats": q41_corr_stats,
+        "q42_multimodal_features": q42_multimodal_features,
     }
 
 
@@ -1111,5 +1166,39 @@ def oracle_sql() -> dict[str, str]:
                    CAST(bit_count(xor(a.f, b.f)) AS INTEGER) AS hamming
             FROM fp a JOIN fp b ON a.doc_id < b.doc_id
             WHERE bit_count(xor(a.f, b.f)) <= 3
+        """,
+        "q39_pivot_linestatus": """
+            SELECT l_returnflag,
+                   round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) AS F,
+                   round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2) AS O
+            FROM lineitem
+            GROUP BY l_returnflag
+        """,
+        "q40_quantiles": """
+            SELECT l_returnflag,
+                   round(quantile_cont(l_extendedprice, 0.25), 4) AS p25_price,
+                   round(quantile_cont(l_extendedprice, 0.5), 4) AS p50_price,
+                   round(quantile_cont(l_extendedprice, 0.75), 4) AS p75_price,
+                   round(quantile_cont(l_quantity, 0.5), 4) AS median_qty
+            FROM lineitem
+            GROUP BY l_returnflag
+        """,
+        "q41_corr_stats": """
+            SELECT l_returnflag,
+                   round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+                   round(stddev_samp(l_extendedprice), 2) AS sd_price,
+                   round(var_samp(l_quantity), 4) AS var_qty,
+                   count(*) AS n_rows
+            FROM lineitem
+            GROUP BY l_returnflag
+        """,
+        "q42_multimodal_features": """
+            SELECT source AS modality,
+                   count(*) AS n_assets,
+                   CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+                   count(DISTINCT source || ':' || substr(md5(text), 1, 12))
+                       AS distinct_features
+            FROM documents
+            GROUP BY source
         """,
     }
