@@ -167,8 +167,12 @@ def minhash_lsh_pairs(
         ).alias("_band"),
     )
 
+    # shuffle-hash, not broadcast: the banded table is the whole corpus, so a
+    # broadcast build side is wrong at scale (and measurably slower even at
+    # bench SF — every task pays the full build); hash-shuffling both sides on
+    # the band key co-partitions candidates with bounded per-task state
     left = banded.alias("a")
-    right = banded.alias("b")
+    right = banded.hint("shuffle_hash").alias("b")
     candidates = (
         left.join(right, on="_band")
         .filter(F.col("a._id") < F.col("b._id"))
@@ -213,7 +217,9 @@ def ngram_jaccard_pairs(
         shingle_ngrams(F.col(text_col), ngram).alias("_sh"),
     ).select("_id", *(["_blk"] if block_col else []), F.size("_sh").alias("_sz"),
              F.explode("_sh").alias("_s"))
-    a, b = sh.alias("a"), sh.alias("b")
+    # postings x postings: shuffle-hash on the shingle key (see minhash note —
+    # the posting index is corpus-sized, never a broadcast candidate)
+    a, b = sh.alias("a"), sh.hint("shuffle_hash").alias("b")
     inter = (
         a.join(b, on=keys)
         .filter(F.col("a._id") < F.col("b._id"))
@@ -308,7 +314,7 @@ def simhash_near_dup_pairs(
             )
         ).alias("_seg"),
     )
-    a, b = banded.alias("a"), banded.alias("b")
+    a, b = banded.alias("a"), banded.hint("shuffle_hash").alias("b")
     return (
         a.join(b, on="_seg")
         .filter(F.col("a._id") < F.col("b._id"))
