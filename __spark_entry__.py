@@ -42,7 +42,7 @@ from hubverse_transform_spark.operators.dedup import (
     simhash,
     simhash_near_dup_pairs,
 )
-from hubverse_transform_spark.operators.multimodal import decode_features
+from hubverse_transform_spark.operators.multimodal import decode_features, frame_sample
 from hubverse_transform_spark.operators.similarity import (
     _hyperplane,
     cosine_brute_force_topk,
@@ -603,6 +603,48 @@ def q42_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q43_embedding_component_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array explode + aggregation: per-label element statistics over the
+    flattened embedding components (posexplode keeps the dimension index)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return (
+        emb.select("label", F.posexplode("embedding").alias("dim", "x"))
+        .filter(F.col("dim") < 4)
+        .select("label", "dim", F.col("x").cast("double").alias("x"))
+        .groupBy("label", "dim")
+        .agg(
+            F.round(F.avg("x"), 6).alias("avg_x"),
+            F.round(F.min("x"), 6).alias("min_x"),
+            F.round(F.max("x"), 6).alias("max_x"),
+        )
+    )
+
+
+def q44_frame_sample_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1->N mapInPandas batch shape inside an oracle-checked query: fabricate
+    video assets from documents (duration derived from n_chars), sample one
+    frame per second, count frames per source."""
+    d = _t(spark, sf_dir, "documents")
+    assets = d.select(
+        F.col("doc_id").alias("asset_id"),
+        F.lit("video").alias("modality"),
+        F.lit(None).cast("string").alias("mime_type"),
+        F.lit(None).cast("binary").alias("payload"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        (F.col("n_chars") * 10).alias("duration_ms"),
+    )
+    frames = frame_sample(assets, every_ms=1000, fake=True)
+    joined = frames.join(
+        d.select(F.col("doc_id").alias("asset_id"), "source"), on="asset_id"
+    )
+    return joined.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_frames"),
+        F.countDistinct("asset_id").alias("n_videos"),
+        F.max("ts_ms").alias("max_ts_ms"),
+    )
+
+
 def q38_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL++ approximate distinct vs exact (no oracle: sketch is
     implementation-defined; driver records the rows-only check)."""
@@ -666,6 +708,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q40_quantiles": q40_quantiles,
         "q41_corr_stats": q41_corr_stats,
         "q42_multimodal_features": q42_multimodal_features,
+        "q43_embedding_component_stats": q43_embedding_component_stats,
+        "q44_frame_sample_counts": q44_frame_sample_counts,
     }
 
 
@@ -1200,5 +1244,27 @@ def oracle_sql() -> dict[str, str]:
                        AS distinct_features
             FROM documents
             GROUP BY source
+        """,
+        "q43_embedding_component_stats": """
+            WITH dims AS (SELECT unnest(range(4)) AS dim)
+            SELECT label, CAST(dim AS INTEGER) AS dim,
+                   round(avg(CAST(embedding[CAST(dim AS INTEGER) + 1] AS DOUBLE)), 6) AS avg_x,
+                   round(min(CAST(embedding[CAST(dim AS INTEGER) + 1] AS DOUBLE)), 6) AS min_x,
+                   round(max(CAST(embedding[CAST(dim AS INTEGER) + 1] AS DOUBLE)), 6) AS max_x
+            FROM embeddings, dims
+            GROUP BY label, dim
+        """,
+        "q44_frame_sample_counts": """
+            WITH f AS (
+                SELECT doc_id, source,
+                       CAST(ceil(n_chars * 10 / 1000.0) AS BIGINT) AS nf
+                FROM documents
+                WHERE n_chars > 0
+            )
+            SELECT source,
+                   CAST(sum(nf) AS BIGINT) AS n_frames,
+                   count(DISTINCT doc_id) AS n_videos,
+                   max((nf - 1) * 1000) AS max_ts_ms
+            FROM f GROUP BY source
         """,
     }
