@@ -65,6 +65,20 @@ def load_table(spark: SparkSession, sf_dir: str, name: str):
     """
     from pyspark.sql import functions as F  # local import to avoid cycle
 
+    # defensive: the caller may hand us a session built without this module's
+    # factory (e.g. the driver harness). Both confs are runtime-settable and
+    # required for correct reads: nanosAsLong or the TIMESTAMP(NANOS) column
+    # in events.parquet fails the scan outright; UTC or date/window string
+    # rendering shifts relative to the (timezone-naive) DuckDB oracle.
+    for conf, val in (
+        ("spark.sql.legacy.parquet.nanosAsLong", "true"),
+        ("spark.sql.session.timeZone", "UTC"),
+    ):
+        try:
+            spark.conf.set(conf, val)
+        except Exception:  # pragma: no cover - conf locked by the host
+            pass
+
     df = spark.read.parquet(table_path(sf_dir, name))
     for field in df.schema.fields:
         if field.name == "ts" and field.dataType.typeName() in ("long", "bigint"):
