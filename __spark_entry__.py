@@ -16,6 +16,12 @@ Hash-sensitive design choices:
 
 from __future__ import annotations
 
+import os
+import sys
+
+# importable regardless of the harness's working directory
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window

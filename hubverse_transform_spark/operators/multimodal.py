@@ -87,18 +87,29 @@ def decode_features(
         assets = assets.repartition(int(parts))
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # self-contained closure: executors unpickle this without needing the
+        # package on their import path (only pandas/hashlib, always present)
+        import hashlib
+
+        import pandas as _pd
+
+        def fake_decode(payload, modality):
+            if payload is None:
+                return "empty"
+            return f"{modality}:{hashlib.md5(payload).hexdigest()[:12]}"
+
         for pdf in batches:
             if not fake:
                 raise NotImplementedError(
                     "real decode requires image/audio libraries not present in this environment"
                 )
-            out = pd.DataFrame(
+            out = _pd.DataFrame(
                 {
                     "asset_id": pdf["asset_id"],
                     "modality": pdf["modality"],
                     "byte_len": pdf["payload"].map(lambda b: len(b) if b is not None else 0),
                     "feature": [
-                        _fake_decode(b, m)
+                        fake_decode(b, m)
                         for b, m in zip(pdf["payload"], pdf["modality"])
                     ],
                 }
