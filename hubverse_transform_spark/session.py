@@ -42,6 +42,9 @@ def get_spark(app_name: str = "hubverse-transform-spark", cpus: int | None = Non
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
+        # managed (bucketed) tables land here, never in the repo working dir
+        .config("spark.sql.warehouse.dir", os.environ.get(
+            "SPARK_WAREHOUSE_DIR", "/tmp/hubverse-spark-warehouse"))
         .config("spark.ui.showConsoleProgress", "false")
         # parquet TIMESTAMP(NANOS) (events.ts) is rejected by default; read as
         # long nanos and convert in load_table

@@ -44,6 +44,29 @@ def write_hub_dataset(df: DataFrame, path: str, mode: str = "append") -> None:
     df.write.mode(mode).partitionBy(*PARTITION_COLS).parquet(path)
 
 
+def write_bucketed_table(
+    df: DataFrame,
+    name: str,
+    *,
+    bucket_col: str,
+    num_buckets: int,
+    sort_col: str | None = None,
+) -> None:
+    """Persist ``df`` as a bucketed (and optionally sorted) managed table.
+
+    Bucketing pre-shuffles the data ONCE at write time: two tables bucketed on
+    the same key with the same bucket count join with ZERO exchanges (and zero
+    sorts when ``sort_col`` matches the join key) — the physical answer to
+    "this fact table joins on this key every day". At 100 TB that one avoided
+    shuffle per query dominates everything else. Verified by plan assertion in
+    tests (no Exchange under the join).
+    """
+    writer = df.write.mode("overwrite").format("parquet").bucketBy(num_buckets, bucket_col)
+    if sort_col:
+        writer = writer.sortBy(sort_col)
+    writer.saveAsTable(name)
+
+
 def backfill_hub_dataset(
     spark: SparkSession,
     hub_path: str,

@@ -32,6 +32,31 @@ def test_backfill_builds_partitioned_lake(spark, hub_dir: Path, csv_numeric_file
     assert one.count() == 6
 
 
+def test_bucketed_join_avoids_shuffle(spark, tmp_path: Path):
+    import shutil
+
+    from hubverse_transform_spark.plans.inspect import explain_str
+    from hubverse_transform_spark.sinks import write_bucketed_table
+
+    # the in-memory catalog forgets tables between sessions but their managed
+    # locations persist — clear leftovers or saveAsTable raises
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for t in ("t_orders_b", "t_cust_b"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(f"{warehouse}/{t}", ignore_errors=True)
+
+    o = spark.range(0, 1000).selectExpr("id AS custkey", "id * 2 AS total")
+    c = spark.range(0, 100).selectExpr("id AS custkey", "concat('c', id) AS name")
+    write_bucketed_table(o, "t_orders_b", bucket_col="custkey", num_buckets=4, sort_col="custkey")
+    write_bucketed_table(c, "t_cust_b", bucket_col="custkey", num_buckets=4, sort_col="custkey")
+
+    ob, cb = spark.table("t_orders_b"), spark.table("t_cust_b")
+    joined = ob.join(cb.hint("merge"), on="custkey")
+    plan = explain_str(joined)
+    assert "Exchange" not in plan, plan  # co-located buckets: zero shuffles
+    assert joined.count() == 100
+
+
 def test_write_hub_dataset_appends(spark, tmp_path: Path):
     lake = str(tmp_path / "lake")
     df = spark.createDataFrame(
