@@ -554,9 +554,13 @@ def q36_lsh_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q37_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs via pigeonhole segment blocking; the blocked
-    plan provably returns exactly the all-pairs hamming<=3 set."""
+    plan provably returns exactly the all-pairs hamming<=3 set. 32-bit
+    fingerprints: at 16 bits random pairs alone pass hamming<=3 at ~1%
+    (drowning true near-dups in n^2/100 noise pairs); at 32 bits the random
+    rate is ~1.3e-6, so the result is the actual near-dup set and the
+    8-bit segments block ~16x more selectively."""
     d = _t(spark, sf_dir, "documents")
-    return simhash_near_dup_pairs(d, "doc_id", "text", bits=16, ngram=2, max_hamming=3)
+    return simhash_near_dup_pairs(d, "doc_id", "text", bits=32, ngram=2, max_hamming=3)
 
 
 def q39_pivot_linestatus(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -776,16 +780,17 @@ def _lang_guess_sql(text: str = "text") -> str:
     return f"(CASE WHEN substr({g}, 1, 10) = '0000000000' THEN 'und' ELSE substr({g}, 11) END)"
 
 
-def _simhash16_sql() -> str:
-    """16-bit SimHash from 2-gram shingles, md5-derived bits (matches
-    operators.dedup.simhash)."""
+def _simhash_sql(bits: int = 16) -> str:
+    """N-bit SimHash from shingle hash lists, md5-derived bits (matches
+    operators.dedup.simhash; the 15-hex/60-bit base hash covers bits<=60)."""
     votes = [
         "list_aggregate(list_transform(hs, h -> CASE WHEN ((h >> {j}) & 1) = 1 "
         "THEN 1 ELSE -1 END), 'sum')".format(j=j)
-        for j in range(16)
+        for j in range(bits)
     ]
     terms = " + ".join(
-        f"(CASE WHEN ({votes[j]}) > 0 THEN {2**j} ELSE 0 END)" for j in range(16)
+        f"(CASE WHEN ({votes[j]}) > 0 THEN CAST({2**j} AS BIGINT) ELSE 0 END)"
+        for j in range(bits)
     )
     return terms
 
@@ -1167,7 +1172,7 @@ def oracle_sql() -> dict[str, str]:
                        list_transform(sh, s -> CAST('0x' || substr(md5(s), 1, 15) AS BIGINT)) AS hs
                 FROM shg
             )
-            SELECT doc_id, CAST({_simhash16_sql()} AS BIGINT) AS simhash16
+            SELECT doc_id, CAST({_simhash_sql(16)} AS BIGINT) AS simhash16
             FROM hashed
         """,
         "q34_token_counts": """
@@ -1208,7 +1213,7 @@ def oracle_sql() -> dict[str, str]:
                        list_transform(sh, s -> CAST('0x' || substr(md5(s), 1, 15) AS BIGINT)) AS hs
                 FROM shg
             ), fp AS (
-                SELECT doc_id, CAST({_simhash16_sql()} AS BIGINT) AS f FROM hashed
+                SELECT doc_id, CAST({_simhash_sql(32)} AS BIGINT) AS f FROM hashed
             )
             -- pigeonhole: the engine's 4x4-bit segment blocking returns exactly
             -- the all-pairs hamming<=3 set, so the oracle is the plain filter
