@@ -36,6 +36,7 @@ from hubverse_transform_spark.functions.text import (
     whitespace_token_count,
 )
 from hubverse_transform_spark.operators.asof import asof_join
+from hubverse_transform_spark.operators.clusters import dedup_clusters
 from hubverse_transform_spark.operators.dedup import (
     MINHASH_PRIME,
     SHINGLE_HASH_HEX,
@@ -655,6 +656,15 @@ def q44_frame_sample_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q45_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate clusters: connected components (iterative min-label
+    propagation) over the 32-bit SimHash near-dup pair graph, with per-node
+    component id and cluster size."""
+    d = _t(spark, sf_dir, "documents")
+    pairs = simhash_near_dup_pairs(d, "doc_id", "text", bits=32, ngram=2, max_hamming=3)
+    return dedup_clusters(pairs)
+
+
 def q38_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL++ approximate distinct vs exact (no oracle: sketch is
     implementation-defined; driver records the rows-only check)."""
@@ -720,6 +730,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q42_multimodal_features": q42_multimodal_features,
         "q43_embedding_component_stats": q43_embedding_component_stats,
         "q44_frame_sample_counts": q44_frame_sample_counts,
+        "q45_dedup_clusters": q45_dedup_clusters,
     }
 
 
@@ -1277,5 +1288,36 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT doc_id) AS n_videos,
                    max((nf - 1) * 1000) AS max_ts_ms
             FROM f GROUP BY source
+        """,
+        "q45_dedup_clusters": f"""
+            WITH RECURSIVE tok AS (
+                SELECT doc_id, {_TOKS} AS toks FROM documents
+            ), shg AS (
+                SELECT doc_id, {_SHINGLES2} AS sh FROM tok
+            ), hashed AS (
+                SELECT doc_id,
+                       list_transform(sh, s -> CAST('0x' || substr(md5(s), 1, 15) AS BIGINT)) AS hs
+                FROM shg
+            ), fp AS (
+                SELECT doc_id, CAST({_simhash_sql(32)} AS BIGINT) AS f FROM hashed
+            ), pairs AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b
+                FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+                WHERE bit_count(xor(a.f, b.f)) <= 3
+            ), edges AS (
+                SELECT id_a AS src, id_b AS dst FROM pairs
+                UNION ALL
+                SELECT id_b AS src, id_a AS dst FROM pairs
+            ), walk AS (
+                SELECT DISTINCT src AS node, src AS label FROM edges
+                UNION
+                SELECT e.src AS node, w.label
+                FROM edges e JOIN walk w ON e.dst = w.node
+            ), comp AS (
+                SELECT node, min(label) AS component FROM walk GROUP BY node
+            )
+            SELECT node, component,
+                   count(*) OVER (PARTITION BY component) AS cluster_size
+            FROM comp
         """,
     }

@@ -1,0 +1,108 @@
+"""Connected components over near-duplicate pair graphs [EXT].
+
+Completes the dedup pipeline: candidate pairs (MinHash-LSH / SimHash) form an
+undirected graph; each connected component is one duplicate cluster, and the
+minimum doc id in a component is its canonical representative.
+
+Algorithm: iterative min-label propagation — every node adopts the smallest
+label among itself and its neighbors until fixpoint. Per iteration: ONE join
+(edges x labels) + ONE groupBy min — both shuffle on node id, so an iteration
+is O(|E|/cluster) per executor with no driver-side graph state. Lineage is
+truncated each round with ``localCheckpoint`` (iterative plans otherwise grow
+exponentially in Catalyst). Near-dup clusters have tiny diameters (pairs,
+triangles, short chains), so convergence takes ~log(diameter) rounds; the
+fixpoint check is a count of changed labels per round.
+
+Deterministic: the fixpoint labels every node with its component's minimum id
+regardless of execution order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    *,
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Label each node that appears in ``edges`` with its component's min id.
+
+    Returns ``(node, component)``; isolated documents (no edges) are by
+    definition their own singleton clusters and are not enumerated here.
+    """
+    sym = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).unionByName(
+        edges.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst"))
+    )
+    sym = sym.localCheckpoint()
+
+    labels = (
+        sym.select(F.col("src").alias("node")).distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+
+    for _ in range(max_iter):
+        neighbor_min = (
+            sym.join(labels, sym.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("label").alias("nlabel"))
+        )
+        propagated = labels.join(
+            neighbor_min, labels.node == neighbor_min.src, "left"
+        ).select(
+            "node",
+            F.least(
+                F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
+            ).alias("label"),
+        )
+        # pointer jumping (label <- label of label): compresses chains so a
+        # path of length L converges in O(log L) rounds instead of O(L)
+        lookup = propagated.select(
+            F.col("node").alias("_lnode"), F.col("label").alias("_llabel")
+        )
+        new_labels = (
+            propagated.join(lookup, propagated.label == lookup._lnode, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("_llabel"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+
+    return labels.select(F.col("node"), F.col("label").alias("component"))
+
+
+def dedup_clusters(
+    edges: DataFrame,
+    *,
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+) -> DataFrame:
+    """Duplicate clusters from a pair graph: ``(node, component,
+    cluster_size)`` — keep ``node == component`` rows to materialize the
+    canonical survivors, or ``node != component`` for the deletion list."""
+    from pyspark.sql import Window
+
+    cc = connected_components(edges, src_col=src_col, dst_col=dst_col)
+    w = Window.partitionBy("component")
+    return cc.select(
+        "node", "component", F.count(F.lit(1)).over(w).alias("cluster_size")
+    )
