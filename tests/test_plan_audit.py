@@ -1,0 +1,21 @@
+"""Whole-surface plan audit: no declared query may degenerate to a
+CartesianProduct (unhinted cross join) — the classic silent scale killer."""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entry
+from hubverse_transform_spark.plans.inspect import explain_str
+
+SF = "/root/testdata/sf0.001"
+
+# q25/q45 execute eagerly at build time (collect / localCheckpoint loops);
+# their join structure is covered by their own tests
+_EAGER = {"q25_embedding_neardup", "q45_dedup_clusters"}
+
+
+@pytest.mark.parametrize("name", [q for q in entry.queries() if q not in _EAGER])
+def test_no_cartesian_product(spark, name):
+    plan = explain_str(entry.queries()[name](spark, SF))
+    assert "CartesianProduct" not in plan, f"{name} plans a CartesianProduct"
