@@ -42,6 +42,10 @@ def get_spark(app_name: str = "hubverse-transform-spark", cpus: int | None = Non
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
+        # hive partition values stay strings: round_id is date-shaped but the
+        # output schema policy types it string (ref integration goldens), and
+        # silent str->date flips on lake read-back would break that parity
+        .config("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
         # managed (bucketed) tables land here, never in the repo working dir
         .config("spark.sql.warehouse.dir", os.environ.get(
             "SPARK_WAREHOUSE_DIR", "/tmp/hubverse-spark-warehouse"))

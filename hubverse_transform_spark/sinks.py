@@ -44,6 +44,23 @@ def write_hub_dataset(df: DataFrame, path: str, mode: str = "append") -> None:
     df.write.mode(mode).partitionBy(*PARTITION_COLS).parquet(path)
 
 
+def overwrite_submission_partitions(df: DataFrame, path: str) -> None:
+    """Idempotent re-submission at lake scale: dynamic partition overwrite.
+
+    The reference re-uploads a file and overwrites the same output object
+    (ref model_output.py:312-322); the partitioned-lake equivalent replaces
+    ONLY the (model_id, round_id) partitions present in ``df``, leaving every
+    other submission untouched — no read-modify-write of the whole dataset.
+    """
+    spark = df.sparkSession
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    try:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        df.write.mode("overwrite").partitionBy(*PARTITION_COLS).parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
 def write_bucketed_table(
     df: DataFrame,
     name: str,

@@ -6,7 +6,37 @@ from pathlib import Path
 
 from pyspark.sql import functions as F
 
-from hubverse_transform_spark.sinks import backfill_hub_dataset, write_hub_dataset
+from hubverse_transform_spark.sinks import (
+    backfill_hub_dataset,
+    overwrite_submission_partitions,
+    write_hub_dataset,
+)
+
+
+def test_dynamic_overwrite_replaces_only_matching_partitions(spark, tmp_path: Path):
+    lake = str(tmp_path / "lake")
+    base = spark.createDataFrame(
+        [("m1", "2024-01-01", 1.0), ("m1", "2024-01-08", 2.0), ("m2", "2024-01-01", 3.0)],
+        ["model_id", "round_id", "value"],
+    )
+    write_hub_dataset(base, lake)
+
+    # resubmission of (m1, 2024-01-01) with corrected values
+    fix = spark.createDataFrame(
+        [("m1", "2024-01-01", 9.0), ("m1", "2024-01-01", 9.5)],
+        ["model_id", "round_id", "value"],
+    )
+    overwrite_submission_partitions(fix, lake)
+
+    rows = spark.read.parquet(lake).collect()
+    by_part: dict = {}
+    for r in rows:
+        by_part.setdefault((r["model_id"], str(r["round_id"])), []).append(r["value"])
+    assert sorted(by_part[("m1", "2024-01-01")]) == [9.0, 9.5]  # replaced
+    assert by_part[("m1", "2024-01-08")] == [2.0]  # untouched
+    assert by_part[("m2", "2024-01-01")] == [3.0]  # untouched
+    # conf restored
+    assert spark.conf.get("spark.sql.sources.partitionOverwriteMode") != "dynamic"
 
 
 def test_backfill_builds_partitioned_lake(spark, hub_dir: Path, csv_numeric_file: Path):
