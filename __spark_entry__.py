@@ -48,6 +48,7 @@ from hubverse_transform_spark.operators.dedup import (
     shingle_ngrams,
     simhash,
     simhash_near_dup_pairs,
+    winnow_fingerprints,
 )
 from hubverse_transform_spark.operators.multimodal import decode_features, frame_sample
 from hubverse_transform_spark.operators.similarity import (
@@ -547,6 +548,7 @@ def q36_lsh_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=3,
         num_planes=4,
         dim=64,
+        probes=2,
     )
     return out.select(
         "query_id", "neighbor_id", F.round("cosine_sim", 6).alias("cosine_sim"), "rank"
@@ -656,6 +658,17 @@ def q44_frame_sample_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q46_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint summary per document (char-8-grams, window 4):
+    fingerprint count + lexicographic min — pins the whole fingerprint set."""
+    d = _t(spark, sf_dir, "documents")
+    fps = winnow_fingerprints(d, "doc_id", "text", k=8, window=4)
+    return fps.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_fps"),
+        F.min("fp").alias("min_fp"),
+    )
+
+
 def q45_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate clusters: connected components (iterative min-label
     propagation) over the 32-bit SimHash near-dup pair graph, with per-node
@@ -731,6 +744,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q43_embedding_component_stats": q43_embedding_component_stats,
         "q44_frame_sample_counts": q44_frame_sample_counts,
         "q45_dedup_clusters": q45_dedup_clusters,
+        "q46_winnowing_fingerprints": q46_winnowing_fingerprints,
     }
 
 
@@ -806,7 +820,9 @@ def _simhash_sql(bits: int = 16) -> str:
     return terms
 
 
-def _lsh_topk_sql(*, k: int, num_planes: int, dim: int, max_query_id: int) -> str:
+def _lsh_topk_sql(
+    *, k: int, num_planes: int, dim: int, max_query_id: int, probes: int = 0
+) -> str:
     """Hyperplane-LSH top-k oracle: the deterministic md5-derived plane
     components are inlined as SQL array literals, so DuckDB reproduces the
     exact bucket assignment and candidate ranking of cosine_lsh_topk."""
@@ -828,7 +844,9 @@ def _lsh_topk_sql(*, k: int, num_planes: int, dim: int, max_query_id: int) -> st
         ), scored AS (
             SELECT q.query_id, c.vec_id AS neighbor_id,
                    list_cosine_similarity(q.qv, c.ve) AS sim
-            FROM q JOIN b c ON q.bucket = c.bucket AND c.vec_id != q.query_id
+            FROM q JOIN b c
+              ON c.bucket IN ({", ".join(["q.bucket"] + [f"xor(q.bucket, {1 << i})" for i in range(probes)])})
+             AND c.vec_id != q.query_id
         ), ranked AS (
             SELECT query_id, neighbor_id, sim,
                    row_number() OVER (PARTITION BY query_id
@@ -1213,7 +1231,9 @@ def oracle_sql() -> dict[str, str]:
                    ELSE md5(t) END AS fp8
             FROM norm
         """,
-        "q36_lsh_cosine_topk": _lsh_topk_sql(k=3, num_planes=4, dim=64, max_query_id=5),
+        "q36_lsh_cosine_topk": _lsh_topk_sql(
+            k=3, num_planes=4, dim=64, max_query_id=5, probes=2
+        ),
         "q37_simhash_neardup": f"""
             WITH tok AS (
                 SELECT doc_id, {_TOKS} AS toks FROM documents
@@ -1288,6 +1308,31 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT doc_id) AS n_videos,
                    max((nf - 1) * 1000) AS max_ts_ms
             FROM f GROUP BY source
+        """,
+        "q46_winnowing_fingerprints": """
+            WITH norm AS (
+                SELECT doc_id,
+                       regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
+                FROM documents
+            ), g AS (
+                SELECT doc_id,
+                       CASE WHEN length(t) >= 8 THEN
+                           list_transform(range(1, length(t) - 8 + 2),
+                                          i -> md5(substr(t, CAST(i AS INTEGER), 8)))
+                       ELSE [md5(t)] END AS hs
+                FROM norm
+            ), wmins AS (
+                SELECT doc_id,
+                       list_distinct(list_transform(range(1, len(hs) + 1),
+                           i -> list_aggregate(
+                               hs[CAST(i AS INTEGER):CAST(i + 3 AS INTEGER)],
+                               'min'))) AS fps
+                FROM g
+            )
+            SELECT doc_id,
+                   CAST(len(fps) AS BIGINT) AS n_fps,
+                   list_aggregate(fps, 'min') AS min_fp
+            FROM wmins
         """,
         "q45_dedup_clusters": f"""
             WITH RECURSIVE tok AS (

@@ -273,6 +273,42 @@ def simhash(text: Column, *, bits: int = 16, ngram: int = 2) -> Column:
     )
 
 
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    k: int = 8,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing (MOSS-style) document fingerprints: hash every char k-gram,
+    then keep the minimum hash of each ``window`` of consecutive grams;
+    distinct window-minima are the doc's fingerprints. Guarantees any match
+    of length >= k + window - 1 between two documents shares a fingerprint —
+    partial-overlap detection, not just whole-doc near-dup.
+
+    Plan: one regex gram pass (O(len)), posexplode to (doc, pos, hash) rows,
+    a min-over-window frame partitioned by doc (single shuffle on doc id,
+    codegen'd window), then distinct. Trailing windows shorter than
+    ``window`` still emit their clamped min; texts shorter than k yield one
+    fingerprint of the whole normalized text.
+    """
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    grams = F.regexp_extract_all(norm, F.lit(f"(?=(.{{{k}}}))"), 1)
+    grams = F.when(F.size(grams) > 0, grams).otherwise(F.array(norm))
+    ex = df.select(F.col(id_col).alias("_id"), grams.alias("_g")).select(
+        "_id", F.posexplode("_g").alias("_pos", "_gram")
+    )
+    from pyspark.sql import Window as W
+
+    frame = W.partitionBy("_id").orderBy("_pos").rowsBetween(0, window - 1)
+    return (
+        ex.select("_id", F.min(F.md5("_gram")).over(frame).alias("fp"))
+        .distinct()
+        .select(F.col("_id").alias(id_col), "fp")
+    )
+
+
 def hamming_distance(a: Column, b: Column) -> Column:
     """Hamming distance between two integer fingerprints."""
     return F.bit_count(a.bitwiseXOR(b))

@@ -90,12 +90,17 @@ def cosine_lsh_topk(
     k: int = 10,
     num_planes: int = 4,
     dim: int = 64,
+    probes: int = 0,
 ) -> DataFrame:
     """Approximate top-k: candidates share the query's hyperplane bucket.
 
     2^num_planes buckets; expected candidate set = corpus / 2^planes per
-    query. Same output shape as the brute-force operator (rank within
-    candidates), so callers can measure recall against the exact baseline.
+    query. ``probes`` > 0 enables multi-probe: each query additionally
+    searches the buckets that differ in one plane's sign bit (the nearest
+    Hamming neighbors — where borderline vectors land), trading ``probes``×
+    candidate volume for recall without re-hashing the corpus. Same output
+    shape as the brute-force operator, so callers can measure recall against
+    the exact baseline.
     """
     planes = [_hyperplane(p, dim) for p in range(num_planes)]
     c = corpus.select(
@@ -108,6 +113,17 @@ def cosine_lsh_topk(
         F.col(vec_col).alias("_qvec"),
         hyperplane_bucket(F.col(vec_col), planes).alias("_bucket"),
     )
+    if probes:
+        probe_buckets = F.array(
+            F.col("_bucket"),
+            *[
+                F.col("_bucket").bitwiseXOR(F.lit(1 << i))
+                for i in range(min(probes, num_planes))
+            ],
+        )
+        q = q.select(
+            "query_id", "_qvec", F.explode(probe_buckets).alias("_bucket")
+        )
     scored = (
         c.join(F.broadcast(q), on="_bucket")
         .filter(F.col("query_id") != F.col("neighbor_id"))

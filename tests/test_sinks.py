@@ -87,6 +87,22 @@ def test_bucketed_join_avoids_shuffle(spark, tmp_path: Path):
     assert joined.count() == 100
 
 
+def test_lake_partition_pruning(spark, tmp_path: Path):
+    from hubverse_transform_spark.plans.inspect import explain_str
+
+    lake = str(tmp_path / "lake")
+    df = spark.createDataFrame(
+        [("m1", "2024-01-01", 1.0), ("m2", "2024-01-01", 2.0), ("m3", "2024-01-08", 3.0)],
+        ["model_id", "round_id", "value"],
+    )
+    write_hub_dataset(df, lake)
+    pruned = spark.read.parquet(lake).filter(F.col("model_id") == "m2")
+    plan = explain_str(pruned)
+    # the provenance filter must prune partitions at the scan, not post-filter
+    assert "PartitionFilters" in plan and "model_id" in plan.split("PartitionFilters")[1][:200]
+    assert pruned.count() == 1
+
+
 def test_write_hub_dataset_appends(spark, tmp_path: Path):
     lake = str(tmp_path / "lake")
     df = spark.createDataFrame(
