@@ -49,6 +49,7 @@ from hubverse_transform_spark.operators.dedup import (
     simhash,
     simhash_near_dup_pairs,
     winnow_fingerprints,
+    winnow_overlap_pairs,
 )
 from hubverse_transform_spark.operators.multimodal import decode_features, frame_sample
 from hubverse_transform_spark.operators.similarity import (
@@ -669,6 +670,14 @@ def q46_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q47_winnow_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Passage-level overlap candidates: pairs sharing >= 40 winnowing
+    fingerprints — the synthetic corpus is template-heavy, so a low bar
+    admits tens of thousands of boilerplate pairs; 40 isolates real clones."""
+    d = _t(spark, sf_dir, "documents")
+    return winnow_overlap_pairs(d, "doc_id", "text", k=8, window=4, min_shared=40)
+
+
 def q45_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate clusters: connected components (iterative min-label
     propagation) over the 32-bit SimHash near-dup pair graph, with per-node
@@ -745,6 +754,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q44_frame_sample_counts": q44_frame_sample_counts,
         "q45_dedup_clusters": q45_dedup_clusters,
         "q46_winnowing_fingerprints": q46_winnowing_fingerprints,
+        "q47_winnow_overlap_pairs": q47_winnow_overlap_pairs,
     }
 
 
@@ -1333,6 +1343,34 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(fps) AS BIGINT) AS n_fps,
                    list_aggregate(fps, 'min') AS min_fp
             FROM wmins
+        """,
+        "q47_winnow_overlap_pairs": """
+            WITH norm AS (
+                SELECT doc_id,
+                       regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
+                FROM documents
+            ), g AS (
+                SELECT doc_id,
+                       CASE WHEN length(t) >= 8 THEN
+                           list_transform(range(1, length(t) - 8 + 2),
+                                          i -> md5(substr(t, CAST(i AS INTEGER), 8)))
+                       ELSE [md5(t)] END AS hs
+                FROM norm
+            ), wmins AS (
+                SELECT doc_id,
+                       list_distinct(list_transform(range(1, len(hs) + 1),
+                           i -> list_aggregate(
+                               hs[CAST(i AS INTEGER):CAST(i + 3 AS INTEGER)],
+                               'min'))) AS fps
+                FROM g
+            ), fp AS (
+                SELECT doc_id, unnest(fps) AS fp FROM wmins
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   count(*) AS shared_fps
+            FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+            HAVING count(*) >= 40
         """,
         "q45_dedup_clusters": f"""
             WITH RECURSIVE tok AS (

@@ -309,6 +309,34 @@ def winnow_fingerprints(
     )
 
 
+def winnow_overlap_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    k: int = 8,
+    window: int = 4,
+    min_shared: int = 2,
+) -> DataFrame:
+    """Partial-overlap candidate pairs: documents sharing >= ``min_shared``
+    winnowing fingerprints. Detects copied PASSAGES (any shared run of length
+    >= k + window - 1), which whole-document near-dup (SimHash/MinHash on the
+    full shingle set) dilutes away. Inverted-index join on fingerprint with a
+    shuffle-hash plan — identical scale shape to the n-gram Jaccard join.
+    """
+    fps = winnow_fingerprints(df, id_col, text_col, k=k, window=window).select(
+        F.col(id_col).alias("_id"), "fp"
+    )
+    a, b = fps.alias("a"), fps.hint("shuffle_hash").alias("b")
+    return (
+        a.join(b, on="fp")
+        .filter(F.col("a._id") < F.col("b._id"))
+        .groupBy(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("shared_fps"))
+        .filter(F.col("shared_fps") >= min_shared)
+    )
+
+
 def hamming_distance(a: Column, b: Column) -> Column:
     """Hamming distance between two integer fingerprints."""
     return F.bit_count(a.bitwiseXOR(b))

@@ -31,6 +31,7 @@ from hubverse_transform_spark.operators.dedup import (
     simhash,
     simhash_near_dup_pairs,
     winnow_fingerprints,
+    winnow_overlap_pairs,
 )
 from hubverse_transform_spark.operators.multimodal import (
     ASSET_SCHEMA,
@@ -163,6 +164,23 @@ def test_winnow_shared_substring_shares_fingerprint(spark):
         spark.createDataFrame([(9, "hi")], ["doc_id", "text"]), "doc_id", "text"
     ).collect()
     assert len(tiny) == 1
+
+
+def test_winnow_overlap_pairs_finds_shared_passage(spark):
+    # docs 1 and 2 share a long passage; doc 3 shares nothing. With
+    # min_shared=2 only the (1, 2) pair should survive.
+    common = "the quick brown fox jumps over lazy dogs again and again today"
+    df = spark.createDataFrame(
+        [(1, f"PREFIX ONE {common} SUFFIX ALPHA"),
+         (2, f"other start {common} different end"),
+         (3, "entirely unrelated content with zero matching runs anywhere")],
+        ["doc_id", "text"],
+    )
+    pairs = winnow_overlap_pairs(
+        df, "doc_id", "text", k=8, window=4, min_shared=2
+    ).collect()
+    assert [(r["id_a"], r["id_b"]) for r in pairs] == [(1, 2)]
+    assert pairs[0]["shared_fps"] >= 2
 
 
 # --- similarity -------------------------------------------------------------
