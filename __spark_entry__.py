@@ -52,11 +52,13 @@ from hubverse_transform_spark.operators.dedup import (
     winnow_overlap_pairs,
 )
 from hubverse_transform_spark.operators.multimodal import decode_features, frame_sample
+from hubverse_transform_spark.plans.curation import curation_funnel
 from hubverse_transform_spark.operators.similarity import (
     _hyperplane,
     cosine_brute_force_topk,
     cosine_lsh_topk,
     embedding_near_dup_pairs,
+    ivf_cosine_topk,
 )
 from hubverse_transform_spark.operators.topk import top_k_per_group
 from hubverse_transform_spark.session import load_table
@@ -672,10 +674,45 @@ def q46_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q47_winnow_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Passage-level overlap candidates: pairs sharing >= 40 winnowing
-    fingerprints — the synthetic corpus is template-heavy, so a low bar
-    admits tens of thousands of boilerplate pairs; 40 isolates real clones."""
+    fingerprints with document frequency <= 100. The synthetic corpus is
+    template-heavy: without the df cap a handful of boilerplate fingerprints
+    (df up to ~3.4k at sf0.1) dominate the inverted-index join at ~56× the
+    volume while carrying no clone signal."""
     d = _t(spark, sf_dir, "documents")
-    return winnow_overlap_pairs(d, "doc_id", "text", k=8, window=4, min_shared=40)
+    return winnow_overlap_pairs(
+        d, "doc_id", "text", k=8, window=4, min_shared=40, max_df=100
+    )
+
+
+def q48_ivf_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed ANN top-5 (the inverted-list scale path of q24, sibling
+    of the hyperplane-LSH path q36). Deterministic centroids = the 16
+    lowest-id vectors, 4 probed lists per query."""
+    emb = _t(spark, sf_dir, "embeddings")
+    out = ivf_cosine_topk(
+        emb,
+        emb.filter(F.col("vec_id") < 10),
+        id_col="vec_id",
+        vec_col="embedding",
+        n_centroids=16,
+        n_probe=4,
+        k=5,
+    )
+    return out.select(
+        "query_id", "neighbor_id", F.round("cosine_sim", 6).alias("cosine_sim"), "rank"
+    )
+
+
+def q49_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation pipeline: exact dedup -> quality gate ->
+    SimHash near-dup removal, reported as per-stage survivor counts.
+    Composes three independently-oracled operators into the funnel a
+    pre-training data pipeline runs for real."""
+    d = _t(spark, sf_dir, "documents")
+    return curation_funnel(
+        d, id_col="doc_id", text_col="text", min_quality=0.5,
+        bits=32, ngram=2, max_hamming=3,
+    )
 
 
 def q45_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -755,6 +792,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q45_dedup_clusters": q45_dedup_clusters,
         "q46_winnowing_fingerprints": q46_winnowing_fingerprints,
         "q47_winnow_overlap_pairs": q47_winnow_overlap_pairs,
+        "q48_ivf_cosine_topk": q48_ivf_cosine_topk,
+        "q49_curation_funnel": q49_curation_funnel,
     }
 
 
@@ -1344,6 +1383,72 @@ def oracle_sql() -> dict[str, str]:
                    list_aggregate(fps, 'min') AS min_fp
             FROM wmins
         """,
+        "q49_curation_funnel": f"""
+            WITH dedup AS (
+                SELECT min(doc_id) AS doc_id FROM documents GROUP BY sha256(text)
+            ), s1 AS (
+                SELECT d.doc_id, d.text FROM documents d JOIN dedup USING (doc_id)
+            ), s2 AS (
+                SELECT doc_id, text FROM s1 WHERE {_quality_sql('text')} >= 0.5
+            ), tok AS (
+                SELECT doc_id, {_TOKS} AS toks FROM s2
+            ), shg AS (
+                SELECT doc_id, {_SHINGLES2} AS sh FROM tok
+            ), hashed AS (
+                SELECT doc_id,
+                       list_transform(sh, s -> CAST('0x' || substr(md5(s), 1, 15) AS BIGINT)) AS hs
+                FROM shg
+            ), fp AS (
+                SELECT doc_id, CAST({_simhash_sql(32)} AS BIGINT) AS f FROM hashed
+            ), dropped AS (
+                SELECT DISTINCT b.doc_id
+                FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+                WHERE bit_count(xor(a.f, b.f)) <= 3
+            ), s3 AS (
+                SELECT s2.doc_id FROM s2 ANTI JOIN dropped USING (doc_id)
+            )
+            SELECT 'raw' AS stage, count(*) AS docs_kept FROM documents
+            UNION ALL SELECT 'exact_dedup', count(*) FROM s1
+            UNION ALL SELECT 'quality', count(*) FROM s2
+            UNION ALL SELECT 'near_dup', count(*) FROM s3
+        """,
+        "q48_ivf_cosine_topk": """
+            WITH cent AS (
+                SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+                FROM embeddings ORDER BY vec_id LIMIT 16
+            ), corpus AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+            ), assigned AS (
+                SELECT vec_id, v, cid FROM (
+                    SELECT c.vec_id, c.v, ct.cid,
+                           row_number() OVER (
+                               PARTITION BY c.vec_id
+                               ORDER BY list_cosine_similarity(c.v, ct.cv) DESC,
+                                        ct.cid) AS rn
+                    FROM corpus c, cent ct)
+                WHERE rn = 1
+            ), probes AS (
+                SELECT query_id, qv, cid FROM (
+                    SELECT q.vec_id AS query_id, q.v AS qv, ct.cid,
+                           row_number() OVER (
+                               PARTITION BY q.vec_id
+                               ORDER BY list_cosine_similarity(q.v, ct.cv) DESC,
+                                        ct.cid) AS rn
+                    FROM corpus q, cent ct WHERE q.vec_id < 10)
+                WHERE rn <= 4
+            ), cand AS (
+                SELECT p.query_id, a.vec_id AS neighbor_id,
+                       list_cosine_similarity(p.qv, a.v) AS sim
+                FROM probes p JOIN assigned a
+                  ON a.cid = p.cid AND a.vec_id != p.query_id
+            )
+            SELECT query_id, neighbor_id, round(sim, 6) AS cosine_sim, rank
+            FROM (SELECT query_id, neighbor_id, sim,
+                         row_number() OVER (PARTITION BY query_id
+                                            ORDER BY sim DESC, neighbor_id) AS rank
+                  FROM cand)
+            WHERE rank <= 5
+        """,
         "q47_winnow_overlap_pairs": """
             WITH norm AS (
                 SELECT doc_id,
@@ -1365,10 +1470,14 @@ def oracle_sql() -> dict[str, str]:
                 FROM g
             ), fp AS (
                 SELECT doc_id, unnest(fps) AS fp FROM wmins
+            ), rare AS (
+                SELECT fp FROM fp GROUP BY fp HAVING count(*) <= 100
+            ), kept AS (
+                SELECT fp.doc_id, fp.fp FROM fp SEMI JOIN rare USING (fp)
             )
             SELECT a.doc_id AS id_a, b.doc_id AS id_b,
                    count(*) AS shared_fps
-            FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+            FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
             GROUP BY 1, 2
             HAVING count(*) >= 40
         """,

@@ -19,7 +19,7 @@ import hashlib
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from hubverse_transform_spark.functions.vectors import cosine_similarity
+from hubverse_transform_spark.functions.vectors import cosine_similarity, dot_product
 
 
 def cosine_brute_force_topk(
@@ -130,6 +130,103 @@ def cosine_lsh_topk(
         .withColumn("cosine_sim", cosine_similarity(F.col("_qvec"), F.col("_cvec")))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine_sim").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim", "rank")
+    )
+
+
+def ivf_cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    k: int = 10,
+) -> DataFrame:
+    """IVF-style ANN top-k: inverted lists keyed by nearest coarse centroid.
+
+    The alternative scale path to hyperplane LSH (``cosine_lsh_topk``): each
+    corpus vector is assigned to its nearest centroid (the inverted list);
+    a query scans only the ``n_probe`` lists whose centroids are nearest to
+    it, so candidate volume is ~``n_probe / n_centroids`` of the corpus.
+
+    Centroids here are the ``n_centroids`` lowest-id corpus vectors — a
+    deterministic quantizer so DuckDB can replay the exact computation; a
+    production run would swap in sampled spherical k-means without touching
+    the plan shape. The centroid set is tiny, so it is collected once and:
+
+    - the ASSIGNMENT is a map-only argmax over inline centroid literals
+      (struct(sim, -cid) array_max = highest sim, ties to lowest cid) — the
+      corpus never shuffles to get its list id, and at rest a lake bucketed
+      by ``cid`` makes probing a partition-pruned scan;
+    - the PROBE side is a broadcast cross-join (|queries| × n_centroids rows).
+
+    Ties break on neighbor id; same output shape as the brute-force baseline
+    so recall is directly measurable.
+    """
+    cent_rows = (
+        corpus.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"))
+        .orderBy("cid")
+        .limit(n_centroids)
+        .collect()
+    )
+    cents = [(int(r["cid"]), [float(x) for x in r["cv"]]) for r in cent_rows]
+    spark = corpus.sparkSession
+    cent_df = spark.createDataFrame(cents, "cid bigint, cv array<double>")
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cvec")
+    )
+    # Centroids ride along as two constant-folded literal arrays (flat
+    # n_centroids×dim matrix + id list) iterated with one transform() —
+    # unrolling a per-centroid cosine expression instead multiplies the
+    # Catalyst tree by n_centroids×dim literal nodes and costs seconds of
+    # analysis/codegen before the first task runs. The matrix holds UNIT
+    # centroids, so argmax cosine = argmax dot (the corpus vector's norm is
+    # a constant positive factor across centroids) and the per-row HOF work
+    # drops to one multiply-add pass per centroid, no norms.
+    dim = len(cents[0][1])
+    unit = []
+    for _, cv in cents:
+        n = sum(x * x for x in cv) ** 0.5 or 1.0
+        unit.extend(x / n for x in cv)
+    flat = F.array(*[F.lit(x) for x in unit])
+    cids = F.array(*[F.lit(cid).cast("long") for cid, _ in cents])
+    best = F.array_max(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(len(cents) - 1)),
+            lambda i: F.struct(
+                dot_product(
+                    F.col("_cvec"), F.slice(flat, i * dim + 1, dim)
+                ).alias("sim"),
+                (-F.element_at(cids, i + 1)).alias("ncid"),
+            ),
+        )
+    )
+    assigned = c.withColumn("cid", -best["ncid"])
+
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qvec"))
+    pw = Window.partitionBy("query_id").orderBy(F.col("_psim").desc(), F.col("cid"))
+    probes = (
+        q.crossJoin(F.broadcast(cent_df))
+        .withColumn("_psim", cosine_similarity(F.col("_qvec"), F.col("cv")))
+        .withColumn("_prn", F.row_number().over(pw))
+        .filter(F.col("_prn") <= n_probe)
+        .select("query_id", "_qvec", "cid")
+    )
+
+    scored = (
+        assigned.join(F.broadcast(probes), on="cid")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine_sim", cosine_similarity(F.col("_qvec"), F.col("_cvec")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id")
+    )
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)

@@ -44,6 +44,7 @@ from hubverse_transform_spark.operators.similarity import (
     cosine_brute_force_topk,
     cosine_lsh_topk,
     embedding_near_dup_pairs,
+    ivf_cosine_topk,
 )
 from hubverse_transform_spark.operators.topk import top_k_global, top_k_per_group
 from hubverse_transform_spark.streaming.windows import (
@@ -181,6 +182,11 @@ def test_winnow_overlap_pairs_finds_shared_passage(spark):
     ).collect()
     assert [(r["id_a"], r["id_b"]) for r in pairs] == [(1, 2)]
     assert pairs[0]["shared_fps"] >= 2
+    # max_df=1 removes every fingerprint two docs share -> no pairs survive
+    capped = winnow_overlap_pairs(
+        df, "doc_id", "text", k=8, window=4, min_shared=1, max_df=1
+    ).collect()
+    assert capped == []
 
 
 # --- similarity -------------------------------------------------------------
@@ -242,6 +248,37 @@ def test_lsh_multiprobe_recall_dominates(spark):
 
     assert recall(lsh2) >= recall(lsh0)
     assert recall(lsh2) > 0
+
+
+def test_ivf_full_probe_equals_brute_force(spark):
+    """Probing every inverted list degrades IVF to exact search, so the
+    result must equal the brute-force baseline row for row."""
+    from hubverse_transform_spark.session import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = cosine_brute_force_topk(emb, queries, k=5).collect()
+    ivf = ivf_cosine_topk(emb, queries, n_centroids=8, n_probe=8, k=5).collect()
+    key = lambda r: (r["query_id"], r["rank"])
+    assert sorted((r["query_id"], r["rank"], r["neighbor_id"]) for r in ivf) == sorted(
+        (r["query_id"], r["rank"], r["neighbor_id"]) for r in exact
+    )
+
+
+def test_ivf_single_probe_stays_in_cluster(spark):
+    """Two tight clusters; centroids (the two lowest ids) land one per
+    cluster, so with n_probe=1 every neighbor comes from the query's own
+    cluster."""
+    a = [(i, [1.0, 0.0, float(i) * 1e-3]) for i in range(0, 4)]
+    b = [(i, [0.0, 1.0, float(i) * 1e-3]) for i in range(4, 8)]
+    # ids 0 and 4 are NOT both lowest — remap so one seed sits in each cluster
+    rows = [(0, a[0][1]), (1, b[0][1])] + [(i + 2, v) for i, (_, v) in enumerate(a[1:] + b[1:])]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = ivf_cosine_topk(
+        df, df.filter(F.col("vec_id") == 0), n_centroids=2, n_probe=1, k=3
+    ).collect()
+    cluster_a_ids = {0, 2, 3, 4}  # remapped ids holding [1,0,*] vectors
+    assert out and all(r["neighbor_id"] in cluster_a_ids for r in out)
 
 
 def test_embedding_near_dup_exact(spark, vec_df):
