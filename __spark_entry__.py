@@ -349,6 +349,29 @@ def q18_range_join_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q19_disjunctive_pred_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19-shaped disjunctive-predicate join: OR'd (brand, size,
+    quantity) groups spanning both sides of a broadcast part join. Exercises
+    Catalyst's CNF predicate splitting — the per-table conjuncts it can
+    extract from the OR groups push to each scan."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    grp = lambda brand, max_size, qlo, qhi: (
+        (F.col("p_brand") == brand)
+        & F.col("p_size").between(1, max_size)
+        & F.col("l_quantity").between(qlo, qhi)
+    )
+    return (
+        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .filter(grp("Brand#11", 15, 1, 11) | grp("Brand#22", 25, 10, 20) | grp("Brand#33", 35, 20, 30))
+        .groupBy("p_brand")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
 # =============================================================================
 # LLM-data-pipeline operators (SURVEY.md §2.3 [EXT])
 # =============================================================================
@@ -764,6 +787,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q16_cube_orders": q16_cube_orders,
         "q17_running_totals": q17_running_totals,
         "q18_range_join_bands": q18_range_join_bands,
+        "q19_disjunctive_pred_join": q19_disjunctive_pred_join,
         "q20_exact_dedup": q20_exact_dedup,
         "q21_ngram_jaccard_pairs": q21_ngram_jaccard_pairs,
         "q22_minhash_signatures": q22_minhash_signatures,
@@ -1078,6 +1102,19 @@ def oracle_sql() -> dict[str, str]:
                  AS b(band, lo, hi)
               ON l_quantity >= lo AND l_quantity <= hi
             GROUP BY band
+        """,
+        "q19_disjunctive_pred_join": """
+            SELECT p_brand,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                   count(*) AS n_items
+            FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+            WHERE (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 15
+                   AND l_quantity BETWEEN 1 AND 11)
+               OR (p_brand = 'Brand#22' AND p_size BETWEEN 1 AND 25
+                   AND l_quantity BETWEEN 10 AND 20)
+               OR (p_brand = 'Brand#33' AND p_size BETWEEN 1 AND 35
+                   AND l_quantity BETWEEN 20 AND 30)
+            GROUP BY p_brand
         """,
         "q20_exact_dedup": """
             SELECT sha256(text) AS content_hash,
