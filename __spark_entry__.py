@@ -60,6 +60,9 @@ from hubverse_transform_spark.operators.similarity import (
     embedding_near_dup_pairs,
     ivf_cosine_topk,
 )
+from hubverse_transform_spark.operators.sampling import stratified_sample_exact
+from hubverse_transform_spark.operators.sessions import session_stats
+from hubverse_transform_spark.operators.textstats import tfidf_top_terms
 from hubverse_transform_spark.operators.topk import top_k_per_group
 from hubverse_transform_spark.session import load_table
 from hubverse_transform_spark.streaming.windows import (
@@ -757,6 +760,120 @@ def q38_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q50_session_durations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch gaps-and-islands sessionization (lag + conditional running sum
+    exposing session ids — the analytic complement of q31's session_window):
+    per-user session counts and duration statistics, 30-minute gap."""
+    e = _t(spark, sf_dir, "events")
+    return session_stats(e, ts_col="ts", user_col="user_id", gap_seconds=1800)
+
+
+def q51_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: exactly min(25, |lang|) documents
+    per language, ranked by md5(doc_id) so the 'random' order is
+    reproducible across runs and engines."""
+    d = _t(spark, sf_dir, "documents")
+    return stratified_sample_exact(d, strata_col="lang", key_col="doc_id", k=25).select(
+        "doc_id", "lang", "sample_rank"
+    )
+
+
+def q52_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF top-3 terms per document for doc_id < 50; document frequency
+    and N computed over the full corpus."""
+    d = _t(spark, sf_dir, "documents")
+    return tfidf_top_terms(
+        d, id_col="doc_id", text_col="text", k=3, query_filter=F.col("doc_id") < 50
+    )
+
+
+def q53_lone_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (suppliers who alone were late on multi-supplier
+    orders), reformulated as ONE aggregation over the order key instead of
+    the textbook double self-join: per order, count distinct suppliers and
+    distinct late suppliers (late = shipped > 60 days after order date on a
+    finished order), keep orders with >1 supplier and exactly 1 late one,
+    and credit that supplier. One shuffle of lineitem vs three for the
+    EXISTS/NOT-EXISTS formulation — the rewrite that matters at 100 TB."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    per_order = (
+        li.join(o.select("o_orderkey", "o_orderdate"), li.l_orderkey == F.col("o_orderkey"))
+        .select("l_orderkey", "l_suppkey", late.alias("late"))
+        .groupBy("l_orderkey")
+        .agg(
+            F.countDistinct("l_suppkey").alias("n_supp"),
+            F.countDistinct(F.when(F.col("late"), F.col("l_suppkey"))).alias("n_late"),
+            F.max(F.when(F.col("late"), F.col("l_suppkey"))).alias("late_supp"),
+        )
+    )
+    s = _t(spark, sf_dir, "supplier")
+    return (
+        per_order.filter((F.col("n_supp") > 1) & (F.col("n_late") == 1))
+        .groupBy("late_supp")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .join(F.broadcast(s), F.col("late_supp") == s.s_suppkey)
+        .select("s_name", "numwait")
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(20)
+    )
+
+
+def q54_full_outer_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-outer-join reconciliation of two independent aggregates (order
+    spend per customer key vs purchase-event value per user key), classified
+    into both / orders_only / events_only buckets."""
+    o = _t(spark, sf_dir, "orders")
+    e = _t(spark, sf_dir, "events")
+    spend = o.groupBy("o_custkey").agg(
+        F.sum("o_totalprice").alias("spend"), F.count(F.lit(1)).alias("n_orders")
+    )
+    purch = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.sum("value").alias("purch_value"), F.count(F.lit(1)).alias("n_purch"))
+    )
+    side = (
+        F.when(F.col("o_custkey").isNull(), F.lit("events_only"))
+        .when(F.col("user_id").isNull(), F.lit("orders_only"))
+        .otherwise(F.lit("both"))
+    )
+    return (
+        spend.join(purch, spend.o_custkey == purch.user_id, "full_outer")
+        .select(
+            side.alias("side"),
+            F.coalesce(F.col("spend"), F.lit(0.0)).alias("spend"),
+            F.coalesce(F.col("purch_value"), F.lit(0.0)).alias("purch_value"),
+        )
+        .groupBy("side")
+        .agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            F.round(F.sum("spend"), 2).alias("total_spend"),
+            F.round(F.sum("purch_value"), 4).alias("total_purchase"),
+        )
+    )
+
+
+def q55_extreme_customer_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arg-max/arg-min aggregates (max_by/min_by with a struct tie-break):
+    richest and poorest customer per nation in a single hash aggregation —
+    no window, no second shuffle."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.max_by("c_name", F.struct("c_acctbal", "c_custkey")).alias("richest_customer"),
+            F.round(F.max("c_acctbal"), 2).alias("max_bal"),
+            F.min_by("c_name", F.struct("c_acctbal", "c_custkey")).alias("poorest_customer"),
+            F.round(F.min("c_acctbal"), 2).alias("min_bal"),
+            F.count(F.lit(1)).alias("n_customers"),
+        )
+    )
+
+
 # =============================================================================
 # Driver contract
 # =============================================================================
@@ -818,6 +935,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q47_winnow_overlap_pairs": q47_winnow_overlap_pairs,
         "q48_ivf_cosine_topk": q48_ivf_cosine_topk,
         "q49_curation_funnel": q49_curation_funnel,
+        "q50_session_durations": q50_session_durations,
+        "q51_stratified_sample": q51_stratified_sample,
+        "q52_tfidf_top_terms": q52_tfidf_top_terms,
+        "q53_lone_late_supplier": q53_lone_late_supplier,
+        "q54_full_outer_reconcile": q54_full_outer_reconcile,
+        "q55_extreme_customer_per_nation": q55_extreme_customer_per_nation,
     }
 
 
@@ -1548,5 +1671,134 @@ def oracle_sql() -> dict[str, str]:
             SELECT node, component,
                    count(*) OVER (PARTITION BY component) AS cluster_size
             FROM comp
+        """,
+        "q50_session_durations": """
+            WITH flagged AS (
+                SELECT user_id, ts, event_id,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                                 OR epoch(ts) - epoch(lag(ts) OVER w) >= 1800
+                            THEN 1 ELSE 0 END AS new_session
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), sess AS (
+                SELECT user_id, ts,
+                       sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                              ROWS UNBOUNDED PRECEDING) AS session_seq
+                FROM flagged
+            ), per_session AS (
+                SELECT user_id, session_seq, count(*) AS n_events,
+                       max(epoch(ts)) - min(epoch(ts)) AS duration_s
+                FROM sess GROUP BY 1, 2
+            )
+            SELECT user_id,
+                   count(*) AS n_sessions,
+                   CAST(sum(n_events) AS BIGINT) AS n_events,
+                   max(n_events) AS max_session_events,
+                   round(avg(duration_s), 3) AS avg_session_s,
+                   round(max(duration_s), 3) AS max_session_s
+            FROM per_session GROUP BY user_id
+        """,
+        "q51_stratified_sample": """
+            SELECT doc_id, lang, sample_rank FROM (
+                SELECT doc_id, lang,
+                       row_number() OVER (PARTITION BY lang
+                                          ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+                           AS sample_rank
+                FROM documents
+            ) WHERE sample_rank <= 25
+        """,
+        "q52_tfidf_top_terms": f"""
+            WITH toks AS (
+                SELECT doc_id, unnest({_TOKS}) AS term FROM documents
+            ), t2 AS (
+                SELECT doc_id, term FROM toks WHERE term <> ''
+            ), tf AS (
+                SELECT doc_id, term, count(*) AS tf FROM t2 GROUP BY 1, 2
+            ), dfreq AS (
+                SELECT term, count(DISTINCT doc_id) AS df FROM t2 GROUP BY 1
+            ), n AS (
+                SELECT count(*) AS n_docs FROM documents
+            ), scored AS (
+                SELECT tf.doc_id, tf.term,
+                       CAST(tf.tf AS DOUBLE)
+                           * ln(CAST(n.n_docs AS DOUBLE) / CAST(dfreq.df AS DOUBLE)) AS score
+                FROM tf JOIN dfreq USING (term) CROSS JOIN n
+                WHERE tf.doc_id < 50
+            ), ranked AS (
+                SELECT doc_id, term, score,
+                       row_number() OVER (PARTITION BY doc_id
+                                          ORDER BY score DESC, term) AS rank
+                FROM scored
+            )
+            SELECT doc_id, term, round(score, 6) AS tfidf, rank
+            FROM ranked WHERE rank <= 3
+        """,
+        "q53_lone_late_supplier": """
+            WITH j AS (
+                SELECT l_orderkey, l_suppkey,
+                       (l_shipdate > o_orderdate + INTERVAL 60 DAY) AS late
+                FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                WHERE o_orderstatus = 'F'
+            ), per_order AS (
+                SELECT l_orderkey,
+                       count(DISTINCT l_suppkey) AS n_supp,
+                       count(DISTINCT CASE WHEN late THEN l_suppkey END) AS n_late,
+                       max(CASE WHEN late THEN l_suppkey END) AS late_supp
+                FROM j GROUP BY 1
+            ), waits AS (
+                SELECT late_supp, count(*) AS numwait
+                FROM per_order
+                WHERE n_supp > 1 AND n_late = 1
+                GROUP BY late_supp
+            )
+            SELECT s_name, numwait
+            FROM waits JOIN supplier ON late_supp = s_suppkey
+            ORDER BY numwait DESC, s_name
+            LIMIT 20
+        """,
+        "q54_full_outer_reconcile": """
+            WITH spend AS (
+                SELECT o_custkey, sum(o_totalprice) AS spend, count(*) AS n_orders
+                FROM orders GROUP BY 1
+            ), purch AS (
+                SELECT user_id, sum(value) AS purch_value, count(*) AS n_purch
+                FROM events WHERE event_type = 'purchase' GROUP BY 1
+            )
+            SELECT CASE WHEN o_custkey IS NULL THEN 'events_only'
+                        WHEN user_id IS NULL THEN 'orders_only'
+                        ELSE 'both' END AS side,
+                   count(*) AS n_keys,
+                   round(sum(coalesce(spend, 0.0)), 2) AS total_spend,
+                   round(sum(coalesce(purch_value, 0.0)), 4) AS total_purchase
+            FROM spend FULL OUTER JOIN purch ON o_custkey = user_id
+            GROUP BY 1
+        """,
+        "q55_extreme_customer_per_nation": """
+            WITH j AS (
+                SELECT n_name, c_name, c_acctbal, c_custkey
+                FROM customer JOIN nation ON c_nationkey = n_nationkey
+            ), mx AS (
+                SELECT n_name, c_name AS richest_customer FROM (
+                    SELECT n_name, c_name,
+                           row_number() OVER (PARTITION BY n_name
+                                              ORDER BY c_acctbal DESC, c_custkey DESC) AS r
+                    FROM j
+                ) WHERE r = 1
+            ), mn AS (
+                SELECT n_name, c_name AS poorest_customer FROM (
+                    SELECT n_name, c_name,
+                           row_number() OVER (PARTITION BY n_name
+                                              ORDER BY c_acctbal ASC, c_custkey ASC) AS r
+                    FROM j
+                ) WHERE r = 1
+            ), agg AS (
+                SELECT n_name, round(max(c_acctbal), 2) AS max_bal,
+                       round(min(c_acctbal), 2) AS min_bal,
+                       count(*) AS n_customers
+                FROM j GROUP BY 1
+            )
+            SELECT agg.n_name, richest_customer, max_bal, poorest_customer,
+                   min_bal, n_customers
+            FROM agg JOIN mx USING (n_name) JOIN mn USING (n_name)
         """,
     }

@@ -1,0 +1,79 @@
+"""Batch sessionization [EXT]: gaps-and-islands session assignment over an
+event log (events table shape: event_id, ts, user_id, event_type, value).
+
+The streaming engine covers sessions via ``F.session_window``
+(streaming/windows.py); this is the batch-analytic equivalent that also
+exposes the session id and per-session extents, which session_window's
+merged-window aggregation cannot (it only yields the window struct).
+
+Scale posture: one shuffle on the partition key; both window functions and
+the per-session aggregate reuse the same (user, ts) sort order, so Spark
+plans a single Exchange + Sort for the whole operator chain. At 100 TB the
+only knob that matters is key cardinality — user-partitioned windows scale
+with distinct users, and a hot user degrades to a single-task sort (cap
+per-user history upstream if that is a real risk).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def sessionize(
+    df: DataFrame,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    gap_seconds: int = 1800,
+    tiebreak_col: str | None = "event_id",
+) -> DataFrame:
+    """Assign a per-user session sequence number to every event.
+
+    A new session starts at the first event of a user and whenever the gap
+    to the previous event is >= ``gap_seconds`` (same boundary convention as
+    ``session_window_agg``: a session extends while gaps stay strictly
+    below the threshold). Returns the input plus a ``session_seq`` column
+    (1-based, per user).
+    """
+    order = [F.col(ts_col)] + ([F.col(tiebreak_col)] if tiebreak_col else [])
+    w = Window.partitionBy(user_col).orderBy(*order)
+    prev_ts = F.lag(F.col(ts_col)).over(w)
+    new_session = F.when(
+        prev_ts.isNull()
+        | (F.col(ts_col).cast("double") - prev_ts.cast("double") >= gap_seconds),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    return df.withColumn(
+        "session_seq",
+        F.sum(new_session).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+
+
+def session_stats(
+    df: DataFrame,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    gap_seconds: int = 1800,
+    tiebreak_col: str | None = "event_id",
+) -> DataFrame:
+    """Per-user session statistics: session count, event total, and session
+    duration aggregates (seconds, fractional).
+
+    Two-level aggregation over the sessionized frame; the session grouping
+    key (user, session_seq) is a refinement of the window partition key, so
+    no extra shuffle is needed between the window and the first groupBy.
+    """
+    sess = sessionize(df, ts_col, user_col, gap_seconds, tiebreak_col)
+    per_session = sess.groupBy(user_col, "session_seq").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.max(F.col(ts_col).cast("double")) - F.min(F.col(ts_col).cast("double"))).alias(
+            "duration_s"
+        ),
+    )
+    return per_session.groupBy(user_col).agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum("n_events").alias("n_events"),
+        F.max("n_events").alias("max_session_events"),
+        F.round(F.avg("duration_s"), 3).alias("avg_session_s"),
+        F.round(F.max("duration_s"), 3).alias("max_session_s"),
+    )

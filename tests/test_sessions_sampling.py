@@ -1,0 +1,107 @@
+"""Unit tests for batch sessionization, deterministic sampling, and TF-IDF
+(operators/sessions.py, operators/sampling.py, textstats.tfidf_top_terms)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+
+from pyspark.sql import functions as F
+
+from hubverse_transform_spark.operators.sampling import (
+    hash_fraction_sample,
+    stratified_sample_exact,
+)
+from hubverse_transform_spark.operators.sessions import session_stats, sessionize
+from hubverse_transform_spark.operators.textstats import tfidf_top_terms
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        [(i, dt.datetime(2024, 1, 1) + dt.timedelta(seconds=s), u) for i, (u, s) in enumerate(rows)],
+        "event_id long, ts timestamp, user_id long",
+    )
+
+
+def test_sessionize_boundaries(spark):
+    # user 1: events at t=0, 10, 2000 (gap 1990 >= 1800 -> new session)
+    # user 2: single event
+    df = _events(spark, [(1, 0), (1, 10), (1, 2000), (2, 5)])
+    out = sessionize(df, gap_seconds=1800).select("user_id", "event_id", "session_seq")
+    got = {(r.user_id, r.event_id): r.session_seq for r in out.collect()}
+    assert got == {(1, 0): 1, (1, 1): 1, (1, 2): 2, (2, 3): 1}
+
+
+def test_sessionize_gap_exactly_at_threshold_starts_new_session(spark):
+    # same convention as session_window_agg: gap >= threshold splits
+    df = _events(spark, [(1, 0), (1, 1800)])
+    out = sessionize(df, gap_seconds=1800)
+    assert [r.session_seq for r in out.orderBy("event_id").collect()] == [1, 2]
+
+
+def test_session_stats_durations(spark):
+    df = _events(spark, [(1, 0), (1, 10), (1, 2000), (1, 2050), (2, 5)])
+    out = {r.user_id: r for r in session_stats(df, gap_seconds=1800).collect()}
+    assert out[1].n_sessions == 2
+    assert out[1].n_events == 4
+    assert out[1].max_session_events == 2
+    assert out[1].avg_session_s == 30.0  # (10 + 50) / 2
+    assert out[1].max_session_s == 50.0
+    assert out[2].n_sessions == 1 and out[2].max_session_s == 0.0
+
+
+def test_stratified_sample_exact_counts_and_determinism(spark):
+    df = spark.range(100).select(
+        F.col("id").alias("k"), (F.col("id") % 3).cast("string").alias("g")
+    )
+    a = stratified_sample_exact(df, "g", "k", 10)
+    assert a.groupBy("g").count().rdd.map(lambda r: r["count"]).collect() == [10, 10, 10]
+    b = stratified_sample_exact(df.repartition(7), "g", "k", 10)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+    # small stratum: returns all rows, rank still 1..n
+    tiny = df.filter((F.col("k") < 5) & (F.col("g") == "0"))
+    assert stratified_sample_exact(tiny, "g", "k", 10).count() == 2
+
+
+def test_hash_fraction_sample_deterministic_and_unbiased(spark):
+    df = spark.range(2000).select(F.col("id").alias("k"))
+    a = hash_fraction_sample(df, "k", 0.25)
+    n = a.count()
+    assert abs(n - 500) < 100  # binomial 3-sigma ~= 58
+    # repartitioning must not change the selected set
+    b = hash_fraction_sample(df.repartition(13), "k", 0.25)
+    assert sorted(r.k for r in a.collect()) == sorted(r.k for r in b.collect())
+
+
+def test_tfidf_top_terms_tiny_corpus(spark):
+    docs = spark.createDataFrame(
+        [
+            (0, "apple banana apple"),
+            (1, "banana cherry"),
+            (2, "cherry cherry durian"),
+        ],
+        "doc_id long, text string",
+    )
+    out = tfidf_top_terms(docs, k=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append((r.rank, r.term, r.tfidf))
+    # doc 0: apple tf=2 df=1 -> 2*ln(3); banana tf=1 df=2 -> ln(1.5)
+    assert [t for _, t, _ in sorted(by_doc[0])] == ["apple", "banana"]
+    assert by_doc[0][0][2] == round(2 * math.log(3.0), 6)
+    # doc 2: durian (tf=1, df=1, ln 3) beats cherry (tf=2, df=2, 2*ln 1.5)
+    top2 = [t for _, t, _ in sorted(by_doc[2])]
+    assert top2 == ["durian", "cherry"]
+
+
+def test_tfidf_query_filter_keeps_global_stats(spark):
+    docs = spark.createDataFrame(
+        [(0, "x y"), (1, "x z"), (2, "x y")],
+        "doc_id long, text string",
+    )
+    out = tfidf_top_terms(docs, k=5, query_filter=F.col("doc_id") == 0).collect()
+    assert {r.doc_id for r in out} == {0}
+    scores = {r.term: r.tfidf for r in out}
+    # df(x)=3 -> idf = ln(1) = 0 even though only doc 0 is ranked
+    assert scores["x"] == 0.0
+    assert scores["y"] == round(math.log(3.0 / 2.0), 6)
