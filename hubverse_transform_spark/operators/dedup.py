@@ -211,12 +211,20 @@ def ngram_jaccard_pairs(
     additionally restricts pairs to equal blocks (e.g. same lang).
     """
     keys = ["_s"] + (["_blk"] if block_col else [])
-    sh = df.select(
-        F.col(id_col).alias("_id"),
-        *([F.col(block_col).alias("_blk")] if block_col else []),
-        shingle_ngrams(F.col(text_col), ngram).alias("_sh"),
-    ).select("_id", *(["_blk"] if block_col else []), F.size("_sh").alias("_sz"),
-             F.explode("_sh").alias("_s"))
+    # explode_outer, not explode: plain explode makes Catalyst infer a
+    # `size(e) > 0 AND isnotnull(e)` pre-filter that re-evaluates the whole
+    # shingle regex per conjunct (7 evals/row measured); outer + a cheap
+    # post-explode null filter keeps one eval of the expensive expression
+    sh = (
+        df.select(
+            F.col(id_col).alias("_id"),
+            *([F.col(block_col).alias("_blk")] if block_col else []),
+            shingle_ngrams(F.col(text_col), ngram).alias("_sh"),
+        )
+        .select("_id", *(["_blk"] if block_col else []), F.size("_sh").alias("_sz"),
+                F.explode_outer("_sh").alias("_s"))
+        .filter(F.col("_s").isNotNull())
+    )
     # postings x postings: shuffle-hash on the shingle key (see minhash note —
     # the posting index is corpus-sized, never a broadcast candidate)
     a, b = sh.alias("a"), sh.hint("shuffle_hash").alias("b")
@@ -296,14 +304,23 @@ def winnow_fingerprints(
     norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
     grams = F.regexp_extract_all(norm, F.lit(f"(?=(.{{{k}}}))"), 1)
     grams = F.when(F.size(grams) > 0, grams).otherwise(F.array(norm))
-    ex = df.select(F.col(id_col).alias("_id"), grams.alias("_g")).select(
-        "_id", F.posexplode("_g").alias("_pos", "_gram")
+    # posexplode_outer, not posexplode: the plain form infers a size/notnull
+    # pre-filter that re-evaluates the gram regex per conjunct (see
+    # ngram_jaccard_pairs); outer keeps one eval, nulls filtered after
+    ex = (
+        df.select(F.col(id_col).alias("_id"), grams.alias("_g"))
+        .select("_id", F.posexplode_outer("_g").alias("_pos", "_gram"))
+        .filter(F.col("_gram").isNotNull())
     )
     from pyspark.sql import Window as W
 
     frame = W.partitionBy("_id").orderBy("_pos").rowsBetween(0, window - 1)
+    # hash BEFORE the window: a sliding-frame min re-evaluates its input
+    # expression at every frame position, so an inline md5 would be computed
+    # ``window`` times per gram
+    hashed = ex.select("_id", "_pos", F.md5("_gram").alias("_h"))
     return (
-        ex.select("_id", F.min(F.md5("_gram")).over(frame).alias("fp"))
+        hashed.select("_id", F.min("_h").over(frame).alias("fp"))
         .distinct()
         .select(F.col("_id").alias(id_col), "fp")
     )
