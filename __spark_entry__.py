@@ -855,6 +855,40 @@ def q54_full_outer_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q56_moving_avg_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-interval window frame (value-based, peer-inclusive — vs the
+    ROWS frames of q17): trailing 7-day moving average of order totals per
+    customer, ordered by order date as epoch seconds."""
+    o = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").cast("timestamp").cast("long"))
+        .rangeBetween(-6 * 86400, 0)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.avg("o_totalprice").over(w), 4).alias("mavg_7d"),
+        F.count(F.lit(1)).over(w).alias("n_7d"),
+    )
+
+
+def q57_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (neither rollup q09 nor cube q16 can express
+    this set list) + grouping() null-vs-group disambiguation flags."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupingSets(
+        [[F.col("o_orderstatus")], [F.col("o_orderpriority")], []],
+        F.col("o_orderstatus"),
+        F.col("o_orderpriority"),
+    ).agg(
+        F.grouping("o_orderstatus").cast("int").alias("g_status"),
+        F.grouping("o_orderpriority").cast("int").alias("g_priority"),
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+    )
+
+
 def q55_extreme_customer_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arg-max/arg-min aggregates (max_by/min_by with a struct tie-break):
     richest and poorest customer per nation in a single hash aggregation —
@@ -941,6 +975,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q53_lone_late_supplier": q53_lone_late_supplier,
         "q54_full_outer_reconcile": q54_full_outer_reconcile,
         "q55_extreme_customer_per_nation": q55_extreme_customer_per_nation,
+        "q56_moving_avg_range_frame": q56_moving_avg_range_frame,
+        "q57_grouping_sets": q57_grouping_sets,
     }
 
 
@@ -1800,5 +1836,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT agg.n_name, richest_customer, max_bal, poorest_customer,
                    min_bal, n_customers
             FROM agg JOIN mx USING (n_name) JOIN mn USING (n_name)
+        """,
+        "q56_moving_avg_range_frame": """
+            SELECT o_custkey, o_orderkey,
+                   round(avg(o_totalprice) OVER w, 4) AS mavg_7d,
+                   count(*) OVER w AS n_7d
+            FROM orders
+            WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate
+                         RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW)
+        """,
+        "q57_grouping_sets": """
+            SELECT o_orderstatus, o_orderpriority,
+                   CAST(GROUPING(o_orderstatus) AS INTEGER) AS g_status,
+                   CAST(GROUPING(o_orderpriority) AS INTEGER) AS g_priority,
+                   count(*) AS n_orders,
+                   round(sum(o_totalprice), 2) AS sum_price
+            FROM orders
+            GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
         """,
     }
