@@ -889,6 +889,39 @@ def q57_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q58_chunked_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (lateral table function): chunk documents into 32-token
+    windows with 8-token overlap — the pre-training/RAG context chunker.
+    Each chunk is pinned by md5 so the oracle checks exact content."""
+    from hubverse_transform_spark.functions.udtfs import register_udtfs
+
+    register_udtfs(spark)
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 20)
+    d.createOrReplaceTempView("q58_docs")
+    return spark.sql(
+        """
+        SELECT d.doc_id, c.chunk_idx, c.n_tokens, c.chunk_hash
+        FROM q58_docs d, LATERAL chunk_text(d.text, 32, 8) c
+        """
+    )
+
+
+def q59_sql_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-entry-point query (temp view + spark.sql) with an uncorrelated
+    scalar subquery in the predicate — parts priced above the global
+    average, counted per brand."""
+    _t(spark, sf_dir, "part").createOrReplaceTempView("q59_part")
+    return spark.sql(
+        """
+        SELECT p_brand, count(*) AS n_above,
+               round(avg(p_retailprice), 2) AS avg_above_price
+        FROM q59_part
+        WHERE p_retailprice > (SELECT avg(p_retailprice) FROM q59_part)
+        GROUP BY p_brand
+        """
+    )
+
+
 def q55_extreme_customer_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arg-max/arg-min aggregates (max_by/min_by with a struct tie-break):
     richest and poorest customer per nation in a single hash aggregation —
@@ -977,6 +1010,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q55_extreme_customer_per_nation": q55_extreme_customer_per_nation,
         "q56_moving_avg_range_frame": q56_moving_avg_range_frame,
         "q57_grouping_sets": q57_grouping_sets,
+        "q58_chunked_docs": q58_chunked_docs,
+        "q59_sql_scalar_subquery": q59_sql_scalar_subquery,
     }
 
 
@@ -1853,5 +1888,31 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(o_totalprice), 2) AS sum_price
             FROM orders
             GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """,
+        "q58_chunked_docs": f"""
+            WITH tok AS (
+                SELECT doc_id, {_TOKS} AS toks FROM documents
+                WHERE doc_id < 20 AND trim(text) <> ''
+            ), starts AS (
+                SELECT doc_id, toks,
+                       unnest(range(1, greatest(len(toks), 1) + 1, 24)) AS s
+                FROM tok
+            ), chunks AS (
+                SELECT doc_id,
+                       CAST((s - 1) / 24 AS BIGINT) AS chunk_idx,
+                       toks[s : least(s + 31, len(toks))] AS chunk
+                FROM starts
+            )
+            SELECT doc_id, chunk_idx,
+                   CAST(len(chunk) AS BIGINT) AS n_tokens,
+                   md5(array_to_string(chunk, ' ')) AS chunk_hash
+            FROM chunks
+        """,
+        "q59_sql_scalar_subquery": """
+            SELECT p_brand, count(*) AS n_above,
+                   round(avg(p_retailprice), 2) AS avg_above_price
+            FROM part
+            WHERE p_retailprice > (SELECT avg(p_retailprice) FROM part)
+            GROUP BY p_brand
         """,
     }
