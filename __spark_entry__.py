@@ -922,6 +922,61 @@ def q59_sql_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q60_distribution_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions not covered by q07/q17: ntile quartiles,
+    percent_rank, cume_dist over customer balances per market segment
+    (unique tie-break via custkey keeps every value deterministic)."""
+    c = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_mktsegment",
+        "c_custkey",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+def q61_schema_evolution_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution union: a legacy batch lacking o_orderpriority merged
+    with a current batch via unionByName(allowMissingColumns=True) — the
+    heterogeneous-parquet-generations shape every long-lived lake hits.
+    Missing columns null-fill; the rollup splits legacy vs current."""
+    o = _t(spark, sf_dir, "orders")
+    legacy = o.filter(F.col("o_orderkey") % 2 == 0).select("o_orderkey", "o_totalprice")
+    current = o.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    merged = legacy.unionByName(current, allowMissingColumns=True)
+    return merged.groupBy(
+        F.coalesce(F.col("o_orderpriority"), F.lit("<legacy>")).alias("priority")
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+    )
+
+
+def q62_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition detection (the boilerplate/low-entropy quality signal):
+    per-document max-token-frequency ratio, rolled up per language."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        "lang",
+        F.explode_outer(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("term"),
+    ).filter((F.col("term").isNotNull()) & (F.col("term") != ""))
+    tf = toks.groupBy("doc_id", "lang", "term").agg(F.count(F.lit(1)).alias("tf"))
+    per_doc = tf.groupBy("doc_id", "lang").agg(
+        (F.max("tf").cast("double") / F.sum("tf").cast("double")).alias("rep_ratio")
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("rep_ratio"), 6).alias("avg_rep"),
+        F.round(F.max("rep_ratio"), 6).alias("max_rep"),
+        F.sum(F.when(F.col("rep_ratio") > 0.1, 1).otherwise(0)).cast("bigint").alias("n_repetitive"),
+    )
+
+
 def q55_extreme_customer_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arg-max/arg-min aggregates (max_by/min_by with a struct tie-break):
     richest and poorest customer per nation in a single hash aggregation —
@@ -1012,6 +1067,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q57_grouping_sets": q57_grouping_sets,
         "q58_chunked_docs": q58_chunked_docs,
         "q59_sql_scalar_subquery": q59_sql_scalar_subquery,
+        "q60_distribution_windows": q60_distribution_windows,
+        "q61_schema_evolution_union": q61_schema_evolution_union,
+        "q62_repetition_scores": q62_repetition_scores,
     }
 
 
@@ -1914,5 +1972,45 @@ def oracle_sql() -> dict[str, str]:
             FROM part
             WHERE p_retailprice > (SELECT avg(p_retailprice) FROM part)
             GROUP BY p_brand
+        """,
+        "q60_distribution_windows": """
+            SELECT c_mktsegment, c_custkey,
+                   ntile(4) OVER w AS quartile,
+                   round(percent_rank() OVER w, 6) AS pct_rank,
+                   round(cume_dist() OVER w, 6) AS cume
+            FROM customer
+            WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+        """,
+        "q61_schema_evolution_union": """
+            WITH merged AS (
+                SELECT o_orderkey, o_totalprice
+                FROM orders WHERE o_orderkey % 2 = 0
+                UNION ALL BY NAME
+                SELECT o_orderkey, o_totalprice, o_orderpriority
+                FROM orders WHERE o_orderkey % 2 = 1
+            )
+            SELECT coalesce(o_orderpriority, '<legacy>') AS priority,
+                   count(*) AS n_orders,
+                   round(sum(o_totalprice), 2) AS sum_price
+            FROM merged GROUP BY 1
+        """,
+        "q62_repetition_scores": f"""
+            WITH toks AS (
+                SELECT doc_id, lang, unnest({_TOKS}) AS term FROM documents
+            ), tf AS (
+                SELECT doc_id, lang, term, count(*) AS tf
+                FROM toks WHERE term <> '' GROUP BY 1, 2, 3
+            ), per_doc AS (
+                SELECT doc_id, lang,
+                       CAST(max(tf) AS DOUBLE) / CAST(sum(tf) AS DOUBLE) AS rep_ratio
+                FROM tf GROUP BY 1, 2
+            )
+            SELECT lang,
+                   count(*) AS n_docs,
+                   round(avg(rep_ratio), 6) AS avg_rep,
+                   round(max(rep_ratio), 6) AS max_rep,
+                   CAST(sum(CASE WHEN rep_ratio > 0.1 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_repetitive
+            FROM per_doc GROUP BY lang
         """,
     }
