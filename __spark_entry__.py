@@ -977,6 +977,28 @@ def q62_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q63_date_spine_densify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filling densification: generate the full calendar spine between
+    min and max event dates (sequence + explode) and left-join daily
+    aggregates onto it, zero-filling silent days — the time-series shape
+    dashboards and anomaly detectors need. The tiny daily aggregate is
+    broadcast into the spine join."""
+    e = _t(spark, sf_dir, "events")
+    bounds = e.agg(
+        F.min(F.to_date("ts")).alias("d0"), F.max(F.to_date("ts")).alias("d1")
+    )
+    spine = bounds.select(F.explode(F.sequence("d0", "d1")).alias("day"))
+    daily = e.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    )
+    return spine.join(F.broadcast(daily), "day", "left").select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        F.coalesce("sum_value", F.lit(0.0)).alias("sum_value"),
+    )
+
+
 def q55_extreme_customer_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arg-max/arg-min aggregates (max_by/min_by with a struct tie-break):
     richest and poorest customer per nation in a single hash aggregation —
@@ -1070,6 +1092,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q60_distribution_windows": q60_distribution_windows,
         "q61_schema_evolution_union": q61_schema_evolution_union,
         "q62_repetition_scores": q62_repetition_scores,
+        "q63_date_spine_densify": q63_date_spine_densify,
     }
 
 
@@ -2012,5 +2035,23 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CASE WHEN rep_ratio > 0.1 THEN 1 ELSE 0 END) AS BIGINT)
                        AS n_repetitive
             FROM per_doc GROUP BY lang
+        """,
+        "q63_date_spine_densify": """
+            WITH bounds AS (
+                SELECT min(CAST(ts AS DATE)) AS d0, max(CAST(ts AS DATE)) AS d1
+                FROM events
+            ), spine AS (
+                SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+                FROM bounds
+            ), daily AS (
+                SELECT CAST(ts AS DATE) AS day,
+                       count(*) AS n_events,
+                       round(sum(value), 4) AS sum_value
+                FROM events GROUP BY 1
+            )
+            SELECT strftime(s.day, '%Y-%m-%d') AS day,
+                   coalesce(n_events, 0) AS n_events,
+                   coalesce(sum_value, 0.0) AS sum_value
+            FROM spine s LEFT JOIN daily d ON s.day = d.day
         """,
     }
