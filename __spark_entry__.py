@@ -606,13 +606,21 @@ def q39_pivot_linestatus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q40_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact interpolated percentiles per group (matches quantile_cont)."""
+    """Exact interpolated percentiles per group (matches quantile_cont).
+
+    One array-argument percentile call per column: three scalar calls would
+    each buffer the full value set per group (3x agg state); the array form
+    sorts once and reads three order statistics."""
     li = _t(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
-        F.round(F.expr("percentile(l_extendedprice, 0.25)"), 4).alias("p25_price"),
-        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("p50_price"),
-        F.round(F.expr("percentile(l_extendedprice, 0.75)"), 4).alias("p75_price"),
+        F.expr("percentile(l_extendedprice, array(0.25D, 0.5D, 0.75D))").alias("_p"),
         F.round(F.expr("percentile(l_quantity, 0.5)"), 4).alias("median_qty"),
+    ).select(
+        "l_returnflag",
+        F.round(F.col("_p")[0], 4).alias("p25_price"),
+        F.round(F.col("_p")[1], 4).alias("p50_price"),
+        F.round(F.col("_p")[2], 4).alias("p75_price"),
+        "median_qty",
     )
 
 
@@ -999,6 +1007,24 @@ def q63_date_spine_densify(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q64_unpivot_part_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot/melt (wide -> long, the inverse of q39's pivot): turn part's
+    numeric metric columns into (metric, val) rows, then aggregate per
+    brand and metric."""
+    p = _t(spark, sf_dir, "part").select(
+        "p_partkey",
+        "p_brand",
+        F.col("p_size").cast("double").alias("size"),
+        F.col("p_retailprice").alias("retailprice"),
+    )
+    long = p.unpivot(["p_partkey", "p_brand"], ["size", "retailprice"], "metric", "val")
+    return long.groupBy("p_brand", "metric").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("val"), 4).alias("avg_val"),
+        F.round(F.sum("val"), 2).alias("sum_val"),
+    )
+
+
 def q55_extreme_customer_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arg-max/arg-min aggregates (max_by/min_by with a struct tie-break):
     richest and poorest customer per nation in a single hash aggregation —
@@ -1093,6 +1119,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q61_schema_evolution_union": q61_schema_evolution_union,
         "q62_repetition_scores": q62_repetition_scores,
         "q63_date_spine_densify": q63_date_spine_densify,
+        "q64_unpivot_part_metrics": q64_unpivot_part_metrics,
     }
 
 
@@ -2053,5 +2080,19 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(n_events, 0) AS n_events,
                    coalesce(sum_value, 0.0) AS sum_value
             FROM spine s LEFT JOIN daily d ON s.day = d.day
+        """,
+        "q64_unpivot_part_metrics": """
+            WITH base AS (
+                SELECT p_partkey, p_brand,
+                       CAST(p_size AS DOUBLE) AS size,
+                       p_retailprice AS retailprice
+                FROM part
+            )
+            SELECT p_brand, metric,
+                   count(*) AS n,
+                   round(avg(val), 4) AS avg_val,
+                   round(sum(val), 2) AS sum_val
+            FROM base UNPIVOT (val FOR metric IN (size, retailprice))
+            GROUP BY 1, 2
         """,
     }
