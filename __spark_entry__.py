@@ -1025,6 +1025,38 @@ def q64_unpivot_part_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q65_kmeans_update_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One Lloyd iteration of spherical k-means (the iterative-ML primitive
+    behind a production IVF quantizer): assign every vector to its nearest
+    of the 16 deterministic centroids (q48's quantizer), then recompute
+    centroid means (first 4 dims reported). Assignment is a broadcast cross
+    join + single-shuffle argmax (max_by over a sim/centroid struct) —
+    iterate = repeat this stage; no driver-side loops over vectors."""
+    from hubverse_transform_spark.functions.vectors import cosine_similarity
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("ve")
+    )
+    cents = (
+        emb.orderBy("vec_id")
+        .limit(16)
+        .select(F.col("vec_id").alias("cid"), F.col("ve").alias("cv"))
+    )
+    scored = emb.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        *[F.element_at("ve", i + 1).alias(f"d{i + 1}") for i in range(4)],
+        "cid",
+        cosine_similarity(F.col("ve"), F.col("cv")).alias("sim"),
+    )
+    assigned = scored.groupBy("vec_id", "d1", "d2", "d3", "d4").agg(
+        F.max_by("cid", F.struct(F.col("sim"), (-F.col("cid")).alias("neg"))).alias("cid")
+    )
+    return assigned.groupBy("cid").agg(
+        F.count(F.lit(1)).alias("n_assigned"),
+        *[F.round(F.avg(f"d{i + 1}"), 6).alias(f"c{i + 1}") for i in range(4)],
+    )
+
+
 def q55_extreme_customer_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arg-max/arg-min aggregates (max_by/min_by with a struct tie-break):
     richest and poorest customer per nation in a single hash aggregation —
@@ -1120,6 +1152,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q62_repetition_scores": q62_repetition_scores,
         "q63_date_spine_densify": q63_date_spine_densify,
         "q64_unpivot_part_metrics": q64_unpivot_part_metrics,
+        "q65_kmeans_update_step": q65_kmeans_update_step,
     }
 
 
@@ -2094,5 +2127,29 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(val), 2) AS sum_val
             FROM base UNPIVOT (val FOR metric IN (size, retailprice))
             GROUP BY 1, 2
+        """,
+        "q65_kmeans_update_step": """
+            WITH v AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings
+            ), cent AS (
+                SELECT vec_id AS cid, ve AS cv FROM v ORDER BY vec_id LIMIT 16
+            ), scored AS (
+                SELECT v.vec_id, v.ve, c.cid,
+                       list_cosine_similarity(v.ve, c.cv) AS sim
+                FROM v CROSS JOIN cent c
+            ), assigned AS (
+                SELECT vec_id, ve, cid FROM (
+                    SELECT vec_id, ve, cid,
+                           row_number() OVER (PARTITION BY vec_id
+                                              ORDER BY sim DESC, cid) AS r
+                    FROM scored
+                ) WHERE r = 1
+            )
+            SELECT cid, count(*) AS n_assigned,
+                   round(avg(ve[1]), 6) AS c1,
+                   round(avg(ve[2]), 6) AS c2,
+                   round(avg(ve[3]), 6) AS c3,
+                   round(avg(ve[4]), 6) AS c4
+            FROM assigned GROUP BY cid
         """,
     }
