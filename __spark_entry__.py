@@ -1076,6 +1076,102 @@ def q55_extreme_customer_per_nation(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
+def q66_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: distribution of per-customer order counts through a
+    left join (customers with zero orders must appear). Aggregate orders by
+    o_custkey FIRST (map-side partial combine on the fact table), then left
+    join the small per-customer counts — the join moves one row per customer
+    instead of one per order, the shuffle that matters at 100 TB."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") != "1-URGENT")
+    cnt = o.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n"))
+    per_cust = c.join(cnt, c.c_custkey == cnt.o_custkey, "left").select(
+        F.coalesce(F.col("n"), F.lit(0)).alias("c_count")
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+def q67_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue from small-quantity lineitems, where "small"
+    is a correlated per-part threshold (0.2 * that part's average quantity).
+    Decorrelated as agg-then-join: both sides shuffle once on l_partkey
+    (SMJ/hash co-partition); the part dim is broadcast. The threshold compare
+    is deterministic across engines because l_quantity is integer-valued, so
+    the per-part sum (exact in double) and IEEE divide/multiply reproduce."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    avgq = li.groupBy("l_partkey").agg(
+        (F.lit(0.2) * F.avg("l_quantity")).alias("qty_thresh")
+    )
+    small = (
+        li.select("l_partkey", "l_quantity", "l_extendedprice")
+        .join(avgq, "l_partkey")
+        .filter(F.col("l_quantity") < F.col("qty_thresh"))
+    )
+    return (
+        small.join(F.broadcast(p), small.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_small"),
+            F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+        )
+    )
+
+
+def q68_rich_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: above-average-balance customers with no urgent
+    orders. Uncorrelated scalar subquery (1-row agg broadcast into a cross
+    join — never collected to the driver) + left-anti join on a projected
+    orders column (scan prunes to o_custkey + the pushed priority filter)."""
+    c = _t(spark, sf_dir, "customer")
+    urgent = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+    )
+    pos_avg = c.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("bal_thresh")
+    )
+    rich = c.crossJoin(F.broadcast(pos_avg)).filter(
+        F.col("c_acctbal") > F.col("bal_thresh")
+    )
+    inactive = rich.join(urgent, rich.c_custkey == urgent.o_custkey, "left_anti")
+    return inactive.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_rich_inactive"),
+        F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+    )
+
+
+def q69_excess_inventory_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (no partsupp table in the testdata, so "availability"
+    is shipped volume): suppliers who moved > 50 units of any small part in
+    1996, counted per nation. Nested-subquery chain decorrelated to
+    semi-join -> agg -> semi-join; part filter is broadcast-semi pushed
+    below the (l_suppkey, l_partkey) aggregation so the shuffle only carries
+    qualifying lineitems. Integer-valued quantities sum exactly in double,
+    so the > 50 cut is engine-independent."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    small_parts = _t(spark, sf_dir, "part").filter(F.col("p_size") <= 15).select("p_partkey")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    shipped = (
+        li.select("l_suppkey", "l_partkey", "l_quantity")
+        .join(F.broadcast(small_parts), li.l_partkey == small_parts.p_partkey, "left_semi")
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+    )
+    excess = shipped.filter(F.col("qty") > 50).select("l_suppkey").distinct()
+    return (
+        s.join(excess, s.s_suppkey == excess.l_suppkey, "left_semi")
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("n_suppliers"))
+    )
+
+
 # =============================================================================
 # Driver contract
 # =============================================================================
@@ -1153,6 +1249,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q63_date_spine_densify": q63_date_spine_densify,
         "q64_unpivot_part_metrics": q64_unpivot_part_metrics,
         "q65_kmeans_update_step": q65_kmeans_update_step,
+        "q66_order_count_distribution": q66_order_count_distribution,
+        "q67_small_quantity_revenue": q67_small_quantity_revenue,
+        "q68_rich_inactive_customers": q68_rich_inactive_customers,
+        "q69_excess_inventory_shippers": q69_excess_inventory_shippers,
     }
 
 
@@ -2151,5 +2251,54 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(ve[3]), 6) AS c3,
                    round(avg(ve[4]), 6) AS c4
             FROM assigned GROUP BY cid
+        """,
+        "q66_order_count_distribution": """
+            WITH per_cust AS (
+                SELECT c_custkey, count(o_orderkey) AS c_count
+                FROM customer LEFT JOIN orders
+                  ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+                GROUP BY c_custkey
+            )
+            SELECT c_count, count(*) AS custdist
+            FROM per_cust GROUP BY c_count
+        """,
+        "q67_small_quantity_revenue": """
+            WITH avgq AS (
+                SELECT l_partkey, 0.2 * avg(l_quantity) AS qty_thresh
+                FROM lineitem GROUP BY l_partkey
+            )
+            SELECT p_brand,
+                   count(*) AS n_small,
+                   round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+            FROM lineitem l
+            JOIN avgq a ON l.l_partkey = a.l_partkey
+            JOIN part p ON l.l_partkey = p.p_partkey
+            WHERE l.l_quantity < a.qty_thresh
+            GROUP BY p_brand
+        """,
+        "q68_rich_inactive_customers": """
+            SELECT c_mktsegment,
+                   count(*) AS n_rich_inactive,
+                   round(sum(c_acctbal), 2) AS total_bal
+            FROM customer
+            WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer
+                               WHERE c_acctbal > 0)
+              AND NOT EXISTS (SELECT 1 FROM orders
+                              WHERE o_custkey = c_custkey
+                                AND o_orderpriority = '1-URGENT')
+            GROUP BY c_mktsegment
+        """,
+        "q69_excess_inventory_shippers": """
+            SELECT n_name, count(*) AS n_suppliers
+            FROM supplier JOIN nation ON s_nationkey = n_nationkey
+            WHERE s_suppkey IN (
+                SELECT l_suppkey
+                FROM lineitem JOIN part ON l_partkey = p_partkey
+                WHERE p_size <= 15
+                  AND l_shipdate >= TIMESTAMP '1996-01-01'
+                  AND l_shipdate < TIMESTAMP '1997-01-01'
+                GROUP BY l_suppkey, l_partkey
+                HAVING sum(l_quantity) > 50)
+            GROUP BY n_name
         """,
     }
