@@ -62,7 +62,8 @@ from hubverse_transform_spark.operators.similarity import (
 )
 from hubverse_transform_spark.operators.sampling import stratified_sample_exact
 from hubverse_transform_spark.operators.sessions import session_stats
-from hubverse_transform_spark.operators.textstats import tfidf_top_terms
+from hubverse_transform_spark.operators.graph import pagerank
+from hubverse_transform_spark.operators.textstats import bm25_topk, pmi_bigrams, tfidf_top_terms
 from hubverse_transform_spark.operators.topk import top_k_per_group
 from hubverse_transform_spark.session import load_table
 from hubverse_transform_spark.streaming.windows import (
@@ -1172,6 +1173,49 @@ def q69_excess_inventory_shippers(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+BM25_QUERY_TERMS = ["join", "vector", "stream"]
+
+
+def q70_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 keyword search over documents: top-10 docs for a 3-term
+    query (the retrieval primitive behind corpus curation / eval search).
+    See operators/textstats.bm25_topk for the shuffle layout."""
+    d = _t(spark, sf_dir, "documents")
+    return bm25_topk(d, BM25_QUERY_TERMS, k=10)
+
+
+def q71_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 bigram collocations by PMI (phrase mining / tokenizer-merge
+    candidates). True occurrence counts via one overlapping-match regex
+    pass; see operators/textstats.pmi_bigrams."""
+    d = _t(spark, sf_dir, "documents")
+    return pmi_bigrams(d, min_count=5, k=20)
+
+
+def q72_part_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (3 iterations, d=0.85) over the part co-occurrence graph:
+    parts are linked when they appear in the same order. Edge build is a
+    self-join of lineitem on l_orderkey (distinct, self-pairs removed —
+    symmetric by construction, so no dangling mass); then the iterative
+    two-shuffle join/agg loop in operators/graph.pagerank. The oracle
+    unrolls the same three iterations as SQL CTEs."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.alias("a")
+    b = li.alias("b")
+    pairs = (
+        # fact-fact self-join: force a shuffled hash join — broadcasting a
+        # corpus-sized side is the local-mode plan that dies at cluster scale
+        a.join(b.hint("shuffle_hash"), "l_orderkey")
+        .filter(F.col("a.l_partkey") != F.col("b.l_partkey"))
+        .select(
+            F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
+        )
+        .distinct()
+    )
+    pr = pagerank(pairs, iterations=3, damping=0.85)
+    return pr.select(F.col("node").alias("p_partkey"), F.round("pr", 6).alias("pr"))
+
+
 # =============================================================================
 # Driver contract
 # =============================================================================
@@ -1253,6 +1297,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q67_small_quantity_revenue": q67_small_quantity_revenue,
         "q68_rich_inactive_customers": q68_rich_inactive_customers,
         "q69_excess_inventory_shippers": q69_excess_inventory_shippers,
+        "q70_bm25_search": q70_bm25_search,
+        "q71_pmi_collocations": q71_pmi_collocations,
+        "q72_part_pagerank": q72_part_pagerank,
     }
 
 
@@ -2300,5 +2347,118 @@ def oracle_sql() -> dict[str, str]:
                 GROUP BY l_suppkey, l_partkey
                 HAVING sum(l_quantity) > 50)
             GROUP BY n_name
+        """,
+        "q70_bm25_search": f"""
+            WITH dl AS (
+                SELECT doc_id,
+                       CASE WHEN trim(text) = '' THEN 0
+                            ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                       END AS dl
+                FROM documents
+            ), stats AS (
+                SELECT count(*) AS n_docs, avg(CAST(dl AS DOUBLE)) AS avgdl FROM dl
+            ), toks AS (
+                SELECT doc_id, unnest({_TOKS}) AS term FROM documents
+            ), tf AS (
+                SELECT doc_id, term, count(*) AS tf FROM toks
+                WHERE term IN ('join', 'vector', 'stream') GROUP BY 1, 2
+            ), dfreq AS (
+                SELECT term, count(*) AS df FROM tf GROUP BY 1
+            ), scored AS (
+                SELECT t.doc_id,
+                       ln((CAST(s.n_docs AS DOUBLE) - f.df + 0.5)
+                          / (CAST(f.df AS DOUBLE) + 0.5) + 1.0)
+                       * (CAST(t.tf AS DOUBLE) * 2.2)
+                       / (t.tf + 1.2 * (1.0 - 0.75
+                          + 0.75 * CAST(d.dl AS DOUBLE) / s.avgdl)) AS s
+                FROM tf t
+                JOIN dfreq f USING (term)
+                JOIN dl d USING (doc_id)
+                CROSS JOIN stats s
+            ), docsc AS (
+                SELECT doc_id, round(sum(s), 6) AS bm25,
+                       count(*) AS n_terms_hit
+                FROM scored GROUP BY doc_id
+            )
+            SELECT doc_id, bm25, n_terms_hit, rank FROM (
+                SELECT doc_id, bm25, n_terms_hit,
+                       row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rank
+                FROM docsc)
+            WHERE rank <= 10
+        """,
+        "q71_pmi_collocations": f"""
+            WITH tok AS (
+                SELECT {_TOKS} AS toks FROM documents
+            ), uni AS (
+                SELECT unnest(toks) AS term FROM tok
+            ), cu AS (
+                SELECT term, count(*) AS c_term FROM uni
+                WHERE term <> '' GROUP BY term
+            ), bi AS (
+                SELECT unnest(CASE WHEN len(toks) >= 2
+                    THEN list_transform(range(1, len(toks)),
+                                        i -> toks[i] || ' ' || toks[i + 1])
+                    ELSE [] END) AS bigram
+                FROM tok
+            ), cb AS (
+                SELECT bigram, count(*) AS c_bigram FROM bi GROUP BY bigram
+            ), tu AS (
+                SELECT CAST(sum(c_term) AS BIGINT) AS t_uni FROM cu
+            ), tb AS (
+                SELECT CAST(sum(c_bigram) AS BIGINT) AS t_bi FROM cb
+            ), scored AS (
+                SELECT bigram, c_bigram,
+                       round(ln((CAST(c_bigram AS DOUBLE) / t_bi)
+                             / ((CAST(cx.c_term AS DOUBLE) / t_uni)
+                                * (CAST(cy.c_term AS DOUBLE) / t_uni))), 6) AS pmi
+                FROM cb
+                JOIN cu cx ON string_split(bigram, ' ')[1] = cx.term
+                JOIN cu cy ON string_split(bigram, ' ')[2] = cy.term
+                CROSS JOIN tu CROSS JOIN tb
+                WHERE c_bigram >= 5
+            )
+            SELECT bigram, c_bigram, pmi, rank FROM (
+                SELECT bigram, c_bigram, pmi,
+                       row_number() OVER (ORDER BY pmi DESC, bigram) AS rank
+                FROM scored)
+            WHERE rank <= 20
+        """,
+        "q72_part_pagerank": """
+            WITH pairs AS (
+                SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+                FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+                WHERE a.l_partkey <> b.l_partkey
+            ), nodes AS (
+                SELECT src AS node FROM pairs UNION SELECT dst FROM pairs
+            ), nn AS (
+                SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes
+            ), deg AS (
+                SELECT src, count(*) AS out_deg FROM pairs GROUP BY src
+            ), ef AS (
+                SELECT src, dst, CAST(1.0 AS DOUBLE) / out_deg AS frac
+                FROM pairs JOIN deg USING (src)
+            ), pr0 AS (
+                SELECT node, CAST(1.0 AS DOUBLE) / n AS pr
+                FROM nodes CROSS JOIN nn
+            ), m1 AS (
+                SELECT ef.dst AS node, sum(pr0.pr * ef.frac) AS m
+                FROM ef JOIN pr0 ON ef.src = pr0.node GROUP BY 1
+            ), pr1 AS (
+                SELECT nodes.node, 0.15 / nn.n + 0.85 * coalesce(m1.m, 0.0) AS pr
+                FROM nodes CROSS JOIN nn LEFT JOIN m1 ON nodes.node = m1.node
+            ), m2 AS (
+                SELECT ef.dst AS node, sum(pr1.pr * ef.frac) AS m
+                FROM ef JOIN pr1 ON ef.src = pr1.node GROUP BY 1
+            ), pr2 AS (
+                SELECT nodes.node, 0.15 / nn.n + 0.85 * coalesce(m2.m, 0.0) AS pr
+                FROM nodes CROSS JOIN nn LEFT JOIN m2 ON nodes.node = m2.node
+            ), m3 AS (
+                SELECT ef.dst AS node, sum(pr2.pr * ef.frac) AS m
+                FROM ef JOIN pr2 ON ef.src = pr2.node GROUP BY 1
+            ), pr3 AS (
+                SELECT nodes.node, 0.15 / nn.n + 0.85 * coalesce(m3.m, 0.0) AS pr
+                FROM nodes CROSS JOIN nn LEFT JOIN m3 ON nodes.node = m3.node
+            )
+            SELECT node AS p_partkey, round(pr, 6) AS pr FROM pr3
         """,
     }

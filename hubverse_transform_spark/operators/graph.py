@@ -1,0 +1,74 @@
+"""Iterative graph analytics [EXT]: PageRank over an edge DataFrame.
+
+The reference has no graph code anywhere (grep over src/, faas/, test/ —
+SURVEY.md §2.2); this is part of the Layer-B analytic surface. Complements
+``operators/clusters.py`` (iterative connected components) with the other
+canonical fixed-point graph computation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 3,
+    damping: float = 0.85,
+) -> DataFrame:
+    """PageRank with a fixed iteration count over a directed edge list.
+
+    Returns (node, pr). Nodes are those appearing in ``edges`` (either end);
+    rank mass from dangling nodes is dropped (callers with undirected graphs
+    symmetrize first, which eliminates danglings entirely).
+
+    Scale shape: each iteration is one join of the edge list with the
+    current rank vector on ``src`` (both sides hash-partitioned on the same
+    key, so AQE reuses the exchange) followed by one aggregation on ``dst``
+    — the classic two-shuffle PageRank step, no driver-side collection of
+    nodes or ranks. Out-degrees are folded into the edge list ONCE up front
+    (edges carry pr-mass fraction 1/out_deg), so the per-iteration join is
+    binary, not ternary. The node count rides as a 1-row broadcast. Ranks
+    are cached per iteration to cut the re-read, and lineage stays linear
+    in the iteration count (a production run at 100 TB would localCheckpoint
+    every ~5 iterations to truncate it).
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    nodes = e.select(F.col("src").alias("node")).union(
+        e.select(F.col("dst").alias("node"))
+    ).distinct().persist()
+    n_df = nodes.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
+    # fold 1/out_deg into the edges once; every iteration then joins 2 tables
+    e_frac = e.join(deg, "src").select(
+        "src", "dst", (F.lit(1.0) / F.col("out_deg")).alias("frac")
+    )
+    e_frac = e_frac.persist()
+
+    ranks = nodes.crossJoin(F.broadcast(n_df)).select(
+        "node", (F.lit(1.0) / F.col("n")).alias("pr")
+    )
+    for _ in range(iterations):
+        contribs = (
+            e_frac.join(ranks, e_frac.src == ranks.node)
+            .select(F.col("dst").alias("node"), (F.col("pr") * F.col("frac")).alias("m"))
+            .groupBy("node")
+            .agg(F.sum("m").alias("m"))
+        )
+        new_ranks = (
+            nodes.join(contribs, "node", "left")
+            .crossJoin(F.broadcast(n_df))
+            .select(
+                "node",
+                (
+                    (1.0 - damping) / F.col("n")
+                    + damping * F.coalesce(F.col("m"), F.lit(0.0))
+                ).alias("pr"),
+            )
+        )
+        new_ranks = new_ranks.persist()
+        ranks = new_ranks
+    return ranks

@@ -1,0 +1,68 @@
+"""Unit tests for operators/graph.py (PageRank) and the textstats search
+operators (BM25, PMI collocations) on hand-computable fixtures."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from hubverse_transform_spark.operators.graph import pagerank
+from hubverse_transform_spark.operators.textstats import bm25_topk, pmi_bigrams
+
+
+def test_pagerank_cycle_is_uniform(spark):
+    # directed 3-cycle: every node has in=out=1 -> uniform 1/3 fixed point
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1)], ["src", "dst"]
+    )
+    pr = {r.node: r.pr for r in pagerank(edges, iterations=4).collect()}
+    assert all(abs(v - 1 / 3) < 1e-12 for v in pr.values()), pr
+
+
+def test_pagerank_star_one_iteration(spark):
+    # undirected star c-a, c-b (symmetrized edge list), one iteration:
+    # pr(a) = 0.15/3 + 0.85 * (1/3)/2 ; pr(c) = 0.15/3 + 0.85 * 2/3
+    edges = spark.createDataFrame(
+        [("c", "a"), ("a", "c"), ("c", "b"), ("b", "c")], ["src", "dst"]
+    )
+    pr = {r.node: r.pr for r in pagerank(edges, iterations=1).collect()}
+    assert math.isclose(pr["a"], 0.05 + 0.85 / 6, rel_tol=1e-12)
+    assert math.isclose(pr["b"], 0.05 + 0.85 / 6, rel_tol=1e-12)
+    assert math.isclose(pr["c"], 0.05 + 0.85 * 2 / 3, rel_tol=1e-12)
+    assert math.isclose(sum(pr.values()), 1.0, rel_tol=1e-12)
+
+
+def test_bm25_prefers_matching_docs_and_normalizes_length(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "spark spark spark engine"),
+            (2, "spark engine engine engine engine engine engine engine"),
+            (3, "flink storm beam samza heron"),
+            (4, "spark"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = bm25_topk(docs, ["spark"], k=3).collect()
+    ids = [r.doc_id for r in out]
+    assert 3 not in ids  # no query term -> never retrieved
+    assert len(out) == 3 and out[0].rank == 1
+    # doc 4 (tf=1 but length 1) must beat doc 2 (tf=1, length 8)
+    assert ids.index(4) < ids.index(2)
+    # doc 1: higher tf at modest length ranks first overall
+    assert ids[0] == 1
+
+
+def test_pmi_finds_planted_collocation(spark):
+    rows = []
+    for i in range(20):
+        rows.append((i, "alpha beta new york gamma delta"))
+    for i in range(20, 40):
+        rows.append((i, "beta alpha delta gamma new york"))
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = pmi_bigrams(docs, min_count=5, k=5).collect()
+    assert out[0].bigram == "new york"
+    assert out[0].c_bigram == 40
+    # pmi("new york") = ln((40/200) / ((40/240)*(40/240)))
+    expect = math.log((40 / 200) / ((40 / 240) * (40 / 240)))
+    assert math.isclose(out[0].pmi, round(expect, 6), rel_tol=1e-9)
