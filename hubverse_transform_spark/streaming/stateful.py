@@ -92,6 +92,76 @@ def stateful_seen_filter(
     )
 
 
+def transform_with_state_user_stats(
+    events: DataFrame,
+    *,
+    key_col: str = "user_id",
+    value_col: str = "value",
+    recent_k: int = 3,
+) -> DataFrame:
+    """Per-key cross-batch statistics via ``transformWithStateInPandas`` —
+    Spark 4's typed-state successor to ``applyInPandasWithState``.
+
+    Maintains TWO composable state variables per key (the capability the old
+    API lacks: one opaque tuple vs named, independently-evolvable states):
+
+    - ``totals``   ValueState(n, s): running count/sum,
+    - ``recent``   ListState(v):     the last ``recent_k`` values seen.
+
+    Emits one row per key per micro-batch:
+    ``(key, n_events, sum_value, recent_max)`` where recent_max covers only
+    the trailing window — distinguishing "large lifetime total" from "spiking
+    right now", the per-entity monitor shape.
+
+    Scale: state is per-key in the executor state store (RocksDB provider),
+    one shuffle on the key; ListState appends are O(k) per batch, state size
+    O(distinct keys x k). Requires
+    ``spark.sql.streaming.stateStore.providerClass = RocksDBStateStoreProvider``
+    (the HDFS-backed default does not support transformWithState).
+    """
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    out_schema = f"{key_col} long, n_events long, sum_value double, recent_max double"
+
+    class UserStats(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._totals = handle.getValueState("totals", "n long, s double")
+            self._recent = handle.getListState("recent", "v double")
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, s = self._totals.get() if self._totals.exists() else (0, 0.0)
+            vals: list[float] = []
+            for pdf in rows:
+                n += len(pdf)
+                s += float(pdf[value_col].sum())
+                vals.extend(float(v) for v in pdf[value_col])
+            old = [r[0] for r in self._recent.get()] if self._recent.exists() else []
+            recent = (old + vals)[-recent_k:]
+            self._totals.update((n, s))
+            self._recent.put([(v,) for v in recent])
+            yield pd.DataFrame(
+                {
+                    key_col: [key[0]],
+                    "n_events": [n],
+                    "sum_value": [s],
+                    "recent_max": [max(recent)],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy(key_col).transformWithStateInPandas(
+        statefulProcessor=UserStats(),
+        outputStructType=out_schema,
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
 def watermarked_dedup(
     events: DataFrame,
     *,

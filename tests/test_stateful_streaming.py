@@ -5,6 +5,7 @@ from __future__ import annotations
 
 from pathlib import Path
 
+import pytest
 from pyspark.sql import functions as F
 
 from hubverse_transform_spark.streaming.stateful import (
@@ -122,3 +123,54 @@ def test_watermarked_dedup_static_fallback(spark):
         [(1, 1.0), (1, 1.0), (2, 2.0)], "event_id long, value double"
     )
     assert watermarked_dedup(df, key_cols=["event_id", "value"]).count() == 2
+
+
+def _has_protobuf() -> bool:
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(
+    not _has_protobuf(),
+    reason="transformWithStateInPandas' driver worker requires the protobuf "
+    "python package (not installed in this container)",
+)
+def test_transform_with_state_across_restarts(spark, tmp_path: Path):
+    from hubverse_transform_spark.streaming.stateful import (
+        transform_with_state_user_stats,
+    )
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        src, ckpt = tmp_path / "src", str(tmp_path / "ckpt")
+        schema = _write_events(
+            spark, src, [(1, 10.0, 100), (1, 5.0, 101), (2, 1.0, 102)]
+        )
+        rows = _run_stream(
+            spark, src, schema, transform_with_state_user_stats, ckpt, "tws1"
+        )
+        got = {r["user_id"]: (r["n_events"], r["sum_value"], r["recent_max"]) for r in rows}
+        assert got == {1: (2, 15.0, 10.0), 2: (1, 1.0, 1.0)}
+
+        # restart from the same checkpoint: ValueState totals continue,
+        # ListState window slides (last 3 of [10, 5, 100, 2] -> max 100)
+        _write_events(spark, src, [(1, 100.0, 103), (1, 2.0, 104)])
+        rows2 = _run_stream(
+            spark, src, schema, transform_with_state_user_stats, ckpt, "tws2"
+        )
+        got2 = {r["user_id"]: (r["n_events"], r["sum_value"], r["recent_max"]) for r in rows2}
+        assert got2[1] == (4, 117.0, 100.0)
+        assert 2 not in got2
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
