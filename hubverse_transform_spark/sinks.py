@@ -113,3 +113,75 @@ def backfill_hub_dataset(
     df = with_provenance_from_filename(df)
     write_hub_dataset(df, output_path, mode=mode)
     return df
+
+
+def _spread_bits16(c):
+    """Spread the low 16 bits of ``c`` to the even bit positions of a 32-bit
+    value (Morton/Z-curve 'magic numbers' expansion) — pure JVM-side integer
+    arithmetic, whole-stage-codegen friendly."""
+    from pyspark.sql import functions as F
+
+    c = (c.bitwiseOR(F.shiftleft(c, 8))).bitwiseAND(F.lit(0x00FF00FF))
+    c = (c.bitwiseOR(F.shiftleft(c, 4))).bitwiseAND(F.lit(0x0F0F0F0F))
+    c = (c.bitwiseOR(F.shiftleft(c, 2))).bitwiseAND(F.lit(0x33333333))
+    c = (c.bitwiseOR(F.shiftleft(c, 1))).bitwiseAND(F.lit(0x55555555))
+    return c
+
+
+def zorder_key(x, y, x_min, x_max, y_min, y_max):
+    """Interleaved 32-bit Z-order key for two numeric columns, each min/max
+    scaled to 16 bits. Rows close on the Z-curve are close in BOTH dims, so
+    sorting by this key clusters 2-D locality into the same files."""
+    from pyspark.sql import functions as F
+
+    def to16(c, lo, hi):
+        span = F.lit(float(hi - lo)) if hi > lo else F.lit(1.0)
+        scaled = ((c.cast("double") - F.lit(float(lo))) / span) * 65535.0
+        return F.least(F.greatest(scaled.cast("long"), F.lit(0)), F.lit(65535))
+
+    return _spread_bits16(to16(x, x_min, x_max)).bitwiseOR(
+        F.shiftleft(_spread_bits16(to16(y, y_min, y_max)), 1)
+    )
+
+
+def write_zorder_layout(
+    df: DataFrame,
+    path: str,
+    *,
+    cols: tuple[str, str],
+    num_files: int = 8,
+    mode: str = "overwrite",
+) -> None:
+    """Write ``df`` as Parquet clustered on the Z-curve of two columns.
+
+    Multi-dimensional data layout: a single-column sort gives perfect file
+    skipping on that column and none on any other; Z-ordering trades a little
+    of each for useful min/max pruning on BOTH columns — the layout move for
+    a 100 TB lake queried along two independent axes (e.g. model_id x date,
+    or user x time). Parquet footers then carry tight per-file/row-group
+    bounds on both columns, and any engine's min/max skipping (Spark's row
+    group filter pushdown included) prunes most files for point or range
+    predicates on either axis.
+
+    One extra pass over the data: a cheap global min/max agg (driver scalars),
+    then repartitionByRange on the key (range exchange = skew-proof file
+    sizing) + in-partition sort. The key column is dropped before writing.
+    """
+    from pyspark.sql import functions as F
+
+    cx, cy = cols
+    bounds = df.agg(
+        F.min(cx).alias("x0"), F.max(cx).alias("x1"),
+        F.min(cy).alias("y0"), F.max(cy).alias("y1"),
+    ).collect()[0]
+    key = zorder_key(
+        F.col(cx), F.col(cy), bounds.x0, bounds.x1, bounds.y0, bounds.y1
+    )
+    (
+        df.withColumn("__z", key)
+        .repartitionByRange(num_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode(mode)
+        .parquet(path)
+    )

@@ -111,3 +111,49 @@ def test_write_hub_dataset_appends(spark, tmp_path: Path):
     write_hub_dataset(df, lake)
     write_hub_dataset(df, lake)  # append mode: second write adds rows
     assert spark.read.parquet(lake).count() == 2
+
+
+def test_zorder_layout_tightens_file_bounds(spark, tmp_path):
+    """Z-ordered files must carry much tighter per-file min/max footer bounds
+    on BOTH clustering columns than a round-robin layout of the same rows —
+    that bounding-box shrinkage IS the file-skipping win."""
+    import glob as globmod
+
+    import pyarrow.parquet as pq
+
+    from hubverse_transform_spark.session import load_table
+    from hubverse_transform_spark.sinks import write_zorder_layout
+
+    li = load_table(spark, "/root/testdata/sf0.001", "lineitem").select(
+        "l_partkey", "l_suppkey", "l_quantity"
+    )
+    naive, zpath = str(tmp_path / "naive"), str(tmp_path / "zorder")
+    li.repartition(8).write.parquet(naive)
+    write_zorder_layout(li, zpath, cols=("l_partkey", "l_suppkey"), num_files=8)
+
+    assert spark.read.parquet(zpath).count() == li.count()
+
+    def total_bbox_area(path):
+        total = 0.0
+        for f in globmod.glob(path + "/*.parquet"):
+            md = pq.read_metadata(f)
+            lo = {"l_partkey": None, "l_suppkey": None}
+            hi = {"l_partkey": None, "l_suppkey": None}
+            for rg in range(md.num_row_groups):
+                g = md.row_group(rg)
+                for ci in range(g.num_columns):
+                    col = g.column(ci)
+                    name = col.path_in_schema
+                    if name in lo and col.statistics is not None:
+                        s = col.statistics
+                        lo[name] = s.min if lo[name] is None else min(lo[name], s.min)
+                        hi[name] = s.max if hi[name] is None else max(hi[name], s.max)
+            total += (hi["l_partkey"] - lo["l_partkey"] + 1) * (
+                hi["l_suppkey"] - lo["l_suppkey"] + 1
+            )
+        return total
+
+    # round-robin: every file spans ~the full 2-D range; z-order: each file
+    # covers a small curve segment. Require at least a 2x total shrinkage
+    # (observed is far larger).
+    assert total_bbox_area(zpath) < 0.5 * total_bbox_area(naive)
