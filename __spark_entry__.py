@@ -1216,6 +1216,50 @@ def q72_part_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pr.select(F.col("node").alias("p_partkey"), F.round("pr", 6).alias("pr"))
 
 
+def q73_correlated_avg_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar-aggregate subquery through the SQL surface: orders
+    priced at more than 2x their own customer's average order. Catalyst
+    decorrelates this into an aggregate + join (no per-row re-execution —
+    verify with explain: one Aggregate on o_custkey feeding a join), the
+    rewrite that makes correlated subqueries viable at 100 TB."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("q73_orders")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, count(*) AS n_big,
+               round(avg(o_totalprice), 2) AS avg_big_price
+        FROM q73_orders o
+        WHERE o_totalprice > 2.0 * (SELECT avg(o2.o_totalprice)
+                                    FROM q73_orders o2
+                                    WHERE o2.o_custkey = o.o_custkey)
+        GROUP BY o_orderpriority
+        """
+    )
+
+
+def q74_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured JSON via Spark 4's VariantType: parse_json once into
+    a variant column, then typed variant_get extraction — the open-schema
+    path that replaces per-field get_json_object string re-parsing (q12)
+    with a single binary-encoded parse whose fields are extracted without
+    re-tokenizing the JSON per access."""
+    e = _t(spark, sf_dir, "events")
+    v = e.select(
+        "event_type",
+        "value",
+        F.variant_get(F.parse_json("props"), "$.k", "bigint").alias("k"),
+    )
+    return (
+        v.withColumn("k_decade", F.expr("k div 10"))
+        .groupBy("event_type", "k_decade")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+            F.min("k").alias("k_min"),
+            F.max("k").alias("k_max"),
+        )
+    )
+
+
 # =============================================================================
 # Driver contract
 # =============================================================================
@@ -1300,6 +1344,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q70_bm25_search": q70_bm25_search,
         "q71_pmi_collocations": q71_pmi_collocations,
         "q72_part_pagerank": q72_part_pagerank,
+        "q73_correlated_avg_subquery": q73_correlated_avg_subquery,
+        "q74_variant_props": q74_variant_props,
     }
 
 
@@ -2460,5 +2506,27 @@ def oracle_sql() -> dict[str, str]:
                 FROM nodes CROSS JOIN nn LEFT JOIN m3 ON nodes.node = m3.node
             )
             SELECT node AS p_partkey, round(pr, 6) AS pr FROM pr3
+        """,
+        "q73_correlated_avg_subquery": """
+            SELECT o_orderpriority, count(*) AS n_big,
+                   round(avg(o_totalprice), 2) AS avg_big_price
+            FROM orders o
+            WHERE o_totalprice > 2.0 * (SELECT avg(o2.o_totalprice)
+                                        FROM orders o2
+                                        WHERE o2.o_custkey = o.o_custkey)
+            GROUP BY o_orderpriority
+        """,
+        "q74_variant_props": """
+            WITH v AS (
+                SELECT event_type, value,
+                       CAST(json_extract(props, '$.k') AS BIGINT) AS k
+                FROM events
+            )
+            SELECT event_type, k // 10 AS k_decade,
+                   count(*) AS n_events,
+                   round(avg(value), 6) AS avg_value,
+                   min(k) AS k_min,
+                   max(k) AS k_max
+            FROM v GROUP BY event_type, k // 10
         """,
     }

@@ -119,6 +119,53 @@ def decode_features(
     return assets.mapInPandas(run, FEATURE_SCHEMA)
 
 
+def decode_features_arrow(assets: DataFrame, *, fake: bool = False) -> DataFrame:
+    """Arrow-native variant of ``decode_features`` via ``mapInArrow``.
+
+    Skips the Arrow->pandas->Arrow conversion entirely: batches arrive as
+    ``pyarrow.RecordBatch`` and leave as RecordBatch, so binary payloads are
+    never copied into pandas object arrays — the right shape when the UDF is
+    byte-oriented (codecs, hashing, tensor packing) rather than
+    dataframe-oriented. Same output schema and values as ``decode_features``
+    (asserted equal in tests).
+    """
+
+    def run(batches):
+        import hashlib
+
+        import pyarrow as pa
+
+        for batch in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "real decode requires image/audio libraries not present in this environment"
+                )
+            payloads = batch.column("payload").to_pylist()
+            modalities = batch.column("modality").to_pylist()
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column("asset_id"),
+                    batch.column("modality"),
+                    pa.array(
+                        [len(b) if b is not None else 0 for b in payloads],
+                        type=pa.int64(),
+                    ),
+                    pa.array(
+                        [
+                            f"{m}:{hashlib.md5(b).hexdigest()[:12]}"
+                            if b is not None
+                            else "empty"
+                            for b, m in zip(payloads, modalities)
+                        ],
+                        type=pa.string(),
+                    ),
+                ],
+                names=["asset_id", "modality", "byte_len", "feature"],
+            )
+
+    return assets.mapInArrow(run, FEATURE_SCHEMA)
+
+
 def resize_images(assets: DataFrame, *, width: int, height: int, fake: bool = False) -> DataFrame:
     """Image resize stub: same plumbing pattern, payload->payload.
 

@@ -387,6 +387,20 @@ def test_decode_features_real_path_raises(spark, assets_df):
         decode_features(assets_df, fake=False).collect()
 
 
+def test_decode_features_arrow_matches_pandas(spark, assets_df):
+    from hubverse_transform_spark.operators.multimodal import decode_features_arrow
+
+    via_pandas = sorted(
+        tuple(r) for r in decode_features(assets_df, fake=True).collect()
+    )
+    via_arrow = sorted(
+        tuple(r) for r in decode_features_arrow(assets_df, fake=True).collect()
+    )
+    assert via_arrow == via_pandas
+    with pytest.raises(Exception, match="NotImplementedError|decode"):
+        decode_features_arrow(assets_df, fake=False).collect()
+
+
 def test_resize_and_frame_sample_fake(spark, assets_df):
     resized = resize_images(assets_df, width=8, height=8, fake=True).collect()
     assert all(r["width"] == 8 and r["height"] == 8 for r in resized)
