@@ -58,3 +58,25 @@ def test_q03_top10_is_take_ordered(spark):
     # per-partition partial top-k then a single driver merge
     plan = explain_str(entry.q03_top_orders(spark, SF))
     assert "TakeOrderedAndProject" in plan
+
+
+def test_q69_pushes_filters_both_scans(spark):
+    df = entry.q69_excess_inventory_shippers(spark, SF)
+    pf = " ".join(pushed_filters(df))
+    # the p_size cut reaches the part scan, the shipdate range the lineitem scan
+    assert "p_size" in pf and "l_shipdate" in pf
+
+
+def test_q72_pagerank_self_join_not_broadcast(spark):
+    # the lineitem self-join must honor the shuffle_hash hint: broadcasting a
+    # corpus-sized side is the local-mode plan that dies on a cluster
+    plan = explain_str(entry.q72_part_pagerank(spark, SF))
+    assert "ShuffledHashJoin" in plan
+
+
+def test_q73_subquery_is_decorrelated(spark):
+    # Catalyst must rewrite the correlated scalar-agg subquery into an
+    # aggregate + join, not a per-row subquery execution
+    plan = explain_str(entry.q73_correlated_avg_subquery(spark, SF))
+    assert "Join" in plan
+    assert "ScalarSubquery" not in plan
