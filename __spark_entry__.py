@@ -1260,6 +1260,37 @@ def q74_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q75_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality gate (operators/quality.py): route lineitem
+    rows through named expectations in ONE codegen projection, then the
+    violation histogram with per-violation price stats — the
+    profile-before-quarantine query every ingest pipeline runs. A check that
+    never fails ('price_positive') yields no row on either engine."""
+    from hubverse_transform_spark.operators.quality import (
+        VIOLATIONS_COL,
+        with_expectations,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    checks = {
+        "discount_cap": F.col("l_discount") <= 0.05,
+        "qty_cap": F.col("l_quantity") <= 45,
+        "tax_band": F.col("l_tax") < 0.04,
+        "price_positive": F.col("l_extendedprice") > 0,
+    }
+    bad = with_expectations(li, checks).filter(F.size(VIOLATIONS_COL) > 0)
+    return (
+        bad.select(
+            F.explode(VIOLATIONS_COL).alias("violation"), "l_extendedprice"
+        )
+        .groupBy("violation")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
+        )
+    )
+
+
 # =============================================================================
 # Driver contract
 # =============================================================================
@@ -1346,6 +1377,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q72_part_pagerank": q72_part_pagerank,
         "q73_correlated_avg_subquery": q73_correlated_avg_subquery,
         "q74_variant_props": q74_variant_props,
+        "q75_quality_gate": q75_quality_gate,
     }
 
 
@@ -2528,5 +2560,26 @@ def oracle_sql() -> dict[str, str]:
                    min(k) AS k_min,
                    max(k) AS k_max
             FROM v GROUP BY event_type, k // 10
+        """,
+        "q75_quality_gate": """
+            WITH f AS (
+                SELECT l_discount, l_quantity, l_tax, l_extendedprice
+                FROM lineitem
+            ), viol AS (
+                SELECT 'discount_cap' AS violation, l_extendedprice FROM f
+                WHERE NOT coalesce(l_discount <= 0.05, FALSE)
+                UNION ALL
+                SELECT 'qty_cap', l_extendedprice FROM f
+                WHERE NOT coalesce(l_quantity <= 45, FALSE)
+                UNION ALL
+                SELECT 'tax_band', l_extendedprice FROM f
+                WHERE NOT coalesce(l_tax < 0.04, FALSE)
+                UNION ALL
+                SELECT 'price_positive', l_extendedprice FROM f
+                WHERE NOT coalesce(l_extendedprice > 0, FALSE)
+            )
+            SELECT violation, count(*) AS n_rows,
+                   round(avg(l_extendedprice), 2) AS avg_price
+            FROM viol GROUP BY violation
         """,
     }

@@ -1,0 +1,48 @@
+"""Row-level expectations: routing, annotation, null-hostile semantics."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hubverse_transform_spark.operators.quality import (
+    VIOLATIONS_COL,
+    split_by_expectations,
+    with_expectations,
+)
+
+
+def _df(spark):
+    return spark.createDataFrame(
+        [(1, 10.0, "a"), (2, -1.0, "b"), (3, None, "c"), (4, 5.0, None)],
+        ["id", "amount", "tag"],
+    )
+
+
+def _checks():
+    # built lazily: Column construction needs an active SparkContext
+    return {
+        "amount_positive": F.col("amount") > 0,
+        "tag_present": F.col("tag").isNotNull(),
+    }
+
+
+def test_with_expectations_annotates_failures(spark):
+    out = {r.id: list(r[VIOLATIONS_COL]) for r in with_expectations(_df(spark), _checks()).collect()}
+    assert out[1] == []
+    assert out[2] == ["amount_positive"]
+    # NULL predicate result counts as a violation (null-hostile)
+    assert out[3] == ["amount_positive"]
+    assert out[4] == ["tag_present"]
+
+
+def test_split_routes_and_strips(spark):
+    clean, quarantine = split_by_expectations(_df(spark), _checks())
+    assert [r.id for r in clean.collect()] == [1]
+    assert VIOLATIONS_COL not in clean.columns
+    assert sorted(r.id for r in quarantine.collect()) == [2, 3, 4]
+    assert VIOLATIONS_COL in quarantine.columns
+
+
+def test_no_checks_means_all_clean(spark):
+    clean, quarantine = split_by_expectations(_df(spark), {})
+    assert clean.count() == 4 and quarantine.count() == 0
