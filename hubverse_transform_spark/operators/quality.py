@@ -49,3 +49,30 @@ def split_by_expectations(
     clean = annotated.filter(F.size(VIOLATIONS_COL) == 0).drop(VIOLATIONS_COL)
     quarantine = annotated.filter(F.size(VIOLATIONS_COL) > 0)
     return clean, quarantine
+
+
+def observe_expectations(df: DataFrame, checks: dict[str, Column]):
+    """Attach free quality metrics to the pipeline via ``df.observe``.
+
+    Returns ``(annotated_df, observation)``: the metrics — total rows,
+    quarantined rows, and a per-check violation count — are computed by the
+    SAME job that executes whatever action the caller runs on the returned
+    DataFrame (write, count, ...), not by a second scan; after that action,
+    ``observation.get`` yields the dict. This is the monitoring shape for a
+    100 TB ingest: counters ride the ingest job itself.
+    """
+    from pyspark.sql import Observation
+
+    annotated = with_expectations(df, checks)
+    metrics = [
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum((F.size(VIOLATIONS_COL) > 0).cast("long")).alias("n_quarantined"),
+    ]
+    for name in checks:
+        metrics.append(
+            F.sum(F.array_contains(VIOLATIONS_COL, name).cast("long")).alias(
+                f"n_{name}"
+            )
+        )
+    obs = Observation("expectations")
+    return annotated.observe(obs, *metrics), obs

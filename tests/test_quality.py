@@ -46,3 +46,15 @@ def test_split_routes_and_strips(spark):
 def test_no_checks_means_all_clean(spark):
     clean, quarantine = split_by_expectations(_df(spark), {})
     assert clean.count() == 4 and quarantine.count() == 0
+
+
+def test_observe_expectations_rides_the_action(spark):
+    from hubverse_transform_spark.operators.quality import observe_expectations
+
+    annotated, obs = observe_expectations(_df(spark), _checks())
+    annotated.write.format("noop").mode("overwrite").save()  # one action, no extra scan
+    m = obs.get
+    assert m["n_rows"] == 4
+    assert m["n_quarantined"] == 3
+    assert m["n_amount_positive"] == 2
+    assert m["n_tag_present"] == 1
