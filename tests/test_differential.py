@@ -126,3 +126,37 @@ def test_random_topk_window(spark, ddb, k, part, direction):
             WHERE rk <= {k}"""
     ).fetchall()
     assert _norm([tuple(r) for r in got]) == _norm(want)
+
+
+@DIFF_SETTINGS
+@given(
+    jtype=st.sampled_from(["inner", "left", "left_semi", "left_anti"]),
+    price_lo=st.integers(0, 200_000),
+    status=st.sampled_from(["F", "O", "P"]),
+)
+def test_random_join_shapes(spark, ddb, jtype, price_lo, status):
+    o = load_table(spark, SF, "orders").filter(F.col("o_totalprice") >= price_lo)
+    li = load_table(spark, SF, "lineitem").filter(F.col("l_linestatus") != status)
+    joined = o.join(li, o.o_orderkey == li.l_orderkey, jtype)
+    if jtype in ("left_semi", "left_anti"):
+        got = joined.groupBy("o_orderstatus").agg(F.count(F.lit(1)).alias("n")).collect()
+    else:
+        got = (
+            joined.groupBy("o_orderstatus")
+            .agg(F.count(F.lit(1)).alias("n"), F.count("l_orderkey").alias("n_li"))
+            .collect()
+        )
+    sql_join = {
+        "inner": "JOIN", "left": "LEFT JOIN",
+        "left_semi": "SEMI JOIN", "left_anti": "ANTI JOIN",
+    }[jtype]
+    base = f"""FROM (SELECT * FROM orders WHERE o_totalprice >= {price_lo}) o
+               {sql_join} (SELECT * FROM lineitem WHERE l_linestatus != '{status}') l
+               ON o.o_orderkey = l.l_orderkey"""
+    if jtype in ("left_semi", "left_anti"):
+        want = ddb.sql(f"SELECT o_orderstatus, count(*) AS n {base} GROUP BY 1").fetchall()
+    else:
+        want = ddb.sql(
+            f"SELECT o_orderstatus, count(*) AS n, count(l.l_orderkey) AS n_li {base} GROUP BY 1"
+        ).fetchall()
+    _assert_rows_close([tuple(r) for r in got], want)
