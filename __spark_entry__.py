@@ -1291,6 +1291,86 @@ def q75_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q76_binational_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: shipping volume between two nations by year, in both
+    directions. Five-way join where the fact table joins two *different*
+    dimension roles (customer nation vs supplier nation) of the same
+    broadcast nation table; the disjunctive nation-pair predicate applies
+    after both roles resolve."""
+    n1, n2 = "NATION_3", "NATION_7"
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    cn = n.select(F.col("n_nationkey").alias("cnk"), F.col("n_name").alias("cust_nation"))
+    sn = n.select(F.col("n_nationkey").alias("snk"), F.col("n_name").alias("supp_nation"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(cn), c.c_nationkey == F.col("cnk"))
+        .join(F.broadcast(sn), s.s_nationkey == F.col("snk"))
+        .filter(
+            ((F.col("cust_nation") == n1) & (F.col("supp_nation") == n2))
+            | ((F.col("cust_nation") == n2) & (F.col("supp_nation") == n1))
+        )
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+def q77_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one nation's share of total revenue by year — the
+    conditional-fraction aggregate sum(CASE)/sum(all) computed in a single
+    hash aggregation, no second pass over the joined fact."""
+    target = "NATION_5"
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("n_name") == target, vol).otherwise(0.0))
+                / F.sum(vol),
+                6,
+            ).alias("mkt_share"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+def q78_frame_navigation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window frame navigation: first_value / last_value / nth_value over a
+    running frame per customer — each order sees the customer's first order
+    price, the latest-so-far, and the second ever (null until it exists).
+    Bounded output check for frame semantics both engines must agree on."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 3000)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.first_value("o_totalprice").over(w), 2).alias("first_price"),
+        F.round(F.last_value("o_totalprice").over(w), 2).alias("latest_price"),
+        F.round(F.nth_value("o_totalprice", 2).over(w), 2).alias("second_price"),
+    )
+
+
 # =============================================================================
 # Driver contract
 # =============================================================================
@@ -1378,6 +1458,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q73_correlated_avg_subquery": q73_correlated_avg_subquery,
         "q74_variant_props": q74_variant_props,
         "q75_quality_gate": q75_quality_gate,
+        "q76_binational_volume": q76_binational_volume,
+        "q77_market_share": q77_market_share,
+        "q78_frame_navigation": q78_frame_navigation,
     }
 
 
@@ -2581,5 +2664,45 @@ def oracle_sql() -> dict[str, str]:
             SELECT violation, count(*) AS n_rows,
                    round(avg(l_extendedprice), 2) AS avg_price
             FROM viol GROUP BY violation
+        """,
+        "q76_binational_volume": """
+            SELECT sn.n_name AS supp_nation,
+                   cn.n_name AS cust_nation,
+                   CAST(year(l_shipdate) AS INT) AS l_year,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                   count(*) AS n_lines
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation cn ON c_nationkey = cn.n_nationkey
+            JOIN nation sn ON s_nationkey = sn.n_nationkey
+            WHERE (cn.n_name = 'NATION_3' AND sn.n_name = 'NATION_7')
+               OR (cn.n_name = 'NATION_7' AND sn.n_name = 'NATION_3')
+            GROUP BY 1, 2, 3
+        """,
+        "q77_market_share": """
+            SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+                   round(sum(CASE WHEN n_name = 'NATION_5'
+                                  THEN l_extendedprice * (1 - l_discount)
+                                  ELSE 0.0 END)
+                         / sum(l_extendedprice * (1 - l_discount)), 6) AS mkt_share,
+                   count(*) AS n_lines
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            GROUP BY 1
+        """,
+        "q78_frame_navigation": """
+            SELECT o_custkey, o_orderkey,
+                   round(first_value(o_totalprice) OVER w, 2) AS first_price,
+                   round(last_value(o_totalprice) OVER w, 2) AS latest_price,
+                   round(nth_value(o_totalprice, 2) OVER w, 2) AS second_price
+            FROM orders
+            WHERE o_orderkey < 3000
+            WINDOW w AS (PARTITION BY o_custkey
+                         ORDER BY o_orderdate, o_orderkey
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         """,
     }
