@@ -1371,6 +1371,37 @@ def q78_frame_navigation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q79_vector_hof_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array higher-order functions as the vector-stats kernel: one
+    projection computes L2 norm (aggregate), negative-component count
+    (filter), max |x| (transform + array_max), and an exists flag per
+    embedding — all JVM-side lambda evaluation, no Python — then rolls up
+    per label. Embeddings cast float->double on BOTH engines before any
+    arithmetic (float32 rounding is not reproducible across engines);
+    left-to-right HOF folds make the per-row sums order-deterministic."""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "label", F.col("embedding").cast("array<double>").alias("ve")
+    )
+    l2 = F.sqrt(F.aggregate("ve", F.lit(0.0), lambda acc, x: acc + x * x))
+    n_neg = F.size(F.filter("ve", lambda x: x < 0))
+    max_abs = F.array_max(F.transform("ve", lambda x: F.abs(x)))
+    spiky = F.exists("ve", lambda x: F.abs(x) > 2.0)
+    per_vec = emb.select(
+        "label",
+        l2.alias("l2"),
+        n_neg.alias("n_neg"),
+        max_abs.alias("max_abs"),
+        spiky.cast("long").alias("spiky"),
+    )
+    return per_vec.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.round(F.avg("l2"), 6).alias("avg_l2"),
+        F.sum("n_neg").cast("bigint").alias("total_neg"),
+        F.round(F.max("max_abs"), 6).alias("corpus_max_abs"),
+        F.sum("spiky").cast("bigint").alias("n_spiky"),
+    )
+
+
 # =============================================================================
 # Driver contract
 # =============================================================================
@@ -1461,6 +1492,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q76_binational_volume": q76_binational_volume,
         "q77_market_share": q77_market_share,
         "q78_frame_navigation": q78_frame_navigation,
+        "q79_vector_hof_stats": q79_vector_hof_stats,
     }
 
 
@@ -2704,5 +2736,28 @@ def oracle_sql() -> dict[str, str]:
             WINDOW w AS (PARTITION BY o_custkey
                          ORDER BY o_orderdate, o_orderkey
                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        """,
+        "q79_vector_hof_stats": """
+            WITH per_vec AS (
+                SELECT label,
+                       sqrt(list_aggregate(
+                           list_transform(CAST(embedding AS DOUBLE[]), x -> x * x),
+                           'sum')) AS l2,
+                       len(list_filter(CAST(embedding AS DOUBLE[]),
+                                       x -> x < 0)) AS n_neg,
+                       list_max(list_transform(CAST(embedding AS DOUBLE[]),
+                                               x -> abs(x))) AS max_abs,
+                       CASE WHEN len(list_filter(CAST(embedding AS DOUBLE[]),
+                                                 x -> abs(x) > 2.0)) > 0
+                            THEN 1 ELSE 0 END AS spiky
+                FROM embeddings
+            )
+            SELECT label,
+                   count(*) AS n_vecs,
+                   round(avg(l2), 6) AS avg_l2,
+                   CAST(sum(n_neg) AS BIGINT) AS total_neg,
+                   round(max(max_abs), 6) AS corpus_max_abs,
+                   CAST(sum(spiky) AS BIGINT) AS n_spiky
+            FROM per_vec GROUP BY label
         """,
     }
