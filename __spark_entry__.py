@@ -1402,6 +1402,46 @@ def q79_vector_hof_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q80_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-sequence funnel (view -> click -> purchase) in ONE shuffle:
+    collect each user's (ts, type) events into a sorted struct array, then
+    pure HOF scans find the first view, the first click after it, and the
+    first purchase after that. The relational formulation (the oracle) needs
+    three grouped joins against the events table — three shuffles of the
+    fact; this shape shuffles it once and state per user is their own event
+    list, the standard product-analytics funnel at scale."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    per_user = ev.groupBy("user_id").agg(
+        F.sort_array(F.collect_list(F.struct("ts", "event_type"))).alias("seq")
+    )
+
+    def first_after(typ, after):
+        hits = F.filter(
+            "seq", lambda s: (s.event_type == typ) & (s.ts > after)
+        )
+        return F.when(F.size(hits) > 0, hits[0].ts)
+
+    staged = per_user.select(
+        "seq",
+        F.when(
+            F.size(F.filter("seq", lambda s: s.event_type == "view")) > 0,
+            F.filter("seq", lambda s: s.event_type == "view")[0].ts,
+        ).alias("t_view"),
+    )
+    staged = staged.select(
+        "seq", "t_view", first_after("click", F.col("t_view")).alias("t_click")
+    )
+    staged = staged.select(
+        "t_view", "t_click", first_after("purchase", F.col("t_click")).alias("t_purchase")
+    )
+    return staged.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum(F.col("t_view").isNotNull().cast("long")).alias("n_viewed"),
+        F.sum(F.col("t_click").isNotNull().cast("long")).alias("n_clicked_after"),
+        F.sum(F.col("t_purchase").isNotNull().cast("long")).alias("n_purchased_after"),
+    )
+
+
 # =============================================================================
 # Driver contract
 # =============================================================================
@@ -1493,6 +1533,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q77_market_share": q77_market_share,
         "q78_frame_navigation": q78_frame_navigation,
         "q79_vector_hof_stats": q79_vector_hof_stats,
+        "q80_event_funnel": q80_event_funnel,
     }
 
 
@@ -2759,5 +2800,34 @@ def oracle_sql() -> dict[str, str]:
                    round(max(max_abs), 6) AS corpus_max_abs,
                    CAST(sum(spiky) AS BIGINT) AS n_spiky
             FROM per_vec GROUP BY label
+        """,
+        "q80_event_funnel": """
+            WITH users AS (
+                SELECT DISTINCT user_id FROM events
+            ), v AS (
+                SELECT user_id, min(ts) AS t_view FROM events
+                WHERE event_type = 'view' GROUP BY user_id
+            ), c AS (
+                SELECT e.user_id, min(e.ts) AS t_click
+                FROM events e JOIN v ON e.user_id = v.user_id
+                WHERE e.event_type = 'click' AND e.ts > v.t_view
+                GROUP BY e.user_id
+            ), p AS (
+                SELECT e.user_id, min(e.ts) AS t_purchase
+                FROM events e JOIN c ON e.user_id = c.user_id
+                WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+                GROUP BY e.user_id
+            )
+            SELECT count(*) AS n_users,
+                   CAST(sum(CASE WHEN v.user_id IS NOT NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_viewed,
+                   CAST(sum(CASE WHEN c.user_id IS NOT NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_clicked_after,
+                   CAST(sum(CASE WHEN p.user_id IS NOT NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_purchased_after
+            FROM users u
+            LEFT JOIN v ON u.user_id = v.user_id
+            LEFT JOIN c ON u.user_id = c.user_id
+            LEFT JOIN p ON u.user_id = p.user_id
         """,
     }
