@@ -1442,6 +1442,34 @@ def q80_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q81_trimmed_mean_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-aggregate Pandas UDF (the UDAF surface): 10% trimmed mean of
+    part retail price per brand, mixed in one groupBy with JVM built-ins.
+    The oracle reproduces the trim with window ranks. Python is justified
+    here only as API coverage — a production trimmed mean at 100 TB would
+    use approx quantile cuts + a JVM conditional average."""
+    from hubverse_transform_spark.functions.pandas_aggs import trimmed_mean_10
+
+    p = _t(spark, sf_dir, "part")
+    # Spark disallows mixing GROUPED_AGG pandas UDFs with JVM aggregates in
+    # one agg ([INVALID_PANDAS_UDF_PLACEMENT]); run the two aggregations
+    # over the same shuffle key and join the per-brand results (broadcast —
+    # brand cardinality is tiny)
+    trimmed = p.groupBy("p_brand").agg(
+        F.round(trimmed_mean_10("p_retailprice"), 4).alias("trimmed_avg_price")
+    )
+    cents = F.round(F.col("p_retailprice") * 100).cast("bigint")
+    plain = p.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.round(
+            F.sum(cents).cast("double") / (100.0 * F.count(F.lit(1))), 4
+        ).alias("avg_price"),
+    )
+    return plain.join(F.broadcast(trimmed), "p_brand").select(
+        "p_brand", "n_parts", "trimmed_avg_price", "avg_price"
+    )
+
+
 # =============================================================================
 # Driver contract
 # =============================================================================
@@ -1534,6 +1562,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q78_frame_navigation": q78_frame_navigation,
         "q79_vector_hof_stats": q79_vector_hof_stats,
         "q80_event_funnel": q80_event_funnel,
+        "q81_trimmed_mean_prices": q81_trimmed_mean_prices,
     }
 
 
@@ -2829,5 +2858,31 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN v ON u.user_id = v.user_id
             LEFT JOIN c ON u.user_id = c.user_id
             LEFT JOIN p ON u.user_id = p.user_id
+        """,
+        "q81_trimmed_mean_prices": """
+            WITH ranked AS (
+                SELECT p_brand, p_retailprice,
+                       row_number() OVER (PARTITION BY p_brand
+                                          ORDER BY p_retailprice) AS rk,
+                       count(*) OVER (PARTITION BY p_brand) AS n
+                FROM part
+            ), cut AS (
+                SELECT p_brand, p_retailprice, rk, n,
+                       CASE WHEN n - 2 * CAST(floor(n * 0.1) AS BIGINT) > 0
+                            THEN CAST(floor(n * 0.1) AS BIGINT)
+                            ELSE 0 END AS k
+                FROM ranked
+            )
+            SELECT p_brand,
+                   count(*) AS n_parts,
+                   round(CAST(sum(CAST(round(p_retailprice * 100) AS BIGINT))
+                                  FILTER (WHERE rk > k AND rk <= n - k)
+                              AS DOUBLE)
+                         / (100.0 * count(*)
+                                FILTER (WHERE rk > k AND rk <= n - k)), 4)
+                       AS trimmed_avg_price,
+                   round(CAST(sum(CAST(round(p_retailprice * 100) AS BIGINT))
+                              AS DOUBLE) / (100.0 * count(*)), 4) AS avg_price
+            FROM cut GROUP BY p_brand
         """,
     }

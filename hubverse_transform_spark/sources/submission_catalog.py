@@ -1,0 +1,119 @@
+"""Custom Python DataSource (Spark 4 API): the hubverse submission catalog.
+
+``spark.read.format("hubverse_submissions").load(dir)`` lists a submissions
+directory as a DataFrame of file metadata with provenance parsed from the
+file names — the discovery half of the reference's Lambda trigger + bulk
+re-trigger (ref faas/lambda_function.py:22-62,
+faas/lambda_retrigger_model_output_add.py:13-66) as a first-class source:
+drive backfills, audits, and incremental loads by JOINING on this catalog
+instead of looping over object listings on the driver.
+
+Deliberately metadata-only: parsing CSV payloads row-by-row in Python would
+be the slow path; content reads stay on Spark's native, vectorized CSV/
+Parquet readers (sources/model_output.py). The catalog is the small side.
+
+Scale shape: listing partitions are file-batches, so a million-object
+directory lists in parallel across executors; each task re-derives
+provenance with self-contained logic (no package import needed on the
+worker path).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.types import (
+    BooleanType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+CATALOG_SCHEMA = StructType(
+    [
+        StructField("path", StringType(), False),
+        StructField("file_name", StringType(), False),
+        StructField("extension", StringType(), True),
+        StructField("round_id", StringType(), True),
+        StructField("model_id", StringType(), True),
+        StructField("valid", BooleanType(), False),
+        StructField("size_bytes", LongType(), False),
+    ]
+)
+
+#: files per listing task — small enough to parallelize a big directory,
+#: large enough that task overhead stays negligible
+_BATCH = 1024
+
+
+@dataclass
+class _FileBatch(InputPartition):
+    paths: list
+
+
+class SubmissionCatalogReader(DataSourceReader):
+    def __init__(self, options):
+        self.root = options.get("path")
+        if not self.root:
+            raise ValueError("hubverse_submissions source requires a path")
+
+    def partitions(self):
+        import os
+
+        files = []
+        for dirpath, _dirnames, filenames in os.walk(self.root):
+            files.extend(os.path.join(dirpath, f) for f in sorted(filenames))
+        files.sort()
+        batches = [files[i : i + _BATCH] for i in range(0, len(files), _BATCH)]
+        return [_FileBatch(b) for b in batches] or [_FileBatch([])]
+
+    def read(self, partition):
+        # self-contained: runs on executor Python workers that may not have
+        # the package importable; mirrors paths.parse_file (ref
+        # model_output.py:236-261) and the extension check (ref :112-122)
+        import os
+        import re
+
+        for p in partition.paths:
+            name = os.path.basename(p)
+            stem, dot, ext = name.rpartition(".")
+            extension = ext.lower() if dot else None
+            base = stem if dot else name
+            m = re.match(r"^(\d{4}-\d{2}-\d{2})", base)
+            round_id = m.group(1) if m else None
+            model_id = None
+            if m:
+                rest = re.sub(r"^[-_]+", "", base[m.end() :]).strip()
+                model_id = rest or None
+            valid = bool(
+                extension in ("csv", "parquet", "pqt") and round_id and model_id
+            )
+            yield (
+                p,
+                name,
+                extension,
+                round_id,
+                model_id,
+                valid,
+                os.path.getsize(p),
+            )
+
+
+class SubmissionCatalogDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "hubverse_submissions"
+
+    def schema(self):
+        return CATALOG_SCHEMA
+
+    def reader(self, schema):
+        return SubmissionCatalogReader(self.options)
+
+
+def register(spark) -> None:
+    """Register the source on a session: ``register(spark)`` then
+    ``spark.read.format("hubverse_submissions").load(dir)``."""
+    spark.dataSource.register(SubmissionCatalogDataSource)
