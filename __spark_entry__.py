@@ -1470,6 +1470,32 @@ def q81_trimmed_mean_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q82_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy self-join (entity resolution): distinct part names that
+    share their final token (the block key) and sit within levenshtein
+    distance 3. Blocking turns the quadratic all-pairs edit-distance scan
+    into per-block candidate sets — the standard record-linkage shape;
+    levenshtein evaluates only inside blocks, after the equi-join."""
+    names = (
+        _t(spark, sf_dir, "part")
+        .select(F.col("p_name").alias("name"))
+        .distinct()
+        .withColumn("noun", F.element_at(F.split("name", " "), -1))
+    )
+    a = names.alias("a")
+    b = names.alias("b")
+    return (
+        a.join(b, "noun")
+        .filter(F.col("a.name") < F.col("b.name"))
+        .select(
+            F.col("a.name").alias("name_a"),
+            F.col("b.name").alias("name_b"),
+            F.levenshtein(F.col("a.name"), F.col("b.name")).cast("bigint").alias("dist"),
+        )
+        .filter(F.col("dist") <= 3)
+    )
+
+
 # =============================================================================
 # Driver contract
 # =============================================================================
@@ -1563,6 +1589,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q79_vector_hof_stats": q79_vector_hof_stats,
         "q80_event_funnel": q80_event_funnel,
         "q81_trimmed_mean_prices": q81_trimmed_mean_prices,
+        "q82_fuzzy_name_pairs": q82_fuzzy_name_pairs,
     }
 
 
@@ -2884,5 +2911,17 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(sum(CAST(round(p_retailprice * 100) AS BIGINT))
                               AS DOUBLE) / (100.0 * count(*)), 4) AS avg_price
             FROM cut GROUP BY p_brand
+        """,
+        "q82_fuzzy_name_pairs": """
+            WITH names AS (
+                SELECT DISTINCT p_name AS name FROM part
+            ), keyed AS (
+                SELECT name, string_split(name, ' ')[-1] AS noun FROM names
+            )
+            SELECT a.name AS name_a, b.name AS name_b,
+                   CAST(levenshtein(a.name, b.name) AS BIGINT) AS dist
+            FROM keyed a JOIN keyed b
+              ON a.noun = b.noun AND a.name < b.name
+            WHERE levenshtein(a.name, b.name) <= 3
         """,
     }
