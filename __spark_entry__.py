@@ -1496,6 +1496,20 @@ def q82_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q83_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass column profiling of orders (operators/profiling.py): one
+    aggregation computes nulls / exact distincts / min / max for every
+    column, one row per column out — the lake-health query, never one scan
+    per column. Timestamps render in their string form on both engines
+    (UTC session + DuckDB's naive-timestamp text format agree)."""
+    from hubverse_transform_spark.operators.profiling import profile_columns
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority"
+    )
+    return profile_columns(o)
+
+
 # =============================================================================
 # Driver contract
 # =============================================================================
@@ -1590,6 +1604,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q80_event_funnel": q80_event_funnel,
         "q81_trimmed_mean_prices": q81_trimmed_mean_prices,
         "q82_fuzzy_name_pairs": q82_fuzzy_name_pairs,
+        "q83_profile_orders": q83_profile_orders,
     }
 
 
@@ -2923,5 +2938,28 @@ def oracle_sql() -> dict[str, str]:
             FROM keyed a JOIN keyed b
               ON a.noun = b.noun AND a.name < b.name
             WHERE levenshtein(a.name, b.name) <= 3
+        """,
+        "q83_profile_orders": """
+            SELECT 'o_orderkey' AS "column", count(*) AS n_rows,
+               CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+               count(DISTINCT o_orderkey) AS n_distinct,
+               CAST(min(o_orderkey) AS VARCHAR) AS min_value,
+               CAST(max(o_orderkey) AS VARCHAR) AS max_value FROM orders UNION ALL SELECT 'o_custkey' AS "column", count(*) AS n_rows,
+               CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+               count(DISTINCT o_custkey) AS n_distinct,
+               CAST(min(o_custkey) AS VARCHAR) AS min_value,
+               CAST(max(o_custkey) AS VARCHAR) AS max_value FROM orders UNION ALL SELECT 'o_orderstatus' AS "column", count(*) AS n_rows,
+               CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+               count(DISTINCT o_orderstatus) AS n_distinct,
+               CAST(min(o_orderstatus) AS VARCHAR) AS min_value,
+               CAST(max(o_orderstatus) AS VARCHAR) AS max_value FROM orders UNION ALL SELECT 'o_totalprice' AS "column", count(*) AS n_rows,
+               CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+               count(DISTINCT o_totalprice) AS n_distinct,
+               CAST(min(o_totalprice) AS VARCHAR) AS min_value,
+               CAST(max(o_totalprice) AS VARCHAR) AS max_value FROM orders UNION ALL SELECT 'o_orderpriority' AS "column", count(*) AS n_rows,
+               CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+               count(DISTINCT o_orderpriority) AS n_distinct,
+               CAST(min(o_orderpriority) AS VARCHAR) AS min_value,
+               CAST(max(o_orderpriority) AS VARCHAR) AS max_value FROM orders
         """,
     }

@@ -58,3 +58,19 @@ def test_observe_expectations_rides_the_action(spark):
     assert m["n_quarantined"] == 3
     assert m["n_amount_positive"] == 2
     assert m["n_tag_present"] == 1
+
+
+def test_profile_columns_one_pass(spark):
+    from hubverse_transform_spark.operators.profiling import profile_columns
+    from hubverse_transform_spark.plans.inspect import explain_str
+
+    df = spark.createDataFrame(
+        [(1, "a", None), (2, "b", 5.0), (2, None, 6.0)], ["k", "s", "v"]
+    )
+    out = {r.column: r for r in profile_columns(df).collect()}
+    assert out["k"].n_rows == 3 and out["k"].n_distinct == 2
+    assert out["s"].n_null == 1 and out["s"].min_value == "a"
+    assert out["v"].n_null == 1 and out["v"].max_value == "6.0"
+    # one aggregation pass, regardless of column count: the naive per-column
+    # formulation would show up as a Union of single-column scans
+    assert "Union" not in explain_str(profile_columns(df))
