@@ -1510,6 +1510,31 @@ def q83_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return profile_columns(o)
 
 
+def q84_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot change detection (operators/diff.py): derive two
+    deterministic 'versions' of orders — the old one missing every 10th
+    order, the new one with bumped prices on every 7th — and classify every
+    key added/removed/changed/unchanged via one full-outer join on
+    (key, md5 digest). Summary counts per change type."""
+    from hubverse_transform_spark.operators.diff import snapshot_diff
+
+    o = _t(spark, sf_dir, "orders")
+    old = o.filter(F.col("o_orderkey") % 10 != 0).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    new = o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.when(
+            F.col("o_orderkey") % 7 == 0, F.round(F.col("o_totalprice") * 1.1, 2)
+        )
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+    )
+    d = snapshot_diff(old, new, "o_orderkey", ["o_orderstatus", "o_totalprice"])
+    return d.groupBy("change").agg(F.count(F.lit(1)).alias("n_orders"))
+
+
 # =============================================================================
 # Driver contract
 # =============================================================================
@@ -1605,6 +1630,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q81_trimmed_mean_prices": q81_trimmed_mean_prices,
         "q82_fuzzy_name_pairs": q82_fuzzy_name_pairs,
         "q83_profile_orders": q83_profile_orders,
+        "q84_snapshot_diff": q84_snapshot_diff,
     }
 
 
@@ -2961,5 +2987,26 @@ def oracle_sql() -> dict[str, str]:
                count(DISTINCT o_orderpriority) AS n_distinct,
                CAST(min(o_orderpriority) AS VARCHAR) AS min_value,
                CAST(max(o_orderpriority) AS VARCHAR) AS max_value FROM orders
+        """,
+        "q84_snapshot_diff": """
+            WITH old AS (
+                SELECT o_orderkey, o_orderstatus, o_totalprice
+                FROM orders WHERE o_orderkey % 10 != 0
+            ), new AS (
+                SELECT o_orderkey, o_orderstatus,
+                       CASE WHEN o_orderkey % 7 = 0
+                            THEN round(o_totalprice * 1.1, 2)
+                            ELSE o_totalprice END AS o_totalprice
+                FROM orders
+            ), d AS (
+                SELECT CASE WHEN o.o_orderkey IS NULL THEN 'added'
+                            WHEN n.o_orderkey IS NULL THEN 'removed'
+                            WHEN NOT (o.o_orderstatus IS NOT DISTINCT FROM n.o_orderstatus
+                                      AND o.o_totalprice IS NOT DISTINCT FROM n.o_totalprice)
+                                 THEN 'changed'
+                            ELSE 'unchanged' END AS change
+                FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey
+            )
+            SELECT change, count(*) AS n_orders FROM d GROUP BY change
         """,
     }

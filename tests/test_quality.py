@@ -74,3 +74,24 @@ def test_profile_columns_one_pass(spark):
     # one aggregation pass, regardless of column count: the naive per-column
     # formulation would show up as a Union of single-column scans
     assert "Union" not in explain_str(profile_columns(df))
+
+
+def test_snapshot_diff_all_classes(spark):
+    from hubverse_transform_spark.operators.diff import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0), (3, None, 3.0), (4, "d", 4.0)],
+        ["k", "s", "v"],
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 9.0), (3, "", 3.0), (5, "e", 5.0)],
+        ["k", "s", "v"],
+    )
+    got = {r.k: r.change for r in snapshot_diff(old, new, "k", ["s", "v"]).collect()}
+    assert got == {
+        1: "unchanged",
+        2: "changed",
+        3: "changed",  # NULL -> '' must register as a change (null-tagged digest)
+        4: "removed",
+        5: "added",
+    }
