@@ -1535,6 +1535,26 @@ def q84_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.groupBy("change").agg(F.count(F.lit(1)).alias("n_orders"))
 
 
+def q85_lateral_top_line(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL join (SQL surface): each order picks its single
+    priciest lineitem through a lateral ORDER BY ... LIMIT 1 subquery —
+    the per-row top-k idiom Catalyst rewrites into a join + per-key limit
+    rather than executing the subquery per order."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("q85_orders")
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("q85_lineitem")
+    return spark.sql(
+        """
+        SELECT o.o_orderkey, l.l_linenumber, l.l_extendedprice
+        FROM q85_orders o, LATERAL (
+            SELECT l_linenumber, l_extendedprice FROM q85_lineitem li
+            WHERE li.l_orderkey = o.o_orderkey
+            ORDER BY l_extendedprice DESC, l_linenumber LIMIT 1
+        ) l
+        WHERE o.o_orderkey < 2000
+        """
+    )
+
+
 # =============================================================================
 # Driver contract
 # =============================================================================
@@ -1631,6 +1651,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q82_fuzzy_name_pairs": q82_fuzzy_name_pairs,
         "q83_profile_orders": q83_profile_orders,
         "q84_snapshot_diff": q84_snapshot_diff,
+        "q85_lateral_top_line": q85_lateral_top_line,
     }
 
 
@@ -3008,5 +3029,14 @@ def oracle_sql() -> dict[str, str]:
                 FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey
             )
             SELECT change, count(*) AS n_orders FROM d GROUP BY change
+        """,
+        "q85_lateral_top_line": """
+            SELECT o.o_orderkey, l.l_linenumber, l.l_extendedprice
+            FROM orders o, LATERAL (
+                SELECT l_linenumber, l_extendedprice FROM lineitem li
+                WHERE li.l_orderkey = o.o_orderkey
+                ORDER BY l_extendedprice DESC, l_linenumber LIMIT 1
+            ) l
+            WHERE o.o_orderkey < 2000
         """,
     }
