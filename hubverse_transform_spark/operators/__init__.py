@@ -21,6 +21,19 @@ from hubverse_transform_spark.operators.similarity import (
     cosine_lsh_topk,
     embedding_near_dup_pairs,
 )
+from hubverse_transform_spark.operators.diff import snapshot_diff
+from hubverse_transform_spark.operators.graph import pagerank
+from hubverse_transform_spark.operators.profiling import profile_columns
+from hubverse_transform_spark.operators.quality import (
+    observe_expectations,
+    split_by_expectations,
+    with_expectations,
+)
+from hubverse_transform_spark.operators.textstats import (
+    bm25_topk,
+    pmi_bigrams,
+    tfidf_top_terms,
+)
 from hubverse_transform_spark.operators.topk import top_k_global, top_k_per_group
 
 __all__ = [
@@ -37,4 +50,13 @@ __all__ = [
     "embedding_near_dup_pairs",
     "top_k_per_group",
     "top_k_global",
+    "pagerank",
+    "snapshot_diff",
+    "profile_columns",
+    "with_expectations",
+    "split_by_expectations",
+    "observe_expectations",
+    "bm25_topk",
+    "pmi_bigrams",
+    "tfidf_top_terms",
 ]
