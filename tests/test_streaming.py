@@ -74,3 +74,32 @@ def test_tumbling_window_agg_streaming_with_watermark(spark, tmp_path: Path):
     }
     assert got[(0, "click")] == (2, 3.0)
     assert got[(10, "view")] == (1, 4.0)
+
+
+def test_dynamic_gap_sessions(spark):
+    from hubverse_transform_spark.streaming.windows import dynamic_gap_session_agg
+
+    rows = [
+        # user 1, 'view' events (30s gap): 60s apart -> separate sessions
+        (1, "view", "2024-01-01 00:00:00", 1.0),
+        (1, "view", "2024-01-01 00:01:00", 1.0),
+        # user 2, 'purchase' events (5 min gap): 60s apart -> ONE session
+        (2, "purchase", "2024-01-01 00:00:00", 5.0),
+        (2, "purchase", "2024-01-01 00:01:00", 5.0),
+    ]
+    df = spark.createDataFrame(
+        rows, ["user_id", "event_type", "ts_str", "value"]
+    ).select(
+        "user_id", "event_type", F.to_timestamp("ts_str").alias("ts"), "value"
+    )
+    gap = F.when(F.col("event_type") == "purchase", F.lit("5 minutes")).otherwise(
+        F.lit("30 seconds")
+    )
+    out = dynamic_gap_session_agg(
+        df, gap, group_cols=["user_id"], watermark=None
+    ).collect()
+    sessions = {}
+    for r in out:
+        sessions.setdefault(r.user_id, []).append(r.n_events)
+    assert sorted(sessions[1]) == [1, 1]  # 30s gap split the views
+    assert sessions[2] == [2]  # 5 min gap merged the purchases
