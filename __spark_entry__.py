@@ -1555,6 +1555,41 @@ def q85_lateral_top_line(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q86_multiset_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset (bag) set operations — intersectAll / exceptAll keep
+    duplicate multiplicities, which the q08 DISTINCT forms erase: supplier
+    keys of high-discount vs late-shipped lineitems, with per-op row counts
+    proving multiplicity preservation."""
+    li = _t(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_discount") >= 0.08).select("l_suppkey")
+    b = li.filter(
+        F.col("l_shipdate") >= F.lit("1999-01-01").cast("timestamp")
+    ).select("l_suppkey")
+    inter = a.intersectAll(b).agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("intersect_all").alias("op"), "n"
+    )
+    exc = a.exceptAll(b).agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("except_all").alias("op"), "n"
+    )
+    return inter.unionByName(exc)
+
+
+def q87_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi-join (<=> / IS NOT DISTINCT FROM): nullable derived
+    keys where NULL must match NULL — the semantics ordinary equi-joins
+    silently drop. Counts matches split by null-key vs value-key."""
+    n = _t(spark, sf_dir, "nation").select("n_nationkey")
+    key = F.when(F.col("n_nationkey") % 5 == 0, F.lit(None)).otherwise(
+        F.col("n_nationkey")
+    )
+    a = n.select(key.alias("ka"))
+    b = n.select(key.alias("kb"))
+    joined = a.join(b, F.col("ka").eqNullSafe(F.col("kb")))
+    return joined.groupBy(F.col("ka").isNull().alias("is_null_key")).agg(
+        F.count(F.lit(1)).alias("n_pairs")
+    )
+
+
 # =============================================================================
 # Driver contract
 # =============================================================================
@@ -1652,6 +1687,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q83_profile_orders": q83_profile_orders,
         "q84_snapshot_diff": q84_snapshot_diff,
         "q85_lateral_top_line": q85_lateral_top_line,
+        "q86_multiset_setops": q86_multiset_setops,
+        "q87_null_safe_join": q87_null_safe_join,
     }
 
 
@@ -3038,5 +3075,30 @@ def oracle_sql() -> dict[str, str]:
                 ORDER BY l_extendedprice DESC, l_linenumber LIMIT 1
             ) l
             WHERE o.o_orderkey < 2000
+        """,
+        "q86_multiset_setops": """
+            SELECT 'intersect_all' AS op, count(*) AS n FROM (
+                SELECT l_suppkey FROM lineitem WHERE l_discount >= 0.08
+                INTERSECT ALL
+                SELECT l_suppkey FROM lineitem
+                WHERE l_shipdate >= TIMESTAMP '1999-01-01')
+            UNION ALL
+            SELECT 'except_all' AS op, count(*) AS n FROM (
+                SELECT l_suppkey FROM lineitem WHERE l_discount >= 0.08
+                EXCEPT ALL
+                SELECT l_suppkey FROM lineitem
+                WHERE l_shipdate >= TIMESTAMP '1999-01-01')
+        """,
+        "q87_null_safe_join": """
+            WITH a AS (
+                SELECT CASE WHEN n_nationkey % 5 = 0 THEN NULL
+                            ELSE n_nationkey END AS ka FROM nation
+            ), b AS (
+                SELECT CASE WHEN n_nationkey % 5 = 0 THEN NULL
+                            ELSE n_nationkey END AS kb FROM nation
+            )
+            SELECT ka IS NULL AS is_null_key, count(*) AS n_pairs
+            FROM a JOIN b ON ka IS NOT DISTINCT FROM kb
+            GROUP BY 1
         """,
     }
