@@ -1590,6 +1590,31 @@ def q87_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q88_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent-of-total (ratio_to_report): each nation's share of global
+    revenue via an unpartitioned window over the ALREADY-AGGREGATED
+    25-row result — the window sees one row per nation, never the fact
+    table, so the 'move everything to one partition' hazard is bounded by
+    dimension cardinality."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    rev = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev")
+        )
+    )
+    w = Window.partitionBy()
+    return rev.select(
+        "n_name",
+        F.round("rev", 1).alias("revenue"),
+        F.round(F.col("rev") / F.sum("rev").over(w), 6).alias("share"),
+    )
+
+
 # =============================================================================
 # Driver contract
 # =============================================================================
@@ -1689,6 +1714,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q85_lateral_top_line": q85_lateral_top_line,
         "q86_multiset_setops": q86_multiset_setops,
         "q87_null_safe_join": q87_null_safe_join,
+        "q88_revenue_share": q88_revenue_share,
     }
 
 
@@ -3100,5 +3126,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT ka IS NULL AS is_null_key, count(*) AS n_pairs
             FROM a JOIN b ON ka IS NOT DISTINCT FROM kb
             GROUP BY 1
+        """,
+        "q88_revenue_share": """
+            WITH rev AS (
+                SELECT n_name,
+                       sum(l_extendedprice * (1 - l_discount)) AS rev
+                FROM lineitem
+                JOIN supplier ON l_suppkey = s_suppkey
+                JOIN nation ON s_nationkey = n_nationkey
+                GROUP BY n_name
+            )
+            SELECT n_name, round(rev, 1) AS revenue,
+                   round(rev / sum(rev) OVER (), 6) AS share
+            FROM rev
         """,
     }
