@@ -1615,6 +1615,52 @@ def q88_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q89_returned_item_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: revenue lost to returned items per customer, top 20
+    by lost revenue. Join + agg + global TakeOrdered with explicit
+    tie-break; customer/nation broadcast into the fact stream."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-07-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01").cast("timestamp"))
+    )
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("lost_revenue")
+        )
+        .orderBy(F.col("lost_revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+def q90_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (no l_shipmode column in the testdata, so the split
+    key is the ship-delay bucket): late vs on-time lineitems per order
+    priority class, conditional counts in one aggregation."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    late = F.col("l_shipdate") > F.date_add(F.col("o_orderdate").cast("date"), 60)
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(late.alias("is_late"))
+        .agg(
+            F.sum(high.cast("long")).alias("high_priority_lines"),
+            F.sum((~high).cast("long")).alias("low_priority_lines"),
+        )
+    )
+
+
 # =============================================================================
 # Driver contract
 # =============================================================================
@@ -1715,6 +1761,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q86_multiset_setops": q86_multiset_setops,
         "q87_null_safe_join": q87_null_safe_join,
         "q88_revenue_share": q88_revenue_share,
+        "q89_returned_item_customers": q89_returned_item_customers,
+        "q90_shipmode_priority": q90_shipmode_priority,
     }
 
 
@@ -3139,5 +3187,32 @@ def oracle_sql() -> dict[str, str]:
             SELECT n_name, round(rev, 1) AS revenue,
                    round(rev / sum(rev) OVER (), 6) AS share
             FROM rev
+        """,
+        "q89_returned_item_customers": """
+            SELECT c_custkey, c_name, n_name,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2)
+                       AS lost_revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            WHERE l_returnflag = 'R'
+              AND o_orderdate >= TIMESTAMP '1996-07-01'
+              AND o_orderdate < TIMESTAMP '1996-10-01'
+            GROUP BY c_custkey, c_name, n_name
+            ORDER BY lost_revenue DESC, c_custkey
+            LIMIT 20
+        """,
+        "q90_shipmode_priority": """
+            SELECT l_shipdate > CAST(o_orderdate AS DATE) + INTERVAL 60 DAY
+                       AS is_late,
+                   CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS high_priority_lines,
+                   CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                                 THEN 0 ELSE 1 END) AS BIGINT)
+                       AS low_priority_lines
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY 1
         """,
     }

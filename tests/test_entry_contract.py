@@ -1,0 +1,23 @@
+"""Driver-contract drift guards: queries()/oracle_sql() stay consistent."""
+
+from __future__ import annotations
+
+import __spark_entry__ as entry
+
+
+def test_every_oracle_key_has_a_query():
+    qs, oracles = set(entry.queries()), set(entry.oracle_sql())
+    assert oracles <= qs, f"orphan oracles: {sorted(oracles - qs)}"
+
+
+def test_rows_only_queries_are_the_known_set():
+    # queries WITHOUT an oracle get only the weaker rows-only driver check;
+    # adding one must be a conscious decision, not a forgotten entry
+    qs, oracles = set(entry.queries()), set(entry.oracle_sql())
+    assert qs - oracles == {"q38_approx_distinct_users"}
+
+
+def test_query_names_are_well_formed_and_documented():
+    for name, fn in entry.queries().items():
+        assert name[0] == "q" and name[3] == "_", name
+        assert fn.__doc__ and len(fn.__doc__) > 20, f"{name} lacks a docstring"
