@@ -1690,6 +1690,42 @@ def q91_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q92_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-safe error handling: try_divide yields NULL (not an exception,
+    not Inf) where the tax divisor is zero, and try_to_number NULLs
+    unparseable strings — the per-row error channel for dirty data, per
+    order-priority class."""
+    li = _t(spark, sf_dir, "lineitem")
+    ratio = F.try_divide(F.col("l_discount"), F.col("l_tax"))
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(ratio.isNull().cast("long")).alias("n_null_ratio"),
+            F.round(F.avg(ratio), 6).alias("avg_ratio"),
+        )
+    )
+
+
+def q93_decimal_exact_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact decimal money math: cast prices to DECIMAL(18,2) BEFORE
+    aggregation so the revenue sum is exact by type, not
+    by-rounding-convention — the accounting-grade alternative to double
+    sums, associative and engine-independent without any round() hedging."""
+    li = _t(spark, sf_dir, "lineitem")
+    dec = F.col("l_extendedprice").cast("decimal(18,2)")
+    return (
+        li.groupBy("l_linestatus")
+        .agg(
+            # the SUM is exact decimal math; the final single cast to double
+            # is deterministic (nearest double of the same exact value on any
+            # engine) and sidesteps Decimal trailing-zero formatting drift
+            F.sum(dec).cast("double").alias("exact_revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
 # =============================================================================
 # Driver contract
 # =============================================================================
@@ -1793,6 +1829,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q89_returned_item_customers": q89_returned_item_customers,
         "q90_shipmode_priority": q90_shipmode_priority,
         "q91_local_supplier_volume": q91_local_supplier_volume,
+        "q92_try_arithmetic": q92_try_arithmetic,
+        "q93_decimal_exact_revenue": q93_decimal_exact_revenue,
     }
 
 
@@ -3258,5 +3296,20 @@ def oracle_sql() -> dict[str, str]:
               AND o_orderdate >= TIMESTAMP '1996-01-01'
               AND o_orderdate < TIMESTAMP '1997-01-01'
             GROUP BY n_name
+        """,
+        "q92_try_arithmetic": """
+            SELECT l_returnflag,
+                   count(*) AS n_rows,
+                   CAST(sum(CASE WHEN l_discount / nullif(l_tax, 0) IS NULL
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_null_ratio,
+                   round(avg(l_discount / nullif(l_tax, 0)), 6) AS avg_ratio
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "q93_decimal_exact_revenue": """
+            SELECT l_linestatus,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                       AS exact_revenue,
+                   count(*) AS n_lines
+            FROM lineitem GROUP BY l_linestatus
         """,
     }

@@ -103,3 +103,29 @@ def test_dynamic_gap_sessions(spark):
         sessions.setdefault(r.user_id, []).append(r.n_events)
     assert sorted(sessions[1]) == [1, 1]  # 30s gap split the views
     assert sessions[2] == [2]  # 5 min gap merged the purchases
+
+
+def test_complete_mode_recomputes_totals(spark, tmp_path):
+    """outputMode('complete') re-emits the FULL aggregate every batch (vs
+    update's changed-rows-only): after two micro-batches the memory sink's
+    final snapshot holds totals over all input."""
+    src = tmp_path / "cm_src"
+    for batch in ([(1, 10.0)], [(1, 5.0), (2, 7.0)]):
+        spark.createDataFrame(batch, ["user_id", "value"]).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src))
+    stream = (
+        spark.readStream.schema("user_id long, value double")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+    )
+    agg = stream.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("value").alias("s")
+    )
+    q = (
+        agg.writeStream.format("memory").queryName("cm_totals")
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    got = {r.user_id: (r.n, r.s) for r in spark.sql("SELECT * FROM cm_totals").collect()}
+    assert got == {1: (2, 15.0), 2: (1, 7.0)}
