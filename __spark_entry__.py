@@ -1726,6 +1726,53 @@ def q93_decimal_exact_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q94_status_count_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType as a first-class column: per order priority, build a
+    status -> count map (map_from_entries over collected structs) and
+    extract typed values with element_at — the open-keyed aggregation
+    shape. The oracle proves the SAME values via conditional sums; the map
+    is the Spark-side representation under test."""
+    o = _t(spark, sf_dir, "orders")
+    counts = o.groupBy("o_orderpriority", "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    mapped = counts.groupBy("o_orderpriority").agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("o_orderstatus", "n")))
+        ).alias("m")
+    )
+    return mapped.select(
+        "o_orderpriority",
+        F.coalesce(F.element_at("m", "F"), F.lit(0)).alias("n_f"),
+        F.coalesce(F.element_at("m", "O"), F.lit(0)).alias("n_o"),
+        F.coalesce(F.element_at("m", "P"), F.lit(0)).alias("n_p"),
+        F.size("m").alias("n_statuses"),
+    )
+
+
+def q95_top_customer_roster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (LISTAGG/string_agg): the three richest
+    customers per market segment as one comma-joined, rank-ordered string.
+    Rank via per-group window top-k, then sort_array(collect_list(struct))
+    preserves rank order inside the aggregation — the deterministic form of
+    Spark's unordered collect_list."""
+    c = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    top = c.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 3)
+    return top.groupBy("c_mktsegment").agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("rk", "c_name"))),
+                lambda s: s.c_name,
+            ),
+            ",",
+        ).alias("roster"),
+        F.round(F.sum("c_acctbal"), 2).alias("top3_balance"),
+    )
+
+
 # =============================================================================
 # Driver contract
 # =============================================================================
@@ -1831,6 +1878,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q91_local_supplier_volume": q91_local_supplier_volume,
         "q92_try_arithmetic": q92_try_arithmetic,
         "q93_decimal_exact_revenue": q93_decimal_exact_revenue,
+        "q94_status_count_map": q94_status_count_map,
+        "q95_top_customer_roster": q95_top_customer_roster,
     }
 
 
@@ -3311,5 +3360,29 @@ def oracle_sql() -> dict[str, str]:
                        AS exact_revenue,
                    count(*) AS n_lines
             FROM lineitem GROUP BY l_linestatus
+        """,
+        "q94_status_count_map": """
+            SELECT o_orderpriority,
+                   CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_f,
+                   CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_o,
+                   CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_p,
+                   CAST(count(DISTINCT o_orderstatus) AS INT) AS n_statuses
+            FROM orders GROUP BY o_orderpriority
+        """,
+        "q95_top_customer_roster": """
+            WITH ranked AS (
+                SELECT c_mktsegment, c_name, c_acctbal,
+                       row_number() OVER (PARTITION BY c_mktsegment
+                           ORDER BY c_acctbal DESC, c_custkey) AS rk
+                FROM customer
+            )
+            SELECT c_mktsegment,
+                   string_agg(c_name, ',' ORDER BY rk) AS roster,
+                   round(sum(c_acctbal), 2) AS top3_balance
+            FROM ranked WHERE rk <= 3
+            GROUP BY c_mktsegment
         """,
     }
