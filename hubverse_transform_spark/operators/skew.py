@@ -65,3 +65,44 @@ def zscore_by_group(
         return pdf
 
     return df.groupBy(group_col).applyInPandas(normalize, out_schema)
+
+
+def two_phase_agg(
+    df: DataFrame,
+    group_col: str,
+    aggs: dict[str, str],
+    *,
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Skew-proof aggregation: aggregate on (key, salt) first, then merge
+    partials per key.
+
+    A single hot key turns ``groupBy(key)`` into one straggler task; salting
+    splits that key's rows across ``salt_buckets`` partial aggregates (each
+    a fraction of the hot key's volume) and the second, tiny aggregation
+    merges them. Only decomposable aggregates are supported — ``sum``,
+    ``count``, ``min``, ``max`` (avg = sum/count at the call site) — because
+    the merge must be the same associative function.
+
+    ``aggs`` maps column -> one of sum|count|min|max; output columns are
+    ``{fn}_{col}``. (Spark's AQE partial aggregation + skew handling covers
+    many cases; this is the explicit form for when the skew is known and
+    you want the split regardless of runtime stats.)
+    """
+    from pyspark.sql import functions as F
+
+    _MERGE = {"sum": F.sum, "count": F.sum, "min": F.min, "max": F.max}
+    _FIRST = {"sum": F.sum, "count": F.count, "min": F.min, "max": F.max}
+    for fn in aggs.values():
+        if fn not in _FIRST:
+            raise ValueError(f"non-decomposable aggregate {fn!r}")
+
+    salted = df.withColumn(
+        "__salt", (F.rand(seed=7) * salt_buckets).cast("int")
+    )
+    partial = salted.groupBy(group_col, "__salt").agg(
+        *[_FIRST[fn](F.col(c)).alias(f"{fn}_{c}") for c, fn in aggs.items()]
+    )
+    return partial.groupBy(group_col).agg(
+        *[_MERGE[fn](F.col(f"{fn}_{c}")).alias(f"{fn}_{c}") for c, fn in aggs.items()]
+    )
