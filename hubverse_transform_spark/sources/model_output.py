@@ -78,3 +78,35 @@ def read_model_output_parquet(spark: SparkSession, path: str, schema: StructType
         else:
             cols.append(cast_to(F.col(name), file_types[name], target).alias(name))
     return raw.select(*cols)
+
+
+def read_csv_with_quarantine(
+    spark: SparkSession, path: str, schema: StructType
+) -> tuple[DataFrame, DataFrame]:
+    """Schema-enforced CSV read that QUARANTINES malformed rows instead of
+    nulling or dropping them.
+
+    PERMISSIVE mode with a corrupt-record column: rows that fail to parse
+    under the schema keep their raw text in ``_corrupt_record``; the clean
+    side drops the marker column, the quarantine side carries it for triage.
+    This extends the reference's file-level error channel (bad extension ->
+    UserWarning, ref model_output.py:112-122) to ROW granularity — one bad
+    line no longer poisons or discards a million-row submission.
+
+    Returns (clean, quarantined).
+    """
+    from pyspark.sql.types import StructField
+
+    read_schema = StructType(
+        list(schema.fields) + [StructField("_corrupt_record", StringType(), True)]
+    )
+    raw = (
+        spark.read.schema(read_schema)
+        .option("header", "true")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(path)
+    ).cache()  # Spark requires referencing _corrupt_record on a cached plan
+    clean = raw.filter(F.col("_corrupt_record").isNull()).drop("_corrupt_record")
+    quarantined = raw.filter(F.col("_corrupt_record").isNotNull())
+    return clean, quarantined

@@ -139,3 +139,29 @@ def test_unsupported_extension_warns(spark, hub_dir):
     (hub_dir / "raw" / "2024-01-01-team.txt").write_text("x")
     with pytest.raises(UserWarning):
         ModelOutputPipeline(spark, str(hub_dir), "raw/2024-01-01-team.txt", str(hub_dir / "out"))
+
+
+def test_csv_quarantine_isolates_malformed_rows(spark, tmp_path):
+    from pyspark.sql.types import DoubleType, LongType, StringType, StructField, StructType
+
+    from hubverse_transform_spark.sources.model_output import read_csv_with_quarantine
+
+    p = tmp_path / "mixed.csv"
+    p.write_text(
+        "location,horizon,value\n"
+        "US,1,3.5\n"
+        "CA,notanint,9.9\n"      # horizon fails the long type -> quarantined
+        "MX,2,7.25\n"
+    )
+    schema = StructType(
+        [
+            StructField("location", StringType()),
+            StructField("horizon", LongType()),
+            StructField("value", DoubleType()),
+        ]
+    )
+    clean, quarantined = read_csv_with_quarantine(spark, str(p), schema)
+    assert sorted(r.location for r in clean.collect()) == ["MX", "US"]
+    bad = quarantined.collect()
+    assert len(bad) == 1
+    assert bad[0]["_corrupt_record"] == "CA,notanint,9.9"
