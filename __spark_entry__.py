@@ -1773,6 +1773,30 @@ def q95_top_customer_roster(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q96_array_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array set algebra (array_union / array_intersect / array_except)
+    against a constant stopword list, per document — the set-column kernel
+    (dedup vocabularies, tag algebra). Sizes only, so element order never
+    matters; rolled up per language."""
+    stop = F.array(*[F.lit(w) for w in ["the", "a", "and", "of", "to"]])
+    d = _t(spark, sf_dir, "documents")
+    toks = F.array_distinct(
+        F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    )
+    per_doc = d.select(
+        "lang",
+        F.size(F.array_union(toks, stop)).alias("n_union"),
+        F.size(F.array_intersect(toks, stop)).alias("n_stop_hits"),
+        F.size(F.array_except(toks, stop)).alias("n_content"),
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_union").cast("bigint").alias("total_union"),
+        F.sum("n_stop_hits").cast("bigint").alias("total_stop_hits"),
+        F.sum("n_content").cast("bigint").alias("total_content"),
+    )
+
+
 # =============================================================================
 # Driver contract
 # =============================================================================
@@ -1880,6 +1904,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q93_decimal_exact_revenue": q93_decimal_exact_revenue,
         "q94_status_count_map": q94_status_count_map,
         "q95_top_customer_roster": q95_top_customer_roster,
+        "q96_array_set_ops": q96_array_set_ops,
     }
 
 
@@ -3384,5 +3409,25 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(c_acctbal), 2) AS top3_balance
             FROM ranked WHERE rk <= 3
             GROUP BY c_mktsegment
+        """,
+        "q96_array_set_ops": f"""
+            WITH per_doc AS (
+                SELECT lang,
+                       list_distinct({_TOKS}) AS toks,
+                       ['the', 'a', 'and', 'of', 'to'] AS stops
+                FROM documents
+            ), sized AS (
+                SELECT lang,
+                       len(list_distinct(list_concat(toks, stops))) AS n_union,
+                       len(list_intersect(toks, stops)) AS n_stop_hits,
+                       len(list_filter(toks,
+                           t -> NOT list_contains(stops, t))) AS n_content
+                FROM per_doc
+            )
+            SELECT lang, count(*) AS n_docs,
+                   CAST(sum(n_union) AS BIGINT) AS total_union,
+                   CAST(sum(n_stop_hits) AS BIGINT) AS total_stop_hits,
+                   CAST(sum(n_content) AS BIGINT) AS total_content
+            FROM sized GROUP BY lang
         """,
     }
