@@ -29,6 +29,7 @@ def interval_join_streams(
     left_watermark: str = "10 minutes",
     right_watermark: str = "10 minutes",
     horizon_seconds: int = 300,
+    how: str = "inner",
 ) -> DataFrame:
     """Join rows of ``left`` to rows of ``right`` with the same key where
     the left event happened within ``horizon_seconds`` BEFORE the right
@@ -37,6 +38,12 @@ def interval_join_streams(
     Both inputs may be streaming (watermarks applied and required for state
     cleanup) or static (condition-only join, same semantics for backfill).
     Column names are prefixed ``l_`` / ``r_`` to keep both timestamps.
+
+    ``how``: "inner", or the outer variants "leftOuter" / "rightOuter" /
+    "fullOuter" — outer rows with no partner emit null-padded ONLY once the
+    watermark closes their match window (so an un-purchased click appears
+    after watermark + horizon, not immediately); state stays bounded by the
+    same interval condition.
     """
     l = left.select(
         F.col(key_col).alias("l_key"),
@@ -57,7 +64,7 @@ def interval_join_streams(
         & (F.col("l_ts") <= F.col("r_ts"))
         & (F.col("l_ts") >= F.col("r_ts") - F.expr(f"INTERVAL {horizon_seconds} SECONDS"))
     )
-    return l.join(r, cond, "inner")
+    return l.join(r, cond, how)
 
 
 def enrich_stream_with_dimension(

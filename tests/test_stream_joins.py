@@ -86,3 +86,46 @@ def test_stream_static_enrichment(spark, tmp_path: Path):
     q.awaitTermination()
     rows = {r.user_id: r.tier for r in spark.sql("SELECT * FROM enriched").collect()}
     assert rows == {1: "GOLD", 2: "SILVER", 9: None}
+
+
+def test_interval_left_outer_join_emits_unmatched(spark, tmp_path: Path):
+    clicks_dir = tmp_path / "lo_clicks"
+    purch_dir = tmp_path / "lo_purch"
+    ckpt = str(tmp_path / "lo_ckpt")
+    _write(spark, clicks_dir, [
+        (1, "2024-01-01 00:01:00", 0.1),   # matches purchase at 00:03
+        (3, "2024-01-01 00:02:00", 0.9),   # never purchases -> null-padded row
+    ])
+    _write(spark, purch_dir, [(1, "2024-01-01 00:03:00", 42.0)])
+    schema = "user_id long, ts timestamp, value double"
+    results: list = []
+
+    def run_once():
+        clicks = spark.readStream.schema(schema).parquet(str(clicks_dir))
+        purch = spark.readStream.schema(schema).parquet(str(purch_dir))
+        joined = interval_join_streams(
+            clicks, purch, key_col="user_id", horizon_seconds=300,
+            left_watermark="10 minutes", right_watermark="10 minutes",
+            how="leftOuter",
+        )
+        q = (
+            joined.writeStream.foreachBatch(
+                lambda b, _i: results.extend(b.collect())
+            )
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()
+    assert [r.l_key for r in results if r.r_key is not None] == [1]
+
+    # outer rows flush only when a LATER batch advances the watermark past
+    # their match window: feed events far beyond watermark + horizon and rerun
+    _write(spark, clicks_dir, [(7, "2024-01-01 09:00:00", 0.0)])
+    _write(spark, purch_dir, [(8, "2024-01-01 09:00:00", 1.0)])
+    run_once()
+    unmatched = [r.l_key for r in results if r.r_key is None]
+    assert 3 in unmatched
