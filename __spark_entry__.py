@@ -1797,6 +1797,66 @@ def q96_array_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q97_temporal_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal function breadth: quarter truncation, day-of-week, month-end
+    snapping, and month arithmetic — grouped by quarter with day-of-week
+    distribution, the calendar semantics batch reports live on."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.select(
+            F.date_format(F.date_trunc("quarter", "o_orderdate"), "yyyy-MM-dd").alias("qtr"),
+            F.dayofweek("o_orderdate").alias("dow"),
+            F.date_format(
+                F.last_day(F.col("o_orderdate").cast("date")), "yyyy-MM-dd"
+            ).alias("month_end"),
+            F.datediff(
+                F.lit("1997-01-01").cast("date"), F.col("o_orderdate").cast("date")
+            ).alias("days_to_97"),
+        )
+        .groupBy("qtr")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum((F.col("dow") == 1).cast("long")).alias("n_sunday"),
+            F.count_distinct("month_end").alias("n_month_ends"),
+            F.round(F.avg("days_to_97"), 4).alias("avg_days_to_97"),
+        )
+    )
+
+
+def q98_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward-fill / LOCF (last observation carried forward): sparse
+    per-user readings (every 3rd event keeps its value, the rest null) are
+    gap-filled with last(ignorenulls) over an ordered running frame — the
+    time-series imputation primitive. Rolled up per user to keep the
+    output compact."""
+    e = _t(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    sparse = e.select(
+        "user_id",
+        "ts",
+        "event_type",
+        "value",
+        F.when((F.col("user_id") + F.dayofmonth("ts")) % 3 == 0, F.col("value")).alias(
+            "reading"
+        ),
+    )
+    # explicit total order: ts ties (same user, same instant) must fill the
+    # same way on every engine
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_type", "value")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = sparse.select(
+        "user_id",
+        F.last("reading", ignorenulls=True).over(w).alias("filled"),
+    )
+    return filled.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("filled").isNull().cast("long")).alias("n_still_null"),
+        F.round(F.sum("filled"), 4).alias("sum_filled"),
+    )
+
+
 # =============================================================================
 # Driver contract
 # =============================================================================
@@ -1905,6 +1965,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q94_status_count_map": q94_status_count_map,
         "q95_top_customer_roster": q95_top_customer_roster,
         "q96_array_set_ops": q96_array_set_ops,
+        "q97_temporal_functions": q97_temporal_functions,
+        "q98_forward_fill": q98_forward_fill,
     }
 
 
@@ -3429,5 +3491,44 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(n_stop_hits) AS BIGINT) AS total_stop_hits,
                    CAST(sum(n_content) AS BIGINT) AS total_content
             FROM sized GROUP BY lang
+        """,
+        "q97_temporal_functions": """
+            WITH t AS (
+                SELECT strftime(CAST(date_trunc('quarter', o_orderdate)
+                                      AS DATE), '%Y-%m-%d') AS qtr,
+                       dayofweek(o_orderdate) AS dow,
+                       strftime(last_day(CAST(o_orderdate AS DATE)),
+                                '%Y-%m-%d') AS month_end,
+                       datediff('day', CAST(o_orderdate AS DATE),
+                                DATE '1997-01-01') AS days_to_97
+                FROM orders
+            )
+            SELECT qtr, count(*) AS n_orders,
+                   CAST(sum(CASE WHEN dow = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_sunday,
+                   count(DISTINCT month_end) AS n_month_ends,
+                   round(avg(days_to_97), 4) AS avg_days_to_97
+            FROM t GROUP BY qtr
+        """,
+        "q98_forward_fill": """
+            WITH sparse AS (
+                SELECT user_id, ts, event_type, value,
+                       CASE WHEN (user_id + dayofmonth(ts)) % 3 = 0
+                            THEN value END AS reading
+                FROM events WHERE user_id < 50
+            ), filled AS (
+                SELECT user_id,
+                       last_value(reading IGNORE NULLS) OVER (
+                           PARTITION BY user_id
+                           ORDER BY ts, event_type, value
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                       ) AS filled
+                FROM sparse
+            )
+            SELECT user_id, count(*) AS n_rows,
+                   CAST(sum(CASE WHEN filled IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_still_null,
+                   round(sum(filled), 4) AS sum_filled
+            FROM filled GROUP BY user_id
         """,
     }
