@@ -1857,6 +1857,59 @@ def q98_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q99_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection via median absolute deviation: per market
+    segment, MAD = median(|bal - median(bal)|), outliers are rows more than
+    3 MADs from the median. Two exact-median aggregation levels with the
+    per-segment medians broadcast back — the mean/stddev-free outlier gate
+    that survives heavy tails."""
+    # balances are exact cents: run the whole median/MAD pipeline on integer
+    # cents so every interpolated midpoint (k/2) and 3*MAD comparison is an
+    # exact double, immune to interpolation-order fp drift (see q81)
+    c = _t(spark, sf_dir, "customer").select(
+        "c_mktsegment",
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("cents"),
+    )
+    med = c.groupBy("c_mktsegment").agg(
+        F.expr("percentile(cents, 0.5)").alias("med")
+    )
+    dev = c.join(F.broadcast(med), "c_mktsegment").select(
+        "c_mktsegment", "med",
+        F.abs(F.col("cents") - F.col("med")).alias("adev"),
+    )
+    mad = dev.groupBy("c_mktsegment").agg(
+        F.expr("percentile(adev, 0.5)").alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "c_mktsegment")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.min("med") / 100.0, 2).alias("median_bal"),
+            F.round(F.min("mad") / 100.0, 2).alias("mad_bal"),
+            F.sum(
+                (F.col("adev") > 3 * F.col("mad")).cast("long")
+            ).alias("n_outliers"),
+        )
+    )
+
+
+def q100_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-seen month, counted
+    as active per subsequent month — the product-analytics staple. First-
+    seen is one aggregation; the (cohort, activity-month) matrix is a
+    distinct-user count after a broadcast join of the small cohort table."""
+    e = _t(spark, sf_dir, "events").select(
+        "user_id", F.date_format(F.date_trunc("month", "ts"), "yyyy-MM").alias("month")
+    )
+    cohort = e.groupBy("user_id").agg(F.min("month").alias("cohort_month"))
+    return (
+        e.join(F.broadcast(cohort), "user_id")
+        .groupBy("cohort_month", F.col("month").alias("active_month"))
+        .agg(F.count_distinct("user_id").alias("n_users"))
+    )
+
+
 # =============================================================================
 # Driver contract
 # =============================================================================
@@ -1967,6 +2020,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q96_array_set_ops": q96_array_set_ops,
         "q97_temporal_functions": q97_temporal_functions,
         "q98_forward_fill": q98_forward_fill,
+        "q99_mad_outliers": q99_mad_outliers,
+        "q100_cohort_retention": q100_cohort_retention,
     }
 
 
@@ -3530,5 +3585,45 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS n_still_null,
                    round(sum(filled), 4) AS sum_filled
             FROM filled GROUP BY user_id
+        """,
+        "q99_mad_outliers": """
+            WITH cents AS (
+                SELECT c_mktsegment,
+                       CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+                FROM customer
+            ), med AS (
+                SELECT c_mktsegment,
+                       quantile_cont(cents, 0.5) AS med
+                FROM cents GROUP BY c_mktsegment
+            ), dev AS (
+                SELECT c.c_mktsegment, m.med,
+                       abs(c.cents - m.med) AS adev
+                FROM cents c JOIN med m USING (c_mktsegment)
+            ), mad AS (
+                SELECT c_mktsegment, quantile_cont(adev, 0.5) AS mad
+                FROM dev GROUP BY c_mktsegment
+            )
+            SELECT d.c_mktsegment,
+                   count(*) AS n_customers,
+                   round(min(d.med) / 100.0, 2) AS median_bal,
+                   round(min(m.mad) / 100.0, 2) AS mad_bal,
+                   CAST(sum(CASE WHEN d.adev > 3 * m.mad THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_outliers
+            FROM dev d JOIN mad m USING (c_mktsegment)
+            GROUP BY d.c_mktsegment
+        """,
+        "q100_cohort_retention": """
+            WITH em AS (
+                SELECT user_id,
+                       strftime(CAST(date_trunc('month', ts) AS DATE), '%Y-%m')
+                           AS month
+                FROM events
+            ), cohort AS (
+                SELECT user_id, min(month) AS cohort_month FROM em GROUP BY user_id
+            )
+            SELECT c.cohort_month, em.month AS active_month,
+                   count(DISTINCT em.user_id) AS n_users
+            FROM em JOIN cohort c USING (user_id)
+            GROUP BY c.cohort_month, em.month
         """,
     }
