@@ -18,6 +18,8 @@ def test_rows_only_queries_are_the_known_set():
 
 
 def test_query_names_are_well_formed_and_documented():
+    import re
+
     for name, fn in entry.queries().items():
-        assert name[0] == "q" and name[3] == "_", name
+        assert re.match(r"^q\d{2,3}_[a-z0-9_]+$", name), name
         assert fn.__doc__ and len(fn.__doc__) > 20, f"{name} lacks a docstring"
