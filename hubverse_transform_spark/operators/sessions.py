@@ -16,8 +16,20 @@ per-user history upstream if that is a real risk).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+
+def _epoch_seconds(col: Column) -> Column:
+    """Timestamp → fractional epoch seconds, safe for TIMESTAMP_NTZ.
+
+    Spark 4 forbids CAST(TIMESTAMP_NTZ AS DOUBLE) (the driver's parquet stores
+    ``ts`` as timestamp[us] without a zone, which Spark reads as NTZ); routing
+    through TIMESTAMP_LTZ is allowed and preserves microsecond precision. Only
+    *differences* of the result are used, so the session-timezone offset
+    introduced by the NTZ→LTZ reinterpretation cancels out.
+    """
+    return col.cast("timestamp_ltz").cast("double")
 
 
 def sessionize(
@@ -40,7 +52,7 @@ def sessionize(
     prev_ts = F.lag(F.col(ts_col)).over(w)
     new_session = F.when(
         prev_ts.isNull()
-        | (F.col(ts_col).cast("double") - prev_ts.cast("double") >= gap_seconds),
+        | (_epoch_seconds(F.col(ts_col)) - _epoch_seconds(prev_ts) >= gap_seconds),
         F.lit(1),
     ).otherwise(F.lit(0))
     return df.withColumn(
@@ -66,7 +78,7 @@ def session_stats(
     sess = sessionize(df, ts_col, user_col, gap_seconds, tiebreak_col)
     per_session = sess.groupBy(user_col, "session_seq").agg(
         F.count(F.lit(1)).alias("n_events"),
-        (F.max(F.col(ts_col).cast("double")) - F.min(F.col(ts_col).cast("double"))).alias(
+        (F.max(_epoch_seconds(F.col(ts_col))) - F.min(_epoch_seconds(F.col(ts_col)))).alias(
             "duration_s"
         ),
     )

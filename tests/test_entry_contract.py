@@ -23,3 +23,20 @@ def test_query_names_are_well_formed_and_documented():
     for name, fn in entry.queries().items():
         assert re.match(r"^q\d{2,3}_[a-z0-9_]+$", name), name
         assert fn.__doc__ and len(fn.__doc__) > 20, f"{name} lacks a docstring"
+
+
+def test_every_query_analyzes_against_real_testdata(spark):
+    """Force Catalyst analysis of every declared query over the driver's own
+    parquet (where ``events.ts`` is TIMESTAMP_NTZ, unlike createDataFrame
+    fixtures which default to LTZ). Accessing ``.schema`` resolves the full
+    plan without executing it, so this catches AnalysisException-class drift
+    (e.g. casts illegal on NTZ) in seconds. Regression guard for the round-1
+    bench crash in sessionize()."""
+    sf_dir = "/root/testdata/sf0.001"
+    failures = []
+    for name, fn in entry.queries().items():
+        try:
+            fn(spark, sf_dir).schema  # noqa: B018 - analysis side effect
+        except Exception as exc:  # pragma: no cover - failure path
+            failures.append(f"{name}: {type(exc).__name__}: {exc}")
+    assert not failures, "\n".join(failures)

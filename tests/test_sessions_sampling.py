@@ -32,6 +32,19 @@ def test_sessionize_boundaries(spark):
     assert got == {(1, 0): 1, (1, 1): 1, (1, 2): 2, (2, 3): 1}
 
 
+def test_sessionize_on_timestamp_ntz(spark):
+    # the driver's events.parquet carries ts as TIMESTAMP_NTZ; Spark 4 forbids
+    # CAST(TIMESTAMP_NTZ AS DOUBLE), so the gap arithmetic must stay NTZ-safe
+    df = spark.createDataFrame(
+        [(0, dt.datetime(2024, 1, 1), 1), (1, dt.datetime(2024, 1, 1, 1), 1)],
+        "event_id long, ts timestamp_ntz, user_id long",
+    )
+    out = sessionize(df, gap_seconds=1800)
+    assert [r.session_seq for r in out.orderBy("event_id").collect()] == [1, 2]
+    stats = session_stats(df, gap_seconds=1800).collect()
+    assert stats[0].n_sessions == 2
+
+
 def test_sessionize_gap_exactly_at_threshold_starts_new_session(spark):
     # same convention as session_window_agg: gap >= threshold splits
     df = _events(spark, [(1, 0), (1, 1800)])
