@@ -71,9 +71,16 @@ def test_profile_columns_one_pass(spark):
     assert out["k"].n_rows == 3 and out["k"].n_distinct == 2
     assert out["s"].n_null == 1 and out["s"].min_value == "a"
     assert out["v"].n_null == 1 and out["v"].max_value == "6.0"
-    # one aggregation pass, regardless of column count: the naive per-column
-    # formulation would show up as a Union of single-column scans
-    assert "Union" not in explain_str(profile_columns(df))
+    # exact mode is a Union of per-column groupBy rollups — N exact
+    # count_distincts in one agg would compile to Expand (an N-fold row
+    # duplication shuffled over the whole table, wrong at lake scale)
+    assert "Expand" not in explain_str(profile_columns(df))
+    # approx mode (HLL sketches) profiles every column in one pass: no Union,
+    # and still no Expand
+    approx_plan = explain_str(profile_columns(df, exact=False))
+    assert "Union" not in approx_plan and "Expand" not in approx_plan
+    approx = {r.column: r for r in profile_columns(df, exact=False).collect()}
+    assert approx["k"].n_rows == 3 and approx["s"].n_null == 1
 
 
 def test_snapshot_diff_all_classes(spark):
