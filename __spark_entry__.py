@@ -48,6 +48,7 @@ from hubverse_transform_spark.operators.dedup import (
     shingle_ngrams,
     simhash,
     simhash_near_dup_pairs,
+    ngram_containment,
     winnow_fingerprints,
     winnow_overlap_pairs,
 )
@@ -59,8 +60,14 @@ from hubverse_transform_spark.operators.similarity import (
     cosine_lsh_topk,
     embedding_near_dup_pairs,
     ivf_cosine_topk,
+    semantic_dedup_reps,
 )
-from hubverse_transform_spark.operators.sampling import stratified_sample_exact
+from hubverse_transform_spark.operators.sampling import (
+    hash_split,
+    proportional_allocation_sample,
+    split_thresholds,
+    stratified_sample_exact,
+)
 from hubverse_transform_spark.operators.sessions import session_stats
 from hubverse_transform_spark.operators.graph import pagerank
 from hubverse_transform_spark.operators.textstats import bm25_topk, pmi_bigrams, tfidf_top_terms
@@ -1910,6 +1917,57 @@ def q100_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q101_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test assignment by md5(doc_id)
+    (operators/sampling.hash_split): a stateless projection whose hex-
+    threshold bucketing is reproducible in any engine, rolled up to split ×
+    lang membership counts and average document length."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        hash_split(d, "doc_id")
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+        )
+    )
+
+
+def q102_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (operators/dedup.ngram_containment):
+    word-3-gram containment of every corpus document (sources src2+)
+    against the held-out benchmark sources src0/src1; docs at >= 0.5
+    containment are contamination candidates. Benchmark vocabulary is
+    broadcast; the corpus side never shuffles its shingles."""
+    d = _t(spark, sf_dir, "documents")
+    bench = d.filter(F.col("source").isin("src0", "src1"))
+    corpus = d.filter(~F.col("source").isin("src0", "src1"))
+    return ngram_containment(
+        corpus, bench, "doc_id", "text", ngram=3, threshold=0.5
+    )
+
+
+def q103_weighted_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-proportional sample allocation
+    (operators/sampling.proportional_allocation_sample): 100 sample slots
+    distributed across sources proportional to each source's character
+    mass (exact integer division), filled by md5-rank within the source."""
+    d = _t(spark, sf_dir, "documents")
+    return proportional_allocation_sample(
+        d, strata_col="source", weight_col="n_chars", key_col="doc_id", total_k=100
+    ).select("doc_id", "source", "sample_rank")
+
+
+def q104_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication
+    (operators/similarity.semantic_dedup_reps): embeddings cluster to their
+    nearest deterministic coarse centroid, and each cluster keeps the
+    member most similar to that centroid as its representative — cluster
+    population and representative similarity per centroid."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return semantic_dedup_reps(emb, id_col="vec_id", vec_col="embedding", n_centroids=16)
+
+
 # =============================================================================
 # Driver contract
 # =============================================================================
@@ -2022,6 +2080,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q98_forward_fill": q98_forward_fill,
         "q99_mad_outliers": q99_mad_outliers,
         "q100_cohort_retention": q100_cohort_retention,
+        "q101_dataset_split": q101_dataset_split,
+        "q102_decontamination": q102_decontamination,
+        "q103_weighted_allocation": q103_weighted_allocation,
+        "q104_semantic_dedup": q104_semantic_dedup,
     }
 
 
@@ -2036,6 +2098,10 @@ _SHINGLES2 = (
     "i -> array_to_string(toks[i:i+1], ' ')))"
 )
 _TOKS = "regexp_split_to_array(lower(trim(text)), '\\s+')"
+
+#: hex bucket thresholds for the 80/10/10 hash split, shared with q101's
+#: Spark side via operators/sampling.split_thresholds
+_SPLIT_THRESHOLDS = split_thresholds((("train", 0.8), ("val", 0.1), ("test", 0.1)))
 
 
 _SHINGLE_HASH = (
@@ -3625,5 +3691,87 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT em.user_id) AS n_users
             FROM em JOIN cohort c USING (user_id)
             GROUP BY c.cohort_month, em.month
+        """,
+        "q101_dataset_split": f"""
+            WITH s AS (
+                SELECT lang, n_chars,
+                       CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                                 < '{_SPLIT_THRESHOLDS[0][1]}' THEN 'train'
+                            WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                                 < '{_SPLIT_THRESHOLDS[1][1]}' THEN 'val'
+                            ELSE 'test' END AS split
+                FROM documents
+            )
+            SELECT split, lang, count(*) AS n_docs,
+                   round(avg(n_chars), 6) AS avg_chars
+            FROM s GROUP BY split, lang
+        """,
+        "q102_decontamination": f"""
+            WITH tok AS (
+                SELECT doc_id, source, {_TOKS} AS toks FROM documents
+            ), sh AS (
+                SELECT doc_id, source, {_SHINGLES3} AS s FROM tok
+            ), bench AS (
+                SELECT DISTINCT unnest(s) AS g FROM sh
+                WHERE source IN ('src0', 'src1')
+            ), corp AS (
+                SELECT doc_id, unnest(s) AS g FROM sh
+                WHERE source NOT IN ('src0', 'src1')
+            ), per AS (
+                SELECT c.doc_id, count(*) AS n_shingles,
+                       CAST(sum(CASE WHEN b.g IS NOT NULL THEN 1 ELSE 0 END)
+                            AS BIGINT) AS n_matched
+                FROM corp c LEFT JOIN bench b USING (g)
+                GROUP BY c.doc_id
+            )
+            SELECT doc_id, n_shingles, n_matched,
+                   round(n_matched * 1.0 / n_shingles, 6) AS containment
+            FROM per WHERE n_matched * 1.0 / n_shingles >= 0.5
+        """,
+        "q103_weighted_allocation": """
+            WITH w AS (
+                SELECT source, sum(n_chars) AS sw FROM documents GROUP BY source
+            ), tot AS (
+                SELECT sum(sw) AS tw FROM w
+            ), alloc AS (
+                SELECT source, (100 * sw) // tw AS a FROM w, tot
+            ), ranked AS (
+                SELECT doc_id, source,
+                       row_number() OVER (PARTITION BY source
+                                          ORDER BY md5(CAST(doc_id AS VARCHAR)),
+                                                   doc_id) AS sample_rank
+                FROM documents
+            )
+            SELECT r.doc_id, r.source, r.sample_rank
+            FROM ranked r JOIN alloc a USING (source)
+            WHERE r.sample_rank <= a.a
+        """,
+        "q104_semantic_dedup": """
+            WITH v AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings
+            ), cent AS (
+                SELECT vec_id AS cid, ve AS cv FROM v ORDER BY vec_id LIMIT 16
+            ), scored AS (
+                SELECT v.vec_id, c.cid,
+                       list_cosine_similarity(v.ve, c.cv) AS sim
+                FROM v CROSS JOIN cent c
+            ), assigned AS (
+                SELECT vec_id, cid, sim FROM (
+                    SELECT vec_id, cid, sim,
+                           row_number() OVER (PARTITION BY vec_id
+                                              ORDER BY sim DESC, cid) AS r
+                    FROM scored
+                ) WHERE r = 1
+            ), reps AS (
+                SELECT cid, vec_id, sim,
+                       row_number() OVER (PARTITION BY cid
+                                          ORDER BY sim DESC, vec_id) AS rr,
+                       count(*) OVER (PARTITION BY cid) AS n_members,
+                       max(sim) OVER (PARTITION BY cid) AS msim
+                FROM assigned
+            )
+            SELECT cid, vec_id AS rep_id, n_members,
+                   round(msim, 6) AS rep_sim
+            FROM reps WHERE rr = 1
         """,
     }

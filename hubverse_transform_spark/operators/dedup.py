@@ -438,3 +438,53 @@ def simhash_near_dup_pairs(
         .dropDuplicates(["id_a", "id_b"])
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def ngram_containment(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    ngram: int = 3,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """Benchmark decontamination [EXT]: flag corpus documents whose word
+    n-gram shingles overlap an evaluation set. Containment(d) =
+    |shingles(d) ∩ benchmark_shingles| / |shingles(d)| — the asymmetric
+    overlap used for train-set decontamination (Jaccard under-scores short
+    benchmark items against long documents; containment does not).
+
+    Scale posture: the benchmark shingle vocabulary is built once,
+    de-duplicated, and BROADCAST — eval sets are KB-to-GB while the corpus
+    is the 100 TB side, so the corpus explode streams map-side against the
+    broadcast hash set and the only shuffle is the per-document count
+    aggregation (partial map-side combine on doc id). Returns
+    (id, n_shingles, n_matched, containment) for docs at/over ``threshold``.
+    """
+    bench_sh = (
+        benchmark.select(F.explode(shingle_ngrams(F.col(text_col), ngram)).alias("_g"))
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    corpus_sh = corpus.select(
+        F.col(id_col).alias("_id"),
+        F.explode(shingle_ngrams(F.col(text_col), ngram)).alias("_g"),
+    )
+    per_doc = (
+        corpus_sh.join(F.broadcast(bench_sh), "_g", "left")
+        .groupBy("_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.coalesce(F.sum("_hit"), F.lit(0)).alias("n_matched"),
+        )
+    )
+    return (
+        per_doc.select(
+            F.col("_id").alias(id_col),
+            "n_shingles",
+            "n_matched",
+            F.round(F.col("n_matched") / F.col("n_shingles"), 6).alias("containment"),
+        )
+        .filter(F.col("n_matched") / F.col("n_shingles") >= threshold)
+    )

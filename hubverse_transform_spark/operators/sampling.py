@@ -35,6 +35,82 @@ def hash_fraction_sample(df: DataFrame, key_col: str, fraction: float) -> DataFr
     return df.filter(hash_uniform(F.col(key_col).cast("string")) < fraction)
 
 
+def hash_split(
+    df: DataFrame,
+    key_col: str,
+    splits: tuple[tuple[str, float], ...] = (("train", 0.8), ("val", 0.1), ("test", 0.1)),
+    out_col: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment: each row's split is a pure
+    function of ``md5(key)``, so the partition is stable under re-runs,
+    re-partitioning, data growth, and engine choice — the property an
+    auditable eval split needs (a ``rand()`` split is none of these).
+
+    Scale path: a stateless projection — no shuffle, no coordination; rows
+    can be split during ingest. Bucketing compares the first 8 md5 hex chars
+    against precomputed hex thresholds: fixed-width lowercase hex compares
+    lexicographically exactly as the 32-bit integer it encodes, so a SQL
+    oracle reproduces the assignment with plain string comparison (no
+    hex->int conversion drift).
+    """
+    fracs = [f for _, f in splits]
+    if abs(sum(fracs) - 1.0) > 1e-9:
+        raise ValueError(f"split fractions must sum to 1, got {sum(fracs)}")
+    u = F.substring(F.md5(F.col(key_col).cast("string")), 1, 8)
+    expr = None
+    for name, thresh in split_thresholds(splits):
+        cond = u < F.lit(thresh)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    expr = expr.otherwise(splits[-1][0]) if expr is not None else F.lit(splits[-1][0])
+    return df.withColumn(out_col, expr)
+
+
+def split_thresholds(
+    splits: tuple[tuple[str, float], ...],
+) -> list[tuple[str, str]]:
+    """(name, 8-hex-char cumulative threshold) for every split but the last
+    (which takes the remainder). Shared with the SQL oracle so both engines
+    bucket on byte-identical constants."""
+    out, cum = [], 0.0
+    for name, frac in splits[:-1]:
+        cum += frac
+        out.append((name, format(int(cum * (1 << 32)), "08x")))
+    return out
+
+
+def proportional_allocation_sample(
+    df: DataFrame,
+    strata_col: str,
+    weight_col: str,
+    key_col: str,
+    total_k: int,
+) -> DataFrame:
+    """Weight-proportional sample allocation: stratum ``s`` gets
+    ``floor(total_k * weight(s) / total_weight)`` sample slots (integer
+    arithmetic — exact and engine-portable, no float division), filled by
+    md5-rank within the stratum. The curation move behind "sample 1M docs,
+    proportional to each source's token mass".
+
+    Two aggregations over the stratum key (weights, then the rank filter's
+    window) plus one broadcast join of the tiny per-stratum allocation table
+    — the big table shuffles once. Integer weights required (token/char
+    counts are); ``weight_col`` sums must stay within int64.
+    """
+    weights = df.groupBy(strata_col).agg(F.sum(weight_col).alias("_w"))
+    total = weights.agg(F.sum("_w").alias("_tw"))
+    alloc = weights.crossJoin(F.broadcast(total)).select(
+        strata_col,
+        F.expr(f"({total_k} * _w) div _tw").alias("_alloc"),
+    )
+    w = Window.partitionBy(strata_col).orderBy(
+        F.md5(F.col(key_col).cast("string")), F.col(key_col)
+    )
+    ranked = df.withColumn("sample_rank", F.row_number().over(w))
+    return ranked.join(F.broadcast(alloc), strata_col).filter(
+        F.col("sample_rank") <= F.col("_alloc")
+    ).drop("_alloc")
+
+
 def stratified_sample_exact(
     df: DataFrame, strata_col: str, key_col: str, k: int
 ) -> DataFrame:

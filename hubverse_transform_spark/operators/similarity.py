@@ -317,3 +317,53 @@ def embedding_near_dup_pairs(
         .filter(F.col("cosine_sim") >= threshold)
         .select("id_a", "id_b", "cosine_sim")
     )
+
+
+def semantic_dedup_reps(
+    emb: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication [EXT]: cluster embeddings by
+    nearest coarse centroid, then keep ONE representative per cluster — the
+    member most similar to its centroid (ties to lowest id). Downstream, the
+    non-representative members are the semantic near-duplicates a curation
+    pipeline drops or down-weights.
+
+    Same deterministic quantizer as ``ivf_cosine_topk`` (the ``n_centroids``
+    lowest-id vectors), so the cluster assignment is engine-reproducible; a
+    production run swaps in k-means centroids without changing the plan.
+
+    Plan shape: broadcast cross-join against the centroid table, one
+    shuffle-argmax per vector (max_by over a (sim, -cid) struct) for the
+    assignment, then one shuffle-argmax per cluster for the representative —
+    two aggregations total, both with map-side partial combine, no
+    all-pairs comparison anywhere. Returns (cid, rep_id, n_members,
+    rep_sim): the representative and the cluster population it stands for.
+    """
+    v = emb.select(F.col(id_col).alias("_id"), F.col(vec_col).cast("array<double>").alias("_v"))
+    cents = (
+        v.orderBy("_id")
+        .limit(n_centroids)
+        .select(F.col("_id").alias("cid"), F.col("_v").alias("_cv"))
+    )
+    scored = v.crossJoin(F.broadcast(cents)).select(
+        "_id",
+        "cid",
+        cosine_similarity(F.col("_v"), F.col("_cv")).alias("_sim"),
+    )
+    assigned = scored.groupBy("_id").agg(
+        F.max_by(
+            F.struct(F.col("cid"), F.col("_sim")),
+            F.struct(F.col("_sim"), (-F.col("cid")).alias("_neg")),
+        ).alias("_best")
+    ).select("_id", F.col("_best.cid").alias("cid"), F.col("_best._sim").alias("_sim"))
+    return assigned.groupBy("cid").agg(
+        F.max_by(
+            F.col("_id"), F.struct(F.col("_sim"), (-F.col("_id")).alias("_neg"))
+        ).alias("rep_id"),
+        F.count(F.lit(1)).alias("n_members"),
+        F.round(F.max(F.col("_sim")), 6).alias("rep_sim"),
+    )

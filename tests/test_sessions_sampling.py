@@ -118,3 +118,75 @@ def test_tfidf_query_filter_keeps_global_stats(spark):
     # df(x)=3 -> idf = ln(1) = 0 even though only doc 0 is ranked
     assert scores["x"] == 0.0
     assert scores["y"] == round(math.log(3.0 / 2.0), 6)
+
+
+def test_hash_split_deterministic_and_complete(spark):
+    import pytest
+
+    from hubverse_transform_spark.operators.sampling import hash_split, split_thresholds
+
+    df = spark.range(1000).withColumnRenamed("id", "k")
+    out = hash_split(df, "k")
+    counts = {r.split: r.n for r in out.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert sum(counts.values()) == 1000
+    # statistically ~800/100/100; generous bounds for a 1000-key sample
+    assert 700 < counts["train"] < 900
+    assert counts["val"] > 40 and counts["test"] > 40
+    # pure function of the key: same assignment on a re-shuffled frame
+    again = {r.k: r.split for r in hash_split(df.repartition(7), "k").collect()}
+    first = {r.k: r.split for r in out.collect()}
+    assert again == first
+    with pytest.raises(ValueError):
+        hash_split(df, "k", splits=(("a", 0.5), ("b", 0.1)))
+    # thresholds are fixed-width lowercase hex, ordered
+    ts = split_thresholds((("train", 0.8), ("val", 0.1), ("test", 0.1)))
+    assert [t for _, t in ts] == ["cccccccc", "e6666666"]
+
+
+def test_proportional_allocation_exact_counts(spark):
+    from hubverse_transform_spark.operators.sampling import proportional_allocation_sample
+
+    rows = [(i, "big", 30) for i in range(50)] + [(100 + i, "small", 10) for i in range(50)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, w long")
+    out = proportional_allocation_sample(df, "source", "w", "doc_id", total_k=20)
+    counts = {r.source: r.n for r in out.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    # weights 1500 vs 500 -> floor(20*1500/2000)=15, floor(20*500/2000)=5
+    assert counts == {"big": 15, "small": 5}
+    assert out.filter(F.col("sample_rank") > 15).count() == 0
+
+
+def test_ngram_containment_semantics(spark):
+    from hubverse_transform_spark.operators.dedup import ngram_containment
+
+    bench = spark.createDataFrame([(100, "the quick brown fox jumps")], "doc_id long, text string")
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps high"),  # 4 shingles, 3 in bench
+            (2, "a completely different sentence here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in ngram_containment(corpus, bench, "doc_id", "text", threshold=0.0).collect()}
+    assert out[1].n_shingles == 4 and out[1].n_matched == 3
+    assert out[1].containment == 0.75
+    assert out[2].n_matched == 0
+    flagged = ngram_containment(corpus, bench, "doc_id", "text", threshold=0.5)
+    assert [r.doc_id for r in flagged.collect()] == [1]
+
+
+def test_semantic_dedup_reps(spark):
+    from hubverse_transform_spark.operators.similarity import semantic_dedup_reps
+
+    # 2 centroids (ids 0,1 along axes); ids 2,3 near axis 0, id 4 near axis 1
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [0.0, 1.0]),
+        (2, [0.9, 0.1]),
+        (3, [1.0, 0.05]),
+        (4, [0.1, 2.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r.cid: r for r in semantic_dedup_reps(df, n_centroids=2).collect()}
+    assert out[0].n_members == 3 and out[0].rep_id == 0  # centroid itself, sim 1.0
+    assert out[1].n_members == 2 and out[1].rep_id == 1
+    assert out[0].rep_sim == 1.0
