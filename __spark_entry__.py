@@ -1968,6 +1968,52 @@ def q104_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semantic_dedup_reps(emb, id_col="vec_id", vec_col="embedding", n_centroids=16)
 
 
+def q105_fk_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit (operators/quality.
+    referential_integrity_audit): orphan and null-FK counts for the star
+    schema's five core foreign keys, one broadcast anti-join per relation,
+    unioned into a long-format report."""
+    from hubverse_transform_spark.operators.quality import referential_integrity_audit
+
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return referential_integrity_audit(
+        [
+            ("lineitem.orderkey", li, "l_orderkey", o, "o_orderkey"),
+            ("orders.custkey", o, "o_custkey", c, "c_custkey"),
+            ("customer.nationkey", c, "c_nationkey", n, "n_nationkey"),
+            ("supplier.nationkey", s, "s_nationkey", n, "n_nationkey"),
+            ("nation.regionkey", n, "n_regionkey", r, "r_regionkey"),
+        ]
+    )
+
+
+def q106_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of lineitem extended price: fixed 5000-wide
+    buckets via floor division (engine-portable, no percentile state),
+    with per-bucket row count and revenue mass — the single-pass
+    distribution sketch behind every data-explorer bar chart."""
+    li = _t(spark, sf_dir, "lineitem")
+    bucket = F.floor(F.col("l_extendedprice") / 5000).cast("long")
+    return (
+        li.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum("l_extendedprice"), 2).alias("bucket_revenue"),
+        )
+        .select(
+            "bucket",
+            (F.col("bucket") * 5000).alias("price_lo"),
+            "n_items",
+            "bucket_revenue",
+        )
+    )
+
+
 # =============================================================================
 # Driver contract
 # =============================================================================
@@ -2084,6 +2130,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q102_decontamination": q102_decontamination,
         "q103_weighted_allocation": q103_weighted_allocation,
         "q104_semantic_dedup": q104_semantic_dedup,
+        "q105_fk_audit": q105_fk_audit,
+        "q106_price_histogram": q106_price_histogram,
     }
 
 
@@ -3773,5 +3821,62 @@ def oracle_sql() -> dict[str, str]:
             SELECT cid, vec_id AS rep_id, n_members,
                    round(msim, 6) AS rep_sim
             FROM reps WHERE rr = 1
+        """,
+        "q105_fk_audit": """
+            SELECT 'lineitem.orderkey' AS relation,
+                   count(*) AS n_rows,
+                   CAST(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_null_fk,
+                   (SELECT count(*) FROM lineitem
+                    WHERE l_orderkey IS NOT NULL
+                      AND l_orderkey NOT IN (SELECT o_orderkey FROM orders
+                                             WHERE o_orderkey IS NOT NULL))
+                       AS n_orphans
+            FROM lineitem
+            UNION ALL
+            SELECT 'orders.custkey', count(*),
+                   CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT),
+                   (SELECT count(*) FROM orders
+                    WHERE o_custkey IS NOT NULL
+                      AND o_custkey NOT IN (SELECT c_custkey FROM customer
+                                            WHERE c_custkey IS NOT NULL))
+            FROM orders
+            UNION ALL
+            SELECT 'customer.nationkey', count(*),
+                   CAST(sum(CASE WHEN c_nationkey IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT),
+                   (SELECT count(*) FROM customer
+                    WHERE c_nationkey IS NOT NULL
+                      AND c_nationkey NOT IN (SELECT n_nationkey FROM nation
+                                              WHERE n_nationkey IS NOT NULL))
+            FROM customer
+            UNION ALL
+            SELECT 'supplier.nationkey', count(*),
+                   CAST(sum(CASE WHEN s_nationkey IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT),
+                   (SELECT count(*) FROM supplier
+                    WHERE s_nationkey IS NOT NULL
+                      AND s_nationkey NOT IN (SELECT n_nationkey FROM nation
+                                              WHERE n_nationkey IS NOT NULL))
+            FROM supplier
+            UNION ALL
+            SELECT 'nation.regionkey', count(*),
+                   CAST(sum(CASE WHEN n_regionkey IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT),
+                   (SELECT count(*) FROM nation
+                    WHERE n_regionkey IS NOT NULL
+                      AND n_regionkey NOT IN (SELECT r_regionkey FROM region
+                                              WHERE r_regionkey IS NOT NULL))
+            FROM nation
+        """,
+        "q106_price_histogram": """
+            SELECT CAST(floor(l_extendedprice / 5000) AS BIGINT) AS bucket,
+                   CAST(floor(l_extendedprice / 5000) AS BIGINT) * 5000
+                       AS price_lo,
+                   count(*) AS n_items,
+                   round(sum(l_extendedprice), 2) AS bucket_revenue
+            FROM lineitem
+            GROUP BY 1
         """,
     }

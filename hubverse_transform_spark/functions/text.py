@@ -114,3 +114,36 @@ def doc_fingerprint(text: Column) -> Column:
     lowercased text. md5 (not xxhash64) so a SQL oracle can reproduce it."""
     normalized = F.lower(F.regexp_replace(F.trim(text), r"\s+", " "))
     return F.md5(normalized)
+
+
+#: pattern set for PII scrubbing; each entry is (label, java-regex). The
+#: patterns deliberately stick to syntax shared by Java regex and RE2 so a
+#: SQL engine can replay the scrub (no backrefs, no possessive quantifiers).
+PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("phone", r"\+?\d[\d\- ]{7,14}\d"),
+    ("ipv4", r"\b(?:\d{1,3}\.){3}\d{1,3}\b"),
+    ("url", r"https?://[^\s]+"),
+)
+
+
+def redact_pii(text: Column, patterns: tuple[tuple[str, str], ...] = PII_PATTERNS) -> Column:
+    """Scrub PII-shaped substrings, replacing each match with ``<LABEL>``.
+
+    One chained ``regexp_replace`` per pattern — all JVM-side, codegen'd, no
+    UDF. Order matters: URLs are redacted after emails so an address inside
+    a query string is already masked when the URL collapses.
+    """
+    out = text
+    for label, pat in patterns:
+        out = F.regexp_replace(out, pat, f"<{label.upper()}>")
+    return out
+
+
+def pii_counts(text: Column, patterns: tuple[tuple[str, str], ...] = PII_PATTERNS) -> Column:
+    """Per-row map of pattern label -> match count (``regexp_count``), for
+    audit dashboards that track how much was scrubbed per source."""
+    return F.map_from_arrays(
+        F.array(*[F.lit(label) for label, _ in patterns]),
+        F.array(*[F.regexp_count(text, F.lit(pat)) for _, pat in patterns]),
+    )

@@ -76,3 +76,35 @@ def observe_expectations(df: DataFrame, checks: dict[str, Column]):
         )
     obs = Observation("expectations")
     return annotated.observe(obs, *metrics), obs
+
+
+def referential_integrity_audit(
+    relations: list[tuple[str, DataFrame, str, DataFrame, str]],
+) -> DataFrame:
+    """Foreign-key audit [EXT]: for each (name, child, fk_col, parent, pk_col)
+    relation, count child rows and orphans (child keys absent from the
+    parent, nulls counted separately) — the referential-integrity report a
+    lake runs after every bulk load.
+
+    Each relation is one left-anti join; parents are dimension-sized in a
+    star schema, so Spark broadcasts them and every branch stays map-side
+    (no shuffle of the fact table). Branches union into one long-format
+    result and run concurrently in a single job.
+    """
+    from functools import reduce
+
+    parts = []
+    for name, child, fk, parent, pk in relations:
+        keys = child.select(F.col(fk).alias("_k"))
+        nn = keys.filter(F.col("_k").isNotNull())
+        orphans = nn.join(
+            parent.select(F.col(pk).alias("_k")).distinct(), "_k", "left_anti"
+        )
+        parts.append(
+            keys.agg(
+                F.lit(name).alias("relation"),
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(F.col("_k").isNull().cast("long")).alias("n_null_fk"),
+            ).crossJoin(orphans.agg(F.count(F.lit(1)).alias("n_orphans")))
+        )
+    return reduce(DataFrame.unionAll, parts)

@@ -66,3 +66,27 @@ def test_pmi_finds_planted_collocation(spark):
     # pmi("new york") = ln((40/200) / ((40/240)*(40/240)))
     expect = math.log((40 / 200) / ((40 / 240) * (40 / 240)))
     assert math.isclose(out[0].pmi, round(expect, 6), rel_tol=1e-9)
+
+
+def test_redact_pii_and_counts(spark):
+    from pyspark.sql import functions as F
+
+    from hubverse_transform_spark.functions.text import pii_counts, redact_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at jo.doe+x@example.co.uk or call +1 555-123 4567"),
+            (2, "server 10.0.0.1 serves https://example.com/a?b=c ok"),
+            (3, "nothing sensitive here"),
+        ],
+        "id long, text string",
+    )
+    out = {r.id: r for r in df.select("id", redact_pii(F.col("text")).alias("red"),
+                                      pii_counts(F.col("text")).alias("cnt")).collect()}
+    assert "<EMAIL>" in out[1].red and "@" not in out[1].red
+    assert "<PHONE>" in out[1].red and "555" not in out[1].red
+    assert "<IPV4>" in out[2].red and "<URL>" in out[2].red
+    assert out[2].red == "server <IPV4> serves <URL> ok"
+    assert out[3].red == "nothing sensitive here"
+    assert out[1].cnt["email"] == 1 and out[1].cnt["phone"] == 1
+    assert out[3].cnt == {"email": 0, "phone": 0, "ipv4": 0, "url": 0}
