@@ -2014,6 +2014,64 @@ def q106_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q107_scd2_priority_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 reconstruction (operators/scd.build_scd2): collapse each
+    customer's order-priority observations into effective-dated version
+    intervals — gaps-and-islands on attribute CHANGE (the sibling of time-gap
+    sessionization), one shuffle for the whole window+rollup+lead chain."""
+    from hubverse_transform_spark.operators.scd import build_scd2
+
+    o = _t(spark, sf_dir, "orders")
+    return build_scd2(
+        o,
+        key_col="o_custkey",
+        attr_col="o_orderpriority",
+        ts_col="o_orderdate",
+        tiebreak_col="o_orderkey",
+    )
+
+
+def q108_embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar int8 quantization of embeddings (vector compression for ANN
+    serving): per-vector min/max affine scale to 0..255 codes, dequantize,
+    and report per-label reconstruction error — everything in JVM array
+    HOFs over one scan, no UDF, no shuffle before the tiny label rollup."""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    mn, mx = F.array_min("v"), F.array_max("v")
+    scale = (mx - mn) / F.lit(255.0)
+    codes = F.transform("v", lambda x: F.round((x - mn) / scale))
+    recon = F.transform(codes, lambda c: mn + c * scale)
+    sq = F.zip_with("v", recon, lambda a, b: (a - b) * (a - b))
+    mse = F.aggregate(sq, F.lit(0.0), lambda acc, x: acc + x) / F.size("v")
+    per_vec = emb.filter(mx > mn).select("vec_id", "label", mse.alias("mse"))
+    return per_vec.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.round(F.avg("mse") * 1e6, 6).alias("avg_mse_ppm"),
+        F.round(F.max("mse") * 1e6, 6).alias("max_mse_ppm"),
+    )
+
+
+def q109_hll_union_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable distinct-count sketches: per-day HLL sketches of active
+    users unioned into per-week estimates (hll_sketch_agg -> hll_union_agg)
+    — the re-aggregatable pre-cube pattern that replaces count_distinct at
+    lake scale, where exact distincts cannot roll up. Sketch estimates are
+    implementation-defined, so this entry is rows-only checked (like q38)."""
+    e = _t(spark, sf_dir, "events")
+    daily = e.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    return (
+        daily.groupBy(F.weekofyear("day").alias("week"))
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users"),
+            F.count(F.lit(1)).alias("n_days"),
+        )
+    )
+
+
 # =============================================================================
 # Driver contract
 # =============================================================================
@@ -2132,6 +2190,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q104_semantic_dedup": q104_semantic_dedup,
         "q105_fk_audit": q105_fk_audit,
         "q106_price_histogram": q106_price_histogram,
+        "q107_scd2_priority_history": q107_scd2_priority_history,
+        "q108_embedding_quantization": q108_embedding_quantization,
+        "q109_hll_union_users": q109_hll_union_users,
     }
 
 
@@ -3878,5 +3939,59 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(l_extendedprice), 2) AS bucket_revenue
             FROM lineitem
             GROUP BY 1
+        """,
+        "q107_scd2_priority_history": """
+            WITH flagged AS (
+                SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey,
+                       CASE WHEN row_number() OVER w = 1
+                              OR o_orderpriority IS DISTINCT FROM
+                                 lag(o_orderpriority) OVER w
+                            THEN 1 ELSE 0 END AS chg
+                FROM orders
+                WINDOW w AS (PARTITION BY o_custkey
+                             ORDER BY o_orderdate, o_orderkey)
+            ), islands AS (
+                SELECT o_custkey, o_orderpriority, o_orderdate,
+                       CAST(sum(chg) OVER (PARTITION BY o_custkey
+                                           ORDER BY o_orderdate, o_orderkey
+                                           ROWS UNBOUNDED PRECEDING)
+                            AS BIGINT) AS version
+                FROM flagged
+            ), per_version AS (
+                SELECT o_custkey, version,
+                       min(o_orderpriority) AS o_orderpriority,
+                       min(o_orderdate) AS valid_from,
+                       count(*) AS n_obs
+                FROM islands GROUP BY o_custkey, version
+            )
+            SELECT o_custkey, o_orderpriority, version, valid_from,
+                   lead(valid_from) OVER (PARTITION BY o_custkey
+                                          ORDER BY version) AS valid_to,
+                   n_obs
+            FROM per_version
+        """,
+        "q108_embedding_quantization": """
+            WITH v AS (
+                SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS ve
+                FROM embeddings
+            ), scaled AS (
+                SELECT vec_id, label, ve,
+                       list_min(ve) AS mn,
+                       (list_max(ve) - list_min(ve)) / 255.0 AS scale
+                FROM v
+                WHERE list_max(ve) > list_min(ve)
+            ), err AS (
+                SELECT vec_id, label,
+                       list_sum(list_transform(
+                           list_transform(ve,
+                               x -> x - (mn + round((x - mn) / scale) * scale)),
+                           d -> d * d
+                       )) / len(ve) AS mse
+                FROM scaled
+            )
+            SELECT label, count(*) AS n_vecs,
+                   round(avg(mse) * 1e6, 6) AS avg_mse_ppm,
+                   round(max(mse) * 1e6, 6) AS max_mse_ppm
+            FROM err GROUP BY label
         """,
     }

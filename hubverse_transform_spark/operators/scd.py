@@ -1,0 +1,58 @@
+"""SCD Type-2 history reconstruction [EXT]: collapse a change log into
+validity intervals (gaps-and-islands on attribute change, not time gap —
+the sibling of operators/sessions.py, which islands on inactivity).
+
+Given per-key observations ordered by time, every run of consecutive equal
+attribute values becomes one slowly-changing-dimension version row with
+[valid_from, valid_to) effective dating — how a warehouse rebuilds a
+dimension's history from an event stream or CDC feed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def build_scd2(
+    df: DataFrame,
+    key_col: str,
+    attr_col: str,
+    ts_col: str,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Collapse (key, ts, attr) observations into SCD2 version intervals.
+
+    Returns one row per run of equal ``attr_col`` values per key:
+    (key, attr, version, valid_from, valid_to, n_obs) — ``version`` is
+    1-based per key, ``valid_to`` is the next version's ``valid_from``
+    (null for the current version, i.e. a half-open interval chain).
+
+    Plan: one shuffle on the key; the change-flag window, the running-sum
+    island id, the per-island aggregate, and the lead() for ``valid_to``
+    all reuse the same (key, ts) sort order, so Spark plans a single
+    Exchange + Sort for the whole chain. Null-safe comparison keeps a run
+    of null attributes as its own version rather than splitting per row.
+    """
+    order: list[Column] = [F.col(ts_col)] + (
+        [F.col(tiebreak_col)] if tiebreak_col else []
+    )
+    w = Window.partitionBy(key_col).orderBy(*order)
+    prev = F.lag(F.col(attr_col)).over(w)
+    prev_seen = F.lag(F.lit(1)).over(w)
+    changed = F.when(
+        prev_seen.isNull() | ~F.col(attr_col).eqNullSafe(prev), F.lit(1)
+    ).otherwise(F.lit(0))
+    versioned = df.withColumn(
+        "version",
+        F.sum(changed).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    per_version = versioned.groupBy(key_col, "version").agg(
+        F.min(attr_col).alias(attr_col),
+        F.min(ts_col).alias("valid_from"),
+        F.count(F.lit(1)).alias("n_obs"),
+    )
+    w2 = Window.partitionBy(key_col).orderBy("version")
+    return per_version.withColumn("valid_to", F.lead("valid_from").over(w2)).select(
+        key_col, attr_col, "version", "valid_from", "valid_to", "n_obs"
+    )

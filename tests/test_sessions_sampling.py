@@ -190,3 +190,26 @@ def test_semantic_dedup_reps(spark):
     assert out[0].n_members == 3 and out[0].rep_id == 0  # centroid itself, sim 1.0
     assert out[1].n_members == 2 and out[1].rep_id == 1
     assert out[0].rep_sim == 1.0
+
+
+def test_build_scd2_intervals(spark):
+    from hubverse_transform_spark.operators.scd import build_scd2
+
+    rows = [
+        # key 1: A A B A  -> versions A(2 obs), B(1), A(1)
+        (1, "A", 1), (1, "A", 2), (1, "B", 3), (1, "A", 4),
+        # key 2: null null C -> versions null(2), C(1)
+        (2, None, 1), (2, None, 2), (2, "C", 3),
+    ]
+    df = spark.createDataFrame(
+        [(k, a, dt.datetime(2024, 1, t)) for k, a, t in rows],
+        "k long, attr string, ts timestamp",
+    )
+    out = sorted(
+        build_scd2(df, "k", "attr", "ts").collect(), key=lambda r: (r.k, r.version)
+    )
+    k1 = [(r.attr, r.version, r.valid_from.day, r.valid_to.day if r.valid_to else None, r.n_obs)
+          for r in out if r.k == 1]
+    assert k1 == [("A", 1, 1, 3, 2), ("B", 2, 3, 4, 1), ("A", 3, 4, None, 1)]
+    k2 = [(r.attr, r.version, r.n_obs) for r in out if r.k == 2]
+    assert k2 == [(None, 1, 2), ("C", 2, 1)]
