@@ -2014,6 +2014,31 @@ def q106_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q110_binned_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalable range join (operators/rangejoin.binned_interval_join): price
+    bands joined by bin equi-keys instead of a nested loop — intervals
+    replicate into fixed-width bins, the join is an ordinary hash join on
+    the bin id, and the exact BETWEEN filters residual collisions. Same
+    answer as the q18-style broadcast loop, but the plan survives an
+    interval side too big to broadcast. Bands overlap deliberately: a point
+    can match two bands, and does."""
+    from hubverse_transform_spark.operators.rangejoin import binned_interval_join
+
+    li = _t(spark, sf_dir, "lineitem").select("l_extendedprice")
+    bands = spark.createDataFrame(
+        [("budget", 0.0, 20000.0), ("mid", 15000.0, 40000.0), ("premium", 35000.0, 70000.0)],
+        ["band", "lo", "hi"],
+    )
+    return (
+        binned_interval_join(li, bands, "l_extendedprice", "lo", "hi", bin_width=10000.0)
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum("l_extendedprice"), 1).alias("sum_price"),
+        )
+    )
+
+
 def q107_scd2_priority_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD Type-2 reconstruction (operators/scd.build_scd2): collapse each
     customer's order-priority observations into effective-dated version
@@ -2193,6 +2218,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q107_scd2_priority_history": q107_scd2_priority_history,
         "q108_embedding_quantization": q108_embedding_quantization,
         "q109_hll_union_users": q109_hll_union_users,
+        "q110_binned_range_join": q110_binned_range_join,
     }
 
 
@@ -3993,5 +4019,17 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(mse) * 1e6, 6) AS avg_mse_ppm,
                    round(max(mse) * 1e6, 6) AS max_mse_ppm
             FROM err GROUP BY label
+        """,
+        "q110_binned_range_join": """
+            WITH bands(band, lo, hi) AS (
+                VALUES ('budget', 0.0, 20000.0),
+                       ('mid', 15000.0, 40000.0),
+                       ('premium', 35000.0, 70000.0)
+            )
+            SELECT band, count(*) AS n_items,
+                   round(sum(l_extendedprice), 1) AS sum_price
+            FROM lineitem JOIN bands
+              ON l_extendedprice BETWEEN lo AND hi
+            GROUP BY band
         """,
     }

@@ -452,3 +452,28 @@ def test_session_windows(spark, events_df):
     u1 = sorted([r for r in out if r["user_id"] == "u1"], key=lambda r: r["session"]["start"])
     assert len(u1) == 2  # 00:01+00:04 in one session; 00:12 alone
     assert u1[0]["n_events"] == 2 and u1[1]["n_events"] == 1
+
+
+def test_binned_interval_join_matches_nested_loop(spark):
+    from pyspark.sql import functions as F
+
+    from hubverse_transform_spark.operators.rangejoin import binned_interval_join
+    from hubverse_transform_spark.plans.inspect import explain_str
+
+    pts = spark.createDataFrame([(float(v),) for v in range(0, 100, 3)], ["v"])
+    iv = spark.createDataFrame(
+        [("a", 0.0, 10.0), ("b", 8.0, 30.0), ("c", 50.0, 52.0)], ["name", "lo", "hi"]
+    )
+    got = binned_interval_join(pts, iv, "v", "lo", "hi", bin_width=7.0)
+    naive = pts.join(iv, (F.col("v") >= F.col("lo")) & (F.col("v") <= F.col("hi")))
+    assert sorted(map(tuple, got.select("v", "name").collect())) == sorted(
+        map(tuple, naive.select("v", "name").collect())
+    )
+    # the point of the rewrite: an equi-key hash join, never a nested loop
+    plan = explain_str(got)
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    # overlap region matches both intervals
+    assert got.filter((F.col("v") == 9.0)).count() == 2
+    semi = binned_interval_join(pts, iv, "v", "lo", "hi", bin_width=7.0, how="left_semi")
+    assert semi.filter(F.col("v") == 9.0).count() == 1  # semi never duplicates
+    assert semi.columns == ["v"]
