@@ -2097,6 +2097,67 @@ def q109_hll_union_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q111_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: monthly share of revenue from promo-type parts — a
+    conditional-fraction aggregate over one broadcast part join; the CASE
+    folds into the single aggregation pass (no second scan for the
+    numerator)."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type").startswith("PROMO"), rev).otherwise(F.lit(0.0))
+    return (
+        li.join(F.broadcast(p.select("p_partkey", "p_type")),
+                F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(F.date_format(F.date_trunc("month", "l_shipdate"), "yyyy-MM").alias("month"))
+        .agg(
+            F.round(100.0 * F.sum(promo) / F.sum(rev), 4).alias("promo_pct"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+def q112_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: supplier(s) with the maximum 1996-H1 revenue. The
+    textbook view+subquery becomes one aggregation plus a rank-1 window over
+    the aggregate (ties all kept, as Q15 requires) — no re-scan of lineitem
+    for the max."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    rev = (
+        li.filter(
+            (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-07-01")
+        )
+        .groupBy("l_suppkey")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("total_rev"))
+    )
+    w = Window.orderBy(F.col("total_rev").desc())
+    top = rev.withColumn("_r", F.rank().over(w)).filter(F.col("_r") == 1).drop("_r")
+    return top.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey")).select(
+        "s_suppkey", "s_name", "total_rev"
+    )
+
+
+def q113_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: customers with orders whose total quantity exceeds
+    250 — the HAVING-subquery becomes an aggregate on the fact key joined
+    back to orders/customer; the big-order key set is tiny, so both
+    enrichment joins broadcast it."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+        .filter(F.col("total_qty") > 250)
+    )
+    return (
+        o.join(F.broadcast(big), F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .select("c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice", "total_qty")
+    )
+
+
 # =============================================================================
 # Driver contract
 # =============================================================================
@@ -2219,6 +2280,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q108_embedding_quantization": q108_embedding_quantization,
         "q109_hll_union_users": q109_hll_union_users,
         "q110_binned_range_join": q110_binned_range_join,
+        "q111_promo_revenue_share": q111_promo_revenue_share,
+        "q112_top_supplier": q112_top_supplier,
+        "q113_big_orders": q113_big_orders,
     }
 
 
@@ -4031,5 +4095,42 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem JOIN bands
               ON l_extendedprice BETWEEN lo AND hi
             GROUP BY band
+        """,
+        "q111_promo_revenue_share": """
+            SELECT strftime(CAST(date_trunc('month', l_shipdate) AS DATE),
+                            '%Y-%m') AS month,
+                   round(100.0 * sum(CASE WHEN p_type LIKE 'PROMO%'
+                                          THEN l_extendedprice * (1 - l_discount)
+                                          ELSE 0.0 END)
+                         / sum(l_extendedprice * (1 - l_discount)), 4)
+                       AS promo_pct,
+                   count(*) AS n_items
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            GROUP BY 1
+        """,
+        "q112_top_supplier": """
+            WITH rev AS (
+                SELECT l_suppkey,
+                       round(sum(l_extendedprice * (1 - l_discount)), 2)
+                           AS total_rev
+                FROM lineitem
+                WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                  AND l_shipdate < TIMESTAMP '1996-07-01'
+                GROUP BY l_suppkey
+            )
+            SELECT s_suppkey, s_name, total_rev
+            FROM rev JOIN supplier ON l_suppkey = s_suppkey
+            WHERE total_rev = (SELECT max(total_rev) FROM rev)
+        """,
+        "q113_big_orders": """
+            WITH big AS (
+                SELECT l_orderkey, round(sum(l_quantity), 2) AS total_qty
+                FROM lineitem GROUP BY l_orderkey
+                HAVING sum(l_quantity) > 250
+            )
+            SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice,
+                   total_qty
+            FROM orders JOIN big ON o_orderkey = l_orderkey
+                        JOIN customer ON o_custkey = c_custkey
         """,
     }
