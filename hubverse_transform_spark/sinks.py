@@ -185,3 +185,38 @@ def write_zorder_layout(
         .write.mode(mode)
         .parquet(path)
     )
+
+
+def compact_lake_partition(
+    spark,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Small-file compaction [EXT]: rewrite one lake partition directory into
+    ~``target_file_bytes``-sized parquet files and return the file count.
+
+    Streaming ingest (one file per submission/micro-batch) accretes small
+    files until scan task scheduling dominates query time; periodic
+    compaction is how a 100 TB lake stays scannable. The rewrite is
+    read -> coalesce(ceil(bytes/target)) -> write-to-temp -> atomic swap, so
+    readers never observe a partially-compacted directory; ``coalesce``
+    (not ``repartition``) keeps the rewrite shuffle-free.
+    """
+    import math
+    import os
+    import shutil
+
+    files = [
+        os.path.join(path, f)
+        for f in os.listdir(path)
+        if f.endswith(".parquet") and not f.startswith(("_", "."))
+    ]
+    total = sum(os.path.getsize(f) for f in files)
+    n_out = max(1, math.ceil(total / target_file_bytes))
+    tmp = path.rstrip("/") + "._compacting"
+    spark.read.parquet(path).coalesce(n_out).write.mode("overwrite").parquet(tmp)
+    swap = path.rstrip("/") + "._old"
+    os.rename(path, swap)
+    os.rename(tmp, path)
+    shutil.rmtree(swap)
+    return n_out

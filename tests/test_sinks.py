@@ -157,3 +157,22 @@ def test_zorder_layout_tightens_file_bounds(spark, tmp_path):
     # covers a small curve segment. Require at least a 2x total shrinkage
     # (observed is far larger).
     assert total_bbox_area(zpath) < 0.5 * total_bbox_area(naive)
+
+
+def test_compact_lake_partition(spark, tmp_path):
+    from hubverse_transform_spark.sinks import compact_lake_partition
+
+    path = str(tmp_path / "part")
+    # 8 tiny files via 8-way repartition
+    spark.range(10_000).repartition(8).write.parquet(path)
+    import os
+
+    before = [f for f in os.listdir(path) if f.endswith(".parquet")]
+    assert len(before) == 8
+    n_out = compact_lake_partition(spark, path, target_file_bytes=1 << 30)
+    after = [f for f in os.listdir(path) if f.endswith(".parquet")]
+    assert n_out == 1 and len(after) == 1
+    # contents identical after the swap
+    assert spark.read.parquet(path).count() == 10_000
+    got = sorted(r.id for r in spark.read.parquet(path).collect())
+    assert got == list(range(10_000))
