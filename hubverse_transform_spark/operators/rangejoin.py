@@ -29,6 +29,7 @@ def binned_interval_join(
     hi_col: str,
     bin_width: float,
     how: str = "inner",
+    broadcast_intervals: bool = True,
 ) -> DataFrame:
     """Join ``points`` to ``intervals`` where
     ``lo_col <= value_col <= hi_col`` (closed interval) via bin equi-keys.
@@ -38,6 +39,14 @@ def binned_interval_join(
     ``bin_width`` of the same order as the interval widths to bound the
     blow-up. ``how`` supports "inner" and "left_semi" (points that fall
     inside at least one interval, never duplicated).
+
+    ``broadcast_intervals`` pins the build side. It matters: a
+    locally-created interval frame has no stats, so left to itself Catalyst
+    may broadcast the POINTS side instead — silently collecting the fact
+    table to the driver (observed: 2.5x slowdown at sf0.1, an OOM at lake
+    scale). Default True (interval sets are usually the small side); pass
+    False when intervals are themselves fact-sized, which yields the
+    shuffle-hash plan on the bin key.
     """
     if how not in ("inner", "left_semi"):
         raise ValueError(f"unsupported join type: {how}")
@@ -53,6 +62,7 @@ def binned_interval_join(
             )
         ),
     )
+    rep = F.broadcast(rep) if broadcast_intervals else rep.hint("shuffle_hash")
     cond = (
         (binned_pts["_bin_l"] == rep["_bin_r"])
         & (binned_pts[value_col] >= rep[lo_col])

@@ -477,3 +477,14 @@ def test_binned_interval_join_matches_nested_loop(spark):
     semi = binned_interval_join(pts, iv, "v", "lo", "hi", bin_width=7.0, how="left_semi")
     assert semi.filter(F.col("v") == 9.0).count() == 1  # semi never duplicates
     assert semi.columns == ["v"]
+    # build side is pinned: intervals broadcast (BuildRight), never the
+    # points side; with broadcast_intervals=False the bin key shuffles both
+    assert "BuildRight" in plan
+    big = binned_interval_join(
+        pts, iv, "v", "lo", "hi", bin_width=7.0, broadcast_intervals=False
+    )
+    big_plan = explain_str(big)
+    assert "ShuffledHashJoin" in big_plan or "SortMergeJoin" in big_plan
+    assert sorted(map(tuple, big.select("v", "name").collect())) == sorted(
+        map(tuple, naive.select("v", "name").collect())
+    )
