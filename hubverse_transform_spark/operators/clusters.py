@@ -54,10 +54,14 @@ def connected_components(
             .groupBy("src")
             .agg(F.min("label").alias("nlabel"))
         )
+        # the pre-iteration label rides along as _old so the fixpoint check
+        # is a cheap aggregate over the checkpointed result — no extra join
+        # of new-vs-old label sets per round
         propagated = labels.join(
             neighbor_min, labels.node == neighbor_min.src, "left"
         ).select(
             "node",
+            F.col("label").alias("_old"),
             F.least(
                 F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
             ).alias("label"),
@@ -71,19 +75,15 @@ def connected_components(
             propagated.join(lookup, propagated.label == lookup._lnode, "left")
             .select(
                 "node",
+                "_old",
                 F.least(
                     F.col("label"), F.coalesce(F.col("_llabel"), F.col("label"))
                 ).alias("label"),
             )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter(F.col("label") != F.col("_old")).count()
+        labels = new_labels.drop("_old")
         if changed == 0:
             break
 
