@@ -213,3 +213,38 @@ def test_build_scd2_intervals(spark):
     assert k1 == [("A", 1, 1, 3, 2), ("B", 2, 3, 4, 1), ("A", 3, 4, None, 1)]
     k2 = [(r.attr, r.version, r.n_obs) for r in out if r.k == 2]
     assert k2 == [(None, 1, 2), ("C", 2, 1)]
+
+
+def test_build_scd2_invariants_random(spark):
+    """Invariants over a seeded random change log: versions are contiguous
+    from 1, n_obs sums to the row count, intervals chain (valid_to of v ==
+    valid_from of v+1) with exactly one open interval per key, and
+    consecutive versions never carry equal attributes."""
+    import random
+
+    from hubverse_transform_spark.operators.scd import build_scd2
+
+    rng = random.Random(42)
+    rows = []
+    i = 0
+    for k in range(20):
+        for _ in range(rng.randint(1, 30)):
+            rows.append((k, rng.choice(["A", "B", "C", None]), dt.datetime(2024, 1, 1) + dt.timedelta(minutes=i), i))
+            i += 1
+    df = spark.createDataFrame(rows, "k long, attr string, ts timestamp, tb long")
+    out = build_scd2(df, "k", "attr", "ts", tiebreak_col="tb").collect()
+    assert sum(r.n_obs for r in out) == len(rows)
+    by_key = {}
+    for r in out:
+        by_key.setdefault(r.k, []).append(r)
+    for k, vs in by_key.items():
+        vs.sort(key=lambda r: r.version)
+        assert [r.version for r in vs] == list(range(1, len(vs) + 1))
+        opens = [r for r in vs if r.valid_to is None]
+        assert len(opens) == 1 and opens[0] is vs[-1]
+        for a, b in zip(vs, vs[1:]):
+            assert a.valid_to == b.valid_from
+            assert a.attr != b.attr or (a.attr is None) != (b.attr is None) or a.attr != b.attr
+        for a, b in zip(vs, vs[1:]):
+            # null-safe inequality between consecutive versions
+            assert not (a.attr == b.attr or (a.attr is None and b.attr is None))
