@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     BinaryType,
+    DoubleType,
     IntegerType,
     LongType,
     StringType,
@@ -228,3 +229,54 @@ def asset_metadata_summary(assets: DataFrame) -> DataFrame:
             F.avg("bytes").alias("avg_bytes"),
         )
     )
+
+
+def audio_window_energy(
+    assets: DataFrame, *, window_bytes: int = 1024, fake: bool = False
+) -> DataFrame:
+    """Audio windowed-energy stub: RMS energy per fixed-size sample window.
+
+    The audio member of the decode trio (image resize / video frame-sample /
+    audio windowing): 1->N like ``frame_sample`` but over the PAYLOAD rather
+    than metadata. Real decode (codec -> PCM) is unavailable in this
+    container; fake mode treats the raw payload bytes as unsigned 8-bit PCM,
+    which keeps the whole path — Arrow batch transfer, numpy vectorization
+    per window, 1->N output shape — executable and deterministic.
+
+    Output: (asset_id, window_idx, n_samples, rms) — rms rounded to 6
+    decimals so results are comparable across runs.
+    """
+    import numpy as np
+
+    out_schema = StructType(
+        [
+            StructField("asset_id", LongType(), False),
+            StructField("window_idx", IntegerType(), False),
+            StructField("n_samples", IntegerType(), False),
+            StructField("rms", DoubleType(), True),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError("audio decode libraries unavailable")
+            rows: list[dict[str, Any]] = []
+            for _, r in pdf.iterrows():
+                payload = r["payload"]
+                if payload is None:
+                    continue
+                samples = np.frombuffer(bytes(payload), dtype=np.uint8).astype(np.float64)
+                for i in range(0, len(samples), window_bytes):
+                    w = samples[i : i + window_bytes]
+                    rows.append(
+                        {
+                            "asset_id": r["asset_id"],
+                            "window_idx": i // window_bytes,
+                            "n_samples": len(w),
+                            "rms": round(float(np.sqrt(np.mean(w * w))), 6),
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=[f.name for f in out_schema.fields])
+
+    return assets.mapInPandas(run, out_schema)
