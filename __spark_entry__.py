@@ -2158,6 +2158,17 @@ def q113_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q114_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LM fluency scoring (textstats.unigram_logprob_scores): per-document
+    average unigram negative log-probability under a corpus-fit add-one-
+    smoothed model — the KenLM-style filter signal; token-keyed model table
+    broadcast into the per-doc rollup."""
+    from hubverse_transform_spark.operators.textstats import unigram_logprob_scores
+
+    d = _t(spark, sf_dir, "documents")
+    return unigram_logprob_scores(d, id_col="doc_id", text_col="text")
+
+
 # =============================================================================
 # Driver contract
 # =============================================================================
@@ -2283,6 +2294,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q111_promo_revenue_share": q111_promo_revenue_share,
         "q112_top_supplier": q112_top_supplier,
         "q113_big_orders": q113_big_orders,
+        "q114_unigram_logprob": q114_unigram_logprob,
     }
 
 
@@ -4132,5 +4144,24 @@ def oracle_sql() -> dict[str, str]:
                    total_qty
             FROM orders JOIN big ON o_orderkey = l_orderkey
                         JOIN customer ON o_custkey = c_custkey
+        """,
+        "q114_unigram_logprob": f"""
+            WITH toks AS (
+                SELECT doc_id, unnest({_TOKS}) AS term FROM documents
+            ), t2 AS (
+                SELECT doc_id, term FROM toks WHERE term <> ''
+            ), counts AS (
+                SELECT term, count(*) AS c FROM t2 GROUP BY term
+            ), totals AS (
+                SELECT CAST(sum(c) AS BIGINT) AS total, count(*) AS vocab
+                FROM counts
+            ), model AS (
+                SELECT term, -ln((c + 1.0) / (total + vocab)) AS nll
+                FROM counts, totals
+            )
+            SELECT t2.doc_id, count(*) AS n_tokens,
+                   round(avg(m.nll), 6) AS avg_neg_logprob
+            FROM t2 JOIN model m USING (term)
+            GROUP BY t2.doc_id
         """,
     }

@@ -234,3 +234,44 @@ def pmi_bigrams(
     return top.withColumn("rank", F.row_number().over(w)).select(
         "bigram", "c_bigram", "pmi", "rank"
     )
+
+
+def unigram_logprob_scores(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document average unigram negative log-probability — the
+    language-model fluency score real curation pipelines threshold on
+    (KenLM-style filtering, here with a corpus-fit unigram model and
+    add-one smoothing so every token has finite probability).
+
+    p(t) = (count(t) + 1) / (total_tokens + vocab); score(d) =
+    mean over tokens of -ln p(t). Low = built from common corpus tokens,
+    high = rare/garbled. The model table is token-keyed and broadcast into
+    the per-doc rollup, so the token stream shuffles only for the two
+    aggregations (corpus counts; per-doc mean) — the same shape as TF-IDF.
+
+    Returns (id, n_tokens, avg_neg_logprob rounded to 6).
+    """
+    toks = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("term"),
+    ).filter(F.col("term") != "")
+    counts = toks.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    totals = counts.agg(
+        F.sum("c").alias("total"), F.count(F.lit(1)).alias("vocab")
+    )
+    model = counts.crossJoin(F.broadcast(totals)).select(
+        "term",
+        (-F.log((F.col("c") + 1.0) / (F.col("total") + F.col("vocab")))).alias("nll"),
+    )
+    return (
+        toks.join(F.broadcast(model), "term")
+        .groupBy("_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.avg("nll"), 6).alias("avg_neg_logprob"),
+        )
+        .select(F.col("_id").alias(id_col), "n_tokens", "avg_neg_logprob")
+    )
