@@ -37,34 +37,42 @@ def main() -> None:
 
     # two timed executions per query, keep the minimum: the host shows bursty
     # background load that can inflate a single cold run 3-10x, and min-of-N
-    # is the standard jitter-robust estimator for steady-state latency
+    # is the standard jitter-robust estimator for steady-state latency.
+    # A query that throws is recorded under "errors" and excluded from the
+    # total rather than aborting the whole benchmark (a single regression
+    # must not zero out the round's numbers — round-1 failure mode).
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name, fn in entry_mod.queries().items():
-        runs = []
-        for _ in range(2):
-            start = time.perf_counter()
-            fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
-            runs.append(time.perf_counter() - start)
-        if max(runs) > 2.5 * min(runs):
-            # both trials may still straddle a noise burst; one tiebreaker
-            start = time.perf_counter()
-            fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
-            runs.append(time.perf_counter() - start)
-        timings[name] = round(min(runs), 3)
+        try:
+            runs = []
+            for _ in range(2):
+                start = time.perf_counter()
+                fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+                runs.append(time.perf_counter() - start)
+            if max(runs) > 2.5 * min(runs):
+                # both trials may still straddle a noise burst; one tiebreaker
+                start = time.perf_counter()
+                fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+                runs.append(time.perf_counter() - start)
+            timings[name] = round(min(runs), 3)
+        except Exception as exc:  # noqa: BLE001 - record and keep benching
+            errors[name] = f"{type(exc).__name__}: {exc}"[:300]
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_wall_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    result = {
+        "metric": "total_query_wall_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    if errors:
+        result["errors"] = errors
+    print(json.dumps(result))
     spark.stop()
+    if errors:
+        sys.exit(1)
 
 
 if __name__ == "__main__":
