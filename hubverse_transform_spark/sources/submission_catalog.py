@@ -22,7 +22,12 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 from pyspark.sql.types import (
     BooleanType,
     LongType,
@@ -117,3 +122,74 @@ def register(spark) -> None:
     """Register the source on a session: ``register(spark)`` then
     ``spark.read.format("hubverse_submissions").load(dir)``."""
     spark.dataSource.register(SubmissionCatalogDataSource)
+
+
+# --- streaming variant (Spark 4 Python streaming DataSource API) -------------
+
+
+class SubmissionStreamReader(SimpleDataSourceStreamReader):
+    """Incremental submission discovery with checkpointed offsets.
+
+    The streaming half of the catalog: each micro-batch emits catalog rows
+    for files not yet seen, and the seen-set IS the offset — stored in the
+    checkpoint, so a restarted query resumes exactly where it left off and
+    ``readBetweenOffsets`` replays any batch deterministically (the
+    exactly-once contract of the Lambda trigger, without the Lambda).
+
+    The simple-reader variant runs discovery on the driver, which is the
+    right placement for a catalog (metadata-only, the small side); payload
+    reads stay on Spark's vectorized native readers via a join against this
+    stream. The offset grows with the file count — at lake scale swap the
+    seen-set for a modification-time watermark, same API.
+    """
+
+    def __init__(self, options):
+        self.root = options.get("path")
+        if not self.root:
+            raise ValueError("hubverse_submissions source requires a path")
+
+    def initialOffset(self):
+        return {"seen": []}
+
+    def _discover(self):
+        import os
+
+        files = []
+        for dirpath, _dirnames, filenames in os.walk(self.root):
+            files.extend(os.path.join(dirpath, f) for f in sorted(filenames))
+        return sorted(files)
+
+    def _rows(self, paths):
+        reader = SubmissionCatalogReader({"path": self.root})
+        return list(reader.read(_FileBatch(paths)))
+
+    def read(self, start):
+        seen = set(start["seen"])
+        new = [p for p in self._discover() if p not in seen]
+        end = {"seen": sorted(seen | set(new))}
+        return (iter(self._rows(new)), end)
+
+    def readBetweenOffsets(self, start, end):
+        new = sorted(set(end["seen"]) - set(start["seen"]))
+        return iter(self._rows([p for p in new]))
+
+
+class SubmissionCatalogDataSourceStreaming(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "hubverse_submissions_stream"
+
+    def schema(self):
+        return CATALOG_SCHEMA
+
+    def reader(self, schema):
+        return SubmissionCatalogReader(self.options)
+
+    def simpleStreamReader(self, schema):
+        return SubmissionStreamReader(self.options)
+
+
+def register_streaming(spark) -> None:
+    """Register the streaming source: ``register_streaming(spark)`` then
+    ``spark.readStream.format("hubverse_submissions_stream").load(dir)``."""
+    spark.dataSource.register(SubmissionCatalogDataSourceStreaming)

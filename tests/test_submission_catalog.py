@@ -43,3 +43,44 @@ def test_submission_catalog_joins_with_pipeline(spark, tmp_path: Path):
     cat = spark.read.format("hubverse_submissions").load(str(raw))
     valid_paths = [r.path for r in cat.filter("valid").collect()]
     assert valid_paths == [str(raw / "2024-06-01-m1.csv")]
+
+
+def test_streaming_catalog_incremental_discovery(spark, tmp_path):
+    """Two availableNow runs over one checkpoint: batch 2 emits only files
+    added after batch 1 (the seen-set offset survives the restart)."""
+    from hubverse_transform_spark.sources.submission_catalog import register_streaming
+
+    register_streaming(spark)
+    sub = tmp_path / "subs"
+    sub.mkdir()
+    (sub / "2024-06-01-acme-model.csv").write_text("a,b\n1,2\n")
+    (sub / "notes.txt").write_text("x")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_once():
+        q = (
+            spark.readStream.format("hubverse_submissions_stream")
+            .load(str(sub))
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    first = spark.read.parquet(out)
+    assert first.count() == 2
+    by_name = {r.file_name: r for r in first.collect()}
+    assert by_name["2024-06-01-acme-model.csv"].valid
+    assert by_name["2024-06-01-acme-model.csv"].model_id == "acme-model"
+    assert not by_name["notes.txt"].valid
+
+    (sub / "2024-06-08-beta-model.parquet").write_bytes(b"PAR1")
+    run_once()
+    second = spark.read.parquet(out)
+    # only the new file was appended; no re-emission of already-seen files
+    assert second.count() == 3
+    assert second.filter("file_name = '2024-06-08-beta-model.parquet'").count() == 1
