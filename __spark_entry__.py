@@ -2169,6 +2169,31 @@ def q114_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unigram_logprob_scores(d, id_col="doc_id", text_col="text")
 
 
+def q115_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pretraining sequence packing: documents concatenate in deterministic
+    order into fixed-capacity token windows (streaming first-fit — the
+    standard concat-then-split packing). A running token sum over (lang,
+    doc_id) order assigns each doc its window id by integer division; the
+    rollup reports docs and token fill per window. One shuffle on the
+    packing key; the window function and rollup share the same sort."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        "lang",
+        F.size(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("n_tokens"),
+    )
+    capacity = 2048
+    packed = toks.withColumn(
+        "window_id",
+        F.expr(f"(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id "
+               f"ROWS UNBOUNDED PRECEDING) - n_tokens) div {capacity}"),
+    )
+    return packed.groupBy("lang", "window_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("window_tokens"),
+    )
+
+
 # =============================================================================
 # Driver contract
 # =============================================================================
@@ -2295,6 +2320,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q112_top_supplier": q112_top_supplier,
         "q113_big_orders": q113_big_orders,
         "q114_unigram_logprob": q114_unigram_logprob,
+        "q115_sequence_packing": q115_sequence_packing,
     }
 
 
@@ -4163,5 +4189,20 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(m.nll), 6) AS avg_neg_logprob
             FROM t2 JOIN model m USING (term)
             GROUP BY t2.doc_id
+        """,
+        "q115_sequence_packing": f"""
+            WITH toks AS (
+                SELECT doc_id, lang, len({_TOKS}) AS n_tokens FROM documents
+            ), packed AS (
+                SELECT lang, n_tokens,
+                       CAST((sum(n_tokens) OVER (PARTITION BY lang
+                                                 ORDER BY doc_id
+                                                 ROWS UNBOUNDED PRECEDING)
+                             - n_tokens) AS BIGINT) // 2048 AS window_id
+                FROM toks
+            )
+            SELECT lang, window_id, count(*) AS n_docs,
+                   CAST(sum(n_tokens) AS BIGINT) AS window_tokens
+            FROM packed GROUP BY lang, window_id
         """,
     }
