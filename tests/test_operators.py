@@ -488,3 +488,32 @@ def test_binned_interval_join_matches_nested_loop(spark):
     assert sorted(map(tuple, big.select("v", "name").collect())) == sorted(
         map(tuple, naive.select("v", "name").collect())
     )
+
+
+def test_cogrouped_asof_equals_union_window_form(spark):
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from hubverse_transform_spark.operators.asof import asof_join, cogrouped_asof_join
+
+    t = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)
+    left = spark.createDataFrame(
+        [(1, t(10), "a"), (1, t(20), "b"), (2, t(5), "c"), (3, t(9), "d")],
+        "k long, ts timestamp, tag string",
+    )
+    right = spark.createDataFrame(
+        [(1, t(10), 1.0), (1, t(15), 2.0), (2, t(1), 3.0)],
+        "k long, rts timestamp, px double",
+    )
+    kw = dict(on=["k"], left_ts="ts", right_ts="rts", value_cols=["px"])
+    a = asof_join(left, right, **kw).select(
+        "k", "ts", "tag", F.col("px_asof").alias("px")
+    )
+    b = cogrouped_asof_join(left, right, **kw).select("k", "ts", "tag", "px")
+    ra = sorted(map(tuple, a.collect()))
+    rb = sorted(map(tuple, b.collect()))
+    assert ra == rb
+    # tie at t=10 visible (backward inclusive); k=3 has no right rows -> null
+    d = {(r.k, r.ts.second): r.px for r in b.collect()}
+    assert d[(1, 10)] == 1.0 and d[(1, 20)] == 2.0 and d[(3, 9)] is None
