@@ -40,3 +40,34 @@ def test_every_query_analyzes_against_real_testdata(spark):
         except Exception as exc:  # pragma: no cover - failure path
             failures.append(f"{name}: {type(exc).__name__}: {exc}")
     assert not failures, "\n".join(failures)
+
+
+def test_sketch_queries_estimate_close_to_exact(spark):
+    """The two rows-only queries (q38 approx-distinct, q109 HLL union) have
+    no DuckDB oracle by design; pin locally that their estimates track the
+    exact distinct counts within HLL++'s default error envelope."""
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as e
+    from hubverse_transform_spark.session import load_table
+
+    sf = "/root/testdata/sf0.001"
+    ev = load_table(spark, sf, "events")
+
+    approx = {r[0]: r[1] for r in e.q38_approx_distinct_users(spark, sf).collect()}
+    exact_by_type = {
+        r[0]: r[1]
+        for r in ev.groupBy("event_type").agg(F.count_distinct("user_id")).collect()
+    }
+    for k, est in approx.items():
+        assert abs(est - exact_by_type[k]) <= max(3, 0.1 * exact_by_type[k]), (k, est)
+
+    weekly = {r.week: r.approx_users for r in e.q109_hll_union_users(spark, sf).collect()}
+    exact_weekly = {
+        r.week: r.n
+        for r in ev.groupBy(F.weekofyear(F.date_trunc("day", "ts")).alias("week"))
+        .agg(F.count_distinct("user_id").alias("n"))
+        .collect()
+    }
+    for w, est in weekly.items():
+        assert abs(est - exact_weekly[w]) <= max(3, 0.05 * exact_weekly[w]), (w, est)
