@@ -2194,6 +2194,29 @@ def q115_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q116_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew profile: the count-of-counts histogram for lineitem's
+    two main join keys — rows per key bucketed by log10 magnitude, plus the
+    max single-key load. This is the diagnostic run BEFORE choosing a join
+    strategy (broadcast / salting / AQE skew split — operators/skew.py); two
+    cheap aggregations per key, unioned."""
+    li = _t(spark, sf_dir, "lineitem")
+
+    def profile(key: str) -> DataFrame:
+        per_key = li.groupBy(F.col(key).alias("_k")).agg(
+            F.count(F.lit(1)).alias("_n")
+        )
+        bucket = F.length(F.col("_n").cast("string")).alias("magnitude")
+        return per_key.groupBy(bucket).agg(
+            F.lit(key).alias("key"),
+            F.count(F.lit(1)).alias("n_keys"),
+            F.sum("_n").alias("n_rows"),
+            F.max("_n").alias("max_rows_per_key"),
+        ).select("key", "magnitude", "n_keys", "n_rows", "max_rows_per_key")
+
+    return profile("l_orderkey").unionAll(profile("l_partkey"))
+
+
 # =============================================================================
 # Driver contract
 # =============================================================================
@@ -2321,6 +2344,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q113_big_orders": q113_big_orders,
         "q114_unigram_logprob": q114_unigram_logprob,
         "q115_sequence_packing": q115_sequence_packing,
+        "q116_key_skew_profile": q116_key_skew_profile,
     }
 
 
@@ -4204,5 +4228,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT lang, window_id, count(*) AS n_docs,
                    CAST(sum(n_tokens) AS BIGINT) AS window_tokens
             FROM packed GROUP BY lang, window_id
+        """,
+        "q116_key_skew_profile": """
+            WITH ok AS (
+                SELECT l_orderkey AS _k, count(*) AS _n FROM lineitem GROUP BY 1
+            ), pk AS (
+                SELECT l_partkey AS _k, count(*) AS _n FROM lineitem GROUP BY 1
+            )
+            SELECT 'l_orderkey' AS key,
+                   length(CAST(_n AS VARCHAR)) AS magnitude,
+                   count(*) AS n_keys,
+                   CAST(sum(_n) AS BIGINT) AS n_rows,
+                   max(_n) AS max_rows_per_key
+            FROM ok GROUP BY 2
+            UNION ALL
+            SELECT 'l_partkey', length(CAST(_n AS VARCHAR)), count(*),
+                   CAST(sum(_n) AS BIGINT), max(_n)
+            FROM pk GROUP BY 2
         """,
     }
