@@ -2217,6 +2217,25 @@ def q116_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return profile("l_orderkey").unionAll(profile("l_partkey"))
 
 
+def q117_mom_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue growth: aggregate the order series to months,
+    then lag + percent-change over the (tiny) aggregated frame — the
+    time-series growth report every dashboard ships. The window runs on the
+    post-aggregation series, so its single-partition sort touches months,
+    not orders."""
+    o = _t(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM").alias("month")
+    ).agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    w = Window.orderBy("month")
+    prev = F.lag("revenue").over(w)
+    return monthly.select(
+        "month",
+        "revenue",
+        F.round((F.col("revenue") - prev) / prev * 100.0, 4).alias("mom_pct"),
+    )
+
+
 # =============================================================================
 # Driver contract
 # =============================================================================
@@ -2345,6 +2364,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q114_unigram_logprob": q114_unigram_logprob,
         "q115_sequence_packing": q115_sequence_packing,
         "q116_key_skew_profile": q116_key_skew_profile,
+        "q117_mom_revenue_growth": q117_mom_revenue_growth,
     }
 
 
@@ -4245,5 +4265,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'l_partkey', length(CAST(_n AS VARCHAR)), count(*),
                    CAST(sum(_n) AS BIGINT), max(_n)
             FROM pk GROUP BY 2
+        """,
+        "q117_mom_revenue_growth": """
+            WITH monthly AS (
+                SELECT strftime(CAST(date_trunc('month', o_orderdate) AS DATE),
+                                '%Y-%m') AS month,
+                       round(sum(o_totalprice), 2) AS revenue
+                FROM orders GROUP BY 1
+            )
+            SELECT month, revenue,
+                   round((revenue - lag(revenue) OVER (ORDER BY month))
+                         / lag(revenue) OVER (ORDER BY month) * 100.0, 4)
+                       AS mom_pct
+            FROM monthly
         """,
     }
