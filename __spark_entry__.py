@@ -2236,6 +2236,67 @@ def q117_mom_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q118_status_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-status transition matrix: per customer's order sequence, count
+    (previous status -> status) pairs — the Markov-chain summary behind
+    lifecycle analytics. One window (lag over the customer partition) and
+    one rollup, sharing the same shuffle."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    pairs = o.select(
+        F.lag("o_orderstatus").over(w).alias("from_status"),
+        F.col("o_orderstatus").alias("to_status"),
+    ).filter(F.col("from_status").isNotNull())
+    return pairs.groupBy("from_status", "to_status").agg(
+        F.count(F.lit(1)).alias("n_transitions")
+    )
+
+
+def q119_copurchase_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association: brand pairs co-occurring in the same order
+    with support counts and lift = P(a,b)·N / (P(a)·P(b)) — the frequent-
+    itemset primitive. Baskets are per-order distinct brand sets; the pair
+    join is a self-join co-partitioned on the order key (one shuffle each
+    side), and the per-brand counts broadcast into the pair rollup. Brands
+    bound the blow-up (25 brands -> <=300 pairs per basket)."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    basket = (
+        li.join(F.broadcast(p.select("p_partkey", "p_brand")),
+                F.col("l_partkey") == F.col("p_partkey"))
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    n_orders = basket.agg(F.count_distinct("l_orderkey").alias("_no"))
+    brand_n = basket.groupBy("p_brand").agg(F.count(F.lit(1)).alias("n"))
+    a = basket.select(F.col("l_orderkey"), F.col("p_brand").alias("brand_a"))
+    b = basket.select(F.col("l_orderkey"), F.col("p_brand").alias("brand_b"))
+    pair_n = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("brand_a") < F.col("brand_b"))
+        .groupBy("brand_a", "brand_b")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+        .filter(F.col("n_both") >= 50)
+    )
+    na = brand_n.select(F.col("p_brand").alias("brand_a"), F.col("n").alias("n_a"))
+    nb = brand_n.select(F.col("p_brand").alias("brand_b"), F.col("n").alias("n_b"))
+    return (
+        pair_n.join(F.broadcast(na), "brand_a")
+        .join(F.broadcast(nb), "brand_b")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "brand_a",
+            "brand_b",
+            "n_both",
+            F.round(
+                F.col("n_both") * F.col("_no").cast("double")
+                / (F.col("n_a") * F.col("n_b")),
+                6,
+            ).alias("lift"),
+        )
+    )
+
+
 # =============================================================================
 # Driver contract
 # =============================================================================
@@ -2365,6 +2426,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q115_sequence_packing": q115_sequence_packing,
         "q116_key_skew_profile": q116_key_skew_profile,
         "q117_mom_revenue_growth": q117_mom_revenue_growth,
+        "q118_status_transitions": q118_status_transitions,
+        "q119_copurchase_lift": q119_copurchase_lift,
     }
 
 
@@ -4278,5 +4341,41 @@ def oracle_sql() -> dict[str, str]:
                          / lag(revenue) OVER (ORDER BY month) * 100.0, 4)
                        AS mom_pct
             FROM monthly
+        """,
+        "q118_status_transitions": """
+            WITH seq AS (
+                SELECT lag(o_orderstatus) OVER (PARTITION BY o_custkey
+                                                ORDER BY o_orderdate,
+                                                         o_orderkey)
+                           AS from_status,
+                       o_orderstatus AS to_status
+                FROM orders
+            )
+            SELECT from_status, to_status, count(*) AS n_transitions
+            FROM seq WHERE from_status IS NOT NULL
+            GROUP BY from_status, to_status
+        """,
+        "q119_copurchase_lift": """
+            WITH basket AS (
+                SELECT DISTINCT l_orderkey, p_brand
+                FROM lineitem JOIN part ON l_partkey = p_partkey
+            ), n_orders AS (
+                SELECT count(DISTINCT l_orderkey) AS n FROM basket
+            ), brand_n AS (
+                SELECT p_brand, count(*) AS n FROM basket GROUP BY p_brand
+            ), pair_n AS (
+                SELECT a.p_brand AS brand_a, b.p_brand AS brand_b,
+                       count(*) AS n_both
+                FROM basket a JOIN basket b
+                  ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+                GROUP BY 1, 2
+                HAVING count(*) >= 50
+            )
+            SELECT brand_a, brand_b, n_both,
+                   round(n_both * (SELECT CAST(n AS DOUBLE) FROM n_orders)
+                         / (na.n * nb.n), 6) AS lift
+            FROM pair_n
+            JOIN brand_n na ON na.p_brand = brand_a
+            JOIN brand_n nb ON nb.p_brand = brand_b
         """,
     }
