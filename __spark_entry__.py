@@ -431,10 +431,15 @@ def q24_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q25_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs (exact form, oracle-bounded; the
-    hyperplane-LSH form is the scale path, see operators.similarity)."""
+    """Embedding-cosine near-dup pairs via the hyperplane-LSH bucketed path
+    (the scale form: candidate pairs share a deterministic md5-plane bucket,
+    so the self-join shuffles on bucket keys, never all-pairs and never a
+    driver-side collect). The exact matmul form is kept as a test-only recall
+    baseline (tests/test_similarity.py)."""
     emb = _t(spark, sf_dir, "embeddings")
-    pairs = embedding_near_dup_pairs(emb, threshold=0.3, exact=True)
+    pairs = embedding_near_dup_pairs(
+        emb, threshold=0.3, exact=False, num_planes=4, dim=64
+    )
     return pairs.select("id_a", "id_b", F.round("cosine_sim", 6).alias("cosine_sim"))
 
 
@@ -2545,6 +2550,31 @@ def _lsh_topk_sql(
     """
 
 
+def _lsh_neardup_sql(*, threshold: float, num_planes: int, dim: int) -> str:
+    """Bucketed near-dup oracle: replays embedding_near_dup_pairs' default
+    path — same md5-derived hyperplane bucket assignment (plane components
+    inlined as array literals), same same-bucket-only candidate join."""
+    bucket_terms = []
+    for p in range(num_planes):
+        comps = ", ".join(repr(c) for c in _hyperplane(p, dim))
+        bucket_terms.append(
+            f"(CASE WHEN list_dot_product(ve, [{comps}]) >= 0 THEN {2**p} ELSE 0 END)"
+        )
+    bucket = " + ".join(bucket_terms)
+    return f"""
+        WITH v AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings
+        ), b AS (
+            SELECT vec_id, ve, {bucket} AS bucket FROM v
+        )
+        SELECT a.vec_id AS id_a, b2.vec_id AS id_b,
+               round(list_cosine_similarity(a.ve, b2.ve), 6) AS cosine_sim
+        FROM b a JOIN b b2
+          ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+        WHERE list_cosine_similarity(a.ve, b2.ve) >= {threshold}
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     en_profile = "|".join(_LANG_PROFILES["en"])
     return {
@@ -2804,14 +2834,9 @@ def oracle_sql() -> dict[str, str]:
             SELECT query_id, neighbor_id, round(sim, 6) AS cosine_sim, rank
             FROM ranked WHERE rank <= 5
         """,
-        "q25_embedding_neardup": """
-            WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings)
-            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-                   round(list_cosine_similarity(a.ve, b.ve), 6) AS cosine_sim
-            FROM v a, v b
-            WHERE a.vec_id < b.vec_id
-              AND list_cosine_similarity(a.ve, b.ve) >= 0.3
-        """,
+        "q25_embedding_neardup": _lsh_neardup_sql(
+            threshold=0.3, num_planes=4, dim=64
+        ),
         "q26_text_quality_by_lang": f"""
             WITH ann AS (
                 SELECT lang,

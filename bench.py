@@ -69,6 +69,10 @@ def main() -> None:
     }
     if errors:
         result["errors"] = errors
+    # Spark/Ivy banners share stdout with the JSON line, so the driver's
+    # tail-capture can miss it; also persist a clean machine-readable copy.
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH.json"), "w") as f:
+        json.dump(result, f)
     print(json.dumps(result))
     spark.stop()
     if errors:

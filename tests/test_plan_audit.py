@@ -10,9 +10,9 @@ from hubverse_transform_spark.plans.inspect import explain_str
 
 SF = "/root/testdata/sf0.001"
 
-# q25/q45 execute eagerly at build time (collect / localCheckpoint loops);
-# their join structure is covered by their own tests
-_EAGER = {"q25_embedding_neardup", "q45_dedup_clusters"}
+# q45 executes eagerly at build time (localCheckpoint loop); its join
+# structure is covered by its own tests
+_EAGER = {"q45_dedup_clusters"}
 
 
 @pytest.mark.parametrize("name", [q for q in entry.queries() if q not in _EAGER])
