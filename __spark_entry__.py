@@ -2302,6 +2302,29 @@ def q119_copurchase_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q120_lsh_multitable_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OR-ed multi-table hyperplane-LSH ANN top-3 (the recall-amplified
+    scale path of q36): 4 independent 4-plane tables, 2 probes each —
+    a candidate qualifies if it collides in ANY table, so miss probability
+    decays as (1-p)^L (RECALL.md: 0.77 recall@5 vs 0.27 single-table).
+    Deterministic md5 planes keep the whole candidate set oracle-able."""
+    emb = _t(spark, sf_dir, "embeddings")
+    out = cosine_lsh_topk(
+        emb,
+        emb.filter(F.col("vec_id") < 5),
+        id_col="vec_id",
+        vec_col="embedding",
+        k=3,
+        num_planes=4,
+        dim=64,
+        probes=2,
+        num_tables=4,
+    )
+    return out.select(
+        "query_id", "neighbor_id", F.round("cosine_sim", 6).alias("cosine_sim"), "rank"
+    )
+
+
 # =============================================================================
 # Driver contract
 # =============================================================================
@@ -2433,6 +2456,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q117_mom_revenue_growth": q117_mom_revenue_growth,
         "q118_status_transitions": q118_status_transitions,
         "q119_copurchase_lift": q119_copurchase_lift,
+        "q120_lsh_multitable_topk": q120_lsh_multitable_topk,
     }
 
 
@@ -2512,32 +2536,59 @@ def _simhash_sql(bits: int = 16) -> str:
     return terms
 
 
+def _lsh_bucket_sql(table: int, num_planes: int, dim: int) -> str:
+    """SQL expression for table ``table``'s hyperplane bucket of column
+    ``ve`` (plane components inlined as array literals — same deterministic
+    md5 family as operators.similarity._hyperplane)."""
+    terms = []
+    for p in range(num_planes):
+        comps = ", ".join(repr(c) for c in _hyperplane(table * num_planes + p, dim))
+        terms.append(
+            f"(CASE WHEN list_dot_product(ve, [{comps}]) >= 0 THEN {2**p} ELSE 0 END)"
+        )
+    return " + ".join(terms)
+
+
 def _lsh_topk_sql(
-    *, k: int, num_planes: int, dim: int, max_query_id: int, probes: int = 0
+    *,
+    k: int,
+    num_planes: int,
+    dim: int,
+    max_query_id: int,
+    probes: int = 0,
+    num_tables: int = 1,
 ) -> str:
     """Hyperplane-LSH top-k oracle: the deterministic md5-derived plane
     components are inlined as SQL array literals, so DuckDB reproduces the
-    exact bucket assignment and candidate ranking of cosine_lsh_topk."""
-    bucket_terms = []
-    for p in range(num_planes):
-        comps = ", ".join(repr(c) for c in _hyperplane(p, dim))
-        bucket_terms.append(
-            f"(CASE WHEN list_dot_product(ve, [{comps}]) >= 0 THEN {2**p} ELSE 0 END)"
+    exact bucket assignment and candidate ranking of cosine_lsh_topk —
+    including multi-probe and OR-ed multi-table candidate generation (a pair
+    qualifies if it collides in ANY table; the single OR-join scores each
+    pair once, mirroring the engine's dropDuplicates)."""
+    buckets = ", ".join(
+        f"{_lsh_bucket_sql(t, num_planes, dim)} AS bucket{t}"
+        for t in range(num_tables)
+    )
+    per_table = []
+    for t in range(num_tables):
+        probe_set = ", ".join(
+            [f"q.bucket{t}"] + [f"xor(q.bucket{t}, {1 << i})" for i in range(probes)]
         )
-    bucket = " + ".join(bucket_terms)
+        per_table.append(f"c.bucket{t} IN ({probe_set})")
+    collide = " OR ".join(per_table)
     return f"""
         WITH v AS (
             SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings
         ), b AS (
-            SELECT vec_id, ve, {bucket} AS bucket FROM v
+            SELECT vec_id, ve, {buckets} FROM v
         ), q AS (
-            SELECT vec_id AS query_id, ve AS qv, bucket FROM b
-            WHERE vec_id < {max_query_id}
+            SELECT vec_id AS query_id, ve AS qv,
+                   {", ".join(f"bucket{t}" for t in range(num_tables))}
+            FROM b WHERE vec_id < {max_query_id}
         ), scored AS (
             SELECT q.query_id, c.vec_id AS neighbor_id,
                    list_cosine_similarity(q.qv, c.ve) AS sim
             FROM q JOIN b c
-              ON c.bucket IN ({", ".join(["q.bucket"] + [f"xor(q.bucket, {1 << i})" for i in range(probes)])})
+              ON ({collide})
              AND c.vec_id != q.query_id
         ), ranked AS (
             SELECT query_id, neighbor_id, sim,
@@ -4403,4 +4454,7 @@ def oracle_sql() -> dict[str, str]:
             JOIN brand_n na ON na.p_brand = brand_a
             JOIN brand_n nb ON nb.p_brand = brand_b
         """,
+        "q120_lsh_multitable_topk": _lsh_topk_sql(
+            k=3, num_planes=4, dim=64, max_query_id=5, probes=2, num_tables=4
+        ),
     }

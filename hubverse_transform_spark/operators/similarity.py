@@ -91,43 +91,73 @@ def cosine_lsh_topk(
     num_planes: int = 4,
     dim: int = 64,
     probes: int = 0,
+    num_tables: int = 1,
 ) -> DataFrame:
     """Approximate top-k: candidates share the query's hyperplane bucket.
 
-    2^num_planes buckets; expected candidate set = corpus / 2^planes per
-    query. ``probes`` > 0 enables multi-probe: each query additionally
-    searches the buckets that differ in one plane's sign bit (the nearest
-    Hamming neighbors — where borderline vectors land), trading ``probes``×
-    candidate volume for recall without re-hashing the corpus. Same output
-    shape as the brute-force operator, so callers can measure recall against
-    the exact baseline.
+    2^num_planes buckets per table; expected candidate set = corpus /
+    2^planes per query per table. Two orthogonal recall amplifiers:
+
+    - ``probes`` > 0 (multi-probe): each query additionally searches the
+      buckets that differ in one plane's sign bit (the nearest Hamming
+      neighbors — where borderline vectors land), trading ``probes``×
+      candidate volume for recall without re-hashing the corpus.
+    - ``num_tables`` > 1 (OR-ed tables): L independent hyperplane sets
+      (table t uses planes t*num_planes .. t*num_planes+num_planes-1 of the
+      deterministic md5 family); a candidate qualifies if it collides in ANY
+      table, so miss probability decays as (1-p)^L — the standard
+      amplification a single table's multi-probe can't reach. Corpus and
+      query each explode to L rows keyed by (table, bucket); the join stays
+      a bucket-key equi-join and candidate pairs found by several tables are
+      deduped before the (expensive) exact re-rank.
+
+    Same output shape as the brute-force operator, so callers can measure
+    recall against the exact baseline (tools/dump_recall.py).
     """
-    planes = [_hyperplane(p, dim) for p in range(num_planes)]
+    tables = [
+        [_hyperplane(t * num_planes + p, dim) for p in range(num_planes)]
+        for t in range(num_tables)
+    ]
+    c_sig = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("t"),
+                hyperplane_bucket(F.col(vec_col), planes).alias("b"),
+            )
+            for t, planes in enumerate(tables)
+        ]
+    )
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("_cvec"),
-        hyperplane_bucket(F.col(vec_col), planes).alias("_bucket"),
-    )
+        F.explode(c_sig).alias("_tb"),
+    ).select("neighbor_id", "_cvec", "_tb.t", "_tb.b")
+    q_entries = []
+    for t, planes in enumerate(tables):
+        bucket = hyperplane_bucket(F.col(vec_col), planes)
+        q_entries.append(F.struct(F.lit(t).alias("t"), bucket.alias("b")))
+        for i in range(min(probes, num_planes)):
+            q_entries.append(
+                F.struct(
+                    F.lit(t).alias("t"),
+                    bucket.bitwiseXOR(F.lit(1 << i)).alias("b"),
+                )
+            )
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("_qvec"),
-        hyperplane_bucket(F.col(vec_col), planes).alias("_bucket"),
-    )
-    if probes:
-        probe_buckets = F.array(
-            F.col("_bucket"),
-            *[
-                F.col("_bucket").bitwiseXOR(F.lit(1 << i))
-                for i in range(min(probes, num_planes))
-            ],
-        )
-        q = q.select(
-            "query_id", "_qvec", F.explode(probe_buckets).alias("_bucket")
-        )
-    scored = (
-        c.join(F.broadcast(q), on="_bucket")
+        F.explode(F.array(*q_entries)).alias("_tb"),
+    ).select("query_id", "_qvec", "_tb.t", "_tb.b")
+    cand = (
+        c.join(F.broadcast(q), on=["t", "b"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cosine_sim", cosine_similarity(F.col("_qvec"), F.col("_cvec")))
+    )
+    if num_tables > 1:
+        # a pair colliding in several tables must score once; within ONE
+        # table the probe buckets are distinct values, so no dedup needed
+        cand = cand.dropDuplicates(["query_id", "neighbor_id"])
+    scored = cand.withColumn(
+        "cosine_sim", cosine_similarity(F.col("_qvec"), F.col("_cvec"))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine_sim").desc(), F.col("neighbor_id"))
     return (

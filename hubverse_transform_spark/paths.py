@@ -76,22 +76,28 @@ class S3Route:
     output_path: str    # s3://bucket/<key minus origin_prefix minus filename>
 
 
-def route_s3_key(bucket: str, key: str, origin_prefix: str = "raw") -> S3Route:
+def route_s3_key(
+    bucket: str, key: str, origin_prefix: str = "raw", scheme: str = "s3"
+) -> S3Route:
     """Validate + route an S3 object key to its transform destination.
 
     Matches ref model_output.py:136-189 (``from_s3``): the key must start with
     ``origin_prefix`` (ValueError otherwise); the destination directory is the
     key minus the prefix and minus the file name (``raw/a/b/f.csv`` -> ``a/b``;
     bare ``raw/f.csv`` -> ``"."``).
+
+    ``scheme`` defaults to the reference's observable ``s3://`` URIs; pass
+    ``"s3a"`` when the URIs will be consumed by Spark/Hadoop (the s3a
+    connector is the only S3 binding Hadoop configures by default).
     """
     if not key.startswith(f"{origin_prefix}/"):
         raise ValueError(f"S3 key {key} does not begin with {origin_prefix}/")
     relative = key.removeprefix(f"{origin_prefix}/")
     dest_dir = posixpath.dirname(relative) or "."
     return S3Route(
-        hub_path=f"s3://{bucket}",
+        hub_path=f"{scheme}://{bucket}",
         mo_path=key,
-        output_path=f"s3://{bucket}/{dest_dir}",
+        output_path=f"{scheme}://{bucket}/{dest_dir}",
     )
 
 

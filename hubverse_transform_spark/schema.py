@@ -24,6 +24,7 @@ import re
 from typing import Any
 
 from pyspark.sql.types import (
+    BooleanType,
     DataType,
     DateType,
     DoubleType,
@@ -45,6 +46,34 @@ _VALUE_TYPES: dict[str, DataType] = {
 # columns forced to string regardless of enumerated values (ref §1.3:
 # hubdata types these as string under output_type_id_datatype == "auto")
 _FORCED_STRING = {"location", "output_type_id"}
+
+# tasks.json top-level ``output_type_id_datatype`` values -> Spark types
+# (the hubdata contract the reference delegates to at ref model_output.py:282-288;
+# example config at ref test/integration/data/flu-metrocast/hub-config/tasks.json:160).
+# "auto" means infer — which for output_type_id collapses to string so that
+# heterogeneous values (0.25 vs "large_increase") survive in one column.
+_OUTPUT_TYPE_ID_DATATYPES: dict[str, DataType] = {
+    "character": StringType(),
+    "double": DoubleType(),
+    "integer": LongType(),
+    "logical": BooleanType(),
+    "Date": DateType(),
+}
+
+
+def _output_type_id_type(tasks: dict) -> DataType | None:
+    """The pinned output_type_id type, or None when "auto"/absent (caller
+    falls back to the forced-string inference policy)."""
+    pinned = tasks.get("output_type_id_datatype", "auto")
+    if pinned == "auto":
+        return None
+    try:
+        return _OUTPUT_TYPE_ID_DATATYPES[pinned]
+    except KeyError:
+        raise ValueError(
+            f"unsupported output_type_id_datatype {pinned!r}; expected one of "
+            f"'auto', {sorted(_OUTPUT_TYPE_ID_DATATYPES)}"
+        ) from None
 
 
 def _infer_domain_type(values: list[Any]) -> DataType:
@@ -116,14 +145,20 @@ def hub_schema(tasks: dict) -> StructType:
     """
     raw_domains = _task_id_domains(tasks)
     domain_types = {c: _infer_domain_type(v) for c, v in raw_domains.items()}
+    otid_pinned = _output_type_id_type(tasks)
 
     fields: list[StructField] = []
     for col in raw_domains:
-        t = StringType() if col in _FORCED_STRING else domain_types[col]
+        if col == "output_type_id" and otid_pinned is not None:
+            t = otid_pinned
+        else:
+            t = StringType() if col in _FORCED_STRING else domain_types[col]
         fields.append(StructField(col, t, nullable=True))
     fields.append(StructField("output_type", StringType(), True))
     if "output_type_id" not in raw_domains:
-        fields.append(StructField("output_type_id", StringType(), True))
+        fields.append(
+            StructField("output_type_id", otid_pinned or StringType(), True)
+        )
     fields.append(StructField("value", _value_type(tasks), True))
     fields.append(StructField("round_id", _round_id_type(tasks, domain_types), True))
     fields.append(StructField("model_id", StringType(), True))

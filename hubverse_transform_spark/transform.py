@@ -93,10 +93,20 @@ class ModelOutputPipeline:
 
     @classmethod
     def from_s3(
-        cls, spark: SparkSession, bucket: str, key: str, origin_prefix: str = "raw"
+        cls,
+        spark: SparkSession,
+        bucket: str,
+        key: str,
+        origin_prefix: str = "raw",
+        scheme: str = "s3a",
     ) -> "ModelOutputPipeline":
-        """Route an S3 object event to a pipeline (A11, ref model_output.py:136-189)."""
-        route: S3Route = route_s3_key(bucket, key, origin_prefix)
+        """Route an S3 object event to a pipeline (A11, ref model_output.py:136-189).
+
+        Default scheme is ``s3a`` — the Hadoop connector Spark actually binds
+        for S3 I/O (the reference's cloudpathlib stack uses ``s3://``; pass
+        ``scheme="s3"`` only for URI parity checks, not live reads).
+        """
+        route: S3Route = route_s3_key(bucket, key, origin_prefix, scheme=scheme)
         return cls(spark, route.hub_path, route.mo_path, route.output_path)
 
     # --- pipeline stages -------------------------------------------------

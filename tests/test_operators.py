@@ -250,6 +250,37 @@ def test_lsh_multiprobe_recall_dominates(spark):
     assert recall(lsh2) > 0
 
 
+def test_lsh_multitable_recall_dominates_single_table(spark):
+    """OR-ing L independent tables can only grow the candidate set (table 0
+    IS the single-table plane family), so recall is monotone in tables and
+    the scored pairs are unique despite multi-table collisions."""
+    from hubverse_transform_spark.session import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+
+    def topset(df):
+        out = {}
+        for r in df.collect():
+            out.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        return out
+
+    exact = topset(cosine_brute_force_topk(emb, queries, k=5))
+    one = cosine_lsh_topk(emb, queries, k=5, num_planes=4, probes=2, num_tables=1)
+    four = cosine_lsh_topk(emb, queries, k=5, num_planes=4, probes=2, num_tables=4)
+    four_rows = four.collect()
+    # no pair scored twice
+    assert len({(r["query_id"], r["neighbor_id"]) for r in four_rows}) == len(four_rows)
+
+    def recall(approx):
+        hits = sum(len(approx.get(q, set()) & exact[q]) for q in exact)
+        total = sum(len(v) for v in exact.values())
+        return hits / total
+
+    t1, t4 = recall(topset(one)), recall(topset(four))
+    assert t4 >= t1 and t4 > 0
+
+
 def test_ivf_full_probe_equals_brute_force(spark):
     """Probing every inverted list degrades IVF to exact search, so the
     result must equal the brute-force baseline row for row."""

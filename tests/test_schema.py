@@ -77,3 +77,41 @@ def test_output_schema_provenance_is_string():
     assert types["model_id"] == StringType()
     assert isinstance(out, StructType)
     assert [f.name for f in out.fields][-2:] == ["round_id", "model_id"]
+
+
+def test_output_type_id_datatype_pinned():
+    """A hub pinning output_type_id_datatype != "auto" overrides the
+    forced-string policy (the hubdata contract the reference delegates to at
+    ref model_output.py:282-288; config key at ref
+    test/integration/data/flu-metrocast/hub-config/tasks.json:160)."""
+    import copy
+
+    import pytest
+    from pyspark.sql.types import BooleanType
+
+    base = copy.deepcopy(TASKS_JSON)
+
+    for pinned, expected in [
+        ("double", DoubleType()),
+        ("integer", LongType()),
+        ("character", StringType()),
+        ("logical", BooleanType()),
+        ("Date", DateType()),
+    ]:
+        t = copy.deepcopy(base)
+        t["output_type_id_datatype"] = pinned
+        types = {f.name: f.dataType for f in hub_schema(t).fields}
+        assert types["output_type_id"] == expected, pinned
+        # location stays forced-string regardless of the pin
+        assert types["location"] == StringType()
+
+    t = copy.deepcopy(base)
+    t["output_type_id_datatype"] = "auto"
+    assert {f.name: f.dataType for f in hub_schema(t).fields}[
+        "output_type_id"
+    ] == StringType()
+
+    t = copy.deepcopy(base)
+    t["output_type_id_datatype"] = "bogus"
+    with pytest.raises(ValueError, match="output_type_id_datatype"):
+        hub_schema(t)
