@@ -94,6 +94,12 @@ def cogrouped_asof_join(
     (multi-column nearest-tolerance matches, interpolation), which is
     exactly the escape hatch this operator demonstrates. Per-key data must
     fit a worker's memory (the usual applyInPandas bound).
+
+    Determinism: when a key has several right rows at the same timestamp,
+    ``merge_asof`` keeps the LAST one in sort order, and Arrow delivers
+    group rows in arrival order — partition-dependent. The right side is
+    therefore sorted by (ts, value_cols) so the carried row is the same on
+    every run/partitioning (mirroring ``asof_join``'s uniqueness caveat).
     """
     import pandas as pd
 
@@ -113,7 +119,9 @@ def cogrouped_asof_join(
             for c in value_cols:
                 out[c] = None
             return out[lcols + value_cols]
-        rpdf = rpdf[[right_ts] + value_cols].sort_values(right_ts, kind="mergesort")
+        rpdf = rpdf[[right_ts] + value_cols].sort_values(
+            [right_ts] + value_cols, kind="mergesort"
+        )
         merged = pd.merge_asof(
             lpdf, rpdf, left_on=left_ts, right_on=right_ts, direction="backward"
         )

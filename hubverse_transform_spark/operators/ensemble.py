@@ -35,10 +35,17 @@ def mean_ensemble(
     """Linear-pool ensemble: per task cell, the (weighted) mean of model
     values, with the contributing-model count.
 
-    ``weights`` maps model_id -> weight (unlisted models get 0); None means
-    equal weights. Output: task-cell columns + ``value`` + ``n_models`` —
-    the same shape as a model's own rows, so the ensemble can be written
-    back to the lake as just another ``model_id``.
+    ``weights`` maps model_id -> weight; weights must be non-negative
+    (ValueError otherwise). Models NOT listed in ``weights`` are excluded
+    entirely (the broadcast inner join drops their rows), so ``n_models``
+    counts weighted models only. A task cell whose listed models all carry
+    weight 0 has no defined mean (0/0) and is dropped from the output
+    rather than emitted as a null-value row. ``weights=None`` means equal
+    weights across every model present.
+
+    Output: task-cell columns + ``value`` + ``n_models`` — the same shape
+    as a model's own rows, so the ensemble can be written back to the lake
+    as just another ``model_id``.
     """
     cells = task_cell_cols(df)
     if weights is None:
@@ -46,15 +53,20 @@ def mean_ensemble(
             F.avg("value").alias("value"),
             F.count_distinct("model_id").alias("n_models"),
         )
+    if any(w < 0 for w in weights.values()):
+        raise ValueError("ensemble weights must be non-negative")
     spark = df.sparkSession
     w = spark.createDataFrame(list(weights.items()), "model_id string, w double")
     return (
         df.join(F.broadcast(w), "model_id")
         .groupBy(*cells)
         .agg(
-            (F.sum(F.col("value") * F.col("w")) / F.sum("w")).alias("value"),
+            # try_divide: an all-zero-weight cell is null (not an ANSI
+            # divide-by-zero error), then dropped by the filter below
+            F.try_divide(F.sum(F.col("value") * F.col("w")), F.sum("w")).alias("value"),
             F.count_distinct("model_id").alias("n_models"),
         )
+        .filter(F.col("value").isNotNull())
     )
 
 

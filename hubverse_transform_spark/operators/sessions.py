@@ -21,15 +21,18 @@ from pyspark.sql import functions as F
 
 
 def _epoch_seconds(col: Column) -> Column:
-    """Timestamp → fractional epoch seconds, safe for TIMESTAMP_NTZ.
+    """Timestamp → fractional epoch seconds, safe for TIMESTAMP_NTZ and
+    independent of the session timezone.
 
     Spark 4 forbids CAST(TIMESTAMP_NTZ AS DOUBLE) (the driver's parquet stores
-    ``ts`` as timestamp[us] without a zone, which Spark reads as NTZ); routing
-    through TIMESTAMP_LTZ is allowed and preserves microsecond precision. Only
-    *differences* of the result are used, so the session-timezone offset
-    introduced by the NTZ→LTZ reinterpretation cancels out.
+    ``ts`` as timestamp[us] without a zone, which Spark reads as NTZ). A bare
+    NTZ→LTZ cast would interpret the wall time in the *session* timezone, so
+    gap differences straddling a DST transition would be off by the shift;
+    ``to_utc_timestamp(col, 'UTC')`` instead pins the wall-clock
+    interpretation to UTC (a fixed offset), making differences exact under
+    any session timezone, and ``unix_micros`` keeps microsecond precision.
     """
-    return col.cast("timestamp_ltz").cast("double")
+    return F.unix_micros(F.to_utc_timestamp(col, "UTC")).cast("double") / 1e6
 
 
 def sessionize(

@@ -198,13 +198,33 @@ def compact_lake_partition(
     Streaming ingest (one file per submission/micro-batch) accretes small
     files until scan task scheduling dominates query time; periodic
     compaction is how a 100 TB lake stays scannable. The rewrite is
-    read -> coalesce(ceil(bytes/target)) -> write-to-temp -> atomic swap, so
-    readers never observe a partially-compacted directory; ``coalesce``
-    (not ``repartition``) keeps the rewrite shuffle-free.
+    read -> coalesce(ceil(bytes/target)) -> write-to-temp -> rename swap;
+    ``coalesce`` (not ``repartition``) keeps the rewrite shuffle-free.
+
+    Crash-safety contract (single-writer): stale ``._compacting`` /
+    ``._old`` leftovers from a previously crashed run are reconciled before
+    starting (an orphaned ``._old`` with no live directory is restored —
+    that crash window strands no data), and the old copy is deleted only
+    after the new directory has been verified readable. The two renames are
+    NOT atomic as a pair: a concurrent reader can hit a brief
+    FileNotFound window between them and should retry; a production lake
+    closes that window with a manifest/table format (Delta/Iceberg-style
+    metadata swap) rather than directory renames.
     """
     import math
     import os
     import shutil
+
+    tmp = path.rstrip("/") + "._compacting"
+    swap = path.rstrip("/") + "._old"
+    # reconcile leftovers from a prior crashed run
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)  # incomplete rewrite: discard, recompute below
+    if os.path.exists(swap):
+        if os.path.exists(path):
+            shutil.rmtree(swap)  # crashed after the second rename: old copy
+        else:
+            os.rename(swap, path)  # crashed between renames: restore data
 
     files = [
         os.path.join(path, f)
@@ -213,10 +233,10 @@ def compact_lake_partition(
     ]
     total = sum(os.path.getsize(f) for f in files)
     n_out = max(1, math.ceil(total / target_file_bytes))
-    tmp = path.rstrip("/") + "._compacting"
     spark.read.parquet(path).coalesce(n_out).write.mode("overwrite").parquet(tmp)
-    swap = path.rstrip("/") + "._old"
     os.rename(path, swap)
     os.rename(tmp, path)
+    # keep the old copy until the swapped-in directory proves readable
+    spark.read.parquet(path).head(1)
     shutil.rmtree(swap)
     return n_out

@@ -131,24 +131,39 @@ class SubmissionStreamReader(SimpleDataSourceStreamReader):
     """Incremental submission discovery with checkpointed offsets.
 
     The streaming half of the catalog: each micro-batch emits catalog rows
-    for files not yet seen, and the seen-set IS the offset — stored in the
-    checkpoint, so a restarted query resumes exactly where it left off and
-    ``readBetweenOffsets`` replays any batch deterministically (the
-    exactly-once contract of the Lambda trigger, without the Lambda).
+    for files not yet seen. Two offset modes (``offset_mode`` option):
+
+    - ``"seen"`` (default): the seen-set IS the offset — a restarted query
+      resumes exactly and ``readBetweenOffsets`` replays any batch from the
+      offsets alone (the exactly-once contract of the Lambda trigger,
+      without the Lambda). Offset size and per-batch diff cost grow with
+      TOTAL file count — right for hub-sized directories (thousands of
+      submissions), wrong for a lake.
+    - ``"mtime"``: a modification-time watermark. The offset carries the
+      high-water mtime, the (tiny) set of files AT that mtime — the tie
+      boundary — and the last batch's file list for replay; per-batch cost
+      is one walk + an O(new files) diff, and offset size is bounded by the
+      arrival rate, not history. Caveat: a file backfilled with an mtime
+      BELOW the watermark is never discovered (copy with a fresh mtime, or
+      use ``"seen"`` mode).
 
     The simple-reader variant runs discovery on the driver, which is the
     right placement for a catalog (metadata-only, the small side); payload
     reads stay on Spark's vectorized native readers via a join against this
-    stream. The offset grows with the file count — at lake scale swap the
-    seen-set for a modification-time watermark, same API.
+    stream.
     """
 
     def __init__(self, options):
         self.root = options.get("path")
         if not self.root:
             raise ValueError("hubverse_submissions source requires a path")
+        self.mode = options.get("offset_mode", "seen")
+        if self.mode not in ("seen", "mtime"):
+            raise ValueError(f"offset_mode must be 'seen' or 'mtime', got {self.mode!r}")
 
     def initialOffset(self):
+        if self.mode == "mtime":
+            return {"wm": -1.0, "boundary": [], "batch": []}
         return {"seen": []}
 
     def _discover(self):
@@ -159,17 +174,48 @@ class SubmissionStreamReader(SimpleDataSourceStreamReader):
             files.extend(os.path.join(dirpath, f) for f in sorted(filenames))
         return sorted(files)
 
+    def _discover_mtimes(self):
+        import os
+
+        out = []
+        for p in self._discover():
+            try:
+                out.append((p, os.path.getmtime(p)))
+            except OSError:
+                continue  # raced with a delete between walk and stat
+        return out
+
     def _rows(self, paths):
         reader = SubmissionCatalogReader({"path": self.root})
         return list(reader.read(_FileBatch(paths)))
 
     def read(self, start):
+        if self.mode == "mtime" or "wm" in start:
+            return self._read_mtime(start)
         seen = set(start["seen"])
         new = [p for p in self._discover() if p not in seen]
         end = {"seen": sorted(seen | set(new))}
         return (iter(self._rows(new)), end)
 
+    def _read_mtime(self, start):
+        wm, boundary = start["wm"], set(start["boundary"])
+        new = []
+        max_mt = wm
+        at_max: list[str] = []
+        for p, mt in self._discover_mtimes():
+            if mt > wm or (mt == wm and p not in boundary):
+                new.append(p)
+            if mt > max_mt:
+                max_mt, at_max = mt, [p]
+            elif mt == max_mt:
+                at_max.append(p)
+        new_boundary = sorted(set(at_max) | (boundary if max_mt == wm else set()))
+        end = {"wm": max_mt, "boundary": new_boundary, "batch": sorted(new)}
+        return (iter(self._rows(sorted(new))), end)
+
     def readBetweenOffsets(self, start, end):
+        if "wm" in end:
+            return iter(self._rows(list(end["batch"])))
         new = sorted(set(end["seen"]) - set(start["seen"]))
         return iter(self._rows([p for p in new]))
 

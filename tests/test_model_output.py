@@ -203,3 +203,28 @@ def test_ensemble_operators_on_model_output_shape(spark):
     assert set(mean_ensemble(df).columns) == {
         "round_id", "location", "output_type", "output_type_id", "value", "n_models",
     }
+
+
+def test_ensemble_zero_weight_cells_and_negative_weights(spark):
+    """All-zero-weight task cells have no defined mean (0/0) and are dropped;
+    negative weights are rejected up front."""
+    import pytest
+
+    from hubverse_transform_spark.operators.ensemble import mean_ensemble
+
+    rows = [
+        ("2024-06-01", "m1", "US", "quantile", "0.5", 10.0),
+        ("2024-06-01", "m2", "US", "quantile", "0.9", 30.0),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "round_id string, model_id string, location string, "
+        "output_type string, output_type_id string, value double",
+    )
+    # the 0.5 cell's only listed model has weight 0 -> dropped, not null
+    out = {r.output_type_id: r for r in mean_ensemble(df, {"m1": 0.0, "m2": 2.0}).collect()}
+    assert set(out) == {"0.9"}
+    assert out["0.9"].value == 30.0
+
+    with pytest.raises(ValueError, match="non-negative"):
+        mean_ensemble(df, {"m1": -1.0})

@@ -176,3 +176,31 @@ def test_compact_lake_partition(spark, tmp_path):
     assert spark.read.parquet(path).count() == 10_000
     got = sorted(r.id for r in spark.read.parquet(path).collect())
     assert got == list(range(10_000))
+
+
+def test_compact_lake_partition_reconciles_stale_leftovers(spark, tmp_path):
+    """A crashed prior run may leave '._compacting' (incomplete rewrite) or
+    an orphaned '._old' with the live path missing (crash between the two
+    renames). A retry must reconcile both instead of failing on rename."""
+    import os
+    import shutil
+
+    from hubverse_transform_spark.sinks import compact_lake_partition
+
+    path = str(tmp_path / "part")
+    spark.range(1_000).repartition(4).write.parquet(path)
+
+    # stale incomplete rewrite + stale old copy alongside a live dir
+    os.makedirs(path + "._compacting")
+    shutil.copytree(path, path + "._old")
+    n_out = compact_lake_partition(spark, path, target_file_bytes=1 << 30)
+    assert n_out == 1
+    assert not os.path.exists(path + "._compacting")
+    assert not os.path.exists(path + "._old")
+    assert spark.read.parquet(path).count() == 1_000
+
+    # crash between the renames: live path gone, data stranded under ._old
+    os.rename(path, path + "._old")
+    compact_lake_partition(spark, path, target_file_bytes=1 << 30)
+    assert os.path.exists(path) and not os.path.exists(path + "._old")
+    assert spark.read.parquet(path).count() == 1_000

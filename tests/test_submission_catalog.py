@@ -84,3 +84,74 @@ def test_streaming_catalog_incremental_discovery(spark, tmp_path):
     # only the new file was appended; no re-emission of already-seen files
     assert second.count() == 3
     assert second.filter("file_name = '2024-06-08-beta-model.parquet'").count() == 1
+
+
+def test_streaming_catalog_mtime_watermark_mode(spark, tmp_path):
+    """offset_mode=mtime: same incremental semantics through the watermark
+    offset (bounded offset size), including mtime ties at the boundary."""
+    import os
+
+    from hubverse_transform_spark.sources.submission_catalog import register_streaming
+
+    register_streaming(spark)
+    sub = tmp_path / "subs"
+    sub.mkdir()
+    a = sub / "2024-06-01-acme-model.csv"
+    a.write_text("a,b\n1,2\n")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_once():
+        q = (
+            spark.readStream.format("hubverse_submissions_stream")
+            .option("offset_mode", "mtime")
+            .load(str(sub))
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    assert spark.read.parquet(out).count() == 1
+
+    # second file pinned to EXACTLY the watermark mtime (the tie case) plus
+    # a third with a newer mtime
+    b = sub / "2024-06-02-beta-model.csv"
+    b.write_text("a,b\n3,4\n")
+    os.utime(b, (os.path.getmtime(a), os.path.getmtime(a)))
+    c = sub / "2024-06-08-cgam-model.parquet"
+    c.write_bytes(b"PAR1")
+    run_once()
+    second = spark.read.parquet(out)
+    assert second.count() == 3
+    # no duplicates on a third idle run
+    run_once()
+    assert spark.read.parquet(out).count() == 3
+
+
+def test_stream_reader_mtime_offsets_are_bounded(tmp_path):
+    """The mtime offset must not accumulate history: its size tracks the
+    boundary + last batch, not the total file count."""
+    from hubverse_transform_spark.sources.submission_catalog import (
+        SubmissionStreamReader,
+    )
+
+    sub = tmp_path / "subs"
+    sub.mkdir()
+    reader = SubmissionStreamReader({"path": str(sub), "offset_mode": "mtime"})
+    offset = reader.initialOffset()
+    import os
+
+    for i in range(5):
+        p = sub / f"2024-06-0{i + 1}-m{i}-model.csv"
+        p.write_text("x,y\n1,2\n")
+        os.utime(p, (1000.0 + i, 1000.0 + i))
+        rows, offset = reader.read(offset)
+        assert len(list(rows)) == 1
+    # after 5 batches over 5 files: boundary is the single newest file,
+    # batch is the last singleton — NOT all 5 paths
+    assert offset["wm"] == 1004.0
+    assert len(offset["boundary"]) == 1 and len(offset["batch"]) == 1
