@@ -70,7 +70,14 @@ from hubverse_transform_spark.operators.sampling import (
 )
 from hubverse_transform_spark.operators.sessions import session_stats
 from hubverse_transform_spark.operators.graph import pagerank
-from hubverse_transform_spark.operators.textstats import bm25_topk, pmi_bigrams, tfidf_top_terms
+from hubverse_transform_spark.operators.textstats import (
+    bm25_topk,
+    dup_ngram_fraction,
+    gopher_quality_rules,
+    pmi_bigrams,
+    tfidf_top_terms,
+    top_ngrams_per_group,
+)
 from hubverse_transform_spark.operators.topk import top_k_per_group
 from hubverse_transform_spark.session import load_table
 from hubverse_transform_spark.streaming.windows import (
@@ -2325,6 +2332,88 @@ def q120_lsh_multitable_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q121_dup_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicate 4-gram fraction per doc (Gopher-style
+    repetition/contamination signal; operators/textstats.py)."""
+    d = _t(spark, sf_dir, "documents")
+    return dup_ngram_fraction(d, id_col="doc_id", text_col="text", n=4)
+
+
+def q122_gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/MassiveText quality-rule screen aggregated per source:
+    word-count bounds, mean-word-length bounds, alpha-word fraction."""
+    d = _t(spark, sf_dir, "documents")
+    return gopher_quality_rules(d, text_col="text", group_col="source")
+
+
+def q123_top_bigrams_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 most frequent word bigrams per language (vocabulary /
+    collocation profile; occurrence counts, deterministic tie-break)."""
+    d = _t(spark, sf_dir, "documents")
+    return top_ngrams_per_group(d, text_col="text", group_col="lang", n=2, k=3)
+
+
+def q124_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-split near-duplicate leakage audit [EXT]: MinHash-LSH near-dup
+    pairs (q23's banding) whose members landed in DIFFERENT splits of the
+    deterministic hash split (q101) — the eval-contamination check every
+    training pipeline needs before shipping a split. Pair discovery stays
+    banded (no all-pairs); split assignment is a stateless projection joined
+    in after the candidate join, so the audit costs one extra broadcast-free
+    map stage over q23."""
+    d = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        d, "doc_id", "text", ngram=3, num_hashes=8, bands=4, threshold=0.1
+    )
+    splits = hash_split(d.select("doc_id"), "doc_id").select("doc_id", "split")
+    sa = splits.select(
+        F.col("doc_id").alias("id_a"), F.col("split").alias("split_a")
+    )
+    sb = splits.select(
+        F.col("doc_id").alias("id_b"), F.col("split").alias("split_b")
+    )
+    return (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .filter(F.col("split_a") != F.col("split_b"))
+        .select(
+            "id_a",
+            "id_b",
+            "split_a",
+            "split_b",
+            F.round("jaccard", 6).alias("jaccard"),
+        )
+    )
+
+
+def q125_price_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution moments per brand from one aggregation pass: mean,
+    population variance and skewness via raw-moment expansion
+    (E[x], E[x^2], E[x^3]) — the engine-portable formulation (Spark's
+    skewness() is population, DuckDB's is sample-adjusted; expanding the
+    moments sidesteps both). Single shuffle, map-side combine."""
+    p = _t(spark, sf_dir, "part")
+    x = F.col("p_retailprice")
+    agg = p.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg(x).alias("_m1"),
+        F.avg(x * x).alias("_m2"),
+        F.avg(x * x * x).alias("_m3"),
+    )
+    m1, m2, m3 = F.col("_m1"), F.col("_m2"), F.col("_m3")
+    var = m2 - m1 * m1
+    # sqrt(var)*var, not pow(var, 1.5): sqrt is IEEE correctly-rounded in
+    # every engine, pow is not — cross-engine hash equality needs the former
+    skew = (m3 - 3 * m1 * m2 + 2 * m1 * m1 * m1) / (F.sqrt(var) * var)
+    return agg.select(
+        "p_brand",
+        "n",
+        F.round(m1, 4).alias("mean_price"),
+        F.round(var, 4).alias("var_price"),
+        F.round(skew, 6).alias("skew_price"),
+    )
+
+
 # =============================================================================
 # Driver contract
 # =============================================================================
@@ -2457,6 +2546,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q118_status_transitions": q118_status_transitions,
         "q119_copurchase_lift": q119_copurchase_lift,
         "q120_lsh_multitable_topk": q120_lsh_multitable_topk,
+        "q121_dup_ngram_fraction": q121_dup_ngram_fraction,
+        "q122_gopher_quality_rules": q122_gopher_quality_rules,
+        "q123_top_bigrams_per_lang": q123_top_bigrams_per_lang,
+        "q124_split_leakage": q124_split_leakage,
+        "q125_price_moments": q125_price_moments,
     }
 
 
@@ -4457,4 +4551,136 @@ def oracle_sql() -> dict[str, str]:
         "q120_lsh_multitable_topk": _lsh_topk_sql(
             k=3, num_planes=4, dim=64, max_query_id=5, probes=2, num_tables=4
         ),
+        # occurrence 4-grams (multiplicity kept, no short-text fallback):
+        # docs under 4 tokens emit nothing and drop out
+        "q121_dup_ngram_fraction": f"""
+            WITH tok AS (
+                SELECT doc_id, {_TOKS} AS toks FROM documents
+            ), g AS (
+                SELECT doc_id,
+                       unnest(list_transform(range(1, len(toks) - 4 + 2),
+                              i -> array_to_string(toks[i:i+3], ' '))) AS gram
+                FROM tok
+            ), gd AS (
+                SELECT gram, count(DISTINCT doc_id) AS nd FROM g GROUP BY gram
+            )
+            SELECT doc_id,
+                   count(*) AS total_ngrams,
+                   CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS dup_ngrams,
+                   round(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END)
+                         / count(*), 6) AS dup_frac
+            FROM g JOIN gd USING (gram)
+            GROUP BY doc_id
+        """,
+        "q122_gopher_quality_rules": f"""
+            WITH ann AS (
+                SELECT source,
+                       CASE WHEN trim(text) = '' THEN 0
+                            ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                       END AS wc,
+                       length(regexp_replace(trim(text), '\\s+', '', 'g'))
+                           AS char_mass,
+                       len(list_filter({_TOKS},
+                           t -> regexp_full_match(t, '[a-z]+'))) AS alpha_words
+                FROM documents
+            ), fl AS (
+                SELECT source,
+                       (wc < 50 OR wc > 2000) AS wc_fail,
+                       (wc = 0 OR char_mass / wc < 3.0
+                                OR char_mass / wc > 10.0) AS mwl_fail,
+                       (wc = 0 OR alpha_words / wc < 0.6) AS alpha_fail
+                FROM ann
+            )
+            SELECT source,
+                   count(*) AS n_docs,
+                   CAST(sum(CASE WHEN wc_fail THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_wordcount_fail,
+                   CAST(sum(CASE WHEN mwl_fail THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_meanwordlen_fail,
+                   CAST(sum(CASE WHEN alpha_fail THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_alphafrac_fail,
+                   CAST(sum(CASE WHEN NOT wc_fail AND NOT mwl_fail
+                                      AND NOT alpha_fail
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_all
+            FROM fl GROUP BY source
+        """,
+        "q123_top_bigrams_per_lang": f"""
+            WITH tok AS (
+                SELECT lang, {_TOKS} AS toks FROM documents
+            ), g AS (
+                SELECT lang,
+                       unnest(list_transform(range(1, len(toks)),
+                              i -> array_to_string(toks[i:i+1], ' '))) AS ngram
+                FROM tok
+            ), counts AS (
+                SELECT lang, ngram, count(*) AS n_occurrences
+                FROM g GROUP BY lang, ngram
+            ), ranked AS (
+                SELECT lang, ngram, n_occurrences,
+                       row_number() OVER (PARTITION BY lang
+                                          ORDER BY n_occurrences DESC, ngram)
+                           AS rank
+                FROM counts
+            )
+            SELECT lang, ngram, n_occurrences, rank
+            FROM ranked WHERE rank <= 3
+        """,
+        "q124_split_leakage": f"""
+            WITH tok AS (
+                SELECT doc_id, {_TOKS} AS toks FROM documents
+            ), shg AS (
+                SELECT doc_id, {_SHINGLES3} AS sh FROM tok
+            ), sig AS (
+                SELECT doc_id, sh, {_sig_exprs(8)} AS sg
+                FROM (SELECT doc_id, sh, {_SHINGLE_HASH} AS hs FROM shg)
+            ), banded AS (
+                SELECT doc_id, sh, b AS band_idx,
+                       CAST(b AS VARCHAR) || '|' || array_to_string(sg[b*2+1:b*2+2], '|') AS band
+                FROM sig, (SELECT unnest(range(0, 4)) AS b)
+            ), cand AS (
+                SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                FROM banded a JOIN banded b ON a.band = b.band AND a.doc_id < b.doc_id
+            ), pairs AS (
+                SELECT c.id_a, c.id_b,
+                       round(len(list_intersect(x.sh, y.sh)) * 1.0
+                             / len(list_distinct(list_concat(x.sh, y.sh))), 6) AS jaccard
+                FROM cand c
+                JOIN shg x ON x.doc_id = c.id_a
+                JOIN shg y ON y.doc_id = c.id_b
+                WHERE len(list_intersect(x.sh, y.sh)) * 1.0
+                      / len(list_distinct(list_concat(x.sh, y.sh))) >= 0.1
+            ), sp AS (
+                SELECT doc_id,
+                       CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                                 < '{_SPLIT_THRESHOLDS[0][1]}' THEN 'train'
+                            WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                                 < '{_SPLIT_THRESHOLDS[1][1]}' THEN 'val'
+                            ELSE 'test' END AS split
+                FROM documents
+            )
+            SELECT p.id_a, p.id_b, a.split AS split_a, b.split AS split_b,
+                   p.jaccard
+            FROM pairs p
+            JOIN sp a ON a.doc_id = p.id_a
+            JOIN sp b ON b.doc_id = p.id_b
+            WHERE a.split != b.split
+        """,
+        "q125_price_moments": """
+            WITH agg AS (
+                SELECT p_brand,
+                       count(*) AS n,
+                       avg(p_retailprice) AS m1,
+                       avg(p_retailprice * p_retailprice) AS m2,
+                       avg(p_retailprice * p_retailprice * p_retailprice) AS m3
+                FROM part GROUP BY p_brand
+            )
+            SELECT p_brand, n,
+                   round(m1, 4) AS mean_price,
+                   round(m2 - m1 * m1, 4) AS var_price,
+                   round((m3 - 3 * m1 * m2 + 2 * m1 * m1 * m1)
+                         / (sqrt(m2 - m1 * m1) * (m2 - m1 * m1)), 6)
+                       AS skew_price
+            FROM agg
+        """,
     }

@@ -8,7 +8,7 @@ module assembles them into DataFrame operators.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from hubverse_transform_spark.functions.text import (
@@ -274,4 +274,150 @@ def unigram_logprob_scores(
             F.round(F.avg("nll"), 6).alias("avg_neg_logprob"),
         )
         .select(F.col("_id").alias(id_col), "n_tokens", "avg_neg_logprob")
+    )
+
+
+def _ngram_occurrences(text: Column, n: int) -> Column:
+    """ALL word n-gram occurrences of ``text`` (with multiplicity, document
+    order) — the occurrence-counting sibling of ``dedup.shingle_ngrams``
+    (which distincts). Same one-pass overlapping-match regex, so cost stays
+    O(len(text)) per row inside codegen."""
+    norm = F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
+    pat = "(?<=^| )(?=(" + r"\S+ " * (n - 1) + r"\S+))"
+    return F.regexp_extract_all(norm, F.lit(pat), 1)
+
+
+def dup_ngram_fraction(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 4,
+) -> DataFrame:
+    """Cross-document duplicate n-gram fraction [EXT] — the Gopher-style
+    repetition/contamination signal at corpus granularity: per document, the
+    fraction of its n-gram occurrences that also appear in at least one
+    OTHER document. Documents shorter than ``n`` tokens emit no grams and are
+    excluded.
+
+    Scale shape: ONE pass over the exploded occurrences (the 100 TB cost —
+    a join-back formulation would re-derive the explode for each side):
+    collapse to (gram, doc, occurrences) with map-side combine, count each
+    gram's distinct docs with a window over the already-collapsed rows
+    (rows are distinct per (gram, doc), so plain count(*) == distinct-doc
+    count and the window reuses the gram partitioning), then one shuffle
+    for the per-doc fraction. Three exchanges, no self-join, no explode
+    re-derivation.
+
+    Returns (id_col, total_ngrams, dup_ngrams, dup_frac).
+    """
+    grams = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(_ngram_occurrences(F.col(text_col), n)).alias("_gram"),
+    )
+    occ = grams.groupBy("_gram", "_id").agg(F.count(F.lit(1)).alias("_occ"))
+    with_nd = occ.withColumn(
+        "_nd", F.count(F.lit(1)).over(Window.partitionBy("_gram"))
+    )
+    return (
+        with_nd.groupBy("_id")
+        .agg(
+            F.sum("_occ").alias("total_ngrams"),
+            F.sum(F.when(F.col("_nd") > 1, F.col("_occ")).otherwise(0)).alias(
+                "dup_ngrams"
+            ),
+        )
+        .select(
+            F.col("_id").alias(id_col),
+            "total_ngrams",
+            "dup_ngrams",
+            F.round(F.col("dup_ngrams") / F.col("total_ngrams"), 6).alias("dup_frac"),
+        )
+    )
+
+
+def gopher_quality_rules(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    group_col: str = "source",
+    min_words: int = 50,
+    max_words: int = 2000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    min_alpha_word_frac: float = 0.6,
+) -> DataFrame:
+    """Gopher-style quality-rule screen [EXT]: the word-count bound,
+    mean-word-length bound, and alpha-word-fraction rules from the Gopher /
+    MassiveText curation recipe, aggregated per ``group_col``.
+
+    Everything is a pure column expression over one scan (word count and
+    character mass from the tokenizer regex; alpha words via one
+    overlapping-match regex), so the whole screen is a single codegen stage
+    feeding one hash aggregation. Returns per group: doc count, per-rule
+    failure counts, and the count passing every rule.
+    """
+    t = F.trim(F.col(text_col))
+    wc = F.when(t == "", 0).otherwise(F.size(F.split(t, r"\s+")))
+    # character mass of the words themselves (spaces removed)
+    char_mass = F.length(F.regexp_replace(t, r"\s+", ""))
+    mean_wl = F.try_divide(char_mass, wc)
+    alpha_words = F.size(
+        F.regexp_extract_all(
+            F.lower(t), F.lit(r"(?<=^| )([a-z]+)(?=$| )"), 1
+        )
+    )
+    alpha_frac = F.try_divide(alpha_words, wc)
+    flagged = df.select(
+        F.col(group_col),
+        ((wc < min_words) | (wc > max_words)).alias("_wc_fail"),
+        (
+            mean_wl.isNull()
+            | (mean_wl < min_mean_word_len)
+            | (mean_wl > max_mean_word_len)
+        ).alias("_mwl_fail"),
+        (alpha_frac.isNull() | (alpha_frac < min_alpha_word_frac)).alias("_alpha_fail"),
+    )
+    as_int = lambda c: F.sum(F.col(c).cast("int"))  # noqa: E731
+    return flagged.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        as_int("_wc_fail").alias("n_wordcount_fail"),
+        as_int("_mwl_fail").alias("n_meanwordlen_fail"),
+        as_int("_alpha_fail").alias("n_alphafrac_fail"),
+        F.sum(
+            (~F.col("_wc_fail") & ~F.col("_mwl_fail") & ~F.col("_alpha_fail")).cast("int")
+        ).alias("n_pass_all"),
+    )
+
+
+def top_ngrams_per_group(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    group_col: str = "lang",
+    n: int = 2,
+    k: int = 3,
+) -> DataFrame:
+    """Top-k most frequent word n-grams per group [EXT] — the vocabulary /
+    collocation profile a tokenizer-training pipeline samples from.
+
+    Occurrence counting (multiplicity preserved), one shuffle on
+    (group, gram) with map-side combine, then the standard top-k window on
+    the much smaller aggregate. Ties break on the gram string ascending for
+    full determinism. Returns (group, ngram, n_occurrences, rank).
+    """
+    grams = df.select(
+        F.col(group_col),
+        F.explode(_ngram_occurrences(F.col(text_col), n)).alias("ngram"),
+    )
+    counts = grams.groupBy(group_col, "ngram").agg(
+        F.count(F.lit(1)).alias("n_occurrences")
+    )
+    w = Window.partitionBy(group_col).orderBy(
+        F.col("n_occurrences").desc(), F.col("ngram")
+    )
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(group_col, "ngram", "n_occurrences", "rank")
     )

@@ -90,3 +90,55 @@ def test_redact_pii_and_counts(spark):
     assert out[3].red == "nothing sensitive here"
     assert out[1].cnt["email"] == 1 and out[1].cnt["phone"] == 1
     assert out[3].cnt == {"email": 0, "phone": 0, "ipv4": 0, "url": 0}
+
+
+def test_dup_ngram_fraction_cross_doc(spark):
+    from hubverse_transform_spark.operators.textstats import dup_ngram_fraction
+
+    rows = [
+        (1, "a b c d e"),        # shares "a b c d" and "b c d e" with doc 2
+        (2, "a b c d e"),
+        (3, "x y z w q"),        # unique grams only
+        (4, "no"),               # <4 tokens -> excluded
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in dup_ngram_fraction(df, n=4).collect()}
+    assert set(out) == {1, 2, 3}
+    assert out[1].total_ngrams == 2 and out[1].dup_ngrams == 2 and out[1].dup_frac == 1.0
+    assert out[3].dup_ngrams == 0 and out[3].dup_frac == 0.0
+
+
+def test_gopher_quality_rules_flags(spark):
+    from hubverse_transform_spark.operators.textstats import gopher_quality_rules
+
+    rows = [
+        (1, "web", " ".join(["word"] * 100)),        # passes all
+        (2, "web", "too short"),                     # wc fail
+        (3, "web", " ".join(["ab"] * 100)),          # mean word len 2 -> fail
+        (4, "web", " ".join(["123"] * 100)),         # alpha fraction 0 -> fail
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = gopher_quality_rules(df).collect()[0]
+    assert out.n_docs == 4
+    assert out.n_wordcount_fail == 1
+    assert out.n_meanwordlen_fail >= 1
+    assert out.n_alphafrac_fail >= 1
+    assert out.n_pass_all == 1
+
+
+def test_top_ngrams_per_group_rank_and_ties(spark):
+    from hubverse_transform_spark.operators.textstats import top_ngrams_per_group
+
+    rows = [
+        (1, "en", "a b a b"),    # "a b" x2, "b a" x1
+        (2, "en", "a b c"),      # "a b", "b c"
+        (3, "fr", "x y"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    out = top_ngrams_per_group(df, n=2, k=2).collect()
+    en = sorted([r for r in out if r.lang == "en"], key=lambda r: r.rank)
+    assert en[0].ngram == "a b" and en[0].n_occurrences == 3 and en[0].rank == 1
+    # tie between "b a" and "b c" at 1 occurrence -> lexicographic
+    assert en[1].ngram == "b a" and en[1].rank == 2
+    fr = [r for r in out if r.lang == "fr"]
+    assert len(fr) == 1 and fr[0].ngram == "x y"
