@@ -49,6 +49,7 @@ from hubverse_transform_spark.operators.dedup import (
     simhash,
     simhash_near_dup_pairs,
     ngram_containment,
+    chunk_dup_stats,
     winnow_fingerprints,
     winnow_overlap_pairs,
 )
@@ -60,10 +61,12 @@ from hubverse_transform_spark.operators.similarity import (
     cosine_lsh_topk,
     embedding_near_dup_pairs,
     ivf_cosine_topk,
+    pq_reconstruction,
     semantic_dedup_reps,
 )
 from hubverse_transform_spark.operators.sampling import (
     hash_split,
+    per_group_cap,
     proportional_allocation_sample,
     split_thresholds,
     stratified_sample_exact,
@@ -74,6 +77,7 @@ from hubverse_transform_spark.operators.textstats import (
     bm25_topk,
     dup_ngram_fraction,
     gopher_quality_rules,
+    perplexity_buckets,
     pmi_bigrams,
     tfidf_top_terms,
     top_ngrams_per_group,
@@ -2414,6 +2418,113 @@ def q125_price_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q126_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paragraph-level dedup signal (dedup.chunk_dup_stats): RefinedWeb-style
+    repeated-chunk fraction per document — fixed 10-word chunks hashed and
+    counted corpus-wide, one content-keyed shuffle + per-doc rollup."""
+    d = _t(spark, sf_dir, "documents")
+    return chunk_dup_stats(
+        d, id_col="doc_id", text_col="text", chunk_words=10, drop_threshold=0.5
+    )
+
+
+def q127_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail perplexity partitioning
+    (textstats.perplexity_buckets): corpus-fit unigram-LM score per doc, exact
+    ntile tiers (deterministic, oracle-replayable; the approx-threshold scale
+    sibling is pinned against this in tests)."""
+    d = _t(spark, sf_dir, "documents")
+    return perplexity_buckets(d, id_col="doc_id", text_col="text", n_buckets=3)
+
+
+def q128_domain_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain quota capping (sampling.per_group_cap): keep the 20 largest
+    documents per source (deterministic tiebreak on doc_id), report per-source
+    kept/total document and char mass — the C4-style anti-domination guard."""
+    d = _t(spark, sf_dir, "documents")
+    kept = per_group_cap(
+        d, "source", [F.col("n_chars").desc(), F.col("doc_id")], 20
+    )
+    total = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+    k = kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("n_chars").alias("kept_chars"),
+    )
+    return total.join(k, "source").select(
+        "source", "n_total", "n_kept", "total_chars", "kept_chars"
+    )
+
+
+def q129_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix planner: per-language available token mass vs a weighted
+    token budget (half the corpus) — allocation, clamped sampling rate, and
+    epoch count per language. One agg + broadcast scalar total; the mix table
+    itself is a literal map (it is configuration, not data)."""
+    weights = {"en": 0.5, "zh": 0.15, "es": 0.15, "de": 0.1, "fr": 0.1}
+    d = _t(spark, sf_dir, "documents")
+    per_lang = d.groupBy("lang").agg(
+        F.sum(whitespace_token_count(F.col("text"))).alias("avail_tokens")
+    )
+    total = per_lang.agg(F.sum("avail_tokens").alias("_total"))
+    wmap = F.create_map(*[F.lit(x) for kv in weights.items() for x in kv])
+    alloc = F.col("_total") * 0.5 * wmap[F.col("lang")]
+    return per_lang.crossJoin(F.broadcast(total)).select(
+        "lang",
+        "avail_tokens",
+        F.round(alloc, 2).alias("alloc_tokens"),
+        F.round(F.least(F.lit(1.0), alloc / F.col("avail_tokens")), 6).alias(
+            "sample_rate"
+        ),
+        F.round(alloc / F.col("avail_tokens"), 6).alias("epochs"),
+    )
+
+
+def q130_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape adapted to the testdata (no partsupp table): profit by
+    supplier nation and order year for one part type, supply cost proxied at
+    20% of part retail price. Fact-fact join on orderkey; part filter and the
+    supplier→nation dimension chain broadcast."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    # integer-cents profit per row (revenue cents minus cost cents, each
+    # rounded once from a single double product) so the BIGINT sum is exact
+    # and engine-order-independent — the q99-style cross-engine money trick
+    profit_cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0
+    ).cast("long") - F.round(
+        F.col("l_quantity") * F.col("p_retailprice") * 20, 0
+    ).cast("long")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(
+            F.round(F.sum(profit_cents) / 100.0, 2).alias("sum_profit")
+        )
+    )
+
+
+def q131_pq_recon_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization compression audit (similarity.pq_reconstruction):
+    4 subspaces × 4 deterministic codes, per-label reconstruction error;
+    broadcast codebook, no corpus self-join."""
+    e = _t(spark, sf_dir, "embeddings")
+    return pq_reconstruction(
+        e, id_col="vec_id", vec_col="embedding", label_col="label", n_sub=4, n_codes=4
+    )
+
+
 # =============================================================================
 # Driver contract
 # =============================================================================
@@ -2551,6 +2662,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q123_top_bigrams_per_lang": q123_top_bigrams_per_lang,
         "q124_split_leakage": q124_split_leakage,
         "q125_price_moments": q125_price_moments,
+        "q126_chunk_dedup": q126_chunk_dedup,
+        "q127_perplexity_buckets": q127_perplexity_buckets,
+        "q128_domain_caps": q128_domain_caps,
+        "q129_token_budget_mix": q129_token_budget_mix,
+        "q130_product_profit": q130_product_profit,
+        "q131_pq_recon_error": q131_pq_recon_error,
     }
 
 
@@ -4682,5 +4799,156 @@ def oracle_sql() -> dict[str, str]:
                          / (sqrt(m2 - m1 * m1) * (m2 - m1 * m1)), 6)
                        AS skew_price
             FROM agg
+        """,
+        "q126_chunk_dedup": """
+            WITH words AS (
+                SELECT doc_id, string_split(text, ' ') AS w FROM documents
+            ), numbered AS (
+                SELECT doc_id, w,
+                       unnest(range(0, CAST(ceil(len(w) / 10.0) AS BIGINT))) AS c
+                FROM words
+            ), chunks AS (
+                SELECT doc_id,
+                       md5(array_to_string(w[c*10+1 : c*10+10], ' ')) AS h
+                FROM numbered
+            ), counts AS (
+                SELECT h, count(*) AS n FROM chunks GROUP BY h
+            ), per_doc AS (
+                SELECT doc_id, count(*) AS n_chunks,
+                       sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS dup_chunks
+                FROM chunks JOIN counts USING (h) GROUP BY doc_id
+            )
+            SELECT doc_id,
+                   n_chunks,
+                   CAST(dup_chunks AS BIGINT) AS dup_chunks,
+                   round(dup_chunks / n_chunks, 6) AS dup_fraction,
+                   (dup_chunks / n_chunks) < 0.5 AS keep
+            FROM per_doc
+        """,
+        "q127_perplexity_buckets": f"""
+            WITH toks AS (
+                SELECT doc_id, unnest({_TOKS}) AS term FROM documents
+            ), t2 AS (
+                SELECT doc_id, term FROM toks WHERE term <> ''
+            ), counts AS (
+                SELECT term, count(*) AS c FROM t2 GROUP BY term
+            ), totals AS (
+                SELECT CAST(sum(c) AS BIGINT) AS total, count(*) AS vocab
+                FROM counts
+            ), model AS (
+                SELECT term, -ln((c + 1.0) / (total + vocab)) AS nll
+                FROM counts, totals
+            ), scores AS (
+                SELECT t2.doc_id, count(*) AS n_tokens,
+                       round(avg(m.nll), 6) AS avg_neg_logprob
+                FROM t2 JOIN model m USING (term)
+                GROUP BY t2.doc_id
+            ), tiered AS (
+                SELECT *, ntile(3) OVER (ORDER BY avg_neg_logprob, doc_id)
+                           AS bucket
+                FROM scores
+            )
+            SELECT bucket,
+                   count(*) AS n_docs,
+                   CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+                   round(avg(avg_neg_logprob), 6) AS avg_score,
+                   min(avg_neg_logprob) AS min_score,
+                   max(avg_neg_logprob) AS max_score
+            FROM tiered GROUP BY bucket
+        """,
+        "q128_domain_caps": """
+            WITH ranked AS (
+                SELECT source, n_chars,
+                       row_number() OVER (PARTITION BY source
+                                          ORDER BY n_chars DESC, doc_id)
+                           AS rk
+                FROM documents
+            ), total AS (
+                SELECT source, count(*) AS n_total,
+                       CAST(sum(n_chars) AS BIGINT) AS total_chars
+                FROM documents GROUP BY source
+            ), kept AS (
+                SELECT source, count(*) AS n_kept,
+                       CAST(sum(n_chars) AS BIGINT) AS kept_chars
+                FROM ranked WHERE rk <= 20 GROUP BY source
+            )
+            SELECT source, n_total, n_kept, total_chars, kept_chars
+            FROM total JOIN kept USING (source)
+        """,
+        "q129_token_budget_mix": f"""
+            WITH per_lang AS (
+                SELECT lang,
+                       CAST(sum(len(regexp_split_to_array(trim(text), '\\s+')))
+                            AS BIGINT) AS avail_tokens
+                FROM documents GROUP BY lang
+            ), total AS (
+                SELECT CAST(sum(avail_tokens) AS BIGINT) AS t FROM per_lang
+            ), weighted AS (
+                SELECT lang, avail_tokens,
+                       t * 0.5 * (CASE lang
+                                  WHEN 'en' THEN 0.5 WHEN 'zh' THEN 0.15
+                                  WHEN 'es' THEN 0.15 WHEN 'de' THEN 0.1
+                                  WHEN 'fr' THEN 0.1 END) AS alloc
+                FROM per_lang, total
+            )
+            SELECT lang, avail_tokens,
+                   round(alloc, 2) AS alloc_tokens,
+                   round(least(1.0, alloc / avail_tokens), 6) AS sample_rate,
+                   round(alloc / avail_tokens, 6) AS epochs
+            FROM weighted
+        """,
+        "q130_product_profit": """
+            SELECT n_name AS nation,
+                   CAST(year(o_orderdate) AS INTEGER) AS o_year,
+                   round(sum(CAST(round(l_extendedprice * (1 - l_discount)
+                                        * 100, 0) AS BIGINT)
+                             - CAST(round(l_quantity * p_retailprice * 20, 0)
+                                    AS BIGINT)) / 100.0, 2)
+                       AS sum_profit
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            WHERE p_type = 'ECONOMY'
+            GROUP BY n_name, year(o_orderdate)
+        """,
+        "q131_pq_recon_error": """
+            WITH base AS (
+                SELECT vec_id, label, embedding,
+                       unnest(range(0, 4)) AS sub_id
+                FROM embeddings
+            ), subs AS (
+                SELECT vec_id, label, sub_id,
+                       list_transform(embedding[sub_id*16+1 : sub_id*16+16],
+                                      x -> CAST(x AS DOUBLE)) AS sv
+                FROM base
+            ), cb_base AS (
+                SELECT vec_id AS code, embedding, unnest(range(0, 4)) AS sub_id
+                FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 4)
+            ), codebook AS (
+                SELECT sub_id, code,
+                       list_transform(embedding[sub_id*16+1 : sub_id*16+16],
+                                      x -> CAST(x AS DOUBLE)) AS cv
+                FROM cb_base
+            ), dists AS (
+                SELECT s.vec_id, s.label, s.sub_id, c.code,
+                       round(list_sum(list_transform(list_zip(s.sv, c.cv),
+                                      p -> (p[1]-p[2])*(p[1]-p[2]))), 6) AS d
+                FROM subs s JOIN codebook c USING (sub_id)
+            ), best AS (
+                SELECT vec_id, label, sub_id, d,
+                       row_number() OVER (PARTITION BY vec_id, sub_id
+                                          ORDER BY d, code) AS rk
+                FROM dists
+            ), err AS (
+                SELECT vec_id, label, round(sum(d), 6) AS e
+                FROM best WHERE rk = 1 GROUP BY vec_id, label
+            )
+            SELECT label,
+                   count(*) AS n_vecs,
+                   round(avg(e), 6) AS avg_recon_err,
+                   round(max(e), 6) AS max_recon_err
+            FROM err GROUP BY label
         """,
     }

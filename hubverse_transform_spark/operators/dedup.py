@@ -19,7 +19,7 @@ Scale design notes (100 TB posture):
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -487,4 +487,65 @@ def ngram_containment(
             F.round(F.col("n_matched") / F.col("n_shingles"), 6).alias("containment"),
         )
         .filter(F.col("n_matched") / F.col("n_shingles") >= threshold)
+    )
+
+
+def chunk_dup_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    chunk_words: int = 10,
+    drop_threshold: float = 0.5,
+) -> DataFrame:
+    """Paragraph-level dedup signal [EXT], adapted to whitespace corpora:
+    RefinedWeb/FineWeb drop or trim documents whose lines/paragraphs repeat
+    verbatim across the corpus; the driver's synthetic documents have no
+    newlines, so the unit here is a fixed ``chunk_words``-word non-overlapping
+    chunk (the same operator shape — only the splitter differs).
+
+    Stages (all built-ins, no Python):
+
+    1. chunk: ``sequence(0, n_chunks-1)`` explode + ``slice`` + ``array_join``
+       — one pass over the text, chunk text never re-scans the document;
+    2. global chunk counts as a WINDOW count over the chunk hash — one
+       content-keyed shuffle, and the chunk stream is computed once (a
+       groupBy + self-join formulation re-chunks every document twice);
+       boilerplate chunks pile onto one key each, and at 100 TB the fix is
+       the same stop-chunk df-cap used by ``winnow_overlap_pairs``;
+    3. per-doc rollup: duplicated-chunk fraction + keep/drop flag at
+       ``drop_threshold`` (map-side combine on doc id).
+
+    md5-hex chunk hashes keep every stage replayable in a SQL oracle.
+    Returns (id, n_chunks, dup_chunks, dup_fraction, keep).
+    """
+    words = F.split(F.col(text_col), " ")
+    n_chunks = F.ceil(F.size(words) / F.lit(float(chunk_words)))
+    chunks = df.select(
+        F.col(id_col).alias("_id"),
+        words.alias("_w"),
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("_c"),
+    ).select(
+        "_id",
+        F.md5(
+            F.array_join(
+                F.slice(F.col("_w"), F.col("_c") * chunk_words + 1, F.lit(chunk_words)),
+                " ",
+            )
+        ).alias("_h"),
+    )
+    counted = chunks.withColumn(
+        "_n", F.count(F.lit(1)).over(Window.partitionBy("_h"))
+    )
+    per_doc = counted.groupBy("_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum(F.when(F.col("_n") > 1, 1).otherwise(0)).alias("dup_chunks"),
+    )
+    dup_frac = F.col("dup_chunks") / F.col("n_chunks")
+    return per_doc.select(
+        F.col("_id").alias(id_col),
+        "n_chunks",
+        "dup_chunks",
+        F.round(dup_frac, 6).alias("dup_fraction"),
+        (dup_frac < drop_threshold).alias("keep"),
     )

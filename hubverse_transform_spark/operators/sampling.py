@@ -130,3 +130,28 @@ def stratified_sample_exact(
         df.withColumn("sample_rank", F.row_number().over(w))
         .filter(F.col("sample_rank") <= k)
     )
+
+
+def per_group_cap(
+    df: DataFrame,
+    group_col: str,
+    order_cols: list,
+    cap: int,
+) -> DataFrame:
+    """Per-domain quota capping [EXT]: keep at most ``cap`` rows per group,
+    preferring rows by ``order_cols`` (callers must include a unique
+    tiebreak key so the kept set is deterministic). This is the standard
+    curation guard against a single domain dominating a training mix
+    (C4/RefinedWeb cap documents per registered domain).
+
+    One window shuffle partitioned BY THE GROUP — no global sort; a hot
+    domain concentrates on one reducer only up to its own row count, which
+    is exactly the work that domain requires. Adds ``_rank`` then filters;
+    the projection drops the helper column.
+    """
+    w = Window.partitionBy(group_col).orderBy(*order_cols)
+    return (
+        df.withColumn("_rank", F.row_number().over(w))
+        .filter(F.col("_rank") <= cap)
+        .drop("_rank")
+    )

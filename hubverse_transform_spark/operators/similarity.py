@@ -401,3 +401,191 @@ def semantic_dedup_reps(
         F.count(F.lit(1)).alias("n_members"),
         F.round(F.max(F.col("_sim")), 6).alias("rep_sim"),
     )
+
+
+def pq_reconstruction(
+    corpus: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    n_sub: int = 4,
+    n_codes: int = 4,
+) -> DataFrame:
+    """Product-quantization compression audit [EXT]: split each vector into
+    ``n_sub`` contiguous subvectors, assign each subvector its nearest code
+    from a per-subspace codebook, and report per-label reconstruction error
+    — the PQ memory/recall tradeoff check run before shipping an ANN index
+    (Jegou et al., "Product Quantization for Nearest Neighbor Search").
+
+    Codebooks are the subvectors of the ``n_codes`` lowest-id corpus vectors
+    (same deterministic-quantizer convention as ``ivf_cosine_topk`` — a
+    production run swaps in per-subspace k-means without changing the plan).
+
+    Plan shape: the codebook is tiny (n_sub × n_codes rows) and BROADCAST;
+    the corpus explodes to one row per (vector, subspace) map-side, joins
+    the broadcast codebook on subspace id, and picks argmin squared-L2 per
+    (vector, subspace) via a window ranked on (rounded distance, code) —
+    rounding first so cross-engine float noise can't flip near-ties, code
+    tiebreak making ties deterministic. One shuffle (the window on vec id),
+    one 3-row-per-label aggregate. The corpus never self-joins.
+
+    Returns (label, n_vecs, avg_recon_err, max_recon_err) — error is the
+    sum over subspaces of squared distance to the chosen code, i.e. the
+    squared L2 between the vector and its PQ reconstruction.
+    """
+    dim_row = corpus.select(F.size(vec_col).alias("d")).first()
+    sub_dim = int(dim_row["d"]) // n_sub
+
+    def subvectors(df: DataFrame, keep: list, keep_names: list) -> DataFrame:
+        step = df.select(
+            *keep,
+            F.col(vec_col).alias("_v"),
+            F.explode(F.sequence(F.lit(0), F.lit(n_sub - 1))).alias("sub_id"),
+        )
+        return step.select(
+            *keep_names,
+            "sub_id",
+            # double-cast so both engines (and the SQL oracle) subtract and
+            # square in double precision, not float
+            F.slice(F.col("_v"), F.col("sub_id") * sub_dim + 1, F.lit(sub_dim))
+            .cast("array<double>")
+            .alias("_sv"),
+        )
+
+    codebook = subvectors(
+        corpus.orderBy(id_col).limit(n_codes),
+        [F.col(id_col).alias("_code")],
+        ["_code"],
+    ).select("sub_id", "_code", F.col("_sv").alias("_cv"))
+
+    sq_dist = F.aggregate(
+        F.zip_with(F.col("_sv"), F.col("_cv"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    assigned = (
+        subvectors(
+            corpus,
+            [F.col(id_col).alias("_id"), F.col(label_col).alias("_lbl")],
+            ["_id", "_lbl"],
+        )
+        .join(F.broadcast(codebook), "sub_id")
+        .select("_id", "_lbl", "sub_id", "_code", F.round(sq_dist, 6).alias("_d"))
+    )
+    w = Window.partitionBy("_id", "sub_id").orderBy("_d", "_code")
+    best = (
+        assigned.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .groupBy("_id", "_lbl")
+        .agg(F.round(F.sum("_d"), 6).alias("_err"))
+    )
+    return (
+        best.groupBy(F.col("_lbl").alias(label_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.round(F.avg("_err"), 6).alias("avg_recon_err"),
+            F.round(F.max("_err"), 6).alias("max_recon_err"),
+        )
+    )
+
+
+def pq_adc_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_sub: int = 4,
+    n_codes: int = 4,
+    k: int = 5,
+) -> DataFrame:
+    """PQ asymmetric-distance top-k [EXT]: score queries against the
+    PQ-compressed corpus without ever touching the original corpus vectors —
+    the memory-bound ANN scan from Jegou et al. (ADC: distance(q, x) ≈
+    Σ_sub lut[q, sub, code(x, sub)]).
+
+    Plan shape, and why it scales:
+
+    - the corpus is represented by its code table (|corpus| × n_sub rows of
+      small ints) — at rest this is the PQ index, 64× smaller than raw
+      float32 vectors at these defaults;
+    - the per-query LOOKUP TABLE (|queries| × n_sub × n_codes squared
+      distances) is tiny and BROADCAST — scoring is a map-side hash join on
+      (sub_id, code) followed by a (query, vec) partial-sum shuffle. The
+      corpus never joins itself and raw vectors never shuffle;
+    - final top-k is the standard per-query rank window.
+
+    Codebook convention matches ``pq_reconstruction`` (subvectors of the
+    ``n_codes`` lowest-id corpus vectors), distances rounded to 6 before
+    ranking with neighbor-id tiebreaks, so a SQL oracle replays the scan
+    bit-for-bit. Returns (query_id, neighbor_id, adc_dist, rank).
+    """
+    dim_row = corpus.select(F.size(vec_col).alias("d")).first()
+    sub_dim = int(dim_row["d"]) // n_sub
+
+    def explode_subs(df: DataFrame, keep: list, keep_names: list) -> DataFrame:
+        step = df.select(
+            *keep,
+            F.col(vec_col).alias("_v"),
+            F.explode(F.sequence(F.lit(0), F.lit(n_sub - 1))).alias("sub_id"),
+        )
+        return step.select(
+            *keep_names,
+            "sub_id",
+            F.slice(F.col("_v"), F.col("sub_id") * sub_dim + 1, F.lit(sub_dim))
+            .cast("array<double>")
+            .alias("_sv"),
+        )
+
+    codebook = explode_subs(
+        corpus.orderBy(id_col).limit(n_codes),
+        [F.col(id_col).alias("_code")],
+        ["_code"],
+    ).select("sub_id", "_code", F.col("_sv").alias("_cv"))
+
+    sq_dist = F.aggregate(
+        F.zip_with(F.col("_sv"), F.col("_cv"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+    # corpus -> PQ codes (one window shuffle; at rest this table IS the index)
+    corpus_codes = (
+        explode_subs(corpus, [F.col(id_col).alias("_cid")], ["_cid"])
+        .join(F.broadcast(codebook), "sub_id")
+        .select("_cid", "sub_id", "_code", F.round(sq_dist, 6).alias("_d"))
+        .withColumn(
+            "_rk",
+            F.row_number().over(
+                Window.partitionBy("_cid", "sub_id").orderBy("_d", "_code")
+            ),
+        )
+        .filter(F.col("_rk") == 1)
+        .select("_cid", "sub_id", "_code")
+    )
+
+    # per-query LUT: squared distance to every codebook centroid
+    lut = (
+        explode_subs(queries, [F.col(id_col).alias("_qid")], ["_qid"])
+        .join(F.broadcast(codebook), "sub_id")
+        .select("_qid", "sub_id", "_code", F.round(sq_dist, 6).alias("_ld"))
+    )
+
+    scored = (
+        corpus_codes.join(F.broadcast(lut), ["sub_id", "_code"])
+        .groupBy("_qid", "_cid")
+        .agg(F.round(F.sum("_ld"), 6).alias("adc_dist"))
+        .filter(F.col("_qid") != F.col("_cid"))
+    )
+    w = Window.partitionBy("_qid").orderBy("adc_dist", "_cid")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("_qid").alias("query_id"),
+            F.col("_cid").alias("neighbor_id"),
+            "adc_dist",
+            "rank",
+        )
+    )

@@ -421,3 +421,74 @@ def top_ngrams_per_group(
         .filter(F.col("rank") <= k)
         .select(group_col, "ngram", "n_occurrences", "rank")
     )
+
+
+def perplexity_buckets(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    n_buckets: int = 3,
+) -> DataFrame:
+    """CCNet-style perplexity partitioning [EXT]: score every document with
+    the corpus-fit unigram LM (``unigram_logprob_scores``) and split the
+    corpus into ``n_buckets`` equal-count fluency tiers (CCNet's
+    head/middle/tail), reporting per-tier document/token mass.
+
+    The tier assignment here is an exact global ``ntile`` (deterministic:
+    ordered by score then id) so a SQL oracle reproduces it bit-for-bit.
+    ntile's global sort is the WRONG plan at 100 TB — the scale path computes
+    approximate score thresholds (``approx_percentile``) and assigns tiers
+    map-side by comparison; ``tests/test_graph_text.py`` pins the two paths
+    to agree on every non-boundary document. The per-tier rollup is a
+    3-row aggregate either way.
+
+    Returns (bucket, n_docs, total_tokens, avg_score, min_score, max_score).
+    """
+    scores = unigram_logprob_scores(df, id_col=id_col, text_col=text_col)
+    w = Window.orderBy("avg_neg_logprob", id_col)
+    return (
+        scores.withColumn("bucket", F.ntile(n_buckets).over(w))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.round(F.avg("avg_neg_logprob"), 6).alias("avg_score"),
+            F.min("avg_neg_logprob").alias("min_score"),
+            F.max("avg_neg_logprob").alias("max_score"),
+        )
+    )
+
+
+def perplexity_bucket_thresholds(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    n_buckets: int = 3,
+) -> DataFrame:
+    """The 100 TB-shaped sibling of ``perplexity_buckets``: assign tiers by
+    comparing each score against ``approx_percentile`` cut points (broadcast
+    scalar ship, no global sort). Tier ids match the exact ntile everywhere
+    except documents sitting exactly on a sketch-fuzzy boundary.
+    """
+    scores = unigram_logprob_scores(df, id_col=id_col, text_col=text_col)
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    cuts = scores.agg(
+        F.percentile_approx("avg_neg_logprob", qs, 10000).alias("_cuts")
+    )
+    bucket = F.lit(1)
+    for i in range(n_buckets - 1):
+        bucket = bucket + F.when(
+            F.col("avg_neg_logprob") > F.col("_cuts")[i], 1
+        ).otherwise(0)
+    return (
+        scores.crossJoin(F.broadcast(cuts))
+        .withColumn("bucket", bucket)
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.round(F.avg("avg_neg_logprob"), 6).alias("avg_score"),
+        )
+    )
