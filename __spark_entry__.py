@@ -61,9 +61,12 @@ from hubverse_transform_spark.operators.similarity import (
     cosine_lsh_topk,
     embedding_near_dup_pairs,
     ivf_cosine_topk,
+    pq_adc_topk,
     pq_reconstruction,
     semantic_dedup_reps,
 )
+from hubverse_transform_spark.operators.quality import partition_completeness
+from hubverse_transform_spark.operators.graph import triangle_count
 from hubverse_transform_spark.operators.sampling import (
     hash_split,
     per_group_cap,
@@ -2525,6 +2528,142 @@ def q131_pq_recon_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q132_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ asymmetric-distance ANN top-5 (similarity.pq_adc_topk): corpus
+    reduced to a PQ code table, per-query LUT broadcast, map-side scoring —
+    the memory-bound third ANN path next to LSH (q36/q120) and IVF (q48)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return pq_adc_topk(
+        emb,
+        emb.filter(F.col("vec_id") < 10),
+        id_col="vec_id",
+        vec_col="embedding",
+        n_sub=4,
+        n_codes=4,
+        k=5,
+    )
+
+
+def q133_partition_completeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lake partition-completeness audit (quality.partition_completeness):
+    per-day ingest counts vs the min-max day spine, missing/low/ok status.
+    Spine generated from a broadcast scalar pair — fact scanned once."""
+    ev = _t(spark, sf_dir, "events")
+    out = partition_completeness(ev, "ts", low_watermark=0.5)
+    # stringly day for the cross-engine hash (q63 convention)
+    return out.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"), "n_rows", "status"
+    )
+
+
+def q134_part_supplier_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape via the lineitem bridge (no partsupp table): distinct
+    supplier count per (brand, size) for non-PROMO parts, excluding
+    blacklisted suppliers (negative account balance) with a broadcast
+    anti-join — the NOT IN subquery decorrelated."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_type") != "PROMO")
+    bad = _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select(
+        "s_suppkey"
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(
+            F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti"
+        )
+        .groupBy("p_brand", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+def q135_cumulative_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distinct users over days WITHOUT a distinct-over-expanding-
+    window (quadratic state): each user collapses to a first-seen day, daily
+    new-user counts cumulative-sum over the (tiny, aggregated) day spine —
+    the scale formulation of running-unique. Daily actives ride along for
+    comparison. The only global window runs over per-day rows."""
+    ev = _t(spark, sf_dir, "events")
+    day = F.to_date("ts").alias("day")
+    active = ev.groupBy(day).agg(
+        F.count_distinct("user_id").alias("active_users")
+    )
+    new = (
+        ev.groupBy("user_id")
+        .agg(F.min(F.to_date("ts")).alias("day"))
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("new_users"))
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        active.join(new, "day", "left")
+        .select(
+            "day",
+            "active_users",
+            F.coalesce(F.col("new_users"), F.lit(0)).alias("new_users"),
+        )
+        .withColumn("cum_users", F.sum("new_users").over(w))
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "active_users",
+            "new_users",
+            "cum_users",
+        )
+    )
+
+
+def q136_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted median price per return flag (weight = quantity): collapse to
+    per-(flag, price) weight, cumulative weight over the price order, first
+    price whose cumulative weight reaches half the total — the exact,
+    interpolation-free formulation that is engine-portable (no percentile
+    sketch, integer-valued weights sum exactly in double)."""
+    li = _t(spark, sf_dir, "lineitem")
+    grouped = li.groupBy(
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_extendedprice").alias("price"),
+    ).agg(F.sum("l_quantity").alias("wt"))
+    wcum = Window.partitionBy("flag").orderBy("price").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wtot = Window.partitionBy("flag")
+    ranked = grouped.select(
+        "flag",
+        "price",
+        F.sum("wt").over(wcum).alias("cum"),
+        F.sum("wt").over(wtot).alias("tot"),
+    ).filter(F.col("cum") >= F.col("tot") / 2)
+    return ranked.groupBy("flag").agg(
+        F.min("price").alias("weighted_median_price")
+    )
+
+
+def q137_brand_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count (graph.triangle_count) on the brand co-purchase graph:
+    brands are linked when they co-occur in >= 5 orders (the q119 basket
+    self-join, thresholded); ordered two-join finds each triangle once.
+    Node set is bounded (25 brands) but the operator's join discipline is
+    the general one."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    baskets = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .select("l_orderkey", F.col("p_brand").alias("brand"))
+        .distinct()
+    )
+    b2 = baskets.select(
+        F.col("l_orderkey").alias("ok2"), F.col("brand").alias("brand2")
+    )
+    edges = (
+        baskets.join(b2, (baskets.l_orderkey == b2.ok2))
+        .filter(F.col("brand") < F.col("brand2"))
+        .groupBy("brand", "brand2")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= 5)
+        .select(F.col("brand").alias("src"), F.col("brand2").alias("dst"))
+    )
+    return triangle_count(edges).orderBy("node")
+
+
 # =============================================================================
 # Driver contract
 # =============================================================================
@@ -2668,6 +2807,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q129_token_budget_mix": q129_token_budget_mix,
         "q130_product_profit": q130_product_profit,
         "q131_pq_recon_error": q131_pq_recon_error,
+        "q132_pq_adc_topk": q132_pq_adc_topk,
+        "q133_partition_completeness": q133_partition_completeness,
+        "q134_part_supplier_stats": q134_part_supplier_stats,
+        "q135_cumulative_distinct_users": q135_cumulative_distinct_users,
+        "q136_weighted_median": q136_weighted_median,
+        "q137_brand_triangles": q137_brand_triangles,
     }
 
 
@@ -4950,5 +5095,135 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(e), 6) AS avg_recon_err,
                    round(max(e), 6) AS max_recon_err
             FROM err GROUP BY label
+        """,
+        "q132_pq_adc_topk": """
+            WITH subs AS (
+                SELECT vec_id, sub_id,
+                       list_transform(embedding[sub_id*16+1 : sub_id*16+16],
+                                      x -> CAST(x AS DOUBLE)) AS sv
+                FROM (SELECT vec_id, embedding, unnest(range(0, 4)) AS sub_id
+                      FROM embeddings)
+            ), codebook AS (
+                SELECT sub_id, code,
+                       list_transform(embedding[sub_id*16+1 : sub_id*16+16],
+                                      x -> CAST(x AS DOUBLE)) AS cv
+                FROM (SELECT vec_id AS code, embedding,
+                             unnest(range(0, 4)) AS sub_id
+                      FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 4))
+            ), dists AS (
+                SELECT s.vec_id, s.sub_id, c.code,
+                       round(list_sum(list_transform(list_zip(s.sv, c.cv),
+                                      p -> (p[1]-p[2])*(p[1]-p[2]))), 6) AS d
+                FROM subs s JOIN codebook c USING (sub_id)
+            ), codes AS (
+                SELECT vec_id, sub_id, code FROM (
+                    SELECT vec_id, sub_id, code,
+                           row_number() OVER (PARTITION BY vec_id, sub_id
+                                              ORDER BY d, code) AS rk
+                    FROM dists
+                ) WHERE rk = 1
+            ), lut AS (
+                SELECT vec_id AS qid, sub_id, code, d AS ld
+                FROM dists WHERE vec_id < 10
+            ), scored AS (
+                SELECT l.qid, c.vec_id AS cid,
+                       round(sum(l.ld), 6) AS adc_dist
+                FROM codes c JOIN lut l USING (sub_id, code)
+                GROUP BY l.qid, c.vec_id
+            ), ranked AS (
+                SELECT qid, cid, adc_dist,
+                       row_number() OVER (PARTITION BY qid
+                                          ORDER BY adc_dist, cid) AS rank
+                FROM scored WHERE qid <> cid
+            )
+            SELECT qid AS query_id, cid AS neighbor_id, adc_dist, rank
+            FROM ranked WHERE rank <= 5
+        """,
+        "q133_partition_completeness": """
+            WITH daily AS (
+                SELECT CAST(ts AS DATE) AS day, count(*) AS n_rows
+                FROM events GROUP BY 1
+            ), bounds AS (
+                SELECT min(day) AS lo, max(day) AS hi, avg(n_rows) AS mean_n
+                FROM daily
+            ), spine AS (
+                SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY))::DATE
+                           AS day,
+                       mean_n
+                FROM bounds
+            )
+            SELECT strftime(s.day, '%Y-%m-%d') AS day,
+                   coalesce(d.n_rows, 0) AS n_rows,
+                   CASE WHEN d.n_rows IS NULL THEN 'missing'
+                        WHEN d.n_rows < s.mean_n * 0.5 THEN 'low'
+                        ELSE 'ok' END AS status
+            FROM spine s LEFT JOIN daily d USING (day)
+        """,
+        "q134_part_supplier_stats": """
+            SELECT p_brand, p_size,
+                   count(DISTINCT l_suppkey) AS supplier_cnt
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            WHERE p_type <> 'PROMO'
+              AND l_suppkey NOT IN
+                  (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+            GROUP BY p_brand, p_size
+        """,
+        "q135_cumulative_distinct_users": """
+            WITH active AS (
+                SELECT CAST(ts AS DATE) AS day,
+                       count(DISTINCT user_id) AS active_users
+                FROM events GROUP BY 1
+            ), firsts AS (
+                SELECT user_id, min(CAST(ts AS DATE)) AS day
+                FROM events GROUP BY user_id
+            ), new AS (
+                SELECT day, count(*) AS new_users FROM firsts GROUP BY day
+            )
+            SELECT strftime(a.day, '%Y-%m-%d') AS day, a.active_users,
+                   coalesce(n.new_users, 0) AS new_users,
+                   CAST(sum(coalesce(n.new_users, 0))
+                        OVER (ORDER BY a.day
+                              ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                       AS cum_users
+            FROM active a LEFT JOIN new n USING (day)
+        """,
+        "q136_weighted_median": """
+            WITH grouped AS (
+                SELECT l_returnflag AS flag, l_extendedprice AS price,
+                       sum(l_quantity) AS wt
+                FROM lineitem GROUP BY 1, 2
+            ), ranked AS (
+                SELECT flag, price,
+                       sum(wt) OVER (PARTITION BY flag ORDER BY price
+                                     ROWS UNBOUNDED PRECEDING) AS cum,
+                       sum(wt) OVER (PARTITION BY flag) AS tot
+                FROM grouped
+            )
+            SELECT flag, min(price) AS weighted_median_price
+            FROM ranked WHERE cum >= tot / 2
+            GROUP BY flag
+        """,
+        "q137_brand_triangles": """
+            WITH baskets AS (
+                SELECT DISTINCT l_orderkey, p_brand AS brand
+                FROM lineitem JOIN part ON l_partkey = p_partkey
+            ), edges AS (
+                SELECT a.brand AS x, b.brand AS y
+                FROM baskets a JOIN baskets b USING (l_orderkey)
+                WHERE a.brand < b.brand
+                GROUP BY 1, 2
+                HAVING count(*) >= 5
+            ), tri AS (
+                SELECT e1.x, e1.y, e2.y AS z
+                FROM edges e1
+                JOIN edges e2 ON e1.y = e2.x
+                JOIN edges e3 ON e1.x = e3.x AND e2.y = e3.y
+            ), nodes AS (
+                SELECT x AS node FROM tri
+                UNION ALL SELECT y FROM tri
+                UNION ALL SELECT z FROM tri
+            )
+            SELECT node, count(*) AS triangles FROM nodes GROUP BY node
         """,
     }

@@ -72,3 +72,35 @@ def pagerank(
         new_ranks = new_ranks.persist()
         ranks = new_ranks
     return ranks
+
+
+def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Per-node triangle count [EXT] on an undirected simple graph.
+
+    Canonicalizes each edge to (lo, hi) and distincts, then finds closed
+    triples with the ordered two-join (a<b, b<c, a-c) — the standard
+    distributed formulation: ordering the joins by node id means every
+    triangle is produced exactly once and the join fan-out is bounded by
+    forward-degree, not total degree (the classic skew guard for triangle
+    counting; high-degree hubs only expand toward higher ids).
+
+    Returns (node, triangles) for nodes in at least one triangle.
+    """
+    canon = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    e1 = canon.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    e2 = canon.select(F.col("a").alias("y"), F.col("b").alias("z"))
+    e3 = canon.select(F.col("a").alias("x"), F.col("b").alias("z"))
+    tri = e1.join(e2, "y").join(e3, ["x", "z"])
+    per_node = (
+        tri.select(F.explode(F.array("x", "y", "z")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("triangles"))
+    )
+    return per_node

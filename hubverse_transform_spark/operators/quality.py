@@ -108,3 +108,46 @@ def referential_integrity_audit(
             ).crossJoin(orphans.agg(F.count(F.lit(1)).alias("n_orphans")))
         )
     return reduce(DataFrame.unionAll, parts)
+
+
+def partition_completeness(
+    df: DataFrame,
+    ts_col: str,
+    *,
+    low_watermark: float = 0.5,
+) -> DataFrame:
+    """Partition-completeness audit [EXT]: for every calendar day between the
+    data's min and max (inclusive), the ingested row count and a status —
+    ``missing`` (day absent), ``low`` (below ``low_watermark``× the mean
+    daily volume), else ``ok``. The check a lake runs before declaring a
+    daily partition queryable; gaps here mean upstream loss, not filters.
+
+    Plan: one daily-count aggregate; the day SPINE is generated from the
+    min/max scalar pair (broadcast, one row -> explode(sequence)) and
+    left-joins the counts — the fact table is scanned once and never joins
+    anything non-broadcast. The spine is |days| rows; at any scale that is
+    KB-sized.
+    """
+    daily = df.groupBy(F.to_date(ts_col).alias("day")).agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+    bounds = daily.agg(
+        F.min("day").alias("_lo"),
+        F.max("day").alias("_hi"),
+        F.avg("n_rows").alias("_mean"),
+    )
+    spine = bounds.select(
+        F.explode(
+            F.sequence(F.col("_lo"), F.col("_hi"), F.expr("interval 1 day"))
+        ).alias("day"),
+        "_mean",
+    )
+    joined = spine.join(daily, "day", "left").select(
+        "day",
+        F.coalesce(F.col("n_rows"), F.lit(0)).alias("n_rows"),
+        F.when(F.col("n_rows").isNull(), F.lit("missing"))
+        .when(F.col("n_rows") < F.col("_mean") * low_watermark, F.lit("low"))
+        .otherwise(F.lit("ok"))
+        .alias("status"),
+    )
+    return joined

@@ -94,3 +94,61 @@ def test_pq_reconstruction_error_monotone_in_codes(spark):
     # codes drawn from the corpus itself: the code vectors reconstruct
     # themselves exactly, so max error must exceed avg error overall
     assert many.count() > 0
+
+
+def test_partition_completeness_flags_gaps(spark):
+    from hubverse_transform_spark.operators.quality import partition_completeness
+
+    rows = []
+    # 2024-01-01: 4 rows, 01-02: 4 rows, 01-03: missing, 01-04: 1 row (low)
+    for d, n in [("2024-01-01", 4), ("2024-01-02", 4), ("2024-01-04", 1)]:
+        rows += [(f"{d} 12:00:00",)] * n
+    df = spark.createDataFrame(rows, ["ts"]).select(
+        F.col("ts").cast("timestamp").alias("ts")
+    )
+    out = {str(r.day): (r.n_rows, r.status) for r in
+           partition_completeness(df, "ts", low_watermark=0.5).collect()}
+    assert out["2024-01-01"] == (4, "ok")
+    assert out["2024-01-03"] == (0, "missing")
+    assert out["2024-01-04"][1] == "low"
+    assert len(out) == 4  # full spine, gap included
+
+
+def test_triangle_count_k4_and_square(spark):
+    from hubverse_transform_spark.operators.graph import triangle_count
+
+    k4 = spark.createDataFrame(
+        [(a, b) for a in range(4) for b in range(4) if a < b], ["src", "dst"]
+    )
+    out = {r.node: r.triangles for r in triangle_count(k4).collect()}
+    # K4 has C(3,2)=3 triangles through each node, 4 total
+    assert out == {0: 3, 1: 3, 2: 3, 3: 3}
+
+    square = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 0)], ["src", "dst"]
+    )
+    assert triangle_count(square).count() == 0
+    # duplicate + reversed edges must not inflate counts
+    tri_dup = spark.createDataFrame(
+        [(0, 1), (1, 0), (1, 2), (2, 1), (0, 2)], ["src", "dst"]
+    )
+    out2 = {r.node: r.triangles for r in triangle_count(tri_dup).collect()}
+    assert out2 == {0: 1, 1: 1, 2: 1}
+
+
+def test_pq_adc_topk_shape_and_determinism(spark):
+    from hubverse_transform_spark.operators.similarity import pq_adc_topk
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 3)
+    out = pq_adc_topk(emb, q, n_sub=4, n_codes=4, k=5).collect()
+    per_q = {}
+    for r in out:
+        per_q.setdefault(r.query_id, []).append((r.rank, r.neighbor_id))
+        assert r.query_id != r.neighbor_id
+        assert r.adc_dist >= 0
+    for qid, rows in per_q.items():
+        assert sorted(r[0] for r in rows) == [1, 2, 3, 4, 5]
+    # deterministic across runs
+    out2 = pq_adc_topk(emb, q, n_sub=4, n_codes=4, k=5).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
