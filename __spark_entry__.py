@@ -2664,6 +2664,172 @@ def q137_brand_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_count(edges).orderBy("node")
 
 
+def q138_split_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-drift audit: chi-square distance between each hash split's
+    document-length distribution and the global one — the eval-integrity
+    check that a split is not length-biased. Observed/expected grids are
+    tiny post-aggregation tables; every join is broadcast; zero-count grid
+    cells are materialized (a drifted split can be missing a bucket
+    entirely, and chi-square must see that)."""
+    d = _t(spark, sf_dir, "documents")
+    s = hash_split(d, "doc_id").select(
+        "split", F.floor(F.col("n_chars") / 100).alias("bucket")
+    )
+    ob = s.groupBy("split", "bucket").agg(F.count(F.lit(1)).alias("n"))
+    split_tot = ob.groupBy("split").agg(F.sum("n").alias("st"))
+    bucket_tot = ob.groupBy("bucket").agg(F.sum("n").alias("bt"))
+    grand = ob.agg(F.sum("n").alias("g"))
+    grid = (
+        split_tot.crossJoin(F.broadcast(bucket_tot))
+        .crossJoin(F.broadcast(grand))
+        .join(F.broadcast(ob), ["split", "bucket"], "left")
+        .select(
+            "split",
+            "bucket",
+            F.coalesce(F.col("n"), F.lit(0)).alias("obs"),
+            (F.col("st") * F.col("bt") / F.col("g")).alias("exp"),
+        )
+    )
+    contrib = (F.col("obs") - F.col("exp")) * (F.col("obs") - F.col("exp")) / F.col(
+        "exp"
+    )
+    return grid.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.sum("obs").alias("n_docs"),
+        F.round(F.sum(contrib), 6).alias("chi2"),
+    )
+
+
+def q139_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized mean per group with exact percentile_disc cutoffs computed
+    by rank selection (value at rank ceil(p*n)) — no sketch, no
+    interpolation, so the clip points are identical in any engine. The
+    cutoff table is per-group scalars (broadcast); clipping is map-side."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice")
+    ranked = o.select(
+        "o_orderpriority",
+        "o_totalprice",
+        F.row_number().over(w).alias("_r"),
+        F.count(F.lit(1)).over(Window.partitionBy("o_orderpriority")).alias("_n"),
+    )
+    cuts = (
+        ranked.filter(
+            (F.col("_r") == F.ceil(F.col("_n") * 0.1))
+            | (F.col("_r") == F.ceil(F.col("_n") * 0.9))
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.min("o_totalprice").alias("_lo"),
+            F.max("o_totalprice").alias("_hi"),
+        )
+    )
+    clipped = o.join(F.broadcast(cuts), "o_orderpriority").select(
+        "o_orderpriority",
+        F.greatest(F.col("_lo"), F.least(F.col("_hi"), F.col("o_totalprice"))).alias(
+            "_v"
+        ),
+        "_lo",
+        "_hi",
+    )
+    return clipped.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.min("_lo"), 2).alias("p10_cut"),
+        F.round(F.min("_hi"), 2).alias("p90_cut"),
+        F.round(F.avg("_v"), 4).alias("winsorized_mean"),
+    )
+
+
+def q140_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary GROUPING SETS (not cube/rollup) through the SQL surface with
+    grouping() flags — the ((flag,status),(flag),()) lattice in one Expand,
+    one shuffle."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("li_gs")
+    return spark.sql(
+        """
+        SELECT coalesce(l_returnflag, 'ALL') AS flag,
+               coalesce(l_linestatus, 'ALL') AS status,
+               CAST(grouping(l_returnflag) AS INT) AS g_flag,
+               CAST(grouping(l_linestatus) AS INT) AS g_status,
+               count(*) AS n,
+               round(sum(l_quantity), 2) AS sum_qty
+        FROM li_gs
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                                (l_returnflag), ())
+        """
+    )
+
+
+def q141_merged_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval union per user (islands merge): each event spans
+    [ts, ts+300s]; overlapping spans merge via the running-max-end trick
+    (island starts where the current start exceeds every previous end), then
+    per-user coverage = Σ island lengths. One window shuffle partitioned by
+    user; NTZ-safe epoch math shared with operators/sessions."""
+    from hubverse_transform_spark.operators.sessions import _epoch_seconds
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", _epoch_seconds(F.col("ts")).alias("_t")
+    )
+    span = 300.0
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("_t")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = Window.partitionBy("user_id").orderBy("_t").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    marked = ev.withColumn(
+        "_new",
+        F.when(
+            F.col("_t") > F.max(F.col("_t") + span).over(w_prev), 1
+        ).otherwise(F.when(F.max("_t").over(w_prev).isNull(), 1).otherwise(0)),
+    ).withColumn("_island", F.sum("_new").over(w_run))
+    islands = marked.groupBy("user_id", "_island").agg(
+        F.min("_t").alias("_start"), (F.max("_t") + span).alias("_end")
+    )
+    return islands.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_islands"),
+        F.round(F.sum(F.col("_end") - F.col("_start")), 2).alias("covered_sec"),
+    )
+
+
+def q142_brand_mode_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group mode with deterministic ties (count desc, then value):
+    the modal part type per brand. Two aggregations, one rank window over
+    the small per-(brand,type) table."""
+    p = _t(spark, sf_dir, "part")
+    counts = p.groupBy("p_brand", "p_type").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("p_brand").orderBy(F.col("n").desc(), "p_type")
+    return (
+        counts.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .select("p_brand", F.col("p_type").alias("mode_type"), "n")
+    )
+
+
+def q143_event_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of the event-type mix per day — the distribution-
+    health metric monitoring pipelines alert on (a collapsing mix means an
+    upstream producer died). Two aggregations; the per-day totals broadcast
+    back into the per-(day,type) table."""
+    ev = _t(spark, sf_dir, "events")
+    per = ev.groupBy(
+        F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    tot = per.groupBy("day").agg(F.sum("n").alias("t"))
+    p = F.col("n") / F.col("t")
+    return (
+        per.join(F.broadcast(tot), "day")
+        .groupBy("day")
+        .agg(
+            F.count(F.lit(1)).alias("n_types"),
+            F.round(-F.sum(p * F.log(p)), 6).alias("entropy"),
+        )
+    )
+
+
 # =============================================================================
 # Driver contract
 # =============================================================================
@@ -2813,6 +2979,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q135_cumulative_distinct_users": q135_cumulative_distinct_users,
         "q136_weighted_median": q136_weighted_median,
         "q137_brand_triangles": q137_brand_triangles,
+        "q138_split_drift": q138_split_drift,
+        "q139_winsorized_stats": q139_winsorized_stats,
+        "q140_grouping_sets": q140_grouping_sets,
+        "q141_merged_intervals": q141_merged_intervals,
+        "q142_brand_mode_type": q142_brand_mode_type,
+        "q143_event_entropy": q143_event_entropy,
     }
 
 
@@ -5225,5 +5397,128 @@ def oracle_sql() -> dict[str, str]:
                 UNION ALL SELECT z FROM tri
             )
             SELECT node, count(*) AS triangles FROM nodes GROUP BY node
+        """,
+        "q138_split_drift": f"""
+            WITH s AS (
+                SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                                 < '{_SPLIT_THRESHOLDS[0][1]}' THEN 'train'
+                            WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                                 < '{_SPLIT_THRESHOLDS[1][1]}' THEN 'val'
+                            ELSE 'test' END AS split,
+                       CAST(floor(n_chars / 100.0) AS BIGINT) AS bucket
+                FROM documents
+            ), ob AS (
+                SELECT split, bucket, count(*) AS n FROM s GROUP BY 1, 2
+            ), st AS (
+                SELECT split, CAST(sum(n) AS BIGINT) AS st FROM ob GROUP BY 1
+            ), bt AS (
+                SELECT bucket, CAST(sum(n) AS BIGINT) AS bt FROM ob GROUP BY 1
+            ), g AS (
+                SELECT CAST(sum(n) AS BIGINT) AS g FROM ob
+            ), grid AS (
+                SELECT st.split, bt.bucket,
+                       coalesce(ob.n, 0) AS obs,
+                       st.st * bt.bt / CAST(g.g AS DOUBLE) AS exp
+                FROM st CROSS JOIN bt CROSS JOIN g
+                LEFT JOIN ob ON ob.split = st.split AND ob.bucket = bt.bucket
+            )
+            SELECT split,
+                   count(*) AS n_buckets,
+                   CAST(sum(obs) AS BIGINT) AS n_docs,
+                   round(sum((obs - exp) * (obs - exp) / exp), 6) AS chi2
+            FROM grid GROUP BY split
+        """,
+        "q139_winsorized_stats": """
+            WITH ranked AS (
+                SELECT o_orderpriority, o_totalprice,
+                       row_number() OVER (PARTITION BY o_orderpriority
+                                          ORDER BY o_totalprice) AS r,
+                       count(*) OVER (PARTITION BY o_orderpriority) AS n
+                FROM orders
+            ), cuts AS (
+                SELECT o_orderpriority,
+                       min(o_totalprice) AS lo, max(o_totalprice) AS hi
+                FROM ranked
+                WHERE r = CAST(ceil(n * 0.1) AS BIGINT)
+                   OR r = CAST(ceil(n * 0.9) AS BIGINT)
+                GROUP BY o_orderpriority
+            )
+            SELECT o.o_orderpriority,
+                   count(*) AS n,
+                   round(min(c.lo), 2) AS p10_cut,
+                   round(min(c.hi), 2) AS p90_cut,
+                   round(avg(greatest(c.lo, least(c.hi, o.o_totalprice))), 4)
+                       AS winsorized_mean
+            FROM orders o JOIN cuts c USING (o_orderpriority)
+            GROUP BY o.o_orderpriority
+        """,
+        "q140_grouping_sets": """
+            SELECT coalesce(l_returnflag, 'ALL') AS flag,
+                   coalesce(l_linestatus, 'ALL') AS status,
+                   CAST(grouping(l_returnflag) AS INT) AS g_flag,
+                   CAST(grouping(l_linestatus) AS INT) AS g_status,
+                   count(*) AS n,
+                   round(sum(l_quantity), 2) AS sum_qty
+            FROM lineitem
+            GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                                    (l_returnflag), ())
+        """,
+        "q141_merged_intervals": """
+            WITH ev AS (
+                SELECT user_id, epoch(ts) AS t FROM events
+            ), marked AS (
+                SELECT user_id, t,
+                       CASE WHEN max(t + 300.0) OVER
+                                 (PARTITION BY user_id ORDER BY t
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND 1 PRECEDING) IS NULL THEN 1
+                            WHEN t > max(t + 300.0) OVER
+                                 (PARTITION BY user_id ORDER BY t
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND 1 PRECEDING) THEN 1
+                            ELSE 0 END AS is_new
+                FROM ev
+            ), islands AS (
+                SELECT user_id, t,
+                       sum(is_new) OVER (PARTITION BY user_id ORDER BY t
+                                         ROWS UNBOUNDED PRECEDING) AS island
+                FROM marked
+            ), merged AS (
+                SELECT user_id, island,
+                       min(t) AS start, max(t) + 300.0 AS fin
+                FROM islands GROUP BY user_id, island
+            )
+            SELECT user_id,
+                   count(*) AS n_islands,
+                   round(sum(fin - start), 2) AS covered_sec
+            FROM merged GROUP BY user_id
+        """,
+        "q142_brand_mode_type": """
+            WITH counts AS (
+                SELECT p_brand, p_type, count(*) AS n
+                FROM part GROUP BY 1, 2
+            ), ranked AS (
+                SELECT p_brand, p_type, n,
+                       row_number() OVER (PARTITION BY p_brand
+                                          ORDER BY n DESC, p_type) AS rk
+                FROM counts
+            )
+            SELECT p_brand, p_type AS mode_type, n
+            FROM ranked WHERE rk = 1
+        """,
+        "q143_event_entropy": """
+            WITH per AS (
+                SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+                       event_type, count(*) AS n
+                FROM events GROUP BY 1, 2
+            ), tot AS (
+                SELECT day, CAST(sum(n) AS BIGINT) AS t FROM per GROUP BY day
+            )
+            SELECT per.day,
+                   count(*) AS n_types,
+                   round(-sum((n / CAST(t AS DOUBLE))
+                              * ln(n / CAST(t AS DOUBLE))), 6) AS entropy
+            FROM per JOIN tot USING (day)
+            GROUP BY per.day
         """,
     }
