@@ -2830,6 +2830,196 @@ def q143_event_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q144_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-region revenue trend: closed-form OLS slope/intercept of daily
+    revenue over the day index, computed ENTIRELY in exact integer
+    arithmetic (revenue in cents, day index small ints — every moment sum
+    stays under 2^63), so the regression is bit-identical in any engine and
+    any partitioning. The daily rollup is the only big shuffle; the moment
+    sums collapse to one row per region."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0
+    ).cast("long")
+    daily = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", F.to_date("o_orderdate").alias("day"))
+        .agg(F.sum(cents).alias("y"))
+        .select(
+            "r_name",
+            F.datediff(F.col("day"), F.lit("1995-01-01").cast("date"))
+            .cast("long")
+            .alias("x"),
+            "y",
+        )
+    )
+    m = daily.groupBy("r_name").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return (
+        m.withColumn("den_d", den.cast("double"))
+        .select(
+            "r_name",
+            "n",
+            F.round(num / F.col("den_d") / 100.0, 6).alias("slope_per_day"),
+            F.round(
+                (F.col("sy").cast("double") - num / F.col("den_d") * F.col("sx"))
+                / F.col("n")
+                / 100.0,
+                6,
+            ).alias("intercept"),
+        )
+    )
+
+
+def q145_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: every purchase credits the latest
+    non-purchase event by the same user within the preceding hour (else
+    'direct'). A RANGE-framed window over epoch seconds carries the latest
+    qualifying (ts, type) struct — no self-join, one user-keyed shuffle;
+    credited value sums exactly via integer cents."""
+    from hubverse_transform_spark.operators.sessions import _epoch_seconds
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        _epoch_seconds(F.col("ts")).alias("_t"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("_cents"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("_t")
+        .rangeBetween(-3600, 0)
+    )
+    touch = F.max(
+        F.when(
+            F.col("event_type") != "purchase",
+            F.struct(F.col("_t").alias("t"), F.col("event_type").alias("et")),
+        )
+    ).over(w)
+    purchases = (
+        ev.withColumn("_touch", touch)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.coalesce(F.col("_touch.et"), F.lit("direct")).alias("channel"),
+            "_cents",
+        )
+    )
+    return purchases.groupBy("channel").agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        F.round(F.sum("_cents") / 100.0, 2).alias("credited_value"),
+    )
+
+
+def q146_rolling_7d_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day distinct users per day WITHOUT a sliding distinct
+    window: collapse to distinct (day, user), fan each out to the 7 days it
+    covers (explode of a constant 7-element sequence — map-side), then one
+    count-distinct per target day. The standard scale rewrite of
+    COUNT(DISTINCT) OVER RANGE 7 days (whose state is quadratic); output
+    restricted to days that actually exist."""
+    ev = _t(spark, sf_dir, "events")
+    du = ev.select(
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date")).alias(
+            "_d"
+        ),
+        "user_id",
+    ).distinct()
+    days = du.select("_d").distinct()
+    fanned = du.select(
+        "_d", "user_id", F.explode(F.sequence(F.lit(0), F.lit(6))).alias("_off")
+    ).select((F.col("_d") + F.col("_off")).alias("_td"), "user_id")
+    return (
+        fanned.join(days, fanned._td == days._d)
+        .groupBy("_td")
+        .agg(F.count_distinct("user_id").alias("users_7d"))
+        .select(
+            F.date_format(
+                F.date_add(F.lit("2024-01-01").cast("date"), F.col("_td").cast("int")),
+                "yyyy-MM-dd",
+            ).alias("day"),
+            "users_7d",
+        )
+    )
+
+
+def q147_interpolate_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear interpolation over a sparse daily series (the gap-fill
+    downstream of q63's spine densify): days with under 3 purchase events
+    are treated as unreliable (nulled), then reconstructed from the nearest
+    reliable anchors on both sides via IGNORE NULLS window navigation — no
+    self-join, one global-window pass over the (tiny, aggregated) day spine.
+    Anchor values are exact integer cents, so the interpolation arithmetic
+    is a single identical double expression in both engines."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    daily = ev.groupBy(
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date")).alias("d")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("_cents"),
+    )
+    v = F.when(F.col("n") >= 3, F.struct(F.col("d").alias("ad"), F.col("_cents").alias("av")))
+    w_prev = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    w_next = Window.orderBy("d").rowsBetween(0, Window.unboundedFollowing)
+    anchored = daily.select(
+        "d",
+        "n",
+        "_cents",
+        F.last(v, ignorenulls=True).over(w_prev).alias("_p"),
+        F.first(v, ignorenulls=True).over(w_next).alias("_nx"),
+    )
+    pd_, pv = F.col("_p.ad"), F.col("_p.av").cast("double")
+    nd, nv = F.col("_nx.ad"), F.col("_nx.av").cast("double")
+    interp = F.when(F.col("n") >= 3, F.col("_cents").cast("double")).otherwise(
+        F.when(F.col("_p").isNull(), nv)
+        .when(F.col("_nx").isNull(), pv)
+        .otherwise(pv + (nv - pv) * (F.col("d") - pd_) / (nd - pd_))
+    )
+    return anchored.select(
+        F.date_format(
+            F.date_add(F.lit("2024-01-01").cast("date"), F.col("d").cast("int")),
+            "yyyy-MM-dd",
+        ).alias("day"),
+        "n",
+        (F.col("n") < 3).alias("filled"),
+        F.round(interp / 100.0, 2).alias("value_filled"),
+    )
+
+
+def q148_price_position(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank + cume_dist of each brand's average price within its part
+    type — the relative-position windows over an aggregated (small) table.
+    Averages come from exact integer cents so the rank ORDER is engine-
+    independent (double-sum averages can flip near-ties across engines)."""
+    p = _t(spark, sf_dir, "part")
+    cents = F.round(F.col("p_retailprice") * 100, 0).cast("long")
+    agg = p.groupBy("p_type", "p_brand").agg(
+        F.sum(cents).alias("_c"), F.count(F.lit(1)).alias("_n")
+    )
+    avg_price = F.col("_c").cast("double") / F.col("_n")
+    w = Window.partitionBy("p_type").orderBy(avg_price, "p_brand")
+    return agg.select(
+        "p_type",
+        "p_brand",
+        F.round(avg_price / 100.0, 4).alias("avg_price"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume_dist"),
+    )
+
+
 # =============================================================================
 # Driver contract
 # =============================================================================
@@ -2985,6 +3175,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q141_merged_intervals": q141_merged_intervals,
         "q142_brand_mode_type": q142_brand_mode_type,
         "q143_event_entropy": q143_event_entropy,
+        "q144_revenue_trend": q144_revenue_trend,
+        "q145_attribution": q145_attribution,
+        "q146_rolling_7d_users": q146_rolling_7d_users,
+        "q147_interpolate_gaps": q147_interpolate_gaps,
+        "q148_price_position": q148_price_position,
     }
 
 
@@ -5520,5 +5715,136 @@ def oracle_sql() -> dict[str, str]:
                               * ln(n / CAST(t AS DOUBLE))), 6) AS entropy
             FROM per JOIN tot USING (day)
             GROUP BY per.day
+        """,
+        "q144_revenue_trend": """
+            WITH daily AS (
+                SELECT r_name,
+                       CAST(datediff('day', DATE '1995-01-01',
+                                     CAST(o_orderdate AS DATE)) AS BIGINT)
+                           AS x,
+                       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount)
+                                           * 100, 0) AS BIGINT)) AS BIGINT)
+                           AS y
+                FROM lineitem
+                JOIN orders ON l_orderkey = o_orderkey
+                JOIN customer ON o_custkey = c_custkey
+                JOIN nation ON c_nationkey = n_nationkey
+                JOIN region ON n_regionkey = r_regionkey
+                GROUP BY r_name, CAST(o_orderdate AS DATE)
+            ), m AS (
+                SELECT r_name, count(*) AS n,
+                       CAST(sum(x) AS BIGINT) AS sx,
+                       CAST(sum(y) AS BIGINT) AS sy,
+                       CAST(sum(x * y) AS BIGINT) AS sxy,
+                       CAST(sum(x * x) AS BIGINT) AS sxx
+                FROM daily GROUP BY r_name
+            )
+            SELECT r_name, n,
+                   round((n * sxy - sx * sy)
+                         / CAST(n * sxx - sx * sx AS DOUBLE) / 100.0, 6)
+                       AS slope_per_day,
+                   round((CAST(sy AS DOUBLE)
+                          - (n * sxy - sx * sy)
+                            / CAST(n * sxx - sx * sx AS DOUBLE) * sx)
+                         / n / 100.0, 6) AS intercept
+            FROM m
+        """,
+        "q145_attribution": """
+            WITH ev AS (
+                SELECT user_id, event_type, epoch(ts) AS t,
+                       CAST(round(value * 100, 0) AS BIGINT) AS cents
+                FROM events
+            ), touched AS (
+                SELECT user_id, event_type, cents,
+                       max(CASE WHEN event_type <> 'purchase'
+                                THEN {'t': t, 'et': event_type} END)
+                           OVER (PARTITION BY user_id ORDER BY t
+                                 RANGE BETWEEN 3600 PRECEDING
+                                       AND CURRENT ROW) AS touch
+                FROM ev
+            )
+            SELECT coalesce(touch.et, 'direct') AS channel,
+                   count(*) AS n_purchases,
+                   round(sum(cents) / 100.0, 2) AS credited_value
+            FROM touched
+            WHERE event_type = 'purchase'
+            GROUP BY 1
+        """,
+        "q146_rolling_7d_users": """
+            WITH du AS (
+                SELECT DISTINCT
+                       datediff('day', DATE '2024-01-01', CAST(ts AS DATE))
+                           AS d,
+                       user_id
+                FROM events
+            ), days AS (
+                SELECT DISTINCT d FROM du
+            ), fanned AS (
+                SELECT du.d + off AS td, du.user_id
+                FROM du, (SELECT unnest(range(0, 7)) AS off)
+            )
+            SELECT strftime(DATE '2024-01-01' + INTERVAL (f.td) DAY,
+                            '%Y-%m-%d') AS day,
+                   count(DISTINCT f.user_id) AS users_7d
+            FROM fanned f JOIN days ON f.td = days.d
+            GROUP BY 1
+        """,
+        "q147_interpolate_gaps": """
+            WITH daily AS (
+                SELECT datediff('day', DATE '2024-01-01', CAST(ts AS DATE))
+                           AS d,
+                       count(*) AS n,
+                       CAST(sum(CAST(round(value * 100, 0) AS BIGINT))
+                            AS BIGINT) AS cents
+                FROM events WHERE event_type = 'purchase'
+                GROUP BY 1
+            ), anchored AS (
+                SELECT d, n, cents,
+                       last_value(CASE WHEN n >= 3
+                                       THEN {'ad': d, 'av': cents} END
+                                  IGNORE NULLS)
+                           OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS p,
+                       first_value(CASE WHEN n >= 3
+                                        THEN {'ad': d, 'av': cents} END
+                                   IGNORE NULLS)
+                           OVER (ORDER BY d ROWS BETWEEN CURRENT ROW
+                                 AND UNBOUNDED FOLLOWING) AS nx
+                FROM daily
+            )
+            SELECT strftime(DATE '2024-01-01' + INTERVAL (d) DAY,
+                            '%Y-%m-%d') AS day,
+                   n,
+                   n < 3 AS filled,
+                   round(CASE WHEN n >= 3 THEN CAST(cents AS DOUBLE)
+                              WHEN p IS NULL THEN CAST(nx.av AS DOUBLE)
+                              WHEN nx IS NULL THEN CAST(p.av AS DOUBLE)
+                              ELSE CAST(p.av AS DOUBLE)
+                                   + (CAST(nx.av AS DOUBLE)
+                                      - CAST(p.av AS DOUBLE))
+                                     * (d - p.ad)
+                                     / (nx.ad - p.ad) END / 100.0, 2)
+                       AS value_filled
+            FROM anchored
+        """,
+        "q148_price_position": """
+            WITH agg AS (
+                SELECT p_type, p_brand,
+                       CAST(sum(CAST(round(p_retailprice * 100, 0) AS BIGINT))
+                            AS BIGINT) AS c,
+                       count(*) AS n
+                FROM part GROUP BY 1, 2
+            )
+            SELECT p_type, p_brand,
+                   round(CAST(c AS DOUBLE) / n / 100.0, 4) AS avg_price,
+                   round(percent_rank() OVER
+                         (PARTITION BY p_type
+                          ORDER BY CAST(c AS DOUBLE) / n, p_brand), 6)
+                       AS pct_rank,
+                   round(cume_dist() OVER
+                         (PARTITION BY p_type
+                          ORDER BY CAST(c AS DOUBLE) / n, p_brand), 6)
+                       AS cume_dist
+            FROM agg
         """,
     }

@@ -186,3 +186,72 @@ def watermarked_dedup(
     if not events.isStreaming:
         return events.dropDuplicates(keys)
     return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
+
+
+def stateful_session_agg(
+    events: DataFrame,
+    *,
+    key_col: str = "user_id",
+    value_col: str = "value",
+    gap_ms: int = 2000,
+) -> DataFrame:
+    """Session aggregation with a PROCESSING-TIME STATE TIMEOUT: events
+    accumulate per key; when a key goes quiet for ``gap_ms`` of processing
+    time the session is EMITTED AND ITS STATE FREED — the bounded-state
+    pattern every long-running stateful job needs (NoTimeout state grows
+    with the key universe forever; timeout state grows with the *active*
+    key set).
+
+    Emits ``(key, n_events, sum_value, closed)`` — ``closed=false`` rows are
+    in-progress snapshots on each batch a key appears in; the final
+    ``closed=true`` row arrives via the timeout path after the gap. Callers
+    keyed by idempotent sinks take the last row per key.
+
+    This is the ``applyInPandasWithState`` sibling of
+    ``windows.session_window_agg`` (event-time session windows): use the
+    built-in when event-time gaps define the session; use this when the
+    session must close on PROCESSING quiet time (e.g. devices with broken
+    clocks) or must carry arbitrary extra state.
+    """
+    out_schema = f"{key_col} long, n_events long, sum_value double, closed boolean"
+    state_schema = "n long, s double"
+
+    def update(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            n, s = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    key_col: [key[0]],
+                    "n_events": [n],
+                    "sum_value": [s],
+                    "closed": [True],
+                }
+            )
+            return
+        n, s = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            s += float(pdf[value_col].sum())
+        state.update((n, s))
+        state.setTimeoutDuration(gap_ms)
+        yield pd.DataFrame(
+            {
+                key_col: [key[0]],
+                "n_events": [n],
+                "sum_value": [s],
+                "closed": [False],
+            }
+        )
+
+    return events.groupBy(key_col).applyInPandasWithState(
+        update,
+        out_schema,
+        state_schema,
+        "update",
+        GroupStateTimeout.ProcessingTimeTimeout,
+    )

@@ -174,3 +174,63 @@ def test_transform_with_state_across_restarts(spark, tmp_path: Path):
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
         else:
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+
+def test_session_agg_times_out_and_frees_state(spark, tmp_path: Path):
+    """ProcessingTimeTimeout closes quiet sessions and frees their state.
+
+    Driven with a processingTime trigger + sleeps: availableNow does not
+    cooperate with processing-time timeouts (the run can end before a
+    timed-out key is serviced), so the query stays up while batches fire.
+    """
+    import time
+
+    from hubverse_transform_spark.streaming.stateful import stateful_session_agg
+
+    src, ckpt = tmp_path / "src", str(tmp_path / "ckpt")
+    schema = _write_events(spark, src, [(1, 10.0, 100), (1, 5.0, 101)])
+
+    stream = spark.readStream.schema(schema).parquet(str(src))
+    results: list = []
+    q = (
+        stateful_session_agg(stream, gap_ms=1500)
+        .writeStream.foreachBatch(lambda b, _i: results.extend(b.collect()))
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 60
+        # phase 1: in-progress snapshot for the open session
+        while time.time() < deadline and not results:
+            time.sleep(0.5)
+        assert [(r["user_id"], r["n_events"], r["sum_value"], r["closed"]) for r in results] == [
+            (1, 2, 15.0, False)
+        ]
+        # phase 2: the gap elapses -> timeout path emits closed=true and
+        # frees the state (new data just keeps batches firing)
+        _write_events(spark, src, [(2, 1.0, 102)])
+        # the timeout can be serviced in an empty batch before key 2's file
+        # is picked up — wait for BOTH emissions independently
+        while time.time() < deadline and not (
+            any(r["closed"] for r in results)
+            and any(r["user_id"] == 2 for r in results)
+        ):
+            time.sleep(0.5)
+        got = {(r["user_id"], r["closed"]): (r["n_events"], r["sum_value"]) for r in results}
+        assert got[(1, True)] == (2, 15.0)
+        assert got[(2, False)] == (1, 1.0)
+        # phase 3: key 1 returns AFTER its state was removed -> fresh session
+        _write_events(spark, src, [(1, 7.0, 103)])
+        while time.time() < deadline and (1, False) not in {
+            (r["user_id"], r["closed"]) for r in results if r["sum_value"] == 7.0
+        }:
+            time.sleep(0.5)
+        fresh = [
+            r for r in results
+            if r["user_id"] == 1 and not r["closed"] and r["sum_value"] == 7.0
+        ]
+        assert fresh and fresh[0]["n_events"] == 1
+    finally:
+        q.stop()
