@@ -3020,6 +3020,29 @@ def q148_price_position(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q149_consensus_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-signal dedup consensus: the agreement matrix between the two
+    independent near-dup detectors (MinHash-LSH Jaccard, q23 config vs
+    SimHash hamming, q37 config). Production curation ensembles signals
+    exactly like this — pairs found by both are near-certain dups, single-
+    signal pairs get a cheaper second look. Full-outer join of two bounded
+    candidate-pair sets (never the corpus), 3-row rollup."""
+    d = _t(spark, sf_dir, "documents")
+    mh = minhash_lsh_pairs(
+        d, "doc_id", "text", ngram=3, num_hashes=8, bands=4, threshold=0.1
+    ).select("id_a", "id_b", F.lit(1).alias("_mh"))
+    sh = simhash_near_dup_pairs(
+        d, "doc_id", "text", bits=32, ngram=2, max_hamming=3
+    ).select("id_a", "id_b", F.lit(1).alias("_sh"))
+    joined = mh.join(sh, ["id_a", "id_b"], "full_outer").select(
+        (F.col("_mh").isNotNull()).alias("in_minhash"),
+        (F.col("_sh").isNotNull()).alias("in_simhash"),
+    )
+    return joined.groupBy("in_minhash", "in_simhash").agg(
+        F.count(F.lit(1)).alias("n_pairs")
+    )
+
+
 # =============================================================================
 # Driver contract
 # =============================================================================
@@ -3180,6 +3203,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q146_rolling_7d_users": q146_rolling_7d_users,
         "q147_interpolate_gaps": q147_interpolate_gaps,
         "q148_price_position": q148_price_position,
+        "q149_consensus_pairs": q149_consensus_pairs,
     }
 
 
@@ -3351,7 +3375,7 @@ def _lsh_neardup_sql(*, threshold: float, num_planes: int, dim: int) -> str:
 
 def oracle_sql() -> dict[str, str]:
     en_profile = "|".join(_LANG_PROFILES["en"])
-    return {
+    sqls = {
         "q01_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    round(sum(l_quantity), 2) AS sum_qty,
@@ -5848,3 +5872,19 @@ def oracle_sql() -> dict[str, str]:
             FROM agg
         """,
     }
+    # q149 composes the two near-dup detectors' own oracles verbatim, so the
+    # consensus check can never drift from the signals it audits
+    sqls["q149_consensus_pairs"] = f"""
+        WITH mh AS ({sqls["q23_minhash_lsh_pairs"]}),
+             sh AS ({sqls["q37_simhash_neardup"]}),
+             joined AS (
+                 SELECT coalesce(mh.id_a, sh.id_a) AS id_a,
+                        mh.id_a IS NOT NULL AS in_minhash,
+                        sh.id_a IS NOT NULL AS in_simhash
+                 FROM mh FULL OUTER JOIN sh
+                   ON mh.id_a = sh.id_a AND mh.id_b = sh.id_b
+             )
+        SELECT in_minhash, in_simhash, count(*) AS n_pairs
+        FROM joined GROUP BY 1, 2
+    """
+    return sqls
