@@ -167,58 +167,19 @@ def cosine_lsh_topk(
     )
 
 
-def ivf_cosine_topk(
-    corpus: DataFrame,
-    queries: DataFrame,
-    *,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    n_centroids: int = 16,
-    n_probe: int = 4,
-    k: int = 10,
-) -> DataFrame:
-    """IVF-style ANN top-k: inverted lists keyed by nearest coarse centroid.
+def _nearest_cid(vec: Column, cents: list) -> Column:
+    """Map-side argmax-cosine centroid id for ``vec`` against the (small)
+    centroid list, ties to lowest cid.
 
-    The alternative scale path to hyperplane LSH (``cosine_lsh_topk``): each
-    corpus vector is assigned to its nearest centroid (the inverted list);
-    a query scans only the ``n_probe`` lists whose centroids are nearest to
-    it, so candidate volume is ~``n_probe / n_centroids`` of the corpus.
-
-    Centroids here are the ``n_centroids`` lowest-id corpus vectors — a
-    deterministic quantizer so DuckDB can replay the exact computation; a
-    production run would swap in sampled spherical k-means without touching
-    the plan shape. The centroid set is tiny, so it is collected once and:
-
-    - the ASSIGNMENT is a map-only argmax over inline centroid literals
-      (struct(sim, -cid) array_max = highest sim, ties to lowest cid) — the
-      corpus never shuffles to get its list id, and at rest a lake bucketed
-      by ``cid`` makes probing a partition-pruned scan;
-    - the PROBE side is a broadcast cross-join (|queries| × n_centroids rows).
-
-    Ties break on neighbor id; same output shape as the brute-force baseline
-    so recall is directly measurable.
+    Centroids ride along as two constant-folded literal arrays (flat
+    n_centroids×dim matrix + id list) iterated with one transform() —
+    unrolling a per-centroid cosine expression instead multiplies the
+    Catalyst tree by n_centroids×dim literal nodes and costs seconds of
+    analysis/codegen before the first task runs. The matrix holds UNIT
+    centroids, so argmax cosine = argmax dot (the row vector's norm is a
+    constant positive factor across centroids) and the per-row HOF work
+    drops to one multiply-add pass per centroid, no norms.
     """
-    cent_rows = (
-        corpus.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"))
-        .orderBy("cid")
-        .limit(n_centroids)
-        .collect()
-    )
-    cents = [(int(r["cid"]), [float(x) for x in r["cv"]]) for r in cent_rows]
-    spark = corpus.sparkSession
-    cent_df = spark.createDataFrame(cents, "cid bigint, cv array<double>")
-
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cvec")
-    )
-    # Centroids ride along as two constant-folded literal arrays (flat
-    # n_centroids×dim matrix + id list) iterated with one transform() —
-    # unrolling a per-centroid cosine expression instead multiplies the
-    # Catalyst tree by n_centroids×dim literal nodes and costs seconds of
-    # analysis/codegen before the first task runs. The matrix holds UNIT
-    # centroids, so argmax cosine = argmax dot (the corpus vector's norm is
-    # a constant positive factor across centroids) and the per-row HOF work
-    # drops to one multiply-add pass per centroid, no norms.
     dim = len(cents[0][1])
     unit = []
     for _, cv in cents:
@@ -230,14 +191,120 @@ def ivf_cosine_topk(
         F.transform(
             F.sequence(F.lit(0), F.lit(len(cents) - 1)),
             lambda i: F.struct(
-                dot_product(
-                    F.col("_cvec"), F.slice(flat, i * dim + 1, dim)
-                ).alias("sim"),
+                dot_product(vec, F.slice(flat, i * dim + 1, dim)).alias("sim"),
                 (-F.element_at(cids, i + 1)).alias("ncid"),
             ),
         )
     )
-    assigned = c.withColumn("cid", -best["ncid"])
+    return -best["ncid"]
+
+
+def spherical_kmeans_centroids(
+    corpus: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 16,
+    iters: int = 3,
+) -> list:
+    """Spherical k-means refinement of the deterministic IVF quantizer:
+    start from the ``k`` lowest-id vectors (the same seeds the default IVF
+    path uses), run ``iters`` Lloyd steps (assign by max cosine, re-center
+    by mean, re-normalize to the unit sphere), return ``[(cid, vector)]``
+    for ``ivf_cosine_topk(..., centroids=...)``.
+
+    Deterministic end to end — fixed seeds, fixed iteration count, and every
+    step is exact data-parallel aggregation: assignment is the map-side
+    literal-matrix argmax (``_nearest_cid``, no shuffle), the update is one
+    (cid, component) aggregation. Only the k×dim centroid matrix is ever
+    collected. Better centroids shrink the probe volume a query needs for a
+    given recall (see RECALL.md); the scale shape is identical to the
+    default path.
+    """
+    rows = (
+        corpus.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"))
+        .orderBy("cid")
+        .limit(k)
+        .collect()
+    )
+
+    def _unit(v: list) -> list:
+        n = sum(x * x for x in v) ** 0.5 or 1.0
+        return [x / n for x in v]
+
+    cents = [(i, _unit([float(x) for x in r["cv"]])) for i, r in enumerate(rows)]
+    vecs = corpus.select(F.col(vec_col).alias("_v"))
+    for _ in range(iters):
+        sums = (
+            vecs.withColumn("cid", _nearest_cid(F.col("_v"), cents))
+            .select("cid", F.posexplode(F.col("_v")).alias("pos", "x"))
+            .groupBy("cid", "pos")
+            .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        acc: dict[int, dict[int, float]] = {}
+        for r in sums:
+            acc.setdefault(int(r["cid"]), {})[int(r["pos"])] = float(r["s"]) / r["n"]
+        new = []
+        for cid, old in cents:
+            comp = acc.get(cid)
+            # empty cluster: keep its previous centroid (stays deterministic)
+            new.append((cid, _unit([comp[p] for p in sorted(comp)]) if comp else old))
+        cents = new
+    return cents
+
+
+def ivf_cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    k: int = 10,
+    centroids: list | None = None,
+) -> DataFrame:
+    """IVF-style ANN top-k: inverted lists keyed by nearest coarse centroid.
+
+    The alternative scale path to hyperplane LSH (``cosine_lsh_topk``): each
+    corpus vector is assigned to its nearest centroid (the inverted list);
+    a query scans only the ``n_probe`` lists whose centroids are nearest to
+    it, so candidate volume is ~``n_probe / n_centroids`` of the corpus.
+
+    Centroids here are the ``n_centroids`` lowest-id corpus vectors — a
+    deterministic quantizer so DuckDB can replay the exact computation; pass
+    ``centroids=[(cid, vector), ...]`` (e.g. from
+    ``spherical_kmeans_centroids``) to swap in a trained quantizer without
+    touching the plan shape. The centroid set is tiny, so it is collected
+    once and:
+
+    - the ASSIGNMENT is a map-only argmax over inline centroid literals
+      (struct(sim, -cid) array_max = highest sim, ties to lowest cid) — the
+      corpus never shuffles to get its list id, and at rest a lake bucketed
+      by ``cid`` makes probing a partition-pruned scan;
+    - the PROBE side is a broadcast cross-join (|queries| × n_centroids rows).
+
+    Ties break on neighbor id; same output shape as the brute-force baseline
+    so recall is directly measurable.
+    """
+    if centroids is None:
+        cent_rows = (
+            corpus.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"))
+            .orderBy("cid")
+            .limit(n_centroids)
+            .collect()
+        )
+        cents = [(int(r["cid"]), [float(x) for x in r["cv"]]) for r in cent_rows]
+    else:
+        cents = [(int(cid), [float(x) for x in cv]) for cid, cv in centroids]
+    spark = corpus.sparkSession
+    cent_df = spark.createDataFrame(cents, "cid bigint, cv array<double>")
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cvec")
+    )
+    assigned = c.withColumn("cid", _nearest_cid(F.col("_cvec"), cents))
 
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qvec"))
     pw = Window.partitionBy("query_id").orderBy(F.col("_psim").desc(), F.col("cid"))

@@ -152,3 +152,37 @@ def test_pq_adc_topk_shape_and_determinism(spark):
     # deterministic across runs
     out2 = pq_adc_topk(emb, q, n_sub=4, n_codes=4, k=5).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
+
+
+def test_spherical_kmeans_deterministic_and_improving(spark):
+    from hubverse_transform_spark.operators.similarity import (
+        _nearest_cid,
+        spherical_kmeans_centroids,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    c1 = spherical_kmeans_centroids(emb, k=8, iters=2)
+    c2 = spherical_kmeans_centroids(emb, k=8, iters=2)
+    assert c1 == c2  # fixed seeds + fixed iterations => bit-identical
+    for _, v in c1:
+        assert abs(sum(x * x for x in v) - 1.0) < 1e-9
+
+    def objective(cents):
+        # mean max-cosine to assigned centroid: Lloyd must not decrease it
+        from hubverse_transform_spark.functions.vectors import cosine_similarity
+
+        dim = len(cents[0][1])
+        flat = F.array(*[F.lit(x) for _, cv in cents for x in cv])
+        best = F.array_max(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(len(cents) - 1)),
+                lambda i: cosine_similarity(
+                    F.col("embedding"), F.slice(flat, i * dim + 1, dim)
+                ),
+            )
+        )
+        return emb.agg(F.avg(best)).collect()[0][0]
+
+    seeds = spherical_kmeans_centroids(emb, k=8, iters=0)
+    refined = spherical_kmeans_centroids(emb, k=8, iters=3)
+    assert objective(refined) >= objective(seeds) - 1e-9
