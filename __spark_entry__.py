@@ -2433,9 +2433,11 @@ def q126_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q127_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet head/middle/tail perplexity partitioning
-    (textstats.perplexity_buckets): corpus-fit unigram-LM score per doc, exact
-    ntile tiers (deterministic, oracle-replayable; the approx-threshold scale
-    sibling is pinned against this in tests)."""
+    (textstats.perplexity_buckets): corpus-fit unigram-LM score per doc;
+    EXACT quantile cut points from the cumulative distribution over distinct
+    rounded scores (bounded table — no per-document global window), tiers
+    assigned map-side. The approx_percentile sibling is pinned against this
+    in tests."""
     d = _t(spark, sf_dir, "documents")
     return perplexity_buckets(d, id_col="doc_id", text_col="text", n_buckets=3)
 
@@ -3043,6 +3045,42 @@ def q149_consensus_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q150_recursive_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RECURSIVE CTE (Spark 4 SQL surface): path counting from a seed brand
+    over the canonical (src<dst, hence acyclic) co-purchase edge DAG —
+    per reachable brand, number of distinct paths of length <= 3 and the
+    shortest hop count. UNION ALL recursion terminates on the DAG order +
+    depth guard identically in both engines; parameterized SQL carries the
+    seed/threshold (no string splicing)."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("li_rr")
+    _t(spark, sf_dir, "part").createOrReplaceTempView("p_rr")
+    return spark.sql(
+        """
+        WITH RECURSIVE edges AS (
+            SELECT a.brand AS src, b.brand AS dst FROM
+                (SELECT DISTINCT l_orderkey, p_brand AS brand
+                 FROM li_rr JOIN p_rr ON l_partkey = p_partkey) a
+            JOIN
+                (SELECT DISTINCT l_orderkey, p_brand AS brand
+                 FROM li_rr JOIN p_rr ON l_partkey = p_partkey) b
+            ON a.l_orderkey = b.l_orderkey AND a.brand < b.brand
+            GROUP BY 1, 2
+            HAVING count(*) >= :support
+        ), reach(brand, depth) AS (
+            SELECT :seed, 0
+            UNION ALL
+            SELECT e.dst, r.depth + 1
+            FROM reach r JOIN edges e ON e.src = r.brand
+            WHERE r.depth < 3
+        )
+        SELECT brand, count(*) AS n_paths, min(depth) AS min_depth
+        FROM reach WHERE depth > 0
+        GROUP BY brand
+        """,
+        args={"seed": "Brand#1", "support": 5},
+    )
+
+
 # =============================================================================
 # Driver contract
 # =============================================================================
@@ -3204,6 +3242,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q147_interpolate_gaps": q147_interpolate_gaps,
         "q148_price_position": q148_price_position,
         "q149_consensus_pairs": q149_consensus_pairs,
+        "q150_recursive_reach": q150_recursive_reach,
     }
 
 
@@ -5379,10 +5418,26 @@ def oracle_sql() -> dict[str, str]:
                        round(avg(m.nll), 6) AS avg_neg_logprob
                 FROM t2 JOIN model m USING (term)
                 GROUP BY t2.doc_id
+            ), dist AS (
+                SELECT avg_neg_logprob AS s, count(*) AS c
+                FROM scores GROUP BY 1
+            ), cum AS (
+                SELECT s,
+                       sum(c) OVER (ORDER BY s ROWS UNBOUNDED PRECEDING)
+                           AS cumc,
+                       sum(c) OVER () AS n
+                FROM dist
+            ), cuts AS (
+                SELECT min(CASE WHEN cumc >= ceil(n * (1.0/3)) THEN s END)
+                           AS cut1,
+                       min(CASE WHEN cumc >= ceil(n * (2.0/3)) THEN s END)
+                           AS cut2
+                FROM cum
             ), tiered AS (
-                SELECT *, ntile(3) OVER (ORDER BY avg_neg_logprob, doc_id)
-                           AS bucket
-                FROM scores
+                SELECT sc.*,
+                       1 + CAST(sc.avg_neg_logprob > cut1 AS INT)
+                         + CAST(sc.avg_neg_logprob > cut2 AS INT) AS bucket
+                FROM scores sc CROSS JOIN cuts
             )
             SELECT bucket,
                    count(*) AS n_docs,
@@ -5886,5 +5941,27 @@ def oracle_sql() -> dict[str, str]:
              )
         SELECT in_minhash, in_simhash, count(*) AS n_pairs
         FROM joined GROUP BY 1, 2
+    """
+    sqls["q150_recursive_reach"] = """
+        WITH RECURSIVE edges AS (
+            SELECT a.brand AS src, b.brand AS dst FROM
+                (SELECT DISTINCT l_orderkey, p_brand AS brand
+                 FROM lineitem JOIN part ON l_partkey = p_partkey) a
+            JOIN
+                (SELECT DISTINCT l_orderkey, p_brand AS brand
+                 FROM lineitem JOIN part ON l_partkey = p_partkey) b
+            ON a.l_orderkey = b.l_orderkey AND a.brand < b.brand
+            GROUP BY 1, 2
+            HAVING count(*) >= 5
+        ), reach(brand, depth) AS (
+            SELECT 'Brand#1', 0
+            UNION ALL
+            SELECT e.dst, r.depth + 1
+            FROM reach r JOIN edges e ON e.src = r.brand
+            WHERE r.depth < 3
+        )
+        SELECT brand, count(*) AS n_paths, min(depth) AS min_depth
+        FROM reach WHERE depth > 0
+        GROUP BY brand
     """
     return sqls

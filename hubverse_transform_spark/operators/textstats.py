@@ -432,23 +432,53 @@ def perplexity_buckets(
 ) -> DataFrame:
     """CCNet-style perplexity partitioning [EXT]: score every document with
     the corpus-fit unigram LM (``unigram_logprob_scores``) and split the
-    corpus into ``n_buckets`` equal-count fluency tiers (CCNet's
-    head/middle/tail), reporting per-tier document/token mass.
+    corpus into ``n_buckets`` fluency tiers (CCNet's head/middle/tail),
+    reporting per-tier document/token mass.
 
-    The tier assignment here is an exact global ``ntile`` (deterministic:
-    ordered by score then id) so a SQL oracle reproduces it bit-for-bit.
-    ntile's global sort is the WRONG plan at 100 TB — the scale path computes
-    approximate score thresholds (``approx_percentile``) and assigns tiers
-    map-side by comparison; ``tests/test_graph_text.py`` pins the two paths
-    to agree on every non-boundary document. The per-tier rollup is a
-    3-row aggregate either way.
+    Tier cut points are EXACT distributional quantiles computed the
+    scale-safe way: scores (already rounded to 6 decimals) collapse to a
+    per-DISTINCT-score count table whose cardinality is bounded by value
+    granularity, the cumulative distribution runs over that small table, and
+    the cut score for quantile q is the smallest score whose cumulative
+    count reaches ceil(q*n) — the same rank-selection rule as the
+    winsorize/weighted-median operators. Document assignment is then a
+    map-side comparison; no per-document global window anywhere (a global
+    ``ntile`` would drag every document through one partition). Ties share a
+    tier by construction, so tier sizes are equal up to tie mass.
 
     Returns (bucket, n_docs, total_tokens, avg_score, min_score, max_score).
     """
     scores = unigram_logprob_scores(df, id_col=id_col, text_col=text_col)
-    w = Window.orderBy("avg_neg_logprob", id_col)
+    dist = scores.groupBy("avg_neg_logprob").agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    w = Window.orderBy("avg_neg_logprob").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = dist.select(
+        "avg_neg_logprob",
+        F.sum("_c").over(w).alias("_cum"),
+        F.sum("_c").over(Window.partitionBy()).alias("_n"),
+    )
+    cuts = cum.select(
+        *[
+            F.min(
+                F.when(
+                    F.col("_cum") >= F.ceil(F.col("_n") * (i / n_buckets)),
+                    F.col("avg_neg_logprob"),
+                )
+            ).alias(f"_cut{i}")
+            for i in range(1, n_buckets)
+        ]
+    )
+    bucket = F.lit(1)
+    for i in range(1, n_buckets):
+        bucket = bucket + F.when(
+            F.col("avg_neg_logprob") > F.col(f"_cut{i}"), 1
+        ).otherwise(0)
     return (
-        scores.withColumn("bucket", F.ntile(n_buckets).over(w))
+        scores.crossJoin(F.broadcast(cuts))
+        .withColumn("bucket", bucket)
         .groupBy("bucket")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
