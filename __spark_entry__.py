@@ -3052,32 +3052,109 @@ def q150_recursive_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     shortest hop count. UNION ALL recursion terminates on the DAG order +
     depth guard identically in both engines; parameterized SQL carries the
     seed/threshold (no string splicing)."""
-    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("li_rr")
-    _t(spark, sf_dir, "part").createOrReplaceTempView("p_rr")
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    baskets = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .select("l_orderkey", F.col("p_brand").alias("brand"))
+        .distinct()
+    )
+    b2 = baskets.select(
+        F.col("l_orderkey").alias("ok2"), F.col("brand").alias("brand2")
+    )
+    edges = (
+        baskets.join(b2, baskets.l_orderkey == b2.ok2)
+        .filter(F.col("brand") < F.col("brand2"))
+        .groupBy(F.col("brand").alias("src"), F.col("brand2").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 5)
+        .select("src", "dst")
+    )
+    # materialize the (tiny) edge list before recursing: a WITH-RECURSIVE
+    # body re-evaluates every CTE it references per iteration, so leaving
+    # the basket self-join inline multiplies the expensive build by the
+    # recursion depth (measured 6.4s -> ~2s at sf0.1)
+    edges.cache().createOrReplaceTempView("edges_rr")
     return spark.sql(
         """
-        WITH RECURSIVE edges AS (
-            SELECT a.brand AS src, b.brand AS dst FROM
-                (SELECT DISTINCT l_orderkey, p_brand AS brand
-                 FROM li_rr JOIN p_rr ON l_partkey = p_partkey) a
-            JOIN
-                (SELECT DISTINCT l_orderkey, p_brand AS brand
-                 FROM li_rr JOIN p_rr ON l_partkey = p_partkey) b
-            ON a.l_orderkey = b.l_orderkey AND a.brand < b.brand
-            GROUP BY 1, 2
-            HAVING count(*) >= :support
-        ), reach(brand, depth) AS (
+        WITH RECURSIVE reach(brand, depth) AS (
             SELECT :seed, 0
             UNION ALL
             SELECT e.dst, r.depth + 1
-            FROM reach r JOIN edges e ON e.src = r.brand
+            FROM reach r JOIN edges_rr e ON e.src = r.brand
             WHERE r.depth < 3
         )
         SELECT brand, count(*) AS n_paths, min(depth) AS min_depth
         FROM reach WHERE depth > 0
         GROUP BY brand
         """,
-        args={"seed": "Brand#1", "support": 5},
+        args={"seed": "Brand#1"},
+    )
+
+
+def q151_quality_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filtering (the fasttext-classifier slot in a
+    curation pipeline): a logistic model over text features — stopword
+    ratio, alpha ratio, log token count — with literal weights, scored
+    entirely in column expressions (batch inference without a UDF), tiered
+    and rolled up per language. Swapping trained weights in changes no
+    plan."""
+    from hubverse_transform_spark.functions.text import (
+        alpha_ratio,
+        stopword_ratio,
+        whitespace_token_count,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    logit = (
+        F.lit(-2.0)
+        + 3.0 * stopword_ratio(t)
+        + 2.0 * alpha_ratio(t)
+        + 0.5 * F.log(whitespace_token_count(t) + F.lit(1.0))
+    )
+    p = F.lit(1.0) / (F.lit(1.0) + F.exp(-logit))
+    scored = d.select(
+        "lang",
+        p.alias("_p"),
+        F.when(p >= 0.7, "high").when(p >= 0.4, "mid").otherwise("low").alias(
+            "tier"
+        ),
+    )
+    return scored.groupBy("lang", "tier").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("_p"), 6).alias("avg_p"),
+    )
+
+
+def q152_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss random projection 64 -> 8 dims with the
+    deterministic md5 hyperplane family (planes 100..107 — disjoint from the
+    LSH tables), reporting per-label norm-preservation (projected/original
+    L2 ratio). Map-only: the projection matrix is 8 constant-folded literal
+    arrays; nothing shuffles but the 10-row label rollup — the shape of
+    every matmul-by-small-matrix feature transform at scale."""
+    from hubverse_transform_spark.functions.vectors import dot_product
+
+    emb = _t(spark, sf_dir, "embeddings")
+    planes = [_hyperplane(100 + j, 64) for j in range(8)]
+    ve = F.col("embedding").cast("array<double>")
+    projs = [
+        dot_product(ve, F.array(*[F.lit(x) for x in pl])) for pl in planes
+    ]
+    proj_sq = projs[0] * projs[0]
+    for pj in projs[1:]:
+        proj_sq = proj_sq + pj * pj
+    ratio = F.sqrt(proj_sq / dot_product(ve, ve))
+    return (
+        emb.select("label", ratio.alias("_r"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.round(F.avg("_r"), 6).alias("avg_norm_ratio"),
+            F.round(F.min("_r"), 6).alias("min_norm_ratio"),
+            F.round(F.max("_r"), 6).alias("max_norm_ratio"),
+        )
     )
 
 
@@ -3243,6 +3320,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q148_price_position": q148_price_position,
         "q149_consensus_pairs": q149_consensus_pairs,
         "q150_recursive_reach": q150_recursive_reach,
+        "q151_quality_model": q151_quality_model,
+        "q152_random_projection": q152_random_projection,
     }
 
 
@@ -5963,5 +6042,44 @@ def oracle_sql() -> dict[str, str]:
         SELECT brand, count(*) AS n_paths, min(depth) AS min_depth
         FROM reach WHERE depth > 0
         GROUP BY brand
+    """
+    _stop = f"(len(regexp_extract_all(lower(text), '\\b(?:{en_profile})\\b')) * 1.0 / len(regexp_split_to_array(trim(text), '\\s+')))"
+    _alpha = "(len(regexp_extract_all(text, '[A-Za-z]')) * 1.0 / length(text))"
+    _ws = "len(regexp_split_to_array(trim(text), '\\s+'))"
+    sqls["q151_quality_model"] = f"""
+        WITH scored AS (
+            SELECT lang,
+                   1.0 / (1.0 + exp(-(-2.0 + 3.0 * {_stop}
+                                      + 2.0 * {_alpha}
+                                      + 0.5 * ln({_ws} + 1.0)))) AS p
+            FROM documents
+        )
+        SELECT lang,
+               CASE WHEN p >= 0.7 THEN 'high'
+                    WHEN p >= 0.4 THEN 'mid'
+                    ELSE 'low' END AS tier,
+               count(*) AS n_docs,
+               round(avg(p), 6) AS avg_p
+        FROM scored GROUP BY 1, 2
+    """
+    _planes = [_hyperplane(100 + j, 64) for j in range(8)]
+    _proj_terms = " + ".join(
+        f"list_dot_product(ve, {pl}) * list_dot_product(ve, {pl})"
+        for pl in _planes
+    )
+    sqls["q152_random_projection"] = f"""
+        WITH v AS (
+            SELECT label, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings
+        ), r AS (
+            SELECT label,
+                   sqrt(({_proj_terms}) / list_dot_product(ve, ve)) AS ratio
+            FROM v
+        )
+        SELECT label,
+               count(*) AS n_vecs,
+               round(avg(ratio), 6) AS avg_norm_ratio,
+               round(min(ratio), 6) AS min_norm_ratio,
+               round(max(ratio), 6) AS max_norm_ratio
+        FROM r GROUP BY label
     """
     return sqls

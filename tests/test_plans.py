@@ -80,3 +80,38 @@ def test_q73_subquery_is_decorrelated(spark):
     plan = explain_str(entry.q73_correlated_avg_subquery(spark, SF))
     assert "Join" in plan
     assert "ScalarSubquery" not in plan
+
+
+def test_runtime_bloom_filter_injection(spark):
+    """Spark injects a bloom-filter runtime row filter from the selective
+    (filtered) join side into the big side's scan when broadcast is off —
+    the 100 TB shuffle-join guard that prunes fact rows before the exchange.
+    Local toy sizes fall under the default thresholds, so the test pins the
+    CONFS that make injection fire and asserts the optimizer actually
+    injects (if an upgrade silently stops injecting, this fails)."""
+    from pyspark.sql import functions as F
+
+    from hubverse_transform_spark.session import load_table
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = load_table(spark, "/root/testdata/sf0.001", "lineitem")
+        o = load_table(spark, "/root/testdata/sf0.001", "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = li.join(o, li.l_orderkey == o.o_orderkey).groupBy("l_returnflag").count()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "bloom" in plan.lower(), plan[:2000]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
