@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 
 from hubverse_transform_spark.functions.text import (
     _LANG_PROFILES,
+    _profile_hits,
     bpe_ish_token_count,
     chargram_min_fingerprint,
     lang_id_expr,
@@ -3158,6 +3159,184 @@ def q152_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q153_notin_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-valued-logic NOT IN: the classic trap where one NULL in the
+    subquery empties the whole result. One row, three counts — NOT IN over a
+    null-bearing set (0 rows survive), NOT IN with nulls pre-filtered, and
+    the NOT EXISTS rewrite (null rows simply never match). Spark plans the
+    first as a null-aware anti join (NAAJ, a broadcast-only physical op);
+    the rewrite is the scale-safe form — at 100 TB you want the NOT EXISTS
+    shape, and this query pins why the two differ."""
+    _t(spark, sf_dir, "part").createOrReplaceTempView("part_q153")
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_q153")
+    return spark.sql(
+        """
+        WITH sizes AS (SELECT DISTINCT p_size FROM part_q153),
+             qty AS (SELECT DISTINCT CASE WHEN l_quantity >= 50 THEN NULL
+                                          ELSE CAST(l_quantity AS INT) END AS q
+                     FROM lineitem_q153)
+        SELECT
+          (SELECT count(*) FROM sizes
+            WHERE p_size NOT IN (SELECT q FROM qty)) AS notin_with_null,
+          (SELECT count(*) FROM sizes
+            WHERE p_size NOT IN (SELECT q FROM qty WHERE q IS NOT NULL))
+              AS notin_null_filtered,
+          (SELECT count(*) FROM sizes s
+            WHERE NOT EXISTS (SELECT 1 FROM qty WHERE q = s.p_size))
+              AS not_exists_rewrite
+        """
+    )
+
+
+def q154_event_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series anomaly detection: per-event-type daily counts scored
+    against that type's own mean/stddev (z-score), returning |z| >= 2 days.
+    Two aggs sharing one shuffle key (type) — daily rollup, then a windowed
+    stats pass; no per-day driver loop, no global sort until the tiny
+    anomaly set."""
+    e = _t(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.date_format("ts", "yyyy-MM-dd").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    w = Window.partitionBy("event_type")
+    scored = daily.select(
+        "event_type",
+        "day",
+        "n_events",
+        (
+            (F.col("n_events") - F.avg("n_events").over(w))
+            / F.stddev_samp("n_events").over(w)
+        ).alias("_z"),
+    )
+    return scored.filter(F.abs(F.col("_z")) >= 2.0).select(
+        "event_type", "day", "n_events", F.round("_z", 4).alias("zscore")
+    )
+
+
+def q155_lang_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier-confidence audit for the stopword lang-ID: per predicted
+    language, how decisive the argmax was (margin = top1 - top2 profile
+    hits) and how many docs sit in the low-confidence band (margin <= 1) —
+    the curation dial that decides which docs need a real model's second
+    opinion. Pure column expressions; one shuffle for the rollup."""
+    d = _t(spark, sf_dir, "documents")
+    lowered = F.lower(F.col("text"))
+    scores = F.array(
+        *[
+            _profile_hits(lowered, words)
+            for _, words in sorted(_LANG_PROFILES.items())
+        ]
+    )
+    desc = F.reverse(F.array_sort(scores))
+    margin = desc[0] - desc[1]
+    return (
+        d.select(
+            lang_id_expr(F.col("text")).alias("pred_lang"),
+            margin.alias("_m"),
+        )
+        .groupBy("pred_lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("_m"), 6).alias("avg_margin"),
+            F.sum(F.when(F.col("_m") <= 1, 1).otherwise(0)).alias("n_low_conf"),
+        )
+    )
+
+
+def q156_merge_changeset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO / CDC-apply semantics (operators/scd.apply_changeset): a
+    deterministic changeset derived from orders — every key%97==0 updated
+    (status 'X', price*1.1), every key%89==0 deleted, inserts at key+10M —
+    applied to the snapshot in one full-outer join, then rolled up per
+    status so the hash compare covers every merge branch (update wins,
+    delete drops, insert appends, untouched passes through)."""
+    from hubverse_transform_spark.operators.scd import apply_changeset
+
+    o = _t(spark, sf_dir, "orders")
+    base = o.select("o_orderkey", "o_orderstatus", "o_totalprice")
+    updates = base.filter(F.col("o_orderkey") % 97 == 0).select(
+        "o_orderkey",
+        F.lit("U").alias("op"),
+        F.lit("X").alias("o_orderstatus"),
+        (F.col("o_totalprice") * 1.1).alias("o_totalprice"),
+    )
+    deletes = base.filter(
+        (F.col("o_orderkey") % 89 == 0) & (F.col("o_orderkey") % 97 != 0)
+    ).select(
+        "o_orderkey",
+        F.lit("D").alias("op"),
+        F.lit(None).cast("string").alias("o_orderstatus"),
+        F.lit(None).cast("double").alias("o_totalprice"),
+    )
+    inserts = base.filter(F.col("o_orderkey") % 83 == 0).select(
+        (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
+        F.lit("I").alias("op"),
+        F.lit("N").alias("o_orderstatus"),
+        F.lit(1000.0).alias("o_totalprice"),
+    )
+    changes = updates.unionByName(deletes).unionByName(inserts)
+    merged = apply_changeset(base, changes, "o_orderkey", "op")
+    return merged.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 1).alias("sum_price"),
+    )
+
+
+def q157_packing_capacity_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-packing capacity sweep: the q115 first-fit-by-offset packer
+    evaluated at three context lengths in one plan. The per-doc running
+    token offset is computed ONCE (one shuffle + sort per lang), then a
+    broadcast cross join against the 3-row capacity dim derives each
+    capacity's window ids — the sweep costs three cheap aggregations, not
+    three repacks. Reports windows, mean fill, and waste per capacity
+    (fill>1 = a doc straddling its window boundary, counted where it
+    starts)."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        "lang",
+        F.size(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("n_tokens"),
+    )
+    offs = toks.withColumn(
+        "prev_cum",
+        F.expr(
+            "sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id "
+            "ROWS UNBOUNDED PRECEDING) - n_tokens"
+        ),
+    )
+    caps = spark.createDataFrame([(512,), (2048,), (8192,)], ["capacity"])
+    per_window = (
+        offs.crossJoin(F.broadcast(caps))
+        .groupBy(
+            "capacity", "lang", F.expr("prev_cum div capacity").alias("window_id")
+        )
+        .agg(F.sum("n_tokens").alias("tok"))
+    )
+    return per_window.groupBy("capacity").agg(
+        F.count(F.lit(1)).alias("n_windows"),
+        F.round(F.avg(F.col("tok") / F.col("capacity")), 6).alias("avg_fill"),
+        F.round(
+            F.lit(1.0) - F.sum("tok") / (F.count(F.lit(1)) * F.first("capacity")),
+            6,
+        ).alias("waste_frac"),
+    )
+
+
+def q158_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PPJoin-style prefix-filtered exact Jaccard join (2-gram shingles,
+    t=0.6): rarest-first prefixes prune the candidate postings join
+    losslessly, so the result is byte-identical to the plain inverted-index
+    join at the same parameters — the high-threshold scale path where
+    postings^2 cost concentrates in the commonest shingles. Oracle verifies
+    the exact pair set + similarity values."""
+    from hubverse_transform_spark.operators.dedup import prefix_filter_jaccard_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    return prefix_filter_jaccard_pairs(
+        d, "doc_id", "text", ngram=2, threshold=0.6
+    )
+
+
 # =============================================================================
 # Driver contract
 # =============================================================================
@@ -3322,6 +3501,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q150_recursive_reach": q150_recursive_reach,
         "q151_quality_model": q151_quality_model,
         "q152_random_projection": q152_random_projection,
+        "q153_notin_null_semantics": q153_notin_null_semantics,
+        "q154_event_anomaly_zscore": q154_event_anomaly_zscore,
+        "q155_lang_margin": q155_lang_margin,
+        "q156_merge_changeset": q156_merge_changeset,
+        "q157_packing_capacity_sweep": q157_packing_capacity_sweep,
+        "q158_prefix_filter_jaccard": q158_prefix_filter_jaccard,
     }
 
 
@@ -6081,5 +6266,119 @@ def oracle_sql() -> dict[str, str]:
                round(min(ratio), 6) AS min_norm_ratio,
                round(max(ratio), 6) AS max_norm_ratio
         FROM r GROUP BY label
+    """
+    sqls["q153_notin_null_semantics"] = """
+        WITH sizes AS (SELECT DISTINCT p_size FROM part),
+             qty AS (SELECT DISTINCT CASE WHEN l_quantity >= 50 THEN NULL
+                                          ELSE CAST(l_quantity AS INT) END AS q
+                     FROM lineitem)
+        SELECT
+          (SELECT count(*) FROM sizes
+            WHERE p_size NOT IN (SELECT q FROM qty)) AS notin_with_null,
+          (SELECT count(*) FROM sizes
+            WHERE p_size NOT IN (SELECT q FROM qty WHERE q IS NOT NULL))
+              AS notin_null_filtered,
+          (SELECT count(*) FROM sizes s
+            WHERE NOT EXISTS (SELECT 1 FROM qty WHERE q = s.p_size))
+              AS not_exists_rewrite
+    """
+    sqls["q154_event_anomaly_zscore"] = """
+        WITH daily AS (
+            SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+                   count(*) AS n_events
+            FROM events GROUP BY 1, 2
+        ), scored AS (
+            SELECT event_type, day, n_events,
+                   (n_events - avg(n_events) OVER (PARTITION BY event_type))
+                   / stddev_samp(n_events) OVER (PARTITION BY event_type) AS z
+            FROM daily
+        )
+        SELECT event_type, day, n_events, round(z, 4) AS zscore
+        FROM scored WHERE abs(z) >= 2.0
+    """
+    _margin_scores = ", ".join(
+        "len(regexp_extract_all(lower(text), '\\b(?:" + "|".join(words) + ")\\b'))"
+        for _, words in sorted(_LANG_PROFILES.items())
+    )
+    sqls["q155_lang_margin"] = f"""
+        WITH scored AS (
+            SELECT {_lang_guess_sql()} AS pred_lang,
+                   list_sort([{_margin_scores}], 'DESC') AS l
+            FROM documents
+        )
+        SELECT pred_lang, count(*) AS n_docs,
+               round(avg(l[1] - l[2]), 6) AS avg_margin,
+               count(*) FILTER (WHERE l[1] - l[2] <= 1) AS n_low_conf
+        FROM scored GROUP BY pred_lang
+    """
+    sqls["q156_merge_changeset"] = """
+        WITH base AS (
+            SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        ), upd AS (
+            SELECT o_orderkey, 'X' AS o_orderstatus,
+                   o_totalprice * 1.1 AS o_totalprice
+            FROM base WHERE o_orderkey % 97 = 0
+        ), del AS (
+            SELECT o_orderkey FROM base
+            WHERE o_orderkey % 89 = 0 AND o_orderkey % 97 != 0
+        ), ins AS (
+            SELECT o_orderkey + 10000000 AS o_orderkey,
+                   'N' AS o_orderstatus, 1000.0 AS o_totalprice
+            FROM base WHERE o_orderkey % 83 = 0
+        ), merged AS (
+            SELECT b.o_orderkey,
+                   coalesce(u.o_orderstatus, b.o_orderstatus) AS o_orderstatus,
+                   coalesce(u.o_totalprice, b.o_totalprice) AS o_totalprice
+            FROM base b LEFT JOIN upd u USING (o_orderkey)
+            WHERE b.o_orderkey NOT IN (SELECT o_orderkey FROM del)
+            UNION ALL
+            SELECT * FROM ins
+        )
+        SELECT o_orderstatus, count(*) AS n_orders,
+               round(sum(o_totalprice), 1) AS sum_price
+        FROM merged GROUP BY o_orderstatus
+    """
+    sqls["q157_packing_capacity_sweep"] = """
+        WITH toks AS (
+            SELECT doc_id, lang,
+                   len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS n_tokens
+            FROM documents
+        ), offs AS (
+            SELECT doc_id, lang, n_tokens,
+                   sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                                       ROWS UNBOUNDED PRECEDING) - n_tokens
+                       AS prev_cum
+            FROM toks
+        ), pw AS (
+            SELECT capacity, lang, prev_cum // capacity AS window_id,
+                   sum(n_tokens) AS tok
+            FROM offs CROSS JOIN (VALUES (512), (2048), (8192)) caps(capacity)
+            GROUP BY 1, 2, 3
+        )
+        SELECT capacity, count(*) AS n_windows,
+               round(avg(tok * 1.0 / capacity), 6) AS avg_fill,
+               round(1.0 - sum(tok) * 1.0 / (count(*) * capacity), 6)
+                   AS waste_frac
+        FROM pw GROUP BY capacity
+    """
+    # lossless prefix filtering => the oracle is simply the exact Jaccard
+    # join (inverted-index candidates, full verification) at ngram=2, t=0.6
+    sqls["q158_prefix_filter_jaccard"] = f"""
+        WITH tok AS (
+            SELECT doc_id, {_TOKS} AS toks FROM documents
+        ), sh AS (
+            SELECT doc_id, {_SHINGLES2} AS s FROM tok
+        ), post AS (
+            SELECT doc_id, unnest(s) AS g FROM sh
+        ), cand AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM post a JOIN post b ON a.g = b.g AND a.doc_id < b.doc_id
+        )
+        SELECT id_a, id_b,
+               round(len(list_intersect(x.s, y.s)) * 1.0
+                     / len(list_distinct(list_concat(x.s, y.s))), 6) AS jaccard
+        FROM cand JOIN sh x ON x.doc_id = id_a JOIN sh y ON y.doc_id = id_b
+        WHERE len(list_intersect(x.s, y.s)) * 1.0
+              / len(list_distinct(list_concat(x.s, y.s))) >= 0.6
     """
     return sqls

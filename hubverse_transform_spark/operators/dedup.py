@@ -246,6 +246,73 @@ def ngram_jaccard_pairs(
     )
 
 
+def prefix_filter_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    ngram: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact set-similarity join with PPJoin-style prefix filtering
+    (Vernica/Carey/Li, SIGMOD'10 fanout variant): lossless candidate
+    pruning that beats the plain inverted index when the threshold is high.
+
+    Order every document's shingles by ascending global document frequency
+    (rarest first; shingle string breaks df ties totally), keep only the
+    first ``|s| - ceil(t*|s|) + 1`` as the *prefix*. Theorem: two sets with
+    Jaccard >= t must collide inside their prefixes under any shared total
+    order, so joining prefix postings (plus the ``t*max(|A|,|B|) <=
+    min(|A|,|B|)`` length filter) generates a superset of the true result,
+    and the exact Jaccard verification on the full shingle arrays makes the
+    output identical to ``ngram_jaccard_pairs`` at the same parameters
+    (asserted in tests).
+
+    Scale shape: the df rollup and the per-doc top-prefix window each
+    shuffle once on bounded keys; the candidate join shuffles only prefix
+    postings — at t=0.8 that is ~20% of the postings volume the plain
+    inverted index ships, and the rarest-first order makes the surviving
+    postings lists the *shortest* ones, which is exactly where postings^2
+    join cost dies at 100 TB. Never broadcasts; never caps.
+    """
+    from pyspark.sql import Window
+
+    docs = df.select(
+        F.col(id_col).alias("_id"),
+        shingle_ngrams(F.col(text_col), ngram).alias("_sh"),
+    ).withColumn("_sz", F.size("_sh"))
+    post = docs.select("_id", "_sz", F.explode("_sh").alias("_s"))
+    dfreq = post.groupBy("_s").agg(F.count(F.lit(1)).alias("_df"))
+    w = Window.partitionBy("_id").orderBy("_df", "_s")
+    prefix_len = F.col("_sz") - F.ceil(F.col("_sz") * F.lit(threshold)) + 1
+    prefix = (
+        post.join(dfreq, "_s")
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= prefix_len)
+        .select("_id", "_sz", "_s")
+    )
+    a, b = prefix.alias("a"), prefix.hint("shuffle_hash").alias("b")
+    cand = (
+        a.join(b, on="_s")
+        .filter(F.col("a._id") < F.col("b._id"))
+        .filter(
+            F.least(F.col("a._sz"), F.col("b._sz")).cast("double")
+            >= F.lit(threshold) * F.greatest(F.col("a._sz"), F.col("b._sz"))
+        )
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    da = docs.select(F.col("_id").alias("id_a"), F.col("_sh").alias("_sha"))
+    db = docs.select(F.col("_id").alias("id_b"), F.col("_sh").alias("_shb"))
+    return (
+        cand.join(da, "id_a")
+        .join(db, "id_b")
+        .withColumn("jaccard", jaccard_expr(F.col("_sha"), F.col("_shb")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
 def simhash(text: Column, *, bits: int = 16, ngram: int = 2) -> Column:
     """SimHash fingerprint of ``text`` over word n-gram shingles.
 

@@ -56,3 +56,45 @@ def build_scd2(
     return per_version.withColumn("valid_to", F.lead("valid_from").over(w2)).select(
         key_col, attr_col, "version", "valid_from", "valid_to", "n_obs"
     )
+
+
+def apply_changeset(
+    base: DataFrame,
+    changes: DataFrame,
+    key_col: str,
+    op_col: str = "op",
+) -> DataFrame:
+    """MERGE INTO semantics without a table format: apply a CDC changeset
+    (``op`` in 'U'pdate / 'D'elete / 'I'nsert) to a snapshot in one pass.
+
+    - matched + U  -> change row's columns win (update)
+    - matched + D  -> row dropped (delete)
+    - unmatched + I (or U, upsert-style) -> change row appended (insert)
+    - unmatched + D -> no-op; base rows without a change pass through
+
+    Implementation is a single full-outer join on the key — one shuffle,
+    both sides co-partitioned, no second pass. This is exactly the shuffle
+    Delta/Iceberg MERGE plans when the changeset is too big to broadcast;
+    for a small changeset Spark's AQE will demote the join to broadcast on
+    its own. Each side must share the non-key column set; change rows carry
+    nulls only where ``op_col`` says they are deletes.
+    """
+    data_cols = [c for c in base.columns if c != key_col]
+    b = base.withColumn("_in_base", F.lit(1))
+    ch = changes.select(
+        F.col(key_col),
+        F.col(op_col).alias("_op"),
+        *[F.col(c).alias(f"_ch_{c}") for c in data_cols],
+    )
+    joined = b.join(ch, on=key_col, how="full_outer")
+    keep = ~F.col("_op").eqNullSafe(F.lit("D"))
+    take_change = F.col("_op").isin("U", "I")
+    out_cols = [
+        F.when(take_change, F.col(f"_ch_{c}")).otherwise(F.col(c)).alias(c)
+        for c in data_cols
+    ]
+    return (
+        joined.filter(keep)
+        .filter(F.col("_in_base").isNotNull() | take_change)
+        .select(F.col(key_col), *out_cols)
+    )

@@ -18,6 +18,8 @@ ALLOWED = {
     ("operators/similarity.py", "ivf_cosine_topk"): "n_centroids rows (<=16)",
     ("operators/similarity.py", "_exact_cosine_pairs_blocked"):
         "documented bounded variant: broadcast matrix must fit an executor",
+    ("operators/similarity.py", "spherical_kmeans_centroids"):
+        "k seed rows + k*dim aggregated component sums per Lloyd step",
     ("sinks.py", "write_zorder_layout"): "4 scalar min/max bounds",
 }
 

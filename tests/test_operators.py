@@ -548,3 +548,25 @@ def test_cogrouped_asof_equals_union_window_form(spark):
     # tie at t=10 visible (backward inclusive); k=3 has no right rows -> null
     d = {(r.k, r.ts.second): r.px for r in b.collect()}
     assert d[(1, 10)] == 1.0 and d[(1, 20)] == 2.0 and d[(3, 9)] is None
+
+
+def test_prefix_filter_equals_inverted_index(spark, docs_df):
+    """Prefix filtering is lossless: at identical (ngram, threshold) the
+    PPJoin-style path returns exactly the pairs (and values) the plain
+    inverted-index join returns, across thresholds."""
+    from hubverse_transform_spark.operators.dedup import prefix_filter_jaccard_pairs
+
+    for t in (0.3, 0.5, 0.8):
+        base = {
+            (r["id_a"], r["id_b"]): round(r["jaccard"], 6)
+            for r in ngram_jaccard_pairs(
+                docs_df, "doc_id", "text", ngram=3, threshold=t
+            ).collect()
+        }
+        pref = {
+            (r["id_a"], r["id_b"]): r["jaccard"]
+            for r in prefix_filter_jaccard_pairs(
+                docs_df, "doc_id", "text", ngram=3, threshold=t
+            ).collect()
+        }
+        assert pref == base, f"threshold {t}: {pref} != {base}"

@@ -248,3 +248,32 @@ def test_build_scd2_invariants_random(spark):
         for a, b in zip(vs, vs[1:]):
             # null-safe inequality between consecutive versions
             assert not (a.attr == b.attr or (a.attr is None and b.attr is None))
+
+
+def test_apply_changeset_merge_branches(spark):
+    """Every MERGE branch in one pass: update wins, delete drops, insert
+    appends, untouched passes through, and a base row whose data columns are
+    all null still survives (the sentinel, not null-probing, decides
+    matched-ness)."""
+    from hubverse_transform_spark.operators.scd import apply_changeset
+
+    base = spark.createDataFrame(
+        [(1, "A", 10.0), (2, "B", 20.0), (3, "C", 30.0), (4, None, None)],
+        "k long, status string, amt double",
+    )
+    changes = spark.createDataFrame(
+        [
+            (2, "U", "B2", 25.0),   # update
+            (3, "D", None, None),    # delete
+            (9, "I", "N", 99.0),     # insert
+            (8, "D", None, None),    # delete of a missing key: no-op
+        ],
+        "k long, op string, status string, amt double",
+    )
+    out = {r.k: (r.status, r.amt) for r in apply_changeset(base, changes, "k").collect()}
+    assert out == {
+        1: ("A", 10.0),
+        2: ("B2", 25.0),
+        4: (None, None),
+        9: ("N", 99.0),
+    }
