@@ -3337,6 +3337,20 @@ def q158_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q159_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed covariance matrix of the 64-dim embedding column (full
+    upper triangle, 2080 cells) via per-partition numpy Gram partials
+    (mapInPandas, BLAS matmul) merged by a 2080-key shuffle — the two-phase
+    moment aggregation every PCA/whitening pipeline runs before the eigen
+    step. Oracle replays the exact moments with a component cross join."""
+    from hubverse_transform_spark.operators.profiling import embedding_covariance
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cov = embedding_covariance(emb, "embedding")
+    # + 0.0 folds IEEE negative zero to +0.0 (DuckDB round yields -0.0)
+    return cov.select("i", "j", (F.round("cov", 6) + 0.0).alias("cov"))
+
+
 # =============================================================================
 # Driver contract
 # =============================================================================
@@ -3507,6 +3521,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q156_merge_changeset": q156_merge_changeset,
         "q157_packing_capacity_sweep": q157_packing_capacity_sweep,
         "q158_prefix_filter_jaccard": q158_prefix_filter_jaccard,
+        "q159_embedding_covariance": q159_embedding_covariance,
     }
 
 
@@ -6380,5 +6395,24 @@ def oracle_sql() -> dict[str, str]:
         FROM cand JOIN sh x ON x.doc_id = id_a JOIN sh y ON y.doc_id = id_b
         WHERE len(list_intersect(x.s, y.s)) * 1.0
               / len(list_distinct(list_concat(x.s, y.s))) >= 0.6
+    """
+    sqls["q159_embedding_covariance"] = """
+        WITH v AS (
+            SELECT CAST(embedding AS DOUBLE[]) AS ve FROM embeddings
+        ), m AS (
+            SELECT CAST(t.range AS INT) - 1 AS i,
+                   sum(ve[CAST(t.range AS INT)]) AS sx, count(*) AS n
+            FROM v, range(1, 65) t GROUP BY 1
+        ), pairs AS (
+            SELECT CAST(a.range AS INT) AS pi, CAST(b.range AS INT) AS pj
+            FROM range(1, 65) a, range(1, 65) b
+            WHERE a.range <= b.range
+        ), s AS (
+            SELECT pi - 1 AS i, pj - 1 AS j, sum(ve[pi] * ve[pj]) AS sxx
+            FROM v CROSS JOIN pairs GROUP BY 1, 2
+        )
+        SELECT s.i, s.j,
+               round((sxx - mi.sx * mj.sx / mi.n) / (mi.n - 1), 6) + 0.0 AS cov
+        FROM s JOIN m mi ON mi.i = s.i JOIN m mj ON mj.i = s.j
     """
     return sqls

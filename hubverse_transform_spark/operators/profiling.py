@@ -82,3 +82,83 @@ def profile_columns(
         for c in cols
     ]
     return wide.select(F.explode(F.array(*per_col)).alias("p")).select("p.*")
+
+
+def embedding_covariance(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    *,
+    ddof: int = 1,
+) -> DataFrame:
+    """Sample covariance matrix of an ``array<float/double>`` column as the
+    upper-triangle long form ``(i, j, cov)`` — the input to PCA / whitening /
+    Mahalanobis scoring over an embedding lake.
+
+    Scale shape — two-phase moment aggregation, the canonical "UDAF at
+    scale" pattern:
+
+    1. ``mapInPandas`` computes one partial Gram matrix ``X^T X`` per Arrow
+       batch with a numpy matmul (BLAS, not per-row Python) and emits it as
+       dim*(dim+1)/2 long-form rows, so an executor ships O(dim^2) floats
+       per partition regardless of row count;
+    2. a ``groupBy(i, j).sum`` merges partials — the only data-sized shuffle
+       is the per-partition Gram rows, ~2080 rows each for dim=64;
+    3. per-component sums/counts (one posexplode aggregation) broadcast-join
+       onto the merged Gram to finish ``(S_ij - n*mu_i*mu_j) / (n - ddof)``.
+
+    No driver-side collect; the matrix itself never materializes outside the
+    executors. Exactness: floating sums differ from a sequential oracle only
+    by addition order (callers round for comparison).
+    """
+    import pandas as pd  # noqa: F401  (mapInPandas batches are pandas)
+
+    dim_row = df.select(F.size(F.col(vec_col)).alias("d")).first()
+    dim = int(dim_row["d"])
+
+    def _partial_gram(batches):
+        import numpy as np
+        import pandas as pd
+
+        acc = np.zeros((dim, dim), dtype="float64")
+        seen = False
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.stack(pdf["_v"].to_numpy()).astype("float64")
+            acc += x.T @ x
+            seen = True
+        if not seen:
+            return
+        iu = np.triu_indices(dim)
+        yield pd.DataFrame(
+            {"i": iu[0].astype("int32"), "j": iu[1].astype("int32"), "s": acc[iu]}
+        )
+
+    vecs = df.select(F.col(vec_col).cast("array<double>").alias("_v"))
+    gram = (
+        vecs.mapInPandas(_partial_gram, "i int, j int, s double")
+        .groupBy("i", "j")
+        .agg(F.sum("s").alias("sxx"))
+    )
+    comp = (
+        vecs.select(F.posexplode("_v").alias("pos", "x"))
+        .groupBy("pos")
+        .agg(F.sum("x").alias("sx"), F.count(F.lit(1)).alias("n"))
+    )
+    mi = comp.select(
+        F.col("pos").alias("i"), F.col("sx").alias("_sxi"), "n"
+    )
+    mj = comp.select(F.col("pos").alias("j"), F.col("sx").alias("_sxj"))
+    cov = (
+        gram.join(F.broadcast(mi), "i")
+        .join(F.broadcast(mj), "j")
+        .select(
+            "i",
+            "j",
+            (
+                (F.col("sxx") - F.col("_sxi") * F.col("_sxj") / F.col("n"))
+                / (F.col("n") - F.lit(ddof))
+            ).alias("cov"),
+        )
+    )
+    return cov

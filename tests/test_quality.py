@@ -102,3 +102,25 @@ def test_snapshot_diff_all_classes(spark):
         4: "removed",
         5: "added",
     }
+
+
+def test_embedding_covariance_matches_numpy(spark):
+    """Distributed two-phase Gram covariance == numpy.cov on the same data,
+    across a multi-partition input (partial merge correctness)."""
+    import numpy as np
+
+    from hubverse_transform_spark.operators.profiling import embedding_covariance
+
+    rng = np.random.default_rng(7)
+    x = rng.normal(size=(200, 5)).astype("float64")
+    df = spark.createDataFrame(
+        [(row.tolist(),) for row in x], "embedding array<double>"
+    ).repartition(7)
+    got = {
+        (r.i, r.j): r.cov for r in embedding_covariance(df, "embedding").collect()
+    }
+    want = np.cov(x, rowvar=False, ddof=1)
+    assert len(got) == 15
+    for (i, j), v in got.items():
+        assert i <= j
+        assert abs(v - want[i, j]) < 1e-9, (i, j, v, want[i, j])
