@@ -3351,6 +3351,34 @@ def q159_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cov.select("i", "j", (F.round("cov", 6) + 0.0).alias("cov"))
 
 
+def q160_mahalanobis_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space outlier filter: diagonal-Mahalanobis score (squared
+    z-scores summed over the 64 components) against global per-component
+    moments, top-20 most anomalous vectors. The stats pass is one
+    posexplode aggregation (64 rows); scoring re-joins them on the
+    component index (broadcast) and folds per-vector — the curation gate
+    that drops corrupt/degenerate embeddings before ANN indexing. No
+    all-pairs work; two scans, one bounded shuffle."""
+    emb = _t(spark, sf_dir, "embeddings")
+    comp = emb.select(
+        "vec_id", F.posexplode(F.col("embedding").cast("array<double>")).alias("dim", "x")
+    )
+    stats = comp.groupBy("dim").agg(
+        F.avg("x").alias("mu"), F.var_samp("x").alias("var")
+    )
+    scored = (
+        comp.join(F.broadcast(stats), "dim")
+        .groupBy("vec_id")
+        .agg(
+            F.round(
+                F.sum((F.col("x") - F.col("mu")) * (F.col("x") - F.col("mu")) / F.col("var")),
+                4,
+            ).alias("maha_sq")
+        )
+    )
+    return scored.orderBy(F.col("maha_sq").desc(), F.col("vec_id")).limit(20)
+
+
 # =============================================================================
 # Driver contract
 # =============================================================================
@@ -3522,6 +3550,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q157_packing_capacity_sweep": q157_packing_capacity_sweep,
         "q158_prefix_filter_jaccard": q158_prefix_filter_jaccard,
         "q159_embedding_covariance": q159_embedding_covariance,
+        "q160_mahalanobis_outliers": q160_mahalanobis_outliers,
     }
 
 
@@ -6414,5 +6443,21 @@ def oracle_sql() -> dict[str, str]:
         SELECT s.i, s.j,
                round((sxx - mi.sx * mj.sx / mi.n) / (mi.n - 1), 6) + 0.0 AS cov
         FROM s JOIN m mi ON mi.i = s.i JOIN m mj ON mj.i = s.j
+    """
+    sqls["q160_mahalanobis_outliers"] = """
+        WITH v AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings
+        ), comp AS (
+            SELECT vec_id, CAST(t.range AS INT) - 1 AS dim,
+                   ve[CAST(t.range AS INT)] AS x
+            FROM v, range(1, 65) t
+        ), stats AS (
+            SELECT dim, avg(x) AS mu, var_samp(x) AS var FROM comp GROUP BY dim
+        ), scored AS (
+            SELECT vec_id, round(sum((x - mu) * (x - mu) / var), 4) AS maha_sq
+            FROM comp JOIN stats USING (dim) GROUP BY vec_id
+        )
+        SELECT vec_id, maha_sq FROM scored
+        ORDER BY maha_sq DESC, vec_id LIMIT 20
     """
     return sqls
