@@ -3323,7 +3323,7 @@ def q157_packing_capacity_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q158_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PPJoin-style prefix-filtered exact Jaccard join (2-gram shingles,
+    """PPJoin-style prefix-filtered exact Jaccard join (3-gram shingles,
     t=0.6): rarest-first prefixes prune the candidate postings join
     losslessly, so the result is byte-identical to the plain inverted-index
     join at the same parameters — the high-threshold scale path where
@@ -3333,7 +3333,7 @@ def q158_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents")
     return prefix_filter_jaccard_pairs(
-        d, "doc_id", "text", ngram=2, threshold=0.6
+        d, "doc_id", "text", ngram=3, threshold=0.6
     )
 
 
@@ -3377,6 +3377,17 @@ def q160_mahalanobis_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return scored.orderBy(F.col("maha_sq").desc(), F.col("vec_id")).limit(20)
+
+
+def q161_ivf_list_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF index health audit: per-inverted-list size, corpus share, and
+    skew vs uniform for the q48 quantizer — the check that decides whether
+    the list keys are safe to bucket a lake by (a 3x-hot list is a 3x-hot
+    partition at every probe). One scan + a 16-row shuffle."""
+    from hubverse_transform_spark.operators.similarity import ivf_list_stats
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return ivf_list_stats(emb, id_col="vec_id", vec_col="embedding", n_centroids=16)
 
 
 # =============================================================================
@@ -3551,6 +3562,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q158_prefix_filter_jaccard": q158_prefix_filter_jaccard,
         "q159_embedding_covariance": q159_embedding_covariance,
         "q160_mahalanobis_outliers": q160_mahalanobis_outliers,
+        "q161_ivf_list_balance": q161_ivf_list_balance,
     }
 
 
@@ -6411,7 +6423,7 @@ def oracle_sql() -> dict[str, str]:
         WITH tok AS (
             SELECT doc_id, {_TOKS} AS toks FROM documents
         ), sh AS (
-            SELECT doc_id, {_SHINGLES2} AS s FROM tok
+            SELECT doc_id, {_SHINGLES3} AS s FROM tok
         ), post AS (
             SELECT doc_id, unnest(s) AS g FROM sh
         ), cand AS (
@@ -6459,5 +6471,29 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT vec_id, maha_sq FROM scored
         ORDER BY maha_sq DESC, vec_id LIMIT 20
+    """
+    sqls["q161_ivf_list_balance"] = """
+        WITH cent AS (
+            SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+            FROM embeddings ORDER BY vec_id LIMIT 16
+        ), corpus AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ), assigned AS (
+            SELECT vec_id, cid FROM (
+                SELECT c.vec_id, ct.cid,
+                       row_number() OVER (
+                           PARTITION BY c.vec_id
+                           ORDER BY list_cosine_similarity(c.v, ct.cv) DESC,
+                                    ct.cid) AS rn
+                FROM corpus c, cent ct)
+            WHERE rn = 1
+        ), counts AS (
+            SELECT cid, count(*) AS n_vecs FROM assigned GROUP BY cid
+        )
+        SELECT cid, n_vecs,
+               round(n_vecs * 1.0 / (SELECT sum(n_vecs) FROM counts), 6) AS share,
+               round(n_vecs * 1.0 * (SELECT count(*) FROM counts)
+                     / (SELECT sum(n_vecs) FROM counts), 4) AS skew_vs_uniform
+        FROM counts
     """
     return sqls

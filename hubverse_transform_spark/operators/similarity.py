@@ -656,3 +656,50 @@ def pq_adc_topk(
             "rank",
         )
     )
+
+
+def ivf_list_stats(
+    corpus: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    centroids: list | None = None,
+) -> DataFrame:
+    """Inverted-list balance audit for the IVF quantizer: per-centroid list
+    size, corpus share, and skew vs the ideal uniform share — the index
+    health check run before bucketing a lake by list id (a hot list is a
+    hot partition; skew here IS the shuffle skew every probe pays later).
+
+    Same deterministic quantizer as ``ivf_cosine_topk`` (lowest-id seeds or
+    a caller-trained set); assignment is the same map-only literal-matrix
+    argmax, so the audit costs one scan plus an ``n_centroids``-row shuffle.
+    """
+    if centroids is None:
+        cent_rows = (
+            corpus.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"))
+            .orderBy("cid")
+            .limit(n_centroids)
+            .collect()
+        )
+        cents = [(int(r["cid"]), [float(x) for x in r["cv"]]) for r in cent_rows]
+    else:
+        cents = [(int(cid), [float(x) for x in cv]) for cid, cv in centroids]
+    assigned = corpus.select(
+        _nearest_cid(F.col(vec_col).cast("array<double>"), cents).alias("cid")
+    )
+    counts = assigned.groupBy("cid").agg(F.count(F.lit(1)).alias("n_vecs"))
+    tot = counts.agg(
+        F.sum("n_vecs").alias("_tot"), F.count(F.lit(1)).alias("_nlists")
+    )
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            "cid",
+            "n_vecs",
+            F.round(F.col("n_vecs") / F.col("_tot"), 6).alias("share"),
+            F.round(
+                F.col("n_vecs") * F.col("_nlists") / F.col("_tot"), 4
+            ).alias("skew_vs_uniform"),
+        )
+    )

@@ -20,6 +20,8 @@ ALLOWED = {
         "documented bounded variant: broadcast matrix must fit an executor",
     ("operators/similarity.py", "spherical_kmeans_centroids"):
         "k seed rows + k*dim aggregated component sums per Lloyd step",
+    ("operators/similarity.py", "ivf_list_stats"):
+        "n_centroids seed rows only (same bounded quantizer load as ivf_cosine_topk)",
     ("sinks.py", "write_zorder_layout"): "4 scalar min/max bounds",
 }
 
