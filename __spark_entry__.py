@@ -3390,6 +3390,24 @@ def q161_ivf_list_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_list_stats(emb, id_col="vec_id", vec_col="embedding", n_centroids=16)
 
 
+def q162_bitmap_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct counting at scale via Spark's bucketed-bitmap
+    aggregates (the roaring-bitmap pattern): user ids fold into per-bucket
+    bitmaps (bitmap_bucket_number / bitmap_bit_position /
+    bitmap_construct_agg), buckets sum their popcounts — a two-level
+    aggregation whose shuffle carries fixed-size bitmap bytes instead of
+    one row per distinct value. Same answer as count(DISTINCT), which is
+    exactly what the oracle runs; the sketch-free exact sibling of q38."""
+    e = _t(spark, sf_dir, "events")
+    per_bucket = e.groupBy(
+        "event_type",
+        F.expr("bitmap_bucket_number(user_id)").alias("_bucket"),
+    ).agg(F.expr("bitmap_construct_agg(bitmap_bit_position(user_id))").alias("_bm"))
+    return per_bucket.groupBy("event_type").agg(
+        F.sum(F.expr("bitmap_count(_bm)")).alias("n_users")
+    )
+
+
 # =============================================================================
 # Driver contract
 # =============================================================================
@@ -3563,6 +3581,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q159_embedding_covariance": q159_embedding_covariance,
         "q160_mahalanobis_outliers": q160_mahalanobis_outliers,
         "q161_ivf_list_balance": q161_ivf_list_balance,
+        "q162_bitmap_distinct_users": q162_bitmap_distinct_users,
     }
 
 
@@ -6495,5 +6514,10 @@ def oracle_sql() -> dict[str, str]:
                round(n_vecs * 1.0 * (SELECT count(*) FROM counts)
                      / (SELECT sum(n_vecs) FROM counts), 4) AS skew_vs_uniform
         FROM counts
+    """
+    # the bitmap path is exact, so the oracle is plain COUNT(DISTINCT)
+    sqls["q162_bitmap_distinct_users"] = """
+        SELECT event_type, count(DISTINCT user_id) AS n_users
+        FROM events GROUP BY event_type
     """
     return sqls
