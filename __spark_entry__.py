@@ -3408,6 +3408,29 @@ def q162_bitmap_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q163_interval_join_batch_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of streaming/joins.interval_join_streams (same operator,
+    static inputs — the backfill path every streaming pipeline needs):
+    clicks attributed to purchases by the same user within 300 s, rolled up
+    per day. Pins that the streaming interval-join condition produces
+    batch-reconcilable answers; the streaming execution of the identical
+    operator is covered in tests/test_stream_joins.py."""
+    from hubverse_transform_spark.streaming.joins import interval_join_streams
+
+    e = _t(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select("user_id", "ts")
+    purchases = e.filter(F.col("event_type") == "purchase").select("user_id", "ts")
+    joined = interval_join_streams(
+        clicks, purchases, key_col="user_id", horizon_seconds=300
+    )
+    return joined.groupBy(
+        F.date_format("r_ts", "yyyy-MM-dd").alias("day")
+    ).agg(
+        F.count(F.lit(1)).alias("n_attributed"),
+        F.count_distinct("l_key").alias("n_users"),
+    )
+
+
 # =============================================================================
 # Driver contract
 # =============================================================================
@@ -3582,6 +3605,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q160_mahalanobis_outliers": q160_mahalanobis_outliers,
         "q161_ivf_list_balance": q161_ivf_list_balance,
         "q162_bitmap_distinct_users": q162_bitmap_distinct_users,
+        "q163_interval_join_batch_twin": q163_interval_join_batch_twin,
     }
 
 
@@ -6519,5 +6543,17 @@ def oracle_sql() -> dict[str, str]:
     sqls["q162_bitmap_distinct_users"] = """
         SELECT event_type, count(DISTINCT user_id) AS n_users
         FROM events GROUP BY event_type
+    """
+    sqls["q163_interval_join_batch_twin"] = """
+        WITH c AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
+             p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase')
+        SELECT strftime(p.ts, '%Y-%m-%d') AS day,
+               count(*) AS n_attributed,
+               count(DISTINCT c.user_id) AS n_users
+        FROM c JOIN p
+          ON c.user_id = p.user_id
+         AND c.ts <= p.ts
+         AND c.ts >= p.ts - INTERVAL 300 SECONDS
+        GROUP BY 1
     """
     return sqls
