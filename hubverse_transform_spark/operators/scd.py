@@ -65,12 +65,14 @@ def apply_changeset(
     op_col: str = "op",
 ) -> DataFrame:
     """MERGE INTO semantics without a table format: apply a CDC changeset
-    (``op`` in 'U'pdate / 'D'elete / 'I'nsert) to a snapshot in one pass.
+    (``op`` in 'U'pdate / 'D'elete / 'I'nsert) to a snapshot in one pass,
+    with the strict WHEN MATCHED / WHEN NOT MATCHED contract:
 
-    - matched + U  -> change row's columns win (update)
-    - matched + D  -> row dropped (delete)
-    - unmatched + I (or U, upsert-style) -> change row appended (insert)
-    - unmatched + D -> no-op; base rows without a change pass through
+    - matched + U    -> change row's columns win (update)
+    - matched + D    -> row dropped (delete)
+    - matched + I    -> no-op, base row passes through (insert cannot clobber)
+    - unmatched + I  -> change row appended (insert)
+    - unmatched + U/D -> no-op; base rows without a change pass through
 
     Implementation is a single full-outer join on the key — one shuffle,
     both sides co-partitioned, no second pass. This is exactly the shuffle
@@ -87,14 +89,15 @@ def apply_changeset(
         *[F.col(c).alias(f"_ch_{c}") for c in data_cols],
     )
     joined = b.join(ch, on=key_col, how="full_outer")
-    keep = ~F.col("_op").eqNullSafe(F.lit("D"))
-    take_change = F.col("_op").isin("U", "I")
+    matched = F.col("_in_base").isNotNull()
+    take_change = (matched & (F.col("_op") == "U")) | (
+        ~matched & (F.col("_op") == "I")
+    )
+    keep = (matched & ~F.col("_op").eqNullSafe(F.lit("D"))) | (
+        ~matched & (F.col("_op") == "I")
+    )
     out_cols = [
         F.when(take_change, F.col(f"_ch_{c}")).otherwise(F.col(c)).alias(c)
         for c in data_cols
     ]
-    return (
-        joined.filter(keep)
-        .filter(F.col("_in_base").isNotNull() | take_change)
-        .select(F.col(key_col), *out_cols)
-    )
+    return joined.filter(keep).select(F.col(key_col), *out_cols)

@@ -277,3 +277,35 @@ def test_apply_changeset_merge_branches(spark):
         4: (None, None),
         9: ("N", 99.0),
     }
+
+
+def test_apply_changeset_random_model(spark):
+    """Seeded-random changesets vs a dict reference model: apply_changeset
+    must agree with the obvious sequential MERGE semantics for any mix of
+    update/delete/insert/no-op keys."""
+    import random
+
+    from hubverse_transform_spark.operators.scd import apply_changeset
+
+    rng = random.Random(99)
+    base_rows = [(k, rng.choice("ABC"), float(rng.randint(0, 50))) for k in range(40)]
+    ops = []
+    for k in rng.sample(range(60), 30):  # keys 40..59 don't exist in base
+        op = rng.choice(["U", "D", "I"])
+        ops.append((k, op, rng.choice("XYZ"), float(rng.randint(100, 200))))
+
+    model = {k: (s, a) for k, s, a in base_rows}
+    for k, op, s, a in ops:
+        if op == "D":
+            model.pop(k, None)
+        elif op in ("U", "I"):
+            # U only rewrites matched keys; I only appends unmatched ones
+            if op == "U" and k in model:
+                model[k] = (s, a)
+            if op == "I" and k not in model:
+                model[k] = (s, a)
+
+    base = spark.createDataFrame(base_rows, "k long, status string, amt double")
+    changes = spark.createDataFrame(ops, "k long, op string, status string, amt double")
+    got = {r.k: (r.status, r.amt) for r in apply_changeset(base, changes, "k").collect()}
+    assert got == model
