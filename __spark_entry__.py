@@ -3431,6 +3431,111 @@ def q163_interval_join_batch_twin(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+def q164_events_since_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-anchored running state: for every event, the timestamp of the
+    user's most recent purchase so far (running MAX of a conditional
+    expression — the 'sessionize by marker event' pattern), rolled up to
+    events-per-user split pre/post first purchase. One shuffle on user_id;
+    the window and rollup share the sort."""
+    e = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    marked = e.withColumn(
+        "_last_purchase",
+        F.max(F.when(F.col("event_type") == "purchase", F.col("ts"))).over(w),
+    )
+    return marked.groupBy("user_id").agg(
+        F.sum(F.when(F.col("_last_purchase").isNull(), 1).otherwise(0)).alias(
+            "n_before_first_purchase"
+        ),
+        F.sum(F.when(F.col("_last_purchase").isNotNull(), 1).otherwise(0)).alias(
+            "n_after_first_purchase"
+        ),
+    )
+
+
+def q165_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-health Zipf audit: OLS slope of log-frequency vs log-rank
+    over the top-200 tokens (natural text ~ -1; synthetic/templated
+    corpora flatten). Token rollup -> dense rank -> closed-form OLS in one
+    scalar aggregation — regression over a corpus without any UDF or
+    driver math. One data-sized shuffle (token counts); the top-200 slice
+    and moment rollup are bounded."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("tok")
+    ).filter(F.col("tok") != "")
+    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
+    # TakeOrderedAndProject keeps the top-200 slice distributed; only the
+    # 200 surviving rows pass through the (bounded) global rank window
+    top = counts.orderBy(F.col("n").desc(), F.col("tok")).limit(200)
+    ranked = top.select(
+        "n",
+        F.row_number()
+        .over(Window.orderBy(F.col("n").desc(), F.col("tok")))
+        .alias("rank"),
+    )
+    pts = ranked.select(
+        F.log(F.col("rank").cast("double")).alias("x"),
+        F.log(F.col("n").cast("double")).alias("y"),
+    )
+    return pts.agg(
+        F.round(
+            (
+                F.avg(F.col("x") * F.col("y")) - F.avg("x") * F.avg("y")
+            )
+            / (F.avg(F.col("x") * F.col("x")) - F.avg("x") * F.avg("x")),
+            6,
+        ).alias("zipf_slope"),
+        F.count(F.lit(1)).alias("n_points"),
+    )
+
+
+def q166_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source vocabulary Jaccard: per source pair, overlap of their
+    distinct-token vocabularies — the corpus-mix diagnostic for 'are these
+    sources redundant'. Vocabulary postings join on token (bounded by
+    vocab size, never |docs|^2); per-source sizes broadcast back onto the
+    pair counts."""
+    d = _t(spark, sf_dir, "documents")
+    vocab = (
+        d.select(
+            "source",
+            F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("tok"),
+        )
+        .filter(F.col("tok") != "")
+        .distinct()
+    )
+    sizes = vocab.groupBy("source").agg(F.count(F.lit(1)).alias("vsz"))
+    a = vocab.select(F.col("source").alias("src_a"), "tok")
+    b = vocab.select(F.col("source").alias("src_b"), "tok")
+    inter = (
+        a.join(b, "tok")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sa = sizes.select(F.col("source").alias("src_a"), F.col("vsz").alias("_va"))
+    sb = sizes.select(F.col("source").alias("src_b"), F.col("vsz").alias("_vb"))
+    return (
+        inter.join(F.broadcast(sa), "src_a")
+        .join(F.broadcast(sb), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "n_shared",
+            F.round(
+                F.col("n_shared")
+                / (F.col("_va") + F.col("_vb") - F.col("n_shared")),
+                6,
+            ).alias("vocab_jaccard"),
+        )
+    )
+
+
 # =============================================================================
 # Driver contract
 # =============================================================================
@@ -3606,6 +3711,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q161_ivf_list_balance": q161_ivf_list_balance,
         "q162_bitmap_distinct_users": q162_bitmap_distinct_users,
         "q163_interval_join_batch_twin": q163_interval_join_batch_twin,
+        "q164_events_since_purchase": q164_events_since_purchase,
+        "q165_zipf_slope": q165_zipf_slope,
+        "q166_vocab_overlap": q166_vocab_overlap,
     }
 
 
@@ -6555,5 +6663,57 @@ def oracle_sql() -> dict[str, str]:
          AND c.ts <= p.ts
          AND c.ts >= p.ts - INTERVAL 300 SECONDS
         GROUP BY 1
+    """
+    sqls["q164_events_since_purchase"] = """
+        WITH marked AS (
+            SELECT user_id,
+                   max(CASE WHEN event_type = 'purchase' THEN ts END)
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS last_purchase
+            FROM events
+        )
+        SELECT user_id,
+               count(*) FILTER (WHERE last_purchase IS NULL)
+                   AS n_before_first_purchase,
+               count(*) FILTER (WHERE last_purchase IS NOT NULL)
+                   AS n_after_first_purchase
+        FROM marked GROUP BY user_id
+    """
+    sqls["q165_zipf_slope"] = """
+        WITH toks AS (
+            SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok
+            FROM documents
+        ), counts AS (
+            SELECT tok, count(*) AS n FROM toks WHERE tok != '' GROUP BY tok
+        ), ranked AS (
+            SELECT n, row_number() OVER (ORDER BY n DESC, tok) AS rank
+            FROM counts QUALIFY rank <= 200
+        ), pts AS (
+            SELECT ln(CAST(rank AS DOUBLE)) AS x, ln(CAST(n AS DOUBLE)) AS y
+            FROM ranked
+        )
+        SELECT round((avg(x * y) - avg(x) * avg(y))
+                     / (avg(x * x) - avg(x) * avg(x)), 6) AS zipf_slope,
+               count(*) AS n_points
+        FROM pts
+    """
+    sqls["q166_vocab_overlap"] = """
+        WITH vocab AS (
+            SELECT DISTINCT source,
+                   unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok
+            FROM documents
+        ), v AS (SELECT source, tok FROM vocab WHERE tok != ''),
+        sizes AS (SELECT source, count(*) AS vsz FROM v GROUP BY source),
+        inter AS (
+            SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_shared
+            FROM v a JOIN v b ON a.tok = b.tok AND a.source < b.source
+            GROUP BY 1, 2
+        )
+        SELECT src_a, src_b, n_shared,
+               round(n_shared * 1.0 / (sa.vsz + sb.vsz - n_shared), 6)
+                   AS vocab_jaccard
+        FROM inter
+        JOIN sizes sa ON sa.source = src_a
+        JOIN sizes sb ON sb.source = src_b
     """
     return sqls
