@@ -3536,6 +3536,74 @@ def q166_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q167_two_stage_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage retrieval, the production ANN pattern: a cheap PQ-ADC
+    shortlist (top-20 per query, raw vectors never shuffle — q132's scan)
+    feeds an EXACT cosine re-rank that touches only |queries| x 20 raw
+    vectors. Re-rank order uses the rounded similarity (+ neighbor-id
+    tiebreak) so both engines rank identical numbers."""
+    from hubverse_transform_spark.functions.vectors import cosine_similarity
+
+    emb = _t(spark, sf_dir, "embeddings")
+    shortlist = pq_adc_topk(
+        emb,
+        emb.filter(F.col("vec_id") < 10),
+        id_col="vec_id",
+        vec_col="embedding",
+        n_sub=4,
+        n_codes=4,
+        k=20,
+    ).select("query_id", "neighbor_id")
+    qv = emb.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("_qv"),
+    ).filter(F.col("query_id") < 10)
+    nv = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").cast("array<double>").alias("_nv"),
+    )
+    scored = (
+        shortlist.join(F.broadcast(qv), "query_id")
+        .join(nv, "neighbor_id")
+        .withColumn(
+            "_sim", F.round(cosine_similarity(F.col("_qv"), F.col("_nv")), 6)
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rerank", F.row_number().over(w))
+        .filter(F.col("rerank") <= 5)
+        .select(
+            "query_id", "neighbor_id", F.col("_sim").alias("cosine_sim"), "rerank"
+        )
+    )
+
+
+def q168_salted_agg_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-proof salted aggregation in the driver-checked surface:
+    two-phase (key, salt)->key aggregation over lineitem by return flag —
+    the explicit hot-key split (operators/skew.two_phase_agg) whose merge
+    must equal the direct groupBy, which is exactly what the plain-SQL
+    oracle computes. Each phase is a partial agg; the second input is
+    salt_buckets x |keys| rows."""
+    from hubverse_transform_spark.operators.skew import two_phase_agg
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = two_phase_agg(
+        li.select("l_returnflag", "l_quantity", "l_extendedprice"),
+        "l_returnflag",
+        {"l_quantity": "sum", "l_extendedprice": "max"},
+        salt_buckets=16,
+    )
+    return out.select(
+        "l_returnflag",
+        F.round(F.col("sum_l_quantity"), 2).alias("sum_qty"),
+        F.round(F.col("max_l_extendedprice"), 2).alias("max_price"),
+    )
+
+
 # =============================================================================
 # Driver contract
 # =============================================================================
@@ -3714,6 +3782,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q164_events_since_purchase": q164_events_since_purchase,
         "q165_zipf_slope": q165_zipf_slope,
         "q166_vocab_overlap": q166_vocab_overlap,
+        "q167_two_stage_rerank": q167_two_stage_rerank,
+        "q168_salted_agg_equivalence": q168_salted_agg_equivalence,
     }
 
 
@@ -6715,5 +6785,31 @@ def oracle_sql() -> dict[str, str]:
         FROM inter
         JOIN sizes sa ON sa.source = src_a
         JOIN sizes sb ON sb.source = src_b
+    """
+    # stage 1 is q132's oracle verbatim with a deeper shortlist (lossless
+    # composition — the re-rank stage can only reorder what stage 1 emits)
+    sqls["q167_two_stage_rerank"] = f"""
+        WITH shortlist AS (
+            {sqls["q132_pq_adc_topk"].replace("rank <= 5", "rank <= 20")}
+        ), v AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings
+        ), rer AS (
+            SELECT s.query_id, s.neighbor_id,
+                   round(list_cosine_similarity(q.ve, n.ve), 6) AS cosine_sim
+            FROM shortlist s
+            JOIN v q ON q.vec_id = s.query_id
+            JOIN v n ON n.vec_id = s.neighbor_id
+        )
+        SELECT query_id, neighbor_id, cosine_sim,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cosine_sim DESC, neighbor_id)
+                   AS rerank
+        FROM rer QUALIFY rerank <= 5
+    """
+    sqls["q168_salted_agg_equivalence"] = """
+        SELECT l_returnflag,
+               round(sum(l_quantity), 2) AS sum_qty,
+               round(max(l_extendedprice), 2) AS max_price
+        FROM lineitem GROUP BY l_returnflag
     """
     return sqls
