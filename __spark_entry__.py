@@ -3604,6 +3604,98 @@ def q168_salted_agg_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q169_dominant_component(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding argmax histogram: per label, which dimension carries each
+    vector's maximum (array_position of array_max — first occurrence on
+    ties in both engines), top-3 dominant dims per label by vector count.
+    A map-only scan plus one bounded rollup — the quick 'is one dimension
+    saturated' health check after a bad normalization step."""
+    emb = _t(spark, sf_dir, "embeddings")
+    ve = F.col("embedding").cast("array<double>")
+    dims = emb.select(
+        "label", F.array_position(ve, F.array_max(ve)).alias("dom_dim")
+    )
+    counts = dims.groupBy("label", "dom_dim").agg(
+        F.count(F.lit(1)).alias("n_vecs")
+    )
+    w = Window.partitionBy("label").orderBy(
+        F.col("n_vecs").desc(), F.col("dom_dim")
+    )
+    return counts.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") <= 3
+    )
+
+
+def q170_quantile_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-driven feature discretization: exact decile cuts computed once
+    (one percentile aggregation), broadcast to every row, bucket id =
+    1 + #cuts below the value (array filter, no join per bucket). Cuts are
+    rounded to 4 decimals on both engines so interpolation FP noise cannot
+    flip a boundary row. The ML-prep binning shape: a 9-value broadcast, a
+    map-only bucketing pass, one bounded rollup."""
+    li = _t(spark, sf_dir, "lineitem")
+    fracs = ", ".join(f"{i / 10.0}D" for i in range(1, 10))
+    cuts = li.agg(
+        F.expr(
+            f"transform(percentile(l_extendedprice, array({fracs})), c -> round(c, 4))"
+        ).alias("_cuts")
+    )
+    binned = li.crossJoin(F.broadcast(cuts)).select(
+        (
+            1
+            + F.size(
+                F.filter(F.col("_cuts"), lambda c: F.col("l_extendedprice") > c)
+            )
+        ).alias("bucket"),
+        "l_extendedprice",
+    )
+    return binned.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.min("l_extendedprice"), 2).alias("lo"),
+        F.round(F.max("l_extendedprice"), 2).alias("hi"),
+    )
+
+
+def q171_weekly_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week churn: users active in week w with no event in w+1
+    (anti-join of the distinct (week, user) activity set against itself
+    shifted one week), reported per closed week (the last week has no
+    successor and is excluded). Activity collapses to one row per (week,
+    user) BEFORE any join, so the anti-join is bounded by active users,
+    not events."""
+    e = _t(spark, sf_dir, "events")
+    active = e.select(
+        F.trunc("ts", "week").alias("wk"), "user_id"
+    ).distinct()
+    nxt = active.select(
+        F.date_add(F.col("wk"), -7).alias("wk"),
+        F.col("user_id").alias("_u2"),
+    )
+    churned = active.join(
+        nxt,
+        (active.user_id == nxt._u2) & (active.wk == nxt.wk),
+        "left_anti",
+    )
+    per_week = active.groupBy("wk").agg(F.count(F.lit(1)).alias("n_active"))
+    churn_counts = churned.groupBy("wk").agg(
+        F.count(F.lit(1)).alias("n_churned")
+    )
+    maxw = active.agg(F.max("wk").alias("_maxw"))
+    return (
+        per_week.join(churn_counts, "wk", "left")
+        .crossJoin(F.broadcast(maxw))
+        .filter(F.col("wk") < F.col("_maxw"))
+        .select(
+            F.date_format("wk", "yyyy-MM-dd").alias("week"),
+            "n_active",
+            F.coalesce("n_churned", F.lit(0)).alias("n_churned"),
+            F.round(F.coalesce("n_churned", F.lit(0)) / F.col("n_active"), 6).alias(
+                "churn_rate"
+            ),
+        )
+    )
+
+
 # =============================================================================
 # Driver contract
 # =============================================================================
@@ -3784,6 +3876,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q166_vocab_overlap": q166_vocab_overlap,
         "q167_two_stage_rerank": q167_two_stage_rerank,
         "q168_salted_agg_equivalence": q168_salted_agg_equivalence,
+        "q169_dominant_component": q169_dominant_component,
+        "q170_quantile_binning": q170_quantile_binning,
+        "q171_weekly_churn": q171_weekly_churn,
     }
 
 
@@ -6811,5 +6906,51 @@ def oracle_sql() -> dict[str, str]:
                round(sum(l_quantity), 2) AS sum_qty,
                round(max(l_extendedprice), 2) AS max_price
         FROM lineitem GROUP BY l_returnflag
+    """
+    sqls["q169_dominant_component"] = """
+        WITH v AS (
+            SELECT label, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings
+        ), d AS (
+            SELECT label, list_position(ve, list_max(ve)) AS dom_dim FROM v
+        ), c AS (
+            SELECT label, dom_dim, count(*) AS n_vecs FROM d GROUP BY 1, 2
+        )
+        SELECT label, dom_dim, n_vecs,
+               row_number() OVER (PARTITION BY label
+                                  ORDER BY n_vecs DESC, dom_dim) AS rk
+        FROM c QUALIFY rk <= 3
+    """
+    sqls["q170_quantile_binning"] = """
+        WITH cuts AS (
+            SELECT list_transform(
+                       quantile_cont(l_extendedprice,
+                           [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]),
+                       c -> round(c, 4)) AS cts
+            FROM lineitem
+        )
+        SELECT 1 + len(list_filter(cts, c -> l_extendedprice > c)) AS bucket,
+               count(*) AS n_rows,
+               round(min(l_extendedprice), 2) AS lo,
+               round(max(l_extendedprice), 2) AS hi
+        FROM lineitem, cuts GROUP BY bucket
+    """
+    sqls["q171_weekly_churn"] = """
+        WITH active AS (
+            SELECT DISTINCT date_trunc('week', ts) AS wk, user_id FROM events
+        ), churned AS (
+            SELECT a.wk, a.user_id FROM active a
+            WHERE NOT EXISTS (SELECT 1 FROM active b
+                              WHERE b.user_id = a.user_id
+                                AND b.wk = a.wk + INTERVAL 7 DAY)
+        ), pw AS (
+            SELECT wk, count(*) AS n_active FROM active GROUP BY wk
+        ), cc AS (
+            SELECT wk, count(*) AS n_churned FROM churned GROUP BY wk
+        )
+        SELECT strftime(pw.wk, '%Y-%m-%d') AS week, n_active,
+               coalesce(n_churned, 0) AS n_churned,
+               round(coalesce(n_churned, 0) * 1.0 / n_active, 6) AS churn_rate
+        FROM pw LEFT JOIN cc USING (wk)
+        WHERE pw.wk < (SELECT max(wk) FROM active)
     """
     return sqls
