@@ -3696,6 +3696,73 @@ def q171_weekly_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q172_decayed_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponential time-decay scoring (7-day e-folding): each event's value
+    discounted by its age against the corpus max timestamp, summed per
+    user, top-20. The recency-weighted metric behind trending/engagement
+    ranking; one broadcast scalar (max ts), one map-only discount, one
+    shuffle. NTZ-safe epoch seconds via unix_micros (never CAST(ntz AS
+    DOUBLE)); ranked on the rounded score so both engines order identical
+    numbers."""
+    from hubverse_transform_spark.operators.sessions import _epoch_seconds
+
+    e = _t(spark, sf_dir, "events")
+    mx = e.agg(F.max("ts").alias("_mx"))
+    age_sec = _epoch_seconds(F.col("_mx")) - _epoch_seconds(F.col("ts"))
+    score = F.round(
+        F.sum(F.col("value") * F.exp(-age_sec / F.lit(604800.0))), 4
+    ).alias("score")
+    return (
+        e.crossJoin(F.broadcast(mx))
+        .groupBy("user_id")
+        .agg(score)
+        .orderBy(F.col("score").desc(), "user_id")
+        .limit(20)
+    )
+
+
+def q173_capped_running_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential fold that NO window frame can express: per-part running
+    inventory balance clamped at zero (returns add stock, shipments drain
+    it, balance never goes negative — the clamp makes each step depend on
+    the folded value, not a prefix sum). Per-group ordered fold via
+    sort_array(collect_list(struct)) + aggregate() HOF — group sizes are
+    bounded by lineitems-per-part (~30-60 at any SF), so the collected
+    array is small even at 100 TB; the fold itself is a JVM lambda, fully
+    deterministic, and the DuckDB oracle replays it with list_reduce over
+    the identically-ordered list."""
+    li = _t(spark, sf_dir, "lineitem")
+    delta = F.when(F.col("l_returnflag") == "R", F.col("l_quantity")).otherwise(
+        -F.col("l_quantity")
+    )
+    g = (
+        li.select(
+            "l_partkey",
+            F.struct(
+                "l_shipdate", "l_orderkey", "l_linenumber", delta.alias("d")
+            ).alias("_s"),
+        )
+        .groupBy("l_partkey")
+        .agg(
+            F.sort_array(F.collect_list("_s")).alias("_moves"),
+            F.count(F.lit(1)).alias("n_moves"),
+        )
+    )
+    balance = F.round(
+        F.aggregate(
+            F.transform(F.col("_moves"), lambda s: s.d),
+            F.lit(0.0),
+            lambda acc, x: F.greatest(F.lit(0.0), acc + x),
+        ),
+        2,
+    ).alias("balance")
+    return (
+        g.select("l_partkey", "n_moves", balance)
+        .orderBy(F.col("balance").desc(), "l_partkey")
+        .limit(20)
+    )
+
+
 # =============================================================================
 # Driver contract
 # =============================================================================
@@ -3879,6 +3946,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q169_dominant_component": q169_dominant_component,
         "q170_quantile_binning": q170_quantile_binning,
         "q171_weekly_churn": q171_weekly_churn,
+        "q172_decayed_engagement": q172_decayed_engagement,
+        "q173_capped_running_balance": q173_capped_running_balance,
     }
 
 
@@ -6952,5 +7021,36 @@ def oracle_sql() -> dict[str, str]:
                round(coalesce(n_churned, 0) * 1.0 / n_active, 6) AS churn_rate
         FROM pw LEFT JOIN cc USING (wk)
         WHERE pw.wk < (SELECT max(wk) FROM active)
+    """
+    sqls["q172_decayed_engagement"] = """
+        WITH mx AS (SELECT max(ts) AS m FROM events)
+        SELECT user_id,
+               round(sum(value * exp(-(epoch_us(m) - epoch_us(ts))
+                                     / 1e6 / 604800.0)), 4) AS score
+        FROM events, mx
+        GROUP BY user_id
+        ORDER BY score DESC, user_id
+        LIMIT 20
+    """
+    sqls["q173_capped_running_balance"] = """
+        WITH s AS (
+            SELECT l_partkey, l_shipdate, l_orderkey, l_linenumber,
+                   CASE WHEN l_returnflag = 'R' THEN l_quantity
+                        ELSE -l_quantity END AS delta
+            FROM lineitem
+        ), g AS (
+            SELECT l_partkey,
+                   list(delta ORDER BY l_shipdate, l_orderkey, l_linenumber)
+                       AS ds,
+                   count(*) AS n_moves
+            FROM s GROUP BY l_partkey
+        )
+        SELECT l_partkey, n_moves,
+               round(list_reduce(list_prepend(CAST(0 AS DOUBLE), ds),
+                                 (acc, x) -> greatest(0, acc + x)), 2)
+                   AS balance
+        FROM g
+        ORDER BY balance DESC, l_partkey
+        LIMIT 20
     """
     return sqls
