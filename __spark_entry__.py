@@ -3763,6 +3763,47 @@ def q173_capped_running_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q174_top_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clickstream path mining: sessionize (30-min gap islands, q50's
+    machinery), fold each session's ordered event types into a '>'-joined
+    path signature, count the top-10 paths. The window chain and the
+    per-session fold share one (user) shuffle; path strings are bounded by
+    session length. Deterministic ordering via (ts, event_id) everywhere."""
+    from hubverse_transform_spark.operators.sessions import _epoch_seconds
+
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(w)
+    new_session = F.when(
+        prev_ts.isNull()
+        | (_epoch_seconds(F.col("ts")) - _epoch_seconds(prev_ts) >= 1800),
+        1,
+    ).otherwise(0)
+    sess = e.withColumn(
+        "_seq",
+        F.sum(new_session).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    paths = sess.groupBy("user_id", "_seq").agg(
+        F.concat_ws(
+            ">",
+            F.transform(
+                F.sort_array(
+                    F.collect_list(F.struct("ts", "event_id", "event_type"))
+                ),
+                lambda s: s.event_type,
+            ),
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .orderBy(F.col("n_sessions").desc(), "path")
+        .limit(10)
+    )
+
+
 # =============================================================================
 # Driver contract
 # =============================================================================
@@ -3948,6 +3989,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q171_weekly_churn": q171_weekly_churn,
         "q172_decayed_engagement": q172_decayed_engagement,
         "q173_capped_running_balance": q173_capped_running_balance,
+        "q174_top_session_paths": q174_top_session_paths,
     }
 
 
@@ -7052,5 +7094,30 @@ def oracle_sql() -> dict[str, str]:
         FROM g
         ORDER BY balance DESC, l_partkey
         LIMIT 20
+    """
+    sqls["q174_top_session_paths"] = """
+        WITH flagged AS (
+            SELECT user_id, ts, event_id, event_type,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR epoch(ts) - epoch(lag(ts) OVER w) >= 1800
+                        THEN 1 ELSE 0 END AS new_session
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), sess AS (
+            SELECT user_id, event_type, ts, event_id,
+                   sum(new_session) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id
+                                          ROWS UNBOUNDED PRECEDING) AS seq
+            FROM flagged
+        ), paths AS (
+            SELECT user_id, seq,
+                   array_to_string(list(event_type ORDER BY ts, event_id), '>')
+                       AS path
+            FROM sess GROUP BY user_id, seq
+        )
+        SELECT path, count(*) AS n_sessions
+        FROM paths GROUP BY path
+        ORDER BY n_sessions DESC, path
+        LIMIT 10
     """
     return sqls
