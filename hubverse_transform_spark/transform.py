@@ -133,9 +133,24 @@ class ModelOutputPipeline:
         """
         output_uri = posixpath.join(self.output_path, f"{self.file_name}.parquet")
         tmp_dir = posixpath.join(self.output_path, f"_tmp_{self.file_name}")
-        df.coalesce(1).write.mode("overwrite").parquet(tmp_dir)
+        # Observation API: collect write-side health metrics (row count, null
+        # densities) during the SAME action as the sink — no second scan of
+        # the input, which matters when the source is a remote object store
+        from pyspark.sql import Observation
+
+        metrics = [F.count(F.lit(1)).alias("n_rows")]
+        for c in ("output_type_id", "value"):
+            if c in df.columns:
+                metrics.append(
+                    F.sum(F.col(c).isNull().cast("long")).alias(f"n_null_{c}")
+                )
+        obs = Observation(f"write_{self.file_name}")
+        df.observe(obs, *metrics).coalesce(1).write.mode("overwrite").parquet(tmp_dir)
+        self.last_write_metrics = dict(obs.get)
         self._hadoop_rename_single_part(tmp_dir, output_uri)
-        logger.info(f"Transformed data written to {output_uri}")
+        logger.info(
+            f"Transformed data written to {output_uri} ({self.last_write_metrics})"
+        )
         return output_uri
 
     def add_model_output(self) -> str:

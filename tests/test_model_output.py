@@ -228,3 +228,22 @@ def test_ensemble_zero_weight_cells_and_negative_weights(spark):
 
     with pytest.raises(ValueError, match="non-negative"):
         mean_ensemble(df, {"m1": -1.0})
+
+
+def test_write_observation_metrics(spark, hub_dir, csv_numeric_file):
+    """write_parquet surfaces row/null metrics from the Observation attached
+    to the sink action — one scan, no second pass."""
+    from hubverse_transform_spark.transform import ModelOutputPipeline
+
+    mo = ModelOutputPipeline(
+        spark,
+        str(hub_dir),
+        f"raw/{csv_numeric_file.name}",
+        str(hub_dir / "out"),
+    )
+    mo.add_model_output()
+    m = mo.last_write_metrics
+    assert m["n_rows"] == 6
+    # rows 2 (empty), 3 (NA), 5 (null) -> 3 null output_type_ids
+    assert m["n_null_output_type_id"] == 3
+    assert m["n_null_value"] == 0
