@@ -3804,6 +3804,39 @@ def q174_top_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q175_ivf_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality metric computed IN the engine (RECALL.md's number
+    as a declared, oracle-checked query): per query, recall@5 of the IVF
+    path (q48's quantizer, 4 probes) against the exact brute-force top-5
+    (q24) — an equi-join of the two result sets and one rollup. The audit
+    every ANN rollout runs before flipping traffic; both inputs are
+    independently oracle-verified, so this checks the *composition*."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 10)
+    bf = cosine_brute_force_topk(
+        emb, queries_df, id_col="vec_id", vec_col="embedding", k=5
+    ).select("query_id", "neighbor_id")
+    ivf = ivf_cosine_topk(
+        emb,
+        queries_df,
+        id_col="vec_id",
+        vec_col="embedding",
+        n_centroids=16,
+        n_probe=4,
+        k=5,
+    ).select(
+        F.col("query_id").alias("_q"), F.col("neighbor_id").alias("_n")
+    )
+    hits = bf.join(
+        ivf, (bf.query_id == ivf._q) & (bf.neighbor_id == ivf._n), "left"
+    )
+    return hits.groupBy("query_id").agg(
+        F.round(F.sum(F.col("_n").isNotNull().cast("int")) / 5.0, 2).alias(
+            "recall_at_5"
+        )
+    )
+
+
 # =============================================================================
 # Driver contract
 # =============================================================================
@@ -3990,6 +4023,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q172_decayed_engagement": q172_decayed_engagement,
         "q173_capped_running_balance": q173_capped_running_balance,
         "q174_top_session_paths": q174_top_session_paths,
+        "q175_ivf_recall_audit": q175_ivf_recall_audit,
     }
 
 
@@ -7119,5 +7153,16 @@ def oracle_sql() -> dict[str, str]:
         FROM paths GROUP BY path
         ORDER BY n_sessions DESC, path
         LIMIT 10
+    """
+    # composition audit: both sides reuse their own verified oracles
+    sqls["q175_ivf_recall_audit"] = f"""
+        WITH bf AS ({sqls["q24_cosine_topk"]}),
+             ivf AS ({sqls["q48_ivf_cosine_topk"]})
+        SELECT bf.query_id,
+               round(count(ivf.neighbor_id) / 5.0, 2) AS recall_at_5
+        FROM bf LEFT JOIN ivf
+          ON ivf.query_id = bf.query_id
+         AND ivf.neighbor_id = bf.neighbor_id
+        GROUP BY bf.query_id
     """
     return sqls
