@@ -35,6 +35,9 @@ def get_spark(app_name: str = "hubverse-transform-spark", cpus: int | None = Non
         # --- Arrow for pandas UDF / toPandas exchange ---
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # Python UDTFs also go Arrow-batched (BatchEvalPythonUDTF is the
+        # row-pickling path; the plan audit bans BatchEvalPython* everywhere)
+        .config("spark.sql.execution.pythonUDTF.arrow.enabled", "true")
         # parquet: vectorized reader on, sane split size for local disks
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.sql.parquet.compression.codec", "snappy")

@@ -19,3 +19,9 @@ _EAGER = {"q45_dedup_clusters"}
 def test_no_cartesian_product(spark, name):
     plan = explain_str(entry.queries()[name](spark, SF))
     assert "CartesianProduct" not in plan, f"{name} plans a CartesianProduct"
+    # Python must only enter a plan Arrow-batched (ArrowEvalPython,
+    # MapInPandas/Arrow, FlatMapGroupsInPandas) — BatchEvalPython is the
+    # row-at-a-time pickling path, 10-100x slower, banned everywhere
+    assert "BatchEvalPython" not in plan, (
+        f"{name} plans a row-at-a-time Python UDF (BatchEvalPython)"
+    )
