@@ -3628,26 +3628,30 @@ def q169_dominant_component(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q170_quantile_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-driven feature discretization: exact decile cuts computed once
-    (one percentile aggregation), broadcast to every row, bucket id =
-    1 + #cuts below the value (array filter, no join per bucket). Cuts are
-    rounded to 4 decimals on both engines so interpolation FP noise cannot
-    flip a boundary row. The ML-prep binning shape: a 9-value broadcast, a
-    map-only bucketing pass, one bounded rollup."""
+    (one array-percentile aggregation), broadcast to every row as nine
+    scalar columns, bucket id = 1 + #cuts below the value — pure codegen
+    comparisons, no HOF/join per bucket. Cuts are rounded to 4 decimals on
+    both engines so interpolation FP noise cannot flip a boundary row.
+    Scale note: EXACT percentile's final merge buffers the column in one
+    reducer (the known exact-order-statistic shape, same as q40); at lake
+    scale the identical plan takes approx_percentile's fixed-size sketch —
+    only the oracle's need for bit-equal cuts keeps this exact."""
     li = _t(spark, sf_dir, "lineitem")
     fracs = ", ".join(f"{i / 10.0}D" for i in range(1, 10))
+    # one array-percentile agg (sorts once, single buffer) projected to
+    # scalar cut columns — NOT an array + filter() HOF in the row loop:
+    # higher-order functions run interpreted per row (measured 5.1s at
+    # sf0.1); nine scalar comparisons stay inside whole-stage codegen
     cuts = li.agg(
-        F.expr(
-            f"transform(percentile(l_extendedprice, array({fracs})), c -> round(c, 4))"
-        ).alias("_cuts")
+        F.expr(f"percentile(l_extendedprice, array({fracs}))").alias("_p")
+    ).select(
+        *[F.round(F.col("_p")[i - 1], 4).alias(f"_c{i}") for i in range(1, 10)]
     )
+    bucket = F.lit(1)
+    for i in range(1, 10):
+        bucket = bucket + (F.col("l_extendedprice") > F.col(f"_c{i}")).cast("int")
     binned = li.crossJoin(F.broadcast(cuts)).select(
-        (
-            1
-            + F.size(
-                F.filter(F.col("_cuts"), lambda c: F.col("l_extendedprice") > c)
-            )
-        ).alias("bucket"),
-        "l_extendedprice",
+        bucket.alias("bucket"), "l_extendedprice"
     )
     return binned.groupBy("bucket").agg(
         F.count(F.lit(1)).alias("n_rows"),
@@ -3833,6 +3837,62 @@ def q175_ivf_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hits.groupBy("query_id").agg(
         F.round(F.sum(F.col("_n").isNotNull().cast("int")) / 5.0, 2).alias(
             "recall_at_5"
+        )
+    )
+
+
+def q176_above_nation_p90(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-wise quantile threshold join: customers above their own
+    nation's p90 account balance (q15's shape with an order statistic
+    instead of a mean — the threshold is a per-group exact percentile,
+    computed once per nation and joined back broadcast). Reports count and
+    balance share above the cut per nation."""
+    c = _t(spark, sf_dir, "customer")
+    cuts = c.groupBy("c_nationkey").agg(
+        F.expr("percentile(c_acctbal, 0.9)").alias("_p90"),
+        F.sum("c_acctbal").alias("_tot"),
+    )
+    return (
+        c.join(F.broadcast(cuts), "c_nationkey")
+        .filter(F.col("c_acctbal") > F.col("_p90"))
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_above"),
+            F.round(F.sum("c_acctbal") / F.first("_tot"), 6).alias(
+                "balance_share"
+            ),
+        )
+    )
+
+
+def q177_token_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary concentration (heavy-hitter mass): what fraction of all
+    token occurrences the tokens at/above the p99 of per-token frequency
+    carry. The threshold is a percentile of the count distribution — fully
+    distributed, no global rank window — so the same plan stands when the
+    vocabulary is 100M terms. One row: vocab size, heavy-hitter count,
+    occurrence share."""
+    d = _t(spark, sf_dir, "documents")
+    counts = (
+        d.select(
+            F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("tok")
+        )
+        .filter(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    cut = counts.agg(
+        F.expr("percentile(n, 0.99)").alias("_p99"),
+        F.sum("n").alias("_total"),
+        F.count(F.lit(1)).alias("vocab_size"),
+    )
+    return (
+        counts.crossJoin(F.broadcast(cut))
+        .filter(F.col("n") >= F.col("_p99"))
+        .groupBy("vocab_size")
+        .agg(
+            F.count(F.lit(1)).alias("n_heavy"),
+            F.round(F.sum("n") / F.first("_total"), 6).alias("occurrence_share"),
         )
     )
 
@@ -4024,6 +4084,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q173_capped_running_balance": q173_capped_running_balance,
         "q174_top_session_paths": q174_top_session_paths,
         "q175_ivf_recall_audit": q175_ivf_recall_audit,
+        "q176_above_nation_p90": q176_above_nation_p90,
+        "q177_token_concentration": q177_token_concentration,
     }
 
 
@@ -7164,5 +7226,35 @@ def oracle_sql() -> dict[str, str]:
           ON ivf.query_id = bf.query_id
          AND ivf.neighbor_id = bf.neighbor_id
         GROUP BY bf.query_id
+    """
+    sqls["q176_above_nation_p90"] = """
+        WITH cuts AS (
+            SELECT c_nationkey, quantile_cont(c_acctbal, 0.9) AS p90,
+                   sum(c_acctbal) AS tot
+            FROM customer GROUP BY 1
+        )
+        SELECT c_nationkey, count(*) AS n_above,
+               round(sum(c_acctbal) / any_value(tot), 6) AS balance_share
+        FROM customer JOIN cuts USING (c_nationkey)
+        WHERE c_acctbal > p90
+        GROUP BY c_nationkey
+    """
+    sqls["q177_token_concentration"] = """
+        WITH counts AS (
+            SELECT tok, count(*) AS n
+            FROM (SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+'))
+                      AS tok
+                  FROM documents)
+            WHERE tok != '' GROUP BY tok
+        ), cut AS (
+            SELECT quantile_cont(n, 0.99) AS p99, sum(n) AS total,
+                   count(*) AS vocab_size
+            FROM counts
+        )
+        SELECT vocab_size, count(*) AS n_heavy,
+               round(sum(n) * 1.0 / any_value(total), 6) AS occurrence_share
+        FROM counts, cut
+        WHERE n >= p99
+        GROUP BY vocab_size
     """
     return sqls
