@@ -19,7 +19,11 @@ import hashlib
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from hubverse_transform_spark.functions.vectors import cosine_similarity, dot_product
+from hubverse_transform_spark.functions.vectors import (
+    cosine_similarity,
+    dot_product,
+    l2_norm,
+)
 
 
 def cosine_brute_force_topk(
@@ -399,22 +403,37 @@ def embedding_near_dup_pairs(
     """
     if exact:
         return _exact_cosine_pairs_blocked(df, id_col, vec_col, threshold)
-    else:
-        planes = [_hyperplane(p, dim) for p in range(num_planes)]
-        withb = df.select(
-            F.col(id_col).alias("_id"),
-            F.col(vec_col).alias("_v"),
-            hyperplane_bucket(F.col(vec_col), planes).alias("_bucket"),
-        )
-        a = withb.select(
-            F.col("_id").alias("id_a"), F.col("_v").alias("_va"), "_bucket"
-        )
-        b = withb.select(
-            F.col("_id").alias("id_b"), F.col("_v").alias("_vb"), "_bucket"
-        )
-        joined = a.join(b, on="_bucket").filter(F.col("id_a") < F.col("id_b"))
+    planes = [_hyperplane(p, dim) for p in range(num_planes)]
+    # unit-normalize each vector ONCE (row count) so per-pair scoring is a
+    # single dot product instead of dot + two norms: array lambdas run
+    # interpreted, and the pair volume is quadratic in bucket size — paying
+    # 3 reductions per pair instead of 1 tripled the dominant stage. The
+    # norm is materialized as its own column first; inlining l2_norm inside
+    # the transform() lambda would re-reduce the array per element (O(d^2)).
+    normed = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).cast("array<double>").alias("_raw"),
+        l2_norm(F.col(vec_col)).alias("_n"),
+    ).select(
+        "_id",
+        "_raw",
+        F.transform(F.col("_raw"), lambda x: x / F.col("_n")).alias("_v"),
+    )
+    # bucket on the RAW vector: sign(dot) is scale-invariant, but the SQL
+    # oracle replays the bucketing on raw doubles and a near-orthogonal
+    # plane dot must not flip sign under the normalized arithmetic
+    withb = normed.select(
+        "_id", "_v", hyperplane_bucket(F.col("_raw"), planes).alias("_bucket")
+    )
+    a = withb.select(
+        F.col("_id").alias("id_a"), F.col("_v").alias("_va"), "_bucket"
+    )
+    b = withb.select(
+        F.col("_id").alias("id_b"), F.col("_v").alias("_vb"), "_bucket"
+    )
+    joined = a.join(b, on="_bucket").filter(F.col("id_a") < F.col("id_b"))
     return (
-        joined.withColumn("cosine_sim", cosine_similarity(F.col("_va"), F.col("_vb")))
+        joined.withColumn("cosine_sim", dot_product(F.col("_va"), F.col("_vb")))
         .filter(F.col("cosine_sim") >= threshold)
         .select("id_a", "id_b", "cosine_sim")
     )
