@@ -3897,6 +3897,101 @@ def q177_token_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q178_click_abandonment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANTI interval join (the missing flavor next to q163's inner): clicks
+    with NO purchase by the same user within the following 300 s —
+    streaming's outer-join-after-watermark answer, computed in batch.
+    Abandonment rate per day; the anti side never materializes matched
+    pairs."""
+    e = _t(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts")
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    cond = (
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 300 SECONDS"))
+    )
+    abandoned = clicks.join(purchases, cond, "left_anti")
+    all_daily = clicks.groupBy(
+        F.date_format("c_ts", "yyyy-MM-dd").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n_clicks"))
+    ab_daily = abandoned.groupBy(
+        F.date_format("c_ts", "yyyy-MM-dd").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n_abandoned"))
+    return all_daily.join(ab_daily, "day", "left").select(
+        "day",
+        "n_clicks",
+        F.coalesce("n_abandoned", F.lit(0)).alias("n_abandoned"),
+        F.round(
+            F.coalesce("n_abandoned", F.lit(0)) / F.col("n_clicks"), 6
+        ).alias("abandon_rate"),
+    )
+
+
+def q179_value_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VALUE-based RANGE window frame (the numeric sibling of q56's
+    time-range frame): for each customer, how many segment peers sit
+    within +/-500 of their account balance, and their local density rank.
+    The frame bound is a value offset, not a row count — rows with equal
+    orderby values share a frame, which no ROWS frame can express."""
+    c = _t(spark, sf_dir, "customer")
+    w = (
+        Window.partitionBy("c_mktsegment")
+        .orderBy(F.col("c_acctbal"))
+        .rangeBetween(-500, 500)
+    )
+    peers = c.select(
+        "c_mktsegment",
+        "c_custkey",
+        "c_acctbal",
+        (F.count(F.lit(1)).over(w) - 1).alias("n_peers_within_500"),
+    )
+    return (
+        peers.groupBy("c_mktsegment")
+        .agg(
+            F.round(F.avg("n_peers_within_500"), 4).alias("avg_peers"),
+            F.max("n_peers_within_500").alias("max_peers"),
+        )
+    )
+
+
+def q180_revenue_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Price/volume bridge (waterfall decomposition): month-over-month
+    revenue change split into a volume effect (qty change at old price)
+    and a price effect (price change at new qty), per return flag. One
+    monthly rollup, one lag window over the tiny aggregate — the FP&A
+    decomposition every revenue dashboard runs."""
+    li = _t(spark, sf_dir, "lineitem")
+    monthly = li.groupBy(
+        "l_returnflag", F.date_format("l_shipdate", "yyyy-MM").alias("month")
+    ).agg(
+        F.sum("l_quantity").alias("_qty"),
+        (F.sum(F.col("l_extendedprice") * F.col("l_quantity")) / F.sum("l_quantity")).alias("_avg_price"),
+    )
+    w = Window.partitionBy("l_returnflag").orderBy("month")
+    prev_qty = F.lag("_qty").over(w)
+    prev_price = F.lag("_avg_price").over(w)
+    return (
+        monthly.select(
+            "l_returnflag",
+            "month",
+            ((F.col("_qty") - prev_qty) * prev_price).alias("_vol_eff"),
+            ((F.col("_avg_price") - prev_price) * F.col("_qty")).alias("_price_eff"),
+        )
+        .filter(F.col("_vol_eff").isNotNull())
+        .select(
+            "l_returnflag",
+            "month",
+            F.round("_vol_eff", 1).alias("volume_effect"),
+            F.round("_price_eff", 1).alias("price_effect"),
+        )
+    )
+
+
 # =============================================================================
 # Driver contract
 # =============================================================================
@@ -4086,6 +4181,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q175_ivf_recall_audit": q175_ivf_recall_audit,
         "q176_above_nation_p90": q176_above_nation_p90,
         "q177_token_concentration": q177_token_concentration,
+        "q178_click_abandonment": q178_click_abandonment,
+        "q179_value_range_frame": q179_value_range_frame,
+        "q180_revenue_bridge": q180_revenue_bridge,
     }
 
 
@@ -7256,5 +7354,53 @@ def oracle_sql() -> dict[str, str]:
         FROM counts, cut
         WHERE n >= p99
         GROUP BY vocab_size
+    """
+    sqls["q178_click_abandonment"] = """
+        WITH c AS (SELECT user_id AS cu, ts AS cts FROM events
+                   WHERE event_type = 'click'),
+             p AS (SELECT user_id AS pu, ts AS pts FROM events
+                   WHERE event_type = 'purchase'),
+             a AS (SELECT cu, cts FROM c
+                   WHERE NOT EXISTS (SELECT 1 FROM p
+                                     WHERE pu = cu AND pts >= cts
+                                       AND pts <= cts + INTERVAL 300 SECONDS)),
+             ad AS (SELECT strftime(cts, '%Y-%m-%d') AS day,
+                           count(*) AS n_clicks FROM c GROUP BY 1),
+             ab AS (SELECT strftime(cts, '%Y-%m-%d') AS day,
+                           count(*) AS n_abandoned FROM a GROUP BY 1)
+        SELECT ad.day, n_clicks, coalesce(n_abandoned, 0) AS n_abandoned,
+               round(coalesce(n_abandoned, 0) * 1.0 / n_clicks, 6)
+                   AS abandon_rate
+        FROM ad LEFT JOIN ab USING (day)
+    """
+    sqls["q179_value_range_frame"] = """
+        WITH peers AS (
+            SELECT c_mktsegment,
+                   count(*) OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal
+                                  RANGE BETWEEN 500 PRECEDING
+                                        AND 500 FOLLOWING) - 1
+                       AS n_peers
+            FROM customer
+        )
+        SELECT c_mktsegment, round(avg(n_peers), 4) AS avg_peers,
+               max(n_peers) AS max_peers
+        FROM peers GROUP BY c_mktsegment
+    """
+    sqls["q180_revenue_bridge"] = """
+        WITH monthly AS (
+            SELECT l_returnflag, strftime(l_shipdate, '%Y-%m') AS month,
+                   sum(l_quantity) AS qty,
+                   sum(l_extendedprice * l_quantity) / sum(l_quantity) AS ap
+            FROM lineitem GROUP BY 1, 2
+        ), l AS (
+            SELECT l_returnflag, month, qty, ap,
+                   lag(qty) OVER w AS pq, lag(ap) OVER w AS pp
+            FROM monthly
+            WINDOW w AS (PARTITION BY l_returnflag ORDER BY month)
+        )
+        SELECT l_returnflag, month,
+               round((qty - pq) * pp, 1) AS volume_effect,
+               round((ap - pp) * qty, 1) AS price_effect
+        FROM l WHERE pq IS NOT NULL
     """
     return sqls
