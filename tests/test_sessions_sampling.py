@@ -309,3 +309,71 @@ def test_apply_changeset_random_model(spark):
     changes = spark.createDataFrame(ops, "k long, op string, status string, amt double")
     got = {r.k: (r.status, r.amt) for r in apply_changeset(base, changes, "k").collect()}
     assert got == model
+
+
+def test_changeset_then_diff_roundtrip(spark):
+    """Cross-operator consistency: snapshot_diff(base, apply_changeset(base,
+    changes)) recovers exactly the changeset's effect — updates classify as
+    'changed', deletes as 'removed', inserts as 'added', everything else
+    'unchanged'."""
+    from hubverse_transform_spark.operators.diff import snapshot_diff
+    from hubverse_transform_spark.operators.scd import apply_changeset
+
+    base = spark.createDataFrame(
+        [(k, chr(65 + k % 3), float(k)) for k in range(30)],
+        "k long, status string, amt double",
+    )
+    changes = spark.createDataFrame(
+        [
+            (3, "U", "Z", 99.0),
+            (4, "U", chr(65 + 4 % 3), float(4)),  # no-op update (same values)
+            (7, "D", None, None),
+            (50, "I", "N", 1.0),
+        ],
+        "k long, op string, status string, amt double",
+    )
+    merged = apply_changeset(base, changes, "k")
+    diff = {
+        r.k: r.change
+        for r in snapshot_diff(base, merged, "k", ["status", "amt"]).collect()
+    }
+    assert diff[3] == "changed"
+    assert diff[4] == "unchanged"  # update writing identical values
+    assert diff[7] == "removed"
+    assert diff[50] == "added"
+    assert all(v == "unchanged" for k, v in diff.items() if k not in (3, 7, 50))
+
+
+def test_prefix_filter_random_mutation_corpus(spark):
+    """Prefix filtering stays lossless on a seeded random corpus with
+    near-duplicate mutations (the adversarial case: shared vocabulary,
+    clustered similarities around the threshold)."""
+    import random
+
+    from hubverse_transform_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        prefix_filter_jaccard_pairs,
+    )
+
+    rng = random.Random(1234)
+    vocab = [f"w{i}" for i in range(30)]
+    docs = []
+    for i in range(40):
+        docs.append((i, " ".join(rng.choices(vocab, k=rng.randint(8, 25)))))
+    # mutated near-dups of the first 10
+    for i in range(10):
+        toks = docs[i][1].split()
+        j = rng.randrange(len(toks))
+        toks[j] = rng.choice(vocab)
+        docs.append((100 + i, " ".join(toks)))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    for t in (0.4, 0.7):
+        base = {
+            (r.id_a, r.id_b): round(r.jaccard, 6)
+            for r in ngram_jaccard_pairs(df, "doc_id", "text", ngram=2, threshold=t).collect()
+        }
+        pref = {
+            (r.id_a, r.id_b): r.jaccard
+            for r in prefix_filter_jaccard_pairs(df, "doc_id", "text", ngram=2, threshold=t).collect()
+        }
+        assert pref == base, f"t={t}: sym diff {set(pref) ^ set(base)}"
