@@ -3992,6 +3992,44 @@ def q180_revenue_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q181_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed weighted sampling without replacement (Efraimidis-
+    Spirakis A-ES): each doc draws u from its md5 hash (deterministic
+    'randomness', the trick every reproducible sampler here uses) and
+    scores key = ln(u)/weight; the top-50 keys are the sample, longer docs
+    proportionally likelier. Map-only scoring + TakeOrdered — no shuffle
+    of the corpus, no driver RNG state; the selection is ranked on the
+    6-rounded key (+ doc_id) so both engines cut the same boundary."""
+    d = _t(spark, sf_dir, "documents")
+    frac = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("double")
+        + 1.0
+    ) / F.lit(float(1 << 60))
+    key = F.round(F.log(frac) / F.col("n_chars"), 6)
+    return (
+        d.select("doc_id", "n_chars", key.alias("es_key"))
+        .orderBy(F.col("es_key").desc(), "doc_id")
+        .limit(50)
+    )
+
+
+def q182_rank_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANK()-with-ties cut (vs the row_number cuts used everywhere else):
+    all parts tied into the top-3 size values per brand survive, so group
+    sizes vary with tie mass — the semantic difference between 'top 3
+    rows' and 'top 3 ranks'. No tie-break key needed: ties are included,
+    which is exactly what makes the result deterministic."""
+    p = _t(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy(F.col("p_size").desc())
+    ranked = p.withColumn("_rk", F.rank().over(w)).filter(F.col("_rk") <= 3)
+    return ranked.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.max("p_size").alias("top_size"),
+        F.min("p_size").alias("cut_size"),
+    )
+
+
 # =============================================================================
 # Driver contract
 # =============================================================================
@@ -4184,6 +4222,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q178_click_abandonment": q178_click_abandonment,
         "q179_value_range_frame": q179_value_range_frame,
         "q180_revenue_bridge": q180_revenue_bridge,
+        "q181_weighted_sample": q181_weighted_sample,
+        "q182_rank_with_ties": q182_rank_with_ties,
     }
 
 
@@ -7402,5 +7442,29 @@ def oracle_sql() -> dict[str, str]:
                round((qty - pq) * pp, 1) AS volume_effect,
                round((ap - pp) * qty, 1) AS price_effect
         FROM l WHERE pq IS NOT NULL
+    """
+    sqls["q181_weighted_sample"] = """
+        WITH scored AS (
+            SELECT doc_id, n_chars,
+                   round(ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                                  1, 15)) AS BIGINT) + 1.0)
+                            / 1152921504606846976.0)
+                         / n_chars, 6) AS es_key
+            FROM documents
+        )
+        SELECT doc_id, n_chars, es_key
+        FROM scored ORDER BY es_key DESC, doc_id LIMIT 50
+    """
+    sqls["q182_rank_with_ties"] = """
+        WITH ranked AS (
+            SELECT p_brand, p_size,
+                   rank() OVER (PARTITION BY p_brand ORDER BY p_size DESC)
+                       AS rk
+            FROM part
+        )
+        SELECT p_brand, count(*) AS n_parts,
+               max(p_size) AS top_size, min(p_size) AS cut_size
+        FROM ranked WHERE rk <= 3
+        GROUP BY p_brand
     """
     return sqls
