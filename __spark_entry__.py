@@ -4030,6 +4030,54 @@ def q182_rank_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q183_filtered_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-surface pins: the standard FILTER (WHERE ...) aggregate clause
+    (one pass, no self-joins for conditional aggregates) and a lateral
+    column alias (return_rate referenced by the very next select item) —
+    both parsed by Spark 4 and DuckDB identically. Per ship month: item
+    count, returned-item count/revenue via FILTER, and a rate derived
+    from the lateral alias."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_q183")
+    return spark.sql(
+        """
+        SELECT date_format(l_shipdate, 'yyyy-MM') AS month,
+               count(*) AS n_items,
+               count(*) FILTER (WHERE l_returnflag = 'R') AS n_returned,
+               round(sum(l_extendedprice) FILTER (WHERE l_returnflag = 'R'), 1)
+                   AS returned_revenue,
+               round(CAST(count(*) FILTER (WHERE l_returnflag = 'R') AS DOUBLE)
+                     / count(*), 6) AS return_rate,
+               CASE WHEN CAST(count(*) FILTER (WHERE l_returnflag = 'R') AS DOUBLE)
+                         / count(*) > 0.3
+                    THEN 'high' ELSE 'normal' END AS return_band
+        FROM lineitem_q183
+        GROUP BY 1
+        """
+    )
+
+
+def q184_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility audit: BPE-ish tokens per whitespace word, per
+    language — the metric that decides whether a tokenizer bloats a
+    language's sequence lengths (and training cost) relative to English.
+    Two token counters over one scan, ratio at the rollup."""
+    d = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    return (
+        d.select(
+            "lang",
+            whitespace_token_count(t).alias("_ws"),
+            bpe_ish_token_count(t).alias("_bpe"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.round(F.avg("_ws"), 4).alias("avg_ws_tokens"),
+            F.round(F.avg("_bpe"), 4).alias("avg_bpe_tokens"),
+            F.round(F.sum("_bpe") / F.sum("_ws"), 6).alias("fertility"),
+        )
+    )
+
+
 # =============================================================================
 # Driver contract
 # =============================================================================
@@ -4224,6 +4272,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q180_revenue_bridge": q180_revenue_bridge,
         "q181_weighted_sample": q181_weighted_sample,
         "q182_rank_with_ties": q182_rank_with_ties,
+        "q183_filtered_aggregates": q183_filtered_aggregates,
+        "q184_tokenizer_fertility": q184_tokenizer_fertility,
     }
 
 
@@ -7466,5 +7516,35 @@ def oracle_sql() -> dict[str, str]:
                max(p_size) AS top_size, min(p_size) AS cut_size
         FROM ranked WHERE rk <= 3
         GROUP BY p_brand
+    """
+    sqls["q183_filtered_aggregates"] = """
+        SELECT strftime(l_shipdate, '%Y-%m') AS month,
+               count(*) AS n_items,
+               count(*) FILTER (WHERE l_returnflag = 'R') AS n_returned,
+               round(sum(l_extendedprice) FILTER (WHERE l_returnflag = 'R'), 1)
+                   AS returned_revenue,
+               round(count(*) FILTER (WHERE l_returnflag = 'R') * 1.0
+                     / count(*), 6) AS return_rate,
+               CASE WHEN count(*) FILTER (WHERE l_returnflag = 'R') * 1.0
+                         / count(*) > 0.3
+                    THEN 'high' ELSE 'normal' END AS return_band
+        FROM lineitem
+        GROUP BY 1
+    """
+    sqls["q184_tokenizer_fertility"] = """
+        WITH ann AS (
+            SELECT lang,
+                   CASE WHEN trim(text) = '' THEN 0
+                        ELSE len(regexp_split_to_array(trim(text), '\\s+')) END
+                       AS ws,
+                   len(regexp_extract_all(text,
+                       '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS bpe
+            FROM documents
+        )
+        SELECT lang,
+               round(avg(ws), 4) AS avg_ws_tokens,
+               round(avg(bpe), 4) AS avg_bpe_tokens,
+               round(sum(bpe) * 1.0 / sum(ws), 6) AS fertility
+        FROM ann GROUP BY lang
     """
     return sqls
