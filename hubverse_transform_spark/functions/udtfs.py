@@ -22,7 +22,10 @@ import hashlib
 from pyspark.sql.functions import udtf
 
 
-@udtf(returnType="chunk_idx bigint, n_tokens bigint, chunk_hash string")
+# useArrow pinned explicitly: with the default (None) the decorator resolves
+# the Arrow setting at IMPORT time from whatever session happens to be
+# active (usually none), silently falling back to the row-pickling path
+@udtf(returnType="chunk_idx bigint, n_tokens bigint, chunk_hash string", useArrow=True)
 class ChunkText:
     """Emit (chunk_idx, n_tokens, md5(chunk)) for fixed-size token windows.
 
