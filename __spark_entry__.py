@@ -4078,6 +4078,54 @@ def q184_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q185_trigram_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trigram fuzzy search (the autocomplete/typo-tolerant index shape):
+    score every part name by character-trigram overlap with the query
+    string 'chocolate' and return the top-15. The query's trigram set is a
+    constant-folded literal array, scoring is one map-only array_intersect
+    per row, ranking is TakeOrdered — the brute-force form whose scale
+    path is the inverted trigram index (same postings machinery as q21)."""
+    p = _t(spark, sf_dir, "part")
+    query = "chocolate"
+    qgrams = sorted({query[i : i + 3] for i in range(len(query) - 2)})
+    name = F.lower(F.col("p_name"))
+    tri = F.array_distinct(
+        F.expr(
+            "transform(sequence(1, greatest(length(lower(p_name)) - 2, 1)), "
+            "i -> substring(lower(p_name), i, 3))"
+        )
+    )
+    score = F.size(
+        F.array_intersect(tri, F.array(*[F.lit(g) for g in qgrams]))
+    )
+    return (
+        p.select("p_partkey", "p_name", score.alias("n_shared_trigrams"))
+        .filter(F.col("n_shared_trigrams") > 0)
+        .orderBy(F.col("n_shared_trigrams").desc(), "p_partkey")
+        .limit(15)
+    )
+
+
+def q186_pareto_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline / Pareto frontier (min price, max size) over PROMO parts —
+    the classic non-dominated-set operator, distributed as two-phase
+    local-sweep + frontier-merge mapInPandas (operators/skyline.py):
+    dominated rows die inside their own partition, only local frontiers
+    reach the final single-partition sweep. Oracle is the NOT EXISTS
+    dominance definition, so the pruning scheme itself is what's checked."""
+    from hubverse_transform_spark.operators.skyline import pareto_skyline
+
+    p = _t(spark, sf_dir, "part").filter(F.col("p_type").startswith("PROMO"))
+    sky = pareto_skyline(
+        p.select("p_partkey", "p_retailprice", "p_size"),
+        "p_retailprice",
+        "p_size",
+    )
+    return sky.select(
+        "p_partkey", F.round("p_retailprice", 2).alias("price"), "p_size"
+    )
+
+
 # =============================================================================
 # Driver contract
 # =============================================================================
@@ -4274,6 +4322,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q182_rank_with_ties": q182_rank_with_ties,
         "q183_filtered_aggregates": q183_filtered_aggregates,
         "q184_tokenizer_fertility": q184_tokenizer_fertility,
+        "q185_trigram_search": q185_trigram_search,
+        "q186_pareto_skyline": q186_pareto_skyline,
     }
 
 
@@ -7546,5 +7596,37 @@ def oracle_sql() -> dict[str, str]:
                round(avg(bpe), 4) AS avg_bpe_tokens,
                round(sum(bpe) * 1.0 / sum(ws), 6) AS fertility
         FROM ann GROUP BY lang
+    """
+    _q = "chocolate"
+    _qgrams = ", ".join(
+        repr(g) for g in sorted({_q[i : i + 3] for i in range(len(_q) - 2)})
+    )
+    sqls["q185_trigram_search"] = f"""
+        WITH tri AS (
+            SELECT p_partkey, p_name,
+                   len(list_intersect(
+                       list_distinct(list_transform(
+                           range(1, greatest(length(lower(p_name)) - 2, 1) + 1),
+                           i -> substr(lower(p_name), CAST(i AS INT), 3))),
+                       [{_qgrams}])) AS n
+            FROM part
+        )
+        SELECT p_partkey, p_name, n AS n_shared_trigrams
+        FROM tri WHERE n > 0
+        ORDER BY n DESC, p_partkey LIMIT 15
+    """
+    sqls["q186_pareto_skyline"] = """
+        WITH pp AS (
+            SELECT p_partkey, p_retailprice, p_size FROM part
+            WHERE p_type LIKE 'PROMO%'
+        )
+        SELECT p_partkey, round(p_retailprice, 2) AS price, p_size
+        FROM pp a
+        WHERE NOT EXISTS (
+            SELECT 1 FROM pp b
+            WHERE b.p_retailprice <= a.p_retailprice
+              AND b.p_size >= a.p_size
+              AND (b.p_retailprice < a.p_retailprice OR b.p_size > a.p_size)
+        )
     """
     return sqls

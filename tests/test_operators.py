@@ -570,3 +570,25 @@ def test_prefix_filter_equals_inverted_index(spark, docs_df):
             ).collect()
         }
         assert pref == base, f"threshold {t}: {pref} != {base}"
+
+
+def test_pareto_skyline_matches_bruteforce(spark):
+    """Two-phase distributed skyline == O(n^2) dominance brute force on a
+    seeded random cloud with duplicated coordinate pairs (ties kept)."""
+    import random
+
+    from hubverse_transform_spark.operators.skyline import pareto_skyline
+
+    rng = random.Random(11)
+    pts = [(i, float(rng.randint(0, 40)), rng.randint(0, 40)) for i in range(300)]
+    pts += [(1000 + i, pts[i][1], pts[i][2]) for i in range(20)]  # exact ties
+    df = spark.createDataFrame(pts, "id long, x double, y long").repartition(7)
+    got = {r.id for r in pareto_skyline(df, "x", "y").collect()}
+    want = {
+        i
+        for i, x, y in pts
+        if not any(
+            (x2 <= x and y2 >= y and (x2 < x or y2 > y)) for _, x2, y2 in pts
+        )
+    }
+    assert got == want
