@@ -4126,6 +4126,67 @@ def q186_pareto_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q187_struct_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-column (row-value) IN subquery: lineitems whose exact
+    (partkey, suppkey) pair shipped in some 1996 order — the composite-key
+    semi-join the parser must plan from `(a, b) IN (SELECT x, y ...)`,
+    counted per return flag."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_q187")
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders_q187")
+    return spark.sql(
+        """
+        SELECT l_returnflag, count(*) AS n_items
+        FROM lineitem_q187
+        WHERE (l_partkey, l_suppkey) IN (
+            SELECT l_partkey, l_suppkey
+            FROM lineitem_q187 JOIN orders_q187 ON l_orderkey = o_orderkey
+            WHERE year(o_orderdate) = 1996 AND o_orderpriority = '1-URGENT'
+        )
+        GROUP BY l_returnflag
+        """
+    )
+
+
+def q188_minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch calibration audit: for every LSH-surfaced near-dup pair,
+    compare the MinHash ESTIMATE of Jaccard (fraction of equal signature
+    components) against the exact value, and roll up the mean absolute
+    error and bias. The check that tells you whether 8 hashes are enough
+    before you trust banding at 100 TB; both the estimate and the truth
+    are engine-reproducible (md5 permutation family)."""
+    d = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        d, "doc_id", "text", ngram=3, num_hashes=8, bands=4, threshold=0.0
+    )
+    sigs = d.select(
+        F.col("doc_id").alias("_id"),
+        minhash_signature(
+            shingle_ngrams(F.col("text"), 3), num_hashes=8
+        ).alias("_sig"),
+    )
+    sa = sigs.select(F.col("_id").alias("id_a"), F.col("_sig").alias("_siga"))
+    sb = sigs.select(F.col("_id").alias("id_b"), F.col("_sig").alias("_sigb"))
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with(F.col("_siga"), F.col("_sigb"), lambda x, y: x == y),
+                lambda v: v,
+            )
+        )
+        / F.lit(8.0)
+    )
+    scored = (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select((est - F.col("jaccard")).alias("_err"))
+    )
+    return scored.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.round(F.avg(F.abs(F.col("_err"))), 6).alias("mean_abs_error"),
+        F.round(F.avg("_err"), 6).alias("bias"),
+    )
+
+
 # =============================================================================
 # Driver contract
 # =============================================================================
@@ -4324,6 +4385,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q184_tokenizer_fertility": q184_tokenizer_fertility,
         "q185_trigram_search": q185_trigram_search,
         "q186_pareto_skyline": q186_pareto_skyline,
+        "q187_struct_in_subquery": q187_struct_in_subquery,
+        "q188_minhash_estimate_error": q188_minhash_estimate_error,
     }
 
 
@@ -7628,5 +7691,53 @@ def oracle_sql() -> dict[str, str]:
               AND b.p_size >= a.p_size
               AND (b.p_retailprice < a.p_retailprice OR b.p_size > a.p_size)
         )
+    """
+    # DuckDB's binder rejects row-value IN subqueries; the EXISTS rewrite
+    # is equivalent here (both key columns are non-null)
+    sqls["q187_struct_in_subquery"] = """
+        SELECT l_returnflag, count(*) AS n_items
+        FROM lineitem l1
+        WHERE EXISTS (
+            SELECT 1
+            FROM lineitem l2 JOIN orders ON l2.l_orderkey = o_orderkey
+            WHERE year(o_orderdate) = 1996 AND o_orderpriority = '1-URGENT'
+              AND l2.l_partkey = l1.l_partkey
+              AND l2.l_suppkey = l1.l_suppkey
+        )
+        GROUP BY l_returnflag
+    """
+    sqls["q188_minhash_estimate_error"] = f"""
+        WITH tok AS (
+            SELECT doc_id, {_TOKS} AS toks FROM documents
+        ), shg AS (
+            SELECT doc_id, {_SHINGLES3} AS sh FROM tok
+        ), sig AS (
+            SELECT doc_id, {_sig_exprs(8)} AS sg
+            FROM (SELECT doc_id, {_SHINGLE_HASH} AS hs FROM shg)
+        ), banded AS (
+            SELECT doc_id,
+                   CAST(b AS VARCHAR) || '|' ||
+                   array_to_string(sg[b*2+1:b*2+2], '|') AS band
+            FROM sig, (SELECT unnest(range(0, 4)) AS b)
+        ), cand AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM banded a JOIN banded b
+              ON a.band = b.band AND a.doc_id < b.doc_id
+        ), j AS (
+            SELECT len(list_filter(range(1, 9),
+                                   i -> sx.sg[CAST(i AS INT)]
+                                        = sy.sg[CAST(i AS INT)])) / 8.0
+                   - len(list_intersect(x.sh, y.sh)) * 1.0
+                     / len(list_distinct(list_concat(x.sh, y.sh))) AS err
+            FROM cand c
+            JOIN shg x ON x.doc_id = c.id_a
+            JOIN shg y ON y.doc_id = c.id_b
+            JOIN sig sx ON sx.doc_id = c.id_a
+            JOIN sig sy ON sy.doc_id = c.id_b
+        )
+        SELECT count(*) AS n_pairs,
+               round(avg(abs(err)), 6) AS mean_abs_error,
+               round(avg(err), 6) AS bias
+        FROM j
     """
     return sqls
