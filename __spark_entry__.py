@@ -4187,6 +4187,92 @@ def q188_minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q189_nearest_event_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST-in-time join (bidirectional as-of with tolerance): each
+    click pairs with the temporally closest purchase by the same user
+    within +/-600 s, ties to the earlier purchase. Neither backward-only
+    ASOF nor a plain interval join expresses 'nearest' — it is the
+    interval join plus a per-left-row rank on |gap|. Rolled up per day:
+    matched clicks and total |gap| (the sum stays on the millisecond
+    grid, so cross-engine rounding is stable where an average is not)."""
+    from hubverse_transform_spark.operators.sessions import _epoch_seconds
+
+    e = _t(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("c_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    gap = _epoch_seconds(F.col("p_ts")) - _epoch_seconds(F.col("c_ts"))
+    joined = clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.abs(gap) <= 600),
+    ).select("c_id", "c_ts", F.round(gap, 3).alias("_gap"))
+    w = Window.partitionBy("c_id").orderBy(F.abs(F.col("_gap")), F.col("_gap"))
+    nearest = joined.withColumn("_rn", F.row_number().over(w)).filter(
+        F.col("_rn") == 1
+    )
+    return nearest.groupBy(
+        F.date_format("c_ts", "yyyy-MM-dd").alias("day")
+    ).agg(
+        F.count(F.lit(1)).alias("n_matched"),
+        F.round(F.sum(F.abs(F.col("_gap"))), 3).alias("total_abs_gap_s"),
+    )
+
+
+def q190_largest_remainder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer allocation by the largest-remainder method (Hamilton
+    apportionment): split 1000 units across nations proportionally to
+    customer count — floor every quota, then hand the leftover units to
+    the largest fractional remainders (ties to lowest nation key). The
+    deterministic integer-budget splitter behind sampling quotas and
+    shard assignment; two bounded aggregates and one 25-row window."""
+    c = _t(spark, sf_dir, "customer")
+    counts = c.groupBy("c_nationkey").agg(F.count(F.lit(1)).alias("_n"))
+    tot = counts.agg(F.sum("_n").alias("_tot"))
+    quota = (F.col("_n") * 1000.0 / F.col("_tot"))
+    based = counts.crossJoin(F.broadcast(tot)).select(
+        "c_nationkey",
+        "_n",
+        F.floor(quota).cast("long").alias("_base"),
+        (quota - F.floor(quota)).alias("_rem"),
+    )
+    leftover = based.agg((F.lit(1000) - F.sum("_base")).alias("_left"))
+    w = Window.orderBy(F.col("_rem").desc(), F.col("c_nationkey"))
+    return (
+        based.crossJoin(F.broadcast(leftover))
+        .withColumn("_rk", F.row_number().over(w))
+        .select(
+            "c_nationkey",
+            F.col("_n").alias("n_customers"),
+            (
+                F.col("_base")
+                + F.when(F.col("_rk") <= F.col("_left"), 1).otherwise(0)
+            ).alias("allocation"),
+        )
+    )
+
+
+def q191_width_bucket_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram via the SQL width_bucket function (explicit
+    [0, 200) domain, 20 buckets, under/overflow in buckets 0 and 21) over
+    event values per type — the fixed-domain sibling of q170's data-driven
+    quantile bins; entirely map-side until the bounded rollup."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.select(
+            "event_type",
+            F.expr("width_bucket(value, 0.0, 200.0, 20)").alias("bucket"),
+        )
+        .groupBy("event_type", "bucket")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+
+
 # =============================================================================
 # Driver contract
 # =============================================================================
@@ -4387,6 +4473,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q186_pareto_skyline": q186_pareto_skyline,
         "q187_struct_in_subquery": q187_struct_in_subquery,
         "q188_minhash_estimate_error": q188_minhash_estimate_error,
+        "q189_nearest_event_join": q189_nearest_event_join,
+        "q190_largest_remainder": q190_largest_remainder,
+        "q191_width_bucket_histogram": q191_width_bucket_histogram,
     }
 
 
@@ -7739,5 +7828,56 @@ def oracle_sql() -> dict[str, str]:
                round(avg(abs(err)), 6) AS mean_abs_error,
                round(avg(err), 6) AS bias
         FROM j
+    """
+    sqls["q189_nearest_event_join"] = """
+        WITH c AS (SELECT event_id AS c_id, user_id AS cu, ts AS cts
+                   FROM events WHERE event_type = 'click'),
+             p AS (SELECT user_id AS pu, ts AS pts
+                   FROM events WHERE event_type = 'purchase'),
+             j AS (SELECT c_id, cts,
+                          round((epoch_us(pts) - epoch_us(cts)) / 1e6, 3)
+                              AS gap
+                   FROM c JOIN p
+                     ON cu = pu
+                    AND abs(epoch_us(pts) - epoch_us(cts)) / 1e6 <= 600),
+             n AS (SELECT c_id, cts, gap,
+                          row_number() OVER (PARTITION BY c_id
+                                             ORDER BY abs(gap), gap) AS rn
+                   FROM j)
+        SELECT strftime(cts, '%Y-%m-%d') AS day,
+               count(*) AS n_matched,
+               round(sum(abs(gap)), 3) AS total_abs_gap_s
+        FROM n WHERE rn = 1 GROUP BY 1
+    """
+    sqls["q190_largest_remainder"] = """
+        WITH counts AS (
+            SELECT c_nationkey, count(*) AS n FROM customer GROUP BY 1
+        ), tot AS (SELECT sum(n) AS t FROM counts),
+        based AS (
+            SELECT c_nationkey, n,
+                   CAST(floor(n * 1000.0 / t) AS BIGINT) AS base,
+                   n * 1000.0 / t - floor(n * 1000.0 / t) AS rem
+            FROM counts, tot
+        ), leftover AS (SELECT 1000 - sum(base) AS l FROM based),
+        r AS (
+            SELECT c_nationkey, n, base,
+                   row_number() OVER (ORDER BY rem DESC, c_nationkey) AS rk
+            FROM based
+        )
+        SELECT c_nationkey, n AS n_customers,
+               base + CASE WHEN rk <= (SELECT l FROM leftover)
+                           THEN 1 ELSE 0 END AS allocation
+        FROM r
+    """
+    # DuckDB lacks width_bucket; the closed-form emulation is exact on the
+    # [0, 200) x 20 integer-width domain
+    sqls["q191_width_bucket_histogram"] = """
+        SELECT event_type,
+               CASE WHEN value < 0 THEN 0
+                    WHEN value >= 200 THEN 21
+                    ELSE 1 + CAST(floor(value / 10) AS INT) END AS bucket,
+               count(*) AS n_events
+        FROM events
+        GROUP BY 1, 2
     """
     return sqls
