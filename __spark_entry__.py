@@ -4273,6 +4273,76 @@ def q191_width_bucket_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q192_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index — the production score-drift metric
+    (PSI = sum over buckets of (p_now - p_ref) * ln(p_now / p_ref)) —
+    between the first and last week of event values on a fixed 10-bucket
+    [0, 200) grid, per event type. Laplace-smoothed bucket shares keep the
+    log finite on empty buckets; one scan, two bounded rollups, and the
+    bucket join is 10xtypes rows."""
+    e = _t(spark, sf_dir, "events")
+    wk = F.trunc("ts", "week")
+    bounds = e.agg(
+        F.min(wk).alias("_lo"), F.max(wk).alias("_hi")
+    )
+    bucket = F.least(F.floor(F.col("value") / 20).cast("int"), F.lit(9))
+    tagged = (
+        e.crossJoin(F.broadcast(bounds))
+        .filter((wk == F.col("_lo")) | (wk == F.col("_hi")))
+        .select(
+            "event_type",
+            bucket.alias("bucket"),
+            F.when(wk == F.col("_lo"), "ref").otherwise("now").alias("_side"),
+        )
+    )
+    per_bucket = tagged.groupBy("event_type", "bucket").agg(
+        F.sum(F.when(F.col("_side") == "ref", 1).otherwise(0)).alias("_nref"),
+        F.sum(F.when(F.col("_side") == "now", 1).otherwise(0)).alias("_nnow"),
+    )
+    tot = per_bucket.groupBy("event_type").agg(
+        F.sum("_nref").alias("_tref"), F.sum("_nnow").alias("_tnow")
+    )
+    p_ref = (F.col("_nref") + 0.5) / (F.col("_tref") + 5.0)
+    p_now = (F.col("_nnow") + 0.5) / (F.col("_tnow") + 5.0)
+    contrib = (p_now - p_ref) * F.log(p_now / p_ref)
+    return (
+        per_bucket.join(F.broadcast(tot), "event_type")
+        .groupBy("event_type")
+        .agg(F.round(F.sum(contrib), 6).alias("psi"))
+    )
+
+
+def q193_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph profiling: degree distribution of the brand co-purchase graph
+    (q150's canonical edge set) — how many brands have degree d. The
+    first-look health check before running PageRank/components on any
+    graph; two bounded aggregations after the edge build."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    baskets = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .select("l_orderkey", F.col("p_brand").alias("brand"))
+        .distinct()
+    )
+    b2 = baskets.select(
+        F.col("l_orderkey").alias("ok2"), F.col("brand").alias("brand2")
+    )
+    edges = (
+        baskets.join(b2, baskets.l_orderkey == b2.ok2)
+        .filter(F.col("brand") < F.col("brand2"))
+        .groupBy(F.col("brand").alias("src"), F.col("brand2").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 5)
+    )
+    deg = (
+        edges.select(F.col("src").alias("node"))
+        .unionAll(edges.select(F.col("dst").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    return deg.groupBy("degree").agg(F.count(F.lit(1)).alias("n_brands"))
+
+
 # =============================================================================
 # Driver contract
 # =============================================================================
@@ -4476,6 +4546,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q189_nearest_event_join": q189_nearest_event_join,
         "q190_largest_remainder": q190_largest_remainder,
         "q191_width_bucket_histogram": q191_width_bucket_histogram,
+        "q192_psi_drift": q192_psi_drift,
+        "q193_degree_distribution": q193_degree_distribution,
     }
 
 
@@ -7879,5 +7951,53 @@ def oracle_sql() -> dict[str, str]:
                count(*) AS n_events
         FROM events
         GROUP BY 1, 2
+    """
+    sqls["q192_psi_drift"] = """
+        WITH bounds AS (
+            SELECT min(date_trunc('week', ts)) AS lo,
+                   max(date_trunc('week', ts)) AS hi
+            FROM events
+        ), tagged AS (
+            SELECT event_type,
+                   least(CAST(floor(value / 20) AS INT), 9) AS bucket,
+                   CASE WHEN date_trunc('week', ts) = lo THEN 'ref'
+                        ELSE 'now' END AS side
+            FROM events, bounds
+            WHERE date_trunc('week', ts) = lo OR date_trunc('week', ts) = hi
+        ), per_bucket AS (
+            SELECT event_type, bucket,
+                   count(*) FILTER (WHERE side = 'ref') AS nref,
+                   count(*) FILTER (WHERE side = 'now') AS nnow
+            FROM tagged GROUP BY 1, 2
+        ), tot AS (
+            SELECT event_type, sum(nref) AS tref, sum(nnow) AS tnow
+            FROM per_bucket GROUP BY 1
+        )
+        SELECT event_type,
+               round(sum(((nnow + 0.5) / (tnow + 5.0)
+                          - (nref + 0.5) / (tref + 5.0))
+                         * ln(((nnow + 0.5) / (tnow + 5.0))
+                              / ((nref + 0.5) / (tref + 5.0)))), 6) AS psi
+        FROM per_bucket JOIN tot USING (event_type)
+        GROUP BY event_type
+    """
+    sqls["q193_degree_distribution"] = """
+        WITH baskets AS (
+            SELECT DISTINCT l_orderkey, p_brand AS brand
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+        ), edges AS (
+            SELECT a.brand AS src, b.brand AS dst
+            FROM baskets a JOIN baskets b
+              ON a.l_orderkey = b.l_orderkey AND a.brand < b.brand
+            GROUP BY 1, 2
+            HAVING count(*) >= 5
+        ), deg AS (
+            SELECT node, count(*) AS degree FROM (
+                SELECT src AS node FROM edges
+                UNION ALL
+                SELECT dst AS node FROM edges
+            ) GROUP BY node
+        )
+        SELECT degree, count(*) AS n_brands FROM deg GROUP BY degree
     """
     return sqls
