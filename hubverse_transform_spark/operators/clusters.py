@@ -106,3 +106,87 @@ def dedup_clusters(
     return cc.select(
         "node", "component", F.count(F.lit(1)).over(w).alias("cluster_size")
     )
+
+
+def connected_components_star(
+    edges: DataFrame,
+    *,
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components by alternating large-star / small-star rounds
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14) — the O(log n)-round algorithm that survives LARGE-diameter
+    graphs, where plain min-label propagation needs O(diameter) rounds.
+
+    - large-star: every node links each STRICTLY-LARGER neighbor to the
+      minimum of its closed neighborhood;
+    - small-star: every node links each not-larger neighbor (and itself)
+      to that minimum.
+
+    Both rounds are one groupBy-min plus one join on the node id — the
+    same two-shuffle cost as a propagation round, but the star moves whole
+    subtrees per round instead of one hop. Termination: the edge multiset
+    reaches a star forest (every node points at its component minimum);
+    detected by an order-insensitive hash of the edge set. Returns
+    ``(node, component)`` like ``connected_components``, identical labels
+    (asserted in tests on random graphs).
+    """
+    e = (
+        edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def _edge_sig(df: DataFrame):
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("bit_xor(xxhash64(u, v))").alias("h"),
+        ).first()
+        return (row["n"], row["h"])
+
+    sig = _edge_sig(e)
+    for _ in range(max_iter):
+        # large-star over the symmetric adjacency
+        adj = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = adj.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+        large = (
+            adj.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        )
+        e = (
+            large.filter(F.col("u") != F.col("v"))
+            .select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
+            .distinct()
+            .localCheckpoint()
+        )
+        # small-star over the (u > v) oriented edges
+        mins2 = e.groupBy("u").agg(F.min("v").alias("m"))
+        small = (
+            e.join(mins2, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .unionByName(mins2.select(F.col("u"), F.col("m").alias("v")))
+        )
+        e = (
+            small.filter(F.col("u") != F.col("v"))
+            .select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
+            .distinct()
+            .localCheckpoint()
+        )
+        new_sig = _edge_sig(e)
+        if new_sig == sig:
+            break
+        sig = new_sig
+    # star forest: every u points at its component min v; the roots
+    # themselves are members too
+    return e.select(F.col("u").alias("node"), F.col("v").alias("component")).unionByName(
+        e.select(F.col("v").alias("node"), F.col("v").alias("component"))
+    ).distinct()

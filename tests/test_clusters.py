@@ -36,3 +36,28 @@ def test_dedup_clusters_sizes(spark):
     assert rows[9]["component"] == 8 and rows[9]["cluster_size"] == 2
     survivors = [n for n, r in rows.items() if r["component"] == n]
     assert sorted(survivors) == [1, 8]
+
+
+def test_star_components_equal_label_propagation(spark):
+    """Large-star/small-star converges to the same (node, component-min)
+    labeling as min-label propagation on seeded random graphs, including a
+    long path (the large-diameter case star rounds exist for)."""
+    import random
+
+    from hubverse_transform_spark.operators.clusters import (
+        connected_components,
+        connected_components_star,
+    )
+
+    rng = random.Random(5)
+    cases = []
+    # random sparse graph
+    cases.append([(rng.randrange(60), rng.randrange(60)) for _ in range(50)])
+    # long path 100..140 (diameter 40) plus a separate triangle
+    cases.append([(i, i + 1) for i in range(100, 140)] + [(200, 201), (201, 202), (200, 202)])
+    for pairs in cases:
+        pairs = [(a, b) for a, b in pairs if a != b]
+        df = spark.createDataFrame(pairs, "id_a long, id_b long")
+        lp = {r.node: r.component for r in connected_components(df).collect()}
+        st = {r.node: r.component for r in connected_components_star(df).collect()}
+        assert st == lp, (sorted(st.items())[:10], sorted(lp.items())[:10])
