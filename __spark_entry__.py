@@ -4343,6 +4343,29 @@ def q193_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return deg.groupBy("degree").agg(F.count(F.lit(1)).alias("n_brands"))
 
 
+def q194_star_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q45's duplicate clustering re-run through the alternating
+    large-star/small-star algorithm (clusters.connected_components_star,
+    Kiveris et al.) — the O(log n)-round scale path for large-diameter
+    graphs, where min-label propagation needs O(diameter) rounds. Same
+    SimHash pair graph, same (node, component, cluster_size) answer; the
+    oracle is the recursive-CTE reachability labeling, so the driver
+    verifies the ALGORITHM, not just the plumbing."""
+    from hubverse_transform_spark.operators.clusters import (
+        connected_components_star,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = simhash_near_dup_pairs(
+        d, "doc_id", "text", bits=32, ngram=2, max_hamming=3
+    )
+    cc = connected_components_star(pairs)
+    w = Window.partitionBy("component")
+    return cc.select(
+        "node", "component", F.count(F.lit(1)).over(w).alias("cluster_size")
+    )
+
+
 # =============================================================================
 # Driver contract
 # =============================================================================
@@ -4548,6 +4571,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q191_width_bucket_histogram": q191_width_bucket_histogram,
         "q192_psi_drift": q192_psi_drift,
         "q193_degree_distribution": q193_degree_distribution,
+        "q194_star_components": q194_star_components,
     }
 
 
@@ -8000,4 +8024,6 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT degree, count(*) AS n_brands FROM deg GROUP BY degree
     """
+    # the star algorithm must produce exactly the propagation labeling
+    sqls["q194_star_components"] = sqls["q45_dedup_clusters"]
     return sqls
