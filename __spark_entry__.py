@@ -4366,6 +4366,33 @@ def q194_star_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q195_power_iteration_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First PCA component by POWER ITERATION over the distributed
+    covariance matrix (profiling.power_iteration_top_eigen): three
+    v <- normalize(Cv) rounds, each one join + one 64-key aggregation —
+    iterative linear algebra with no eigensolver and no driver-side
+    matrix. Output: the top-5 dimensions by |loading| plus the Rayleigh
+    eigenvalue estimate; ranked on the rounded loading so both engines cut
+    identically. The oracle unrolls the same three iterations in SQL."""
+    from hubverse_transform_spark.operators.profiling import (
+        power_iteration_top_eigen,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    eig = power_iteration_top_eigen(emb, "embedding", iters=3)
+    ranked = eig.select(
+        "dim",
+        F.round(F.abs(F.col("loading")), 5).alias("abs_loading"),
+        F.round("eigenvalue_est", 3).alias("eigenvalue_est"),
+    )
+    w = Window.orderBy(F.col("abs_loading").desc(), "dim")
+    return (
+        ranked.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("rk", "dim", "abs_loading", "eigenvalue_est")
+    )
+
+
 # =============================================================================
 # Driver contract
 # =============================================================================
@@ -4572,6 +4599,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q192_psi_drift": q192_psi_drift,
         "q193_degree_distribution": q193_degree_distribution,
         "q194_star_components": q194_star_components,
+        "q195_power_iteration_pca": q195_power_iteration_pca,
     }
 
 
@@ -8026,4 +8054,54 @@ def oracle_sql() -> dict[str, str]:
     """
     # the star algorithm must produce exactly the propagation labeling
     sqls["q194_star_components"] = sqls["q45_dedup_clusters"]
+    sqls["q195_power_iteration_pca"] = """
+        WITH v AS (
+            SELECT CAST(embedding AS DOUBLE[]) AS ve FROM embeddings
+        ), m AS (
+            SELECT CAST(t.range AS INT) - 1 AS i,
+                   sum(ve[CAST(t.range AS INT)]) AS sx, count(*) AS n
+            FROM v, range(1, 65) t GROUP BY 1
+        ), pairs AS (
+            SELECT CAST(a.range AS INT) AS pi, CAST(b.range AS INT) AS pj
+            FROM range(1, 65) a, range(1, 65) b WHERE a.range <= b.range
+        ), s AS (
+            SELECT pi - 1 AS i, pj - 1 AS j, sum(ve[pi] * ve[pj]) AS sxx
+            FROM v CROSS JOIN pairs GROUP BY 1, 2
+        ), covu AS (
+            SELECT s.i, s.j,
+                   (sxx - mi.sx * mj.sx / mi.n) / (mi.n - 1) AS cov
+            FROM s JOIN m mi ON mi.i = s.i JOIN m mj ON mj.i = s.j
+        ), covf AS (
+            SELECT i, j, cov FROM covu
+            UNION ALL
+            SELECT j AS i, i AS j, cov FROM covu WHERE i <> j
+        ), v0 AS (
+            SELECT CAST(t.range AS INT) - 1 AS j, 0.125 AS x
+            FROM range(1, 65) t
+        ), w1 AS (
+            SELECT i, sum(cov * x) AS w FROM covf JOIN v0 ON covf.j = v0.j
+            GROUP BY i
+        ), v1 AS (
+            SELECT i AS j, w / (SELECT sqrt(sum(w * w)) FROM w1) AS x FROM w1
+        ), w2 AS (
+            SELECT i, sum(cov * x) AS w FROM covf JOIN v1 ON covf.j = v1.j
+            GROUP BY i
+        ), v2 AS (
+            SELECT i AS j, w / (SELECT sqrt(sum(w * w)) FROM w2) AS x FROM w2
+        ), w3 AS (
+            SELECT i, sum(cov * x) AS w FROM covf JOIN v2 ON covf.j = v2.j
+            GROUP BY i
+        ), v3 AS (
+            SELECT i AS j, w / (SELECT sqrt(sum(w * w)) FROM w3) AS x FROM w3
+        ), w4 AS (
+            SELECT i, sum(cov * x) AS w FROM covf JOIN v3 ON covf.j = v3.j
+            GROUP BY i
+        ), lam AS (
+            SELECT sum(w4.w * v3.x) AS l FROM w4 JOIN v3 ON w4.i = v3.j
+        )
+        SELECT row_number() OVER (ORDER BY round(abs(x), 5) DESC, j) AS rk,
+               j AS dim, round(abs(x), 5) AS abs_loading,
+               round((SELECT l FROM lam), 3) AS eigenvalue_est
+        FROM v3 QUALIFY rk <= 5
+    """
     return sqls

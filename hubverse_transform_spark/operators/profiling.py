@@ -162,3 +162,59 @@ def embedding_covariance(
         )
     )
     return cov
+
+
+def power_iteration_top_eigen(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    *,
+    iters: int = 3,
+) -> DataFrame:
+    """Top principal direction by power iteration over the distributed
+    covariance matrix: v <- normalize(C v), starting from the uniform unit
+    vector — the first PCA component without ever collecting C or calling
+    an eigensolver. Returns one row per dimension: (dim, loading,
+    eigenvalue_est) where eigenvalue_est = v·(C v) after ``iters`` rounds.
+
+    Everything stays relational: C is ``embedding_covariance``'s long-form
+    output mirrored to a full matrix (dim^2 rows — tiny), each iteration
+    is one join + one 64-key aggregation, and the norm is a 1-row
+    broadcast. Deterministic up to float addition order (callers round);
+    the uniform start vector fixes the sign.
+    """
+    cov = embedding_covariance(df, vec_col)
+    covf = cov.unionByName(
+        cov.filter(F.col("i") != F.col("j")).select(
+            F.col("j").alias("i"), F.col("i").alias("j"), "cov"
+        )
+    ).localCheckpoint()
+    dim = covf.agg(F.max("i")).first()[0] + 1
+    spark = df.sparkSession
+    v = spark.createDataFrame(
+        [(j, 1.0 / dim**0.5) for j in range(dim)], "j int, x double"
+    )
+    for _ in range(iters):
+        w = (
+            covf.join(v, "j")
+            .groupBy("i")
+            .agg(F.sum(F.col("cov") * F.col("x")).alias("w"))
+        )
+        n = w.agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("_n"))
+        v = w.crossJoin(F.broadcast(n)).select(
+            F.col("i").alias("j"), (F.col("w") / F.col("_n")).alias("x")
+        )
+        v = v.localCheckpoint()
+    w = (
+        covf.join(v, "j")
+        .groupBy("i")
+        .agg(F.sum(F.col("cov") * F.col("x")).alias("w"))
+    )
+    lam = (
+        w.join(v.select(F.col("j").alias("i"), "x"), "i")
+        .agg(F.sum(F.col("w") * F.col("x")).alias("_lam"))
+    )
+    return v.crossJoin(F.broadcast(lam)).select(
+        F.col("j").alias("dim"),
+        F.col("x").alias("loading"),
+        F.col("_lam").alias("eigenvalue_est"),
+    )
