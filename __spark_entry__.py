@@ -4393,6 +4393,44 @@ def q195_power_iteration_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q196_hierarchy_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level share-of-parent (the OLAP drilldown ratio): each nation's
+    revenue as a share of its region, and each region's share of the
+    world, in one pass — two window sums over the 25-row nation rollup
+    (no re-aggregation per level). The fact-table shuffle happens once;
+    every level above it is window arithmetic on the tiny aggregate."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    rev = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "_rev"
+            )
+        )
+    )
+    wr = Window.partitionBy("r_name")
+    wall = Window.partitionBy()
+    return rev.select(
+        "r_name",
+        "n_name",
+        F.round("_rev", 1).alias("revenue"),
+        F.round(F.col("_rev") / F.sum("_rev").over(wr), 6).alias(
+            "share_of_region"
+        ),
+        F.round(
+            F.sum("_rev").over(wr) / F.sum("_rev").over(wall), 6
+        ).alias("region_share_of_world"),
+    )
+
+
 # =============================================================================
 # Driver contract
 # =============================================================================
@@ -4600,6 +4638,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q193_degree_distribution": q193_degree_distribution,
         "q194_star_components": q194_star_components,
         "q195_power_iteration_pca": q195_power_iteration_pca,
+        "q196_hierarchy_share": q196_hierarchy_share,
     }
 
 
@@ -8103,5 +8142,23 @@ def oracle_sql() -> dict[str, str]:
                j AS dim, round(abs(x), 5) AS abs_loading,
                round((SELECT l FROM lam), 3) AS eigenvalue_est
         FROM v3 QUALIFY rk <= 5
+    """
+    sqls["q196_hierarchy_share"] = """
+        WITH rev AS (
+            SELECT r_name, n_name,
+                   sum(l_extendedprice * (1 - l_discount)) AS rv
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY 1, 2
+        )
+        SELECT r_name, n_name, round(rv, 1) AS revenue,
+               round(rv / sum(rv) OVER (PARTITION BY r_name), 6)
+                   AS share_of_region,
+               round(sum(rv) OVER (PARTITION BY r_name)
+                     / sum(rv) OVER (), 6) AS region_share_of_world
+        FROM rev
     """
     return sqls
