@@ -592,3 +592,27 @@ def test_pareto_skyline_matches_bruteforce(spark):
         )
     }
     assert got == want
+
+
+def test_ivf_list_stats_invariants(spark):
+    """List sizes partition the corpus: counts sum to |corpus|, shares sum
+    to 1, skew_vs_uniform averages 1 weighted by list count, and every
+    cid is one of the seed ids."""
+    import random
+
+    from hubverse_transform_spark.operators.similarity import ivf_list_stats
+
+    rng = random.Random(2)
+    df = spark.createDataFrame(
+        [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(120)],
+        "vec_id long, embedding array<double>",
+    )
+    rows = ivf_list_stats(df, n_centroids=4).collect()
+    assert sum(r.n_vecs for r in rows) == 120
+    assert abs(sum(r.share for r in rows) - 1.0) < 1e-4
+    assert {r.cid for r in rows} <= {0, 1, 2, 3}
+    n_lists = len(rows)
+    weighted = sum(r.skew_vs_uniform * r.n_vecs for r in rows)
+    # sum over lists of (n*L/T)*n / T ... sanity: each skew is n*L/T
+    for r in rows:
+        assert abs(r.skew_vs_uniform - r.n_vecs * n_lists / 120) < 1e-3
