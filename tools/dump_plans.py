@@ -90,6 +90,20 @@ SHOWCASE = {
         "merged by a 2080-key hash aggregate; the component means join in "
         "as BroadcastHashJoins — the raw vectors never shuffle."
     ),
+    "q186_pareto_skyline": (
+        "Two-phase skyline: the first MapInPandas sweeps each partition's "
+        "local frontier (dominated rows never leave their partition), the "
+        "coalesce(1) + second MapInPandas merges only the surviving "
+        "frontiers — the classic local-prune/global-merge shape for "
+        "holistic operators."
+    ),
+    "q195_power_iteration_pca": (
+        "Iterative linear algebra as relational ops: each normalize(Cv) "
+        "round is one join on the 64-key mirrored covariance plus one "
+        "64-key aggregate, with the norm riding as a 1-row broadcast; "
+        "localCheckpoint truncates the per-round lineage. No eigensolver, "
+        "no driver-side matrix."
+    ),
 }
 
 
