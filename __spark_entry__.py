@@ -4431,6 +4431,53 @@ def q196_hierarchy_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q197_longest_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-active-day streak per user (gaps-and-islands on
+    the DATE grid — the sibling of q50's time-gap sessionization): distinct
+    activity days, island id = day minus a per-user day rank (constant
+    within a run of consecutive dates), max run length. Top-15 streaks with
+    user tie-break."""
+    e = _t(spark, sf_dir, "events")
+    days = e.select("user_id", F.to_date("ts").alias("d")).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    islands = days.withColumn(
+        "_grp", F.date_sub(F.col("d"), F.row_number().over(w))
+    )
+    runs = islands.groupBy("user_id", "_grp").agg(
+        F.count(F.lit(1)).alias("_len")
+    )
+    best = runs.groupBy("user_id").agg(
+        F.max("_len").alias("longest_streak_days"),
+        F.count(F.lit(1)).alias("n_streaks"),
+    )
+    return best.orderBy(
+        F.col("longest_streak_days").desc(), "user_id"
+    ).limit(15)
+
+
+def q198_cluster_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup survivorship: inside every near-dup cluster (q45's SimHash
+    components) keep the BEST document — highest quality score, ties to
+    lowest doc id — via one max_by aggregation over the cluster label, no
+    window re-sort. The rule-based golden-record step that turns a
+    component labeling into a keep/drop decision; reports kept doc, its
+    score, and how many members it displaced."""
+    d = _t(spark, sf_dir, "documents")
+    pairs = simhash_near_dup_pairs(
+        d, "doc_id", "text", bits=32, ngram=2, max_hamming=3
+    )
+    cc = dedup_clusters(pairs)
+    scored = d.select(
+        F.col("doc_id").alias("node"), quality_score(F.col("text")).alias("_q")
+    )
+    members = cc.join(scored, "node")
+    return members.groupBy("component").agg(
+        F.expr("max_by(node, struct(_q, -node))").alias("kept_doc"),
+        F.round(F.max("_q"), 4).alias("kept_quality"),
+        (F.count(F.lit(1)) - 1).alias("n_dropped"),
+    )
+
+
 # =============================================================================
 # Driver contract
 # =============================================================================
@@ -4639,6 +4686,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q194_star_components": q194_star_components,
         "q195_power_iteration_pca": q195_power_iteration_pca,
         "q196_hierarchy_share": q196_hierarchy_share,
+        "q197_longest_streak": q197_longest_streak,
+        "q198_cluster_survivorship": q198_cluster_survivorship,
     }
 
 
@@ -8161,4 +8210,43 @@ def oracle_sql() -> dict[str, str]:
                      / sum(rv) OVER (), 6) AS region_share_of_world
         FROM rev
     """
+    sqls["q197_longest_streak"] = """
+        WITH days AS (
+            SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+        ), isl AS (
+            SELECT user_id, d,
+                   d - CAST(row_number() OVER (PARTITION BY user_id
+                                               ORDER BY d) AS INT) AS grp
+            FROM days
+        ), runs AS (
+            SELECT user_id, grp, count(*) AS len FROM isl GROUP BY 1, 2
+        ), best AS (
+            SELECT user_id, max(len) AS longest_streak_days,
+                   count(*) AS n_streaks
+            FROM runs GROUP BY 1
+        )
+        SELECT user_id, longest_streak_days, n_streaks
+        FROM best ORDER BY longest_streak_days DESC, user_id LIMIT 15
+    """
+    # survivorship over q45's exact component labeling + q26's quality expr
+    sqls["q198_cluster_survivorship"] = sqls["q45_dedup_clusters"].replace(
+        """            SELECT node, component,
+                   count(*) OVER (PARTITION BY component) AS cluster_size
+            FROM comp""",
+        f"""            , q AS (
+                SELECT doc_id, {{qsql}} AS qsc FROM documents
+            ), mm AS (
+                SELECT comp.component, comp.node, q.qsc
+                FROM comp JOIN q ON q.doc_id = comp.node
+            ), r AS (
+                SELECT component, node, qsc,
+                       row_number() OVER (PARTITION BY component
+                                          ORDER BY qsc DESC, node) AS rk,
+                       count(*) OVER (PARTITION BY component) AS csz
+                FROM mm
+            )
+            SELECT component, node AS kept_doc,
+                   round(qsc, 4) AS kept_quality, csz - 1 AS n_dropped
+            FROM r WHERE rk = 1""".replace("{qsql}", _quality_sql())
+    )
     return sqls
