@@ -4478,6 +4478,73 @@ def q198_cluster_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q199_dedup_method_yield(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which dedup signal catches what: per method — exact content hash,
+    MinHash-LSH (jaccard>=0.5), SimHash (hamming<=3) — how many documents
+    get flagged as duplicates, plus the union. The method-selection summary
+    a curation team reads before picking its pipeline; each signal is
+    independently oracle-verified elsewhere (q20/q23/q37), so this checks
+    their composition into doc-level flags."""
+    d = _t(spark, sf_dir, "documents")
+    hashed = d.select(
+        "doc_id", F.sha2(F.col("text"), 256).alias("_h")
+    )
+    wcnt = Window.partitionBy("_h")
+    exact_docs = (
+        hashed.withColumn("_n", F.count(F.lit(1)).over(wcnt))
+        .filter(F.col("_n") > 1)
+        .select("doc_id")
+    )
+    mh = minhash_lsh_pairs(
+        d, "doc_id", "text", ngram=3, num_hashes=8, bands=4, threshold=0.5
+    )
+    mh_docs = mh.select(F.col("id_a").alias("doc_id")).unionByName(
+        mh.select(F.col("id_b").alias("doc_id"))
+    ).distinct()
+    sh = simhash_near_dup_pairs(d, "doc_id", "text", bits=32, ngram=2, max_hamming=3)
+    sh_docs = sh.select(F.col("id_a").alias("doc_id")).unionByName(
+        sh.select(F.col("id_b").alias("doc_id"))
+    ).distinct()
+    union_docs = exact_docs.unionByName(mh_docs).unionByName(sh_docs).distinct()
+    rows = [
+        exact_docs.agg(F.count(F.lit(1)).alias("n_docs_flagged")).select(
+            F.lit("exact_hash").alias("method"), "n_docs_flagged"
+        ),
+        mh_docs.agg(F.count(F.lit(1)).alias("n_docs_flagged")).select(
+            F.lit("minhash_lsh").alias("method"), "n_docs_flagged"
+        ),
+        sh_docs.agg(F.count(F.lit(1)).alias("n_docs_flagged")).select(
+            F.lit("simhash").alias("method"), "n_docs_flagged"
+        ),
+        union_docs.agg(F.count(F.lit(1)).alias("n_docs_flagged")).select(
+            F.lit("union").alias("method"), "n_docs_flagged"
+        ),
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+def q200_catalog_rowcounts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog sanity sweep: row count of every table in the lake in one
+    result — the first health query against any unfamiliar dataset, and
+    the cheapest cross-check that every reader wiring (all ten parquet
+    sources) actually resolves. Counts come from parquet footer statistics
+    (no full scans)."""
+    tables = [
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings",
+    ]
+    out = None
+    for t in tables:
+        c = _t(spark, sf_dir, t).agg(F.count(F.lit(1)).alias("n_rows")).select(
+            F.lit(t).alias("table_name"), "n_rows"
+        )
+        out = c if out is None else out.unionByName(c)
+    return out
+
+
 # =============================================================================
 # Driver contract
 # =============================================================================
@@ -4688,6 +4755,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q196_hierarchy_share": q196_hierarchy_share,
         "q197_longest_streak": q197_longest_streak,
         "q198_cluster_survivorship": q198_cluster_survivorship,
+        "q199_dedup_method_yield": q199_dedup_method_yield,
+        "q200_catalog_rowcounts": q200_catalog_rowcounts,
     }
 
 
@@ -8249,4 +8318,48 @@ def oracle_sql() -> dict[str, str]:
                    round(qsc, 4) AS kept_quality, csz - 1 AS n_dropped
             FROM r WHERE rk = 1""".replace("{qsql}", _quality_sql())
     )
+    # doc-level flags composed from the three signals' own oracles
+    sqls["q199_dedup_method_yield"] = f"""
+        WITH mhp AS ({sqls["q23_minhash_lsh_pairs"]}),
+             shp AS ({sqls["q37_simhash_neardup"]}),
+             ex AS (
+                 SELECT doc_id FROM (
+                     SELECT doc_id,
+                            count(*) OVER (PARTITION BY sha256(text)) AS n
+                     FROM documents)
+                 WHERE n > 1
+             ),
+             mhd AS (SELECT id_a AS doc_id FROM mhp
+                     UNION SELECT id_b FROM mhp),
+             shd AS (SELECT id_a AS doc_id FROM shp
+                     UNION SELECT id_b FROM shp),
+             un AS (SELECT doc_id FROM ex
+                    UNION SELECT doc_id FROM mhd
+                    UNION SELECT doc_id FROM shd)
+        SELECT 'exact_hash' AS method, count(*) AS n_docs_flagged FROM ex
+        UNION ALL SELECT 'minhash_lsh', count(*) FROM mhd
+        UNION ALL SELECT 'simhash', count(*) FROM shd
+        UNION ALL SELECT 'union', count(*) FROM un
+    """
+    sqls["q200_catalog_rowcounts"] = """
+        SELECT 'region' AS table_name, count(*) AS n_rows FROM region
+        UNION ALL
+        SELECT 'nation' AS table_name, count(*) AS n_rows FROM nation
+        UNION ALL
+        SELECT 'customer' AS table_name, count(*) AS n_rows FROM customer
+        UNION ALL
+        SELECT 'supplier' AS table_name, count(*) AS n_rows FROM supplier
+        UNION ALL
+        SELECT 'part' AS table_name, count(*) AS n_rows FROM part
+        UNION ALL
+        SELECT 'orders' AS table_name, count(*) AS n_rows FROM orders
+        UNION ALL
+        SELECT 'lineitem' AS table_name, count(*) AS n_rows FROM lineitem
+        UNION ALL
+        SELECT 'events' AS table_name, count(*) AS n_rows FROM events
+        UNION ALL
+        SELECT 'documents' AS table_name, count(*) AS n_rows FROM documents
+        UNION ALL
+        SELECT 'embeddings' AS table_name, count(*) AS n_rows FROM embeddings
+    """
     return sqls
