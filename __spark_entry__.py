@@ -4545,6 +4545,80 @@ def q200_catalog_rowcounts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def q201_window_aligned_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two windowed aggregates joined on their time bucket: clicks and
+    purchases per 15-minute tumbling window, with the per-bucket
+    conversion ratio — the grid-aligned join every funnel dashboard runs
+    (vs q163's row-level interval join). Buckets with clicks but no
+    purchases survive the left join with rate 0."""
+    e = _t(spark, sf_dir, "events")
+    bucket = F.date_format(
+        F.timestamp_seconds(
+            (F.unix_micros(F.to_utc_timestamp("ts", "UTC")) / 1_000_000)
+            .cast("long")
+            - (F.unix_micros(F.to_utc_timestamp("ts", "UTC")) / 1_000_000)
+            .cast("long")
+            % 900
+        ),
+        "yyyy-MM-dd HH:mm",
+    )
+    clicks = (
+        e.filter(F.col("event_type") == "click")
+        .groupBy(bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n_clicks"))
+    )
+    buys = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy(bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n_purchases"))
+    )
+    return clicks.join(buys, "bucket", "left").select(
+        "bucket",
+        "n_clicks",
+        F.coalesce("n_purchases", F.lit(0)).alias("n_purchases"),
+        F.round(
+            F.coalesce("n_purchases", F.lit(0)) / F.col("n_clicks"), 6
+        ).alias("conversion"),
+    )
+
+
+def q202_cluster_size_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution of near-dup cluster sizes (how much of the corpus sits
+    in pairs vs big families): q45's components rolled up to (size,
+    n_clusters, n_docs) — the one-line summary that decides whether dedup
+    should drop whole families or just pick survivors."""
+    d = _t(spark, sf_dir, "documents")
+    pairs = simhash_near_dup_pairs(
+        d, "doc_id", "text", bits=32, ngram=2, max_hamming=3
+    )
+    cc = dedup_clusters(pairs)
+    sizes = cc.select("component", "cluster_size").distinct()
+    return sizes.groupBy(F.col("cluster_size").alias("size")).agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        F.sum("cluster_size").alias("n_docs"),
+    )
+
+
+def q203_banding_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH banding sensitivity: candidate-pair yield of the SAME 8-hash
+    MinHash signatures banded as 2x4 vs 4x2 (rows-per-band 4 vs 2) at
+    threshold 0 — the S-curve knob every LSH deployment tunes (fewer,
+    wider bands -> higher precision, lower recall). Both configurations
+    share one signature computation; the oracle replays both bandings."""
+    d = _t(spark, sf_dir, "documents")
+    out = None
+    for bands in (2, 4):
+        p = minhash_lsh_pairs(
+            d, "doc_id", "text", ngram=3, num_hashes=8, bands=bands,
+            threshold=0.0,
+        )
+        row = p.agg(F.count(F.lit(1)).alias("n_pairs")).select(
+            F.lit(bands).alias("bands"), "n_pairs"
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
 # =============================================================================
 # Driver contract
 # =============================================================================
@@ -4757,6 +4831,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q198_cluster_survivorship": q198_cluster_survivorship,
         "q199_dedup_method_yield": q199_dedup_method_yield,
         "q200_catalog_rowcounts": q200_catalog_rowcounts,
+        "q201_window_aligned_conversion": q201_window_aligned_conversion,
+        "q202_cluster_size_distribution": q202_cluster_size_distribution,
+        "q203_banding_sensitivity": q203_banding_sensitivity,
     }
 
 
@@ -8341,6 +8418,81 @@ def oracle_sql() -> dict[str, str]:
         UNION ALL SELECT 'simhash', count(*) FROM shd
         UNION ALL SELECT 'union', count(*) FROM un
     """
+    sqls["q203_banding_sensitivity"] = """
+        SELECT 2 AS bands, (
+        WITH tok AS (
+            SELECT doc_id, {TOKS} AS toks FROM documents
+        ), shg AS (
+            SELECT doc_id, {SH3} AS sh FROM tok
+        ), sig AS (
+            SELECT doc_id, {SIGS} AS sg
+            FROM (SELECT doc_id, {SHASH} AS hs FROM shg)
+        ), banded AS (
+            SELECT doc_id,
+                   CAST(b AS VARCHAR) || '|' ||
+                   array_to_string(sg[b*4+1:b*4+4], '|') AS band
+            FROM sig, (SELECT unnest(range(0, 2)) AS b)
+        )
+        SELECT count(*) AS n FROM (
+            SELECT DISTINCT a.doc_id, b.doc_id
+            FROM banded a JOIN banded b
+              ON a.band = b.band AND a.doc_id < b.doc_id)
+    ) AS n_pairs
+        UNION ALL
+        SELECT 4 AS bands, (
+        WITH tok AS (
+            SELECT doc_id, {TOKS} AS toks FROM documents
+        ), shg AS (
+            SELECT doc_id, {SH3} AS sh FROM tok
+        ), sig AS (
+            SELECT doc_id, {SIGS} AS sg
+            FROM (SELECT doc_id, {SHASH} AS hs FROM shg)
+        ), banded AS (
+            SELECT doc_id,
+                   CAST(b AS VARCHAR) || '|' ||
+                   array_to_string(sg[b*2+1:b*2+2], '|') AS band
+            FROM sig, (SELECT unnest(range(0, 4)) AS b)
+        )
+        SELECT count(*) AS n FROM (
+            SELECT DISTINCT a.doc_id, b.doc_id
+            FROM banded a JOIN banded b
+              ON a.band = b.band AND a.doc_id < b.doc_id)
+    ) AS n_pairs
+    """.replace("{TOKS}", _TOKS).replace("{SH3}", _SHINGLES3).replace(
+        "{SIGS}", _sig_exprs(8)).replace("{SHASH}", _SHINGLE_HASH)
+    sqls["q201_window_aligned_conversion"] = """
+        WITH b AS (
+            SELECT event_type,
+                   strftime(make_timestamp(
+                       CAST(epoch_us(ts) - (epoch_us(ts) % 900000000)
+                            AS BIGINT)), '%Y-%m-%d %H:%M') AS bucket
+            FROM events
+            WHERE event_type IN ('click', 'purchase')
+        ), c AS (
+            SELECT bucket, count(*) AS n_clicks FROM b
+            WHERE event_type = 'click' GROUP BY bucket
+        ), p AS (
+            SELECT bucket, count(*) AS n_purchases FROM b
+            WHERE event_type = 'purchase' GROUP BY bucket
+        )
+        SELECT c.bucket, n_clicks,
+               coalesce(n_purchases, 0) AS n_purchases,
+               round(coalesce(n_purchases, 0) * 1.0 / n_clicks, 6)
+                   AS conversion
+        FROM c LEFT JOIN p USING (bucket)
+    """
+    sqls["q202_cluster_size_distribution"] = sqls["q45_dedup_clusters"].replace(
+        """            SELECT node, component,
+                   count(*) OVER (PARTITION BY component) AS cluster_size
+            FROM comp""",
+        """            , csz AS (
+                SELECT component, count(*) AS cluster_size
+                FROM comp GROUP BY component
+            )
+            SELECT cluster_size AS size, count(*) AS n_clusters,
+                   CAST(sum(cluster_size) AS BIGINT) AS n_docs
+            FROM csz GROUP BY cluster_size"""
+    )
     sqls["q200_catalog_rowcounts"] = """
         SELECT 'region' AS table_name, count(*) AS n_rows FROM region
         UNION ALL
