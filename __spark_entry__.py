@@ -4619,6 +4619,63 @@ def q203_banding_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def q204_pareto_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto (80/20) revenue concentration per market segment: the share
+    of segment revenue carried by customers above their segment's p80
+    customer-revenue cut. Scale-safe concentration — a per-group exact
+    percentile threshold joined back broadcast, never a global rank
+    window over all customers."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    per_cust = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment", "c_custkey")
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "_rev"
+            )
+        )
+    )
+    cuts = per_cust.groupBy("c_mktsegment").agg(
+        F.expr("percentile(_rev, 0.8)").alias("_p80"),
+        F.sum("_rev").alias("_tot"),
+        F.count(F.lit(1)).alias("n_customers"),
+    )
+    return (
+        per_cust.join(F.broadcast(cuts), "c_mktsegment")
+        .filter(F.col("_rev") > F.col("_p80"))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_top_customers"),
+            F.first("n_customers").alias("n_customers"),
+            F.round(F.sum("_rev") / F.first("_tot"), 6).alias(
+                "top20pct_revenue_share"
+            ),
+        )
+    )
+
+
+def q205_null_aggregate_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL null-aggregate semantics pinned in one row per event type:
+    count(*) counts rows, count(col)/count(DISTINCT col) skip nulls, sum
+    ignores nulls, and avg(col) != sum(col)/count(*) exactly because of
+    that — the four facts every aggregate bug report eventually reduces
+    to. Nulls synthesized deterministically (value < 50 -> NULL)."""
+    e = _t(spark, sf_dir, "events")
+    v = F.when(F.col("value") >= 50, F.col("value"))
+    ann = e.select("event_type", v.alias("_v"))
+    return ann.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("_v").alias("n_nonnull"),
+        F.count_distinct("_v").alias("n_distinct_nonnull"),
+        F.round(F.sum("_v"), 2).alias("sum_v"),
+        F.round(F.avg("_v"), 6).alias("avg_nonnull"),
+        F.round(F.sum("_v") / F.count(F.lit(1)), 6).alias("sum_over_rows"),
+    )
+
+
 # =============================================================================
 # Driver contract
 # =============================================================================
@@ -4834,6 +4891,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q201_window_aligned_conversion": q201_window_aligned_conversion,
         "q202_cluster_size_distribution": q202_cluster_size_distribution,
         "q203_banding_sensitivity": q203_banding_sensitivity,
+        "q204_pareto_concentration": q204_pareto_concentration,
+        "q205_null_aggregate_semantics": q205_null_aggregate_semantics,
     }
 
 
@@ -8493,6 +8552,41 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(cluster_size) AS BIGINT) AS n_docs
             FROM csz GROUP BY cluster_size"""
     )
+    sqls["q204_pareto_concentration"] = """
+        WITH per_cust AS (
+            SELECT c_mktsegment, c_custkey,
+                   sum(l_extendedprice * (1 - l_discount)) AS rev
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            GROUP BY 1, 2
+        ), cuts AS (
+            SELECT c_mktsegment, quantile_cont(rev, 0.8) AS p80,
+                   sum(rev) AS tot, count(*) AS n_customers
+            FROM per_cust GROUP BY 1
+        )
+        SELECT c_mktsegment, count(*) AS n_top_customers,
+               any_value(n_customers) AS n_customers,
+               round(sum(rev) / any_value(tot), 6) AS top20pct_revenue_share
+        FROM per_cust JOIN cuts USING (c_mktsegment)
+        WHERE rev > p80
+        GROUP BY c_mktsegment
+    """
+    sqls["q205_null_aggregate_semantics"] = """
+        WITH ann AS (
+            SELECT event_type,
+                   CASE WHEN value >= 50 THEN value END AS v
+            FROM events
+        )
+        SELECT event_type,
+               count(*) AS n_rows,
+               count(v) AS n_nonnull,
+               count(DISTINCT v) AS n_distinct_nonnull,
+               round(sum(v), 2) AS sum_v,
+               round(avg(v), 6) AS avg_nonnull,
+               round(sum(v) / count(*), 6) AS sum_over_rows
+        FROM ann GROUP BY event_type
+    """
     sqls["q200_catalog_rowcounts"] = """
         SELECT 'region' AS table_name, count(*) AS n_rows FROM region
         UNION ALL
