@@ -7818,11 +7818,16 @@ def oracle_sql() -> dict[str, str]:
                 FROM corpus c, cent ct)
             WHERE rn = 1
         ), counts AS (
-            SELECT cid, count(*) AS n_vecs FROM assigned GROUP BY cid
+            -- empty lists reported too: outer-join onto the full centroid
+            -- set; uniform denominator is the CONFIGURED list count (16)
+            SELECT ct.cid, coalesce(a.n, 0) AS n_vecs
+            FROM cent ct LEFT JOIN (
+                SELECT cid, count(*) AS n FROM assigned GROUP BY cid
+            ) a USING (cid)
         )
         SELECT cid, n_vecs,
                round(n_vecs * 1.0 / (SELECT sum(n_vecs) FROM counts), 6) AS share,
-               round(n_vecs * 1.0 * (SELECT count(*) FROM counts)
+               round(n_vecs * 1.0 * 16
                      / (SELECT sum(n_vecs) FROM counts), 4) AS skew_vs_uniform
         FROM counts
     """

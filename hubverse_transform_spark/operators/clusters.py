@@ -129,13 +129,24 @@ def connected_components_star(
     same two-shuffle cost as a propagation round, but the star moves whole
     subtrees per round instead of one hop. Termination: the edge multiset
     reaches a star forest (every node points at its component minimum);
-    detected by an order-insensitive hash of the edge set. Returns
+    detected by an order-insensitive hash of the edge set. Raises
+    ``RuntimeError`` if ``max_iter`` rounds pass without reaching that
+    fixpoint (labels would be silently wrong otherwise). Returns
     ``(node, component)`` like ``connected_components``, identical labels
-    (asserted in tests on random graphs).
+    (asserted in tests on random graphs) — including nodes whose only
+    edges are self-loops, which come back as ``(node, node)`` singletons.
     """
+    raw = edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
+    # Nodes appear in the star rounds only via non-self-loop edges; keep the
+    # full node set so self-loop-only nodes re-enter as singletons at the end.
+    all_nodes = (
+        raw.select(F.col("u").alias("node"))
+        .unionByName(raw.select(F.col("v").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
     e = (
-        edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
-        .filter(F.col("u") != F.col("v"))
+        raw.filter(F.col("u") != F.col("v"))
         .select(
             F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
         )
@@ -151,6 +162,7 @@ def connected_components_star(
         return (row["n"], row["h"])
 
     sig = _edge_sig(e)
+    converged = False
     for _ in range(max_iter):
         # large-star over the symmetric adjacency
         adj = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
@@ -183,10 +195,24 @@ def connected_components_star(
         )
         new_sig = _edge_sig(e)
         if new_sig == sig:
+            converged = True
             break
         sig = new_sig
+    if not converged:
+        raise RuntimeError(
+            f"connected_components_star: edge set did not reach the star-"
+            f"forest fixpoint within max_iter={max_iter} rounds; labels "
+            "would be incorrect — raise max_iter (rounds needed grow "
+            "O(log n), so 25 covers any realistic graph)"
+        )
     # star forest: every u points at its component min v; the roots
-    # themselves are members too
-    return e.select(F.col("u").alias("node"), F.col("v").alias("component")).unionByName(
+    # themselves are members too. Right-join onto the full node set so
+    # self-loop-only (edge-filtered) nodes come back as singletons.
+    labeled = e.select(
+        F.col("u").alias("node"), F.col("v").alias("component")
+    ).unionByName(
         e.select(F.col("v").alias("node"), F.col("v").alias("component"))
     ).distinct()
+    return all_nodes.join(labeled, "node", "left").select(
+        "node", F.coalesce("component", "node").alias("component")
+    )

@@ -113,6 +113,11 @@ def embedding_covariance(
     import pandas as pd  # noqa: F401  (mapInPandas batches are pandas)
 
     dim_row = df.select(F.size(F.col(vec_col)).alias("d")).first()
+    if dim_row is None:
+        raise ValueError(
+            "embedding_covariance: input DataFrame is empty — covariance "
+            "is undefined with no rows"
+        )
     dim = int(dim_row["d"])
 
     def _partial_gram(batches):
@@ -149,16 +154,28 @@ def embedding_covariance(
         F.col("pos").alias("i"), F.col("sx").alias("_sxi"), "n"
     )
     mj = comp.select(F.col("pos").alias("j"), F.col("sx").alias("_sxj"))
+    # n must exceed ddof or every covariance is a 0/0 null; raise_error is
+    # evaluated executor-side inside the same projection — no extra pass.
     cov = (
         gram.join(F.broadcast(mi), "i")
         .join(F.broadcast(mj), "j")
         .select(
             "i",
             "j",
-            (
+            F.when(
+                F.col("n") <= F.lit(ddof),
+                F.raise_error(
+                    F.lit(
+                        f"embedding_covariance: need more than ddof={ddof} "
+                        "rows to form a sample covariance"
+                    )
+                ).cast("double"),
+            )
+            .otherwise(
                 (F.col("sxx") - F.col("_sxi") * F.col("_sxj") / F.col("n"))
                 / (F.col("n") - F.lit(ddof))
-            ).alias("cov"),
+            )
+            .alias("cov"),
         )
     )
     return cov

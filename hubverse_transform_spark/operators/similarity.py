@@ -693,6 +693,12 @@ def ivf_list_stats(
     Same deterministic quantizer as ``ivf_cosine_topk`` (lowest-id seeds or
     a caller-trained set); assignment is the same map-only literal-matrix
     argmax, so the audit costs one scan plus an ``n_centroids``-row shuffle.
+
+    EMPTY lists are reported too (``n_vecs = 0``): with caller-supplied
+    centroids an empty inverted list is the worst skew signal, so the
+    assignment counts are outer-joined onto the full centroid id list and
+    ``skew_vs_uniform`` uses the CONFIGURED list count as the uniform
+    denominator, not just the non-empty ones.
     """
     if centroids is None:
         cent_rows = (
@@ -707,10 +713,20 @@ def ivf_list_stats(
     assigned = corpus.select(
         _nearest_cid(F.col(vec_col).cast("array<double>"), cents).alias("cid")
     )
-    counts = assigned.groupBy("cid").agg(F.count(F.lit(1)).alias("n_vecs"))
-    tot = counts.agg(
-        F.sum("n_vecs").alias("_tot"), F.count(F.lit(1)).alias("_nlists")
+    spark = corpus.sparkSession
+    all_lists = spark.createDataFrame(
+        [(int(cid),) for cid, _ in cents], "cid int"
     )
+    counts = (
+        all_lists.join(
+            assigned.groupBy("cid").agg(F.count(F.lit(1)).alias("_n")),
+            "cid",
+            "left",
+        )
+        .select("cid", F.coalesce("_n", F.lit(0)).alias("n_vecs"))
+    )
+    tot = counts.agg(F.sum("n_vecs").alias("_tot"))
+    nlists = len(cents)
     return (
         counts.crossJoin(F.broadcast(tot))
         .select(
@@ -718,7 +734,7 @@ def ivf_list_stats(
             "n_vecs",
             F.round(F.col("n_vecs") / F.col("_tot"), 6).alias("share"),
             F.round(
-                F.col("n_vecs") * F.col("_nlists") / F.col("_tot"), 4
+                F.col("n_vecs") * F.lit(nlists) / F.col("_tot"), 4
             ).alias("skew_vs_uniform"),
         )
     )

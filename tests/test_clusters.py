@@ -61,3 +61,39 @@ def test_star_components_equal_label_propagation(spark):
         lp = {r.node: r.component for r in connected_components(df).collect()}
         st = {r.node: r.component for r in connected_components_star(df).collect()}
         assert st == lp, (sorted(st.items())[:10], sorted(lp.items())[:10])
+
+
+def test_star_components_self_loop_only_nodes(spark):
+    """A node whose only edges are self-loops must come back as a
+    (node, node) singleton from BOTH variants — the self-loop filter may
+    not make the node disappear (ADVICE r3)."""
+    from hubverse_transform_spark.operators.clusters import (
+        connected_components,
+        connected_components_star,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (7, 7), (3, 3), (3, 4)], "id_a long, id_b long"
+    )
+    lp = {r.node: r.component for r in connected_components(edges).collect()}
+    st = {r.node: r.component for r in connected_components_star(edges).collect()}
+    assert st == lp
+    assert st[7] == 7  # self-loop-only: singleton survives
+    assert st[3] == 3 and st[4] == 3  # self-loop on a connected node is inert
+
+
+def test_star_components_raises_without_fixpoint(spark):
+    """Exhausting max_iter before the star-forest fixpoint raises instead
+    of returning silently-wrong labels (ADVICE r3)."""
+    import pytest
+
+    from hubverse_transform_spark.operators.clusters import (
+        connected_components_star,
+    )
+
+    # a path of length 8 cannot converge in one star round
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(8)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="fixpoint"):
+        connected_components_star(edges, max_iter=1)

@@ -23,6 +23,8 @@ ALLOWED = {
     ("operators/similarity.py", "ivf_list_stats"):
         "n_centroids seed rows only (same bounded quantizer load as ivf_cosine_topk)",
     ("sinks.py", "write_zorder_layout"): "4 scalar min/max bounds",
+    ("operators/scd.py", "apply_changeset"):
+        "limit(5) sample of duplicate keys for the MERGE-precondition error",
 }
 
 

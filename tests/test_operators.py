@@ -616,3 +616,41 @@ def test_ivf_list_stats_invariants(spark):
     # sum over lists of (n*L/T)*n / T ... sanity: each skew is n*L/T
     for r in rows:
         assert abs(r.skew_vs_uniform - r.n_vecs * n_lists / 120) < 1e-3
+
+
+def test_ivf_list_stats_reports_empty_lists(spark):
+    """Caller-supplied centroids with an unreachable one: the empty list
+    appears with n_vecs=0 and skew uses the CONFIGURED list count as the
+    uniform denominator (ADVICE r3)."""
+    from hubverse_transform_spark.operators.similarity import ivf_list_stats
+
+    df = spark.createDataFrame(
+        [(i, [1.0, 0.0]) for i in range(10)],
+        "vec_id long, embedding array<double>",
+    )
+    # centroid 0 matches everything; centroid 1 points away and gets nothing
+    cents = [(0, [1.0, 0.0]), (1, [-1.0, 0.0])]
+    rows = {r.cid: r for r in ivf_list_stats(df, centroids=cents).collect()}
+    assert set(rows) == {0, 1}
+    assert rows[1].n_vecs == 0 and rows[1].share == 0.0
+    assert rows[1].skew_vs_uniform == 0.0
+    # hot list skew = n * L / total = 10 * 2 / 10 = 2 against the FULL count
+    assert abs(rows[0].skew_vs_uniform - 2.0) < 1e-6
+
+
+def test_embedding_covariance_empty_and_underdetermined(spark):
+    """Empty input fails fast with a clear ValueError; n <= ddof raises
+    executor-side instead of yielding silent nulls (ADVICE r3)."""
+    import pytest
+
+    from hubverse_transform_spark.operators.profiling import embedding_covariance
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="empty"):
+        embedding_covariance(empty)
+
+    one = spark.createDataFrame(
+        [(1, [1.0, 2.0])], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(Exception, match="need more than ddof"):
+        embedding_covariance(one, ddof=1).collect()
