@@ -638,7 +638,12 @@ def q40_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     One array-argument percentile call per column: three scalar calls would
     each buffer the full value set per group (3x agg state); the array form
-    sorts once and reads three order statistics."""
+    sorts once and reads three order statistics.
+
+    Scale note: exact ``percentile()`` buffers each group's column in one
+    reducer — q206_group_quantiles_scalable is the DECLARED scale twin
+    (rank selection over bounded distinct-value counts, no such buffer);
+    q207 is the approx_percentile sketch form with its error audit."""
     li = _t(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
         F.expr("percentile(l_extendedprice, array(0.25D, 0.5D, 0.75D))").alias("_p"),
@@ -3633,9 +3638,11 @@ def q170_quantile_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
     comparisons, no HOF/join per bucket. Cuts are rounded to 4 decimals on
     both engines so interpolation FP noise cannot flip a boundary row.
     Scale note: EXACT percentile's final merge buffers the column in one
-    reducer (the known exact-order-statistic shape, same as q40); at lake
-    scale the identical plan takes approx_percentile's fixed-size sketch —
-    only the oracle's need for bit-equal cuts keeps this exact."""
+    reducer (the known exact-order-statistic shape, same as q40); the
+    DECLARED scale twin is q207_approx_decile_audit — the identical
+    binning driven by approx_percentile's fixed-size sketch, with an
+    in-engine rank-error audit and a tolerance-asserted paths-agree test
+    (tests/test_entry_contract.py) pinning sketch-vs-exact agreement."""
     li = _t(spark, sf_dir, "lineitem")
     fracs = ", ".join(f"{i / 10.0}D" for i in range(1, 10))
     # one array-percentile agg (sorts once, single buffer) projected to
@@ -4676,6 +4683,150 @@ def q205_null_aggregate_semantics(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+def q206_group_quantiles_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q40's declared SCALE TWIN: the same per-group quartiles, computed
+    the lake-safe way — no exact ``percentile()`` single-reducer anywhere.
+
+    Distributional (type-1) quantiles by rank selection over a
+    per-DISTINCT-value count table (the q127/perplexity_buckets pattern):
+    values collapse to (group, value, count) whose cardinality is bounded
+    by VALUE GRANULARITY (2-decimal prices over a bounded domain → ~1e7
+    distinct ceiling regardless of row count, vs rows in the exact-
+    percentile buffer), the cumulative distribution runs per group over
+    that bounded table, and the p-quantile is the smallest value whose
+    cumulative count reaches ceil(p*n) — written as the integer
+    comparison ``cum*4 >= n*i`` so no float rank math can diverge between
+    engines. Distributional, so results are actual data values (q40's
+    interpolated form can emit off-grid midpoints)."""
+    li = _t(spark, sf_dir, "lineitem")
+    dist = li.groupBy("l_returnflag", "l_extendedprice").agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    wcum = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("l_extendedprice")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = dist.select(
+        "l_returnflag",
+        "l_extendedprice",
+        F.sum("_c").over(wcum).alias("_cum"),
+        F.sum("_c").over(Window.partitionBy("l_returnflag")).alias("_n"),
+    )
+
+    def _cut(i: int, d: int):
+        # smallest v with cum >= ceil(n*i/d)  ⟺  cum*d >= n*i (integers)
+        return F.min(
+            F.when(
+                F.col("_cum") * d >= F.col("_n") * i, F.col("l_extendedprice")
+            )
+        )
+
+    price_cuts = cum.groupBy("l_returnflag").agg(
+        F.round(_cut(1, 4), 2).alias("p25_price"),
+        F.round(_cut(2, 4), 2).alias("p50_price"),
+        F.round(_cut(3, 4), 2).alias("p75_price"),
+    )
+    qdist = li.groupBy("l_returnflag", "l_quantity").agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    qw = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("l_quantity")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    qcum = qdist.select(
+        "l_returnflag",
+        "l_quantity",
+        F.sum("_c").over(qw).alias("_cum"),
+        F.sum("_c").over(Window.partitionBy("l_returnflag")).alias("_n"),
+    )
+    qty_cuts = qcum.groupBy("l_returnflag").agg(
+        F.round(
+            F.min(
+                F.when(
+                    F.col("_cum") * 2 >= F.col("_n"), F.col("l_quantity")
+                )
+            ),
+            1,
+        ).alias("median_qty")
+    )
+    return price_cuts.join(qty_cuts, "l_returnflag")
+
+
+def q207_approx_decile_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q170's declared SCALE TWIN: decile cut points from
+    ``approx_percentile``'s FIXED-SIZE sketch (Greenwald–Khanna summary,
+    accuracy=10000 → rank error ≤ n/10000) with the in-engine agreement
+    audit — for each approx cut, one extra pass counts the realized
+    fraction of rows strictly below / at-or-below it, and ``max_rank_err``
+    is how far the target decile falls outside that tie-aware interval.
+    The sketch guarantee says ≤ 1e-4; the paths-agree test pins it
+    (tests/test_entry_contract.py). No oracle_sql: the sketch's exact
+    output is engine-internal (merge-order dependent), so the driver
+    records the rows-only check — correctness is carried by the audit
+    columns and the tolerance-asserted test, the q127 pattern.
+
+    This is the plan q170 takes at lake scale: agg state is O(1/accuracy)
+    per partition, merged pairwise — no single reducer ever buffers the
+    column."""
+    li = _t(spark, sf_dir, "lineitem")
+    fracs = ", ".join(f"{i / 10.0}D" for i in range(1, 10))
+    sk = li.agg(
+        F.expr(
+            f"approx_percentile(l_extendedprice, array({fracs}), 10000)"
+        ).alias("_a"),
+        F.count(F.lit(1)).alias("_n"),
+    )
+    # one pass over lineitem with the 9 cuts broadcast: realized ranks
+    audited = li.crossJoin(F.broadcast(sk)).agg(
+        F.first("_a").alias("_a"),
+        F.first("_n").alias("_n"),
+        *[
+            F.sum(
+                (F.col("l_extendedprice") <= F.col("_a")[i - 1]).cast("long")
+            ).alias(f"_le{i}")
+            for i in range(1, 10)
+        ],
+        *[
+            F.sum(
+                (F.col("l_extendedprice") < F.col("_a")[i - 1]).cast("long")
+            ).alias(f"_lt{i}")
+            for i in range(1, 10)
+        ],
+    )
+    rows = audited.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("decile"),
+                        F.round(F.col("_a")[i - 1], 2).alias("approx_cut"),
+                        F.round(F.col(f"_lt{i}") / F.col("_n"), 6).alias(
+                            "frac_below"
+                        ),
+                        F.round(F.col(f"_le{i}") / F.col("_n"), 6).alias(
+                            "frac_at_or_below"
+                        ),
+                        F.round(
+                            F.greatest(
+                                F.lit(0.0),
+                                F.lit(i / 10.0)
+                                - F.col(f"_le{i}") / F.col("_n"),
+                                F.col(f"_lt{i}") / F.col("_n")
+                                - F.lit(i / 10.0),
+                            ),
+                            6,
+                        ).alias("max_rank_err"),
+                    )
+                    for i in range(1, 10)
+                ]
+            )
+        ).alias("_r")
+    ).select("_r.*")
+    return rows
+
+
 # =============================================================================
 # Driver contract
 # =============================================================================
@@ -4893,6 +5044,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q203_banding_sensitivity": q203_banding_sensitivity,
         "q204_pareto_concentration": q204_pareto_concentration,
         "q205_null_aggregate_semantics": q205_null_aggregate_semantics,
+        "q206_group_quantiles_scalable": q206_group_quantiles_scalable,
+        "q207_approx_decile_audit": q207_approx_decile_audit,
     }
 
 
@@ -8591,6 +8744,41 @@ def oracle_sql() -> dict[str, str]:
                round(avg(v), 6) AS avg_nonnull,
                round(sum(v) / count(*), 6) AS sum_over_rows
         FROM ann GROUP BY event_type
+    """
+    # q206: same integer rank-selection rule (cum*d >= n*i ⟺ cum >= ceil(n*i/d))
+    # over per-distinct-value counts — no float rank math on either engine.
+    # q207 has NO oracle on purpose: approx_percentile's sketch output is
+    # engine-internal; its audit columns + tolerance test carry correctness.
+    sqls["q206_group_quantiles_scalable"] = """
+        WITH dist AS (
+            SELECT l_returnflag, l_extendedprice AS v, count(*) AS c
+            FROM lineitem GROUP BY 1, 2
+        ), cum AS (
+            SELECT l_returnflag, v,
+                   sum(c) OVER (PARTITION BY l_returnflag ORDER BY v) AS cumc,
+                   sum(c) OVER (PARTITION BY l_returnflag) AS n
+            FROM dist
+        ), price AS (
+            SELECT l_returnflag,
+                   round(min(CASE WHEN cumc * 4 >= n * 1 THEN v END), 2) AS p25_price,
+                   round(min(CASE WHEN cumc * 4 >= n * 2 THEN v END), 2) AS p50_price,
+                   round(min(CASE WHEN cumc * 4 >= n * 3 THEN v END), 2) AS p75_price
+            FROM cum GROUP BY l_returnflag
+        ), qdist AS (
+            SELECT l_returnflag, l_quantity AS v, count(*) AS c
+            FROM lineitem GROUP BY 1, 2
+        ), qcum AS (
+            SELECT l_returnflag, v,
+                   sum(c) OVER (PARTITION BY l_returnflag ORDER BY v) AS cumc,
+                   sum(c) OVER (PARTITION BY l_returnflag) AS n
+            FROM qdist
+        ), qty AS (
+            SELECT l_returnflag,
+                   round(min(CASE WHEN cumc * 2 >= n THEN v END), 1) AS median_qty
+            FROM qcum GROUP BY l_returnflag
+        )
+        SELECT l_returnflag, p25_price, p50_price, p75_price, median_qty
+        FROM price JOIN qty USING (l_returnflag)
     """
     sqls["q200_catalog_rowcounts"] = """
         SELECT 'region' AS table_name, count(*) AS n_rows FROM region
