@@ -279,9 +279,15 @@ def prefix_filter_jaccard_pairs(
     ``1 + min(|A|-i, |B|-j) >= ceil(t/(1+t)*(|A|+|B|))`` (a true pair's
     FIRST shared prefix token always passes, so OR-ing over shared tokens
     loses nothing — measured 193k -> ~20k candidates for 25 true pairs at
-    sf0.1). The shingle arrays and prefix postings are cached: both feed
-    two plan branches each (self-join sides / verification re-join), and
-    uncached Spark would re-run the O(len) shingling regex per branch.
+    sf0.1). The shingle arrays and prefix postings are eagerly
+    localCheckpoint'ed: both feed two plan branches each (self-join sides /
+    verification re-join), and without materialization Spark would re-run
+    the O(len) shingling regex per branch. localCheckpoint over persist()
+    deliberately — lineage breaks so every branch reads the stored
+    partitions, storage is reclaimed by the ContextCleaner when the frame
+    is garbage-collected (no unpersist bookkeeping to leak), and composed
+    callers that run several dedup pipelines over the same input cannot
+    trip CacheManager "already cached" re-registration.
     Never broadcasts; never caps.
     """
     from pyspark.sql import Window
@@ -292,7 +298,7 @@ def prefix_filter_jaccard_pairs(
             shingle_ngrams(F.col(text_col), ngram).alias("_sh"),
         )
         .withColumn("_sz", F.size("_sh"))
-        .persist()
+        .localCheckpoint()
     )
     post = docs.select("_id", "_sz", F.explode("_sh").alias("_s"))
     dfreq = post.groupBy("_s").agg(F.count(F.lit(1)).alias("_df"))
@@ -303,7 +309,7 @@ def prefix_filter_jaccard_pairs(
         .withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= prefix_len)
         .select("_id", "_sz", "_s", "_rn")
-        .persist()
+        .localCheckpoint()
     )
     a, b = prefix.alias("a"), prefix.hint("shuffle_hash").alias("b")
     min_overlap = F.ceil(
@@ -443,13 +449,14 @@ def winnow_overlap_pairs(
     # both self-join sides); without a cache the whole winnowing pipeline
     # (regex grams -> posexplode -> window-min -> distinct) re-executes per
     # consumer — AQE's runtime stage reuse does not cover it because the
-    # consumers shuffle on different keys. Persisting costs one write of the
-    # distinct'd (doc, fp) table — O(docs x fps/doc), far smaller than the
-    # gram stream and MEMORY_AND_DISK-safe at scale — and measured 2-4x
-    # faster at sf0.1.
+    # consumers shuffle on different keys. localCheckpoint costs one write of
+    # the distinct'd (doc, fp) table — O(docs x fps/doc), far smaller than
+    # the gram stream — and its storage is ContextCleaner-reclaimed on GC
+    # (persist() here leaked until round 4); measured 2-4x faster at sf0.1
+    # than recomputing.
     fps = winnow_fingerprints(df, id_col, text_col, k=k, window=window).select(
         F.col(id_col).alias("_id"), "fp"
-    ).persist()
+    ).localCheckpoint()
     if max_df is not None:
         rare = (
             fps.groupBy("fp")
@@ -491,12 +498,13 @@ def simhash_near_dup_pairs(
     """
     segs = max_hamming + 1
     seg_bits = max(bits // segs, 1)
-    # both self-join sides consume the fingerprint table; cache it (one long
-    # per doc — negligible at any scale) so the shingle+md5 simhash pipeline
-    # runs once, not once per side (measured ~2x cold at sf0.1)
+    # both self-join sides consume the fingerprint table; materialize it
+    # (one long per doc — negligible at any scale) so the shingle+md5 simhash
+    # pipeline runs once, not once per side (measured ~2x cold at sf0.1).
+    # localCheckpoint, not persist: GC-reclaimed, no CacheManager re-entry.
     fp = df.select(
         F.col(id_col).alias("_id"), simhash(F.col(text_col), bits=bits, ngram=ngram).alias("_fp")
-    ).persist()
+    ).localCheckpoint()
     mask = (1 << seg_bits) - 1
     banded = fp.select(
         "_id",

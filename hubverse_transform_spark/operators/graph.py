@@ -18,8 +18,16 @@ def pagerank(
     dst: str = "dst",
     iterations: int = 3,
     damping: float = 0.85,
+    tol: float | None = None,
 ) -> DataFrame:
-    """PageRank with a fixed iteration count over a directed edge list.
+    """PageRank over a directed edge list, fixed iteration count with an
+    optional early exit: when ``tol`` is set, iteration stops as soon as
+    the L1 rank delta ``sum(|pr_new - pr_old|)`` falls below it (the delta
+    is one extra co-partitioned join + scalar agg per round — cheap next
+    to the contribution shuffle, and it is what keeps a 20-iteration
+    budget from paying 20 shuffle rounds on a graph that stabilizes in 6).
+    ``tol=None`` (default) runs exactly ``iterations`` rounds, bit-stable
+    for oracle comparison.
 
     Returns (node, pr). Nodes are those appearing in ``edges`` (either end);
     rank mass from dangling nodes is dropped (callers with undirected graphs
@@ -31,22 +39,23 @@ def pagerank(
     — the classic two-shuffle PageRank step, no driver-side collection of
     nodes or ranks. Out-degrees are folded into the edge list ONCE up front
     (edges carry pr-mass fraction 1/out_deg), so the per-iteration join is
-    binary, not ternary. The node count rides as a 1-row broadcast. Ranks
-    are cached per iteration to cut the re-read, and lineage stays linear
-    in the iteration count (a production run at 100 TB would localCheckpoint
-    every ~5 iterations to truncate it).
+    binary, not ternary. The node count rides as a 1-row broadcast.
+    Reused frames (nodes, fraction-folded edges, per-round ranks) are
+    eagerly ``localCheckpoint``ed instead of persisted: lineage truncates
+    every round (no O(iterations) plan growth) and the stored RDDs are
+    reclaimed by the ContextCleaner when the frame goes out of scope — no
+    persist leak across iterations.
     """
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     nodes = e.select(F.col("src").alias("node")).union(
         e.select(F.col("dst").alias("node"))
-    ).distinct().persist()
+    ).distinct().localCheckpoint()
     n_df = nodes.agg(F.count(F.lit(1)).cast("double").alias("n"))
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
     # fold 1/out_deg into the edges once; every iteration then joins 2 tables
     e_frac = e.join(deg, "src").select(
         "src", "dst", (F.lit(1.0) / F.col("out_deg")).alias("frac")
-    )
-    e_frac = e_frac.persist()
+    ).localCheckpoint()
 
     ranks = nodes.crossJoin(F.broadcast(n_df)).select(
         "node", (F.lit(1.0) / F.col("n")).alias("pr")
@@ -68,9 +77,19 @@ def pagerank(
                     + damping * F.coalesce(F.col("m"), F.lit(0.0))
                 ).alias("pr"),
             )
-        )
-        new_ranks = new_ranks.persist()
-        ranks = new_ranks
+        ).localCheckpoint()
+        if tol is not None:
+            delta = (
+                new_ranks.select("node", F.col("pr").alias("_new"))
+                .join(ranks.select("node", F.col("pr").alias("_old")), "node")
+                .agg(F.sum(F.abs(F.col("_new") - F.col("_old"))).alias("d"))
+                .first()["d"]
+            )
+            ranks = new_ranks
+            if delta is not None and delta < tol:
+                break
+        else:
+            ranks = new_ranks
     return ranks
 
 

@@ -142,3 +142,26 @@ def test_top_ngrams_per_group_rank_and_ties(spark):
     assert en[1].ngram == "b a" and en[1].rank == 2
     fr = [r for r in out if r.lang == "fr"]
     assert len(fr) == 1 and fr[0].ngram == "x y"
+
+
+def test_pagerank_convergence_early_exit(spark):
+    """tol-gated PageRank stops once the L1 delta stabilizes and lands on
+    the same ranks as a long fixed-iteration run; the default (tol=None)
+    stays bit-stable at exactly `iterations` rounds for oracle parity."""
+    from hubverse_transform_spark.operators.graph import pagerank
+
+    # two triangles joined by a bridge — converges quickly
+    edges = [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5), (5, 6), (6, 4)]
+    sym = edges + [(b, a) for a, b in edges]
+    df = spark.createDataFrame(sym, "src long, dst long")
+
+    fixed_long = {r.node: r.pr for r in pagerank(df, iterations=30).collect()}
+    early = {r.node: r.pr for r in pagerank(df, iterations=30, tol=1e-7).collect()}
+    assert set(early) == set(fixed_long)
+    for n, pr in early.items():
+        assert abs(pr - fixed_long[n]) < 1e-5, (n, pr, fixed_long[n])
+
+    # default path unchanged: 3 rounds exactly, matches itself re-run
+    a = {r.node: r.pr for r in pagerank(df, iterations=3).collect()}
+    b = {r.node: r.pr for r in pagerank(df, iterations=3).collect()}
+    assert a == b
