@@ -133,19 +133,20 @@ class SubmissionStreamReader(SimpleDataSourceStreamReader):
     The streaming half of the catalog: each micro-batch emits catalog rows
     for files not yet seen. Two offset modes (``offset_mode`` option):
 
-    - ``"seen"`` (default): the seen-set IS the offset — a restarted query
-      resumes exactly and ``readBetweenOffsets`` replays any batch from the
-      offsets alone (the exactly-once contract of the Lambda trigger,
-      without the Lambda). Offset size and per-batch diff cost grow with
-      TOTAL file count — right for hub-sized directories (thousands of
-      submissions), wrong for a lake.
-    - ``"mtime"``: a modification-time watermark. The offset carries the
-      high-water mtime, the (tiny) set of files AT that mtime — the tie
-      boundary — and the last batch's file list for replay; per-batch cost
-      is one walk + an O(new files) diff, and offset size is bounded by the
-      arrival rate, not history. Caveat: a file backfilled with an mtime
-      BELOW the watermark is never discovered (copy with a fresh mtime, or
-      use ``"seen"`` mode).
+    - ``"mtime"`` (default): a modification-time watermark. The offset
+      carries the high-water mtime, the (tiny) set of files AT that mtime —
+      the tie boundary — and the last batch's file list for replay;
+      per-batch cost is one walk + an O(new files) diff, and offset size is
+      bounded by the arrival rate, not history. The default since round 4:
+      the naive user gets bounded offsets, not O(total-file-count) ones.
+      Caveat: a file backfilled with an mtime BELOW the watermark is never
+      discovered (copy with a fresh mtime, or use ``"seen"`` mode).
+    - ``"seen"``: the seen-set IS the offset — a restarted query resumes
+      exactly and ``readBetweenOffsets`` replays any batch from the offsets
+      alone (the exactly-once contract of the Lambda trigger, without the
+      Lambda), and backfilled old-mtime files are still discovered. Offset
+      size and per-batch diff cost grow with TOTAL file count — right for
+      hub-sized directories (thousands of submissions), wrong for a lake.
 
     The simple-reader variant runs discovery on the driver, which is the
     right placement for a catalog (metadata-only, the small side); payload
@@ -157,7 +158,7 @@ class SubmissionStreamReader(SimpleDataSourceStreamReader):
         self.root = options.get("path")
         if not self.root:
             raise ValueError("hubverse_submissions source requires a path")
-        self.mode = options.get("offset_mode", "seen")
+        self.mode = options.get("offset_mode", "mtime")
         if self.mode not in ("seen", "mtime"):
             raise ValueError(f"offset_mode must be 'seen' or 'mtime', got {self.mode!r}")
 
@@ -190,7 +191,10 @@ class SubmissionStreamReader(SimpleDataSourceStreamReader):
         return list(reader.read(_FileBatch(paths)))
 
     def read(self, start):
-        if self.mode == "mtime" or "wm" in start:
+        # dispatch on the OFFSET's shape, not the configured mode: a query
+        # restarted from a checkpoint written under the other mode keeps
+        # its offset lineage (the mode option only picks initialOffset)
+        if "wm" in start:
             return self._read_mtime(start)
         seen = set(start["seen"])
         new = [p for p in self._discover() if p not in seen]

@@ -47,7 +47,9 @@ def test_submission_catalog_joins_with_pipeline(spark, tmp_path: Path):
 
 def test_streaming_catalog_incremental_discovery(spark, tmp_path):
     """Two availableNow runs over one checkpoint: batch 2 emits only files
-    added after batch 1 (the seen-set offset survives the restart)."""
+    added after batch 1. Runs under the DEFAULT offset mode — bounded
+    mtime-watermark offsets since round 4 — so this doubles as the
+    restart-under-new-default gate."""
     from hubverse_transform_spark.sources.submission_catalog import register_streaming
 
     register_streaming(spark)
@@ -155,3 +157,32 @@ def test_stream_reader_mtime_offsets_are_bounded(tmp_path):
     # batch is the last singleton — NOT all 5 paths
     assert offset["wm"] == 1004.0
     assert len(offset["boundary"]) == 1 and len(offset["batch"]) == 1
+
+
+def test_stream_reader_default_is_mtime_and_honors_seen_checkpoints(tmp_path):
+    """The default offset mode is the bounded mtime watermark; a checkpoint
+    written under 'seen' mode keeps its lineage after a restart with the
+    new default (dispatch is on the offset's shape, not the option)."""
+    from hubverse_transform_spark.sources.submission_catalog import (
+        SubmissionStreamReader,
+    )
+
+    sub = tmp_path / "subs"
+    sub.mkdir()
+    (sub / "2024-06-01-m1-model.csv").write_text("x,y\n1,2\n")
+
+    default_reader = SubmissionStreamReader({"path": str(sub)})
+    assert default_reader.mode == "mtime"
+    assert "wm" in default_reader.initialOffset()
+
+    # legacy seen-mode checkpoint replayed through a default-mode reader
+    seen_reader = SubmissionStreamReader({"path": str(sub), "offset_mode": "seen"})
+    off0 = seen_reader.initialOffset()
+    rows, off1 = seen_reader.read(off0)
+    assert len(list(rows)) == 1 and "seen" in off1
+
+    (sub / "2024-06-02-m2-model.csv").write_text("x,y\n3,4\n")
+    rows2, off2 = default_reader.read(off1)  # seen-shaped offset, mtime reader
+    emitted = [r[1] for r in rows2]
+    assert emitted == ["2024-06-02-m2-model.csv"]
+    assert "seen" in off2 and len(off2["seen"]) == 2
