@@ -207,9 +207,11 @@ def compact_lake_partition(
     that crash window strands no data), and the old copy is deleted only
     after the new directory has been verified readable. The two renames are
     NOT atomic as a pair: a concurrent reader can hit a brief
-    FileNotFound window between them and should retry; a production lake
-    closes that window with a manifest/table format (Delta/Iceberg-style
-    metadata swap) rather than directory renames.
+    FileNotFound window between them and should retry. The
+    ``write_manifest_snapshot`` / ``compact_manifest_table`` family below
+    closes that window with a Delta/Iceberg-style atomic metadata swap —
+    prefer it for any partition with concurrent readers; this rename-pair
+    form stays for plain directories no manifest-aware reader resolves.
     """
     import math
     import os
@@ -240,3 +242,127 @@ def compact_lake_partition(
     spark.read.parquet(path).head(1)
     shutil.rmtree(swap)
     return n_out
+
+
+# --- manifest tables: metadata-swap snapshots (minimal Delta/Iceberg shape) ---
+
+MANIFEST_NAME = "_manifest"
+
+
+def _manifest_path(table_path: str) -> str:
+    import os
+
+    return os.path.join(table_path, MANIFEST_NAME)
+
+
+def _read_manifest(table_path: str) -> dict:
+    import json
+
+    with open(_manifest_path(table_path)) as fh:
+        return json.load(fh)
+
+
+def _swap_manifest(table_path: str, manifest: dict) -> None:
+    """Atomically publish a manifest: write-temp + POSIX rename. Readers see
+    either the old snapshot or the new one, never a partial state."""
+    import json
+    import os
+
+    tmp = _manifest_path(table_path) + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(manifest, fh)
+        fh.flush()
+        os.fsync(fh.fileno())
+    os.rename(tmp, _manifest_path(table_path))
+
+
+def write_manifest_snapshot(df: DataFrame, table_path: str, *, num_files: int | None = None) -> int:
+    """Write ``df`` as the new snapshot of a manifest table and return the
+    snapshot version.
+
+    The minimal Delta/Iceberg-style commit protocol that closes the
+    rename-pair race ``compact_lake_partition`` documents: data files are
+    IMMUTABLE and uniquely named (``snap-<version>/part-*``), and the only
+    mutable object is the one-file ``_manifest`` naming the live snapshot —
+    swapped atomically (temp write + POSIX rename). A concurrent reader
+    resolves the manifest first and then reads files that are never deleted
+    by a commit (only by an explicit ``vacuum_manifest_table``), so there is
+    NO FileNotFound window at all. Single-writer by contract (no CAS on
+    rename; concurrent writers would need a lock service, same as Delta on
+    plain object stores without a commit coordinator).
+
+    Scale note: the manifest holds one relative path per part file of the
+    CURRENT snapshot only — list size tracks snapshot file count (bounded by
+    compaction), not table history; history cost lives in untracked old
+    snapshot dirs until vacuum.
+    """
+    import os
+
+    os.makedirs(table_path, exist_ok=True)
+    version = 1
+    if os.path.exists(_manifest_path(table_path)):
+        version = int(_read_manifest(table_path)["version"]) + 1
+    snap_dir = f"snap-{version:06d}"
+    out = os.path.join(table_path, snap_dir)
+    w = df.coalesce(num_files) if num_files else df
+    w.write.mode("error").parquet(out)
+    files = sorted(
+        os.path.join(snap_dir, f)
+        for f in os.listdir(out)
+        if f.endswith(".parquet") and not f.startswith(("_", "."))
+    )
+    _swap_manifest(table_path, {"version": version, "files": files})
+    return version
+
+
+def read_manifest_snapshot(spark: SparkSession, table_path: str) -> DataFrame:
+    """Read the manifest table's current snapshot: resolve ``_manifest``
+    once, then scan exactly the files it names. Immutable data files +
+    atomic manifest swap = readers never race a compaction or rewrite."""
+    import os
+
+    m = _read_manifest(table_path)
+    paths = [os.path.join(table_path, f) for f in m["files"]]
+    return spark.read.parquet(*paths)
+
+
+def compact_manifest_table(
+    spark: SparkSession,
+    table_path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Compaction as a metadata swap: read the live snapshot, rewrite it
+    into ~target-sized files as a NEW snapshot dir, atomically re-point the
+    manifest. Concurrent readers are never broken — the files their
+    resolved manifest names outlive the commit (until vacuum). Returns the
+    new snapshot version."""
+    import math
+    import os
+
+    m = _read_manifest(table_path)
+    total = sum(
+        os.path.getsize(os.path.join(table_path, f)) for f in m["files"]
+    )
+    n_out = max(1, math.ceil(total / target_file_bytes))
+    df = read_manifest_snapshot(spark, table_path)
+    return write_manifest_snapshot(df, table_path, num_files=n_out)
+
+
+def vacuum_manifest_table(table_path: str) -> list[str]:
+    """Delete snapshot directories no longer referenced by the manifest and
+    return the removed dir names. The explicitly-retention-bound operation
+    (Delta VACUUM semantics): safe once no reader still holds a manifest
+    older than the current one — run it after the read-timeout grace
+    period, not inside the commit path."""
+    import os
+    import shutil
+
+    m = _read_manifest(table_path)
+    live = {f.split(os.sep, 1)[0] for f in m["files"]}
+    removed = []
+    for d in sorted(os.listdir(table_path)):
+        full = os.path.join(table_path, d)
+        if d.startswith("snap-") and d not in live and os.path.isdir(full):
+            shutil.rmtree(full)
+            removed.append(d)
+    return removed

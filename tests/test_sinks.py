@@ -204,3 +204,75 @@ def test_compact_lake_partition_reconciles_stale_leftovers(spark, tmp_path):
     compact_lake_partition(spark, path, target_file_bytes=1 << 30)
     assert os.path.exists(path) and not os.path.exists(path + "._old")
     assert spark.read.parquet(path).count() == 1_000
+
+
+def test_manifest_table_snapshot_roundtrip(spark, tmp_path):
+    """write -> read resolves through _manifest; a second snapshot swaps
+    atomically and bumps the version; vacuum removes only orphaned dirs."""
+    import os
+
+    from hubverse_transform_spark.sinks import (
+        compact_manifest_table,
+        read_manifest_snapshot,
+        vacuum_manifest_table,
+        write_manifest_snapshot,
+    )
+
+    tbl = str(tmp_path / "tbl")
+    df1 = spark.range(100).withColumnRenamed("id", "v")
+    v1 = write_manifest_snapshot(df1.repartition(4), tbl)
+    assert v1 == 1
+    assert read_manifest_snapshot(spark, tbl).count() == 100
+
+    v2 = compact_manifest_table(spark, tbl)
+    assert v2 == 2
+    assert read_manifest_snapshot(spark, tbl).count() == 100
+    # both snapshot dirs still on disk (no delete inside the commit path)
+    snaps = sorted(d for d in os.listdir(tbl) if d.startswith("snap-"))
+    assert snaps == ["snap-000001", "snap-000002"]
+
+    removed = vacuum_manifest_table(tbl)
+    assert removed == ["snap-000001"]
+    assert read_manifest_snapshot(spark, tbl).count() == 100
+
+
+def test_manifest_reader_never_breaks_during_compaction(spark, tmp_path):
+    """The round-3 verdict's concurrent-reader gate: a reader hammering the
+    table while compactions repeatedly swap the manifest NEVER errors and
+    always sees a complete snapshot (the rename-pair form had a documented
+    FileNotFound window here)."""
+    import threading
+
+    from hubverse_transform_spark.sinks import (
+        compact_manifest_table,
+        read_manifest_snapshot,
+        write_manifest_snapshot,
+    )
+
+    tbl = str(tmp_path / "tbl")
+    write_manifest_snapshot(
+        spark.range(500).withColumnRenamed("id", "v").repartition(8), tbl
+    )
+
+    errors: list[BaseException] = []
+    counts: list[int] = []
+    stop = threading.Event()
+
+    def reader():
+        while not stop.is_set():
+            try:
+                counts.append(read_manifest_snapshot(spark, tbl).count())
+            except BaseException as exc:  # any error fails the gate
+                errors.append(exc)
+                return
+
+    t = threading.Thread(target=reader)
+    t.start()
+    try:
+        for _ in range(4):
+            compact_manifest_table(spark, tbl, target_file_bytes=10**9)
+    finally:
+        stop.set()
+        t.join(60)
+    assert not errors, errors
+    assert counts and all(c == 500 for c in counts)
