@@ -2144,9 +2144,12 @@ def q111_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q112_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q15 shape: supplier(s) with the maximum 1996-H1 revenue. The
-    textbook view+subquery becomes one aggregation plus a rank-1 window over
-    the aggregate (ties all kept, as Q15 requires) — no re-scan of lineitem
-    for the max."""
+    textbook view+subquery becomes one aggregation plus a broadcast scalar
+    max + equality filter (ties all kept, as Q15 requires) — no re-scan of
+    lineitem for the max, and no rank-1 window: a global rank over the
+    per-supplier aggregate would funnel every supplier row through one
+    partition, a frame that GROWS with scale factor (the r3 verdict's
+    standardize-global-rank item)."""
     li = _t(spark, sf_dir, "lineitem")
     s = _t(spark, sf_dir, "supplier")
     rev = (
@@ -2156,8 +2159,12 @@ def q112_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_suppkey")
         .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("total_rev"))
     )
-    w = Window.orderBy(F.col("total_rev").desc())
-    top = rev.withColumn("_r", F.rank().over(w)).filter(F.col("_r") == 1).drop("_r")
+    mx = rev.agg(F.max("total_rev").alias("_mx"))
+    top = (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_rev") == F.col("_mx"))
+        .drop("_mx")
+    )
     return top.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey")).select(
         "s_suppkey", "s_name", "total_rev"
     )
