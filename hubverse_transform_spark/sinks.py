@@ -255,19 +255,37 @@ def _manifest_path(table_path: str) -> str:
     return os.path.join(table_path, MANIFEST_NAME)
 
 
-def _read_manifest(table_path: str) -> dict:
+def _read_manifest(table_path: str, version: int | None = None) -> dict:
     import json
+    import os
 
-    with open(_manifest_path(table_path)) as fh:
+    if version is None:
+        path = _manifest_path(table_path)
+    else:
+        path = os.path.join(table_path, f"{MANIFEST_NAME}.v{version:06d}")
+        if not os.path.exists(path):
+            raise ValueError(
+                f"manifest table {table_path!r} has no version {version} "
+                "(vacuumed, or never written)"
+            )
+    with open(path) as fh:
         return json.load(fh)
 
 
 def _swap_manifest(table_path: str, manifest: dict) -> None:
-    """Atomically publish a manifest: write-temp + POSIX rename. Readers see
-    either the old snapshot or the new one, never a partial state."""
+    """Atomically publish a manifest: the versioned history copy is written
+    first, then the current pointer via write-temp + POSIX rename. Readers
+    see either the old snapshot or the new one, never a partial state."""
     import json
     import os
 
+    versioned = os.path.join(
+        table_path, f"{MANIFEST_NAME}.v{int(manifest['version']):06d}"
+    )
+    with open(versioned, "w") as fh:
+        json.dump(manifest, fh)
+        fh.flush()
+        os.fsync(fh.fileno())
     tmp = _manifest_path(table_path) + ".tmp"
     with open(tmp, "w") as fh:
         json.dump(manifest, fh)
@@ -315,13 +333,17 @@ def write_manifest_snapshot(df: DataFrame, table_path: str, *, num_files: int | 
     return version
 
 
-def read_manifest_snapshot(spark: SparkSession, table_path: str) -> DataFrame:
-    """Read the manifest table's current snapshot: resolve ``_manifest``
-    once, then scan exactly the files it names. Immutable data files +
-    atomic manifest swap = readers never race a compaction or rewrite."""
+def read_manifest_snapshot(
+    spark: SparkSession, table_path: str, *, version: int | None = None
+) -> DataFrame:
+    """Read a manifest-table snapshot: resolve ``_manifest`` (or, for time
+    travel, the retained ``_manifest.v{N}`` history copy) once, then scan
+    exactly the files it names. Immutable data files + atomic manifest swap
+    = readers never race a compaction or rewrite; ``version=`` gives
+    Iceberg-style snapshot-as-of reads until vacuum retires the version."""
     import os
 
-    m = _read_manifest(table_path)
+    m = _read_manifest(table_path, version)
     paths = [os.path.join(table_path, f) for f in m["files"]]
     return spark.read.parquet(*paths)
 
@@ -348,21 +370,38 @@ def compact_manifest_table(
     return write_manifest_snapshot(df, table_path, num_files=n_out)
 
 
-def vacuum_manifest_table(table_path: str) -> list[str]:
-    """Delete snapshot directories no longer referenced by the manifest and
-    return the removed dir names. The explicitly-retention-bound operation
-    (Delta VACUUM semantics): safe once no reader still holds a manifest
-    older than the current one — run it after the read-timeout grace
-    period, not inside the commit path."""
+def vacuum_manifest_table(table_path: str, *, keep_versions: int = 1) -> list[str]:
+    """Delete snapshot directories (and manifest history files) not
+    referenced by the newest ``keep_versions`` manifests; return the
+    removed names. The explicitly-retention-bound operation (Delta VACUUM
+    semantics): safe once no reader still holds a manifest older than the
+    retained window — run it after the read-timeout grace period, not
+    inside the commit path. ``keep_versions`` > 1 preserves time travel to
+    that many versions back."""
     import os
+    import re
     import shutil
 
-    m = _read_manifest(table_path)
-    live = {f.split(os.sep, 1)[0] for f in m["files"]}
+    keep_versions = max(1, keep_versions)
+    current = int(_read_manifest(table_path)["version"])
+    kept_range = range(current - keep_versions + 1, current + 1)
+    live: set[str] = set()
+    for v in kept_range:
+        try:
+            m = _read_manifest(table_path, v)
+        except ValueError:
+            continue  # version predates the table or already vacuumed
+        live |= {f.split(os.sep, 1)[0] for f in m["files"]}
     removed = []
+    vpat = re.compile(re.escape(MANIFEST_NAME) + r"\.v(\d{6})$")
     for d in sorted(os.listdir(table_path)):
         full = os.path.join(table_path, d)
         if d.startswith("snap-") and d not in live and os.path.isdir(full):
             shutil.rmtree(full)
+            removed.append(d)
+            continue
+        mv = vpat.match(d)
+        if mv and int(mv.group(1)) not in kept_range:
+            os.remove(full)
             removed.append(d)
     return removed

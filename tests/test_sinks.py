@@ -230,10 +230,35 @@ def test_manifest_table_snapshot_roundtrip(spark, tmp_path):
     # both snapshot dirs still on disk (no delete inside the commit path)
     snaps = sorted(d for d in os.listdir(tbl) if d.startswith("snap-"))
     assert snaps == ["snap-000001", "snap-000002"]
+    # time travel: the superseded version stays readable until vacuum
+    assert read_manifest_snapshot(spark, tbl, version=1).count() == 100
 
     removed = vacuum_manifest_table(tbl)
-    assert removed == ["snap-000001"]
+    assert removed == ["_manifest.v000001", "snap-000001"]
     assert read_manifest_snapshot(spark, tbl).count() == 100
+    import pytest
+
+    with pytest.raises(ValueError, match="no version 1"):
+        read_manifest_snapshot(spark, tbl, version=1)
+
+
+def test_manifest_table_time_travel_retention(spark, tmp_path):
+    """keep_versions retains a time-travel window: older snapshots vacuum
+    away, every retained version still resolves and reads."""
+    from hubverse_transform_spark.sinks import (
+        read_manifest_snapshot,
+        vacuum_manifest_table,
+        write_manifest_snapshot,
+    )
+
+    tbl = str(tmp_path / "tbl")
+    for n in (10, 20, 30):
+        write_manifest_snapshot(spark.range(n).withColumnRenamed("id", "v"), tbl)
+    removed = vacuum_manifest_table(tbl, keep_versions=2)
+    assert removed == ["_manifest.v000001", "snap-000001"]
+    assert read_manifest_snapshot(spark, tbl, version=2).count() == 20
+    assert read_manifest_snapshot(spark, tbl, version=3).count() == 30
+    assert read_manifest_snapshot(spark, tbl).count() == 30
 
 
 def test_manifest_reader_never_breaks_during_compaction(spark, tmp_path):
