@@ -86,6 +86,13 @@ def connected_components(
         labels = new_labels.drop("_old")
         if changed == 0:
             break
+    else:
+        raise RuntimeError(
+            f"connected_components: labels still changing after "
+            f"max_iter={max_iter} rounds; output would be incorrect — raise "
+            "max_iter (pointer jumping converges in O(log diameter), so 25 "
+            "covers diameters up to ~2^25)"
+        )
 
     return labels.select(F.col("node"), F.col("label").alias("component"))
 

@@ -97,3 +97,16 @@ def test_star_components_raises_without_fixpoint(spark):
     )
     with pytest.raises(RuntimeError, match="fixpoint"):
         connected_components_star(edges, max_iter=1)
+
+
+def test_label_propagation_raises_without_fixpoint(spark):
+    """connected_components also refuses to return unconverged labels."""
+    import pytest
+
+    from hubverse_transform_spark.operators.clusters import connected_components
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(40)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="still changing"):
+        connected_components(edges, max_iter=1)
