@@ -1224,17 +1224,15 @@ def q71_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pmi_bigrams(d, min_count=5, k=20)
 
 
-def q72_part_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PageRank (3 iterations, d=0.85) over the part co-occurrence graph:
-    parts are linked when they appear in the same order. Edge build is a
-    self-join of lineitem on l_orderkey (distinct, self-pairs removed —
-    symmetric by construction, so no dangling mass); then the iterative
-    two-shuffle join/agg loop in operators/graph.pagerank. The oracle
-    unrolls the same three iterations as SQL CTEs."""
+def _q72_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q72's edge build, exposed so the plan test can assert its join
+    strategy directly: pagerank() eagerly localCheckpoints the
+    fraction-folded edges, which truncates this subplan out of the final
+    frame's explain output."""
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     a = li.alias("a")
     b = li.alias("b")
-    pairs = (
+    return (
         # fact-fact self-join: force a shuffled hash join — broadcasting a
         # corpus-sized side is the local-mode plan that dies at cluster scale
         a.join(b.hint("shuffle_hash"), "l_orderkey")
@@ -1244,6 +1242,16 @@ def q72_part_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+
+
+def q72_part_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (3 iterations, d=0.85) over the part co-occurrence graph:
+    parts are linked when they appear in the same order. Edge build is a
+    self-join of lineitem on l_orderkey (distinct, self-pairs removed —
+    symmetric by construction, so no dangling mass); then the iterative
+    two-shuffle join/agg loop in operators/graph.pagerank. The oracle
+    unrolls the same three iterations as SQL CTEs."""
+    pairs = _q72_edges(spark, sf_dir)
     pr = pagerank(pairs, iterations=3, damping=0.85)
     return pr.select(F.col("node").alias("p_partkey"), F.round("pr", 6).alias("pr"))
 

@@ -14,7 +14,13 @@ def test_rows_only_queries_are_the_known_set():
     # queries WITHOUT an oracle get only the weaker rows-only driver check;
     # adding one must be a conscious decision, not a forgotten entry
     qs, oracles = set(entry.queries()), set(entry.oracle_sql())
-    assert qs - oracles == {"q38_approx_distinct_users", "q109_hll_union_users"}
+    assert qs - oracles == {
+        "q38_approx_distinct_users",
+        "q109_hll_union_users",
+        # approx_percentile sketch output is engine-internal; correctness is
+        # carried by its in-engine rank-error audit + the paths-agree test
+        "q207_approx_decile_audit",
+    }
 
 
 def test_query_names_are_well_formed_and_documented():

@@ -69,8 +69,10 @@ def test_q69_pushes_filters_both_scans(spark):
 
 def test_q72_pagerank_self_join_not_broadcast(spark):
     # the lineitem self-join must honor the shuffle_hash hint: broadcasting a
-    # corpus-sized side is the local-mode plan that dies on a cluster
-    plan = explain_str(entry.q72_part_pagerank(spark, SF))
+    # corpus-sized side is the local-mode plan that dies on a cluster.
+    # Asserted on the edge-build frame — pagerank() localCheckpoints its
+    # input eagerly, so the final frame's explain no longer shows this join.
+    plan = explain_str(entry._q72_edges(spark, SF))
     assert "ShuffledHashJoin" in plan
 
 
