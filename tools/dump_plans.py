@@ -104,6 +104,20 @@ SHOWCASE = {
         "localCheckpoint truncates the per-round lineage. No eigensolver, "
         "no driver-side matrix."
     ),
+    "q206_group_quantiles_scalable": (
+        "q40's declared scale twin: quantiles WITHOUT percentile()'s "
+        "single-reducer buffer — per-group cumulative windows run over the "
+        "distinct-value count table (cardinality bounded by value "
+        "granularity, not rows), and the cut rule is an integer codegen "
+        "comparison (cum*d >= n*i), no float rank math."
+    ),
+    "q207_approx_decile_audit": (
+        "q170's declared scale twin: ObjectHashAggregate carrying "
+        "approx_percentile's fixed-size GK sketch (state O(1/accuracy) per "
+        "partition, pairwise-merged — no reducer ever buffers the column), "
+        "then one broadcast of the 9 cuts back over lineitem for the "
+        "in-engine rank-error audit."
+    ),
 }
 
 
