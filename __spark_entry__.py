@@ -3094,10 +3094,12 @@ def q150_recursive_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     # materialize the (tiny) edge list before recursing: a WITH-RECURSIVE
     # body re-evaluates every CTE it references per iteration, so leaving
     # the basket self-join inline multiplies the expensive build by the
-    # recursion depth (measured 6.4s -> ~2s at sf0.1). localCheckpoint
-    # rather than cache(): storage is GC-reclaimed, nothing stays pinned
-    # in the CacheManager after the query.
-    edges.localCheckpoint().createOrReplaceTempView("edges_rr")
+    # recursion depth (measured 6.4s -> ~2s at sf0.1). EAGER localCheckpoint
+    # rather than cache(): the build job runs here with full AQE planning,
+    # the recursion then scans the stored (tiny) edge partitions, and the
+    # storage is GC-reclaimed — nothing stays pinned in the CacheManager
+    # after the query.
+    edges.localCheckpoint(eager=True).createOrReplaceTempView("edges_rr")
     return spark.sql(
         """
         WITH RECURSIVE reach(brand, depth) AS (

@@ -143,7 +143,13 @@ def connected_components_star(
     (asserted in tests on random graphs) — including nodes whose only
     edges are self-loops, which come back as ``(node, node)`` singletons.
     """
-    raw = edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
+    # the incoming pair frame is usually an expensive near-dup build; both
+    # the node-set scan and the edge canonicalization consume it, so
+    # materialize it once (eager checkpoint: the build job runs with full
+    # AQE planning; stored pair partitions feed both branches, GC-reclaimed)
+    raw = edges.select(
+        F.col(src_col).alias("u"), F.col(dst_col).alias("v")
+    ).localCheckpoint()
     # Nodes appear in the star rounds only via non-self-loop edges; keep the
     # full node set so self-loop-only nodes re-enter as singletons at the end.
     all_nodes = (

