@@ -457,17 +457,21 @@ def winnow_overlap_pairs(
     # distinct'd (doc, fp) table — O(docs x fps/doc), far smaller than the
     # gram stream — measured 2-4x faster at sf0.1 than recomputing, and is
     # RELEASED on exit by compute_release (the r3 verdict's persist leak).
-    fps = winnow_fingerprints(df, id_col, text_col, k=k, window=window).select(
+    # fps_cached is the PERSISTED frame; fps may be rebound to the df-capped
+    # semi-join below, so release must name fps_cached (unpersisting the
+    # derived frame would be a no-op and leak the original registration).
+    fps_cached = winnow_fingerprints(df, id_col, text_col, k=k, window=window).select(
         F.col(id_col).alias("_id"), "fp"
     ).persist()
+    fps = fps_cached
     if max_df is not None:
         rare = (
-            fps.groupBy("fp")
+            fps_cached.groupBy("fp")
             .agg(F.count(F.lit(1)).alias("_df"))
             .filter(F.col("_df") <= max_df)
             .select("fp")
         )
-        fps = fps.join(rare, on="fp", how="left_semi")
+        fps = fps_cached.join(rare, on="fp", how="left_semi")
     a, b = fps.alias("a"), fps.hint("shuffle_hash").alias("b")
     result = (
         a.join(b, on="fp")
@@ -476,7 +480,7 @@ def winnow_overlap_pairs(
         .agg(F.count(F.lit(1)).alias("shared_fps"))
         .filter(F.col("shared_fps") >= min_shared)
     )
-    return compute_release(result, fps)
+    return compute_release(result, fps_cached)
 
 
 def hamming_distance(a: Column, b: Column) -> Column:

@@ -272,26 +272,33 @@ def _read_manifest(table_path: str, version: int | None = None) -> dict:
         return json.load(fh)
 
 
+def _publish_json(path: str, manifest: dict) -> None:
+    """Write ``manifest`` to ``path`` atomically: temp write + fsync + POSIX
+    rename, so any concurrent reader of ``path`` sees a complete JSON
+    document or nothing — never a partial write."""
+    import json
+    import os
+
+    tmp = path + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(manifest, fh)
+        fh.flush()
+        os.fsync(fh.fileno())
+    os.rename(tmp, path)
+
+
 def _swap_manifest(table_path: str, manifest: dict) -> None:
     """Atomically publish a manifest: the versioned history copy is written
-    first, then the current pointer via write-temp + POSIX rename. Readers
-    see either the old snapshot or the new one, never a partial state."""
-    import json
+    first, then the current pointer — BOTH via write-temp + POSIX rename, so
+    current-pointer readers AND time-travel readers of ``_manifest.v{N}``
+    see either a complete snapshot or none, never a partial state."""
     import os
 
     versioned = os.path.join(
         table_path, f"{MANIFEST_NAME}.v{int(manifest['version']):06d}"
     )
-    with open(versioned, "w") as fh:
-        json.dump(manifest, fh)
-        fh.flush()
-        os.fsync(fh.fileno())
-    tmp = _manifest_path(table_path) + ".tmp"
-    with open(tmp, "w") as fh:
-        json.dump(manifest, fh)
-        fh.flush()
-        os.fsync(fh.fileno())
-    os.rename(tmp, _manifest_path(table_path))
+    _publish_json(versioned, manifest)
+    _publish_json(_manifest_path(table_path), manifest)
 
 
 def write_manifest_snapshot(df: DataFrame, table_path: str, *, num_files: int | None = None) -> int:
@@ -329,7 +336,13 @@ def write_manifest_snapshot(df: DataFrame, table_path: str, *, num_files: int | 
         for f in os.listdir(out)
         if f.endswith(".parquet") and not f.startswith(("_", "."))
     )
-    _swap_manifest(table_path, {"version": version, "files": files})
+    # the schema rides in the manifest so a zero-file snapshot (empty df,
+    # or a writer that emits no part files for empty partitions) stays
+    # readable — read_manifest_snapshot reconstructs an empty frame from it
+    _swap_manifest(
+        table_path,
+        {"version": version, "files": files, "schema": df.schema.json()},
+    )
     return version
 
 
@@ -343,8 +356,28 @@ def read_manifest_snapshot(
     Iceberg-style snapshot-as-of reads until vacuum retires the version."""
     import os
 
+    import json as _json
+
     m = _read_manifest(table_path, version)
     paths = [os.path.join(table_path, f) for f in m["files"]]
+    if not paths:
+        # zero-file snapshot: reconstruct the empty frame from the schema
+        # stored at commit time instead of handing spark.read zero paths
+        from pyspark.sql.types import StructType
+
+        schema_json = m.get("schema")
+        if schema_json is None:
+            raise ValueError(
+                f"manifest table {table_path!r} snapshot lists no files and "
+                "predates schema-in-manifest; cannot reconstruct an empty frame"
+            )
+        schema = StructType.fromJson(_json.loads(schema_json))
+        # parquet read-back reports every column nullable; normalize the
+        # reconstructed empty frame the same way so snapshot schemas do not
+        # flip with row count
+        for f in schema.fields:
+            f.nullable = True
+        return spark.createDataFrame([], schema)
     return spark.read.parquet(*paths)
 
 
@@ -393,7 +426,9 @@ def vacuum_manifest_table(table_path: str, *, keep_versions: int = 1) -> list[st
             continue  # version predates the table or already vacuumed
         live |= {f.split(os.sep, 1)[0] for f in m["files"]}
     removed = []
-    vpat = re.compile(re.escape(MANIFEST_NAME) + r"\.v(\d{6})$")
+    # \d{6,}: the writer zero-pads to six digits but WIDENS past v999999 —
+    # a fixed-width pattern would exempt those history files from retention
+    vpat = re.compile(re.escape(MANIFEST_NAME) + r"\.v(\d{6,})$")
     for d in sorted(os.listdir(table_path)):
         full = os.path.join(table_path, d)
         if d.startswith("snap-") and d not in live and os.path.isdir(full):

@@ -134,13 +134,21 @@ class SubmissionStreamReader(SimpleDataSourceStreamReader):
     for files not yet seen. Two offset modes (``offset_mode`` option):
 
     - ``"mtime"`` (default): a modification-time watermark. The offset
-      carries the high-water mtime, the (tiny) set of files AT that mtime —
-      the tie boundary — and the last batch's file list for replay;
-      per-batch cost is one walk + an O(new files) diff, and offset size is
-      bounded by the arrival rate, not history. The default since round 4:
-      the naive user gets bounded offsets, not O(total-file-count) ones.
-      Caveat: a file backfilled with an mtime BELOW the watermark is never
-      discovered (copy with a fresh mtime, or use ``"seen"`` mode).
+      carries the high-water mtime, the (tiny) set of files within the
+      grace window of that mtime — the tie/backfill boundary — and the last
+      batch's file list for replay; per-batch cost is one walk + an
+      O(new files) diff, and offset size is bounded by the arrival rate,
+      not history. The default since round 4: the naive user gets bounded
+      offsets, not O(total-file-count) ones.
+      Caveat (WARNED at reader construction when the mode was defaulted,
+      not chosen): a file backfilled with an mtime below
+      ``watermark - mtime_grace_seconds`` is PERMANENTLY skipped. Mitigate
+      with ``mtime_grace_seconds`` (files whose mtime lands within that
+      window of the watermark are still discovered; offset grows only by
+      arrivals within the window), copy backfills in with a fresh mtime, or
+      use ``"seen"`` mode. Raising the grace on an EXISTING checkpoint can
+      re-emit files inside the new window once (at-least-once on the
+      transition, never loss).
     - ``"seen"``: the seen-set IS the offset — a restarted query resumes
       exactly and ``readBetweenOffsets`` replays any batch from the offsets
       alone (the exactly-once contract of the Lambda trigger, without the
@@ -155,12 +163,30 @@ class SubmissionStreamReader(SimpleDataSourceStreamReader):
     """
 
     def __init__(self, options):
+        import warnings
+
         self.root = options.get("path")
         if not self.root:
             raise ValueError("hubverse_submissions source requires a path")
+        explicit = "offset_mode" in options
         self.mode = options.get("offset_mode", "mtime")
         if self.mode not in ("seen", "mtime"):
             raise ValueError(f"offset_mode must be 'seen' or 'mtime', got {self.mode!r}")
+        self.grace = float(options.get("mtime_grace_seconds", 0.0))
+        if self.grace < 0:
+            raise ValueError(f"mtime_grace_seconds must be >= 0, got {self.grace}")
+        if self.mode == "mtime" and not explicit and self.grace == 0.0:
+            # the scale default has a silent-loss mode the user did not pick:
+            # make it visible once, on the driver, at reader construction
+            warnings.warn(
+                "hubverse_submissions_stream defaulted to offset_mode='mtime': "
+                "files backfilled with a modification time below the watermark "
+                "are permanently skipped. Set offset_mode explicitly, add "
+                "mtime_grace_seconds to tolerate bounded backfill lateness, or "
+                "use offset_mode='seen' for exact (but O(history)) discovery.",
+                UserWarning,
+                stacklevel=2,
+            )
 
     def initialOffset(self):
         if self.mode == "mtime":
@@ -202,20 +228,23 @@ class SubmissionStreamReader(SimpleDataSourceStreamReader):
         return (iter(self._rows(new)), end)
 
     def _read_mtime(self, start):
-        wm, boundary = start["wm"], set(start["boundary"])
-        new = []
-        max_mt = wm
-        at_max: list[str] = []
-        for p, mt in self._discover_mtimes():
-            if mt > wm or (mt == wm and p not in boundary):
-                new.append(p)
-            if mt > max_mt:
-                max_mt, at_max = mt, [p]
-            elif mt == max_mt:
-                at_max.append(p)
-        new_boundary = sorted(set(at_max) | (boundary if max_mt == wm else set()))
-        end = {"wm": max_mt, "boundary": new_boundary, "batch": sorted(new)}
-        return (iter(self._rows(sorted(new))), end)
+        wm, recent = start["wm"], set(start["boundary"])
+        entries = self._discover_mtimes()
+        max_mt = max((mt for _p, mt in entries), default=wm)
+        max_mt = max(max_mt, wm)
+        new = sorted(
+            p
+            for p, mt in entries
+            if mt >= wm - self.grace and p not in recent
+        )
+        # carried set = every file within the grace window of the NEW
+        # watermark (grace=0 -> exactly the files AT the watermark, the
+        # original tie boundary). Each was emitted this batch or earlier, so
+        # membership only dedups; size is bounded by arrivals in the window,
+        # never total history.
+        new_recent = sorted(p for p, mt in entries if mt >= max_mt - self.grace)
+        end = {"wm": max_mt, "boundary": new_recent, "batch": new}
+        return (iter(self._rows(new)), end)
 
     def readBetweenOffsets(self, start, end):
         if "wm" in end:

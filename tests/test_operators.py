@@ -189,6 +189,25 @@ def test_winnow_overlap_pairs_finds_shared_passage(spark):
     assert capped == []
 
 
+def test_winnow_overlap_pairs_releases_cache_in_max_df_path(spark):
+    """The df-cap path rebinds ``fps`` to the semi-join result; release must
+    still target the ORIGINAL persisted fingerprint table (r4 ADVICE):
+    nothing may stay registered in the CacheManager after the call."""
+    cm = spark._jsparkSession.sharedState().cacheManager()
+    spark.catalog.clearCache()
+    assert cm.isEmpty()
+    df = spark.createDataFrame(
+        [(i, f"shared passage of words number {i} the quick brown fox jumps over lazy dogs")
+         for i in range(6)],
+        ["doc_id", "text"],
+    )
+    for max_df in (None, 3):
+        winnow_overlap_pairs(
+            df, "doc_id", "text", k=8, window=4, min_shared=1, max_df=max_df
+        ).count()
+        assert cm.isEmpty(), f"persisted intermediate leaked (max_df={max_df})"
+
+
 # --- similarity -------------------------------------------------------------
 
 VECS = [

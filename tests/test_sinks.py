@@ -301,3 +301,101 @@ def test_manifest_reader_never_breaks_during_compaction(spark, tmp_path):
         t.join(60)
     assert not errors, errors
     assert counts and all(c == 500 for c in counts)
+
+
+def test_manifest_empty_snapshot_roundtrip(spark, tmp_path):
+    """A snapshot that lists zero part files (empty frame) must stay
+    readable: the schema rides in the manifest and the read reconstructs
+    an empty frame instead of handing spark.read no paths (r4 ADVICE)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructField, StructType
+
+    from hubverse_transform_spark.sinks import (
+        read_manifest_snapshot,
+        write_manifest_snapshot,
+    )
+
+    tbl = str(tmp_path / "tbl")
+    base = spark.range(10).withColumnRenamed("id", "v").withColumn("s", F.lit("x"))
+    empty = base.filter(F.col("v") < 0).repartition(1)
+    # parquet read-back reports nullable columns; the empty reconstruction
+    # must match that, not the writer frame's nullability
+    expected = StructType(
+        [StructField(f.name, f.dataType, True) for f in base.schema.fields]
+    )
+    write_manifest_snapshot(empty, tbl)
+    got = read_manifest_snapshot(spark, tbl)
+    assert got.count() == 0
+    assert got.schema == expected
+
+    # manifest hand-edited to zero files (writer that emits none): same path
+    import json
+    import os
+
+    m = json.load(open(os.path.join(tbl, "_manifest")))
+    m["files"] = []
+    with open(os.path.join(tbl, "_manifest"), "w") as fh:
+        json.dump(m, fh)
+    got2 = read_manifest_snapshot(spark, tbl)
+    assert got2.count() == 0 and got2.schema == expected
+
+
+def test_manifest_vacuum_handles_wide_versions(tmp_path):
+    """Version numbers past 999999 widen beyond six digits; the vacuum
+    pattern must still match those history files (r4 ADVICE)."""
+    import json
+    import os
+
+    from hubverse_transform_spark.sinks import vacuum_manifest_table
+
+    tbl = tmp_path / "tbl"
+    tbl.mkdir()
+    for v in (1_000_000, 1_000_001):
+        snap = f"snap-{v:06d}"
+        (tbl / snap).mkdir()
+        (tbl / snap / "part-0.parquet").write_bytes(b"PAR1")
+        manifest = {"version": v, "files": [f"{snap}/part-0.parquet"]}
+        (tbl / f"_manifest.v{v:06d}").write_text(json.dumps(manifest))
+    (tbl / "_manifest").write_text(
+        json.dumps({"version": 1_000_001, "files": ["snap-1000001/part-0.parquet"]})
+    )
+    removed = vacuum_manifest_table(str(tbl), keep_versions=1)
+    assert removed == ["_manifest.v1000000", "snap-1000000"]
+    assert sorted(os.listdir(tbl)) == [
+        "_manifest",
+        "_manifest.v1000001",
+        "snap-1000001",
+    ]
+
+
+def test_manifest_history_copy_published_atomically(tmp_path):
+    """Both the current pointer AND the versioned history copy go through
+    temp-write + rename: no .tmp residue, and a time-travel reader polling
+    the history path mid-commit sees complete JSON or ENOENT (r4 ADVICE)."""
+    import json
+    import os
+
+    from hubverse_transform_spark.sinks import _swap_manifest
+
+    tbl = tmp_path / "tbl"
+    tbl.mkdir()
+    real_rename = os.rename
+    observed: list[str] = []
+
+    def spying_rename(src, dst):
+        # at every rename boundary the history path, if present, parses
+        hist = tbl / "_manifest.v000007"
+        if hist.exists():
+            json.loads(hist.read_text())
+        observed.append(os.path.basename(dst))
+        return real_rename(src, dst)
+
+    os.rename = spying_rename
+    try:
+        _swap_manifest(str(tbl), {"version": 7, "files": ["snap-000007/p.parquet"]})
+    finally:
+        os.rename = real_rename
+    # history copy renamed into place before the current pointer
+    assert observed == ["_manifest.v000007", "_manifest"]
+    assert not [f for f in os.listdir(tbl) if f.endswith(".tmp")]
+    assert json.loads((tbl / "_manifest.v000007").read_text())["version"] == 7

@@ -186,3 +186,82 @@ def test_stream_reader_default_is_mtime_and_honors_seen_checkpoints(tmp_path):
     emitted = [r[1] for r in rows2]
     assert emitted == ["2024-06-02-m2-model.csv"]
     assert "seen" in off2 and len(off2["seen"]) == 2
+
+
+def test_stream_reader_default_mode_warns_explicit_does_not(tmp_path):
+    """The defaulted mtime mode can silently skip backfilled files — the
+    reader must say so visibly; an explicit choice (either mode, or a
+    grace window) is silent (r4 ADVICE)."""
+    import warnings
+
+    from hubverse_transform_spark.sources.submission_catalog import (
+        SubmissionStreamReader,
+    )
+
+    sub = tmp_path / "subs"
+    sub.mkdir()
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        SubmissionStreamReader({"path": str(sub)})
+    assert any("backfilled" in str(w.message) for w in caught)
+
+    for opts in (
+        {"offset_mode": "mtime"},
+        {"offset_mode": "seen"},
+        {"mtime_grace_seconds": "60"},
+    ):
+        with warnings.catch_warnings(record=True) as caught:
+            warnings.simplefilter("always")
+            SubmissionStreamReader({"path": str(sub), **opts})
+        assert not caught, opts
+
+
+def test_stream_reader_mtime_grace_discovers_bounded_backfill(tmp_path):
+    """mtime_grace_seconds: a file backfilled with an mtime within the grace
+    window of the watermark IS discovered; one below it is still skipped;
+    the offset stays bounded by the window, not history."""
+    import os
+
+    from hubverse_transform_spark.sources.submission_catalog import (
+        SubmissionStreamReader,
+    )
+
+    sub = tmp_path / "subs"
+    sub.mkdir()
+    reader = SubmissionStreamReader(
+        {"path": str(sub), "offset_mode": "mtime", "mtime_grace_seconds": "10"}
+    )
+    offset = reader.initialOffset()
+
+    a = sub / "2024-06-01-m1-model.csv"
+    a.write_text("x,y\n1,2\n")
+    os.utime(a, (1000.0, 1000.0))
+    rows, offset = reader.read(offset)
+    assert len(list(rows)) == 1 and offset["wm"] == 1000.0
+
+    # backfill INSIDE the window (995 >= 1000 - 10) -> discovered once
+    b = sub / "2024-06-02-m2-model.csv"
+    b.write_text("x,y\n3,4\n")
+    os.utime(b, (995.0, 995.0))
+    rows, offset = reader.read(offset)
+    assert [r[1] for r in rows] == ["2024-06-02-m2-model.csv"]
+    rows, offset = reader.read(offset)  # idempotent on re-walk
+    assert list(rows) == []
+
+    # backfill BELOW the window (985 < 1000 - 10) -> permanently skipped
+    c = sub / "2024-06-03-m3-model.csv"
+    c.write_text("x,y\n5,6\n")
+    os.utime(c, (985.0, 985.0))
+    rows, offset = reader.read(offset)
+    assert list(rows) == []
+
+    # offset carries only files within the window of the watermark
+    assert sorted(offset["boundary"]) == [str(a), str(b)]
+
+    # watermark advances far enough -> old files age out of the offset
+    d = sub / "2024-06-04-m4-model.csv"
+    d.write_text("x,y\n7,8\n")
+    os.utime(d, (2000.0, 2000.0))
+    rows, offset = reader.read(offset)
+    assert [r[1] for r in rows] == ["2024-06-04-m4-model.csv"]
+    assert offset["boundary"] == [str(d)] and offset["wm"] == 2000.0
