@@ -8,7 +8,7 @@ canonical fixed-point graph computation.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from hubverse_transform_spark.caching import compute_release
@@ -21,6 +21,7 @@ def pagerank(
     iterations: int = 3,
     damping: float = 0.85,
     tol: float | None = None,
+    truncate_every: int = 8,
 ) -> DataFrame:
     """PageRank over a directed edge list, fixed iteration count with an
     optional early exit: when ``tol`` is set, iteration stops as soon as
@@ -51,6 +52,15 @@ def pagerank(
     sf0.1), then ONE eager materialization of the final (node, pr) output
     runs that job and every intermediate is unpersisted before returning —
     nothing stays registered, no per-iteration leak.
+
+    ``truncate_every`` bounds plan depth for long runs: every K rounds the
+    rank vector is eagerly ``localCheckpoint``ed (exact values, lineage
+    cut) and the chunk's persisted rounds are released. Without this, a
+    30-round chain of unmaterialized persists makes the CacheManager's
+    per-action ``sameResult`` scan quadratic in plan depth — a 30-round
+    run on a 7-node graph spent >7 min of JVM CPU planning, never
+    executing. Short runs (the declared 3-iteration q72 path) never hit a
+    truncation point, so their plan and bit-exact output are unchanged.
     """
     # the incoming edge frame is often an expensive build (self-joins,
     # LSH banding); nodes/out-degrees/fraction-folding each scan it, so
@@ -61,17 +71,21 @@ def pagerank(
         e.select(F.col("dst").alias("node"))
     ).distinct().persist()
     n_df = nodes.agg(F.count(F.lit(1)).cast("double").alias("n"))
-    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
-    # fold 1/out_deg into the edges once; every iteration then joins 2 tables
-    e_frac = e.join(deg, "src").select(
-        "src", "dst", (F.lit(1.0) / F.col("out_deg")).alias("frac")
+    # fold 1/out_deg into the edges once via a count window over the ONE
+    # shuffle on src (vs groupBy+re-join: same exchange, one fewer pass —
+    # measured ~15% faster end-to-end on q72 at sf0.1, bit-identical
+    # ranks). Bonus: the persisted e_frac comes out hash-partitioned on
+    # src, exactly what every iteration's join needs — no re-exchange.
+    w = Window.partitionBy("src")
+    e_frac = e.select(
+        "src", "dst", (F.lit(1.0) / F.count(F.lit(1)).over(w)).alias("frac")
     ).persist()
 
     ranks = nodes.crossJoin(F.broadcast(n_df)).select(
         "node", (F.lit(1.0) / F.col("n")).alias("pr")
     )
     cached_rounds = []
-    for _ in range(iterations):
+    for it in range(iterations):
         contribs = (
             e_frac.join(ranks, e_frac.src == ranks.node)
             .select(F.col("dst").alias("node"), (F.col("pr") * F.col("frac")).alias("m"))
@@ -102,6 +116,13 @@ def pagerank(
                 break
         else:
             ranks = new_ranks
+        if (it + 1) % truncate_every == 0 and it + 1 < iterations:
+            # cut lineage: exact values, RDD-backed; the chunk's persists
+            # are now fully folded into the checkpoint, release them
+            ranks = ranks.localCheckpoint(eager=True)
+            for c in cached_rounds:
+                c.unpersist()
+            cached_rounds.clear()
     return compute_release(ranks, e, nodes, e_frac, *cached_rounds)
 
 
