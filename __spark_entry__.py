@@ -50,6 +50,7 @@ from hubverse_transform_spark.operators.dedup import (
     simhash,
     simhash_near_dup_pairs,
     ngram_containment,
+    containment_prefix_pairs,
     chunk_dup_stats,
     winnow_fingerprints,
     winnow_overlap_pairs,
@@ -4846,6 +4847,198 @@ def q207_approx_decile_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rows
 
 
+def q208_rag_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG chunking [EXT]: split every document into overlapping fixed
+    token windows (window=32, stride=24 — the retrieval-corpus chunking
+    every RAG/embedding pipeline runs before indexing), then audit the
+    chunk stream per source: chunk counts, token expansion from the
+    overlap, and the chunk-level duplicate rate (distinct md5 chunk
+    fingerprints vs chunks — repeated chunks waste index space and skew
+    retrieval).
+
+    Scale shape: the 1→N chunk explode is ``sequence`` + ``slice`` +
+    ``array_join`` — one pass per document, all codegen, no Python, no
+    re-tokenization per chunk (the token array is computed once per row
+    and sliced per start offset). The only shuffles are the per-source
+    rollups; chunk fingerprint distinct-count shuffles on (source, hash)
+    with map-side partial aggregation. At 100 TB the chunk stream is
+    emitted and aggregated without ever materializing chunk text beyond
+    the md5."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    base = d.select("doc_id", "source", toks.alias("_w")).withColumn(
+        "_n", F.size("_w")
+    )
+    chunks = base.select(
+        "doc_id",
+        "source",
+        "_n",
+        "_w",
+        F.explode(
+            F.sequence(F.lit(0), F.col("_n") - 1, F.lit(24))
+        ).alias("_s"),
+    ).select(
+        "doc_id",
+        "source",
+        F.least(F.lit(32), F.col("_n") - F.col("_s")).alias("_ct"),
+        F.md5(F.array_join(F.slice(F.col("_w"), F.col("_s") + 1, 32), " ")).alias(
+            "_h"
+        ),
+    )
+    per_src = chunks.groupBy("source").agg(
+        F.count_distinct("doc_id").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum("_ct").alias("chunk_tokens"),
+        F.round(
+            1.0 - F.count_distinct("_h") / F.count(F.lit(1)), 6
+        ).alias("dup_chunk_frac"),
+    )
+    doc_toks = base.groupBy("source").agg(F.sum("_n").alias("doc_tokens"))
+    return per_src.join(doc_toks, "source").select(
+        "source",
+        "n_docs",
+        "n_chunks",
+        "chunk_tokens",
+        "doc_tokens",
+        "dup_chunk_frac",
+        F.round(F.col("chunk_tokens") / F.col("doc_tokens"), 6).alias("expansion"),
+    )
+
+
+def q209_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture temperature sampling [EXT]: per-domain sampling
+    weights w_i = c_i^α / Σ c_j^α over source token counts (α=0.7 — the
+    Pile/PaLM-style heavy-tail flattening), plus the epoch count each
+    domain would run at a 5M-token budget (epochs > 1 ⇒ the sampler
+    repeats that domain). This is THE curation knob that turns corpus
+    stats into a data-loading plan.
+
+    Scale shape: one map-side token count + per-source sum (bounded key
+    cardinality = #domains), then a broadcast of the single-row
+    normalizer onto the tiny per-source frame. The 100 TB corpus is
+    touched exactly once, map-only."""
+    d = _t(spark, sf_dir, "documents")
+    n_tok = F.size(F.split(F.lower(F.trim(F.col("text"))), r"\s+"))
+    per = (
+        d.select("source", n_tok.alias("_n"))
+        .groupBy("source")
+        .agg(F.sum("_n").alias("corpus_tokens"))
+    )
+    z = per.agg(F.sum(F.pow("corpus_tokens", F.lit(0.7))).alias("_z"))
+    return per.crossJoin(F.broadcast(z)).select(
+        "source",
+        "corpus_tokens",
+        F.round(F.pow("corpus_tokens", F.lit(0.7)) / F.col("_z"), 6).alias(
+            "weight"
+        ),
+        F.round(
+            F.lit(5_000_000)
+            * F.pow("corpus_tokens", F.lit(0.7))
+            / F.col("_z")
+            / F.col("corpus_tokens"),
+            6,
+        ).alias("epochs_at_5m"),
+    )
+
+
+def q210_ngram_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-3-style 13-gram decontamination audit [EXT]: for every held-out
+    document (deterministic doc_id % 37 == 0 split), the fraction of its
+    13-gram shingles that also occur anywhere in the training split, and
+    how many distinct training documents collide. This is the shingle-
+    level leakage report run before any benchmark number is trusted
+    (q102 is the coarser benchmark-vocabulary containment; this is the
+    per-eval-document n-gram form with train-side attribution).
+
+    Scale shape: distinct 13-grams per doc come from the one-pass
+    overlapping-regex shingler (no O(L²) re-tokenization); the join
+    shuffles gram postings on gram hash — cardinality grows with the
+    corpus, no reducer pile-up. In production the eval split is KB-to-MB
+    against a 100 TB train side, so the gram join naturally builds on
+    the tiny eval postings (AQE picks the broadcast); the LEFT join keeps
+    clean eval docs in the report with zero hits."""
+    d = _t(spark, sf_dir, "documents")
+    sh = d.select(
+        "doc_id", "source", shingle_ngrams(F.col("text"), 13).alias("_sh")
+    )
+    tpost = sh.filter(F.col("doc_id") % 37 == 0).select(
+        "doc_id", "source", F.explode("_sh").alias("_g")
+    )
+    trpost = sh.filter(F.col("doc_id") % 37 != 0).select(
+        F.col("doc_id").alias("_tid"), F.explode("_sh").alias("_g")
+    )
+    hit_gram = F.when(F.col("_tid").isNotNull(), F.col("_g"))
+    return (
+        tpost.join(trpost, "_g", "left")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count_distinct("_g").alias("n_grams"),
+            F.count_distinct(hit_gram).alias("n_hit_grams"),
+            F.count_distinct("_tid").alias("n_train_docs"),
+        )
+        .select(
+            "doc_id",
+            "source",
+            "n_grams",
+            "n_hit_grams",
+            "n_train_docs",
+            F.round(F.col("n_hit_grams") / F.col("n_grams"), 6).alias(
+                "contamination"
+            ),
+        )
+    )
+
+
+def q211_centroid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding label-quality audit [EXT]: per-label centroids (mean
+    vector), then every vector re-assigned to its nearest centroid by L2
+    distance — the confusion matrix (label, assigned, n_vectors) is the
+    standard sanity check that a labeled embedding corpus actually
+    clusters by its labels (off-diagonal mass = label noise or entangled
+    classes). Nearest-centroid assignment with SUPERVISED centroids — the
+    one-shot sibling of the iterative spherical k-means in
+    ``similarity.spherical_kmeans_centroids``.
+
+    Scale shape: posexplode → (pos, val) stream; centroids are a
+    #labels×dim aggregate (tiny) broadcast back onto the stream; the
+    distance partial-sums shuffle on (vec_id, label) with map-side
+    combine; argmin is a per-vector window over #labels rows with a
+    deterministic (d2, label) tie-break. All codegen — no Python, no
+    driver-side centroid collect, no HOF lambdas in the per-pair path."""
+    e = _t(spark, sf_dir, "embeddings")
+    ex = e.select(
+        "vec_id", "label", F.posexplode("embedding").alias("pos", "val")
+    ).withColumn("val", F.col("val").cast("double"))
+    cent = ex.groupBy(F.col("label").alias("clabel"), "pos").agg(
+        F.avg("val").alias("cval")
+    )
+    diff = F.col("val") - F.col("cval")
+    d2 = (
+        ex.join(F.broadcast(cent), "pos")
+        .groupBy("vec_id", "label", "clabel")
+        .agg(F.sum(diff * diff).alias("_d2"))
+    )
+    w = Window.partitionBy("vec_id").orderBy("_d2", "clabel")
+    best = d2.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1)
+    return best.groupBy("label", F.col("clabel").alias("assigned")).agg(
+        F.count(F.lit(1)).alias("n_vectors")
+    )
+
+
+def q212_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment self-join [EXT]: ordered pairs (A, B) where
+    >= 60% of A's 3-gram shingles appear in B — the quote / sub-document
+    duplication signal Jaccard dilutes (q158) and the corpus-vs-corpus
+    sibling of q102's benchmark containment. Prefix-filtered
+    (probe-side-only prefix, lossless), exact verification on candidates;
+    see ``operators/dedup.containment_prefix_pairs`` for the 100 TB
+    posture."""
+    d = _t(spark, sf_dir, "documents")
+    return containment_prefix_pairs(
+        d, "doc_id", "text", ngram=3, threshold=0.6
+    )
+
+
 # =============================================================================
 # Driver contract
 # =============================================================================
@@ -5065,6 +5258,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q205_null_aggregate_semantics": q205_null_aggregate_semantics,
         "q206_group_quantiles_scalable": q206_group_quantiles_scalable,
         "q207_approx_decile_audit": q207_approx_decile_audit,
+        "q208_rag_chunking": q208_rag_chunking,
+        "q209_mixture_weights": q209_mixture_weights,
+        "q210_ngram_decontamination": q210_ngram_decontamination,
+        "q211_centroid_confusion": q211_centroid_confusion,
+        "q212_containment_pairs": q212_containment_pairs,
     }
 
 
@@ -5079,6 +5277,10 @@ _SHINGLES2 = (
     "i -> array_to_string(toks[i:i+1], ' ')))"
 )
 _TOKS = "regexp_split_to_array(lower(trim(text)), '\\s+')"
+_SHINGLES13 = (
+    "list_distinct(list_transform(range(1, greatest(len(toks)-13,0)+2), "
+    "i -> array_to_string(toks[i:i+12], ' ')))"
+)
 
 #: hex bucket thresholds for the 80/10/10 hash split, shared with q101's
 #: Spark side via operators/sampling.split_thresholds
@@ -8798,6 +9000,97 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT l_returnflag, p25_price, p50_price, p75_price, median_qty
         FROM price JOIN qty USING (l_returnflag)
+    """
+    sqls["q208_rag_chunking"] = f"""
+        WITH b AS (SELECT doc_id, source, {_TOKS} AS toks FROM documents),
+        b2 AS (SELECT doc_id, source, toks, len(toks) AS n FROM b),
+        ch AS (SELECT doc_id, source, toks, n,
+                      unnest(range(0, n, 24)) AS s
+               FROM b2),
+        c2 AS (SELECT doc_id, source, n, least(32, n - s) AS ct,
+                      md5(array_to_string(toks[s+1:s+32], ' ')) AS h
+               FROM ch),
+        per_src AS (
+            SELECT source, count(DISTINCT doc_id) AS n_docs,
+                   count(*) AS n_chunks,
+                   CAST(sum(ct) AS BIGINT) AS chunk_tokens,
+                   round(1.0 - count(DISTINCT h) * 1.0 / count(*), 6) + 0.0
+                       AS dup_chunk_frac
+            FROM c2 GROUP BY source),
+        dt AS (SELECT source, CAST(sum(n) AS BIGINT) AS doc_tokens
+               FROM b2 GROUP BY source)
+        SELECT source, n_docs, n_chunks, chunk_tokens, doc_tokens,
+               dup_chunk_frac,
+               round(chunk_tokens * 1.0 / doc_tokens, 6) AS expansion
+        FROM per_src JOIN dt USING (source)
+    """
+    sqls["q209_mixture_weights"] = f"""
+        WITH t AS (
+            SELECT source, CAST(sum(len({_TOKS})) AS BIGINT) AS corpus_tokens
+            FROM documents GROUP BY source
+        ), z AS (SELECT sum(pow(corpus_tokens, 0.7)) AS z FROM t)
+        SELECT source, corpus_tokens,
+               round(pow(corpus_tokens, 0.7) / z, 6) AS weight,
+               round(5000000 * pow(corpus_tokens, 0.7) / z / corpus_tokens, 6)
+                   AS epochs_at_5m
+        FROM t CROSS JOIN z
+    """
+    sqls["q210_ngram_decontamination"] = f"""
+        WITH tok AS (SELECT doc_id, source, {_TOKS} AS toks FROM documents),
+        sh AS (SELECT doc_id, source, {_SHINGLES13} AS s FROM tok),
+        tpost AS (SELECT doc_id, source, unnest(s) AS g
+                  FROM sh WHERE doc_id % 37 = 0),
+        trpost AS (SELECT doc_id AS tid, unnest(s) AS g
+                   FROM sh WHERE doc_id % 37 <> 0)
+        SELECT t.doc_id, t.source,
+               count(DISTINCT t.g) AS n_grams,
+               count(DISTINCT CASE WHEN tr.tid IS NOT NULL THEN t.g END)
+                   AS n_hit_grams,
+               count(DISTINCT tr.tid) AS n_train_docs,
+               round(count(DISTINCT CASE WHEN tr.tid IS NOT NULL THEN t.g END)
+                     * 1.0 / count(DISTINCT t.g), 6) AS contamination
+        FROM tpost t LEFT JOIN trpost tr USING (g)
+        GROUP BY 1, 2
+    """
+    sqls["q211_centroid_confusion"] = """
+        WITH v AS (
+            SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS ve
+            FROM embeddings
+        ), ex AS (
+            SELECT vec_id, label, CAST(t.range AS INT) - 1 AS pos,
+                   ve[CAST(t.range AS INT)] AS val
+            FROM v, range(1, 65) t
+        ), cent AS (
+            SELECT label AS clabel, pos, avg(val) AS cval
+            FROM ex GROUP BY 1, 2
+        ), d AS (
+            SELECT vec_id, label, clabel,
+                   sum((val - cval) * (val - cval)) AS d2
+            FROM ex JOIN cent USING (pos) GROUP BY 1, 2, 3
+        ), best AS (
+            SELECT vec_id, label, clabel,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY d2, clabel) AS rn
+            FROM d
+        )
+        SELECT label, clabel AS assigned, count(*) AS n_vectors
+        FROM best WHERE rn = 1 GROUP BY 1, 2
+    """
+    # lossless prefix + size filters => the oracle is the brute inverted-
+    # index candidate join with full containment verification
+    sqls["q212_containment_pairs"] = f"""
+        WITH tok AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+        sh AS (SELECT doc_id, {_SHINGLES3} AS s FROM tok),
+        post AS (SELECT doc_id, unnest(s) AS g FROM sh),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM post a JOIN post b ON a.g = b.g AND a.doc_id <> b.doc_id
+        )
+        SELECT id_a, id_b,
+               round(len(list_intersect(x.s, y.s)) * 1.0 / len(x.s), 6)
+                   AS containment
+        FROM cand JOIN sh x ON x.doc_id = id_a JOIN sh y ON y.doc_id = id_b
+        WHERE len(list_intersect(x.s, y.s)) * 1.0 / len(x.s) >= 0.6
     """
     sqls["q200_catalog_rowcounts"] = """
         SELECT 'region' AS table_name, count(*) AS n_rows FROM region

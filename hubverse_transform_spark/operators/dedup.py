@@ -595,6 +595,86 @@ def ngram_containment(
     )
 
 
+def containment_prefix_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    ngram: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact asymmetric containment self-join with prefix filtering [EXT]:
+    all ordered pairs (A, B) with C(A→B) = |shingles(A) ∩ shingles(B)| /
+    |shingles(A)| >= ``threshold``. Containment is the quote/sub-document
+    signal — a short document wholly embedded in a long one scores ~1.0
+    here while Jaccard (``prefix_filter_jaccard_pairs``) dilutes it by the
+    long side's size. ``ngram_containment`` is the corpus-vs-benchmark
+    broadcast variant of the same measure; this is the corpus-vs-corpus
+    pair join.
+
+    Prefix filter, containment form: order shingles by ascending global
+    document frequency (rarest first, shingle string breaks ties). A true
+    pair shares >= ceil(t*|A|) shingles, so A's first
+    ``|A| - ceil(t*|A|) + 1`` shingles (the probe prefix) must intersect
+    shingles(B) — lossless. Only the PROBE side is prefix-truncated; the
+    indexed side keeps full postings (containment puts no lower bound on
+    where in B's order the shared shingles sit). The size filter
+    ``|B| >= ceil(t*|A|)`` is also lossless.
+
+    Scale shape: probe postings are the short side (~(1-t) of probe
+    volume at threshold t) and rarest-first ordering keeps the surviving
+    postings lists the shortest ones; the join shuffles on shingle hash
+    (cardinality grows with the corpus — no single-reducer pile-up), and
+    exact verification runs only on surviving candidates. Same
+    cache-compute-release discipline as the Jaccard form: shingle arrays
+    and probe prefixes persist across the join branches, one eager job
+    materializes the (small) pair output, then both unpersist.
+    """
+    docs = (
+        df.select(
+            F.col(id_col).alias("_id"),
+            shingle_ngrams(F.col(text_col), ngram).alias("_sh"),
+        )
+        .withColumn("_sz", F.size("_sh"))
+        .persist()
+    )
+    post = docs.select("_id", "_sz", F.explode("_sh").alias("_s"))
+    dfreq = post.groupBy("_s").agg(F.count(F.lit(1)).alias("_df"))
+    w = Window.partitionBy("_id").orderBy("_df", "_s")
+    prefix_len = F.col("_sz") - F.ceil(F.col("_sz") * F.lit(threshold)) + 1
+    probe = (
+        post.join(dfreq, "_s")
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= prefix_len)
+        .select(F.col("_id").alias("_ida"), F.col("_sz").alias("_sza"), "_s")
+        .persist()
+    )
+    idx = docs.select(
+        F.col("_id").alias("_idb"), F.col("_sz").alias("_szb"),
+        F.explode("_sh").alias("_s"),
+    )
+    cand = (
+        probe.join(idx.hint("shuffle_hash"), on="_s")
+        .filter(F.col("_ida") != F.col("_idb"))
+        .filter(F.col("_szb") >= F.ceil(F.col("_sza") * F.lit(threshold)))
+        .select(F.col("_ida").alias("id_a"), F.col("_idb").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    da = docs.select(F.col("_id").alias("id_a"), F.col("_sh").alias("_sha"))
+    db = docs.select(F.col("_id").alias("id_b"), F.col("_sh").alias("_shb"))
+    overlap = F.size(F.array_intersect(F.col("_sha"), F.col("_shb")))
+    containment = overlap / F.size(F.col("_sha"))
+    result = (
+        cand.join(da, "id_a")
+        .join(db, "id_b")
+        .filter(containment >= threshold)
+        .select(
+            "id_a", "id_b", F.round(containment, 6).alias("containment")
+        )
+    )
+    return compute_release(result, docs, probe)
+
+
 def chunk_dup_stats(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -379,6 +379,66 @@ def test_prefix_filter_random_mutation_corpus(spark):
         assert pref == base, f"t={t}: sym diff {set(pref) ^ set(base)}"
 
 
+def test_containment_pairs_equal_bruteforce(spark):
+    """Prefix-filtered containment join is lossless: on the same seeded
+    mutation corpus, the probe-prefix path returns exactly the ordered
+    pairs (and values) an all-pairs shingle-set scan computes in Python.
+    Asymmetry probe: a short doc embedded in a longer one must score 1.0
+    in the A->B direction but below threshold in B->A."""
+    import random
+
+    from hubverse_transform_spark.operators.dedup import (
+        containment_prefix_pairs,
+        shingle_ngrams,
+    )
+    from pyspark.sql import functions as F
+
+    rng = random.Random(77)
+    vocab = [f"w{i}" for i in range(30)]
+    docs = []
+    for i in range(40):
+        docs.append((i, " ".join(rng.choices(vocab, k=rng.randint(8, 25)))))
+    for i in range(10):  # mutated near-dups
+        toks = docs[i][1].split()
+        toks[rng.randrange(len(toks))] = rng.choice(vocab)
+        docs.append((100 + i, " ".join(toks)))
+    # true sub-documents: first 6 tokens of doc 0/1 as standalone docs
+    docs.append((200, " ".join(docs[0][1].split()[:6])))
+    docs.append((201, " ".join(docs[1][1].split()[:6])))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    sets = {
+        r.doc_id: frozenset(r.sh)
+        for r in df.select(
+            "doc_id", shingle_ngrams(F.col("text"), 3).alias("sh")
+        ).collect()
+    }
+    for t in (0.5, 0.8):
+        want = {}
+        for a, sa in sets.items():
+            for b, sb in sets.items():
+                if a == b:
+                    continue
+                c = len(sa & sb) / len(sa)
+                if c >= t:
+                    want[(a, b)] = round(c, 6)
+        got = {
+            (r.id_a, r.id_b): r.containment
+            for r in containment_prefix_pairs(
+                df, "doc_id", "text", ngram=3, threshold=t
+            ).collect()
+        }
+        assert got == want, f"t={t}: sym diff {set(got) ^ set(want)}"
+    # the embedded short docs must be contained at 1.0 somewhere
+    full = {
+        (r.id_a, r.id_b): r.containment
+        for r in containment_prefix_pairs(
+            df, "doc_id", "text", ngram=3, threshold=0.9
+        ).collect()
+    }
+    assert any(a == 200 and c == 1.0 for (a, _b), c in full.items())
+    assert not any(b == 200 and a != 201 for (a, b) in full)
+
+
 def test_apply_changeset_duplicate_keys_raise(spark):
     """MERGE precondition: duplicate keys in the changeset raise (like
     Delta's 'multiple source rows matched') instead of silently fanning
