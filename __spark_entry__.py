@@ -5062,6 +5062,142 @@ def q212_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q213_spearman_length_ttr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation [EXT] between document length and
+    type-token ratio per language — the standard monotone-association
+    check behind corpus heuristics ("longer docs repeat more"); Pearson
+    (already in ``F.corr``) is distorted by heavy-tailed lengths, so rank
+    correlation is the curation-grade statistic.
+
+    Average ranks under ties computed as ``rank() + (tie_count - 1)/2``
+    (two windows per variable, both partitioned by language), then
+    Spearman rho = Pearson correlation of the rank columns via the
+    built-in ``corr`` aggregate — no UDF, no driver math. Scale shape:
+    the per-language rank windows are the inherent cost of an exact rank
+    statistic (one sort per language partition); everything after is a
+    map-side pair of products into one scalar aggregation per language."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    b = d.select(
+        "lang",
+        (F.col("n_chars") * 1.0).alias("x"),
+        (F.size(F.array_distinct(toks)) / F.size(toks)).alias("y"),
+    )
+
+    def _avg_rank(col: str):
+        return (
+            F.rank().over(Window.partitionBy("lang").orderBy(col))
+            + (
+                F.count(F.lit(1)).over(Window.partitionBy("lang", col)) - 1
+            )
+            / 2.0
+        )
+
+    r = b.select(
+        "lang", _avg_rank("x").alias("rx"), _avg_rank("y").alias("ry")
+    )
+    return r.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.round(F.corr("rx", "ry"), 6) + F.lit(0.0)).alias("spearman_rho"),
+    )
+
+
+def q214_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov drift statistic [EXT] between the
+    token-length distributions of two sources: D = max |CDF_a - CDF_b|
+    over the union of observed values, plus the value where the maximum
+    is attained (deterministic min-value tie-break). The
+    distribution-free sibling of q192's binned PSI — KS needs no bin
+    choice and is the standard two-sample drift gate.
+
+    Scale shape: lengths collapse to a (value, count_a, count_b)
+    table bounded by VALUE GRANULARITY (the q206 argument — distinct
+    token counts, not rows), the CDFs are one cumulative window over
+    that bounded table, and the argmax uses the broadcast-max filter
+    (no global rank window over data-sized frames)."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    b = d.filter(F.col("source").isin("src0", "src1")).select(
+        "source", F.size(toks).cast("long").alias("v")
+    )
+    cnt = b.groupBy("v").agg(
+        F.count(F.when(F.col("source") == "src0", 1)).alias("c0"),
+        F.count(F.when(F.col("source") == "src1", 1)).alias("c1"),
+    )
+    tot = cnt.agg(
+        F.sum("c0").alias("n_a"), F.sum("c1").alias("n_b")
+    )
+    wcum = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    diff = cnt.crossJoin(F.broadcast(tot)).select(
+        "v",
+        "n_a",
+        "n_b",
+        F.abs(
+            F.sum("c0").over(wcum) / F.col("n_a")
+            - F.sum("c1").over(wcum) / F.col("n_b")
+        ).alias("_ad"),
+    )
+    mx = diff.agg(F.max("_ad").alias("_mx"))
+    return (
+        diff.crossJoin(F.broadcast(mx))
+        .filter(F.col("_ad") == F.col("_mx"))
+        .groupBy("n_a", "n_b")
+        .agg(
+            F.round(F.max("_ad"), 6).alias("ks_stat"),
+            F.min("v").alias("at_value"),
+        )
+        .select("n_a", "n_b", "ks_stat", "at_value")
+    )
+
+
+def q215_vocab_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary Gini coefficient [EXT]: inequality of the token
+    frequency distribution (0 = uniform usage, →1 = a few tokens dominate)
+    — the corpus-health scalar next to q165's Zipf slope; templated or
+    deduplication-damaged corpora spike it.
+
+    Exact Gini from sorted frequencies G = 2·Σ(i·c_i)/(n·Σc) − (n+1)/n
+    WITHOUT ranking individual vocabulary rows: ties share a frequency,
+    so Σ(i·c_i) folds per DISTINCT frequency value into
+    c·(2·cum_before + k + 1)·k/2 (the arithmetic-series block sum). The
+    only window runs over the distinct-frequency table — bounded by value
+    granularity, not vocabulary size (the q206 argument) — and every term
+    stays integer until the final division, so the SQL oracle matches to
+    the last bit. One data-sized shuffle (token counts), one bounded
+    shuffle (frequency histogram)."""
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select(
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("w")
+    ).filter(F.col("w") != "")
+    freq = tok.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    dist = freq.groupBy("c").agg(F.count(F.lit(1)).alias("k"))
+    wprev = Window.orderBy("c").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    cum = dist.select(
+        "c",
+        "k",
+        F.coalesce(F.sum("k").over(wprev), F.lit(0)).alias("_cb"),
+    )
+    block_ic = (
+        F.col("c") * (2 * F.col("_cb") + F.col("k") + 1) * F.col("k") / 2
+    )
+    agg = cum.agg(
+        F.sum("k").alias("_n"),
+        F.sum(F.col("c") * F.col("k")).alias("_tot"),
+        F.sum(block_ic).alias("_ic"),
+    )
+    return agg.select(
+        F.col("_n").alias("vocab_size"),
+        F.col("_tot").alias("total_tokens"),
+        F.round(
+            2.0 * F.col("_ic") / (F.col("_n").cast("double") * F.col("_tot"))
+            - (F.col("_n") + 1.0) / F.col("_n"),
+            6,
+        ).alias("gini"),
+    )
+
+
 # =============================================================================
 # Driver contract
 # =============================================================================
@@ -5286,6 +5422,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q210_ngram_decontamination": q210_ngram_decontamination,
         "q211_centroid_confusion": q211_centroid_confusion,
         "q212_containment_pairs": q212_containment_pairs,
+        "q213_spearman_length_ttr": q213_spearman_length_ttr,
+        "q214_ks_drift": q214_ks_drift,
+        "q215_vocab_gini": q215_vocab_gini,
     }
 
 
@@ -9114,6 +9253,74 @@ def oracle_sql() -> dict[str, str]:
                    AS containment
         FROM cand JOIN sh x ON x.doc_id = id_a JOIN sh y ON y.doc_id = id_b
         WHERE len(list_intersect(x.s, y.s)) * 1.0 / len(x.s) >= 0.6
+    """
+    sqls["q213_spearman_length_ttr"] = f"""
+        WITH b AS (
+            SELECT lang, n_chars * 1.0 AS x,
+                   len(list_distinct({_TOKS})) * 1.0 / len({_TOKS}) AS y
+            FROM documents
+        ), r AS (
+            SELECT lang,
+                rank() OVER (PARTITION BY lang ORDER BY x)
+                  + (count(*) OVER (PARTITION BY lang, x) - 1) / 2.0 AS rx,
+                rank() OVER (PARTITION BY lang ORDER BY y)
+                  + (count(*) OVER (PARTITION BY lang, y) - 1) / 2.0 AS ry
+            FROM b
+        )
+        SELECT lang, count(*) AS n_docs,
+               round(corr(rx, ry), 6) + 0.0 AS spearman_rho
+        FROM r GROUP BY lang
+    """
+    sqls["q214_ks_drift"] = f"""
+        WITH b AS (
+            SELECT source, len({_TOKS}) AS v FROM documents
+            WHERE source IN ('src0', 'src1')
+        ), cnt AS (
+            SELECT v,
+                   count(*) FILTER (source = 'src0') AS c0,
+                   count(*) FILTER (source = 'src1') AS c1
+            FROM b GROUP BY v
+        ), cum AS (
+            SELECT v,
+                   sum(c0) OVER (ORDER BY v) * 1.0
+                       / (SELECT sum(c0) FROM cnt) AS f0,
+                   sum(c1) OVER (ORDER BY v) * 1.0
+                       / (SELECT sum(c1) FROM cnt) AS f1
+            FROM cnt
+        )
+        SELECT CAST((SELECT sum(c0) FROM cnt) AS BIGINT) AS n_a,
+               CAST((SELECT sum(c1) FROM cnt) AS BIGINT) AS n_b,
+               round(max(abs(f0 - f1)), 6) AS ks_stat,
+               CAST(min(v) FILTER (abs(f0 - f1) =
+                    (SELECT max(abs(f0 - f1)) FROM cum)) AS BIGINT)
+                   AS at_value
+        FROM cum
+    """
+    # same integer block-sum identity as the Spark side: sum of i*c over a
+    # tied frequency block c with k members starting after cum_before rows
+    # = c * (2*cum_before + k + 1) * k / 2
+    sqls["q215_vocab_gini"] = f"""
+        WITH tok AS (
+            SELECT unnest({_TOKS}) AS w FROM documents
+        ), freq AS (
+            SELECT w, count(*) AS c FROM tok WHERE w <> '' GROUP BY w
+        ), dist AS (
+            SELECT c, count(*) AS k FROM freq GROUP BY c
+        ), cum AS (
+            SELECT c, k,
+                   coalesce(sum(k) OVER (ORDER BY c
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS cb
+            FROM dist
+        ), agg AS (
+            SELECT sum(k) AS n, sum(c * k) AS tot,
+                   sum(c * (2 * cb + k + 1) * k / 2) AS ic
+            FROM cum
+        )
+        SELECT CAST(n AS BIGINT) AS vocab_size,
+               CAST(tot AS BIGINT) AS total_tokens,
+               round(2.0 * ic / (n * tot) - (n + 1.0) / n, 6) AS gini
+        FROM agg
     """
     sqls["q200_catalog_rowcounts"] = """
         SELECT 'region' AS table_name, count(*) AS n_rows FROM region

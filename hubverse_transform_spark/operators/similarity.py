@@ -738,3 +738,92 @@ def ivf_list_stats(
             ).alias("skew_vs_uniform"),
         )
     )
+
+
+def hard_negative_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    k: int = 10,
+) -> DataFrame:
+    """Hard-negative mining for contrastive / embedding training [EXT]:
+    for each query vector, the top-k most-similar corpus vectors whose
+    ``label_col`` DIFFERS from the query's — the "confusable but wrong"
+    examples a trainer wants as negatives.
+
+    Exact brute-force declared form: the query set is broadcast, scoring is
+    a map-only stage over the corpus (one zip_with/aggregate dot per pair,
+    JVM-side), and the only exchange is the per-query top-k. At lake scale
+    swap candidate generation for the IVF path (``ivf_cosine_topk``) and
+    apply the same label-exclusion filter on its shortlist — the filter
+    composes with any ANN candidate source because it is a pure predicate
+    on the scored pairs.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qvec"),
+        F.col(label_col).alias("_qlabel"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_cvec"),
+        F.col(label_col).alias("neighbor_label"),
+    )
+    scored = c.join(
+        F.broadcast(q), F.col("_qlabel") != F.col("neighbor_label")
+    ).withColumn("cosine_sim", cosine_similarity(F.col("_qvec"), F.col("_cvec")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "neighbor_label", "cosine_sim", "rank")
+    )
+
+
+def truncation_recall_audit(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    keep_dims: int = 16,
+    k: int = 5,
+) -> DataFrame:
+    """Matryoshka-style truncation audit [EXT]: per query, how many of the
+    exact top-k cosine neighbors survive when vectors are truncated to the
+    first ``keep_dims`` components (the cheap-retrieval trade every
+    embedding pipeline weighs before storing short vectors).
+
+    Both rankings are exact brute force over the same broadcast query set;
+    the overlap joins two k-row-per-query frames on (query, neighbor) —
+    every post-scoring frame is bounded by |queries|·k, so the audit adds
+    no data-sized shuffle beyond the two scoring passes. Truncated vectors
+    are re-scored with plain cosine on the slice (equivalent to
+    renormalizing the prefix).
+    """
+    full = cosine_brute_force_topk(
+        corpus, queries, id_col=id_col, vec_col=vec_col, k=k
+    )
+    cut = lambda df: df.select(  # noqa: E731
+        F.col(id_col), F.slice(F.col(vec_col), 1, keep_dims).alias(vec_col)
+    )
+    trunc = cosine_brute_force_topk(
+        cut(corpus), cut(queries), id_col=id_col, vec_col=vec_col, k=k
+    )
+    hit = full.join(
+        trunc.select("query_id", "neighbor_id", F.lit(1).alias("_hit")),
+        ["query_id", "neighbor_id"],
+        "left",
+    )
+    return hit.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("preserved"),
+        F.round(
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0))) / F.count(F.lit(1)), 6
+        ).alias("overlap_at_k"),
+    )

@@ -121,3 +121,61 @@ def test_quantile_scale_twins_paths_agree(spark):
         assert r.max_rank_err <= 2e-4, (r.decile, r.max_rank_err)
         # tie-aware interval really contains the target decile fraction
         assert r.frac_below - 2e-4 <= r.decile / 10.0 <= r.frac_at_or_below + 2e-4
+
+
+def test_statistics_queries_match_numpy_reference(spark):
+    """q213/q214/q215 against independent numpy/pure-Python references on
+    the real sf0.001 documents table — guards against the oracle and the
+    Spark side agreeing on the same WRONG formula (the differential can't
+    catch a shared algebra slip)."""
+    import numpy as np
+
+    import __spark_entry__ as e
+
+    sf = "/root/testdata/sf0.001"
+    docs = [
+        (r.lang, r.source, r.n_chars, r.text.strip().lower().split())
+        for r in spark.read.parquet(f"{sf}/documents.parquet").collect()
+    ]
+
+    # --- Spearman per lang (average ranks under ties) ---
+    def avg_ranks(vals):
+        order = np.argsort(np.asarray(vals), kind="stable")
+        ranks = np.empty(len(vals))
+        sv = np.asarray(vals)[order]
+        i = 0
+        while i < len(sv):
+            j = i
+            while j + 1 < len(sv) and sv[j + 1] == sv[i]:
+                j += 1
+            ranks[order[i : j + 1]] = (i + j) / 2.0 + 1.0
+            i = j + 1
+        return ranks
+
+    got = {r.lang: r.spearman_rho for r in e.q213_spearman_length_ttr(spark, sf).collect()}
+    for lang in got:
+        xs = [n for lg, _s, n, _t in docs if lg == lang]
+        ys = [len(set(t)) / len(t) for lg, _s, _n, t in docs if lg == lang]
+        rho = np.corrcoef(avg_ranks(xs), avg_ranks(ys))[0, 1]
+        assert abs(got[lang] - rho) < 1e-5, (lang, got[lang], rho)
+
+    # --- KS between src0 and src1 token-length CDFs ---
+    a = sorted(len(t) for _l, s, _n, t in docs if s == "src0")
+    b = sorted(len(t) for _l, s, _n, t in docs if s == "src1")
+    grid = sorted(set(a) | set(b))
+    cdf = lambda xs, v: sum(1 for x in xs if x <= v) / len(xs)
+    want_ks = max(abs(cdf(a, v) - cdf(b, v)) for v in grid)
+    row = e.q214_ks_drift(spark, sf).collect()[0]
+    assert row.n_a == len(a) and row.n_b == len(b)
+    assert abs(row.ks_stat - want_ks) < 1e-6
+
+    # --- vocabulary Gini from raw sorted frequencies ---
+    from collections import Counter
+
+    freqs = Counter(w for _l, _s, _n, t in docs for w in t if w)
+    c = np.sort(np.array(list(freqs.values()), dtype=float))
+    n = len(c)
+    want_gini = 2.0 * np.sum(np.arange(1, n + 1) * c) / (n * c.sum()) - (n + 1.0) / n
+    row = e.q215_vocab_gini(spark, sf).collect()[0]
+    assert row.vocab_size == n and row.total_tokens == int(c.sum())
+    assert abs(row.gini - want_gini) < 1e-6
