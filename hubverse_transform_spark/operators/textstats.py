@@ -522,3 +522,53 @@ def perplexity_bucket_thresholds(
             F.round(F.avg("avg_neg_logprob"), 6).alias("avg_score"),
         )
     )
+
+
+def char_entropy_stats(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "lang",
+    low: float = 2.0,
+    high: float = 6.0,
+) -> DataFrame:
+    """Per-document Shannon character entropy [EXT], summarized per group —
+    the classic gibberish screen: natural text sits in a band (~3.5-4.5
+    bits/char for English), while key-mash / base64 blobs spike high and
+    repeated-character padding collapses low. CCNet/RefinedWeb-family
+    pipelines gate on exactly this signal before anything model-based.
+
+    H(doc) = log2(n) - (Σ c_i·log2(c_i)) / n over per-character counts —
+    the algebraic form needs only Σ c·log2(c) and n, so the whole statistic
+    is two hash aggregations: explode characters → count per (doc, char) →
+    fold per doc. The (doc, char) frame is the data-sized shuffle (same
+    shape as every token explode in this module); nothing is per-row Python
+    and no window runs anywhere. Flags docs outside [low, high] bits/char.
+    """
+    chars = df.select(
+        F.col(id_col), F.col(group_col),
+        F.explode(
+            F.regexp_extract_all(F.col(text_col), F.lit("."), 0)
+        ).alias("_ch"),
+    )
+    per_char = chars.groupBy(id_col, group_col, "_ch").agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    per_doc = per_char.groupBy(id_col, group_col).agg(
+        F.sum("_c").alias("_n"),
+        F.sum(F.col("_c") * F.log2("_c")).alias("_clogc"),
+    ).select(
+        id_col,
+        group_col,
+        (F.log2("_n") - F.col("_clogc") / F.col("_n")).alias("_h"),
+    )
+    return per_doc.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("_h"), 6).alias("avg_entropy"),
+        F.round(F.min("_h"), 6).alias("min_entropy"),
+        F.round(F.max("_h"), 6).alias("max_entropy"),
+        F.count(F.when((F.col("_h") < low) | (F.col("_h") > high), 1)).alias(
+            "n_flagged"
+        ),
+    )
