@@ -602,6 +602,8 @@ def containment_prefix_pairs(
     *,
     ngram: int = 3,
     threshold: float = 0.8,
+    max_df: int | None = None,
+    salt_buckets: int = 8,
 ) -> DataFrame:
     """Exact asymmetric containment self-join with prefix filtering [EXT]:
     all ordered pairs (A, B) with C(A→B) = |shingles(A) ∩ shingles(B)| /
@@ -629,6 +631,25 @@ def containment_prefix_pairs(
     cache-compute-release discipline as the Jaccard form: shingle arrays
     and probe prefixes persist across the join branches, one eager job
     materializes the (small) pair output, then both unpersist.
+
+    Skew mitigation, EXACTNESS-PRESERVING (unlike ``winnow_overlap_pairs``
+    whose ``max_df`` simply drops boilerplate keys): with ``max_df`` set,
+    shingles with document frequency > ``max_df`` ("hot": a stop-shingle
+    with df=f would put f index postings on ONE reducer key and fan out
+    f·probe_hits candidate rows there) are routed to a SALTED residual
+    join instead of being dropped. Probe postings on hot shingles get a
+    deterministic salt ``xxhash64(probe_id) % salt_buckets``; index
+    postings on hot shingles are replicated across all ``salt_buckets``
+    salts; the residual joins on (shingle, salt), spreading each hot key
+    over ``salt_buckets`` reducers. Every (probe, index) posting pair on
+    an equal shingle lands in exactly one branch (cold xor hot), so the
+    candidate set — and hence the verified output — is IDENTICAL to the
+    uncapped join (property-tested against a brute-force all-pairs scan
+    in tests/test_sessions_sampling.py). Cost bound: replication touches
+    only hot postings, and rarest-first prefix ordering means hot
+    shingles almost never survive into probe prefixes — the residual
+    probe side is near-empty by construction, so the residual is cheap
+    insurance, not a second full join.
     """
     docs = (
         df.select(
@@ -646,15 +667,43 @@ def containment_prefix_pairs(
         post.join(dfreq, "_s")
         .withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= prefix_len)
-        .select(F.col("_id").alias("_ida"), F.col("_sz").alias("_sza"), "_s")
+        .select(
+            F.col("_id").alias("_ida"), F.col("_sz").alias("_sza"), "_s", "_df"
+        )
         .persist()
     )
     idx = docs.select(
         F.col("_id").alias("_idb"), F.col("_sz").alias("_szb"),
         F.explode("_sh").alias("_s"),
     )
+    to_release = [docs, probe]
+    if max_df is None:
+        cand_rows = probe.drop("_df").join(idx.hint("shuffle_hash"), on="_s")
+    else:
+        # hot-shingle set is small by construction (<= |postings| / max_df
+        # distinct values) -> broadcast to both index branches; persisted so
+        # the dfreq aggregation behind it runs once, not per consumer
+        hot = dfreq.filter(F.col("_df") > max_df).select("_s").persist()
+        to_release.append(hot)
+        probe_cold = probe.filter(F.col("_df") <= max_df).drop("_df")
+        probe_hot = probe.filter(F.col("_df") > max_df).drop("_df")
+        idx_cold = idx.join(F.broadcast(hot), "_s", "left_anti")
+        idx_hot = idx.join(F.broadcast(hot), "_s", "left_semi")
+        salts = F.array(*[F.lit(i) for i in range(salt_buckets)])
+        cand_cold = probe_cold.join(idx_cold.hint("shuffle_hash"), on="_s")
+        cand_hot = (
+            probe_hot.withColumn(
+                "_salt", F.pmod(F.xxhash64("_ida"), F.lit(salt_buckets)).cast("int")
+            )
+            .join(
+                idx_hot.withColumn("_salt", F.explode(salts)).hint("shuffle_hash"),
+                on=["_s", "_salt"],
+            )
+            .drop("_salt")
+        )
+        cand_rows = cand_cold.unionByName(cand_hot)
     cand = (
-        probe.join(idx.hint("shuffle_hash"), on="_s")
+        cand_rows
         .filter(F.col("_ida") != F.col("_idb"))
         .filter(F.col("_szb") >= F.ceil(F.col("_sza") * F.lit(threshold)))
         .select(F.col("_ida").alias("id_a"), F.col("_idb").alias("id_b"))
@@ -672,7 +721,7 @@ def containment_prefix_pairs(
             "id_a", "id_b", F.round(containment, 6).alias("containment")
         )
     )
-    return compute_release(result, docs, probe)
+    return compute_release(result, *to_release)
 
 
 def chunk_dup_stats(

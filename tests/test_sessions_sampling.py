@@ -412,7 +412,10 @@ def test_containment_pairs_equal_bruteforce(spark):
             "doc_id", shingle_ngrams(F.col("text"), 3).alias("sh")
         ).collect()
     }
-    for t in (0.5, 0.8):
+    # max_df=None is the plain prefix join; max_df=3 forces a large hot set
+    # through the salted exact residual (vocab is tiny, so many shingles
+    # exceed df 3) — both must equal the brute-force scan exactly
+    for t, mdf in ((0.5, None), (0.8, None), (0.5, 3), (0.8, 3)):
         want = {}
         for a, sa in sets.items():
             for b, sb in sets.items():
@@ -424,10 +427,11 @@ def test_containment_pairs_equal_bruteforce(spark):
         got = {
             (r.id_a, r.id_b): r.containment
             for r in containment_prefix_pairs(
-                df, "doc_id", "text", ngram=3, threshold=t
+                df, "doc_id", "text", ngram=3, threshold=t,
+                max_df=mdf, salt_buckets=4,
             ).collect()
         }
-        assert got == want, f"t={t}: sym diff {set(got) ^ set(want)}"
+        assert got == want, f"t={t} max_df={mdf}: sym diff {set(got) ^ set(want)}"
     # the embedded short docs must be contained at 1.0 somewhere
     full = {
         (r.id_a, r.id_b): r.containment
