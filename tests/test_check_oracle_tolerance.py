@@ -1,0 +1,77 @@
+"""The differential tool's tolerance assertions for the rows-only sketch
+queries must FAIL loudly on drift — seeded perturbations of a known-good
+result frame flip them to errors (VERDICT r5/r6 item: 'rows-only' lines
+were previously unchecked prints)."""
+
+from __future__ import annotations
+
+import sys
+
+import duckdb
+import pandas as pd
+import pytest
+
+sys.path.insert(0, "tools")
+
+from check_oracle import TOLERANCE_CHECKS, tolcheck_q109, tolcheck_q207
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    c.sql(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{SF}/events.parquet')"
+    )
+    return c
+
+
+def _exact_weekly(con):
+    return con.sql(
+        "SELECT weekofyear(date_trunc('day', ts)) AS week,"
+        " count(DISTINCT user_id) AS approx_users, 1 AS n_days"
+        " FROM events GROUP BY 1"
+    ).df()
+
+
+def test_q109_exact_passes_and_perturbation_fails(con):
+    good = _exact_weekly(con)
+    assert tolcheck_q109(good, con) == []
+    # drift one week's estimate 20% high -> must be reported
+    bad = good.copy()
+    bad.loc[0, "approx_users"] = int(bad.loc[0, "approx_users"] * 1.2) + 10
+    errs = tolcheck_q109(bad, con)
+    assert errs and "outside 5%" in errs[0]
+    # a missing/extra week is also a failure, not a silent pass
+    errs = tolcheck_q109(good.iloc[1:], con)
+    assert errs and "week sets differ" in errs[0]
+
+
+def test_q207_guarantee_passes_and_perturbation_fails(con):
+    good = pd.DataFrame(
+        {
+            "decile": range(1, 10),
+            "approx_cut": [float(i) for i in range(1, 10)],
+            "frac_below": [i / 10 for i in range(1, 10)],
+            "frac_at_or_below": [i / 10 for i in range(1, 10)],
+            "max_rank_err": [0.0] * 9,
+        }
+    )
+    assert tolcheck_q207(good, con) == []
+    bad = good.copy()
+    bad.loc[4, "max_rank_err"] = 5e-4  # outside the accuracy=10000 bound
+    errs = tolcheck_q207(bad, con)
+    assert errs and "rank error" in errs[0]
+    errs = tolcheck_q207(good.iloc[:5], con)
+    assert errs and "9 deciles" in errs[0]
+
+
+def test_every_rows_only_query_has_a_tolerance_check():
+    import __spark_entry__ as entry
+
+    rows_only = set(entry.queries()) - set(entry.oracle_sql())
+    assert rows_only == set(TOLERANCE_CHECKS), (
+        "every oracle-less query needs a tolerance assertion in "
+        "tools/check_oracle.py TOLERANCE_CHECKS"
+    )
