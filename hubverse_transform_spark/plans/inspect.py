@@ -70,3 +70,27 @@ def whole_stage_codegen_spans(df: DataFrame) -> int:
         return int(m.group(1)) if m else 0
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", old)
+
+
+def global_window_count(df: DataFrame) -> int:
+    """Number of Window operators with an EMPTY partition spec in the
+    optimized logical plan. An unpartitioned window funnels its entire
+    input through ONE task (Spark itself warns "No Partition Defined for
+    Window operation") — fatal at lake scale unless the rows entering it
+    are bounded by something other than data volume (group cardinality,
+    value granularity). Counted on the logical plan via the JVM tree walk
+    because the physical plan string is ambiguous (``Window [e], [o]`` vs
+    ``Window [e], [p], [o]`` can't be parsed robustly once expressions
+    nest brackets)."""
+
+    def walk(node):
+        yield node
+        for i in range(node.children().size()):
+            yield from walk(node.children().apply(i))
+
+    plan = df._jdf.queryExecution().optimizedPlan()  # type: ignore[attr-defined]
+    return sum(
+        1
+        for n in walk(plan)
+        if n.nodeName() == "Window" and n.partitionSpec().size() == 0
+    )

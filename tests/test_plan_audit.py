@@ -25,3 +25,56 @@ def test_no_cartesian_product(spark, name):
     assert "BatchEvalPython" not in plan, (
         f"{name} plans a row-at-a-time Python UDF (BatchEvalPython)"
     )
+
+
+# Whitelisted unpartitioned-window sites (Spark's "No Partition Defined for
+# Window operation" WARN). A global window funnels its whole input through
+# ONE task — admissible ONLY when the rows entering it are bounded by
+# something other than data volume. Each entry: query -> (count, why the
+# window input stays small at 100 TB). Any NEW unpartitioned window fails
+# this gate until it's justified here.
+_GLOBAL_WINDOW_OK = {
+    # post-aggregation month grain: rows = distinct months
+    "q117_mom_revenue_growth": (1, "running window over per-month aggregates"),
+    # CDF over DISTINCT rounded perplexity scores (value granularity)
+    "q127_perplexity_buckets": (2, "cumulative dist over distinct score table"),
+    # one row per day after the daily-HLL rollup
+    "q135_cumulative_distinct_users": (1, "running union over per-day rows"),
+    # gap grid bounded by the observed day span
+    "q147_interpolate_gaps": (1, "navigation over per-day series"),
+    # log-log regression over the top-k frequency ranks (k fixed)
+    "q165_zipf_slope": (1, "rank over bounded top-k vocab slice"),
+    # one row per category after aggregation
+    "q190_largest_remainder": (1, "seat-remainder rank over category rows"),
+    # rows = embedding dimension (fixed, 64)
+    "q195_power_iteration_pca": (1, "ordering over dim-sized eigenvector"),
+    # rows = nodes of the (small) dimension hierarchy
+    "q196_hierarchy_share": (1, "share-of-parent over hierarchy rows"),
+    # CDFs over the (value, count) histogram: distinct token LENGTHS
+    "q214_ks_drift": (2, "cumulative CDFs over value-granularity histogram"),
+    # window over the distinct-frequency histogram, not the vocabulary
+    "q215_vocab_gini": (1, "block-sum over distinct-frequency table"),
+    # IDF/score rank over the top-k result slice
+    "q70_bm25_search": (1, "rank over bounded result set"),
+    # PMI rank over the aggregated bigram table's top slice
+    "q71_pmi_collocations": (1, "rank over aggregated collocation table"),
+    # ratio-to-report over per-nation aggregates
+    "q88_revenue_share": (1, "share window over per-group aggregates"),
+}
+
+
+@pytest.mark.parametrize("name", [q for q in entry.queries() if q not in _EAGER])
+def test_no_unjustified_global_window(spark, name):
+    """Census gate: every unpartitioned Window in every declared query must
+    appear in _GLOBAL_WINDOW_OK with its cardinality argument; a whitelisted
+    query losing its global window must be removed from the list (keeps the
+    census honest both ways)."""
+    from hubverse_transform_spark.plans.inspect import global_window_count
+
+    got = global_window_count(entry.queries()[name](spark, SF))
+    want = _GLOBAL_WINDOW_OK.get(name, (0, ""))[0]
+    assert got == want, (
+        f"{name}: {got} unpartitioned Window ops, whitelist says {want} — "
+        "a global window is a single-task funnel; justify it in "
+        "_GLOBAL_WINDOW_OK (bounded-cardinality argument) or partition it"
+    )
