@@ -340,7 +340,8 @@ def ivf_cosine_topk(
 
 
 def _exact_cosine_pairs_blocked(
-    df: DataFrame, id_col: str, vec_col: str, threshold: float
+    df: DataFrame, id_col: str, vec_col: str, threshold: float,
+    max_rows: int = 1_000_000,
 ) -> DataFrame:
     """All-pairs cosine >= threshold via block × broadcast-matrix matmul.
 
@@ -348,14 +349,24 @@ def _exact_cosine_pairs_blocked(
     other side streams through ``mapInPandas``, scoring each Arrow batch with
     a single BLAS GEMM — ~100× the throughput of a pair-at-a-time crossJoin
     with interpreted array folds. The broadcast matrix bounds this variant
-    (N×dim doubles must fit an executor); the hyperplane-LSH form below is the
-    unbounded scale path. Zero-norm vectors never pair (any positive
-    threshold), matching cosine's null semantics in the HOF form.
+    (N×dim doubles must fit an executor), so inputs above ``max_rows`` RAISE
+    toward ``embedding_near_dup_pairs``'s hyperplane-LSH default instead of
+    silently attempting a driver collect that would OOM (1M × 64-dim f64 is
+    ~512 MB broadcast — already the ceiling of comfortable). Zero-norm
+    vectors never pair (any positive threshold), matching cosine's null
+    semantics in the HOF form.
     """
     import numpy as np
     import pandas as pd
 
     narrowed = df.select(F.col(id_col).cast("long").alias("id"), F.col(vec_col).alias("v"))
+    n = narrowed.count()
+    if n > max_rows:
+        raise ValueError(
+            f"exact cosine self-join collects the whole input to the driver: "
+            f"{n} rows > max_rows={max_rows}. Use embedding_near_dup_pairs("
+            f"exact=False) — the hyperplane-LSH path — at this scale."
+        )
     rows = narrowed.collect()
     ids = np.array([r["id"] for r in rows], dtype=np.int64)
     M = np.array([list(r["v"]) for r in rows], dtype=np.float64)

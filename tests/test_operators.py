@@ -336,6 +336,26 @@ def test_embedding_near_dup_exact(spark, vec_df):
     assert {(r["id_a"], r["id_b"]) for r in out} == {(0, 1)}
 
 
+def test_exact_cosine_pairs_guard_raises_over_max_rows(spark, vec_df):
+    """The exact path collects to the driver; above max_rows it must refuse
+    and point at the LSH path instead of silently attempting the collect."""
+    import pytest
+
+    from hubverse_transform_spark.operators.similarity import (
+        _exact_cosine_pairs_blocked,
+    )
+
+    with pytest.raises(ValueError, match="embedding_near_dup_pairs"):
+        _exact_cosine_pairs_blocked(
+            vec_df, "vec_id", "embedding", 0.9, max_rows=2
+        )
+    # at/under the bound the path still runs
+    out = _exact_cosine_pairs_blocked(
+        vec_df, "vec_id", "embedding", 0.9, max_rows=vec_df.count()
+    ).collect()
+    assert {(r["id_a"], r["id_b"]) for r in out} == {(0, 1)}
+
+
 # --- as-of join -------------------------------------------------------------
 
 
