@@ -30,10 +30,13 @@ from pyspark.sql import functions as F
 from hubverse_transform_spark.functions.text import (
     _LANG_PROFILES,
     _profile_hits,
+    PII_PATTERNS,
     bpe_ish_token_count,
     chargram_min_fingerprint,
     lang_id_expr,
+    pii_counts,
     quality_score,
+    redact_pii,
     whitespace_token_count,
 )
 from hubverse_transform_spark.operators.asof import asof_join
@@ -5067,16 +5070,16 @@ def q212_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     duplication signal Jaccard dilutes (q158) and the corpus-vs-corpus
     sibling of q102's benchmark containment. Prefix-filtered
     (probe-side-only prefix, lossless), exact verification on candidates.
-    Stop-shingle skew is capped at ``max_df=18`` (p99 of the sf0.1 df
-    distribution): hotter shingles route through the salted exact
-    residual join instead of piling f index postings + f·hits candidate
-    rows onto one reducer key — output identical to the uncapped join
-    (the oracle below is the uncapped brute join); see
-    ``operators/dedup.containment_prefix_pairs`` for the 100 TB
-    posture."""
+    Stop-shingle skew is capped adaptively (``max_df="auto"`` = 4× the
+    p99.9 document frequency): outlier shingles route through the salted
+    exact residual join instead of piling f index postings + f·hits
+    candidate rows onto one reducer key — output identical to the
+    uncapped join (the oracle below is the uncapped brute join); see
+    ``operators/dedup.containment_prefix_pairs`` for the 100 TB posture
+    and why the cap chases outliers rather than a fixed constant."""
     d = _t(spark, sf_dir, "documents")
     return containment_prefix_pairs(
-        d, "doc_id", "text", ngram=3, threshold=0.6, max_df=18
+        d, "doc_id", "text", ngram=3, threshold=0.6, max_df="auto"
     )
 
 
@@ -5213,6 +5216,192 @@ def q215_vocab_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             - (F.col("_n") + 1.0) / F.col("_n"),
             6,
         ).alias("gini"),
+    )
+
+
+def q216_pii_redaction_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub audit [EXT]: per-segment counts of email/phone/ipv4/url
+    hits found by ``functions.text.pii_counts`` and — the actual gate — the
+    RESIDUAL match count after ``redact_pii`` ran (must be 0 everywhere:
+    redaction that leaves a matchable substring is a leak, not a scrub).
+    The testdata carries no free-text PII, so a deterministic contact
+    string is constructed per customer from its own columns (every third
+    customer lacks a phone, so counts differ per label) — which makes
+    this a true cross-engine differential for the regex dialect:
+    PII_PATTERNS deliberately sticks to syntax Java regex and DuckDB's
+    RE2 interpret identically, and the oracle replays both the
+    construction and all four patterns.
+
+    Scale shape: pure map-side chained regexp (codegen, no UDF, no
+    Python) + one per-segment aggregation — the cheapest possible shape
+    for a 100 TB scrub pass."""
+    c = _t(spark, sf_dir, "customer")
+    digits = F.lpad(F.col("c_custkey").cast("string"), 10, "0")
+    phone = F.concat(
+        F.lit("+"), F.substring(digits, 1, 3), F.lit("-"),
+        F.substring(digits, 4, 3), F.lit("-"), F.substring(digits, 7, 4),
+    )
+    email = F.concat(
+        F.lower(F.regexp_replace("c_name", "#", "")), F.lit("@example.com")
+    )
+    ip = F.concat_ws(
+        ".",
+        (F.col("c_custkey") % 256).cast("string"),
+        (F.col("c_nationkey") % 256).cast("string"),
+        (F.col("c_custkey") % 100).cast("string"),
+        F.lit("7"),
+    )
+    txt = F.concat(
+        F.col("c_name"), F.lit(" <"), email, F.lit(">"),
+        F.when(F.col("c_custkey") % 3 != 0, F.concat(F.lit(" tel "), phone))
+        .otherwise(F.lit("")),
+        F.lit(" ip "), ip,
+        F.lit(" https://hub.example/c/"), F.lower("c_mktsegment"),
+    )
+    cnt = pii_counts(txt)
+    residual = pii_counts(redact_pii(txt))
+    labels = [label for label, _ in PII_PATTERNS]
+    return (
+        c.select(
+            "c_mktsegment",
+            *[cnt[lbl].alias(f"_{lbl}") for lbl in labels],
+            sum([residual[lbl] for lbl in labels], F.lit(0)).alias("_res"),
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            *[F.sum(f"_{lbl}").alias(f"n_{lbl}") for lbl in labels],
+            F.sum("_res").alias("residual_matches"),
+        )
+    )
+
+
+def q217_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-shard assignment [EXT]: every document maps to
+    a stable shard via the first 8 hex digits of md5(doc_id) mod 32 —
+    content-independent, reshuffle-free across runs AND engines (md5 is
+    bit-identical everywhere; xxhash64 would be Spark-only), the layout
+    step every epoch-shuffled training loader runs before writing shards.
+    Output is the balance audit: per-shard doc/token mass plus relative
+    deviation from the ideal uniform share (a loader stalls on its fattest
+    shard, so skew here IS the training-throughput bug).
+
+    Scale shape: one map-side hash projection (no shuffle to assign), one
+    32-key aggregation with map-side combine, and the 2-row expected-share
+    scalar crossJoin-broadcast back (q214's pattern — no global window,
+    no second scan of the corpus)."""
+    d = _t(spark, sf_dir, "documents")
+    shard = F.pmod(
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long"),
+        F.lit(32),
+    )
+    per = (
+        d.select(
+            shard.alias("shard_id"),
+            whitespace_token_count(F.col("text")).alias("_tok"),
+        )
+        .groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_tok").alias("n_tokens"),
+        )
+    )
+    tot = per.agg(
+        F.sum("n_docs").alias("_nd"), F.count(F.lit(1)).alias("_ns")
+    )
+    return per.crossJoin(F.broadcast(tot)).select(
+        "shard_id",
+        "n_docs",
+        "n_tokens",
+        F.round(
+            F.col("n_docs") / (F.col("_nd") * 1.0 / F.col("_ns")) - 1.0, 6
+        ).alias("doc_skew"),
+    )
+
+
+def q218_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding outlier audit [EXT]: distance of each vector to
+    its own label's centroid, z-scored within the label, top-3 per label —
+    the mislabeled/corrupt-vector screen (CleanLab-style confident-learning
+    signal reduced to its distributional core) run before embeddings feed
+    contrastive training; q211 is the cross-label confusion sibling.
+
+    Scale shape: centroids via one (label, pos) aggregation over the
+    posexploded vectors (640 rows — broadcast back), per-vector distance as
+    a second aggregation on (vec_id, label), per-label moment scalars
+    broadcast again, and the top-3 via a rank window partitioned by label.
+    No pairwise joins anywhere — linear in vectors at every step."""
+    emb = _t(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "vec_id", "label", F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "x")
+    )
+    cent = ex.groupBy("label", "pos").agg(F.avg("x").alias("c"))
+    dist = (
+        ex.join(F.broadcast(cent), ["label", "pos"])
+        .groupBy("vec_id", "label")
+        .agg(F.sum((F.col("x") - F.col("c")) * (F.col("x") - F.col("c"))).alias("_d2"))
+        .select("vec_id", "label", F.sqrt("_d2").alias("_d"))
+    )
+    stats = dist.groupBy("label").agg(
+        F.avg("_d").alias("_mu"), F.stddev_samp("_d").alias("_sd")
+    )
+    z = dist.join(F.broadcast(stats), "label").select(
+        "label", "vec_id", ((F.col("_d") - F.col("_mu")) / F.col("_sd")).alias("_z")
+    )
+    w = Window.partitionBy("label").orderBy(F.col("_z").desc(), "vec_id")
+    return (
+        z.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("label", "vec_id", F.round("_z", 6).alias("z_score"), "rank")
+    )
+
+
+def q219_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance weighting [EXT] (Xie et al. 2023, reduced to
+    its unigram core): per-document mean log-ratio of add-one-smoothed
+    token probabilities under the TARGET distribution (the 'en' slice)
+    vs the whole corpus — the data-selection score that upweights
+    documents resembling the target domain. Reported per source: document
+    count, mean importance, and how many documents a weight>0 gate keeps.
+
+    Scale shape: the token-ratio model is one vocabulary-sized aggregation
+    (tiny — broadcast), so scoring is a map-side broadcast join over the
+    exploded token stream plus one per-doc and one per-source aggregation.
+    The 100 TB corpus is never joined to itself and the model table is
+    O(vocab), not O(corpus)."""
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        "source",
+        "lang",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("w"),
+    ).filter(F.col("w") != "")
+    cnt = tok.groupBy("w").agg(
+        F.count(F.lit(1)).alias("_ca"),
+        F.count(F.when(F.col("lang") == "en", 1)).alias("_ce"),
+    )
+    tots = cnt.agg(
+        F.sum("_ca").alias("_ta"),
+        F.sum("_ce").alias("_te"),
+        F.count(F.lit(1)).alias("_v"),
+    )
+    model = cnt.crossJoin(F.broadcast(tots)).select(
+        "w",
+        (
+            F.log((F.col("_ce") + 1) / (F.col("_te") + F.col("_v")))
+            - F.log((F.col("_ca") + 1) / (F.col("_ta") + F.col("_v")))
+        ).alias("_s"),
+    )
+    per_doc = (
+        tok.join(F.broadcast(model), "w")
+        .groupBy("doc_id", "source")
+        .agg(F.avg("_s").alias("_wgt"))
+    )
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("_wgt"), 6).alias("avg_importance"),
+        F.count(F.when(F.col("_wgt") > 0, 1)).alias("n_selected"),
     )
 
 
@@ -5443,6 +5632,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q213_spearman_length_ttr": q213_spearman_length_ttr,
         "q214_ks_drift": q214_ks_drift,
         "q215_vocab_gini": q215_vocab_gini,
+        "q216_pii_redaction_audit": q216_pii_redaction_audit,
+        "q217_shard_assignment": q217_shard_assignment,
+        "q218_embedding_outliers": q218_embedding_outliers,
+        "q219_dsir_importance": q219_dsir_importance,
     }
 
 
@@ -9348,6 +9541,128 @@ def oracle_sql() -> dict[str, str]:
                CAST(tot AS BIGINT) AS total_tokens,
                round(2.0 * ic / (n * tot) - (n + 1.0) / n, 6) AS gini
         FROM agg
+    """
+    # NOT an f-string: the regex quantifiers {2,} would collide with format
+    # braces. PII_PATTERNS is written in the Java/RE2 shared dialect, so the
+    # literals here are byte-identical to functions/text.py.
+    sqls["q216_pii_redaction_audit"] = r"""
+        WITH built AS (
+            SELECT c_mktsegment,
+                   c_name || ' <' || lower(replace(c_name, '#', ''))
+                   || '@example.com>'
+                   || CASE WHEN c_custkey % 3 <> 0 THEN ' tel +'
+                        || substr(lpad(CAST(c_custkey AS VARCHAR), 10, '0'), 1, 3)
+                        || '-'
+                        || substr(lpad(CAST(c_custkey AS VARCHAR), 10, '0'), 4, 3)
+                        || '-'
+                        || substr(lpad(CAST(c_custkey AS VARCHAR), 10, '0'), 7, 4)
+                      ELSE '' END
+                   || ' ip ' || CAST(c_custkey % 256 AS VARCHAR) || '.'
+                   || CAST(c_nationkey % 256 AS VARCHAR) || '.'
+                   || CAST(c_custkey % 100 AS VARCHAR) || '.7'
+                   || ' https://hub.example/c/' || lower(c_mktsegment) AS txt
+            FROM customer
+        ), scrubbed AS (
+            SELECT c_mktsegment, txt,
+                   regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+                       txt,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                       '\+?\d[\d\- ]{7,14}\d', '<PHONE>', 'g'),
+                       '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IPV4>', 'g'),
+                       'https?://[^\s]+', '<URL>', 'g') AS red
+            FROM built
+        )
+        SELECT c_mktsegment,
+               count(*) AS n_customers,
+               CAST(sum(len(regexp_extract_all(txt, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))) AS BIGINT) AS n_email,
+               CAST(sum(len(regexp_extract_all(txt, '\+?\d[\d\- ]{7,14}\d'))) AS BIGINT) AS n_phone,
+               CAST(sum(len(regexp_extract_all(txt, '\b(?:\d{1,3}\.){3}\d{1,3}\b'))) AS BIGINT) AS n_ipv4,
+               CAST(sum(len(regexp_extract_all(txt, 'https?://[^\s]+'))) AS BIGINT) AS n_url,
+               CAST(sum(
+                   len(regexp_extract_all(red, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+                 + len(regexp_extract_all(red, '\+?\d[\d\- ]{7,14}\d'))
+                 + len(regexp_extract_all(red, '\b(?:\d{1,3}\.){3}\d{1,3}\b'))
+                 + len(regexp_extract_all(red, 'https?://[^\s]+'))
+               ) AS BIGINT) AS residual_matches
+        FROM scrubbed
+        GROUP BY c_mktsegment
+    """
+    sqls["q217_shard_assignment"] = r"""
+        WITH s AS (
+            SELECT CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                       AS BIGINT) % 32 AS shard_id,
+                   CASE WHEN trim(text) = '' THEN 0
+                        ELSE len(regexp_split_to_array(trim(text), '\s+'))
+                   END AS tok
+            FROM documents
+        ), per AS (
+            SELECT shard_id, count(*) AS n_docs,
+                   CAST(sum(tok) AS BIGINT) AS n_tokens
+            FROM s GROUP BY shard_id
+        ), tot AS (
+            SELECT CAST(sum(n_docs) AS BIGINT) AS nd, count(*) AS ns FROM per
+        )
+        SELECT shard_id, n_docs, n_tokens,
+               round(n_docs / (nd * 1.0 / ns) - 1.0, 6) AS doc_skew
+        FROM per, tot
+    """
+    sqls["q218_embedding_outliers"] = """
+        WITH v AS (
+            SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS ve
+            FROM embeddings
+        ), ex AS (
+            SELECT vec_id, label, CAST(t.range AS INT) AS pos,
+                   ve[CAST(t.range AS INT)] AS x
+            FROM v, range(1, 65) t
+        ), cent AS (
+            SELECT label, pos, avg(x) AS c FROM ex GROUP BY 1, 2
+        ), dist AS (
+            SELECT vec_id, e.label,
+                   sqrt(sum((x - c) * (x - c))) AS d
+            FROM ex e JOIN cent USING (label, pos)
+            GROUP BY 1, 2
+        ), st AS (
+            SELECT label, avg(d) AS mu, stddev_samp(d) AS sd
+            FROM dist GROUP BY 1
+        ), z AS (
+            SELECT dist.label, vec_id, (d - mu) / sd AS zv FROM dist
+            JOIN st USING (label)
+        ), r AS (
+            SELECT label, vec_id, zv,
+                   row_number() OVER (PARTITION BY label
+                                      ORDER BY zv DESC, vec_id) AS rank
+            FROM z
+        )
+        SELECT label, vec_id, round(zv, 6) AS z_score, CAST(rank AS BIGINT) AS rank
+        FROM r WHERE rank <= 3
+    """
+    sqls["q219_dsir_importance"] = r"""
+        WITH tok AS (
+            SELECT doc_id, source, lang,
+                   unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS w
+            FROM documents
+        ), tk AS (
+            SELECT * FROM tok WHERE w <> ''
+        ), cnt AS (
+            SELECT w, count(*) AS ca,
+                   count(*) FILTER (lang = 'en') AS ce
+            FROM tk GROUP BY w
+        ), tots AS (
+            SELECT CAST(sum(ca) AS BIGINT) AS ta, CAST(sum(ce) AS BIGINT) AS te,
+                   count(*) AS v
+            FROM cnt
+        ), model AS (
+            SELECT w, ln((ce + 1) * 1.0 / (te + v)) - ln((ca + 1) * 1.0 / (ta + v)) AS s
+            FROM cnt, tots
+        ), per_doc AS (
+            SELECT doc_id, source, avg(s) AS wgt
+            FROM tk JOIN model USING (w)
+            GROUP BY 1, 2
+        )
+        SELECT source, count(*) AS n_docs,
+               round(avg(wgt), 6) AS avg_importance,
+               count(*) FILTER (wgt > 0) AS n_selected
+        FROM per_doc GROUP BY source
     """
     sqls["q200_catalog_rowcounts"] = """
         SELECT 'region' AS table_name, count(*) AS n_rows FROM region

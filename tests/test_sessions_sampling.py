@@ -414,8 +414,9 @@ def test_containment_pairs_equal_bruteforce(spark):
     }
     # max_df=None is the plain prefix join; max_df=3 forces a large hot set
     # through the salted exact residual (vocab is tiny, so many shingles
-    # exceed df 3) — both must equal the brute-force scan exactly
-    for t, mdf in ((0.5, None), (0.8, None), (0.5, 3), (0.8, 3)):
+    # exceed df 3); "auto" derives the cap from the df distribution —
+    # all must equal the brute-force scan exactly
+    for t, mdf in ((0.5, None), (0.8, None), (0.5, 3), (0.8, 3), (0.5, "auto")):
         want = {}
         for a, sa in sets.items():
             for b, sb in sets.items():
