@@ -5405,6 +5405,77 @@ def q219_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q220_scalable_row_number(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contiguous global row numbering WITHOUT a data-sized global window
+    [EXT]: the classic distributed rewrite of ``row_number() OVER (ORDER BY
+    k)`` — which Spark executes as a SINGLE task holding the whole dataset
+    (the exact WindowExec funnel tests/test_plan_audit.py gates). Instead:
+    value-bucket the order key into 32 ranges (min/max scalars broadcast),
+    number rows per bucket with a PARTITIONED window (parallel), prefix-sum
+    the 32 bucket counts into offsets (the only unpartitioned window — over
+    a <=32-row post-agg table, whitelisted with that argument), and
+    broadcast the offsets back. Same answer as the single-task form,
+    verified against exactly that form as the oracle; at 100 TB the rewrite
+    is the difference between one 100 TB task and none. Production range
+    partitioning would use ``repartitionByRange`` sampling; fixed value
+    buckets keep the plan deterministic for the differential."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    mnmx = d.agg(
+        F.min("doc_id").alias("_mn"), F.max("doc_id").alias("_mx")
+    )
+    span = F.ceil((F.col("_mx") - F.col("_mn") + 1) / 32)
+    bucketed = d.crossJoin(F.broadcast(mnmx)).select(
+        "doc_id",
+        "source",
+        F.least(
+            F.lit(31), F.floor((F.col("doc_id") - F.col("_mn")) / span)
+        ).alias("_b"),
+    )
+    bcnt = bucketed.groupBy("_b").agg(F.count(F.lit(1)).alias("_c"))
+    woff = Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, -1)
+    offs = bcnt.select(
+        "_b", F.coalesce(F.sum("_c").over(woff), F.lit(0)).alias("_off")
+    )
+    w = Window.partitionBy("_b").orderBy("doc_id")
+    return (
+        bucketed.withColumn("_r", F.row_number().over(w))
+        .join(F.broadcast(offs), "_b")
+        .select(
+            "doc_id", "source",
+            (F.col("_r") + F.col("_off")).cast("long").alias("global_idx"),
+        )
+    )
+
+
+def q221_decayed_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially time-decayed engagement score [EXT]: per event type,
+    sum of values weighted by exp(-ln2 · age/half_life) with a 7-day
+    half-life anchored at the stream's max timestamp — the feature-store
+    aggregate behind 'recent activity' signals, where a plain windowed sum
+    forgets nothing and a short window forgets everything. Decay needs no
+    per-row state: the weight is a pure map-side expression, so the whole
+    query is one scan + one 5-key aggregation (contrast with the running-
+    state formulation, which would serialize per key). Timestamps go
+    through epoch seconds (events.ts is TIMESTAMP_NTZ — Spark 4 forbids a
+    direct double cast; `operators/sessions._epoch_seconds`)."""
+    from hubverse_transform_spark.operators.sessions import _epoch_seconds
+
+    e = _t(spark, sf_dir, "events")
+    mx = e.agg(F.max("ts").alias("_mxts"))
+    age = _epoch_seconds(F.col("_mxts")) - _epoch_seconds(F.col("ts"))
+    half_life = 7 * 86400.0
+    wgt = F.exp(F.lit(-0.6931471805599453) * age / F.lit(half_life))
+    return (
+        e.crossJoin(F.broadcast(mx))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.col("value") * wgt), 6).alias("decayed_value"),
+            F.round(F.sum(wgt), 6).alias("effective_events"),
+        )
+    )
+
+
 # =============================================================================
 # Driver contract
 # =============================================================================
@@ -5636,6 +5707,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q217_shard_assignment": q217_shard_assignment,
         "q218_embedding_outliers": q218_embedding_outliers,
         "q219_dsir_importance": q219_dsir_importance,
+        "q220_scalable_row_number": q220_scalable_row_number,
+        "q221_decayed_engagement": q221_decayed_engagement,
     }
 
 
@@ -9663,6 +9736,24 @@ def oracle_sql() -> dict[str, str]:
                round(avg(wgt), 6) AS avg_importance,
                count(*) FILTER (wgt > 0) AS n_selected
         FROM per_doc GROUP BY source
+    """
+    # the oracle IS the single-task form q220 exists to avoid — same answer,
+    # opposite execution shape
+    sqls["q220_scalable_row_number"] = """
+        SELECT doc_id, source,
+               row_number() OVER (ORDER BY doc_id) AS global_idx
+        FROM documents
+    """
+    sqls["q221_decayed_engagement"] = """
+        WITH mx AS (SELECT max(ts) AS mxts FROM events)
+        SELECT event_type,
+               count(*) AS n_events,
+               round(sum(value * exp(-0.6931471805599453
+                   * (epoch(mxts) - epoch(ts)) / 604800.0)), 6) AS decayed_value,
+               round(sum(exp(-0.6931471805599453
+                   * (epoch(mxts) - epoch(ts)) / 604800.0)), 6) AS effective_events
+        FROM events, mx
+        GROUP BY event_type
     """
     sqls["q200_catalog_rowcounts"] = """
         SELECT 'region' AS table_name, count(*) AS n_rows FROM region

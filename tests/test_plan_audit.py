@@ -60,6 +60,9 @@ _GLOBAL_WINDOW_OK = {
     "q71_pmi_collocations": (1, "rank over aggregated collocation table"),
     # ratio-to-report over per-nation aggregates
     "q88_revenue_share": (1, "share window over per-group aggregates"),
+    # the one intentional residual: prefix-sum over the 32-row bucket-count
+    # table; the data-sized numbering runs in the PARTITIONED window
+    "q220_scalable_row_number": (1, "offset prefix-sum over <=32 bucket rows"),
 }
 
 
