@@ -118,6 +118,13 @@ SHOWCASE = {
         "then one broadcast of the 9 cuts back over lineitem for the "
         "in-engine rank-error audit."
     ),
+    "q220_scalable_row_number": (
+        "Distributed contiguous row numbering: the data-sized Window is "
+        "PARTITIONED by value bucket (parallel), the only unpartitioned "
+        "Window runs over the 32-row bucket-count table, and offsets ship "
+        "back via BroadcastExchange — contrast with the single-task "
+        "WindowExec the oracle uses for the same answer."
+    ),
 }
 
 
