@@ -55,6 +55,7 @@ from hubverse_transform_spark.operators.dedup import (
     ngram_containment,
     containment_prefix_pairs,
     chunk_dup_stats,
+    edit_distance_pairs,
     winnow_fingerprints,
     winnow_overlap_pairs,
 )
@@ -5476,6 +5477,136 @@ def q221_decayed_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q222_brand_price_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group OLS [EXT]: regress line revenue on quantity within each part
+    brand with the SQL-standard ``regr_slope / regr_intercept / regr_r2``
+    aggregates — the grouped linear-fit every feature store and pricing
+    analysis runs (elasticity screens, drift-vs-volume fits). The slope IS
+    the quantity-weighted mean unit price, the r2 how much price dispersion
+    within the brand breaks the linear story; both engines implement the
+    same standard definitions so the differential pins them cross-engine.
+
+    Scale shape: regr_* are algebraic aggregates (sums of x, y, xy, x², y²)
+    — one scan, map-side partial aggregation, one 25-key shuffle; the
+    part→brand dimension joins broadcast. No window, no second pass."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    x = F.col("l_quantity").cast("double")
+    y = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("double")
+    return (
+        li.join(F.broadcast(p.select("p_partkey", "p_brand")),
+                li.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(F.regr_slope(y, x), 4).alias("slope"),
+            F.round(F.regr_intercept(y, x), 4).alias("intercept"),
+            F.round(F.regr_r2(y, x), 6).alias("r2"),
+        )
+    )
+
+
+def q223_symspell_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance join via SymSpell deletion neighborhoods [EXT]: all
+    supplier-name pairs with Levenshtein distance <= 1, WITHOUT the O(n²)
+    cross join the oracle runs. Any two strings within one edit share at
+    least one member of {self} ∪ {all single-character deletions}
+    (substitution → both delete the edited position; insert/delete → the
+    longer's deletion equals the shorter), so generating the ~L variants per
+    name (linear side — the per-row HOF runs once per NAME, never per pair)
+    turns the similarity join into an equi-join on the variant key, followed
+    by an exact ``levenshtein`` verify on the candidate pairs only. At 100 TB
+    this is the difference between |corpus|·L join rows and |corpus|²
+    comparisons; the variant key is also the natural LSH-style partition key,
+    and a df-cap on hot variants (the q212 pattern) bolts on unchanged.
+
+    Cross-engine note: Spark and DuckDB both expose classic Levenshtein, so
+    the verify predicate is dialect-safe."""
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return edit_distance_pairs(s, "s_suppkey", "s_name", max_dist=1).select(
+        F.col("id_a").alias("suppkey_a"),
+        F.col("id_b").alias("suppkey_b"),
+        "dist",
+    )
+
+
+def q224_segment_nation_mi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categorical dependence audit [EXT]: mutual information (nats),
+    chi-square statistic, and Cramér's V between customer market segment and
+    nation — the feature-redundancy / leakage screen run before a categorical
+    column is admitted as a training feature (high MI against the label or
+    against an existing feature means redundancy or leakage). Testdata
+    assigns segments independently of nation, so the expected result is
+    MI ≈ 0 with V near 0 — the audit's null baseline.
+
+    Scale shape: one (segment, nation) aggregation over the corpus (map-side
+    combine, 125 cells), then everything downstream — marginals, expected
+    counts, the three statistics — runs on the 125-row contingency table
+    with broadcast joins. The corpus is scanned exactly once."""
+    c = _t(spark, sf_dir, "customer")
+    joint = c.groupBy("c_mktsegment", "c_nationkey").agg(
+        F.count(F.lit(1)).alias("_nxy")
+    )
+    seg = joint.groupBy("c_mktsegment").agg(F.sum("_nxy").alias("_nx"))
+    nat = joint.groupBy("c_nationkey").agg(F.sum("_nxy").alias("_ny"))
+    tot = joint.agg(
+        F.sum("_nxy").alias("_n"),
+        F.count_distinct("c_mktsegment").alias("_r"),
+        F.count_distinct("c_nationkey").alias("_c"),
+    )
+    cell = (
+        joint.join(F.broadcast(seg), "c_mktsegment")
+        .join(F.broadcast(nat), "c_nationkey")
+        .crossJoin(F.broadcast(tot))
+    )
+    n = F.col("_n").cast("double")
+    exp = F.col("_nx") * F.col("_ny") / n
+    mi_term = (F.col("_nxy") / n) * F.log(F.col("_nxy") * n / (F.col("_nx") * F.col("_ny")))
+    chi_term = (F.col("_nxy") - exp) * (F.col("_nxy") - exp) / exp
+    return cell.groupBy("_n", "_r", "_c").agg(
+        F.round(F.sum(mi_term), 6).alias("mi_nats"),
+        F.round(F.sum(chi_term), 4).alias("chi2"),
+    ).select(
+        F.col("_n").cast("long").alias("n_customers"),
+        "mi_nats",
+        "chi2",
+        F.round(
+            F.sqrt(F.col("chi2") / (F.col("_n") * F.least(F.col("_r") - 1, F.col("_c") - 1))),
+            6,
+        ).alias("cramers_v"),
+    )
+
+
+def q225_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit [EXT]: distribution of the first significant
+    digit of order totals against Benford's law ``log10(1 + 1/d)`` with
+    per-digit chi-square contributions — the classic fabricated-numbers /
+    broken-upstream-generator screen for financial columns (synthetic
+    uniform-ish prices deliberately FAIL Benford, which the audit surfaces
+    rather than hides). First digit is extracted arithmetically
+    (``floor(x / 10^floor(log10 x))``), not via string formatting, so both
+    engines agree bit-for-bit.
+
+    Scale shape: pure map-side digit projection + one 9-key aggregation with
+    map-side combine; the 1-row total broadcasts back. One scan, no window."""
+    o = _t(spark, sf_dir, "orders")
+    x = F.col("o_totalprice").cast("double")
+    digit = F.floor(x / F.pow(F.lit(10.0), F.floor(F.log10(x)))).cast("long")
+    per = o.select(digit.alias("digit")).groupBy("digit").agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    tot = per.agg(F.sum("n_orders").alias("_n"))
+    obs = F.col("n_orders") / F.col("_n")
+    exp = F.log(F.lit(1.0) + 1.0 / F.col("digit")) / F.log(F.lit(10.0))
+    return per.crossJoin(F.broadcast(tot)).select(
+        "digit",
+        "n_orders",
+        F.round(obs, 6).alias("obs_share"),
+        F.round(exp, 6).alias("benford_share"),
+        F.round(F.col("_n") * (obs - exp) * (obs - exp) / exp, 4).alias("chi2_term"),
+    )
+
+
 # =============================================================================
 # Driver contract
 # =============================================================================
@@ -5709,6 +5840,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q219_dsir_importance": q219_dsir_importance,
         "q220_scalable_row_number": q220_scalable_row_number,
         "q221_decayed_engagement": q221_decayed_engagement,
+        "q222_brand_price_regression": q222_brand_price_regression,
+        "q223_symspell_name_pairs": q223_symspell_name_pairs,
+        "q224_segment_nation_mi": q224_segment_nation_mi,
+        "q225_benford_audit": q225_benford_audit,
     }
 
 
@@ -9754,6 +9889,70 @@ def oracle_sql() -> dict[str, str]:
                    * (epoch(mxts) - epoch(ts)) / 604800.0)), 6) AS effective_events
         FROM events, mx
         GROUP BY event_type
+    """
+    sqls["q222_brand_price_regression"] = """
+        SELECT p_brand,
+               count(*) AS n_lines,
+               round(regr_slope(CAST(l_extendedprice * (1 - l_discount) AS DOUBLE),
+                                CAST(l_quantity AS DOUBLE)), 4) AS slope,
+               round(regr_intercept(CAST(l_extendedprice * (1 - l_discount) AS DOUBLE),
+                                    CAST(l_quantity AS DOUBLE)), 4) AS intercept,
+               round(regr_r2(CAST(l_extendedprice * (1 - l_discount) AS DOUBLE),
+                             CAST(l_quantity AS DOUBLE)), 6) AS r2
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY p_brand
+    """
+    # the oracle IS the O(n^2) cross join the deletion-neighborhood equi-join
+    # exists to avoid — same answer, opposite execution shape
+    sqls["q223_symspell_name_pairs"] = """
+        SELECT a.s_suppkey AS suppkey_a, b.s_suppkey AS suppkey_b,
+               CAST(levenshtein(a.s_name, b.s_name) AS INT) AS dist
+        FROM supplier a, supplier b
+        WHERE a.s_suppkey < b.s_suppkey
+          AND levenshtein(a.s_name, b.s_name) <= 1
+    """
+    sqls["q224_segment_nation_mi"] = """
+        WITH joint AS (
+            SELECT c_mktsegment, c_nationkey, count(*) AS nxy
+            FROM customer GROUP BY 1, 2
+        ), seg AS (
+            SELECT c_mktsegment, sum(nxy) AS nx FROM joint GROUP BY 1
+        ), nat AS (
+            SELECT c_nationkey, sum(nxy) AS ny FROM joint GROUP BY 1
+        ), tot AS (
+            SELECT CAST(sum(nxy) AS DOUBLE) AS n,
+                   count(DISTINCT c_mktsegment) AS r,
+                   count(DISTINCT c_nationkey) AS c
+            FROM joint
+        ), agg AS (
+            SELECT any_value(n) AS n, any_value(r) AS r, any_value(c) AS c,
+                   round(sum((nxy / n) * ln(nxy * n / (nx * ny))), 6) AS mi_nats,
+                   round(sum((nxy - nx * ny / n) * (nxy - nx * ny / n)
+                             / (nx * ny / n)), 4) AS chi2
+            FROM joint
+            JOIN seg USING (c_mktsegment)
+            JOIN nat USING (c_nationkey)
+            CROSS JOIN tot
+        )
+        SELECT CAST(n AS BIGINT) AS n_customers, mi_nats, chi2,
+               round(sqrt(chi2 / (n * least(r - 1, c - 1))), 6) AS cramers_v
+        FROM agg
+    """
+    sqls["q225_benford_audit"] = """
+        WITH per AS (
+            SELECT CAST(floor(CAST(o_totalprice AS DOUBLE)
+                       / power(10.0, floor(log10(CAST(o_totalprice AS DOUBLE)))))
+                       AS BIGINT) AS digit,
+                   count(*) AS n_orders
+            FROM orders GROUP BY 1
+        ), tot AS (SELECT CAST(sum(n_orders) AS DOUBLE) AS n FROM per)
+        SELECT digit, n_orders,
+               round(n_orders / n, 6) AS obs_share,
+               round(ln(1.0 + 1.0 / digit) / ln(10.0), 6) AS benford_share,
+               round(n * (n_orders / n - ln(1.0 + 1.0 / digit) / ln(10.0))
+                       * (n_orders / n - ln(1.0 + 1.0 / digit) / ln(10.0))
+                       / (ln(1.0 + 1.0 / digit) / ln(10.0)), 4) AS chi2_term
+        FROM per, tot
     """
     sqls["q200_catalog_rowcounts"] = """
         SELECT 'region' AS table_name, count(*) AS n_rows FROM region

@@ -799,3 +799,72 @@ def chunk_dup_stats(
         F.round(dup_frac, 6).alias("dup_fraction"),
         (dup_frac < drop_threshold).alias("keep"),
     )
+
+
+def edit_distance_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    max_dist: int = 1,
+) -> DataFrame:
+    """SymSpell-style edit-distance similarity join: all pairs with
+    ``levenshtein <= max_dist`` via a deletion-neighborhood equi-join.
+
+    Candidate completeness (max_dist=1): any two strings within one edit
+    share at least one member of {self} ∪ {single-character deletions} —
+    a substitution at position i means both sides' delete-at-i agree; an
+    insertion/deletion means the longer string's deletion equals the
+    shorter string itself. So exploding the ~L+1 variants per row (linear
+    side: the HOF runs once per ROW, never per pair) turns the similarity
+    join into an equi-join on the variant key, and the exact ``levenshtein``
+    verify runs only on candidates. 100 TB posture: |corpus|·L join rows
+    instead of |corpus|² comparisons; the variant key is the shuffle
+    partition key, and hot variants can take a df-cap + residual join
+    (``containment_prefix_pairs`` pattern) unchanged.
+
+    Returns ``(id_a, id_b, dist)`` with ``id_a < id_b``, deduplicated
+    across shared variants before the verify.
+    """
+    if max_dist != 1:
+        raise NotImplementedError(
+            "deletion neighborhoods are generated for max_dist=1; higher "
+            "distances need the full d-deletion closure (|variants| ~ L^d)"
+        )
+    text = F.col(text_col)
+    deletions = F.when(
+        F.length(text) >= 1,
+        F.transform(
+            F.sequence(F.lit(1), F.length(text)),
+            lambda i: F.concat(
+                F.substring(text, F.lit(1), i - 1),
+                text.substr(i + 1, F.length(text)),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    variants = F.array_union(F.array(text), deletions)
+    v = df.select(
+        F.col(id_col).alias("_id"),
+        text.alias("_txt"),
+        F.explode(variants).alias("_v"),
+    )
+    a, b = v.alias("a"), v.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a._v") == F.col("b._v"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.col("a._txt").alias("_ta"),
+            F.col("b._txt").alias("_tb"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn("dist", F.levenshtein("_ta", "_tb"))
+        .filter(F.col("dist") <= max_dist)
+        .select("id_a", "id_b", "dist")
+    )

@@ -693,3 +693,45 @@ def test_embedding_covariance_empty_and_underdetermined(spark):
     )
     with pytest.raises(Exception, match="need more than ddof"):
         embedding_covariance(one, ddof=1).collect()
+
+
+def test_edit_distance_pairs_equals_bruteforce(spark):
+    """Deletion-neighborhood candidates are COMPLETE for levenshtein<=1:
+    the SymSpell equi-join returns exactly the brute-force pair set on
+    strings of varying length (substitution, insertion, deletion, and
+    far-apart cases; the equal-length supplier differential only exercises
+    substitutions)."""
+    from pyspark.sql import functions as F
+
+    from hubverse_transform_spark.operators.dedup import edit_distance_pairs
+
+    rows = [
+        (1, "kitten"),
+        (2, "kittens"),   # insertion vs 1
+        (3, "mitten"),    # substitution vs 1
+        (4, "kitte"),     # deletion vs 1
+        (5, "sitting"),   # dist > 1 from all
+        (6, "a"),
+        (7, "b"),         # substitution on 1-char strings (share "" variant)
+        (8, "ab"),        # insertion vs 6 and 7
+        (9, "kitten"),    # exact duplicate of 1 -> dist 0
+    ]
+    df = spark.createDataFrame(rows, ["id", "s"])
+    got = {
+        (r["id_a"], r["id_b"]): r["dist"]
+        for r in edit_distance_pairs(df, "id", "s", max_dist=1).collect()
+    }
+    a, b = df.alias("a"), df.alias("b")
+    brute = {
+        (r["id_a"], r["id_b"]): r["dist"]
+        for r in a.join(b, F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.levenshtein("a.s", "b.s").alias("dist"),
+        )
+        .filter(F.col("dist") <= 1)
+        .collect()
+    }
+    assert got == brute
+    assert got[(1, 9)] == 0 and got[(1, 2)] == 1 and got[(6, 7)] == 1
