@@ -162,6 +162,108 @@ def transform_with_state_user_stats(
     )
 
 
+def transform_with_state_session_expiry(
+    events: DataFrame,
+    *,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    gap_ms: int = 30_000,
+    watermark_delay: str = "0 seconds",
+) -> DataFrame:
+    """Event-time session closing via ``transformWithStateInPandas`` TIMERS —
+    the capability neither windowed aggregation nor the old
+    ``applyInPandasWithState`` timeouts express: sessions close when the
+    WATERMARK (event time) passes last-activity + gap, not when wall-clock
+    happens to tick, so replaying history closes exactly the same sessions
+    at the same points (the ``stateful_session_agg`` sibling uses
+    processing-time timeouts and is replay-UNSTABLE by construction).
+
+    Per key: ``handleInputRows`` folds the batch into a ValueState
+    ``(start, end, n, sum, timer)`` and re-arms an event-time timer at
+    ``end + gap_ms`` (deleting the previous one — at most one live timer
+    per key); ``handleExpiredTimer`` fires when the watermark passes that
+    point, emits the closed session, and clears state + timer, so state
+    size tracks ACTIVE keys only. Emission happens exclusively on expiry
+    (Append semantics).
+
+    Scale: one shuffle on the key; timers live in the state store alongside
+    the value state (RocksDB provider required); no-data micro-batches
+    (on by default) service expired timers even when a key goes quiet.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.stateful_processor import (
+        ExpiredTimerInfo,
+        StatefulProcessor,
+        StatefulProcessorHandle,
+        TimerValues,
+    )
+
+    out_schema = (
+        f"{key_col} long, n_events long, sum_value double, "
+        "start_ms long, end_ms long"
+    )
+
+    class SessionExpiry(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._handle = handle
+            self._sess = handle.getValueState(
+                "sess", "start long, end long, n long, s double, timer long"
+            )
+
+        def handleInputRows(self, key, rows, timerValues: TimerValues):
+            start = end = None
+            n, s = 0, 0.0
+            old_timer = None
+            if self._sess.exists():
+                start, end, n, s, old_timer = self._sess.get()
+            for pdf in rows:
+                ts_ms = (pdf[ts_col].astype("int64") // 1_000_000).tolist()
+                n += len(pdf)
+                s += float(pdf[value_col].sum())
+                lo, hi = min(ts_ms), max(ts_ms)
+                start = lo if start is None else min(start, lo)
+                end = hi if end is None else max(end, hi)
+            new_timer = end + gap_ms
+            if old_timer is not None and old_timer != new_timer:
+                self._handle.deleteTimer(old_timer)
+            self._handle.registerTimer(new_timer)
+            self._sess.update((start, end, n, s, new_timer))
+            return
+            yield  # pragma: no cover - generator with no per-batch emission
+
+        def handleExpiredTimer(
+            self, key, timerValues: TimerValues, expiredTimerInfo: ExpiredTimerInfo
+        ):
+            if not self._sess.exists():
+                return
+            start, end, n, s, _timer = self._sess.get()
+            self._sess.clear()
+            yield pd.DataFrame(
+                {
+                    key_col: [key[0]],
+                    "n_events": [n],
+                    "sum_value": [s],
+                    "start_ms": [start],
+                    "end_ms": [end],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return (
+        events.withWatermark(ts_col, watermark_delay)
+        .groupBy(key_col)
+        .transformWithStateInPandas(
+            statefulProcessor=SessionExpiry(),
+            outputStructType=out_schema,
+            outputMode="Append",
+            timeMode="EventTime",
+        )
+    )
+
+
 def watermarked_dedup(
     events: DataFrame,
     *,

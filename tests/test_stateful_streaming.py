@@ -234,3 +234,66 @@ def test_session_agg_times_out_and_frees_state(spark, tmp_path: Path):
         assert fresh and fresh[0]["n_events"] == 1
     finally:
         q.stop()
+
+
+def test_event_time_timer_closes_sessions(spark, tmp_path: Path):
+    """transformWithState EVENT-TIME timers: a session closes when the
+    watermark passes last-activity + gap — driven entirely by event
+    timestamps (replay-stable), no wall-clock sleeps. Run 1 arms the timer;
+    run 2 (same checkpoint) ships a much-later event for ANOTHER key, which
+    advances the watermark past key 1's expiry and fires its timer in the
+    no-data micro-batch."""
+    from hubverse_transform_spark.streaming.stateful import (
+        transform_with_state_session_expiry,
+    )
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+
+    def write(rows, mode="append"):
+        df = spark.createDataFrame(rows, ["user_id", "value", "ts_s"]).select(
+            F.col("user_id").cast("long"),
+            F.col("value").cast("double"),
+            F.timestamp_seconds("ts_s").alias("ts"),
+        )
+        df.coalesce(1).write.mode(mode).parquet(str(src))
+        return df.schema
+
+    def run(name):
+        stream = spark.readStream.schema(schema).parquet(str(src))
+        results: list = []
+        q = (
+            transform_with_state_session_expiry(stream, gap_ms=10_000)
+            .writeStream.foreachBatch(lambda b, _i: results.extend(b.collect()))
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return results
+
+    try:
+        src, ckpt = tmp_path / "src", str(tmp_path / "ckpt")
+        # key 1: two events 3s apart (one session, gap 10s)
+        schema = write([(1, 10.0, 1000), (1, 5.0, 1003)])
+        rows1 = run("tmr1")
+        assert rows1 == []  # nothing closed yet: watermark at 1003s, timer at 1013s
+
+        # key 2 far in the future -> watermark jumps past key 1's expiry
+        write([(2, 1.0, 2000)])
+        rows2 = run("tmr2")
+        got = {r["user_id"]: r for r in rows2}
+        assert 1 in got, f"key 1 session did not close: {rows2}"
+        r = got[1]
+        assert (r["n_events"], r["sum_value"]) == (2, 15.0)
+        assert (r["start_ms"], r["end_ms"]) == (1000_000, 1003_000)
+        assert 2 not in got  # key 2's own session is still open
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
