@@ -264,6 +264,89 @@ def transform_with_state_session_expiry(
     )
 
 
+def transform_with_state_type_counts(
+    events: DataFrame,
+    *,
+    key_col: str = "user_id",
+    type_col: str = "event_type",
+    initial_state=None,
+) -> DataFrame:
+    """Per-key per-category counters via ``transformWithStateInPandas``
+    MapState — the third typed-state variable (ValueState: q.v.
+    ``transform_with_state_user_stats``; ListState: ibid.; timers:
+    ``transform_with_state_session_expiry``) — plus BATCH-BOOTSTRAPPED
+    state: ``initial_state`` (a DataFrame of ``(key, category, n)``) seeds
+    each key's map through ``handleInitialState`` before the first batch,
+    the warm-start every lambda-architecture migration needs (fold the
+    historical batch aggregate in once, then stream increments on top).
+
+    MapState keeps one entry per (key, category) in the state store —
+    point lookups/updates per category seen in the batch, NOT a
+    read-modify-write of a whole collection (what ListState/ValueState
+    would force); per-batch work is O(categories touched), emission
+    iterates the key's map (O(categories per key), bounded by the domain).
+
+    Emits ``(key, n_types, n_events, top_type, top_n)`` per key per batch
+    (Update semantics), top ties broken by category name.
+    """
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    out_schema = (
+        f"{key_col} long, n_types long, n_events long, top_type string, top_n long"
+    )
+
+    class TypeCounts(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._by_type = handle.getMapState("bytype", "t string", "n long")
+
+        def handleInitialState(self, key, initialState, timerValues) -> None:
+            for t, n in zip(initialState[type_col], initialState["n"]):
+                self._by_type.updateValue((str(t),), (int(n),))
+
+        def handleInputRows(self, key, rows, timerValues):
+            for pdf in rows:
+                for t, n in pdf[type_col].value_counts().items():
+                    tk = (str(t),)
+                    old = (
+                        self._by_type.getValue(tk)[0]
+                        if self._by_type.containsKey(tk)
+                        else 0
+                    )
+                    self._by_type.updateValue(tk, (old + int(n),))
+            counts = {
+                t[0]: n[0]
+                for t, n in self._by_type.iterator()
+            }
+            top_type, top_n = min(
+                counts.items(), key=lambda kv: (-kv[1], kv[0])
+            )
+            yield pd.DataFrame(
+                {
+                    key_col: [key[0]],
+                    "n_types": [len(counts)],
+                    "n_events": [sum(counts.values())],
+                    "top_type": [top_type],
+                    "top_n": [top_n],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy(key_col).transformWithStateInPandas(
+        statefulProcessor=TypeCounts(),
+        outputStructType=out_schema,
+        outputMode="Update",
+        timeMode="None",
+        initialState=(
+            initial_state.groupBy(key_col) if initial_state is not None else None
+        ),
+    )
+
+
 def watermarked_dedup(
     events: DataFrame,
     *,

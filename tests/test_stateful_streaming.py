@@ -297,3 +297,69 @@ def test_event_time_timer_closes_sessions(spark, tmp_path: Path):
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
         else:
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+
+def test_map_state_counts_with_initial_state(spark, tmp_path: Path):
+    """MapState per-category counters, warm-started from a batch aggregate
+    via handleInitialState: stream increments land ON TOP of the seeded
+    counts; keys present only in the seed emit nothing until they appear
+    in a batch; state survives a checkpoint restart."""
+    from hubverse_transform_spark.streaming.stateful import (
+        transform_with_state_type_counts,
+    )
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+
+    def write(rows, mode="append"):
+        df = spark.createDataFrame(rows, ["user_id", "event_type"]).select(
+            F.col("user_id").cast("long"), F.col("event_type")
+        )
+        df.coalesce(1).write.mode(mode).parquet(str(src))
+        return df.schema
+
+    seed_rows = [(1, "click", 5), (3, "view", 2)]
+
+    def run(name):
+        seed = spark.createDataFrame(seed_rows, ["user_id", "event_type", "n"]).select(
+            F.col("user_id").cast("long"), "event_type", F.col("n").cast("long")
+        )
+        stream = spark.readStream.schema(schema).parquet(str(src))
+        results: list = []
+        q = (
+            transform_with_state_type_counts(stream, initial_state=seed)
+            .writeStream.foreachBatch(lambda b, _i: results.extend(b.collect()))
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return results
+
+    try:
+        src, ckpt = tmp_path / "src", str(tmp_path / "ckpt")
+        schema = write([(1, "click"), (1, "purchase"), (1, "purchase"), (2, "view")])
+        got = {r["user_id"]: r for r in run("ms1")}
+        # user 1: seeded click:5 + batch click:1/purchase:2 -> top click 6 of 8
+        assert (got[1]["n_types"], got[1]["n_events"]) == (2, 8)
+        assert (got[1]["top_type"], got[1]["top_n"]) == ("click", 6)
+        assert (got[2]["n_types"], got[2]["n_events"], got[2]["top_type"]) == (1, 1, "view")
+        assert 3 not in got  # seed-only key emits nothing until it streams
+
+        # restart from checkpoint: map persists; user 3 now appears and its
+        # count sits on top of the SEEDED 2 (initial state applied once,
+        # not re-applied on restart)
+        write([(3, "view"), (1, "purchase")])
+        got2 = {r["user_id"]: r for r in run("ms2")}
+        assert (got2[3]["n_types"], got2[3]["n_events"], got2[3]["top_n"]) == (1, 3, 3)
+        # user 1: purchase 2+1=3 vs click 6 -> click still top, 9 events
+        assert (got2[1]["n_events"], got2[1]["top_type"], got2[1]["top_n"]) == (9, "click", 6)
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
