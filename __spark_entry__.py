@@ -86,6 +86,7 @@ from hubverse_transform_spark.operators.textstats import (
     bm25_topk,
     dup_ngram_fraction,
     gopher_quality_rules,
+    heavy_hitter_tokens,
     perplexity_buckets,
     pmi_bigrams,
     tfidf_top_terms,
@@ -5607,6 +5608,55 @@ def q225_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q226_event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event streams
+    [EXT]: counts and row-normalized probabilities of (previous event type →
+    event type), ordered by (ts, event_id) within each user — the behavioral
+    model behind next-action prediction features and funnel-shape drift
+    monitors (q174 reports whole session paths; this is the edge-level
+    aggregate those paths marginalize to).
+
+    Scale shape: one lag window PARTITIONED by user (parallel, state = one
+    row), one 25-cell aggregation with map-side combine, and the per-prev
+    row normalization as a second window over the 25-row result — never the
+    event stream. One scan end-to-end."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = (
+        e.select(
+            "user_id",
+            F.col("event_type").alias("next_type"),
+            F.lag("event_type").over(w).alias("prev_type"),
+        )
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wp = Window.partitionBy("prev_type")
+    return trans.select(
+        "prev_type",
+        "next_type",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(wp), 6).alias("prob"),
+    )
+
+
+def q227_heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact φ-heavy-hitter vocabulary [EXT]: tokens holding ≥ 2% of the
+    corpus token mass, via bounded-memory Misra–Gries partition candidates
+    (mapInPandas, k = 2·⌈1/φ⌉ counters) + an exact recount restricted to
+    the broadcast candidate set — O(1/φ·partitions) shuffled keys instead
+    of O(vocab), with the candidate-superset guarantee making the final
+    counts EXACT (the oracle is the full-vocabulary groupBy this replaces).
+    The stopword/boilerplate screen every tokenizer-training and
+    contamination pipeline runs first; ``operators/textstats.py``
+    ``heavy_hitter_tokens`` docstring carries the proof sketch, and the
+    eviction path is unit-tested on skew the testdata's 31-word vocabulary
+    cannot trigger."""
+    d = _t(spark, sf_dir, "documents")
+    return heavy_hitter_tokens(d, "text", phi=0.02)
+
+
 # =============================================================================
 # Driver contract
 # =============================================================================
@@ -5844,6 +5894,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q223_symspell_name_pairs": q223_symspell_name_pairs,
         "q224_segment_nation_mi": q224_segment_nation_mi,
         "q225_benford_audit": q225_benford_audit,
+        "q226_event_transition_matrix": q226_event_transition_matrix,
+        "q227_heavy_hitter_tokens": q227_heavy_hitter_tokens,
     }
 
 
@@ -9953,6 +10005,33 @@ def oracle_sql() -> dict[str, str]:
                        * (n_orders / n - ln(1.0 + 1.0 / digit) / ln(10.0))
                        / (ln(1.0 + 1.0 / digit) / ln(10.0)), 4) AS chi2_term
         FROM per, tot
+    """
+    sqls["q226_event_transition_matrix"] = """
+        WITH seq AS (
+            SELECT event_type AS next_type,
+                   lag(event_type) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) AS prev_type
+            FROM events
+        ), trans AS (
+            SELECT prev_type, next_type, count(*) AS n
+            FROM seq WHERE prev_type IS NOT NULL
+            GROUP BY 1, 2
+        )
+        SELECT prev_type, next_type, n,
+               round(n * 1.0 / sum(n) OVER (PARTITION BY prev_type), 6) AS prob
+        FROM trans
+    """
+    # the oracle IS the full-vocabulary groupBy the two-phase MG path avoids
+    sqls["q227_heavy_hitter_tokens"] = r"""
+        WITH tok AS (
+            SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS w
+            FROM documents
+        ), c AS (
+            SELECT w, count(*) AS n FROM tok WHERE w <> '' GROUP BY w
+        ), t AS (SELECT sum(n) AS tot FROM c)
+        SELECT w AS token, n, round(n * 1.0 / tot, 6) AS share
+        FROM c, t
+        WHERE n >= 0.02 * tot
     """
     sqls["q200_catalog_rowcounts"] = """
         SELECT 'region' AS table_name, count(*) AS n_rows FROM region

@@ -572,3 +572,84 @@ def char_entropy_stats(
             "n_flagged"
         ),
     )
+
+
+def heavy_hitter_tokens(
+    df: DataFrame,
+    text_col: str = "text",
+    *,
+    phi: float = 0.02,
+    counters_factor: int = 2,
+) -> DataFrame:
+    """EXACT φ-heavy-hitter tokens via a bounded-memory candidate phase
+    (Misra–Gries) + an exact recount restricted to the candidates.
+
+    Why not a plain ``groupBy(token)``: at 100 TB the full-vocabulary
+    aggregation shuffles O(vocab) distinct keys (web-scale corpora: 10⁸+
+    after typos/numbers/URLs) to find what is usually a few hundred answers.
+    This operator shuffles only O(1/φ · partitions) candidate rows:
+
+    1. **Candidate phase** (``mapInPandas``, one pass): each partition folds
+       its token stream through a weighted Misra–Gries summary with
+       ``k = counters_factor · ⌈1/φ⌉`` counters (per Arrow batch:
+       ``value_counts`` then a weighted fold — when the summary exceeds k
+       entries, subtract the minimum residual from all and drop zeros).
+       MG guarantees any token with partition frequency > n_p/(k+1)
+       survives; a global φ-heavy hitter has frequency ≥ φ·n_p on at least
+       one partition (pigeonhole), and φ > 1/(k+1), so the union of
+       partition candidates is a SUPERSET of the true answer. Each
+       partition also emits its token count as a ``(NULL, n_p)`` row, so
+       the grand total needs no extra scan.
+    2. **Exact phase**: one more scan joins the token stream to the
+       broadcast candidate set and recounts exactly; the φ·total filter
+       then yields exact counts with zero false positives/negatives.
+
+    Returns ``(token, n, share)``, share rounded to 6. Both phases are
+    deterministic, so a SQL oracle (full groupBy + filter) hash-matches.
+    """
+    import math
+
+    k = counters_factor * math.ceil(1.0 / phi)
+
+    text = F.col(text_col)
+    tokens = df.select(
+        F.explode(F.split(F.lower(F.trim(text)), r"\s+")).alias("w")
+    ).filter(F.col("w") != "")
+
+    def _mg(batches):
+        import pandas as pd
+
+        counters: dict[str, int] = {}
+        n_part = 0
+        for pdf in batches:
+            n_part += len(pdf)
+            for w, c in pdf["w"].value_counts().items():
+                counters[w] = counters.get(w, 0) + int(c)
+                if len(counters) > k:
+                    m = min(counters.values())
+                    counters = {t: v - m for t, v in counters.items() if v > m}
+        out = pd.DataFrame(
+            {
+                "w": list(counters.keys()) + [None],
+                "n": list(counters.values()) + [n_part],
+            }
+        )
+        yield out
+
+    phase1 = tokens.mapInPandas(_mg, "w string, n long")
+    candidates = phase1.filter(F.col("w").isNotNull()).select("w").distinct()
+    total = phase1.filter(F.col("w").isNull()).agg(F.sum("n").alias("_tot"))
+    exact = (
+        tokens.join(F.broadcast(candidates), "w")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        exact.crossJoin(F.broadcast(total))
+        .filter(F.col("n") >= F.lit(phi) * F.col("_tot"))
+        .select(
+            F.col("w").alias("token"),
+            "n",
+            F.round(F.col("n") / F.col("_tot"), 6).alias("share"),
+        )
+    )

@@ -735,3 +735,36 @@ def test_edit_distance_pairs_equals_bruteforce(spark):
     }
     assert got == brute
     assert got[(1, 9)] == 0 and got[(1, 2)] == 1 and got[(6, 7)] == 1
+
+
+def test_heavy_hitters_equals_exact_with_eviction(spark):
+    """Misra-Gries candidate phase + exact recount == plain groupBy filter,
+    on skewed data where vocab (40) exceeds the counter budget (k=20) so
+    the eviction path actually runs, across multiple partitions."""
+    from pyspark.sql import functions as F
+
+    from hubverse_transform_spark.operators.textstats import heavy_hitter_tokens
+
+    docs = (
+        [("a " * 50).strip()] * 10      # "a" x500
+        + [("b " * 30).strip()] * 10    # "b" x300
+        + [f"t{i}" for i in range(38)] * 10  # 38 tail tokens x10
+    )
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(docs)], ["id", "text"]).repartition(4)
+
+    got = {
+        r["token"]: (r["n"], r["share"])
+        for r in heavy_hitter_tokens(df, "text", phi=0.1).collect()
+    }
+    tok = df.select(F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("w")).filter(
+        F.col("w") != ""
+    )
+    cnt = tok.groupBy("w").agg(F.count(F.lit(1)).alias("n"))
+    tot = cnt.agg(F.sum("n").alias("t")).collect()[0]["t"]
+    exact = {
+        r["w"]: (r["n"], round(r["n"] / tot, 6))
+        for r in cnt.collect()
+        if r["n"] >= 0.1 * tot
+    }
+    assert got == exact
+    assert set(got) == {"a", "b"}
