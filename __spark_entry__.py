@@ -56,6 +56,7 @@ from hubverse_transform_spark.operators.dedup import (
     containment_prefix_pairs,
     chunk_dup_stats,
     edit_distance_pairs,
+    minhash_lsh_incremental_pairs,
     winnow_fingerprints,
     winnow_overlap_pairs,
 )
@@ -5608,6 +5609,23 @@ def q225_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q228_incremental_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup ingest gate [EXT]: every 10th document plays the
+    'today's batch' role and is checked against the rest of the corpus via
+    ``minhash_lsh_incremental_pairs`` — band keys on both sides, the BATCH
+    side broadcast, the corpus side streamed map-only (never shuffled, never
+    self-joined). Same banding/verify parameters as q23, so the oracle is
+    q23's SQL with the candidate join restricted to (new × corpus); at 100 TB
+    the corpus's banded table is persisted once and only the O(batch) probe
+    side is computed per ingest."""
+    d = _t(spark, sf_dir, "documents")
+    new = d.filter(F.col("doc_id") % 10 == 0)
+    corpus = d.filter(F.col("doc_id") % 10 != 0)
+    return minhash_lsh_incremental_pairs(
+        new, corpus, "doc_id", "text", ngram=3, num_hashes=8, bands=4, threshold=0.1
+    ).select("new_id", "corpus_id", F.round("jaccard", 6).alias("jaccard"))
+
+
 def q226_event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-order Markov transition matrix over per-user event streams
     [EXT]: counts and row-normalized probabilities of (previous event type →
@@ -5896,6 +5914,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q225_benford_audit": q225_benford_audit,
         "q226_event_transition_matrix": q226_event_transition_matrix,
         "q227_heavy_hitter_tokens": q227_heavy_hitter_tokens,
+        "q228_incremental_lsh_dedup": q228_incremental_lsh_dedup,
     }
 
 
@@ -10005,6 +10024,33 @@ def oracle_sql() -> dict[str, str]:
                        * (n_orders / n - ln(1.0 + 1.0 / digit) / ln(10.0))
                        / (ln(1.0 + 1.0 / digit) / ln(10.0)), 4) AS chi2_term
         FROM per, tot
+    """
+    # q23's banding SQL with the candidate join restricted to new x corpus
+    sqls["q228_incremental_lsh_dedup"] = f"""
+        WITH tok AS (
+            SELECT doc_id, {_TOKS} AS toks FROM documents
+        ), shg AS (
+            SELECT doc_id, {_SHINGLES3} AS sh FROM tok
+        ), sig AS (
+            SELECT doc_id, sh, {_sig_exprs(8)} AS sg
+            FROM (SELECT doc_id, sh, {_SHINGLE_HASH} AS hs FROM shg)
+        ), banded AS (
+            SELECT doc_id, sh, b AS band_idx,
+                   CAST(b AS VARCHAR) || '|' || array_to_string(sg[b*2+1:b*2+2], '|') AS band
+            FROM sig, (SELECT unnest(range(0, 4)) AS b)
+        ), cand AS (
+            SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS corpus_id
+            FROM banded a JOIN banded b ON a.band = b.band
+            WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0
+        )
+        SELECT c.new_id, c.corpus_id,
+               round(len(list_intersect(x.sh, y.sh)) * 1.0
+                     / len(list_distinct(list_concat(x.sh, y.sh))), 6) AS jaccard
+        FROM cand c
+        JOIN shg x ON x.doc_id = c.new_id
+        JOIN shg y ON y.doc_id = c.corpus_id
+        WHERE len(list_intersect(x.sh, y.sh)) * 1.0
+              / len(list_distinct(list_concat(x.sh, y.sh))) >= 0.1
     """
     sqls["q226_event_transition_matrix"] = """
         WITH seq AS (

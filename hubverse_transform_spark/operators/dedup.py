@@ -868,3 +868,69 @@ def edit_distance_pairs(
         .filter(F.col("dist") <= max_dist)
         .select("id_a", "id_b", "dist")
     )
+
+
+def minhash_lsh_incremental_pairs(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    ngram: int = 3,
+    num_hashes: int = 8,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """INCREMENTAL near-dup check: a (small) new batch against a (large)
+    already-ingested corpus — the shape every daily-ingest dedup actually
+    runs, where re-banding and self-joining the whole corpus
+    (``minhash_lsh_pairs``) would redo O(corpus) work to ask an O(batch)
+    question.
+
+    Both sides get the same shingle→signature→band treatment (band keys are
+    deterministic, so a production deployment persists the corpus's banded
+    table once and only the probe side is computed per batch); the join then
+    BROADCASTS the new batch's bands — the corpus-sized side is never
+    shuffled, never self-joined, and streams map-side through the broadcast
+    hash join. Candidates dedup on (new_id, corpus_id) before the exact
+    Jaccard verify, which touches candidates only.
+
+    Returns ``(new_id, corpus_id, jaccard)`` for pairs >= threshold.
+    New-vs-new duplicates are out of scope by contract (run
+    ``minhash_lsh_pairs`` on the batch alone — O(batch²) worst case is
+    fine there).
+    """
+    rows_per_band = num_hashes // bands
+
+    def _banded(df: DataFrame, tag: str) -> DataFrame:
+        sh = df.select(
+            F.col(id_col).alias(f"_{tag}_id"),
+            shingle_ngrams(F.col(text_col), ngram).alias(f"_{tag}_sh"),
+        ).withColumn("_sig", minhash_signature(F.col(f"_{tag}_sh"), num_hashes))
+        return sh.select(
+            f"_{tag}_id",
+            f"_{tag}_sh",
+            F.explode(
+                F.array(
+                    *[_band_key(F.col("_sig"), b, rows_per_band) for b in range(bands)]
+                )
+            ).alias("_band"),
+        )
+
+    corpus_b = _banded(corpus_df, "c")
+    new_b = _banded(new_df, "n")
+    candidates = (
+        corpus_b.join(F.broadcast(new_b), on="_band")
+        .select(
+            F.col("_n_id").alias("new_id"),
+            F.col("_c_id").alias("corpus_id"),
+            F.col("_n_sh").alias("_sa"),
+            F.col("_c_sh").alias("_sb"),
+        )
+        .dropDuplicates(["new_id", "corpus_id"])
+    )
+    return (
+        candidates.withColumn("jaccard", jaccard_expr(F.col("_sa"), F.col("_sb")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("new_id", "corpus_id", "jaccard")
+    )

@@ -768,3 +768,38 @@ def test_heavy_hitters_equals_exact_with_eviction(spark):
     }
     assert got == exact
     assert set(got) == {"a", "b"}
+
+
+def test_incremental_lsh_equals_restricted_self_join(spark, docs_df):
+    """Incremental (batch x corpus) LSH pairs == the full self-join's pairs
+    restricted to cross pairs, at identical banding parameters; and the
+    plan broadcasts the BATCH side (the corpus is never shuffled)."""
+    from pyspark.sql import functions as F
+
+    from hubverse_transform_spark.operators.dedup import (
+        minhash_lsh_incremental_pairs,
+        minhash_lsh_pairs,
+    )
+
+    new = docs_df.filter(F.col("doc_id") % 2 == 0)       # docs 2, 4
+    corpus = docs_df.filter(F.col("doc_id") % 2 == 1)    # docs 1, 3
+    inc = minhash_lsh_incremental_pairs(
+        new, corpus, "doc_id", "text", ngram=3, num_hashes=8, bands=4, threshold=0.1
+    )
+    got = {(r["new_id"], r["corpus_id"]): round(r["jaccard"], 6) for r in inc.collect()}
+
+    full = minhash_lsh_pairs(
+        docs_df, "doc_id", "text", ngram=3, num_hashes=8, bands=4, threshold=0.1
+    )
+    want = {}
+    for r in full.collect():
+        a, b = r["id_a"], r["id_b"]
+        if a % 2 == 0 and b % 2 == 1:
+            want[(a, b)] = round(r["jaccard"], 6)
+        elif b % 2 == 0 and a % 2 == 1:
+            want[(b, a)] = round(r["jaccard"], 6)
+    assert got == want
+    assert got  # docs 2 vs 1/3 are near-dups: non-empty by construction
+
+    plan = inc._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastExchange" in plan
