@@ -5675,6 +5675,74 @@ def q227_heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return heavy_hitter_tokens(d, "text", phi=0.02)
 
 
+def q229_logreg_gradient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One exact logistic-regression gradient step, distributed [EXT]: the
+    shape every data-parallel trainer (SGD/L-BFGS) runs per iteration —
+    weights broadcast (literals here: w = [0.3, −0.2], b = 0.1), per-row
+    gradient computed map-side, ONE global aggregation for the gradient
+    vector and log-loss. Predicts lang='en' from two document scalars
+    (chars/1000, ws-tokens/100). At 100 TB each step is exactly one scan +
+    one scalar-tuple reduce — no shuffle of features, no driver-side data —
+    and the differential pins the math (sigmoid/log-loss) cross-engine.
+
+    Scale shape: whole-stage-codegen projection + single partial/final agg;
+    the iterative loop (not declared here) would checkpoint weights between
+    steps, q72's pagerank pattern."""
+    d = _t(spark, sf_dir, "documents")
+    x1 = F.col("n_chars") / 1000.0
+    x2 = whitespace_token_count(F.col("text")) / 100.0
+    y = F.when(F.col("lang") == "en", 1.0).otherwise(0.0)
+    z = F.lit(0.3) * x1 + F.lit(-0.2) * x2 + F.lit(0.1)
+    s = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+    return d.select(
+        x1.alias("_x1"), x2.alias("_x2"), y.alias("_y"), s.alias("_s")
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg((F.col("_s") - F.col("_y")) * F.col("_x1")), 6).alias("grad_chars"),
+        F.round(F.avg((F.col("_s") - F.col("_y")) * F.col("_x2")), 6).alias("grad_tokens"),
+        F.round(F.avg(F.col("_s") - F.col("_y")), 6).alias("grad_bias"),
+        F.round(
+            F.avg(
+                -(F.col("_y") * F.log("_s") + (1 - F.col("_y")) * F.log(1 - F.col("_s")))
+            ),
+            6,
+        ).alias("log_loss"),
+    )
+
+
+def q230_welch_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test between event cohorts [EXT]: per
+    event-type pair ('click' as control vs every other type), mean uplift,
+    Welch t-statistic, and Welch–Satterthwaite degrees of freedom over the
+    event value — the A/B experiment readout, computed from ONE pass of
+    per-cohort algebraic moments (count/avg/var_samp with FILTER) and a
+    5-row broadcast of the control moments. No per-row second scan, no
+    driver math; both engines share var_samp semantics so the statistic
+    hash-matches."""
+    e = _t(spark, sf_dir, "events")
+    per = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("value").alias("mu"),
+        F.var_samp("value").alias("v"),
+    )
+    ctrl = per.filter(F.col("event_type") == "click").select(
+        F.col("n").alias("_nc"), F.col("mu").alias("_muc"), F.col("v").alias("_vc")
+    )
+    t = per.filter(F.col("event_type") != "click").crossJoin(F.broadcast(ctrl))
+    se2 = F.col("v") / F.col("n") + F.col("_vc") / F.col("_nc")
+    dof = (se2 * se2) / (
+        (F.col("v") / F.col("n")) * (F.col("v") / F.col("n")) / (F.col("n") - 1)
+        + (F.col("_vc") / F.col("_nc")) * (F.col("_vc") / F.col("_nc")) / (F.col("_nc") - 1)
+    )
+    return t.select(
+        F.col("event_type").alias("variant"),
+        "n",
+        F.round(F.col("mu") - F.col("_muc"), 6).alias("uplift"),
+        F.round((F.col("mu") - F.col("_muc")) / F.sqrt(se2), 6).alias("t_stat"),
+        F.round(dof, 4).alias("welch_dof"),
+    )
+
+
 # =============================================================================
 # Driver contract
 # =============================================================================
@@ -5915,6 +5983,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q226_event_transition_matrix": q226_event_transition_matrix,
         "q227_heavy_hitter_tokens": q227_heavy_hitter_tokens,
         "q228_incremental_lsh_dedup": q228_incremental_lsh_dedup,
+        "q229_logreg_gradient": q229_logreg_gradient,
+        "q230_welch_ab_test": q230_welch_ab_test,
     }
 
 
@@ -10051,6 +10121,41 @@ def oracle_sql() -> dict[str, str]:
         JOIN shg y ON y.doc_id = c.corpus_id
         WHERE len(list_intersect(x.sh, y.sh)) * 1.0
               / len(list_distinct(list_concat(x.sh, y.sh))) >= 0.1
+    """
+    sqls["q229_logreg_gradient"] = r"""
+        WITH feat AS (
+            SELECT n_chars / 1000.0 AS x1,
+                   len(regexp_split_to_array(trim(text), '\s+')) / 100.0 AS x2,
+                   CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+            FROM documents
+        ), scored AS (
+            SELECT x1, x2, y,
+                   1.0 / (1.0 + exp(-(0.3 * x1 - 0.2 * x2 + 0.1))) AS s
+            FROM feat
+        )
+        SELECT count(*) AS n_docs,
+               round(avg((s - y) * x1), 6) AS grad_chars,
+               round(avg((s - y) * x2), 6) AS grad_tokens,
+               round(avg(s - y), 6) AS grad_bias,
+               round(avg(-(y * ln(s) + (1 - y) * ln(1 - s))), 6) AS log_loss
+        FROM scored
+    """
+    sqls["q230_welch_ab_test"] = """
+        WITH per AS (
+            SELECT event_type, count(*) AS n, avg(value) AS mu,
+                   var_samp(value) AS v
+            FROM events GROUP BY 1
+        ), ctrl AS (
+            SELECT n AS nc, mu AS muc, v AS vc FROM per WHERE event_type = 'click'
+        )
+        SELECT p.event_type AS variant, p.n,
+               round(p.mu - c.muc, 6) AS uplift,
+               round((p.mu - c.muc) / sqrt(p.v / p.n + c.vc / c.nc), 6) AS t_stat,
+               round(pow(p.v / p.n + c.vc / c.nc, 2)
+                     / (pow(p.v / p.n, 2) / (p.n - 1)
+                        + pow(c.vc / c.nc, 2) / (c.nc - 1)), 4) AS welch_dof
+        FROM per p, ctrl c
+        WHERE p.event_type <> 'click'
     """
     sqls["q226_event_transition_matrix"] = """
         WITH seq AS (
