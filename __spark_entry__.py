@@ -5743,6 +5743,106 @@ def q230_welch_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q231_twap_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average price/value (TWAP) per event type [EXT]: each
+    observation is weighted by how long it remained the latest one
+    (``lead(ts) − ts``; the stream tail carries no interval and is
+    dropped) — the standard featurization for IRREGULARLY-sampled series,
+    where a plain avg over-weights bursts (30 quotes in a volatile minute
+    vs 1 in a quiet hour). Deterministic tie-break on (ts, event_id).
+
+    Scale shape: one lead window PARTITIONED by event type (parallel, one
+    row of lookahead state), one 5-key aggregation. Timestamps route via
+    epoch seconds (events.ts is TIMESTAMP_NTZ)."""
+    from hubverse_transform_spark.operators.sessions import _epoch_seconds
+
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    iv = e.select(
+        "event_type",
+        "value",
+        (_epoch_seconds(F.lead("ts").over(w)) - _epoch_seconds(F.col("ts"))).alias("_w"),
+    ).filter(F.col("_w").isNotNull())
+    return iv.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_intervals"),
+        F.round(F.sum(F.col("value") * F.col("_w")) / F.sum("_w"), 6).alias("twap"),
+        F.round(F.avg("value"), 6).alias("plain_avg"),
+    )
+
+
+def q232_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point detection per event type [EXT]: cumulative sum of
+    daily-mean deviations from the series mean; the day where |CUSUM| peaks
+    is the most likely level-shift location and the peak magnitude the
+    shift evidence (Page's statistic, the standard drift alarm for metric
+    time series — the monitor a training-data pipeline points at its daily
+    quality/volume metrics).
+
+    Scale shape: the corpus collapses to a (type, day) aggregation first
+    (150 rows); the running CUSUM window, the series-mean broadcast, and
+    the argmax ranking all run on that bounded table — the corpus is
+    scanned once."""
+    e = _t(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("_day")
+    ).agg(F.avg("value").alias("_mu"))
+    stats = daily.groupBy("event_type").agg(F.avg("_mu").alias("_gmu"))
+    wc = (
+        Window.partitionBy("event_type")
+        .orderBy("_day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cusum = (
+        daily.join(F.broadcast(stats), "event_type")
+        .withColumn("_c", F.sum(F.col("_mu") - F.col("_gmu")).over(wc))
+    )
+    wr = Window.partitionBy("event_type").orderBy(
+        F.abs(F.col("_c")).desc(), "_day"
+    )
+    return (
+        cusum.withColumn("_r", F.row_number().over(wr))
+        .filter(F.col("_r") == 1)
+        .select(
+            "event_type",
+            F.date_format("_day", "yyyy-MM-dd").alias("peak_day"),
+            F.round(F.abs(F.col("_c")), 6).alias("cusum_peak"),
+        )
+    )
+
+
+def q233_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick featurizer [EXT]: tokens map to a FIXED 16-bucket
+    feature space via md5 (bucket = first 8 hex digits mod 16, sign = ±1
+    off the 9th digit — the signed hashing trick that debiases collisions,
+    Weinberger et al. 2009), summing term frequency × sign per (doc,
+    bucket). The vocabulary-free featurizer for linear models/quality
+    classifiers at corpus scale: no vocab table to build, broadcast, or
+    version — the feature space is a pure function of the token bytes,
+    identical across engines and across ingest batches. Long-form output
+    (doc_id, bucket, feat) keeps it oracle-comparable; q229 is the model
+    step such features feed. Emitted for the first 50 docs to bound the
+    differential, the featurization itself is corpus-wide map-side.
+
+    Scale shape: explode + one (doc, bucket) aggregation with map-side
+    combine — no joins, no windows, no vocabulary state."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    tok = d.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("w"),
+    ).filter(F.col("w") != "")
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5("w"), 1, 8), 16, 10).cast("long"), F.lit(16)
+    )
+    sign = F.when(
+        F.substring(F.md5("w"), 9, 1).isin(*list("02468ace")), F.lit(1)
+    ).otherwise(F.lit(-1))
+    return (
+        tok.select("doc_id", bucket.alias("bucket"), sign.alias("_s"))
+        .groupBy("doc_id", "bucket")
+        .agg(F.sum("_s").alias("feat"))
+    )
+
+
 # =============================================================================
 # Driver contract
 # =============================================================================
@@ -5985,6 +6085,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q228_incremental_lsh_dedup": q228_incremental_lsh_dedup,
         "q229_logreg_gradient": q229_logreg_gradient,
         "q230_welch_ab_test": q230_welch_ab_test,
+        "q231_twap_by_type": q231_twap_by_type,
+        "q232_cusum_changepoint": q232_cusum_changepoint,
+        "q233_feature_hashing": q233_feature_hashing,
     }
 
 
@@ -10156,6 +10259,54 @@ def oracle_sql() -> dict[str, str]:
                         + pow(c.vc / c.nc, 2) / (c.nc - 1)), 4) AS welch_dof
         FROM per p, ctrl c
         WHERE p.event_type <> 'click'
+    """
+    sqls["q231_twap_by_type"] = """
+        WITH iv AS (
+            SELECT event_type, value,
+                   epoch(lead(ts) OVER (PARTITION BY event_type
+                                        ORDER BY ts, event_id)) - epoch(ts) AS w
+            FROM events
+        )
+        SELECT event_type, count(*) AS n_intervals,
+               round(sum(value * w) / sum(w), 6) AS twap,
+               round(avg(value), 6) AS plain_avg
+        FROM iv WHERE w IS NOT NULL
+        GROUP BY event_type
+    """
+    sqls["q232_cusum_changepoint"] = """
+        WITH daily AS (
+            SELECT event_type, date_trunc('day', ts) AS day, avg(value) AS mu
+            FROM events GROUP BY 1, 2
+        ), st AS (
+            SELECT event_type, avg(mu) AS gmu FROM daily GROUP BY 1
+        ), cusum AS (
+            SELECT d.event_type, d.day,
+                   sum(d.mu - s.gmu) OVER (PARTITION BY d.event_type
+                                           ORDER BY d.day) AS c
+            FROM daily d JOIN st s USING (event_type)
+        ), r AS (
+            SELECT event_type, day, c,
+                   row_number() OVER (PARTITION BY event_type
+                                      ORDER BY abs(c) DESC, day) AS rk
+            FROM cusum
+        )
+        SELECT event_type, strftime(day, '%Y-%m-%d') AS peak_day,
+               round(abs(c), 6) AS cusum_peak
+        FROM r WHERE rk = 1
+    """
+    sqls["q233_feature_hashing"] = r"""
+        WITH tok AS (
+            SELECT doc_id,
+                   unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS w
+            FROM documents WHERE doc_id < 50
+        )
+        SELECT doc_id,
+               CAST('0x' || substring(md5(w), 1, 8) AS BIGINT) % 16 AS bucket,
+               CAST(sum(CASE WHEN substring(md5(w), 9, 1) IN
+                        ('0','2','4','6','8','a','c','e') THEN 1 ELSE -1 END)
+                    AS BIGINT) AS feat
+        FROM tok WHERE w <> ''
+        GROUP BY 1, 2
     """
     sqls["q226_event_transition_matrix"] = """
         WITH seq AS (
