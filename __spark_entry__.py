@@ -5843,6 +5843,285 @@ def q233_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q234_roc_auc_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day ROC-AUC via the Mann–Whitney U rank-sum [EXT]: how well the
+    event ``value`` separates converting events (purchase/signup) from the
+    rest, scored day by day — the standard offline-eval readout for any
+    scoring model. Exact tie-corrected AUC WITHOUT a per-row rank window:
+    rows first collapse to the (day, value) distinct-value table (events
+    values live on a 2-decimal grid, so the collapsed table is bounded by
+    ~49k rows per day REGARDLESS of corpus size), then
+    U = Σ_v n_pos(v)·(cum_neg_below(v) + ½·n_neg(v)) and AUC = U/(P·N) —
+    the pairs-won formulation, algebraically identical to average-rank AUC.
+
+    Scale shape: one (day, value) aggregation with map-side combine, one
+    running-sum window PARTITIONED by day over the bounded collapsed table,
+    one per-day aggregation. No global window, no O(n log n) rank over raw
+    rows, no driver math."""
+    e = _t(spark, sf_dir, "events")
+    lab = e.select(
+        F.to_date("ts").alias("_day"),
+        "value",
+        F.when(F.col("event_type").isin("purchase", "signup"), 1)
+        .otherwise(0)
+        .alias("_y"),
+    )
+    g = lab.groupBy("_day", "value").agg(
+        F.sum("_y").alias("_pos"),
+        F.sum(F.lit(1) - F.col("_y")).alias("_neg"),
+    )
+    w = (
+        Window.partitionBy("_day")
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    ranked = g.withColumn("_cneg", F.sum("_neg").over(w) - F.col("_neg"))
+    return (
+        ranked.groupBy("_day")
+        .agg(
+            F.sum("_pos").alias("n_pos"),
+            F.sum("_neg").alias("n_neg"),
+            F.sum(
+                F.col("_pos") * (F.col("_cneg") + 0.5 * F.col("_neg"))
+            ).alias("_u"),
+        )
+        .select(
+            F.date_format("_day", "yyyy-MM-dd").alias("day"),
+            "n_pos",
+            "n_neg",
+            F.round(F.col("_u") / (F.col("n_pos") * F.col("n_neg")), 6).alias("auc"),
+        )
+    )
+
+
+def q235_calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration / Expected Calibration Error for a q229-family logistic
+    model (same features, spread-calibrated weights so the reliability
+    diagram exercises all bins) [EXT]: probabilities bucket into 10 fixed
+    bins; per bin, mean confidence vs empirical accuracy and their gap; the
+    scalar ECE (Σ share·|acc−conf|, Guo et al. 2017) rides every row via a
+    1-row broadcast. The reliability diagram a model-based quality filter
+    (q151) needs before its scores can gate data.
+
+    Scale shape: scoring and binning are pure map-side column exprs (no
+    UDF, no vocab), then ONE 10-key aggregation; the ECE reduction runs on
+    the 10-row bin table. One corpus scan total."""
+    d = _t(spark, sf_dir, "documents")
+    x1 = (F.col("n_chars") - 300.0) / 100.0
+    x2 = (whitespace_token_count(F.col("text")) - 50.0) / 20.0
+    y = F.when(F.col("lang") == "en", 1.0).otherwise(0.0)
+    s = F.lit(1.0) / (F.lit(1.0) + F.exp(-(F.lit(0.9) * x1 + F.lit(-0.7) * x2 + F.lit(0.1))))
+    bins = (
+        d.select(
+            F.least(F.floor(s * 10), F.lit(9)).alias("bin"),
+            s.alias("_s"),
+            y.alias("_y"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.avg("_s").alias("_conf"),
+            F.avg("_y").alias("_acc"),
+        )
+    )
+    tot = bins.agg(
+        F.sum("n").alias("_tot"),
+        F.sum(F.abs(F.col("_acc") - F.col("_conf")) * F.col("n")).alias("_werr"),
+    )
+    return (
+        bins.crossJoin(F.broadcast(tot))
+        .select(
+            "bin",
+            "n",
+            F.round("_conf", 6).alias("confidence"),
+            F.round("_acc", 6).alias("accuracy"),
+            F.round(F.abs(F.col("_acc") - F.col("_conf")), 6).alias("gap"),
+            F.round(F.col("_werr") / F.col("_tot"), 6).alias("ece"),
+        )
+    )
+
+
+def q236_bfs_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hop-limited BFS reachability over the part co-purchase graph [EXT]:
+    minimum hop distance from the seed parts (p_partkey ≤ 5) through
+    ``operators/graph.bfs_hops`` — frontier expansion + visited anti-join,
+    which computes min-hop with |V| rows of state where path enumeration
+    (the recursive-CTE form, q150) would blow up exponentially on a dense
+    co-occurrence graph. Output: per-hop reached-node count and a bit_xor
+    key checksum so the oracle pins WHICH nodes, not just how many.
+
+    Scale shape: per round one shuffled-hash join (frontier side is the
+    small one — AQE would broadcast it in early rounds on a cluster), one
+    distinct, one co-partitioned anti-join; fixed 3 rounds, everything
+    persisted per round and released on return. The oracle mirrors the
+    rounds as unrolled hop CTEs (h1/h2/h3 with NOT IN visited), not path
+    recursion."""
+    from hubverse_transform_spark.operators.graph import bfs_hops
+
+    edges = _q72_edges(spark, sf_dir)
+    seeds = edges.filter(F.col("src") <= 5).select(F.col("src").alias("node"))
+    reached = bfs_hops(edges, seeds, max_hops=3)
+    return (
+        reached.groupBy("hop")
+        .agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.bit_xor(F.col("node")).alias("node_xor"),
+        )
+        .orderBy("hop")
+    )
+
+
+def q237_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan–Meier survival curves per market segment [EXT]: customer
+    "lifetime" = days between first and last order; a lifetime is an
+    OBSERVED churn event when the last order predates the dataset horizon
+    (global max order date, 1-row broadcast) by more than 365 days,
+    otherwise right-CENSORED — the product-limit estimator
+    S(t) = Π_{tᵢ≤t} (1 − dᵢ/nᵢ) with censored lifetimes leaving the risk
+    set silently (Kaplan & Meier 1958). The retention readout for cohort
+    planning. Running product realized as exp(Σ ln·) with a 1e-300 floor
+    so a terminal dᵢ=nᵢ collapses to S=0 identically in both engines.
+
+    Scale shape: per-customer collapse is one co-keyed aggregation; the KM
+    recursion runs on the bounded (segment × distinct-lifetime) table
+    (≤ date-span rows per segment) with windows PARTITIONED by segment.
+    Emits death times only (d>0)."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    life = o.groupBy("o_custkey").agg(
+        F.min("o_orderdate").alias("_first"), F.max("o_orderdate").alias("_last")
+    )
+    horizon = o.agg(F.max("o_orderdate").alias("_hmax"))
+    per = (
+        life.crossJoin(F.broadcast(horizon))
+        .join(c, life.o_custkey == c.c_custkey)
+        .select(
+            F.col("c_mktsegment").alias("segment"),
+            F.datediff("_last", "_first").alias("t"),
+            F.when(F.datediff("_hmax", "_last") > 365, 1).otherwise(0).alias("_ev"),
+        )
+    )
+    tbl = per.groupBy("segment", "t").agg(
+        F.sum("_ev").alias("d"), F.count(F.lit(1)).alias("_all")
+    )
+    wseg = Window.partitionBy("segment").orderBy("t")
+    km = (
+        tbl.withColumn(
+            "n_risk",
+            F.sum("_all").over(
+                Window.partitionBy("segment").orderBy("t").rowsBetween(
+                    0, Window.unboundedFollowing
+                )
+            ),
+        )
+        .withColumn(
+            "_lnS",
+            F.sum(
+                F.log(
+                    F.greatest(
+                        F.lit(1.0) - F.col("d") / F.col("n_risk"), F.lit(1e-300)
+                    )
+                )
+            ).over(wseg.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+    )
+    return km.filter(F.col("d") > 0).select(
+        "segment",
+        "t",
+        "n_risk",
+        "d",
+        F.round(F.exp("_lnS"), 6).alias("survival"),
+    )
+
+
+def q238_acf_daily_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function of the daily order series at lags 1–7 days
+    [EXT]: Pearson corr between the daily (count, revenue) series and its
+    lag-k shift — the seasonality/persistence diagnostic behind any
+    forecasting or anomaly baseline (the weekly harmonic shows up as a
+    lag-7 peak). Lag alignment is an equi-join of the daily table against
+    itself on ``day − k`` via a 7-row lag spine — no per-lag window pass,
+    no global-window rank.
+
+    Scale shape: the corpus collapses to one (day) aggregation first
+    (~2.4k rows at any SF — the date span bounds it); the 7-lag spine
+    crossJoin and self-join run on that bounded table. One corpus scan."""
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(F.to_date("o_orderdate").alias("_day")).agg(
+        F.count(F.lit(1)).alias("_n"), F.sum("o_totalprice").alias("_rev")
+    )
+    lags = spark.range(1, 8).select(F.col("id").cast("int").alias("lag"))
+    d2 = daily.select(
+        F.col("_day").alias("_day2"),
+        F.col("_n").alias("_n2"),
+        F.col("_rev").alias("_rev2"),
+    )
+    pairs = (
+        daily.crossJoin(F.broadcast(lags))
+        .join(d2, F.date_sub(F.col("_day"), F.col("lag")) == F.col("_day2"))
+    )
+    return (
+        pairs.groupBy("lag")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(F.corr("_n", "_n2"), 6).alias("acf_count"),
+            F.round(F.corr("_rev", "_rev2"), 6).alias("acf_revenue"),
+        )
+        .orderBy("lag")
+    )
+
+
+def q239_qq_decile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile–quantile drift readout [EXT]: exact per-decile values of
+    the event ``value`` distribution, first week vs last week, and their
+    gap — WHERE the distribution moved, complementing KS (q214: max CDF
+    gap) and PSI (q-psi: binned mass shift). percentile_disc semantics
+    (smallest v with cdf ≥ k/10) realized by rank selection over the
+    (cohort, value) distinct-value table with an integer-exact threshold
+    (``cum·10 ≥ k·tot`` — no float cdf), so both engines pick identical
+    grid values and the hash matches bit-for-bit.
+
+    Scale shape: one (cohort, value) aggregation (bounded: events values
+    live on a ~49k-point 2-decimal grid), windows PARTITIONED by cohort,
+    a 9-row decile spine joined against the bounded table, one 9-key
+    aggregation. No single-reducer percentile buffer (the q40 trap)."""
+    e = _t(spark, sf_dir, "events")
+    coh = e.select(
+        F.when(F.to_date("ts") < F.lit("2024-01-08"), "first_week")
+        .when(F.to_date("ts") >= F.lit("2024-01-24"), "last_week")
+        .alias("cohort"),
+        "value",
+    ).filter(F.col("cohort").isNotNull())
+    g = coh.groupBy("cohort", "value").agg(F.count(F.lit(1)).alias("_c"))
+    wc = (
+        Window.partitionBy("cohort")
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = g.withColumn("_cum", F.sum("_c").over(wc)).withColumn(
+        "_tot", F.sum("_c").over(Window.partitionBy("cohort"))
+    )
+    ks = spark.range(1, 10).select(F.col("id").cast("int").alias("decile"))
+    qs = (
+        cum.crossJoin(F.broadcast(ks))
+        .filter(F.col("_cum") * 10 >= F.col("decile") * F.col("_tot"))
+        .groupBy("cohort", "decile")
+        .agg(F.min("value").alias("_q"))
+    )
+    return (
+        qs.groupBy("decile")
+        .pivot("cohort", ["first_week", "last_week"])
+        .agg(F.first("_q"))
+        .select(
+            "decile",
+            F.round("first_week", 2).alias("q_first"),
+            F.round("last_week", 2).alias("q_last"),
+            F.round(F.col("last_week") - F.col("first_week"), 2).alias("gap"),
+        )
+        .orderBy("decile")
+    )
+
+
 # =============================================================================
 # Driver contract
 # =============================================================================
@@ -6088,6 +6367,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q231_twap_by_type": q231_twap_by_type,
         "q232_cusum_changepoint": q232_cusum_changepoint,
         "q233_feature_hashing": q233_feature_hashing,
+        "q234_roc_auc_daily": q234_roc_auc_daily,
+        "q235_calibration_ece": q235_calibration_ece,
+        "q236_bfs_reach": q236_bfs_reach,
+        "q237_kaplan_meier": q237_kaplan_meier,
+        "q238_acf_daily_orders": q238_acf_daily_orders,
+        "q239_qq_decile_drift": q239_qq_decile_drift,
     }
 
 
@@ -10334,6 +10619,154 @@ def oracle_sql() -> dict[str, str]:
         SELECT w AS token, n, round(n * 1.0 / tot, 6) AS share
         FROM c, t
         WHERE n >= 0.02 * tot
+    """
+    sqls["q234_roc_auc_daily"] = """
+        WITH lab AS (
+            SELECT CAST(date_trunc('day', ts) AS DATE) AS day, value,
+                   CASE WHEN event_type IN ('purchase','signup') THEN 1 ELSE 0 END AS y
+            FROM events
+        ), g AS (
+            SELECT day, value, sum(y) AS pos, sum(1 - y) AS neg
+            FROM lab GROUP BY 1, 2
+        ), r AS (
+            SELECT day, pos, neg,
+                   sum(neg) OVER (PARTITION BY day ORDER BY value
+                                  ROWS UNBOUNDED PRECEDING) - neg AS cneg
+            FROM g
+        )
+        SELECT strftime(day, '%Y-%m-%d') AS day,
+               CAST(sum(pos) AS BIGINT) AS n_pos,
+               CAST(sum(neg) AS BIGINT) AS n_neg,
+               round(sum(pos * (cneg + 0.5 * neg))
+                     / (sum(pos) * sum(neg)), 6) AS auc
+        FROM r GROUP BY day
+    """
+    sqls["q235_calibration_ece"] = r"""
+        WITH scored AS (
+            SELECT 1.0 / (1.0 + exp(-(0.9 * (n_chars - 300.0) / 100.0
+                       - 0.7 * (len(regexp_split_to_array(trim(text), '\s+')) - 50.0) / 20.0
+                       + 0.1))) AS s,
+                   CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+            FROM documents
+        ), bins AS (
+            SELECT least(CAST(floor(s * 10) AS BIGINT), 9) AS bin,
+                   count(*) AS n, avg(s) AS conf, avg(y) AS acc
+            FROM scored GROUP BY 1
+        ), tot AS (
+            SELECT sum(n) AS t, sum(abs(acc - conf) * n) AS werr FROM bins
+        )
+        SELECT bin, n, round(conf, 6) AS confidence, round(acc, 6) AS accuracy,
+               round(abs(acc - conf), 6) AS gap, round(werr / t, 6) AS ece
+        FROM bins, tot
+    """
+    # unrolled hop CTEs (frontier \ visited) — NOT path recursion, which
+    # explodes on a dense co-occurrence graph; mirrors bfs_hops round-wise
+    sqls["q236_bfs_reach"] = """
+        WITH e AS (
+            SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+            FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+            WHERE a.l_partkey <> b.l_partkey
+        ), h0 AS (
+            SELECT DISTINCT src AS node FROM e WHERE src <= 5
+        ), h1 AS (
+            SELECT DISTINCT e.dst AS node FROM e JOIN h0 ON e.src = h0.node
+            WHERE e.dst NOT IN (SELECT node FROM h0)
+        ), h2 AS (
+            SELECT DISTINCT e.dst AS node FROM e JOIN h1 ON e.src = h1.node
+            WHERE e.dst NOT IN (SELECT node FROM h0)
+              AND e.dst NOT IN (SELECT node FROM h1)
+        ), h3 AS (
+            SELECT DISTINCT e.dst AS node FROM e JOIN h2 ON e.src = h2.node
+            WHERE e.dst NOT IN (SELECT node FROM h0)
+              AND e.dst NOT IN (SELECT node FROM h1)
+              AND e.dst NOT IN (SELECT node FROM h2)
+        ), walk AS (
+            SELECT node, 0 AS hop FROM h0
+            UNION ALL SELECT node, 1 FROM h1
+            UNION ALL SELECT node, 2 FROM h2
+            UNION ALL SELECT node, 3 FROM h3
+        )
+        SELECT hop, count(*) AS n_nodes, bit_xor(node) AS node_xor
+        FROM walk GROUP BY hop ORDER BY hop
+    """
+    sqls["q237_kaplan_meier"] = """
+        WITH life AS (
+            SELECT o_custkey, min(o_orderdate) AS f, max(o_orderdate) AS l
+            FROM orders GROUP BY 1
+        ), horizon AS (
+            SELECT max(o_orderdate) AS hmax FROM orders
+        ), per AS (
+            SELECT c.c_mktsegment AS segment,
+                   datediff('day', life.f, life.l) AS t,
+                   CASE WHEN datediff('day', life.l, horizon.hmax) > 365
+                        THEN 1 ELSE 0 END AS ev
+            FROM life
+            CROSS JOIN horizon
+            JOIN customer c ON life.o_custkey = c.c_custkey
+        ), tbl AS (
+            SELECT segment, t, sum(ev) AS d, count(*) AS alln
+            FROM per GROUP BY 1, 2
+        ), risk AS (
+            SELECT segment, t, d,
+                   sum(alln) OVER (PARTITION BY segment ORDER BY t
+                                   ROWS BETWEEN CURRENT ROW
+                                   AND UNBOUNDED FOLLOWING) AS n_risk
+            FROM tbl
+        ), km AS (
+            SELECT segment, t, d, n_risk,
+                   sum(ln(greatest(1.0 - d * 1.0 / n_risk, 1e-300)))
+                       OVER (PARTITION BY segment ORDER BY t
+                             ROWS UNBOUNDED PRECEDING) AS lnS
+            FROM risk
+        )
+        SELECT segment, t, CAST(n_risk AS BIGINT) AS n_risk,
+               CAST(d AS BIGINT) AS d, round(exp(lnS), 6) AS survival
+        FROM km WHERE d > 0
+    """
+    sqls["q238_acf_daily_orders"] = """
+        WITH daily AS (
+            SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+                   count(*) AS n, sum(o_totalprice) AS rev
+            FROM orders GROUP BY 1
+        ), lags AS (
+            SELECT CAST(unnest(range(1, 8)) AS INT) AS lag
+        )
+        SELECT l.lag, count(*) AS n_pairs,
+               round(corr(d1.n, d2.n), 6) AS acf_count,
+               round(corr(d1.rev, d2.rev), 6) AS acf_revenue
+        FROM daily d1 CROSS JOIN lags l
+        JOIN daily d2 ON d2.day = d1.day - l.lag * INTERVAL 1 DAY
+        GROUP BY l.lag ORDER BY l.lag
+    """
+    sqls["q239_qq_decile_drift"] = """
+        WITH coh AS (
+            SELECT CASE WHEN CAST(date_trunc('day', ts) AS DATE) < DATE '2024-01-08'
+                        THEN 'first_week'
+                        WHEN CAST(date_trunc('day', ts) AS DATE) >= DATE '2024-01-24'
+                        THEN 'last_week' END AS cohort, value
+            FROM events
+        ), g AS (
+            SELECT cohort, value, count(*) AS c FROM coh
+            WHERE cohort IS NOT NULL GROUP BY 1, 2
+        ), cum AS (
+            SELECT cohort, value,
+                   sum(c) OVER (PARTITION BY cohort ORDER BY value
+                                ROWS UNBOUNDED PRECEDING) AS cm,
+                   sum(c) OVER (PARTITION BY cohort) AS tot
+            FROM g
+        ), ks AS (SELECT CAST(unnest(range(1, 10)) AS INT) AS decile),
+        q AS (
+            SELECT cohort, decile, min(value) AS q
+            FROM cum CROSS JOIN ks
+            WHERE cm * 10 >= decile * tot
+            GROUP BY 1, 2
+        )
+        SELECT decile,
+               round(max(CASE WHEN cohort = 'first_week' THEN q END), 2) AS q_first,
+               round(max(CASE WHEN cohort = 'last_week' THEN q END), 2) AS q_last,
+               round(max(CASE WHEN cohort = 'last_week' THEN q END)
+                     - max(CASE WHEN cohort = 'first_week' THEN q END), 2) AS gap
+        FROM q GROUP BY decile ORDER BY decile
     """
     sqls["q200_catalog_rowcounts"] = """
         SELECT 'region' AS table_name, count(*) AS n_rows FROM region

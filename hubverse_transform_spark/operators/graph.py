@@ -156,3 +156,53 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
         .agg(F.count(F.lit(1)).alias("triangles"))
     )
     return per_node
+
+
+def bfs_hops(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_hops: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Hop-limited breadth-first search: minimum hop distance (0..max_hops)
+    from a seed node set over a directed edge list (symmetrize first for
+    undirected semantics). Returns (node, hop) — one row per node reached
+    within the budget, hop = its SHORTEST distance.
+
+    The frontier/visited formulation computes min-hop directly: round k
+    expands only nodes first reached at round k-1 (one equi-join edges ⋈
+    frontier), then subtracts everything already visited (left_anti), so a
+    node is emitted exactly once, at its first — i.e. minimum — hop. That
+    is the property that makes BFS scale where path enumeration cannot: a
+    dense co-occurrence graph has exponentially many ≤k-hop PATHS per node
+    but only |V| (node, min-hop) rows, and this never materializes paths.
+
+    Scale shape: per round, one shuffled hash join on ``src`` (frontier is
+    usually far smaller than the edge list — at a 1000-executor scale the
+    frontier side is broadcast-eligible in early rounds and AQE picks that
+    up at runtime), one distinct on the frontier, one anti-join against
+    visited (both hash-partitioned on ``node``, exchange reuse applies).
+    ``visited`` and each frontier are persisted per round and ALL released
+    before return (cache-compute-release); fixed ``max_hops`` keeps the
+    loop bit-stable for differential oracles — no data-dependent early
+    exit, no driver-side collection of nodes.
+    """
+    seed_nodes = seeds.select("node").distinct()
+    visited = seed_nodes.withColumn("hop", F.lit(0)).persist()
+    frontier = visited.select("node").persist()
+    cached = [visited, frontier]
+    for h in range(1, max_hops + 1):
+        nxt = (
+            edges.join(
+                frontier.withColumnRenamed("node", src).hint("shuffle_hash"), src
+            )
+            .select(F.col(dst).alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .persist()
+        )
+        visited = visited.unionByName(nxt.withColumn("hop", F.lit(h))).persist()
+        frontier = nxt
+        cached += [nxt, visited]
+    return compute_release(visited, *cached)

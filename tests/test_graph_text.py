@@ -165,3 +165,32 @@ def test_pagerank_convergence_early_exit(spark):
     a = {r.node: r.pr for r in pagerank(df, iterations=3).collect()}
     b = {r.node: r.pr for r in pagerank(df, iterations=3).collect()}
     assert a == b
+
+
+def test_bfs_hops_min_distance_and_budget(spark):
+    from hubverse_transform_spark.operators.graph import bfs_hops
+
+    # 1→2→3→4 chain plus the 1→5→4 shortcut: node 4 must be reached at hop
+    # 2 (via 5), never at its hop-3 chain distance; 6→7 is disconnected.
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (1, 5), (5, 4), (6, 7)], ["src", "dst"]
+    )
+    seeds = spark.createDataFrame([(1,)], ["node"])
+    got = {r.node: r.hop for r in bfs_hops(edges, seeds, max_hops=3).collect()}
+    assert got == {1: 0, 2: 1, 5: 1, 3: 2, 4: 2}
+
+    # hop budget: max_hops=1 stops at the first frontier
+    got1 = {r.node: r.hop for r in bfs_hops(edges, seeds, max_hops=1).collect()}
+    assert got1 == {1: 0, 2: 1, 5: 1}
+
+
+def test_bfs_hops_seed_dedup_and_multi_seed(spark):
+    from hubverse_transform_spark.operators.graph import bfs_hops
+
+    edges = spark.createDataFrame([(1, 2), (3, 2), (2, 4)], ["src", "dst"])
+    # duplicate seed rows must not double-count; both components expand
+    seeds = spark.createDataFrame([(1,), (1,), (3,)], ["node"])
+    out = bfs_hops(edges, seeds, max_hops=2)
+    got = {r.node: r.hop for r in out.collect()}
+    assert got == {1: 0, 3: 0, 2: 1, 4: 2}
+    assert out.count() == 4
