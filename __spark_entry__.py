@@ -6122,6 +6122,325 @@ def q239_qq_decile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q240_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variance-optimal (Neyman) stratified-sample allocation [EXT]: split a
+    10,000-row sampling budget across market segments proportionally to
+    N_h·S_h (stratum size × within-stratum stddev of order value) — the
+    allocation that minimizes estimator variance for a fixed budget
+    (Neyman 1934), and what a data-curation pipeline uses to budget QA
+    samples across heterogeneous sources. Integerization is exact
+    largest-remainder (floor + rank of fractional parts), so allocations
+    always sum to the budget — composes q190's Hamilton apportionment with
+    one-pass moment aggregation.
+
+    Scale shape: one co-keyed join + one 5-key moment aggregation; the
+    allocation arithmetic (two 1-row broadcasts + remainder rank) runs on
+    the 5-row stratum table."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    per = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.stddev_samp("o_totalprice").alias("_s"),
+        )
+    )
+    tot = per.agg(F.sum(F.col("n_orders") * F.col("_s")).alias("_ns"))
+    quota = per.crossJoin(F.broadcast(tot)).withColumn(
+        "_quota", F.lit(10000.0) * F.col("n_orders") * F.col("_s") / F.col("_ns")
+    ).withColumn("_base", F.floor("_quota"))
+    left = quota.agg((F.lit(10000) - F.sum("_base")).alias("_left"))
+    wr = Window.orderBy(
+        (F.col("_quota") - F.col("_base")).desc(), F.col("segment")
+    )
+    return (
+        quota.withColumn("_r", F.row_number().over(wr))
+        .crossJoin(F.broadcast(left))
+        .select(
+            "segment",
+            "n_orders",
+            F.round("_s", 2).alias("stddev_price"),
+            (
+                F.col("_base")
+                + F.when(F.col("_r") <= F.col("_left"), 1).otherwise(0)
+            ).cast("long").alias("alloc"),
+        )
+    )
+
+
+def q241_seasonal_dow_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonal decomposition of daily order revenue [EXT]:
+    multiplicative seasonal index per weekday (mean daily revenue on that
+    weekday ÷ overall mean daily revenue) — the first stage of any
+    classical decomposition / forecasting baseline, and the correction
+    factor behind 'is Monday volume actually low?' monitoring. Weekday via
+    ``weekday()`` (0=Monday) with the oracle on ``isodow−1`` so both
+    engines share the encoding.
+
+    Scale shape: the corpus collapses to the bounded (day) table first
+    (date span caps it at any SF); the 7-key weekday aggregation and the
+    1-row overall-mean broadcast run on that table. One corpus scan."""
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(F.to_date("o_orderdate").alias("_day")).agg(
+        F.sum("o_totalprice").alias("_rev")
+    )
+    dow = daily.groupBy(F.weekday("_day").alias("dow")).agg(
+        F.count(F.lit(1)).alias("n_days"), F.avg("_rev").alias("_mu")
+    )
+    overall = daily.agg(F.avg("_rev").alias("_all"))
+    return (
+        dow.crossJoin(F.broadcast(overall))
+        .select(
+            "dow",
+            "n_days",
+            F.round("_mu", 2).alias("avg_revenue"),
+            F.round(F.col("_mu") / F.col("_all"), 6).alias("seasonal_index"),
+        )
+        .orderBy("dow")
+    )
+
+
+def q242_robust_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust trend per event type: Theil–Sen slope + Mann–Kendall test
+    [EXT] — the outlier-resistant complement to OLS trend (q-OLS breaks on
+    one bad day; the median-of-pairwise-slopes estimator has a 29%
+    breakdown point, and the MK S statistic gives a distribution-free
+    monotone-trend signal). Daily means are rounded to the 6-decimal grid
+    BEFORE pairing so both engines order identical slope values; the
+    median is lower-median rank selection (row_number = ⌊(n+1)/2⌋), exact
+    and interpolation-free.
+
+    Scale shape: the corpus collapses to (type, day) first; the pairwise
+    self-join runs on that bounded table (≤ C(span,2) rows per type —
+    ~435 at a 30-day span — INDEPENDENT of corpus size), windows
+    partitioned by type."""
+    e = _t(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.to_date("ts").alias("_day")
+    ).agg(F.round(F.avg("value"), 6).alias("_mu"))
+    b = daily.select(
+        F.col("event_type").alias("_t2"),
+        F.col("_day").alias("_day2"),
+        F.col("_mu").alias("_mu2"),
+    )
+    pairs = daily.join(
+        b,
+        (F.col("event_type") == F.col("_t2")) & (F.col("_day") < F.col("_day2")),
+    ).select(
+        "event_type",
+        (
+            (F.col("_mu2") - F.col("_mu"))
+            / F.datediff("_day2", "_day")
+        ).alias("_slope"),
+        F.signum(F.col("_mu2") - F.col("_mu")).alias("_sgn"),
+    )
+    agg = pairs.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum("_sgn").cast("long").alias("mk_s"),
+    )
+    wm = Window.partitionBy("event_type").orderBy("_slope")
+    med = (
+        pairs.withColumn("_rn", F.row_number().over(wm))
+        .join(agg, "event_type")
+        .filter(F.col("_rn") == F.floor((F.col("n_pairs") + 1) / 2))
+        .select("event_type", F.round("_slope", 6).alias("theil_sen_slope"))
+    )
+    return agg.join(med, "event_type").select(
+        "event_type",
+        "n_pairs",
+        "mk_s",
+        F.round(F.col("mk_s") / F.col("n_pairs"), 6).alias("kendall_tau"),
+        "theil_sen_slope",
+    )
+
+
+def q243_best_split_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed decision-stump learning [EXT]: per day, the value
+    threshold that best separates converting events (purchase/signup) by
+    information gain — every distinct value is a split candidate, and ALL
+    candidates are scored in ONE window pass over cumulative class counts
+    (the sorted-scan trick every scalable tree learner uses: gain at
+    threshold v needs only (cum_pos, cum_neg) at v plus day totals — no
+    per-candidate scan).
+
+    Scale shape: rows collapse to the (day, value) grid (bounded: events
+    values live on a 2-decimal grid), cumulative and total windows are
+    PARTITIONED by day, argmax is a row_number pick. Gain math runs on
+    exact integer counts, so both engines produce bit-identical doubles."""
+    e = _t(spark, sf_dir, "events")
+    lab = e.select(
+        F.to_date("ts").alias("_day"),
+        "value",
+        F.when(F.col("event_type").isin("purchase", "signup"), 1)
+        .otherwise(0)
+        .alias("_y"),
+    )
+    g = lab.groupBy("_day", "value").agg(
+        F.sum("_y").alias("_pos"), F.sum(F.lit(1) - F.col("_y")).alias("_neg")
+    )
+    wc = (
+        Window.partitionBy("_day")
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wt = Window.partitionBy("_day")
+    cum = (
+        g.withColumn("_cp", F.sum("_pos").over(wc))
+        .withColumn("_cn", F.sum("_neg").over(wc))
+        .withColumn("_tp", F.sum("_pos").over(wt))
+        .withColumn("_tn", F.sum("_neg").over(wt))
+    )
+
+    def ent(p):
+        return F.when(
+            (p <= 0) | (p >= 1), F.lit(0.0)
+        ).otherwise(-(p * F.log2(p) + (1 - p) * F.log2(1 - p)))
+
+    nl = F.col("_cp") + F.col("_cn")
+    nr = (F.col("_tp") - F.col("_cp")) + (F.col("_tn") - F.col("_cn"))
+    n = F.col("_tp") + F.col("_tn")
+    gain = (
+        ent(F.col("_tp") / n)
+        - (nl / n) * ent(F.col("_cp") / nl)
+        - (nr / n) * ent((F.col("_tp") - F.col("_cp")) / nr)
+    )
+    scored = cum.filter(nr > 0).select(
+        "_day",
+        "value",
+        nl.alias("n_left"),
+        nr.alias("n_right"),
+        gain.alias("_gain"),
+    )
+    wbest = Window.partitionBy("_day").orderBy(F.col("_gain").desc(), "value")
+    return (
+        scored.withColumn("_r", F.row_number().over(wbest))
+        .filter(F.col("_r") == 1)
+        .select(
+            F.date_format("_day", "yyyy-MM-dd").alias("day"),
+            F.col("value").alias("best_threshold"),
+            F.round("_gain", 6).alias("info_gain"),
+            "n_left",
+            "n_right",
+        )
+    )
+
+
+def q244_gain_lift_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model gain/lift table [EXT]: rank documents by a logistic quality
+    score (q235's model), cut the population into score-ordered deciles,
+    and report per-decile positive capture + lift — THE campaign/filter
+    targeting readout ('the top 20% of scores holds 55% of the
+    positives'). Scores quantize to a 3-decimal grid first, so the
+    cumulative ranking runs over a ≤1001-row table regardless of corpus
+    size, and decile membership is integer-exact (ceil(cum·10/tot)); the
+    decile's cumulative capture is max(cum_pos) — monotone, so no second
+    ranking pass.
+
+    Scale shape: one corpus scan into the bounded score-grid aggregation;
+    ONE global window over the ≤1001-row grid (whitelisted: bounded by
+    score granularity, not data volume); 10-key final aggregation."""
+    d = _t(spark, sf_dir, "documents")
+    x1 = (F.col("n_chars") - 300.0) / 100.0
+    x2 = (whitespace_token_count(F.col("text")) - 50.0) / 20.0
+    y = F.when(F.col("lang") == "en", 1).otherwise(0)
+    s = F.lit(1.0) / (
+        F.lit(1.0) + F.exp(-(F.lit(0.9) * x1 + F.lit(-0.7) * x2 + F.lit(0.1)))
+    )
+    g = (
+        d.select(F.round(s, 3).alias("_s3"), y.alias("_y"))
+        .groupBy("_s3")
+        .agg(F.count(F.lit(1)).alias("_n"), F.sum("_y").alias("_pos"))
+    )
+    wg = Window.orderBy(F.col("_s3").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = g.withColumn("_cn", F.sum("_n").over(wg)).withColumn(
+        "_cp", F.sum("_pos").over(wg)
+    )
+    tot = g.agg(F.sum("_n").alias("_tot"), F.sum("_pos").alias("_tpos"))
+    dec = (
+        cum.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "decile", F.ceil(F.col("_cn") * 10 / F.col("_tot")).cast("int")
+        )
+        .groupBy("decile")
+        .agg(
+            F.sum("_n").alias("n"),
+            F.sum("_pos").alias("n_pos"),
+            F.max("_cp").alias("_cum_pos"),
+            F.first("_tot").alias("_t"),
+            F.first("_tpos").alias("_tp"),
+        )
+    )
+    return dec.select(
+        "decile",
+        "n",
+        "n_pos",
+        F.round(F.col("_cum_pos") / F.col("_tp"), 6).alias("capture_rate"),
+        F.round(
+            (F.col("n_pos") / F.col("n")) / (F.col("_tp") / F.col("_t")), 6
+        ).alias("lift"),
+    ).orderBy("decile")
+
+
+def q245_fellegi_sunter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi–Sunter probabilistic record-linkage scoring [EXT]: customer
+    pairs BLOCKED by nation, scored by summing per-field log-likelihood
+    match weights (agree → ln(m/u), disagree → ln((1−m)/(1−u)), literal
+    6-decimal weights so both engines add identical doubles) over three
+    comparison fields — market segment, name edit-distance (lev ≤ 2),
+    acctbal 500-bucket. Top-20 by weight with full key tie-break: the
+    classic ER decision model (Fellegi & Sunter 1969) on top of the
+    blocking the repo's fuzzy-join ops already use.
+
+    Scale shape: the self-join is bounded by the blocking key (per-nation
+    pair count, NOT corpus-quadratic; at lake scale block on
+    nation × phone-prefix to cap block width), weights are map-side CASE
+    arithmetic, result is a TakeOrdered top-20."""
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_nationkey",
+        "c_mktsegment",
+        "c_name",
+        F.floor(F.col("c_acctbal") / 500).alias("_bal"),
+    )
+    b = c.select(
+        F.col("c_custkey").alias("_k2"),
+        F.col("c_nationkey").alias("_n2"),
+        F.col("c_mktsegment").alias("_seg2"),
+        F.col("c_name").alias("_name2"),
+        F.col("_bal").alias("_bal2"),
+    )
+    pairs = c.join(
+        b,
+        (F.col("c_nationkey") == F.col("_n2"))
+        & (F.col("c_custkey") < F.col("_k2")),
+    )
+    # ln(m/u), ln((1-m)/(1-u)) at 6 decimals: seg m=.9 u=.2, name-lev<=2
+    # m=.95 u=.001, bal-bucket m=.8 u=.1 — literal weights, not engine
+    # ln(), so both engines sum identical doubles
+    score = (
+        F.when(F.col("c_mktsegment") == F.col("_seg2"), F.lit(1.504077))
+        .otherwise(F.lit(-2.079442))
+        + F.when(
+            F.levenshtein(F.col("c_name"), F.col("_name2")) <= 2,
+            F.lit(6.856462),
+        ).otherwise(F.lit(-2.995632))
+        + F.when(F.col("_bal") == F.col("_bal2"), F.lit(2.079442))
+        .otherwise(F.lit(-1.504077))
+    )
+    return (
+        pairs.select(
+            F.col("c_custkey").alias("cust1"),
+            F.col("_k2").alias("cust2"),
+            F.round(score, 6).alias("match_weight"),
+        )
+        .orderBy(F.col("match_weight").desc(), "cust1", "cust2")
+        .limit(20)
+    )
+
+
 # =============================================================================
 # Driver contract
 # =============================================================================
@@ -6373,6 +6692,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q237_kaplan_meier": q237_kaplan_meier,
         "q238_acf_daily_orders": q238_acf_daily_orders,
         "q239_qq_decile_drift": q239_qq_decile_drift,
+        "q240_neyman_allocation": q240_neyman_allocation,
+        "q241_seasonal_dow_index": q241_seasonal_dow_index,
+        "q242_robust_trend": q242_robust_trend,
+        "q243_best_split_stump": q243_best_split_stump,
+        "q244_gain_lift_table": q244_gain_lift_table,
+        "q245_fellegi_sunter": q245_fellegi_sunter,
     }
 
 
@@ -10767,6 +11092,174 @@ def oracle_sql() -> dict[str, str]:
                round(max(CASE WHEN cohort = 'last_week' THEN q END)
                      - max(CASE WHEN cohort = 'first_week' THEN q END), 2) AS gap
         FROM q GROUP BY decile ORDER BY decile
+    """
+    sqls["q240_neyman_allocation"] = """
+        WITH per AS (
+            SELECT c.c_mktsegment AS segment, count(*) AS n_orders,
+                   stddev_samp(o.o_totalprice) AS s
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            GROUP BY 1
+        ), tot AS (SELECT sum(n_orders * s) AS ns FROM per),
+        quota AS (
+            SELECT segment, n_orders, s,
+                   10000.0 * n_orders * s / tot.ns AS q,
+                   floor(10000.0 * n_orders * s / tot.ns) AS base
+            FROM per, tot
+        ), lft AS (SELECT 10000 - sum(base) AS l FROM quota),
+        rk AS (
+            SELECT segment, n_orders, s, base,
+                   row_number() OVER (ORDER BY q - base DESC, segment) AS r
+            FROM quota
+        )
+        SELECT segment, n_orders, round(s, 2) AS stddev_price,
+               CAST(base + CASE WHEN r <= lft.l THEN 1 ELSE 0 END AS BIGINT)
+                   AS alloc
+        FROM rk, lft
+    """
+    sqls["q241_seasonal_dow_index"] = """
+        WITH daily AS (
+            SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+                   sum(o_totalprice) AS rev
+            FROM orders GROUP BY 1
+        ), dow AS (
+            SELECT isodow(day) - 1 AS dow, count(*) AS n_days,
+                   avg(rev) AS mu
+            FROM daily GROUP BY 1
+        ), overall AS (SELECT avg(rev) AS allmu FROM daily)
+        SELECT dow, n_days, round(mu, 2) AS avg_revenue,
+               round(mu / overall.allmu, 6) AS seasonal_index
+        FROM dow, overall ORDER BY dow
+    """
+    sqls["q242_robust_trend"] = """
+        WITH daily AS (
+            SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+                   round(avg(value), 6) AS mu
+            FROM events GROUP BY 1, 2
+        ), pairs AS (
+            SELECT a.event_type,
+                   (b.mu - a.mu) / datediff('day', a.day, b.day) AS slope,
+                   sign(b.mu - a.mu) AS sgn
+            FROM daily a JOIN daily b
+              ON a.event_type = b.event_type AND a.day < b.day
+        ), agg AS (
+            SELECT event_type, count(*) AS n_pairs,
+                   CAST(sum(sgn) AS BIGINT) AS mk_s
+            FROM pairs GROUP BY 1
+        ), med AS (
+            SELECT event_type, round(slope, 6) AS theil_sen_slope
+            FROM (
+                SELECT event_type, slope,
+                       row_number() OVER (PARTITION BY event_type
+                                          ORDER BY slope) AS rn,
+                       count(*) OVER (PARTITION BY event_type) AS np
+                FROM pairs
+            ) WHERE rn = floor((np + 1) / 2)
+        )
+        SELECT a.event_type, a.n_pairs, a.mk_s,
+               round(a.mk_s * 1.0 / a.n_pairs, 6) AS kendall_tau,
+               m.theil_sen_slope
+        FROM agg a JOIN med m USING (event_type)
+    """
+    sqls["q243_best_split_stump"] = """
+        WITH lab AS (
+            SELECT CAST(date_trunc('day', ts) AS DATE) AS day, value,
+                   CASE WHEN event_type IN ('purchase','signup')
+                        THEN 1 ELSE 0 END AS y
+            FROM events
+        ), g AS (
+            SELECT day, value, sum(y) AS pos, sum(1 - y) AS neg
+            FROM lab GROUP BY 1, 2
+        ), cum AS (
+            SELECT day, value,
+                   sum(pos) OVER (PARTITION BY day ORDER BY value
+                                  ROWS UNBOUNDED PRECEDING) AS cp,
+                   sum(neg) OVER (PARTITION BY day ORDER BY value
+                                  ROWS UNBOUNDED PRECEDING) AS cn,
+                   sum(pos) OVER (PARTITION BY day) AS tp,
+                   sum(neg) OVER (PARTITION BY day) AS tn
+            FROM g
+        ), scored AS (
+            SELECT day, value, cp + cn AS n_left,
+                   (tp - cp) + (tn - cn) AS n_right,
+                   (CASE WHEN tp * 1.0 / (tp + tn) <= 0
+                              OR tp * 1.0 / (tp + tn) >= 1 THEN 0.0
+                         ELSE -(tp * 1.0 / (tp + tn)) * log2(tp * 1.0 / (tp + tn))
+                              - (1 - tp * 1.0 / (tp + tn))
+                                * log2(1 - tp * 1.0 / (tp + tn)) END)
+                   - ((cp + cn) * 1.0 / (tp + tn))
+                     * (CASE WHEN cp * 1.0 / (cp + cn) <= 0
+                                  OR cp * 1.0 / (cp + cn) >= 1 THEN 0.0
+                             ELSE -(cp * 1.0 / (cp + cn)) * log2(cp * 1.0 / (cp + cn))
+                                  - (1 - cp * 1.0 / (cp + cn))
+                                    * log2(1 - cp * 1.0 / (cp + cn)) END)
+                   - (((tp - cp) + (tn - cn)) * 1.0 / (tp + tn))
+                     * (CASE WHEN (tp - cp) * 1.0 / ((tp - cp) + (tn - cn)) <= 0
+                                  OR (tp - cp) * 1.0 / ((tp - cp) + (tn - cn)) >= 1
+                             THEN 0.0
+                             ELSE -((tp - cp) * 1.0 / ((tp - cp) + (tn - cn)))
+                                    * log2((tp - cp) * 1.0 / ((tp - cp) + (tn - cn)))
+                                  - (1 - (tp - cp) * 1.0 / ((tp - cp) + (tn - cn)))
+                                    * log2(1 - (tp - cp) * 1.0
+                                           / ((tp - cp) + (tn - cn))) END)
+                   AS gain
+            FROM cum WHERE (tp - cp) + (tn - cn) > 0
+        ), best AS (
+            SELECT day, value, gain, n_left, n_right,
+                   row_number() OVER (PARTITION BY day
+                                      ORDER BY gain DESC, value) AS r
+            FROM scored
+        )
+        SELECT strftime(day, '%Y-%m-%d') AS day, value AS best_threshold,
+               round(gain, 6) AS info_gain,
+               CAST(n_left AS BIGINT) AS n_left,
+               CAST(n_right AS BIGINT) AS n_right
+        FROM best WHERE r = 1
+    """
+    sqls["q244_gain_lift_table"] = r"""
+        WITH scored AS (
+            SELECT round(1.0 / (1.0 + exp(-(0.9 * (n_chars - 300.0) / 100.0
+                       - 0.7 * (len(regexp_split_to_array(trim(text), '\s+'))
+                                - 50.0) / 20.0
+                       + 0.1))), 3) AS s3,
+                   CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+            FROM documents
+        ), g AS (
+            SELECT s3, count(*) AS n, sum(y) AS pos FROM scored GROUP BY 1
+        ), cum AS (
+            SELECT s3, n, pos,
+                   sum(n) OVER (ORDER BY s3 DESC ROWS UNBOUNDED PRECEDING) AS cn,
+                   sum(pos) OVER (ORDER BY s3 DESC ROWS UNBOUNDED PRECEDING) AS cp
+            FROM g
+        ), tot AS (SELECT sum(n) AS t, sum(pos) AS tp FROM g),
+        dec AS (
+            SELECT CAST(ceil(cn * 10.0 / tot.t) AS INT) AS decile,
+                   sum(n) AS n, sum(pos) AS n_pos, max(cp) AS cum_pos,
+                   any_value(tot.t) AS t, any_value(tot.tp) AS tp
+            FROM cum, tot GROUP BY 1
+        )
+        SELECT decile, CAST(n AS BIGINT) AS n, CAST(n_pos AS BIGINT) AS n_pos,
+               round(cum_pos * 1.0 / tp, 6) AS capture_rate,
+               round((n_pos * 1.0 / n) / (tp * 1.0 / t), 6) AS lift
+        FROM dec ORDER BY decile
+    """
+    sqls["q245_fellegi_sunter"] = """
+        WITH f AS (
+            SELECT c_custkey, c_nationkey, c_mktsegment, c_name,
+                   floor(c_acctbal / 500) AS bal
+            FROM customer
+        )
+        SELECT a.c_custkey AS cust1, b.c_custkey AS cust2,
+               round(
+                   CASE WHEN a.c_mktsegment = b.c_mktsegment
+                        THEN 1.504077 ELSE -2.079442 END
+                 + CASE WHEN levenshtein(a.c_name, b.c_name) <= 2
+                        THEN 6.856462 ELSE -2.995632 END
+                 + CASE WHEN a.bal = b.bal
+                        THEN 2.079442 ELSE -1.504077 END, 6) AS match_weight
+        FROM f a JOIN f b
+          ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+        ORDER BY match_weight DESC, cust1, cust2
+        LIMIT 20
     """
     sqls["q200_catalog_rowcounts"] = """
         SELECT 'region' AS table_name, count(*) AS n_rows FROM region

@@ -63,6 +63,11 @@ _GLOBAL_WINDOW_OK = {
     # the one intentional residual: prefix-sum over the 32-row bucket-count
     # table; the data-sized numbering runs in the PARTITIONED window
     "q220_scalable_row_number": (1, "offset prefix-sum over <=32 bucket rows"),
+    # remainder rank over the 5-row stratum allocation table
+    "q240_neyman_allocation": (1, "largest-remainder rank over 5 segment rows"),
+    # cumulative capture over the quantized score grid (<=1001 rows by
+    # 3-decimal score granularity, not data volume)
+    "q244_gain_lift_table": (1, "cumsum over <=1001-row score grid"),
 }
 
 
