@@ -6441,6 +6441,251 @@ def q245_fellegi_sunter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q246_conformal_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split conformal prediction intervals per event type [EXT]: calibrate
+    on the first half of the month (nonconformity = |value − type mean|,
+    rounded to the 4-decimal grid so both engines rank identical scores),
+    take the ⌈(n+1)·0.9⌉-th smallest score as the 90% radius q̂ (the
+    finite-sample-valid split-conformal quantile, Vovk et al.), then AUDIT
+    empirical coverage on the held-out second half — distribution-free
+    uncertainty quantification, the wrapper that turns any point forecast
+    into a calibrated interval.
+
+    Scale shape: two one-pass aggregations (calibration moments, test
+    coverage) + rank selection over the per-type distinct-score table
+    (bounded by the events value grid), windows PARTITIONED by type."""
+    e = _t(spark, sf_dir, "events")
+    cal = e.filter(F.to_date("ts") < F.lit("2024-01-16"))
+    test = e.filter(F.to_date("ts") >= F.lit("2024-01-16"))
+    mom = cal.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_cal"), F.avg("value").alias("_mu")
+    )
+    scores = cal.join(F.broadcast(mom), "event_type").select(
+        "event_type",
+        "n_cal",
+        F.round(F.abs(F.col("value") - F.col("_mu")), 4).alias("_score"),
+    )
+    wr = Window.partitionBy("event_type").orderBy("_score")
+    qhat = (
+        scores.withColumn("_rn", F.row_number().over(wr))
+        .filter(F.col("_rn") == F.ceil((F.col("n_cal") + 1) * 0.9))
+        .select("event_type", "n_cal", F.col("_score").alias("_qhat"))
+    )
+    cov = (
+        test.join(F.broadcast(mom.select("event_type", "_mu")), "event_type")
+        .join(F.broadcast(qhat), "event_type")
+        .groupBy("event_type", "n_cal", "_qhat")
+        .agg(
+            F.count(F.lit(1)).alias("n_test"),
+            F.sum(
+                F.when(
+                    F.round(F.abs(F.col("value") - F.col("_mu")), 4)
+                    <= F.col("_qhat"),
+                    1,
+                ).otherwise(0)
+            ).alias("_hit"),
+        )
+    )
+    return cov.select(
+        "event_type",
+        "n_cal",
+        "n_test",
+        F.round("_qhat", 4).alias("q_hat"),
+        F.round(F.col("_hit") / F.col("n_test"), 6).alias("coverage"),
+    )
+
+
+def q247_simpson_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simpson's-paradox audit [EXT]: the OLS slope of customer spend on
+    account balance computed in AGGREGATE vs WITHIN each nation, with a
+    flip flag where the stratum slope's sign contradicts the aggregate —
+    the classic confounding check any metrics platform should run before
+    reporting a pooled trend (Simpson 1951). regr_slope is the
+    SQL-standard algebraic aggregate, one pass per grouping.
+
+    Scale shape: the per-customer spend collapse is one co-keyed join +
+    aggregation; both regressions are single-pass algebraic aggregates;
+    the 1-row aggregate slope rides as a broadcast."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_acctbal"
+    )
+    spend = (
+        o.groupBy("o_custkey").agg(F.sum("o_totalprice").alias("_spend"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+    )
+    overall = spend.agg(
+        F.regr_slope("_spend", "c_acctbal").alias("_oslope")
+    )
+    per = spend.groupBy(F.col("c_nationkey").alias("nation")).agg(
+        F.count(F.lit(1)).alias("n_cust"),
+        F.regr_slope("_spend", "c_acctbal").alias("_slope"),
+    )
+    return (
+        per.crossJoin(F.broadcast(overall))
+        .select(
+            "nation",
+            "n_cust",
+            F.round("_slope", 6).alias("nation_slope"),
+            F.round("_oslope", 6).alias("overall_slope"),
+            (F.signum("_slope") != F.signum("_oslope")).alias("sign_flip"),
+        )
+    )
+
+
+def q248_graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity of the brand partition over the part co-purchase
+    graph [EXT]: Q = Σ_c (e_c/m − (d_c/2m)²) — does the brand attribute
+    explain the co-purchase structure better than chance? The quality
+    score behind every community-detection loop (Louvain's objective),
+    computed here for a GIVEN partition in two aggregation passes: per
+    community, within-community edge count e_c and total degree d_c, with
+    the global edge count as a 1-row broadcast. Per-brand contribution
+    rows + the scalar Q on every row.
+
+    Scale shape: two joins edge→part-brand (co-partitioned on partkey; the
+    part side is dimension-sized), one count aggregation per community, one
+    whitelisted global sum over the 25-row community table; integer counts
+    make the doubles bit-identical cross-engine."""
+    edges = _q72_edges(spark, sf_dir)
+    brand = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    lab = (
+        edges.join(
+            brand.select(
+                F.col("p_partkey").alias("src"), F.col("p_brand").alias("_bs")
+            ),
+            "src",
+        )
+        .join(
+            brand.select(
+                F.col("p_partkey").alias("dst"), F.col("p_brand").alias("_bd")
+            ),
+            "dst",
+        )
+    )
+    m = lab.agg((F.count(F.lit(1)) / 2).alias("_m"))
+    per = lab.groupBy(F.col("_bs").alias("brand")).agg(
+        F.count(F.lit(1)).alias("_deg"),
+        F.sum(F.when(F.col("_bs") == F.col("_bd"), 1).otherwise(0)).alias(
+            "_within2"
+        ),
+    )
+    qexpr = (F.col("_within2") / 2) / F.col("_m") - F.pow(
+        F.col("_deg") / (2 * F.col("_m")), 2
+    )
+    contrib = per.crossJoin(F.broadcast(m)).select(
+        "brand", "_within2", "_deg", qexpr.alias("_q")
+    )
+    # scalar Q via a bounded global window over the 25-row brand table
+    # (NB: "_Q" would collide with "_q" — Spark names are case-insensitive)
+    return contrib.withColumn(
+        "_qtot", F.sum("_q").over(Window.partitionBy())
+    ).select(
+        "brand",
+        (F.col("_within2") / 2).cast("long").alias("e_within"),
+        F.col("_deg").alias("degree_sum"),
+        F.round("_q", 6).alias("contribution"),
+        F.round("_qtot", 6).alias("modularity"),
+    )
+
+
+def q249_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-round k-core peeling (k=120) of the part co-purchase graph
+    [EXT]: iteratively drop nodes with degree < k and the edges touching
+    them — the densest-substructure screen used to find tightly
+    co-occurring item groups (and, in pipeline terms, template/boilerplate
+    clusters). Three FIXED peeling rounds (bit-stable for the oracle; the
+    emitted round-3/round-2 deltas show convergence), each round = one
+    degree aggregation + one semi-join filter of the edge list.
+
+    Scale shape: per round, degree is a map-side-combined count on src
+    (symmetric edges: out-degree == degree), the survivor filter is two
+    co-partitioned semi-joins; edge set shrinks monotonically; all
+    intermediates persisted per round, released on return."""
+    from hubverse_transform_spark.caching import compute_release
+
+    edges = _q72_edges(spark, sf_dir).persist()
+    cached = [edges]
+    rows = []
+    cur = edges
+    k = 120
+    snap = []
+    for rnd in range(4):
+        deg = cur.groupBy("src").agg(F.count(F.lit(1)).alias("_deg"))
+        stats = cur.agg(
+            F.lit(rnd).alias("round"),
+            F.count_distinct("src").alias("n_nodes"),
+            (F.count(F.lit(1)) / 2).cast("long").alias("n_edges"),
+        )
+        snap.append(stats)
+        if rnd == 3:
+            break
+        keep = deg.filter(F.col("_deg") >= k).select("src").persist()
+        nxt = (
+            cur.join(keep, "src", "left_semi")
+            .join(keep.withColumnRenamed("src", "dst"), "dst", "left_semi")
+            .persist()
+        )
+        cached += [keep, nxt]
+        cur = nxt
+    out = snap[0]
+    for s in snap[1:]:
+        out = out.unionByName(s)
+    return compute_release(out.orderBy("round"), *cached)
+
+
+def q250_backtest_folds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-origin backtest folds over the event stream [EXT]: fold f
+    trains on days 1..7f and tests on days 7f+1..7f+7 (expanding window,
+    the standard time-series CV that never leaks the future), with
+    per-fold row counts and LABEL-SHIFT audit (test conversion share −
+    train conversion share) — the fold-construction + drift readout an
+    evaluation harness needs before trusting backtest metrics.
+
+    Scale shape: ONE corpus scan — the fold spine (3 rows) cross-joins the
+    per-day aggregate table (bounded by the date span), so fold membership
+    is evaluated on day aggregates, never by re-scanning events per
+    fold."""
+    e = _t(spark, sf_dir, "events")
+    daily = e.groupBy(F.to_date("ts").alias("_day")).agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(
+            F.when(F.col("event_type").isin("purchase", "signup"), 1).otherwise(0)
+        ).alias("_conv"),
+    )
+    folds = spark.range(1, 4).select(F.col("id").cast("int").alias("fold"))
+    tagged = daily.crossJoin(F.broadcast(folds)).withColumn(
+        "_part",
+        F.when(
+            F.datediff("_day", F.lit("2024-01-01")) < F.col("fold") * 7, "train"
+        )
+        .when(
+            F.datediff("_day", F.lit("2024-01-01")) < (F.col("fold") + 1) * 7,
+            "test",
+        ),
+    ).filter(F.col("_part").isNotNull())
+    per = tagged.groupBy("fold", "_part").agg(
+        F.sum("_n").alias("_rows"), F.sum("_conv").alias("_c")
+    )
+    wide = (
+        per.groupBy("fold")
+        .pivot("_part", ["train", "test"])
+        .agg(F.first("_rows").alias("rows"), F.first("_c").alias("conv"))
+    )
+    return wide.select(
+        "fold",
+        F.col("train_rows").alias("train_rows"),
+        F.col("test_rows").alias("test_rows"),
+        F.round(F.col("train_conv") / F.col("train_rows"), 6).alias("train_conv_rate"),
+        F.round(F.col("test_conv") / F.col("test_rows"), 6).alias("test_conv_rate"),
+        F.round(
+            F.col("test_conv") / F.col("test_rows")
+            - F.col("train_conv") / F.col("train_rows"),
+            6,
+        ).alias("label_shift"),
+    ).orderBy("fold")
+
+
 # =============================================================================
 # Driver contract
 # =============================================================================
@@ -6698,6 +6943,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q243_best_split_stump": q243_best_split_stump,
         "q244_gain_lift_table": q244_gain_lift_table,
         "q245_fellegi_sunter": q245_fellegi_sunter,
+        "q246_conformal_intervals": q246_conformal_intervals,
+        "q247_simpson_audit": q247_simpson_audit,
+        "q248_graph_modularity": q248_graph_modularity,
+        "q249_kcore_peel": q249_kcore_peel,
+        "q250_backtest_folds": q250_backtest_folds,
     }
 
 
@@ -11260,6 +11510,145 @@ def oracle_sql() -> dict[str, str]:
           ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
         ORDER BY match_weight DESC, cust1, cust2
         LIMIT 20
+    """
+    sqls["q246_conformal_intervals"] = """
+        WITH cal AS (
+            SELECT event_type, value FROM events
+            WHERE CAST(date_trunc('day', ts) AS DATE) < DATE '2024-01-16'
+        ), tst AS (
+            SELECT event_type, value FROM events
+            WHERE CAST(date_trunc('day', ts) AS DATE) >= DATE '2024-01-16'
+        ), mom AS (
+            SELECT event_type, count(*) AS n_cal, avg(value) AS mu
+            FROM cal GROUP BY 1
+        ), sc AS (
+            SELECT c.event_type, m.n_cal,
+                   round(abs(c.value - m.mu), 4) AS score
+            FROM cal c JOIN mom m USING (event_type)
+        ), qh AS (
+            SELECT event_type, n_cal, score AS qhat
+            FROM (
+                SELECT event_type, n_cal, score,
+                       row_number() OVER (PARTITION BY event_type
+                                          ORDER BY score) AS rn
+                FROM sc
+            ) WHERE rn = ceil((n_cal + 1) * 0.9)
+        )
+        SELECT t.event_type, q.n_cal, count(*) AS n_test,
+               round(q.qhat, 4) AS q_hat,
+               round(sum(CASE WHEN round(abs(t.value - m.mu), 4) <= q.qhat
+                              THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
+                   AS coverage
+        FROM tst t
+        JOIN mom m USING (event_type)
+        JOIN qh q ON q.event_type = t.event_type
+        GROUP BY 1, 2, 4
+    """
+    sqls["q247_simpson_audit"] = """
+        WITH spend AS (
+            SELECT c.c_nationkey AS nation, c.c_acctbal AS bal,
+                   s.spend
+            FROM (SELECT o_custkey, sum(o_totalprice) AS spend
+                  FROM orders GROUP BY 1) s
+            JOIN customer c ON s.o_custkey = c.c_custkey
+        ), overall AS (
+            SELECT regr_slope(spend, bal) AS oslope FROM spend
+        )
+        SELECT nation, count(*) AS n_cust,
+               round(regr_slope(spend, bal), 6) AS nation_slope,
+               round(any_value(overall.oslope), 6) AS overall_slope,
+               sign(regr_slope(spend, bal))
+                   <> sign(any_value(overall.oslope)) AS sign_flip
+        FROM spend, overall
+        GROUP BY nation
+    """
+    sqls["q248_graph_modularity"] = """
+        WITH e AS (
+            SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+            FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+            WHERE a.l_partkey <> b.l_partkey
+        ), lab AS (
+            SELECT ps.p_brand AS bs, pd.p_brand AS bd
+            FROM e
+            JOIN part ps ON e.src = ps.p_partkey
+            JOIN part pd ON e.dst = pd.p_partkey
+        ), m AS (SELECT count(*) / 2.0 AS m FROM lab),
+        per AS (
+            SELECT bs AS brand, count(*) AS deg,
+                   sum(CASE WHEN bs = bd THEN 1 ELSE 0 END) AS within2
+            FROM lab GROUP BY 1
+        ), contrib AS (
+            SELECT brand, within2, deg,
+                   (within2 / 2.0) / m.m - pow(deg / (2 * m.m), 2) AS q
+            FROM per, m
+        ), tot AS (SELECT sum(q) AS bigq FROM contrib)
+        SELECT brand, CAST(within2 / 2 AS BIGINT) AS e_within,
+               deg AS degree_sum, round(q, 6) AS contribution,
+               round(tot.bigq, 6) AS modularity
+        FROM contrib, tot
+    """
+    sqls["q249_kcore_peel"] = """
+        WITH e0 AS (
+            SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+            FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+            WHERE a.l_partkey <> b.l_partkey
+        ),
+        k0 AS (SELECT src FROM (SELECT src, count(*) AS c FROM e0 GROUP BY 1)
+               WHERE c >= 120),
+        e1 AS (SELECT src, dst FROM e0
+               WHERE src IN (SELECT src FROM k0) AND dst IN (SELECT src FROM k0)),
+        k1 AS (SELECT src FROM (SELECT src, count(*) AS c FROM e1 GROUP BY 1)
+               WHERE c >= 120),
+        e2 AS (SELECT src, dst FROM e1
+               WHERE src IN (SELECT src FROM k1) AND dst IN (SELECT src FROM k1)),
+        k2 AS (SELECT src FROM (SELECT src, count(*) AS c FROM e2 GROUP BY 1)
+               WHERE c >= 120),
+        e3 AS (SELECT src, dst FROM e2
+               WHERE src IN (SELECT src FROM k2) AND dst IN (SELECT src FROM k2))
+        SELECT 0 AS round, count(DISTINCT src) AS n_nodes,
+               CAST(count(*) / 2 AS BIGINT) AS n_edges FROM e0
+        UNION ALL
+        SELECT 1, count(DISTINCT src), CAST(count(*) / 2 AS BIGINT) FROM e1
+        UNION ALL
+        SELECT 2, count(DISTINCT src), CAST(count(*) / 2 AS BIGINT) FROM e2
+        UNION ALL
+        SELECT 3, count(DISTINCT src), CAST(count(*) / 2 AS BIGINT) FROM e3
+        ORDER BY round
+    """
+    sqls["q250_backtest_folds"] = """
+        WITH daily AS (
+            SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+                   count(*) AS n,
+                   sum(CASE WHEN event_type IN ('purchase','signup')
+                            THEN 1 ELSE 0 END) AS conv
+            FROM events GROUP BY 1
+        ), folds AS (SELECT CAST(unnest(range(1, 4)) AS INT) AS fold),
+        tagged AS (
+            SELECT f.fold, d.n, d.conv,
+                   CASE WHEN datediff('day', DATE '2024-01-01', d.day)
+                             < f.fold * 7 THEN 'train'
+                        WHEN datediff('day', DATE '2024-01-01', d.day)
+                             < (f.fold + 1) * 7 THEN 'test' END AS part
+            FROM daily d CROSS JOIN folds f
+        )
+        SELECT fold,
+               CAST(sum(CASE WHEN part = 'train' THEN n END) AS BIGINT)
+                   AS train_rows,
+               CAST(sum(CASE WHEN part = 'test' THEN n END) AS BIGINT)
+                   AS test_rows,
+               round(sum(CASE WHEN part = 'train' THEN conv END) * 1.0
+                     / sum(CASE WHEN part = 'train' THEN n END), 6)
+                   AS train_conv_rate,
+               round(sum(CASE WHEN part = 'test' THEN conv END) * 1.0
+                     / sum(CASE WHEN part = 'test' THEN n END), 6)
+                   AS test_conv_rate,
+               round(sum(CASE WHEN part = 'test' THEN conv END) * 1.0
+                     / sum(CASE WHEN part = 'test' THEN n END)
+                     - sum(CASE WHEN part = 'train' THEN conv END) * 1.0
+                       / sum(CASE WHEN part = 'train' THEN n END), 6)
+                   AS label_shift
+        FROM tagged WHERE part IS NOT NULL
+        GROUP BY fold ORDER BY fold
     """
     sqls["q200_catalog_rowcounts"] = """
         SELECT 'region' AS table_name, count(*) AS n_rows FROM region

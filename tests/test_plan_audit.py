@@ -68,6 +68,8 @@ _GLOBAL_WINDOW_OK = {
     # cumulative capture over the quantized score grid (<=1001 rows by
     # 3-decimal score granularity, not data volume)
     "q244_gain_lift_table": (1, "cumsum over <=1001-row score grid"),
+    # scalar modularity total over the 25-row per-brand contribution table
+    "q248_graph_modularity": (1, "sum over 25 brand-community rows"),
 }
 
 
