@@ -6686,6 +6686,257 @@ def q250_backtest_folds(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("fold")
 
 
+def q251_hits_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs & authorities on the customer→part purchase bipartite
+    graph [EXT], two fixed mutual-reinforcement rounds with L1
+    normalization: authority(part) = Σ hub(customer) over buyers,
+    hub(customer) = Σ authority(part) over their basket — 'influential
+    parts are bought by broad customers; broad customers buy influential
+    parts' (Kleinberg 1999). The OTHER canonical eigenvector ranking next
+    to q72's PageRank, and on a bipartite graph the two sides genuinely
+    differ. Top-20 authorities with key tie-break.
+
+    Scale shape: each half-round is one co-partitioned join edge⋈scores +
+    one aggregation (the PageRank two-shuffle pattern); normalizers ride
+    as 1-row broadcasts; fixed rounds keep it bit-stable."""
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    edges = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(F.col("o_custkey").alias("cust"), F.col("l_partkey").alias("part"))
+        .distinct()
+    )
+    # round 1: hub = basket size, normalized; auth = Σ normalized hubs
+    hub1 = edges.groupBy("cust").agg(F.count(F.lit(1)).cast("double").alias("_h"))
+    h1n = hub1.agg(F.sum("_h").alias("_hs"))
+    hub1 = hub1.crossJoin(F.broadcast(h1n)).select(
+        "cust", (F.col("_h") / F.col("_hs")).alias("_h")
+    )
+    auth1 = (
+        edges.join(hub1, "cust")
+        .groupBy("part")
+        .agg(F.sum("_h").alias("_a"))
+    )
+    a1n = auth1.agg(F.sum("_a").alias("_as"))
+    auth1 = auth1.crossJoin(F.broadcast(a1n)).select(
+        "part", (F.col("_a") / F.col("_as")).alias("_a")
+    )
+    # round 2: hub = Σ auth over basket; auth = Σ hub over buyers
+    hub2 = (
+        edges.join(auth1, "part").groupBy("cust").agg(F.sum("_a").alias("_h2"))
+    )
+    h2n = hub2.agg(F.sum("_h2").alias("_hs2"))
+    hub2 = hub2.crossJoin(F.broadcast(h2n)).select(
+        "cust", (F.col("_h2") / F.col("_hs2")).alias("_h2")
+    )
+    auth2 = (
+        edges.join(hub2, "cust").groupBy("part").agg(F.sum("_h2").alias("_a2"))
+    )
+    a2n = auth2.agg(F.sum("_a2").alias("_as2"))
+    return (
+        auth2.crossJoin(F.broadcast(a2n))
+        .select(
+            "part",
+            F.round(F.col("_a2") / F.col("_as2") * 1e6, 6).alias("authority_ppm"),
+        )
+        .orderBy(F.col("authority_ppm").desc(), "part")
+        .limit(20)
+    )
+
+
+def q252_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-supervised label propagation over the part co-purchase graph
+    [EXT]: every 10th part keeps its brand as a SEED label; two synchronous
+    rounds spread labels to unlabeled neighbors by neighbor-majority vote
+    (mode of labeled neighbors, deterministic min-label tie-break) — the
+    transductive labeling pass (Zhu & Ghahramani 2002) a pipeline uses to
+    extend sparse human labels across a similarity graph. Output: per-brand
+    labeled-node counts per round plus the residual unlabeled count, so the
+    propagation front is visible.
+
+    Scale shape: per round, one join edges⋈labels + one (node, label)
+    count aggregation + one per-node argmax window (partitioned by node);
+    seeds stay fixed (clamped), labels monotone — 2 rounds, bit-stable."""
+    edges = _q72_edges(spark, sf_dir)
+    brand = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    nodes = (
+        edges.select(F.col("src").alias("node")).distinct()
+        .join(brand, F.col("node") == F.col("p_partkey"))
+        .select(
+            "node",
+            F.when(F.col("node") % 10 == 0, F.col("p_brand")).alias("label"),
+        )
+    )
+    cur = nodes
+    for _ in range(2):
+        labeled = cur.filter(F.col("label").isNotNull()).select(
+            F.col("node").alias("src"), F.col("label").alias("_nl")
+        )
+        votes = (
+            edges.join(labeled, "src")
+            .groupBy(F.col("dst").alias("node"), "_nl")
+            .agg(F.count(F.lit(1)).alias("_v"))
+        )
+        wv = Window.partitionBy("node").orderBy(F.col("_v").desc(), "_nl")
+        winner = (
+            votes.withColumn("_r", F.row_number().over(wv))
+            .filter(F.col("_r") == 1)
+            .select("node", F.col("_nl").alias("_win"))
+        )
+        cur = (
+            cur.join(winner, "node", "left")
+            .select(
+                "node",
+                F.coalesce(F.col("label"), F.col("_win")).alias("label"),
+            )
+        )
+    return (
+        cur.groupBy(F.coalesce(F.col("label"), F.lit("UNLABELED")).alias("label"))
+        .agg(F.count(F.lit(1)).alias("n_nodes"))
+    )
+
+
+def q253_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the part co-purchase graph [EXT]: Pearson
+    correlation of endpoint degrees over the edge list — do hubs link to
+    hubs (r>0, social-network shape) or to leaves (r<0, hub-and-spoke)?
+    The one-number topology fingerprint (Newman 2002) that tells a
+    blocking/partitioning strategy what degree skew to expect.
+
+    Scale shape: one degree aggregation, two co-partitioned joins to tag
+    each edge with (deg_src, deg_dst), one corr() pass — corr is algebraic
+    and single-pass; no windows, no driver math."""
+    edges = _q72_edges(spark, sf_dir)
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("_d"))
+    tagged = (
+        edges.join(deg, "src")
+        .withColumnRenamed("_d", "_ds")
+        .join(deg.withColumnRenamed("src", "dst").withColumnRenamed("_d", "_dd"), "dst")
+    )
+    return tagged.agg(
+        (F.count(F.lit(1)) / 2).cast("long").alias("n_edges"),
+        F.round(F.avg("_ds"), 4).alias("avg_degree"),
+        F.round(F.corr("_ds", "_dd"), 6).alias("assortativity"),
+    )
+
+
+def q254_readability_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Readability profile per language [EXT]: mean syllables-per-word
+    (vowel-group count as the standard syllable heuristic) and the share
+    of 'complex' words (≥ 3 vowel groups) — the Flesch/FK ingredients that
+    survive a corpus with no sentence structure (this synthetic corpus has
+    none, so the sentence-length term is meaningless and deliberately
+    omitted). A pipeline uses these as quality/difficulty features.
+
+    Scale shape: syllable totals are map-side regexp_count; the
+    complex-word share needs per-token granularity → explode + one (lang)
+    aggregation with map-side combine. One corpus scan per branch."""
+    d = _t(spark, sf_dir, "documents")
+    totals = d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.regexp_count(F.lower("text"), F.lit("[aeiouy]+"))).alias("_syl"),
+        F.sum(whitespace_token_count(F.col("text"))).alias("_words"),
+    )
+    tok = d.select(
+        "lang",
+        F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("_w"),
+    ).filter(F.col("_w") != "")
+    cx = tok.groupBy("lang").agg(
+        F.sum(
+            F.when(F.regexp_count("_w", F.lit("[aeiouy]+")) >= 3, 1).otherwise(0)
+        ).alias("_cx"),
+        F.count(F.lit(1)).alias("_nw"),
+    )
+    return totals.join(cx, "lang").select(
+        "lang",
+        "n_docs",
+        F.round(F.col("_syl") / F.col("_words"), 6).alias("syllables_per_word"),
+        F.round(F.col("_cx") / F.col("_nw"), 6).alias("complex_word_share"),
+    )
+
+
+def q255_doc_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token-entropy repetitiveness screen, rolled up per
+    language [EXT]: Shannon entropy of each doc's own token distribution
+    (low entropy = template/boilerplate/stuttering text — the repetition
+    signal n-gram rules miss when the repeats aren't adjacent) plus the
+    distinct-token ratio; per-language mean/min so the worst offenders are
+    visible. Complements the Gopher duplicate-n-gram fraction with an
+    order-free measure.
+
+    Scale shape: explode → (doc, token) count aggregation (map-side
+    combine; state bounded by per-doc vocab), per-doc entropy is one more
+    keyed aggregation using the log-identity H = log2(n) − Σc·log2(c)/n
+    (no per-doc total join needed), then a 5-key rollup."""
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        "lang",
+        F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("_w"),
+    ).filter(F.col("_w") != "")
+    cnt = tok.groupBy("doc_id", "lang", "_w").agg(F.count(F.lit(1)).alias("_c"))
+    per_doc = cnt.groupBy("doc_id", "lang").agg(
+        (
+            F.log2(F.sum("_c"))
+            - F.sum(F.col("_c") * F.log2("_c")) / F.sum("_c")
+        ).alias("_H"),
+        (F.count(F.lit(1)) / F.sum("_c")).alias("_dr"),
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("_H"), 6).alias("avg_entropy"),
+        F.round(F.min("_H"), 6).alias("min_entropy"),
+        F.round(F.avg("_dr"), 6).alias("avg_distinct_ratio"),
+    )
+
+
+def q256_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class classifier evaluation of the stopword-profile lang-ID
+    against the labeled lang column [EXT]: support, TP, precision, recall,
+    F1 per true class — the metric derivation layer on top of q27's raw
+    confusion counts, computed entirely from ONE confusion-matrix
+    aggregation (per-class FP/FN are sums over the tiny class×class
+    table, no second corpus pass).
+
+    Scale shape: one corpus scan into the ≤36-cell confusion table; all
+    metric math runs on that bounded table (two rollups + one join)."""
+    d = _t(spark, sf_dir, "documents")
+    conf = (
+        d.select("lang", lang_id_expr(F.col("text")).alias("_pred"))
+        .groupBy("lang", "_pred")
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    tp = conf.filter(F.col("lang") == F.col("_pred")).select(
+        "lang", F.col("_n").alias("_tp")
+    )
+    support = conf.groupBy("lang").agg(F.sum("_n").alias("support"))
+    predicted = conf.groupBy(F.col("_pred").alias("lang")).agg(
+        F.sum("_n").alias("_npred")
+    )
+    joined = (
+        support.join(tp, "lang", "left")
+        .join(predicted, "lang", "left")
+        .select(
+            "lang",
+            "support",
+            F.coalesce(F.col("_tp"), F.lit(0)).alias("tp"),
+            F.coalesce(F.col("_npred"), F.lit(0)).alias("_np"),
+        )
+    )
+    prec = F.when(F.col("_np") > 0, F.col("tp") / F.col("_np")).otherwise(0.0)
+    rec = F.col("tp") / F.col("support")
+    return joined.select(
+        "lang",
+        "support",
+        "tp",
+        F.round(prec, 6).alias("precision"),
+        F.round(rec, 6).alias("recall"),
+        F.round(
+            F.when(prec + rec > 0, 2 * prec * rec / (prec + rec)).otherwise(0.0), 6
+        ).alias("f1"),
+    )
+
+
 # =============================================================================
 # Driver contract
 # =============================================================================
@@ -6948,6 +7199,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q248_graph_modularity": q248_graph_modularity,
         "q249_kcore_peel": q249_kcore_peel,
         "q250_backtest_folds": q250_backtest_folds,
+        "q251_hits_bipartite": q251_hits_bipartite,
+        "q252_label_propagation": q252_label_propagation,
+        "q253_degree_assortativity": q253_degree_assortativity,
+        "q254_readability_proxy": q254_readability_proxy,
+        "q255_doc_token_entropy": q255_doc_token_entropy,
+        "q256_classifier_eval": q256_classifier_eval,
     }
 
 
@@ -11649,6 +11906,160 @@ def oracle_sql() -> dict[str, str]:
                    AS label_shift
         FROM tagged WHERE part IS NOT NULL
         GROUP BY fold ORDER BY fold
+    """
+    sqls["q251_hits_bipartite"] = """
+        WITH e AS (
+            SELECT DISTINCT o.o_custkey AS cust, l.l_partkey AS part
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        ), h1 AS (
+            SELECT cust, count(*) * 1.0 AS h FROM e GROUP BY 1
+        ), h1n AS (
+            SELECT cust, h / (SELECT sum(h) FROM h1) AS h FROM h1
+        ), a1 AS (
+            SELECT e.part, sum(h1n.h) AS a FROM e JOIN h1n USING (cust)
+            GROUP BY 1
+        ), a1n AS (
+            SELECT part, a / (SELECT sum(a) FROM a1) AS a FROM a1
+        ), h2 AS (
+            SELECT e.cust, sum(a1n.a) AS h FROM e JOIN a1n USING (part)
+            GROUP BY 1
+        ), h2n AS (
+            SELECT cust, h / (SELECT sum(h) FROM h2) AS h FROM h2
+        ), a2 AS (
+            SELECT e.part, sum(h2n.h) AS a FROM e JOIN h2n USING (cust)
+            GROUP BY 1
+        )
+        SELECT part, round(a / (SELECT sum(a) FROM a2) * 1e6, 6) AS authority_ppm
+        FROM a2
+        ORDER BY authority_ppm DESC, part
+        LIMIT 20
+    """
+    sqls["q252_label_propagation"] = """
+        WITH e AS (
+            SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+            FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+            WHERE a.l_partkey <> b.l_partkey
+        ), l0 AS (
+            SELECT n.node,
+                   CASE WHEN n.node % 10 = 0 THEN p.p_brand END AS label
+            FROM (SELECT DISTINCT src AS node FROM e) n
+            JOIN part p ON n.node = p.p_partkey
+        ), v1 AS (
+            SELECT e.dst AS node, l0.label AS nl, count(*) AS v
+            FROM e JOIN l0 ON e.src = l0.node
+            WHERE l0.label IS NOT NULL
+            GROUP BY 1, 2
+        ), w1 AS (
+            SELECT node, nl FROM (
+                SELECT node, nl,
+                       row_number() OVER (PARTITION BY node
+                                          ORDER BY v DESC, nl) AS r
+                FROM v1
+            ) WHERE r = 1
+        ), l1 AS (
+            SELECT l0.node, coalesce(l0.label, w1.nl) AS label
+            FROM l0 LEFT JOIN w1 ON l0.node = w1.node
+        ), v2 AS (
+            SELECT e.dst AS node, l1.label AS nl, count(*) AS v
+            FROM e JOIN l1 ON e.src = l1.node
+            WHERE l1.label IS NOT NULL
+            GROUP BY 1, 2
+        ), w2 AS (
+            SELECT node, nl FROM (
+                SELECT node, nl,
+                       row_number() OVER (PARTITION BY node
+                                          ORDER BY v DESC, nl) AS r
+                FROM v2
+            ) WHERE r = 1
+        ), l2 AS (
+            SELECT l1.node, coalesce(l1.label, w2.nl) AS label
+            FROM l1 LEFT JOIN w2 ON l1.node = w2.node
+        )
+        SELECT coalesce(label, 'UNLABELED') AS label, count(*) AS n_nodes
+        FROM l2 GROUP BY 1
+    """
+    sqls["q253_degree_assortativity"] = """
+        WITH e AS (
+            SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+            FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+            WHERE a.l_partkey <> b.l_partkey
+        ), d AS (SELECT src, count(*) AS deg FROM e GROUP BY 1)
+        SELECT CAST(count(*) / 2 AS BIGINT) AS n_edges,
+               round(avg(ds.deg), 4) AS avg_degree,
+               round(corr(ds.deg, dd.deg), 6) AS assortativity
+        FROM e JOIN d ds ON e.src = ds.src JOIN d dd ON e.dst = dd.src
+    """
+    sqls["q254_readability_proxy"] = r"""
+        WITH totals AS (
+            SELECT lang, count(*) AS n_docs,
+                   sum(len(regexp_extract_all(lower(text), '[aeiouy]+')))
+                       AS syl,
+                   sum(len(regexp_split_to_array(trim(text), '\s+'))) AS words
+            FROM documents GROUP BY 1
+        ), tok AS (
+            SELECT lang,
+                   unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS w
+            FROM documents
+        ), cx AS (
+            SELECT lang,
+                   sum(CASE WHEN len(regexp_extract_all(w, '[aeiouy]+')) >= 3
+                            THEN 1 ELSE 0 END) AS cxw,
+                   count(*) AS nw
+            FROM tok WHERE w <> '' GROUP BY 1
+        )
+        SELECT t.lang, t.n_docs,
+               round(t.syl * 1.0 / t.words, 6) AS syllables_per_word,
+               round(c.cxw * 1.0 / c.nw, 6) AS complex_word_share
+        FROM totals t JOIN cx c USING (lang)
+    """
+    sqls["q255_doc_token_entropy"] = r"""
+        WITH tok AS (
+            SELECT doc_id, lang,
+                   unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS w
+            FROM documents
+        ), cnt AS (
+            SELECT doc_id, lang, w, count(*) AS c
+            FROM tok WHERE w <> '' GROUP BY 1, 2, 3
+        ), per_doc AS (
+            SELECT doc_id, lang,
+                   log2(sum(c)) - sum(c * log2(c)) / sum(c) AS h,
+                   count(*) * 1.0 / sum(c) AS dr
+            FROM cnt GROUP BY 1, 2
+        )
+        SELECT lang, count(*) AS n_docs,
+               round(avg(h), 6) AS avg_entropy,
+               round(min(h), 6) AS min_entropy,
+               round(avg(dr), 6) AS avg_distinct_ratio
+        FROM per_doc GROUP BY 1
+    """
+    sqls["q256_classifier_eval"] = f"""
+        WITH conf AS (
+            SELECT lang, {_lang_guess_sql("text")} AS pred, count(*) AS n
+            FROM documents GROUP BY 1, 2
+        ), sup AS (
+            SELECT lang, CAST(sum(n) AS BIGINT) AS support FROM conf GROUP BY 1
+        ), tp AS (
+            SELECT lang, CAST(n AS BIGINT) AS tp FROM conf WHERE lang = pred
+        ), pr AS (
+            SELECT pred AS lang, sum(n) AS npred FROM conf GROUP BY 1
+        ), j AS (
+            SELECT s.lang, s.support,
+                   coalesce(tp.tp, 0) AS tp,
+                   coalesce(pr.npred, 0) AS np
+            FROM sup s LEFT JOIN tp USING (lang) LEFT JOIN pr USING (lang)
+        )
+        SELECT lang, support, tp,
+               round(CASE WHEN np > 0 THEN tp * 1.0 / np ELSE 0.0 END, 6)
+                   AS precision,
+               round(tp * 1.0 / support, 6) AS recall,
+               round(CASE WHEN (CASE WHEN np > 0 THEN tp * 1.0 / np ELSE 0.0 END)
+                               + tp * 1.0 / support > 0
+                          THEN 2 * (CASE WHEN np > 0 THEN tp * 1.0 / np
+                                         ELSE 0.0 END) * (tp * 1.0 / support)
+                               / ((CASE WHEN np > 0 THEN tp * 1.0 / np
+                                        ELSE 0.0 END) + tp * 1.0 / support)
+                          ELSE 0.0 END, 6) AS f1
+        FROM j
     """
     sqls["q200_catalog_rowcounts"] = """
         SELECT 'region' AS table_name, count(*) AS n_rows FROM region
