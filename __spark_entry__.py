@@ -6937,6 +6937,195 @@ def q256_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q257_time_to_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-conversion distribution [EXT]: per user, the delay between
+    their FIRST view and their FIRST subsequent purchase, bucketed into
+    hours — the funnel-latency histogram product analytics reads next to
+    the conversion rate (median time-to-convert, long-tail mass). Users
+    whose first purchase precedes their first view (arrived converted)
+    are excluded by the tv < tp guard.
+
+    Scale shape: one per-user collapse (two FILTER min-aggregates, one
+    co-keyed pass), then a bounded bucket aggregation (≤ month-span × 24
+    buckets). Timestamps route via epoch seconds (events.ts is
+    TIMESTAMP_NTZ)."""
+    from hubverse_transform_spark.operators.sessions import _epoch_seconds
+
+    e = _t(spark, sf_dir, "events")
+    per = e.groupBy("user_id").agg(
+        F.min(
+            F.when(F.col("event_type") == "view", _epoch_seconds(F.col("ts")))
+        ).alias("_tv"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", _epoch_seconds(F.col("ts")))
+        ).alias("_tp"),
+    )
+    conv = per.filter(
+        F.col("_tv").isNotNull()
+        & F.col("_tp").isNotNull()
+        & (F.col("_tv") < F.col("_tp"))
+    ).select(F.floor((F.col("_tp") - F.col("_tv")) / 3600).alias("delay_h"))
+    tot = conv.agg(F.count(F.lit(1)).alias("_n"))
+    return (
+        conv.groupBy("delay_h")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "delay_h",
+            "n_users",
+            F.round(F.col("n_users") / F.col("_n"), 6).alias("share"),
+        )
+    )
+
+
+def q258_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Traffic burstiness per event type [EXT]: Fano factor (variance/mean
+    of hourly arrival counts — 1.0 under Poisson, ≫1 under bursts) and
+    the bounded dispersion coefficient (σ−μ)/(σ+μ) — the load-shape
+    diagnostics that decide whether a streaming pipeline needs burst
+    headroom or can size for the mean. Complements pointwise anomaly
+    z-scores with a per-series dispersion summary.
+
+    Scale shape: corpus collapses to the (type, hour) count table first
+    (bounded by span × 24 × types); moments are one algebraic pass over
+    that table."""
+    e = _t(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("_h")
+    ).agg(F.count(F.lit(1)).alias("_n"))
+    return hourly.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_hours"),
+        F.round(F.avg("_n"), 6).alias("mean_per_hour"),
+        F.round(F.var_samp("_n") / F.avg("_n"), 6).alias("fano"),
+        F.round(
+            (F.sqrt(F.var_samp("_n")) - F.avg("_n"))
+            / (F.sqrt(F.var_samp("_n")) + F.avg("_n")),
+            6,
+        ).alias("burstiness"),
+    )
+
+
+def q259_feature_ig_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categorical feature ranking by information gain [EXT]: which of
+    four candidate features (event type, hour-of-day, day-of-week,
+    value 50-bucket) best predicts conversion — IG(f) = H(y) −
+    Σ_v share(v)·H(y|v), the feature-selection readout behind every tree
+    split and every 'is this column worth keeping' audit. All four
+    features are scored from ONE corpus scan: the row melts into
+    (feature, value) pairs via an inline array-of-structs explode, so
+    adding a feature adds zero extra scans.
+
+    Scale shape: one scan → 4× explode (codegen, no shuffle) → one
+    (feature, value) aggregation; the entropy math runs on the ≤64-row
+    melted table with H(y) as a 1-row broadcast."""
+    e = _t(spark, sf_dir, "events")
+    y = F.when(F.col("event_type").isin("purchase", "signup"), 1).otherwise(0)
+    melted = e.select(
+        y.alias("_y"),
+        F.explode(
+            F.array(
+                F.struct(F.lit("event_type").alias("f"), F.col("event_type").alias("v")),
+                F.struct(
+                    F.lit("hour").alias("f"),
+                    F.hour("ts").cast("string").alias("v"),
+                ),
+                F.struct(
+                    F.lit("dow").alias("f"),
+                    F.weekday("ts").cast("string").alias("v"),
+                ),
+                F.struct(
+                    F.lit("value_bucket").alias("f"),
+                    F.floor(F.col("value") / 50).cast("string").alias("v"),
+                ),
+            )
+        ).alias("_fv"),
+    ).select("_y", F.col("_fv.f").alias("_f"), F.col("_fv.v").alias("_v"))
+    g = melted.groupBy("_f", "_v").agg(
+        F.count(F.lit(1)).alias("_n"), F.sum("_y").alias("_pos")
+    )
+    base = e.agg(
+        F.count(F.lit(1)).alias("_tn"), F.sum(y).alias("_tpos")
+    )
+
+    def ent(p):
+        return F.when(
+            (p <= 0) | (p >= 1), F.lit(0.0)
+        ).otherwise(-(p * F.log2(p) + (1 - p) * F.log2(1 - p)))
+
+    per = (
+        g.crossJoin(F.broadcast(base))
+        .groupBy("_f")
+        .agg(
+            F.count(F.lit(1)).alias("n_values"),
+            (
+                ent(F.first("_tpos") / F.first("_tn"))
+                - F.sum(
+                    (F.col("_n") / F.col("_tn"))
+                    * ent(F.col("_pos") / F.col("_n"))
+                )
+            ).alias("_ig"),
+        )
+    )
+    return per.select(
+        F.col("_f").alias("feature"),
+        "n_values",
+        F.round("_ig", 6).alias("info_gain"),
+    )
+
+
+def q260_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling for contrastive training pairs
+    [EXT]: for each anchor doc (doc_id < 30), the positive is the next doc
+    of the same language (lead over the language-partitioned id order) and
+    each of 4 negatives is drawn VOCABULARY-FREE by hashing
+    (anchor, slot) into the dense doc-id space — md5 mod corpus size —
+    with a two-step linear probe past the anchor/positive (2 forbidden
+    ids, 3 candidates: always resolves). No RNG state, no sampling table
+    to version: the draw is a pure function of ids, reproducible across
+    engines and re-runs — which is what makes distributed regeneration of
+    training pairs safe.
+
+    Scale shape: anchors/positives via one language-partitioned lead
+    window; negatives are map-side hash arithmetic with the corpus size as
+    a 1-row broadcast; the 4-slot fan-out is a codegen explode."""
+    d = _t(spark, sf_dir, "documents")
+    n = d.agg(F.count(F.lit(1)).alias("_N"))
+    wl = Window.partitionBy("lang").orderBy("doc_id")
+    pairs = (
+        d.select("doc_id", "lang")
+        .withColumn("_pos", F.lead("doc_id").over(wl))
+        .filter((F.col("doc_id") < 30) & F.col("_pos").isNotNull())
+    )
+    slots = pairs.select(
+        "doc_id",
+        F.col("_pos").alias("pos_id"),
+        F.explode(F.array(*[F.lit(i) for i in range(4)])).alias("slot"),
+    )
+    raw = F.pmod(
+        F.conv(
+            F.substring(F.md5(F.concat_ws("-", "doc_id", "slot")), 1, 8), 16, 10
+        ).cast("long"),
+        F.col("_N"),
+    )
+    probe1 = F.pmod(raw + 1, F.col("_N"))
+    probe2 = F.pmod(raw + 2, F.col("_N"))
+    bad = lambda c: (c == F.col("doc_id")) | (c == F.col("pos_id"))  # noqa: E731
+    neg = (
+        F.when(~bad(raw), raw)
+        .when(~bad(probe1), probe1)
+        .otherwise(probe2)
+    )
+    return (
+        slots.crossJoin(F.broadcast(n))
+        .select(
+            F.col("doc_id").alias("anchor_id"),
+            "pos_id",
+            "slot",
+            neg.alias("neg_id"),
+        )
+    )
+
+
 # =============================================================================
 # Driver contract
 # =============================================================================
@@ -7205,6 +7394,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q254_readability_proxy": q254_readability_proxy,
         "q255_doc_token_entropy": q255_doc_token_entropy,
         "q256_classifier_eval": q256_classifier_eval,
+        "q257_time_to_conversion": q257_time_to_conversion,
+        "q258_burstiness": q258_burstiness,
+        "q259_feature_ig_ranking": q259_feature_ig_ranking,
+        "q260_negative_sampling": q260_negative_sampling,
     }
 
 
@@ -12060,6 +12253,98 @@ def oracle_sql() -> dict[str, str]:
                                         ELSE 0.0 END) + tp * 1.0 / support)
                           ELSE 0.0 END, 6) AS f1
         FROM j
+    """
+    sqls["q257_time_to_conversion"] = """
+        WITH per AS (
+            SELECT user_id,
+                   min(CASE WHEN event_type = 'view' THEN epoch(ts) END) AS tv,
+                   min(CASE WHEN event_type = 'purchase' THEN epoch(ts) END) AS tp
+            FROM events GROUP BY 1
+        ), conv AS (
+            SELECT CAST(floor((tp - tv) / 3600) AS BIGINT) AS delay_h
+            FROM per WHERE tv IS NOT NULL AND tp IS NOT NULL AND tv < tp
+        ), tot AS (SELECT count(*) AS n FROM conv)
+        SELECT delay_h, count(*) AS n_users,
+               round(count(*) * 1.0 / any_value(tot.n), 6) AS share
+        FROM conv, tot GROUP BY delay_h
+    """
+    sqls["q258_burstiness"] = """
+        WITH hourly AS (
+            SELECT event_type, date_trunc('hour', ts) AS h, count(*) AS n
+            FROM events GROUP BY 1, 2
+        )
+        SELECT event_type, count(*) AS n_hours,
+               round(avg(n), 6) AS mean_per_hour,
+               round(var_samp(n) / avg(n), 6) AS fano,
+               round((sqrt(var_samp(n)) - avg(n))
+                     / (sqrt(var_samp(n)) + avg(n)), 6) AS burstiness
+        FROM hourly GROUP BY 1
+    """
+    sqls["q259_feature_ig_ranking"] = """
+        WITH base AS (
+            SELECT count(*) AS tn,
+                   sum(CASE WHEN event_type IN ('purchase','signup')
+                            THEN 1 ELSE 0 END) AS tpos
+            FROM events
+        ), melted AS (
+            SELECT CASE WHEN event_type IN ('purchase','signup')
+                        THEN 1 ELSE 0 END AS y,
+                   f, v
+            FROM events,
+                 LATERAL (VALUES
+                     ('event_type', event_type),
+                     ('hour', CAST(hour(ts) AS VARCHAR)),
+                     ('dow', CAST(isodow(date_trunc('day', ts)) - 1 AS VARCHAR)),
+                     ('value_bucket', CAST(CAST(floor(value / 50) AS BIGINT)
+                                           AS VARCHAR))) AS t(f, v)
+        ), g AS (
+            SELECT f, v, count(*) AS n, sum(y) AS pos
+            FROM melted GROUP BY 1, 2
+        ), hy AS (
+            SELECT CASE WHEN tpos * 1.0 / tn <= 0 OR tpos * 1.0 / tn >= 1
+                        THEN 0.0
+                        ELSE -(tpos * 1.0 / tn) * log2(tpos * 1.0 / tn)
+                             - (1 - tpos * 1.0 / tn)
+                               * log2(1 - tpos * 1.0 / tn) END AS h,
+                   tn
+            FROM base
+        )
+        SELECT g.f AS feature, count(*) AS n_values,
+               round(any_value(hy.h)
+                     - sum((g.n * 1.0 / hy.tn)
+                           * (CASE WHEN g.pos * 1.0 / g.n <= 0
+                                        OR g.pos * 1.0 / g.n >= 1 THEN 0.0
+                                   ELSE -(g.pos * 1.0 / g.n)
+                                          * log2(g.pos * 1.0 / g.n)
+                                        - (1 - g.pos * 1.0 / g.n)
+                                          * log2(1 - g.pos * 1.0 / g.n)
+                              END)), 6) AS info_gain
+        FROM g, hy GROUP BY 1
+    """
+    sqls["q260_negative_sampling"] = """
+        WITH n AS (SELECT count(*) AS nn FROM documents),
+        pairs AS (
+            SELECT doc_id,
+                   lead(doc_id) OVER (PARTITION BY lang ORDER BY doc_id) AS pos
+            FROM documents
+        ), anch AS (
+            SELECT doc_id, pos FROM pairs
+            WHERE doc_id < 30 AND pos IS NOT NULL
+        ), slots AS (
+            SELECT doc_id, pos, CAST(unnest(range(0, 4)) AS INT) AS slot
+            FROM anch
+        ), hashed AS (
+            SELECT doc_id, pos, slot, nn,
+                   CAST('0x' || substring(md5(doc_id || '-' || slot), 1, 8)
+                        AS BIGINT) % nn AS raw
+            FROM slots, n
+        )
+        SELECT doc_id AS anchor_id, pos AS pos_id, slot,
+               CASE WHEN raw <> doc_id AND raw <> pos THEN raw
+                    WHEN (raw + 1) % nn <> doc_id AND (raw + 1) % nn <> pos
+                        THEN (raw + 1) % nn
+                    ELSE (raw + 2) % nn END AS neg_id
+        FROM hashed
     """
     sqls["q200_catalog_rowcounts"] = """
         SELECT 'region' AS table_name, count(*) AS n_rows FROM region
