@@ -7126,6 +7126,177 @@ def q260_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q261_map_hof_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map higher-order functions over per-doc token-count maps [EXT]:
+    build a token→count MapType column per document (map_from_entries over
+    the grouped counts), keep frequent tokens with ``map_filter`` (count ≥
+    3), normalize to shares with ``transform_values`` (both JVM map
+    lambdas, closing the HOF surface next to the array HOFs of q74), then
+    explode back to rows for the differential. The map stays an
+    engine-side column — no Python, no collect.
+
+    Scale shape: one (doc, token) aggregation, one collect_list-to-map per
+    doc (state bounded by per-doc vocab), map lambdas are codegen'd
+    expressions; output restricted to doc_id < 20 to bound the
+    differential, the operator itself is corpus-wide."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 20)
+    cnt = (
+        d.select(
+            "doc_id",
+            F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("_w"),
+        )
+        .filter(F.col("_w") != "")
+        .groupBy("doc_id", "_w")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    mapped = cnt.groupBy("doc_id").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("_w", "_c"))
+        ).alias("_m"),
+        F.sum("_c").alias("_tot"),
+    )
+    freq = mapped.select(
+        "doc_id",
+        F.map_filter("_m", lambda k, v: v >= 3).alias("_counts"),
+        F.transform_values(
+            F.map_filter("_m", lambda k, v: v >= 3),
+            lambda k, v: v / F.col("_tot"),
+        ).alias("_shares"),
+    )
+    z = freq.select(
+        "doc_id",
+        F.explode(
+            F.map_zip_with(
+                "_counts",
+                "_shares",
+                lambda k, c, s: F.struct(c.alias("cnt"), s.alias("share")),
+            )
+        ).alias("token", "_cs"),
+    )
+    return z.select(
+        "doc_id",
+        "token",
+        F.col("_cs.cnt").alias("cnt"),
+        F.round("_cs.share", 6).alias("share"),
+    )
+
+
+def q262_file_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan-level file provenance via the hidden ``_metadata`` column
+    [EXT]: per physical input file feeding the orders and lineitem tables,
+    row count and key range — the audit a lakehouse runs to answer 'which
+    files contribute to this table, and are their row counts sane?'
+    without a separate manifest. ``_metadata.file_path`` is populated by
+    the file-source scan itself (Spark's hidden metadata struct), so
+    provenance costs no extra read.
+
+    Scale shape: one scan per table with the metadata projection fused
+    into it; aggregation keys = file count (bounded by layout, not
+    rows)."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    fname = F.regexp_extract(F.col("_metadata.file_path"), r"[^/]+$", 0)
+    per_o = o.select(fname.alias("file"), F.col("o_orderkey").alias("_k"))
+    per_l = li.select(fname.alias("file"), F.col("l_orderkey").alias("_k"))
+    return (
+        per_o.unionByName(per_l)
+        .groupBy("file")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("_k").alias("min_orderkey"),
+            F.max("_k").alias("max_orderkey"),
+        )
+    )
+
+
+def q263_table_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-insensitive table content checksums [EXT]: per table, XOR of
+    a 32-bit md5 prefix over a canonical string serialization of the key
+    columns — the replication/sync fingerprint two engines (or two sides
+    of a migration) can compare WITHOUT sorting or shipping rows.
+    md5-based (not xxhash64) so any engine reproduces it bit-for-bit;
+    bit_xor makes it order- and partitioning-independent; count rides
+    along to catch the XOR blind spot (duplicate pairs cancel).
+
+    Scale shape: map-side hash + one tiny XOR/count aggregation per table
+    — one scan each, no shuffle beyond the 1-row reduce."""
+    def chk(df, name, serial):
+        h = F.conv(F.substring(F.md5(serial), 1, 8), 16, 10).cast("long")
+        return df.agg(
+            F.lit(name).alias("table_name"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.bit_xor(h).alias("checksum32"),
+        )
+
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    c = _t(spark, sf_dir, "customer")
+    parts = [
+        chk(o, "orders", F.concat_ws("|", "o_orderkey", "o_custkey", "o_orderstatus")),
+        chk(li, "lineitem", F.concat_ws("|", "l_orderkey", "l_partkey", "l_linenumber")),
+        chk(c, "customer", F.concat_ws("|", "c_custkey", "c_nationkey", "c_mktsegment")),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def q264_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-level constraint audit [EXT]: primary-key uniqueness and
+    foreign-key orphan counts across the star schema (orders.o_custkey →
+    customer, lineitem.l_orderkey → orders, lineitem.l_partkey → part,
+    customer.c_nationkey → nation) — the dbt-test layer, run as
+    co-partitioned anti-join counts + duplicate-key scans so one query
+    certifies the whole join graph before anything downstream trusts it.
+
+    Scale shape: each FK check is ONE left-anti join on the join key
+    (co-partitioned, the same shuffle the real joins pay); each PK check
+    is one keyed count; results union into a constraint×metric table."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    c = _t(spark, sf_dir, "customer")
+    p = _t(spark, sf_dir, "part")
+    n = _t(spark, sf_dir, "nation")
+
+    def pk_dups(df, key, name):
+        return (
+            df.groupBy(key)
+            .agg(F.count(F.lit(1)).alias("_c"))
+            .filter(F.col("_c") > 1)
+            .agg(
+                F.lit(name).alias("constraint_name"),
+                F.lit("pk_unique").alias("kind"),
+                F.coalesce(F.count(F.lit(1)), F.lit(0)).alias("violations"),
+            )
+        )
+
+    def fk_orphans(child, key, parent, pkey, name):
+        return (
+            child.select(F.col(key).alias("_k"))
+            .join(parent.select(F.col(pkey).alias("_k")), "_k", "left_anti")
+            .agg(
+                F.lit(name).alias("constraint_name"),
+                F.lit("fk_orphan").alias("kind"),
+                F.count(F.lit(1)).alias("violations"),
+            )
+        )
+
+    checks = [
+        pk_dups(o, "o_orderkey", "orders_pk"),
+        pk_dups(c, "c_custkey", "customer_pk"),
+        pk_dups(p, "p_partkey", "part_pk"),
+        fk_orphans(o, "o_custkey", c, "c_custkey", "orders_custkey_fk"),
+        fk_orphans(li, "l_orderkey", o, "o_orderkey", "lineitem_orderkey_fk"),
+        fk_orphans(li, "l_partkey", p, "p_partkey", "lineitem_partkey_fk"),
+        fk_orphans(c, "c_nationkey", n, "n_nationkey", "customer_nationkey_fk"),
+    ]
+    out = checks[0]
+    for ch in checks[1:]:
+        out = out.unionByName(ch)
+    return out
+
+
 # =============================================================================
 # Driver contract
 # =============================================================================
@@ -7398,6 +7569,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q258_burstiness": q258_burstiness,
         "q259_feature_ig_ranking": q259_feature_ig_ranking,
         "q260_negative_sampling": q260_negative_sampling,
+        "q261_map_hof_token_stats": q261_map_hof_token_stats,
+        "q262_file_provenance": q262_file_provenance,
+        "q263_table_checksums": q263_table_checksums,
+        "q264_referential_integrity": q264_referential_integrity,
     }
 
 
@@ -12345,6 +12520,73 @@ def oracle_sql() -> dict[str, str]:
                         THEN (raw + 1) % nn
                     ELSE (raw + 2) % nn END AS neg_id
         FROM hashed
+    """
+    sqls["q261_map_hof_token_stats"] = r"""
+        WITH tok AS (
+            SELECT doc_id,
+                   unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS w
+            FROM documents WHERE doc_id < 20
+        ), cnt AS (
+            SELECT doc_id, w, count(*) AS c
+            FROM tok WHERE w <> '' GROUP BY 1, 2
+        ), tot AS (
+            SELECT doc_id, sum(c) AS t FROM cnt GROUP BY 1
+        )
+        SELECT cnt.doc_id, cnt.w AS token, cnt.c AS cnt,
+               round(cnt.c * 1.0 / tot.t, 6) AS share
+        FROM cnt JOIN tot USING (doc_id)
+        WHERE cnt.c >= 3
+    """
+    sqls["q262_file_provenance"] = """
+        SELECT 'orders.parquet' AS file, count(*) AS n_rows,
+               min(o_orderkey) AS min_orderkey, max(o_orderkey) AS max_orderkey
+        FROM orders
+        UNION ALL
+        SELECT 'lineitem.parquet', count(*), min(l_orderkey), max(l_orderkey)
+        FROM lineitem
+    """
+    sqls["q263_table_checksums"] = """
+        SELECT 'orders' AS table_name, count(*) AS n_rows,
+               bit_xor(CAST('0x' || substring(md5(o_orderkey || '|' || o_custkey
+                   || '|' || o_orderstatus), 1, 8) AS BIGINT)) AS checksum32
+        FROM orders
+        UNION ALL
+        SELECT 'lineitem', count(*),
+               bit_xor(CAST('0x' || substring(md5(l_orderkey || '|' || l_partkey
+                   || '|' || l_linenumber), 1, 8) AS BIGINT))
+        FROM lineitem
+        UNION ALL
+        SELECT 'customer', count(*),
+               bit_xor(CAST('0x' || substring(md5(c_custkey || '|' || c_nationkey
+                   || '|' || c_mktsegment), 1, 8) AS BIGINT))
+        FROM customer
+    """
+    sqls["q264_referential_integrity"] = """
+        SELECT 'orders_pk' AS constraint_name, 'pk_unique' AS kind,
+               count(*) AS violations
+        FROM (SELECT o_orderkey FROM orders GROUP BY 1 HAVING count(*) > 1)
+        UNION ALL
+        SELECT 'customer_pk', 'pk_unique', count(*)
+        FROM (SELECT c_custkey FROM customer GROUP BY 1 HAVING count(*) > 1)
+        UNION ALL
+        SELECT 'part_pk', 'pk_unique', count(*)
+        FROM (SELECT p_partkey FROM part GROUP BY 1 HAVING count(*) > 1)
+        UNION ALL
+        SELECT 'orders_custkey_fk', 'fk_orphan', count(*)
+        FROM orders o WHERE NOT EXISTS
+            (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+        UNION ALL
+        SELECT 'lineitem_orderkey_fk', 'fk_orphan', count(*)
+        FROM lineitem l WHERE NOT EXISTS
+            (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+        UNION ALL
+        SELECT 'lineitem_partkey_fk', 'fk_orphan', count(*)
+        FROM lineitem l WHERE NOT EXISTS
+            (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey)
+        UNION ALL
+        SELECT 'customer_nationkey_fk', 'fk_orphan', count(*)
+        FROM customer c WHERE NOT EXISTS
+            (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey)
     """
     sqls["q200_catalog_rowcounts"] = """
         SELECT 'region' AS table_name, count(*) AS n_rows FROM region
