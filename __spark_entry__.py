@@ -7297,6 +7297,288 @@ def q264_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def q265_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer-training inner loop, step one [EXT]: corpus-wide
+    adjacent character-pair counts (the statistic a byte-pair-encoding
+    merge step maximizes), computed VOCABULARY-FIRST — aggregate word
+    frequencies before exploding character pairs, so the expensive
+    per-character explosion runs over the distinct-word table (bounded by
+    vocabulary size), not over the corpus. Top 30 pairs with a
+    deterministic tie-break.
+
+    Scale shape: one (word) aggregation over the corpus (map-side combine
+    collapses repeats), then a corpus-size-INDEPENDENT pair explosion over
+    the vocab table; final agg keys = alphabet², tiny."""
+    d = _t(spark, sf_dir, "documents")
+    words = (
+        d.select(F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+    pairs = (
+        words.filter(F.length("w") >= 2)
+        .select(
+            "w", "f", F.explode(F.sequence(F.lit(1), F.length("w") - 1)).alias("i")
+        )
+        .select(F.expr("substring(w, i, 2)").alias("pair"), "f")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("f").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "pair")
+        .limit(30)
+    )
+
+
+#: cumulative Poisson(1) CDF thresholds scaled to 2^32 — shared literals on
+#: both the Spark and DuckDB sides so the bootstrap weights are bit-identical
+_POISSON1_T = (1580030168, 3160060337, 3950075421, 4213413783, 4279248373, 4292415291)
+
+
+def q266_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalable bootstrap via Poisson resampling [EXT]: 40 bootstrap
+    replicates of the mean order value per priority, where each row's
+    per-replicate multiplicity is Poisson(1) drawn by inverse-CDF from a
+    deterministic md5 hash — the 'bag of little bootstraps'-style trick
+    that makes resampling a MAP operation (no shared RNG state, no
+    per-replicate shuffles of the data). Reports the bootstrap mean, SE,
+    and a 90% percentile CI per group.
+
+    Scale shape: the 40× row explosion feeds a (group, replicate)
+    aggregation whose partial agg collapses it map-side to
+    |groups|×40 keys per partition; the replicate-mean table (200 rows)
+    is the only thing that ever shuffles. At 100 TB this is one corpus
+    scan, same cost as a plain GROUP BY."""
+    t = _POISSON1_T
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    reps = o.select(
+        "*", F.explode(F.sequence(F.lit(0), F.lit(39))).alias("r")
+    )
+    u = F.conv(
+        F.substring(F.md5(F.concat_ws("-", "o_orderkey", "r")), 1, 8), 16, 10
+    ).cast("long")
+    w = (
+        F.when(u < t[0], 0)
+        .when(u < t[1], 1)
+        .when(u < t[2], 2)
+        .when(u < t[3], 3)
+        .when(u < t[4], 4)
+        .when(u < t[5], 5)
+        .otherwise(6)
+    )
+    means = (
+        reps.withColumn("_w", w)
+        .groupBy("o_orderpriority", "r")
+        .agg(
+            (F.sum(F.col("_w") * F.col("o_totalprice")) / F.sum("_w")).alias("m")
+        )
+    )
+    return means.groupBy("o_orderpriority").agg(
+        F.round(F.avg("m"), 2).alias("boot_mean"),
+        F.round(F.stddev("m"), 4).alias("boot_se"),
+        F.round(F.expr("percentile(m, 0.05)"), 2).alias("ci_lo"),
+        F.round(F.expr("percentile(m, 0.95)"), 2).alias("ci_hi"),
+    )
+
+
+def q267_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction over the co-purchase bipartite graph [EXT]:
+    Adamic–Adar scores between part pairs — for parts u, v the score is
+    Σ over shared orders o of 1/ln(|o|), down-weighting common neighbors
+    that are themselves promiscuous (big orders say less about affinity).
+    Top 50 pairs with deterministic tie-break.
+
+    Scale shape: the pair generation is a SELF-JOIN ON THE ORDER KEY, so
+    the fan-out per order is bounded by order size (≤ lines-per-order,
+    single digits), never quadratic in parts; the order-degree table joins
+    on the same key, so all three inputs share one co-partitioned
+    exchange. The final agg shuffles only surviving pairs."""
+    lp = (
+        _t(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    deg = lp.groupBy("o").agg(F.count(F.lit(1)).alias("s")).filter(F.col("s") >= 2)
+    pr = (
+        lp.alias("a")
+        .join(lp.alias("b"), "o")
+        .filter(F.col("a.p") < F.col("b.p"))
+        .join(deg, "o")
+        .select(
+            F.col("a.p").alias("p1"),
+            F.col("b.p").alias("p2"),
+            (F.lit(1.0) / F.log("s")).alias("_w"),
+        )
+    )
+    scored = pr.groupBy("p1", "p2").agg(
+        F.sum("_w").alias("_aa"), F.count(F.lit(1)).alias("n_common")
+    )
+    return (
+        scored.orderBy(F.col("_aa").desc(), "p1", "p2")
+        .limit(50)
+        .select("p1", "p2", F.round("_aa", 6).alias("aa_score"), "n_common")
+    )
+
+
+def _morton16(bx, by):
+    """Interleave two 4-bit bucket ids into an 8-bit Morton (Z-order)
+    code with plain shift/mask arithmetic — identical integer math to the
+    DuckDB oracle so codes match bit-for-bit."""
+    m = F.lit(0)
+    for i in range(4):
+        m = m + F.shiftright(bx, i).bitwiseAND(F.lit(1)) * F.lit(2 ** (2 * i + 1))
+        m = m + F.shiftright(by, i).bitwiseAND(F.lit(1)) * F.lit(2 ** (2 * i))
+    return m
+
+
+def q268_zorder_pruning_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-layout audit: Z-order vs linear clustering [EXT]. Bucket
+    lineitem on two independent dims (part, supplier; 16×16 grid), assign
+    each row to one of 32 'files' under (a) Morton-interleaved order and
+    (b) linear (bx, by) order, then compute each file's zone map
+    (min/max per dim) and report the average per-dim span and the
+    worst-dim span per layout — the number a lakehouse optimizer uses to
+    decide whether re-clustering pays: linear layouts prune perfectly on
+    the leading dim and not at all on the trailing one; Z-order splits
+    the difference on both.
+
+    Scale shape: file assignment is pure map-side arithmetic (the top
+    bits of the cell code — no global sort, no window); zone maps are one
+    groupBy over layout×file (64 keys). This mirrors how
+    ``sinks.write_zordered`` lays files out, as an auditable query."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        (F.col("l_partkey") % 16).alias("bx"), (F.col("l_suppkey") % 16).alias("by")
+    )
+    z = li.select(
+        F.lit("zorder").alias("layout"),
+        F.shiftright(_morton16(F.col("bx"), F.col("by")), 3).alias("file_id"),
+        "bx",
+        "by",
+    )
+    lin = li.select(
+        F.lit("linear").alias("layout"),
+        F.shiftright(F.col("bx") * 16 + F.col("by"), 3).alias("file_id"),
+        "bx",
+        "by",
+    )
+    spans = (
+        z.unionByName(lin)
+        .groupBy("layout", "file_id")
+        .agg(
+            (F.max("bx") - F.min("bx") + 1).alias("_sx"),
+            (F.max("by") - F.min("by") + 1).alias("_sy"),
+        )
+    )
+    return spans.groupBy("layout").agg(
+        F.count(F.lit(1)).alias("n_files"),
+        F.round(F.avg("_sx"), 4).alias("avg_span_x"),
+        F.round(F.avg("_sy"), 4).alias("avg_span_y"),
+        F.round(F.avg(F.greatest("_sx", "_sy")), 4).alias("avg_worst_span"),
+    )
+
+
+def q269_nb_token_logodds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Naive-Bayes quality-classifier TRAINING in-engine [EXT]: label
+    documents long/short against the global median length, then compute
+    per-token add-1-smoothed class-conditional log-odds
+    ln((c_long+1)/(T_long+V)) − ln((c_short+1)/(T_short+V)) — the
+    training counterpart of q151's fixed-weight inference (this is how
+    the fasttext-style curation classifier's weights are fit from a
+    labeled corpus without leaving the engine). Top 25 tokens by
+    |log-odds|.
+
+    Scale shape: one token-count aggregation keyed by (token, class); the
+    class totals and vocabulary size are 1-row aggregates broadcast back
+    via crossJoin — no large side ever re-shuffles."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.length("text").alias("_len"), F.col("text")
+    )
+    med = d.agg(F.expr("percentile(_len, 0.5)").alias("_med"))
+    labeled = d.crossJoin(F.broadcast(med)).select(
+        (F.col("_len") >= F.col("_med")).alias("is_long"), "text"
+    )
+    tok = (
+        labeled.select(
+            "is_long",
+            F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("w"),
+        )
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(
+            F.count(F.when(F.col("is_long"), 1)).alias("c_long"),
+            F.count(F.when(~F.col("is_long"), 1)).alias("c_short"),
+        )
+    )
+    totals = tok.agg(
+        F.sum("c_long").alias("_tl"),
+        F.sum("c_short").alias("_ts"),
+        F.count(F.lit(1)).alias("_v"),
+    )
+    scored = tok.crossJoin(F.broadcast(totals)).select(
+        F.col("w").alias("token"),
+        "c_long",
+        "c_short",
+        (
+            F.log((F.col("c_long") + 1) / (F.col("_tl") + F.col("_v")))
+            - F.log((F.col("c_short") + 1) / (F.col("_ts") + F.col("_v")))
+        ).alias("_lo"),
+    )
+    return (
+        scored.orderBy(F.abs("_lo").desc(), "token")
+        .limit(25)
+        .select("token", "c_long", "c_short", F.round("_lo", 6).alias("log_odds"))
+    )
+
+
+def q270_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion of two retrieval rankings [EXT]: per
+    language, rank documents by (a) token count and (b) type-token ratio,
+    fuse with RRF(k=60) = Σ 1/(60+rank), keep the top 3 fused docs per
+    language — the standard way hybrid search merges BM25 and vector
+    rankings without score calibration.
+
+    Scale shape: both rankings and the fused top-k are windows
+    PARTITIONED by the candidate-list key (lang here; per-query candidate
+    sets in a real retrieval stack), so state is bounded per partition —
+    no global sort. Exactly-equal fused scores (rank-pair swaps) break
+    ties on doc_id."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.trim("text")), r"\s+")
+    feat = d.select(
+        "doc_id",
+        "lang",
+        F.size(toks).alias("_n"),
+        (F.size(F.array_distinct(toks)) / F.size(toks)).alias("_ttr"),
+    )
+    w1 = Window.partitionBy("lang").orderBy(F.col("_n").desc(), "doc_id")
+    w2 = Window.partitionBy("lang").orderBy(F.col("_ttr").desc(), "doc_id")
+    ranked = feat.select(
+        "doc_id",
+        "lang",
+        F.row_number().over(w1).alias("r_len"),
+        F.row_number().over(w2).alias("r_ttr"),
+    ).withColumn(
+        "_rrf",
+        F.lit(1.0) / (60 + F.col("r_len")) + F.lit(1.0) / (60 + F.col("r_ttr")),
+    )
+    wf = Window.partitionBy("lang").orderBy(F.col("_rrf").desc(), "doc_id")
+    return (
+        ranked.withColumn("fused_rank", F.row_number().over(wf))
+        .filter(F.col("fused_rank") <= 3)
+        .select(
+            "lang",
+            "fused_rank",
+            "doc_id",
+            "r_len",
+            "r_ttr",
+            F.round("_rrf", 6).alias("rrf_score"),
+        )
+    )
+
+
 # =============================================================================
 # Driver contract
 # =============================================================================
@@ -7573,6 +7855,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q262_file_provenance": q262_file_provenance,
         "q263_table_checksums": q263_table_checksums,
         "q264_referential_integrity": q264_referential_integrity,
+        "q265_bpe_pair_counts": q265_bpe_pair_counts,
+        "q266_poisson_bootstrap_ci": q266_poisson_bootstrap_ci,
+        "q267_adamic_adar": q267_adamic_adar,
+        "q268_zorder_pruning_audit": q268_zorder_pruning_audit,
+        "q269_nb_token_logodds": q269_nb_token_logodds,
+        "q270_rrf_fusion": q270_rrf_fusion,
     }
 
 
@@ -12608,5 +12896,145 @@ def oracle_sql() -> dict[str, str]:
         SELECT 'documents' AS table_name, count(*) AS n_rows FROM documents
         UNION ALL
         SELECT 'embeddings' AS table_name, count(*) AS n_rows FROM embeddings
+    """
+    sqls["q265_bpe_pair_counts"] = r"""
+        WITH tok AS (
+            SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS w
+            FROM documents
+        ), wc AS (
+            SELECT w, count(*) AS f FROM tok WHERE w <> '' GROUP BY 1
+        ), pos AS (
+            SELECT w, f, unnest(range(1, len(w))) AS i
+            FROM wc WHERE len(w) >= 2
+        ), p AS (
+            SELECT substring(w, CAST(i AS INT), 2) AS pair, f FROM pos
+        )
+        SELECT pair, CAST(sum(f) AS BIGINT) AS cnt
+        FROM p GROUP BY 1 ORDER BY cnt DESC, pair LIMIT 30
+    """
+    _pt = _POISSON1_T
+    sqls["q266_poisson_bootstrap_ci"] = f"""
+        WITH reps AS (
+            SELECT o_orderkey, o_orderpriority, o_totalprice,
+                   CAST(unnest(range(0, 40)) AS INT) AS r
+            FROM orders
+        ), wt AS (
+            SELECT o_orderpriority, r, o_totalprice,
+                   CAST('0x' || substring(md5(o_orderkey || '-' || r), 1, 8)
+                        AS BIGINT) AS u
+            FROM reps
+        ), ws AS (
+            SELECT o_orderpriority, r, o_totalprice,
+                   CASE WHEN u < {_pt[0]} THEN 0 WHEN u < {_pt[1]} THEN 1
+                        WHEN u < {_pt[2]} THEN 2 WHEN u < {_pt[3]} THEN 3
+                        WHEN u < {_pt[4]} THEN 4 WHEN u < {_pt[5]} THEN 5
+                        ELSE 6 END AS w
+            FROM wt
+        ), m AS (
+            SELECT o_orderpriority, r,
+                   sum(w * o_totalprice) / sum(w) AS m
+            FROM ws GROUP BY 1, 2
+        )
+        SELECT o_orderpriority, round(avg(m), 2) AS boot_mean,
+               round(stddev_samp(m), 4) AS boot_se,
+               round(quantile_cont(m, 0.05), 2) AS ci_lo,
+               round(quantile_cont(m, 0.95), 2) AS ci_hi
+        FROM m GROUP BY 1
+    """
+    sqls["q267_adamic_adar"] = """
+        WITH lp AS (
+            SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+        ), deg AS (
+            SELECT o, count(*) AS s FROM lp GROUP BY 1 HAVING count(*) >= 2
+        ), pr AS (
+            SELECT a.p AS p1, b.p AS p2, 1.0 / ln(d.s) AS w
+            FROM lp a JOIN lp b ON a.o = b.o AND a.p < b.p
+            JOIN deg d ON d.o = a.o
+        ), scored AS (
+            SELECT p1, p2, sum(w) AS aa, count(*) AS n_common
+            FROM pr GROUP BY 1, 2
+        )
+        SELECT p1, p2, round(aa, 6) AS aa_score, n_common
+        FROM scored ORDER BY aa DESC, p1, p2 LIMIT 50
+    """
+    _mz = " + ".join(
+        f"(((bx >> {i}) & 1) * {2 ** (2 * i + 1)})"
+        f" + (((by >> {i}) & 1) * {2 ** (2 * i)})"
+        for i in range(4)
+    )
+    sqls["q268_zorder_pruning_audit"] = f"""
+        WITH b AS (
+            SELECT l_partkey % 16 AS bx, l_suppkey % 16 AS by FROM lineitem
+        ), assigned AS (
+            SELECT 'zorder' AS layout, ({_mz}) >> 3 AS file_id, bx, by FROM b
+            UNION ALL
+            SELECT 'linear', (bx * 16 + by) >> 3, bx, by FROM b
+        ), spans AS (
+            SELECT layout, file_id,
+                   max(bx) - min(bx) + 1 AS sx,
+                   max(by) - min(by) + 1 AS sy
+            FROM assigned GROUP BY 1, 2
+        )
+        SELECT layout, count(*) AS n_files,
+               round(avg(sx), 4) AS avg_span_x,
+               round(avg(sy), 4) AS avg_span_y,
+               round(avg(greatest(sx, sy)), 4) AS avg_worst_span
+        FROM spans GROUP BY 1
+    """
+    sqls["q269_nb_token_logodds"] = r"""
+        WITH d AS (
+            SELECT text, len(text) AS l FROM documents
+        ), med AS (
+            SELECT quantile_cont(l, 0.5) AS m FROM d
+        ), tok AS (
+            SELECT (d.l >= med.m) AS is_long,
+                   unnest(regexp_split_to_array(lower(trim(d.text)), '\s+')) AS w
+            FROM d, med
+        ), cnt AS (
+            SELECT w,
+                   count(*) FILTER (is_long) AS c_long,
+                   count(*) FILTER (NOT is_long) AS c_short
+            FROM tok WHERE w <> '' GROUP BY 1
+        ), tot AS (
+            SELECT CAST(sum(c_long) AS BIGINT) AS tl,
+                   CAST(sum(c_short) AS BIGINT) AS ts,
+                   count(*) AS v
+            FROM cnt
+        ), scored AS (
+            SELECT w AS token, c_long, c_short,
+                   ln((c_long + 1) * 1.0 / (tl + v))
+                   - ln((c_short + 1) * 1.0 / (ts + v)) AS lo
+            FROM cnt, tot
+        )
+        SELECT token, c_long, c_short, round(lo, 6) AS log_odds
+        FROM scored ORDER BY abs(lo) DESC, token LIMIT 25
+    """
+    sqls["q270_rrf_fusion"] = r"""
+        WITH feat AS (
+            SELECT doc_id, lang,
+                   len(regexp_split_to_array(lower(trim(text)), '\s+')) AS n,
+                   len(list_distinct(regexp_split_to_array(lower(trim(text)), '\s+')))
+                       * 1.0
+                       / len(regexp_split_to_array(lower(trim(text)), '\s+')) AS ttr
+            FROM documents
+        ), ranked AS (
+            SELECT doc_id, lang,
+                   row_number() OVER (PARTITION BY lang
+                                      ORDER BY n DESC, doc_id) AS r_len,
+                   row_number() OVER (PARTITION BY lang
+                                      ORDER BY ttr DESC, doc_id) AS r_ttr
+            FROM feat
+        ), fused AS (
+            SELECT doc_id, lang, r_len, r_ttr,
+                   1.0 / (60 + r_len) + 1.0 / (60 + r_ttr) AS rrf,
+                   row_number() OVER (PARTITION BY lang
+                                      ORDER BY 1.0 / (60 + r_len)
+                                               + 1.0 / (60 + r_ttr) DESC,
+                                               doc_id) AS fused_rank
+            FROM ranked
+        )
+        SELECT lang, fused_rank, doc_id, r_len, r_ttr,
+               round(rrf, 6) AS rrf_score
+        FROM fused WHERE fused_rank <= 3
     """
     return sqls

@@ -102,7 +102,7 @@ def main() -> int:
     oracles = entry_mod.oracle_sql()
     failures = 0
     for name, fn in entry_mod.queries().items():
-        if only and name not in only:
+        if only and name not in only and name.split("_", 1)[0] not in only:
             continue
         try:
             sdf = fn(spark, sf).toPandas()
