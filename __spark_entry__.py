@@ -7579,6 +7579,311 @@ def q270_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q271_ndcg_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality metrics nDCG@10 and MRR [EXT]: per language
+    ('query'), rank documents by token count (the retrieval-score proxy)
+    against a deterministic graded relevance (doc_id mod 3: 0/1/2), and
+    compute DCG@10 / ideal-DCG@10 and the reciprocal rank of the first
+    relevant hit — the offline eval loop every search/RAG stack runs over
+    its candidate lists.
+
+    Scale shape: both the score ranking and the ideal ranking are windows
+    PARTITIONED by the query key (candidate lists are bounded per query);
+    the metric rollup is one groupBy over queries. Gains (2^rel − 1) are
+    small integers, so cross-engine float parity holds exactly."""
+    d = _t(spark, sf_dir, "documents")
+    feat = d.select(
+        "doc_id",
+        "lang",
+        F.size(F.split(F.lower(F.trim("text")), r"\s+")).alias("_n"),
+        (F.col("doc_id") % 3).alias("_rel"),
+    )
+    wr = Window.partitionBy("lang").orderBy(F.col("_n").desc(), "doc_id")
+    wi = Window.partitionBy("lang").orderBy(F.col("_rel").desc(), "doc_id")
+    ranked = feat.select(
+        "lang",
+        "_rel",
+        F.row_number().over(wr).alias("_rk"),
+        F.row_number().over(wi).alias("_irk"),
+    )
+    gain = F.pow(F.lit(2.0), F.col("_rel")) - 1
+    agg = ranked.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(F.col("_rk") <= 10, gain / F.log2(F.col("_rk") + 1))).alias(
+            "_dcg"
+        ),
+        F.sum(
+            F.when(F.col("_irk") <= 10, gain / F.log2(F.col("_irk") + 1))
+        ).alias("_idcg"),
+        F.min(F.when(F.col("_rel") > 0, F.col("_rk"))).alias("_first"),
+    )
+    return agg.select(
+        "lang",
+        "n_docs",
+        F.round(F.col("_dcg") / F.col("_idcg"), 6).alias("ndcg10"),
+        F.round(F.lit(1.0) / F.col("_first"), 6).alias("mrr"),
+    )
+
+
+def q272_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt linear (double) exponential smoothing per series [EXT]: the
+    level/trend recurrence l_t = αy_t + (1−α)(l_{t−1}+b_{t−1}),
+    b_t = β(l_t−l_{t−1}) + (1−β)b_{t−1} over daily event counts per event
+    type, with the 1-step-ahead forecast — a recurrence NO window frame
+    can express (each step feeds the next), run as an applyInPandas
+    grouped-map: sequential WITHIN a series, parallel ACROSS series.
+    α=β=0.5 are dyadic so the arithmetic is bit-identical to the DuckDB
+    recursive-CTE oracle.
+
+    Scale shape: the corpus-sized work is the daily pre-aggregation (one
+    shuffle); the Python boundary sees only |series|×|days| rows, grouped
+    by series key — bounded state per group, Arrow-batched."""
+    import pandas as pd
+
+    ev = _t(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy("event_type", F.date_trunc("day", "ts").alias("_day"))
+        .agg(F.count(F.lit(1)).cast("double").alias("_y"))
+    )
+
+    def fit(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("_day")
+        y = pdf["_y"].to_numpy()
+        level, trend = y[0], 0.0
+        for t in range(1, len(y)):
+            nl = 0.5 * y[t] + 0.5 * (level + trend)
+            trend = 0.5 * (nl - level) + 0.5 * trend
+            level = nl
+        return pd.DataFrame(
+            {
+                "event_type": [pdf["event_type"].iloc[0]],
+                "n_days": [len(y)],
+                "level": [round(level, 4)],
+                "trend": [round(trend, 4)],
+                "forecast": [round(level + trend, 4)],
+            }
+        )
+
+    return daily.groupBy("event_type").applyInPandas(
+        fit,
+        "event_type string, n_days long, level double, trend double, forecast double",
+    )
+
+
+def q273_ann_knn_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN-classifier evaluation over the embedding table [EXT]: hold out
+    vec_id % 5 == 0 as the test split, predict each test vector's label by
+    majority vote of its 5 nearest TRAIN neighbors by cosine (ties →
+    smallest label), and report per-true-label accuracy — the eval loop a
+    curation stack runs to validate an embedding space before trusting
+    semantic dedup/clustering built on it.
+
+    Scale shape: reuses ``cosine_brute_force_topk`` — the test split is
+    broadcast, scoring is a map-only pass over the train corpus, and only
+    |test|×k candidate rows ever shuffle (the IVF/LSH paths of q48/q120
+    are the declared swap-in at lake scale); the vote and the accuracy
+    rollup are two small keyed aggs."""
+    emb = _t(spark, sf_dir, "embeddings")
+    test = emb.filter(F.col("vec_id") % 5 == 0)
+    train = emb.filter(F.col("vec_id") % 5 != 0)
+    nn = cosine_brute_force_topk(
+        train, test, id_col="vec_id", vec_col="embedding", k=5
+    )
+    votes = (
+        nn.join(
+            train.select(F.col("vec_id").alias("neighbor_id"), "label"), "neighbor_id"
+        )
+        .groupBy("query_id", "label")
+        .agg(F.count(F.lit(1)).alias("_v"))
+    )
+    wv = Window.partitionBy("query_id").orderBy(F.col("_v").desc(), "label")
+    pred = (
+        votes.withColumn("_r", F.row_number().over(wv))
+        .filter(F.col("_r") == 1)
+        .select("query_id", F.col("label").alias("pred"))
+    )
+    truth = test.select(F.col("vec_id").alias("query_id"), F.col("label").alias("true_label"))
+    return (
+        truth.join(pred, "query_id")
+        .groupBy("true_label")
+        .agg(
+            F.count(F.lit(1)).alias("n_test"),
+            F.sum(F.when(F.col("pred") == F.col("true_label"), 1).otherwise(0)).alias(
+                "n_correct"
+            ),
+        )
+        .select(
+            "true_label",
+            "n_test",
+            "n_correct",
+            F.round(F.col("n_correct") / F.col("n_test"), 4).alias("accuracy"),
+        )
+    )
+
+
+def q274_cdc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking for dedup storage [EXT]: boundaries fall
+    where the hash of the trailing 8-char window ≡ 0 (mod 64) — so chunk
+    edges are CONTENT-anchored and survive insertions (the rsync/LBFS
+    trick fixed-size chunking can't do). Per doc: chunk count, average and
+    max chunk length, reconstructed from boundary positions with bounded
+    array HOFs. md5-based so the oracle reproduces boundaries exactly.
+
+    Scale shape: the per-character window explosion is linear in corpus
+    bytes with a tiny constant and aggregates straight back to one row per
+    doc (map-side combine); at lake scale the same boundary rule runs as a
+    rolling hash inside mapInPandas — the declared swap, same outputs."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", F.col("text"), F.length("text").alias("_len"))
+    pos = d.select(
+        "doc_id",
+        "_len",
+        F.explode(F.sequence(F.lit(8), F.col("_len"))).alias("i"),
+        F.col("text"),
+    ).select(
+        "doc_id",
+        "_len",
+        "i",
+        F.conv(
+            F.substring(F.md5(F.expr("substring(text, i - 7, 8)")), 1, 8), 16, 10
+        ).cast("long").alias("_h"),
+    )
+    bounds = (
+        pos.filter(F.col("_h") % 64 == 0)
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list("i")).alias("_bs"))
+    )
+    ext = F.concat(F.array(F.lit(0)), F.col("_bs"), F.array(F.col("_len")))
+    lens = F.zip_with(
+        F.slice(ext, 1, F.size(ext) - 1),
+        F.slice(ext, 2, F.size(ext) - 1),
+        lambda a, b: b - a,
+    )
+    return (
+        d.select("doc_id", "_len")
+        .join(bounds, "doc_id", "left")
+        .withColumn("_bs", F.coalesce("_bs", F.array().cast("array<int>")))
+        .select(
+            "doc_id",
+            F.size(F.col("_bs")).alias("n_boundaries"),
+            (F.size(F.col("_bs")) + 1).alias("n_chunks"),
+            F.round(F.col("_len") / (F.size(F.col("_bs")) + 1), 4).alias(
+                "avg_chunk_len"
+            ),
+            F.array_max(F.filter(lens, lambda x: x >= 0)).alias("max_chunk_len"),
+        )
+        .filter(F.col("doc_id") < 100)
+    )
+
+
+def q275_bloom_semijoin_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter semijoin, made explicit and audited [EXT]: build a
+    1024-bit / 3-hash Bloom filter over the rich-supplier keys
+    (s_acctbal > 9000), probe every distinct lineitem supplier key through
+    it, and report pass counts vs the exact semijoin — the runtime-filter
+    pattern Spark injects automatically, surfaced as a query so its
+    false-positive rate is a measured number, not folklore.
+
+    Scale shape: the filter is ≤1024 distinct bit positions — broadcast;
+    probing is a map-side broadcast join (3 hash rows per probe key), so
+    the big side never shuffles; the exact twin is a broadcast left-semi.
+    md5 positions make the filter bit-identical cross-engine."""
+    sup = _t(spark, sf_dir, "supplier")
+    small = sup.filter(F.col("s_acctbal") > 9000).select(
+        F.col("s_suppkey").alias("k")
+    )
+    js = F.explode(F.sequence(F.lit(0), F.lit(2))).alias("j")
+
+    def bitpos(key, j):
+        return (
+            F.conv(
+                F.substring(F.md5(F.concat_ws("-", key, j)), 1, 8), 16, 10
+            ).cast("long")
+            % 1024
+        )
+
+    bloom = (
+        small.select("k", js)
+        .select(bitpos(F.col("k"), F.col("j")).alias("pos"))
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    probe = (
+        _t(spark, sf_dir, "lineitem")
+        .select(F.col("l_suppkey").alias("k"))
+        .distinct()
+    )
+    probed = (
+        probe.select("k", js)
+        .select("k", bitpos(F.col("k"), F.col("j")).alias("pos"))
+        .join(F.broadcast(bloom), "pos", "left")
+        .groupBy("k")
+        .agg((F.sum(F.coalesce("_hit", F.lit(0))) == 3).alias("bloom_pass"))
+    )
+    member = probe.join(F.broadcast(small), "k", "left_semi").select(
+        "k", F.lit(True).alias("is_member")
+    )
+    audit = probed.join(member, "k", "left").select(
+        "bloom_pass", F.coalesce("is_member", F.lit(False)).alias("is_member")
+    )
+    return audit.agg(
+        F.count(F.lit(1)).alias("n_probe_keys"),
+        F.sum(F.when(F.col("is_member"), 1).otherwise(0)).alias("n_members"),
+        F.sum(F.when(F.col("bloom_pass"), 1).otherwise(0)).alias("n_bloom_pass"),
+        F.sum(
+            F.when(F.col("bloom_pass") & ~F.col("is_member"), 1).otherwise(0)
+        ).alias("n_false_pos"),
+    ).select(
+        "*",
+        F.round(
+            F.col("n_false_pos")
+            / (F.col("n_probe_keys") - F.col("n_members")),
+            6,
+        ).alias("fp_rate"),
+    )
+
+
+def q276_watermark_lateness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark-sizing audit [EXT]: per event type, how late does data
+    actually arrive? Lateness of each event = (max event-time seen so far
+    in arrival order) − (its own event time); bucketed counts (on-time,
+    ≤1 min, ≤1 h, >1 h) plus the max observed lateness — the measurement
+    that picks ``withWatermark``'s delay for the streaming pipelines
+    (streaming/ingest.py) instead of guessing.
+
+    Scale shape: one window PARTITIONED by event type ordered by the
+    arrival proxy (event_id) with a strictly-preceding running max —
+    bounded state per partition key; the bucket rollup is one groupBy.
+    Event-time math stays in exact integer microseconds (the NTZ-safe
+    path of operators/sessions._epoch_seconds)."""
+    from hubverse_transform_spark.operators.sessions import _epoch_seconds
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", "event_id", _epoch_seconds(F.col("ts")).alias("_es")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    late = ev.select(
+        "event_type",
+        F.greatest(
+            F.lit(0.0), F.coalesce(F.max("_es").over(w) - F.col("_es"), F.lit(0.0))
+        ).alias("_late"),
+    )
+    return late.groupBy("event_type").agg(
+        F.sum(F.when(F.col("_late") <= 0, 1).otherwise(0)).alias("n_ontime"),
+        F.sum(
+            F.when((F.col("_late") > 0) & (F.col("_late") <= 60), 1).otherwise(0)
+        ).alias("n_within_1m"),
+        F.sum(
+            F.when((F.col("_late") > 60) & (F.col("_late") <= 3600), 1).otherwise(0)
+        ).alias("n_within_1h"),
+        F.sum(F.when(F.col("_late") > 3600, 1).otherwise(0)).alias("n_over_1h"),
+        F.round(F.max("_late"), 6).alias("max_lateness_sec"),
+    )
+
+
 # =============================================================================
 # Driver contract
 # =============================================================================
@@ -7861,6 +8166,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q268_zorder_pruning_audit": q268_zorder_pruning_audit,
         "q269_nb_token_logodds": q269_nb_token_logodds,
         "q270_rrf_fusion": q270_rrf_fusion,
+        "q271_ndcg_mrr": q271_ndcg_mrr,
+        "q272_holt_linear": q272_holt_linear,
+        "q273_ann_knn_eval": q273_ann_knn_eval,
+        "q274_cdc_chunking": q274_cdc_chunking,
+        "q275_bloom_semijoin_audit": q275_bloom_semijoin_audit,
+        "q276_watermark_lateness_audit": q276_watermark_lateness_audit,
     }
 
 
@@ -13036,5 +13347,178 @@ def oracle_sql() -> dict[str, str]:
         SELECT lang, fused_rank, doc_id, r_len, r_ttr,
                round(rrf, 6) AS rrf_score
         FROM fused WHERE fused_rank <= 3
+    """
+    sqls["q271_ndcg_mrr"] = r"""
+        WITH feat AS (
+            SELECT doc_id, lang,
+                   len(regexp_split_to_array(lower(trim(text)), '\s+')) AS n,
+                   doc_id % 3 AS rel
+            FROM documents
+        ), ranked AS (
+            SELECT lang, rel,
+                   row_number() OVER (PARTITION BY lang
+                                      ORDER BY n DESC, doc_id) AS rk,
+                   row_number() OVER (PARTITION BY lang
+                                      ORDER BY rel DESC, doc_id) AS irk
+            FROM feat
+        )
+        SELECT lang, count(*) AS n_docs,
+               round(sum(CASE WHEN rk <= 10
+                              THEN (power(2, rel) - 1) / log2(rk + 1) END)
+                     / sum(CASE WHEN irk <= 10
+                                THEN (power(2, rel) - 1) / log2(irk + 1) END),
+                     6) AS ndcg10,
+               round(1.0 / min(CASE WHEN rel > 0 THEN rk END), 6) AS mrr
+        FROM ranked GROUP BY 1
+    """
+    sqls["q272_holt_linear"] = """
+        WITH RECURSIVE d AS (
+            SELECT event_type, date_trunc('day', ts) AS day,
+                   CAST(count(*) AS DOUBLE) AS y
+            FROM events GROUP BY 1, 2
+        ), s AS (
+            SELECT event_type, y,
+                   row_number() OVER (PARTITION BY event_type
+                                      ORDER BY day) AS rn
+            FROM d
+        ), rec AS (
+            SELECT event_type, 1 AS rn, y AS l, CAST(0.0 AS DOUBLE) AS b
+            FROM s WHERE rn = 1
+            UNION ALL
+            SELECT s.event_type, s.rn,
+                   0.5 * s.y + 0.5 * (rec.l + rec.b) AS l,
+                   0.5 * ((0.5 * s.y + 0.5 * (rec.l + rec.b)) - rec.l)
+                   + 0.5 * rec.b AS b
+            FROM rec JOIN s ON s.event_type = rec.event_type
+                           AND s.rn = rec.rn + 1
+        ), mx AS (
+            SELECT event_type, CAST(max(rn) AS BIGINT) AS n FROM s GROUP BY 1
+        )
+        SELECT rec.event_type, mx.n AS n_days,
+               round(rec.l, 4) AS level, round(rec.b, 4) AS trend,
+               round(rec.l + rec.b, 4) AS forecast
+        FROM rec JOIN mx ON mx.event_type = rec.event_type
+                        AND rec.rn = mx.n
+    """
+    sqls["q273_ann_knn_eval"] = """
+        WITH test AS (
+            SELECT vec_id, embedding, label FROM embeddings WHERE vec_id % 5 = 0
+        ), train AS (
+            SELECT vec_id, embedding, label FROM embeddings WHERE vec_id % 5 <> 0
+        ), sims AS (
+            SELECT t.vec_id AS query_id, r.vec_id AS neighbor_id, r.label,
+                   list_cosine_similarity(t.embedding, r.embedding) AS sim
+            FROM test t, train r
+        ), nn AS (
+            SELECT query_id, label,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY sim DESC, neighbor_id) AS rk
+            FROM sims
+        ), votes AS (
+            SELECT query_id, label, count(*) AS v
+            FROM nn WHERE rk <= 5 GROUP BY 1, 2
+        ), pred AS (
+            SELECT query_id, label AS pred FROM (
+                SELECT query_id, label,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY v DESC, label) AS r
+                FROM votes
+            ) WHERE r = 1
+        )
+        SELECT t.label AS true_label, count(*) AS n_test,
+               count(*) FILTER (p.pred = t.label) AS n_correct,
+               round(count(*) FILTER (p.pred = t.label) * 1.0 / count(*),
+                     4) AS accuracy
+        FROM test t JOIN pred p ON p.query_id = t.vec_id
+        GROUP BY 1
+    """
+    sqls["q274_cdc_chunking"] = """
+        WITH d AS (
+            SELECT doc_id, text, CAST(len(text) AS INT) AS l FROM documents
+        ), pos AS (
+            SELECT doc_id, l, text, unnest(range(8, l + 1)) AS i FROM d
+        ), h AS (
+            SELECT doc_id, CAST(i AS INT) AS i
+            FROM pos
+            WHERE CAST('0x' || substring(
+                      md5(substring(text, CAST(i - 7 AS INT), 8)), 1, 8)
+                  AS BIGINT) % 64 = 0
+        ), b AS (
+            SELECT doc_id, list_sort(list(i)) AS bs FROM h GROUP BY 1
+        ), j AS (
+            SELECT d.doc_id, d.l,
+                   coalesce(b.bs, CAST([] AS INT[])) AS bs
+            FROM d LEFT JOIN b USING (doc_id)
+        ), ext AS (
+            SELECT doc_id, l, bs,
+                   list_concat(list_concat([CAST(0 AS INT)], bs),
+                               [l]) AS e
+            FROM j
+        )
+        SELECT doc_id,
+               len(bs) AS n_boundaries,
+               len(bs) + 1 AS n_chunks,
+               round(l * 1.0 / (len(bs) + 1), 4) AS avg_chunk_len,
+               list_aggregate(
+                   list_transform(range(1, len(e)),
+                                  k -> e[CAST(k + 1 AS INT)]
+                                       - e[CAST(k AS INT)]),
+                   'max') AS max_chunk_len
+        FROM ext WHERE doc_id < 100
+    """
+    sqls["q275_bloom_semijoin_audit"] = """
+        WITH small AS (
+            SELECT s_suppkey AS k FROM supplier WHERE s_acctbal > 9000
+        ), js AS (
+            SELECT CAST(unnest(range(0, 3)) AS INT) AS j
+        ), bloom AS (
+            SELECT DISTINCT
+                   CAST('0x' || substring(md5(k || '-' || j), 1, 8)
+                        AS BIGINT) % 1024 AS pos
+            FROM small, js
+        ), probe AS (
+            SELECT DISTINCT l_suppkey AS k FROM lineitem
+        ), probed AS (
+            SELECT p.k,
+                   count(*) FILTER (b.pos IS NOT NULL) = 3 AS bloom_pass
+            FROM (SELECT k,
+                         CAST('0x' || substring(md5(k || '-' || j), 1, 8)
+                              AS BIGINT) % 1024 AS pos
+                  FROM probe, js) p
+            LEFT JOIN bloom b ON b.pos = p.pos
+            GROUP BY 1
+        ), audit AS (
+            SELECT bloom_pass,
+                   EXISTS (SELECT 1 FROM small s WHERE s.k = probed.k)
+                       AS is_member
+            FROM probed
+        )
+        SELECT count(*) AS n_probe_keys,
+               count(*) FILTER (is_member) AS n_members,
+               count(*) FILTER (bloom_pass) AS n_bloom_pass,
+               count(*) FILTER (bloom_pass AND NOT is_member) AS n_false_pos,
+               round(count(*) FILTER (bloom_pass AND NOT is_member) * 1.0
+                     / (count(*) - count(*) FILTER (is_member)), 6) AS fp_rate
+        FROM audit
+    """
+    sqls["q276_watermark_lateness_audit"] = """
+        WITH e AS (
+            SELECT event_type, event_id, epoch(ts) AS es FROM events
+        ), l AS (
+            SELECT event_type,
+                   greatest(0.0, coalesce(
+                       max(es) OVER (PARTITION BY event_type ORDER BY event_id
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                              AND 1 PRECEDING) - es,
+                       0.0)) AS late
+            FROM e
+        )
+        SELECT event_type,
+               count(*) FILTER (late <= 0) AS n_ontime,
+               count(*) FILTER (late > 0 AND late <= 60) AS n_within_1m,
+               count(*) FILTER (late > 60 AND late <= 3600) AS n_within_1h,
+               count(*) FILTER (late > 3600) AS n_over_1h,
+               round(max(late), 6) AS max_lateness_sec
+        FROM l GROUP BY 1
     """
     return sqls
