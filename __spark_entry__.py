@@ -7884,6 +7884,247 @@ def q276_watermark_lateness_audit(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+def q277_ucb1_arm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-armed-bandit readout (UCB1) [EXT]: per arm (event type), the
+    empirical mean reward plus the exploration bonus
+    sqrt(2·ln(N_total)/n_arm) — the deterministic half of an
+    explore/exploit loop (arm selection = argmax of this score), computed
+    as a batch readout the way an experimentation platform refreshes arm
+    scores between serving windows.
+
+    Scale shape: one keyed aggregation for the per-arm moments; the total
+    pull count is a 1-row aggregate broadcast back via crossJoin."""
+    ev = _t(spark, sf_dir, "events")
+    arms = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_pulls"), F.avg("value").alias("_mean")
+    )
+    total = arms.agg(F.sum("n_pulls").alias("_n"))
+    return arms.crossJoin(F.broadcast(total)).select(
+        "event_type",
+        "n_pulls",
+        F.round("_mean", 6).alias("mean_reward"),
+        F.round(
+            F.sqrt(F.lit(2.0) * F.log("_n") / F.col("n_pulls")), 6
+        ).alias("explore_bonus"),
+        F.round(
+            F.col("_mean") + F.sqrt(F.lit(2.0) * F.log("_n") / F.col("n_pulls")),
+            6,
+        ).alias("ucb_score"),
+    )
+
+
+def q278_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences estimator [EXT]: treatment cohort =
+    even user_ids, post period = events on/after 2024-01-15; the causal
+    readout is (T_post − T_pre) − (C_post − C_pre) over mean event value —
+    the 2×2 design every experimentation/causal pipeline reduces to, done
+    in ONE pass with conditional aggregates (no self-joins, no four
+    scans).
+
+    Scale shape: a single scan with four FILTERed means collapsing
+    map-side; output is one row."""
+    ev = _t(spark, sf_dir, "events")
+    treat = F.col("user_id") % 2 == 0
+    post = F.col("ts") >= F.lit("2024-01-15").cast("timestamp_ntz")
+    cell = lambda c: F.avg(F.when(c, F.col("value")))
+    agg = ev.agg(
+        cell(treat & ~post).alias("_tpre"),
+        cell(treat & post).alias("_tpost"),
+        cell(~treat & ~post).alias("_cpre"),
+        cell(~treat & post).alias("_cpost"),
+    )
+    return agg.select(
+        F.round("_tpre", 6).alias("t_pre"),
+        F.round("_tpost", 6).alias("t_post"),
+        F.round("_cpre", 6).alias("c_pre"),
+        F.round("_cpost", 6).alias("c_post"),
+        F.round(
+            (F.col("_tpost") - F.col("_tpre")) - (F.col("_cpost") - F.col("_cpre")),
+            6,
+        ).alias("did_estimate"),
+    )
+
+
+def q279_sparse_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse-vector cosine similarity join [EXT]: documents as
+    L2-normalized TF-IDF vectors, pairwise cosine via the INVERTED-INDEX
+    join (postings joined on token, weight products summed per pair) —
+    the weighted complement of the set-based Jaccard family (q21/q158):
+    same join skeleton, real-valued scores. IDF comes from the FULL
+    corpus; the pair join runs over the doc_id < 200 slice (the
+    differential bound — at lake scale the cap is a df ceiling plus
+    banding, exactly the q212/q158 treatment).
+
+    Scale shape: postings ship once, keyed by token; per-token fan-out is
+    df² — bounded here by the slice, bounded at scale by the df cap; the
+    pair aggregation is one shuffle on (d1, d2)."""
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("w")
+    ).filter(F.col("w") != "")
+    n_docs = d.agg(F.count(F.lit(1)).alias("_n"))
+    df_ = tok.distinct().groupBy("w").agg(F.count(F.lit(1)).alias("_df"))
+    tf = (
+        tok.filter(F.col("doc_id") < 200)
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("_tf"))
+    )
+    weighted = (
+        tf.join(df_, "w")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id", "w", (F.col("_tf") * F.log(F.col("_n") / F.col("_df"))).alias("_w")
+        )
+    )
+    norms = weighted.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.col("_w") * F.col("_w"))).alias("_norm")
+    )
+    unit = weighted.join(norms, "doc_id").select(
+        "doc_id", "w", (F.col("_w") / F.col("_norm")).alias("_u")
+    )
+    pairs = (
+        unit.alias("a")
+        .join(unit.alias("b"), "w")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2")
+        )
+        .agg(
+            F.sum(F.col("a._u") * F.col("b._u")).alias("_cos"),
+            F.count(F.lit(1)).alias("n_shared_tokens"),
+        )
+    )
+    return (
+        pairs.orderBy(F.col("_cos").desc(), "d1", "d2")
+        .limit(40)
+        .select("d1", "d2", F.round("_cos", 6).alias("cosine"), "n_shared_tokens")
+    )
+
+
+def q280_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation [EXT]: recency / frequency / monetary
+    per customer, each scored 1–5 against GLOBAL quintile thresholds
+    computed as one tiny percentile aggregate and broadcast back — the
+    scale-correct form of the usual ntile(5)-over-everything (which is a
+    single-partition global sort); comparisons against broadcast
+    thresholds are map-side. Recency is inverted (recent = 5). Output:
+    segment cell counts + mean monetary.
+
+    Scale shape: one orders aggregation per customer, one 1-row
+    percentile agg, one broadcast crossJoin, one cell rollup (≤125
+    keys)."""
+    o = _t(spark, sf_dir, "orders")
+    mx = o.agg(F.max("o_orderdate").alias("_mx"))
+    rfm = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.max("o_orderdate").alias("_last"),
+            F.count(F.lit(1)).alias("_f"),
+            F.sum("o_totalprice").alias("_m"),
+        )
+        .crossJoin(F.broadcast(mx))
+        .select(
+            F.datediff("_mx", "_last").cast("double").alias("_r"),
+            F.col("_f").cast("double").alias("_fd"),
+            "_m",
+        )
+    )
+    th = rfm.agg(
+        F.expr("percentile(_r, array(0.2D, 0.4D, 0.6D, 0.8D))").alias("_tr"),
+        F.expr("percentile(_fd, array(0.2D, 0.4D, 0.6D, 0.8D))").alias("_tf"),
+        F.expr("percentile(_m, array(0.2D, 0.4D, 0.6D, 0.8D))").alias("_tm"),
+    )
+
+    def score(v, t):
+        s = F.lit(1)
+        for i in range(4):
+            s = s + F.when(v > t[i], 1).otherwise(0)
+        return s
+
+    scored = rfm.crossJoin(F.broadcast(th)).select(
+        (F.lit(6) - score(F.col("_r"), F.col("_tr"))).alias("r_score"),
+        score(F.col("_fd"), F.col("_tf")).alias("f_score"),
+        score(F.col("_m"), F.col("_tm")).alias("m_score"),
+        "_m",
+    )
+    return scored.groupBy("r_score", "f_score", "m_score").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        # sum, not avg: cell sums stay on the cent grid, so round(., 2) is
+        # midpoint-safe cross-engine; an avg lands on .0025 steps and the
+        # two engines' rounding modes diverge exactly on .005 midpoints
+        F.round(F.sum("_m"), 2).alias("sum_monetary"),
+    )
+
+
+def q281_column_stats_collection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style column statistics [EXT]: per numeric lineitem column
+    — row/null counts, exact NDV, min/max, quartiles — the statistics a
+    cost-based optimizer consumes, collected with the melt-via-
+    array-of-structs pattern so ONE corpus scan feeds every column's
+    stats (q259's trick, turned into the engine's stats collector).
+
+    Scale shape: one scan, explode ×4 (column count, not data driven);
+    the NDV is exact here (distinct on (col, value)) with
+    approx_count_distinct as the documented lake-scale swap; quartiles
+    buffer per column — q206's rank-selection is the declared scale
+    twin."""
+    li = _t(spark, sf_dir, "lineitem")
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    melted = li.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("col_name"),
+                        F.col(c).cast("double").alias("v"),
+                    )
+                    for c in cols
+                ]
+            )
+        ).alias("_s")
+    ).select("_s.col_name", "_s.v")
+    return melted.groupBy("col_name").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("v").isNull(), 1).otherwise(0)).alias("n_null"),
+        F.countDistinct("v").alias("ndv"),
+        F.round(F.min("v"), 4).alias("min_v"),
+        F.round(F.max("v"), 4).alias("max_v"),
+        F.round(F.expr("percentile(v, 0.25)"), 4).alias("p25"),
+        F.round(F.expr("percentile(v, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(v, 0.75)"), 4).alias("p75"),
+    )
+
+
+def q282_ab_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experiment power analysis from measured moments [EXT]: per event
+    type, the per-arm sample size required to detect a 5%-of-mean effect
+    at α=0.05 / 80% power — n = 2σ²(z_α/2+z_β)²/δ² with the z constants
+    as shared literals — the pre-registration calculator an
+    experimentation platform runs against LIVE variance estimates instead
+    of guesses (q230 is the post-hoc read of the same machinery).
+
+    Scale shape: one keyed moment aggregation; the formula is constant
+    arithmetic per group."""
+    z = (1.959964 + 0.841621) ** 2
+    ev = _t(spark, sf_dir, "events")
+    m = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_obs"),
+        F.avg("value").alias("_mean"),
+        F.var_samp("value").alias("_var"),
+    )
+    delta = F.col("_mean") * 0.05
+    return m.select(
+        "event_type",
+        "n_obs",
+        F.round("_mean", 6).alias("mean_value"),
+        F.round("_var", 4).alias("var_value"),
+        F.round(delta, 6).alias("mde"),
+        F.round(F.lit(2.0) * F.col("_var") * F.lit(z) / (delta * delta), 4).alias(
+            "n_per_arm"
+        ),
+    )
+
+
 # =============================================================================
 # Driver contract
 # =============================================================================
@@ -8172,6 +8413,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q274_cdc_chunking": q274_cdc_chunking,
         "q275_bloom_semijoin_audit": q275_bloom_semijoin_audit,
         "q276_watermark_lateness_audit": q276_watermark_lateness_audit,
+        "q277_ucb1_arm_scores": q277_ucb1_arm_scores,
+        "q278_diff_in_diff": q278_diff_in_diff,
+        "q279_sparse_cosine_pairs": q279_sparse_cosine_pairs,
+        "q280_rfm_segments": q280_rfm_segments,
+        "q281_column_stats_collection": q281_column_stats_collection,
+        "q282_ab_power_analysis": q282_ab_power_analysis,
     }
 
 
@@ -13500,6 +13747,133 @@ def oracle_sql() -> dict[str, str]:
                round(count(*) FILTER (bloom_pass AND NOT is_member) * 1.0
                      / (count(*) - count(*) FILTER (is_member)), 6) AS fp_rate
         FROM audit
+    """
+    sqls["q277_ucb1_arm_scores"] = """
+        WITH arms AS (
+            SELECT event_type, count(*) AS n_pulls, avg(value) AS m
+            FROM events GROUP BY 1
+        ), tot AS (
+            SELECT CAST(sum(n_pulls) AS DOUBLE) AS n FROM arms
+        )
+        SELECT event_type, n_pulls, round(m, 6) AS mean_reward,
+               round(sqrt(2.0 * ln(n) / n_pulls), 6) AS explore_bonus,
+               round(m + sqrt(2.0 * ln(n) / n_pulls), 6) AS ucb_score
+        FROM arms, tot
+    """
+    sqls["q278_diff_in_diff"] = """
+        SELECT round(avg(value) FILTER (user_id % 2 = 0
+                       AND ts < TIMESTAMP '2024-01-15'), 6) AS t_pre,
+               round(avg(value) FILTER (user_id % 2 = 0
+                       AND ts >= TIMESTAMP '2024-01-15'), 6) AS t_post,
+               round(avg(value) FILTER (user_id % 2 <> 0
+                       AND ts < TIMESTAMP '2024-01-15'), 6) AS c_pre,
+               round(avg(value) FILTER (user_id % 2 <> 0
+                       AND ts >= TIMESTAMP '2024-01-15'), 6) AS c_post,
+               round((avg(value) FILTER (user_id % 2 = 0
+                          AND ts >= TIMESTAMP '2024-01-15')
+                      - avg(value) FILTER (user_id % 2 = 0
+                          AND ts < TIMESTAMP '2024-01-15'))
+                     - (avg(value) FILTER (user_id % 2 <> 0
+                          AND ts >= TIMESTAMP '2024-01-15')
+                        - avg(value) FILTER (user_id % 2 <> 0
+                          AND ts < TIMESTAMP '2024-01-15')), 6) AS did_estimate
+        FROM events
+    """
+    sqls["q279_sparse_cosine_pairs"] = r"""
+        WITH tok AS (
+            SELECT doc_id,
+                   unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS w
+            FROM documents
+        ), tok2 AS (
+            SELECT doc_id, w FROM tok WHERE w <> ''
+        ), nd AS (
+            SELECT CAST(count(*) AS DOUBLE) AS n FROM documents
+        ), dfq AS (
+            SELECT w, count(*) AS df
+            FROM (SELECT DISTINCT doc_id, w FROM tok2) GROUP BY 1
+        ), tf AS (
+            SELECT doc_id, w, count(*) AS tf
+            FROM tok2 WHERE doc_id < 200 GROUP BY 1, 2
+        ), wgt AS (
+            SELECT tf.doc_id, tf.w, tf.tf * ln(nd.n / dfq.df) AS wt
+            FROM tf JOIN dfq USING (w), nd
+        ), nrm AS (
+            SELECT doc_id, sqrt(sum(wt * wt)) AS nn FROM wgt GROUP BY 1
+        ), unitv AS (
+            SELECT wgt.doc_id, wgt.w, wgt.wt / nrm.nn AS u
+            FROM wgt JOIN nrm USING (doc_id)
+        ), pairs AS (
+            SELECT a.doc_id AS d1, b.doc_id AS d2,
+                   sum(a.u * b.u) AS cosv, count(*) AS n_shared_tokens
+            FROM unitv a JOIN unitv b ON a.w = b.w AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT d1, d2, round(cosv, 6) AS cosine, n_shared_tokens
+        FROM pairs ORDER BY cosv DESC, d1, d2 LIMIT 40
+    """
+    sqls["q280_rfm_segments"] = """
+        WITH mx AS (SELECT max(o_orderdate) AS mxd FROM orders),
+        cust AS (
+            SELECT o_custkey, max(o_orderdate) AS last_o,
+                   count(*) AS f, sum(o_totalprice) AS m
+            FROM orders GROUP BY 1
+        ), rfm AS (
+            SELECT CAST(date_diff('day', CAST(last_o AS DATE),
+                                  CAST(mxd AS DATE)) AS DOUBLE) AS r,
+                   CAST(f AS DOUBLE) AS fd, m
+            FROM cust, mx
+        ), th AS (
+            SELECT quantile_cont(r, 0.2) AS r1, quantile_cont(r, 0.4) AS r2,
+                   quantile_cont(r, 0.6) AS r3, quantile_cont(r, 0.8) AS r4,
+                   quantile_cont(fd, 0.2) AS f1, quantile_cont(fd, 0.4) AS f2,
+                   quantile_cont(fd, 0.6) AS f3, quantile_cont(fd, 0.8) AS f4,
+                   quantile_cont(m, 0.2) AS m1, quantile_cont(m, 0.4) AS m2,
+                   quantile_cont(m, 0.6) AS m3, quantile_cont(m, 0.8) AS m4
+            FROM rfm
+        ), scored AS (
+            SELECT 6 - (1 + CASE WHEN r > r1 THEN 1 ELSE 0 END
+                          + CASE WHEN r > r2 THEN 1 ELSE 0 END
+                          + CASE WHEN r > r3 THEN 1 ELSE 0 END
+                          + CASE WHEN r > r4 THEN 1 ELSE 0 END) AS r_score,
+                   1 + CASE WHEN fd > f1 THEN 1 ELSE 0 END
+                     + CASE WHEN fd > f2 THEN 1 ELSE 0 END
+                     + CASE WHEN fd > f3 THEN 1 ELSE 0 END
+                     + CASE WHEN fd > f4 THEN 1 ELSE 0 END AS f_score,
+                   1 + CASE WHEN m > m1 THEN 1 ELSE 0 END
+                     + CASE WHEN m > m2 THEN 1 ELSE 0 END
+                     + CASE WHEN m > m3 THEN 1 ELSE 0 END
+                     + CASE WHEN m > m4 THEN 1 ELSE 0 END AS m_score,
+                   m
+            FROM rfm, th
+        )
+        SELECT r_score, f_score, m_score, count(*) AS n_customers,
+               round(sum(m), 2) AS sum_monetary
+        FROM scored GROUP BY 1, 2, 3
+    """
+    _colstat = """
+        SELECT '{c}' AS col_name, count(*) AS n_rows,
+               count(*) FILTER ({c} IS NULL) AS n_null,
+               count(DISTINCT {c}) AS ndv,
+               round(min({c}), 4) AS min_v, round(max({c}), 4) AS max_v,
+               round(quantile_cont({c}, 0.25), 4) AS p25,
+               round(quantile_cont({c}, 0.5), 4) AS p50,
+               round(quantile_cont({c}, 0.75), 4) AS p75
+        FROM lineitem
+    """
+    sqls["q281_column_stats_collection"] = " UNION ALL ".join(
+        _colstat.format(c=c)
+        for c in ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    )
+    _z2 = (1.959964 + 0.841621) ** 2
+    sqls["q282_ab_power_analysis"] = f"""
+        SELECT event_type, count(*) AS n_obs,
+               round(avg(value), 6) AS mean_value,
+               round(var_samp(value), 4) AS var_value,
+               round(avg(value) * 0.05, 6) AS mde,
+               round(2.0 * var_samp(value) * {_z2!r}
+                     / ((avg(value) * 0.05) * (avg(value) * 0.05)),
+                     4) AS n_per_arm
+        FROM events GROUP BY 1
     """
     sqls["q276_watermark_lateness_audit"] = """
         WITH e AS (
