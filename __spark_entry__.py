@@ -8125,6 +8125,239 @@ def q282_ab_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q283_dq_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality scorecard [EXT]: validity/completeness checks across
+    four tables — nonpositive prices, out-of-range discounts, null keys,
+    negative event values, malformed JSON props — rolled into one
+    (table, check, n_checked, n_violations) audit table, the dbt-test /
+    Deequ layer run as a single engine query per table (each check is a
+    conditional count, so a table's whole checklist costs ONE scan).
+
+    Scale shape: one scan per table with FILTERed counts collapsing
+    map-side; output is bounded by the number of declared checks."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    ev = _t(spark, sf_dir, "events")
+    c = _t(spark, sf_dir, "customer")
+
+    def checks(df, table, named):
+        aggs = [F.count(F.lit(1)).alias("_n")]
+        for name, cond in named:
+            aggs.append(F.sum(F.when(cond, 1).otherwise(0)).alias(name))
+        one = df.agg(*aggs)
+        outs = []
+        for name, _ in named:
+            outs.append(
+                one.select(
+                    F.lit(table).alias("table_name"),
+                    F.lit(name).alias("check_name"),
+                    F.col("_n").alias("n_checked"),
+                    F.col(name).alias("n_violations"),
+                )
+            )
+        return outs
+
+    parts = (
+        checks(
+            o,
+            "orders",
+            [
+                ("nonpositive_price", F.col("o_totalprice") <= 0),
+                ("null_custkey", F.col("o_custkey").isNull()),
+            ],
+        )
+        + checks(
+            li,
+            "lineitem",
+            [
+                ("discount_out_of_range", ~F.col("l_discount").between(0, 1)),
+                ("nonpositive_qty", F.col("l_quantity") <= 0),
+            ],
+        )
+        + checks(
+            ev,
+            "events",
+            [
+                ("negative_value", F.col("value") < 0),
+                ("malformed_props", ~F.col("props").startswith("{")),
+            ],
+        )
+        + checks(c, "customer", [("null_acctbal", F.col("c_acctbal").isNull())])
+    )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def q284_topk_plus_other(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k with an OTHER rollup [EXT]: revenue by part brand per
+    region, keeping each region's top-3 brands as named rows and
+    collapsing the tail into one 'OTHER' row — the reporting shape every
+    BI layer wants and plain top-k (q07) can't give without losing the
+    remainder. Rank over the AGGREGATED (region, brand) table, so the
+    window sees |regions|×|brands| rows, never line items.
+
+    Scale shape: the only corpus-sized work is the revenue aggregation
+    (one shuffle); the supplier→nation→region dims broadcast; the rank
+    window and the re-aggregation run on the tiny rollup."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    r = _t(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    rev = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "p_brand")
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("_rev")
+        )
+    )
+    w = Window.partitionBy("r_name").orderBy(F.col("_rev").desc(), "p_brand")
+    labeled = rev.withColumn(
+        "brand_label",
+        F.when(F.row_number().over(w) <= 3, F.col("p_brand")).otherwise(
+            F.lit("OTHER")
+        ),
+    )
+    return labeled.groupBy("r_name", "brand_label").agg(
+        F.count(F.lit(1)).alias("n_brands"),
+        F.round(F.sum("_rev"), 2).alias("revenue"),
+    )
+
+
+def q285_hist2d_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D histogram with marginals in ONE pass [EXT]: bucket lineitem on
+    (quantity, price) and compute the joint cell counts PLUS both
+    marginal histograms PLUS the grand total via GROUPING SETS — four
+    aggregation grains sharing a single shuffle, where the naive form is
+    four scans. Aggregate-level bucket ids surface as -1 sentinels
+    (disambiguated from real buckets via GROUPING()).
+
+    Scale shape: one scan, one shuffle keyed on the grouping-set id +
+    buckets; bucket arithmetic is map-side."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.floor(F.col("l_quantity") / 10).cast("int").alias("qb"),
+        F.floor(F.col("l_extendedprice") / 10000).cast("int").alias("pb"),
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("_rev"),
+    )
+    g = li.groupingSets([["qb", "pb"], ["qb"], ["pb"], []], "qb", "pb").agg(
+        F.grouping("qb").alias("_gq"),
+        F.grouping("pb").alias("_gp"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum("_rev"), 2).alias("revenue"),
+    )
+    return g.select(
+        F.when(F.col("_gq") == 1, F.lit(-1)).otherwise(F.col("qb")).alias("qb"),
+        F.when(F.col("_gp") == 1, F.lit(-1)).otherwise(F.col("pb")).alias("pb"),
+        "n_rows",
+        "revenue",
+    )
+
+
+def q286_wilson_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilson lower-bound ranking [EXT]: per part brand, the lower bound
+    of the 95% Wilson score interval on the 'deep discount' success rate
+    (l_discount > 0.05) — the ranking that does NOT let a 3-for-3
+    small-sample item beat a 950-for-1000 heavy hitter (the classic
+    sort-by-rating fix). z is a shared literal so both engines compute
+    identical bounds.
+
+    Scale shape: one keyed (n, successes) aggregation; the bound is
+    constant arithmetic per group."""
+    z = 1.959964
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    agg = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("l_discount") > 0.05, 1).otherwise(0)).alias("s"),
+        )
+    )
+    ph = F.col("s") / F.col("n")
+    z2n = F.lit(z * z) / F.col("n")
+    lb = (
+        ph
+        + z2n / 2
+        - F.lit(z) * F.sqrt((ph * (1 - ph) + z2n / 4) / F.col("n"))
+    ) / (1 + z2n)
+    return agg.select(
+        "p_brand",
+        "n",
+        "s",
+        F.round(ph, 6).alias("p_hat"),
+        F.round(lb, 6).alias("wilson_lb"),
+    )
+
+
+def q287_forecast_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast-accuracy backtest [EXT]: score the seasonal-naive
+    forecast (lag-7) of daily event counts per type with MAPE, sMAPE and
+    MASE (denominator = mean |one-step naive error| over the same eval
+    window) — the metric layer that decides whether q272's smoothing or
+    q241's seasonal index actually earns its keep.
+
+    Scale shape: daily pre-aggregation is the only corpus-sized work;
+    lags are windows PARTITIONED by series over the bounded daily table;
+    the metric rollup is one groupBy per series."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("_day")
+    ).agg(F.count(F.lit(1)).cast("double").alias("_a"))
+    w = Window.partitionBy("event_type").orderBy("_day")
+    lagged = daily.select(
+        "event_type",
+        "_a",
+        F.lag("_a", 7).over(w).alias("_f"),
+        F.lag("_a", 1).over(w).alias("_p"),
+    ).filter(F.col("_f").isNotNull())
+    err = F.abs(F.col("_a") - F.col("_f"))
+    return lagged.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days_scored"),
+        F.round(F.avg(err / F.col("_a")), 6).alias("mape"),
+        F.round(F.avg(2 * err / (F.col("_a") + F.col("_f"))), 6).alias("smape"),
+        F.round(
+            F.avg(err) / F.avg(F.abs(F.col("_a") - F.col("_p"))), 6
+        ).alias("mase"),
+    )
+
+
+def q288_late_dim_unknown_member(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-arriving dimension handling [EXT]: facts whose dimension row
+    hasn't landed yet route to an explicit UNKNOWN member instead of
+    silently dropping (the inner-join bug every warehouse hits once).
+    Simulated by withholding customers with c_custkey % 10 == 0 from the
+    dim; orders aggregate by the nation of the matched customer or
+    'UNKNOWN', with per-bucket revenue so the backfill reconciliation has
+    a target number.
+
+    Scale shape: one LEFT broadcast join facts→dim (dim rows bounded),
+    nation lookup broadcast, one rollup keyed by ≤26 labels."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") % 10 != 0)
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    dim = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).select(
+        "c_custkey", "n_name"
+    )
+    return (
+        o.join(dim, o.o_custkey == dim.c_custkey, "left")
+        .select(
+            F.coalesce("n_name", F.lit("UNKNOWN")).alias("nation_label"),
+            "o_totalprice",
+        )
+        .groupBy("nation_label")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )
+
+
 # =============================================================================
 # Driver contract
 # =============================================================================
@@ -8419,6 +8652,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q280_rfm_segments": q280_rfm_segments,
         "q281_column_stats_collection": q281_column_stats_collection,
         "q282_ab_power_analysis": q282_ab_power_analysis,
+        "q283_dq_scorecard": q283_dq_scorecard,
+        "q284_topk_plus_other": q284_topk_plus_other,
+        "q285_hist2d_grouping_sets": q285_hist2d_grouping_sets,
+        "q286_wilson_ranking": q286_wilson_ranking,
+        "q287_forecast_accuracy": q287_forecast_accuracy,
+        "q288_late_dim_unknown_member": q288_late_dim_unknown_member,
     }
 
 
@@ -13747,6 +13986,114 @@ def oracle_sql() -> dict[str, str]:
                round(count(*) FILTER (bloom_pass AND NOT is_member) * 1.0
                      / (count(*) - count(*) FILTER (is_member)), 6) AS fp_rate
         FROM audit
+    """
+    sqls["q283_dq_scorecard"] = """
+        WITH o AS (
+            SELECT count(*) AS n,
+                   count(*) FILTER (o_totalprice <= 0) AS c1,
+                   count(*) FILTER (o_custkey IS NULL) AS c2
+            FROM orders
+        ), li AS (
+            SELECT count(*) AS n,
+                   count(*) FILTER (l_discount NOT BETWEEN 0 AND 1) AS c1,
+                   count(*) FILTER (l_quantity <= 0) AS c2
+            FROM lineitem
+        ), ev AS (
+            SELECT count(*) AS n,
+                   count(*) FILTER (value < 0) AS c1,
+                   count(*) FILTER (props NOT LIKE '{%') AS c2
+            FROM events
+        ), c AS (
+            SELECT count(*) AS n,
+                   count(*) FILTER (c_acctbal IS NULL) AS c1
+            FROM customer
+        )
+        SELECT 'orders' AS table_name, 'nonpositive_price' AS check_name,
+               n AS n_checked, c1 AS n_violations FROM o
+        UNION ALL SELECT 'orders', 'null_custkey', n, c2 FROM o
+        UNION ALL SELECT 'lineitem', 'discount_out_of_range', n, c1 FROM li
+        UNION ALL SELECT 'lineitem', 'nonpositive_qty', n, c2 FROM li
+        UNION ALL SELECT 'events', 'negative_value', n, c1 FROM ev
+        UNION ALL SELECT 'events', 'malformed_props', n, c2 FROM ev
+        UNION ALL SELECT 'customer', 'null_acctbal', n, c1 FROM c
+    """
+    sqls["q284_topk_plus_other"] = """
+        WITH rev AS (
+            SELECT r.r_name, p.p_brand,
+                   sum(l.l_extendedprice * (1 - l.l_discount)) AS rv
+            FROM lineitem l
+            JOIN part p ON p.p_partkey = l.l_partkey
+            JOIN supplier s ON s.s_suppkey = l.l_suppkey
+            JOIN nation n ON n.n_nationkey = s.s_nationkey
+            JOIN region r ON r.r_regionkey = n.n_regionkey
+            GROUP BY 1, 2
+        ), labeled AS (
+            SELECT r_name,
+                   CASE WHEN row_number() OVER (PARTITION BY r_name
+                                                ORDER BY rv DESC, p_brand) <= 3
+                        THEN p_brand ELSE 'OTHER' END AS brand_label,
+                   rv
+            FROM rev
+        )
+        SELECT r_name, brand_label, count(*) AS n_brands,
+               round(sum(rv), 2) AS revenue
+        FROM labeled GROUP BY 1, 2
+    """
+    sqls["q285_hist2d_grouping_sets"] = """
+        WITH b AS (
+            SELECT CAST(floor(l_quantity / 10) AS INT) AS qb,
+                   CAST(floor(l_extendedprice / 10000) AS INT) AS pb,
+                   l_extendedprice * (1 - l_discount) AS rev
+            FROM lineitem
+        )
+        SELECT CASE WHEN grouping(qb) = 1 THEN -1 ELSE qb END AS qb,
+               CASE WHEN grouping(pb) = 1 THEN -1 ELSE pb END AS pb,
+               count(*) AS n_rows, round(sum(rev), 2) AS revenue
+        FROM b GROUP BY GROUPING SETS ((qb, pb), (qb), (pb), ())
+    """
+    sqls["q286_wilson_ranking"] = """
+        WITH agg AS (
+            SELECT p.p_brand, count(*) AS n,
+                   CAST(count(*) FILTER (l.l_discount > 0.05) AS BIGINT) AS s
+            FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+            GROUP BY 1
+        )
+        SELECT p_brand, n, s,
+               round(s * 1.0 / n, 6) AS p_hat,
+               round(((s * 1.0 / n) + (1.959964 * 1.959964 / n) / 2
+                      - 1.959964 * sqrt(((s * 1.0 / n) * (1 - s * 1.0 / n)
+                                         + (1.959964 * 1.959964 / n) / 4) / n))
+                     / (1 + 1.959964 * 1.959964 / n), 6) AS wilson_lb
+        FROM agg
+    """
+    sqls["q287_forecast_accuracy"] = """
+        WITH daily AS (
+            SELECT event_type, date_trunc('day', ts) AS day,
+                   CAST(count(*) AS DOUBLE) AS a
+            FROM events GROUP BY 1, 2
+        ), lagged AS (
+            SELECT event_type, a,
+                   lag(a, 7) OVER (PARTITION BY event_type ORDER BY day) AS f,
+                   lag(a, 1) OVER (PARTITION BY event_type ORDER BY day) AS p
+            FROM daily
+        )
+        SELECT event_type, count(*) AS n_days_scored,
+               round(avg(abs(a - f) / a), 6) AS mape,
+               round(avg(2 * abs(a - f) / (a + f)), 6) AS smape,
+               round(avg(abs(a - f)) / avg(abs(a - p)), 6) AS mase
+        FROM lagged WHERE f IS NOT NULL GROUP BY 1
+    """
+    sqls["q288_late_dim_unknown_member"] = """
+        WITH dim AS (
+            SELECT c.c_custkey, n.n_name
+            FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
+            WHERE c.c_custkey % 10 <> 0
+        )
+        SELECT coalesce(dim.n_name, 'UNKNOWN') AS nation_label,
+               count(*) AS n_orders,
+               round(sum(o.o_totalprice), 2) AS revenue
+        FROM orders o LEFT JOIN dim ON dim.c_custkey = o.o_custkey
+        GROUP BY 1
     """
     sqls["q277_ucb1_arm_scores"] = """
         WITH arms AS (
