@@ -8358,6 +8358,264 @@ def q288_late_dim_unknown_member(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q289_partial_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Re-aggregatable partial state, merged exactly [EXT]: per event
+    type, compute per-DAY partial aggregates (n, mean, M2) and MERGE them
+    with Chan's parallel-variance formulas — the algebraic-state
+    machinery behind every incremental rollup / materialized-view merge
+    (daily partials → monthly → total without re-reading raw data). The
+    oracle computes variance DIRECTLY from raw rows, so the hash match
+    PROVES the merge is exact, not approximate.
+
+    Scale shape: raw data is touched once (daily pre-agg); the fold runs
+    over ≤|days| structs per series via the aggregate() HOF — pure JVM,
+    bounded state. Cites the same pattern as sinks' incremental matview
+    (streaming/matview.py)."""
+    ev = _t(spark, sf_dir, "events")
+    day = (
+        ev.groupBy("event_type", F.date_trunc("day", "ts").alias("_day"))
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("n"),
+            F.avg("value").alias("mean"),
+            (F.var_pop("value") * F.count(F.lit(1))).alias("m2"),
+        )
+    )
+    packed = day.groupBy("event_type").agg(
+        F.sort_array(
+            F.collect_list(F.struct("_day", "n", "mean", "m2"))
+        ).alias("_parts"),
+        F.count(F.lit(1)).alias("n_partials"),
+    )
+    zero = F.struct(
+        F.lit(0.0).alias("n"), F.lit(0.0).alias("mean"), F.lit(0.0).alias("m2")
+    )
+
+    def merge(acc, p):
+        n = acc.n + p.n
+        delta = p.mean - acc.mean
+        return F.when(acc.n == 0.0, F.struct(p.n.alias("n"), p.mean.alias("mean"), p.m2.alias("m2"))).otherwise(
+            F.struct(
+                n.alias("n"),
+                (acc.mean + delta * p.n / n).alias("mean"),
+                (acc.m2 + p.m2 + delta * delta * acc.n * p.n / n).alias("m2"),
+            )
+        )
+
+    folded = packed.select(
+        "event_type",
+        "n_partials",
+        F.aggregate(F.col("_parts"), zero, merge).alias("_st"),
+    )
+    return folded.select(
+        "event_type",
+        "n_partials",
+        F.col("_st.n").cast("long").alias("n_rows"),
+        F.round("_st.mean", 6).alias("mean_value"),
+        F.round(F.col("_st.m2") / F.col("_st.n"), 4).alias("var_pop_value"),
+    )
+
+
+def q290_median_ci_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-free median confidence interval via order statistics
+    [EXT]: per order priority, the 95% CI for the median of order value
+    is the pair of values at ranks (n − z√n)/2 and 1 + (n + z√n)/2 — no
+    normality assumption, no resampling, just two rank selections — the
+    robust counterpart of q266's bootstrap CI.
+
+    Scale shape: rank via a window PARTITIONED by the group key; the rank
+    targets come from a per-group count joined back (broadcast — group
+    count is tiny). At lake scale the two rank selections run as q206's
+    bounded-distinct rank selection instead of a full per-group sort."""
+    z = 1.959964
+    o = _t(spark, sf_dir, "orders").select("o_orderpriority", "o_totalprice")
+    cnt = o.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("_n"))
+    targets = cnt.select(
+        "o_orderpriority",
+        "_n",
+        F.floor((F.col("_n") - z * F.sqrt("_n")) / 2).cast("long").alias("_lo"),
+        (F.ceil((F.col("_n") + z * F.sqrt("_n")) / 2) + 1).cast("long").alias("_hi"),
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    ranked = (
+        _t(spark, sf_dir, "orders")
+        .select("o_orderpriority", "o_totalprice", "o_orderkey")
+        .withColumn("_rk", F.row_number().over(w))
+    )
+    hits = ranked.join(F.broadcast(targets), "o_orderpriority").filter(
+        (F.col("_rk") == F.col("_lo")) | (F.col("_rk") == F.col("_hi"))
+    )
+    med = o.groupBy("o_orderpriority").agg(
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("median_value")
+    )
+    ci = hits.groupBy("o_orderpriority").agg(
+        F.max(F.col("_n")).alias("n_orders"),
+        F.round(
+            F.max(F.when(F.col("_rk") == F.col("_lo"), F.col("o_totalprice"))), 2
+        ).alias("ci_lo"),
+        F.round(
+            F.max(F.when(F.col("_rk") == F.col("_hi"), F.col("o_totalprice"))), 2
+        ).alias("ci_hi"),
+    )
+    return ci.join(med, "o_orderpriority").select(
+        "o_orderpriority", "n_orders", "ci_lo", "median_value", "ci_hi"
+    )
+
+
+def q291_target_encoding_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe categorical target encoding [EXT]: per category
+    (order priority), the smoothed target mean
+    (Σy + prior·m)/(n + m) with m=20 — the ML feature every gradient-
+    boosted pipeline derives — plus the leave-one-out extremes
+    ((Σy − y_max)/(n−1), (Σy − y_min)/(n−1)) that bound what any single
+    row can see of its own label (the leakage audit).
+
+    Scale shape: one keyed aggregation, the global prior is a 1-row
+    broadcast; LOO bounds come from the same group moments — no per-row
+    second pass."""
+    o = _t(spark, sf_dir, "orders")
+    prior = o.agg(F.avg("o_totalprice").alias("_p"))
+    g = o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("o_totalprice").alias("_s"),
+        F.min("o_totalprice").alias("_mn"),
+        F.max("o_totalprice").alias("_mx"),
+    )
+    return g.crossJoin(F.broadcast(prior)).select(
+        "o_orderpriority",
+        "n",
+        F.round((F.col("_s") + F.col("_p") * 20) / (F.col("n") + 20), 4).alias(
+            "smoothed_encoding"
+        ),
+        F.round((F.col("_s") - F.col("_mx")) / (F.col("n") - 1), 4).alias(
+            "loo_min"
+        ),
+        F.round((F.col("_s") - F.col("_mn")) / (F.col("n") - 1), 4).alias(
+            "loo_max"
+        ),
+    )
+
+
+def q292_stream_state_sizing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming state-store sizing from batch history [EXT]: for
+    candidate tumbling-window widths (1 min / 5 min / 1 h), the number of
+    live keys a per-user windowed aggregation would hold — window count,
+    total and peak distinct users per window, and the peak state estimate
+    at 48 bytes/key — the capacity-planning query you run BEFORE picking
+    the window/watermark of streaming/windows.py, not after the executors
+    OOM.
+
+    Scale shape: one explode ×3 (candidate count), one distinct-per-
+    window aggregation keyed (width, window, user), then a bounded
+    rollup; at lake scale the distinct collapses to approx_count_distinct
+    — the documented swap."""
+    from hubverse_transform_spark.operators.sessions import _epoch_seconds
+
+    ev = _t(spark, sf_dir, "events").select(
+        _epoch_seconds(F.col("ts")).alias("_es"), "user_id"
+    )
+    widths = F.explode(F.array(F.lit(60), F.lit(300), F.lit(3600))).alias("width_s")
+    per_win = (
+        ev.select("*", widths)
+        .select(
+            "width_s",
+            F.floor(F.col("_es") / F.col("width_s")).alias("_win"),
+            "user_id",
+        )
+        .groupBy("width_s", "_win")
+        .agg(F.countDistinct("user_id").alias("_keys"))
+    )
+    return per_win.groupBy("width_s").agg(
+        F.count(F.lit(1)).alias("n_windows"),
+        F.sum("_keys").alias("total_keys"),
+        F.max("_keys").alias("peak_keys"),
+        F.round(F.max("_keys") * 48 / 1024.0, 4).alias("peak_state_kb"),
+    )
+
+
+def q293_srm_guardrail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch guardrail [EXT]: distinct users split by the
+    assignment hash (user_id mod 2) should be 50/50; the chi-square stat
+    Σ(obs−exp)²/exp against the χ²₁ 95% critical value (3.841459) flags
+    broken randomization BEFORE anyone reads the experiment (q230/q282) —
+    the first check every experimentation platform runs.
+
+    Scale shape: one distinct-user aggregation, constant arithmetic on
+    two cells."""
+    ev = _t(spark, sf_dir, "events")
+    users = ev.select("user_id").distinct()
+    cells = users.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum(F.when(F.col("user_id") % 2 == 0, 1).otherwise(0)).alias("n_arm0"),
+    ).select(
+        "n_users", "n_arm0", (F.col("n_users") - F.col("n_arm0")).alias("n_arm1")
+    )
+    exp = F.col("n_users") / 2.0
+    chi2 = (F.col("n_arm0") - exp) ** 2 / exp + (F.col("n_arm1") - exp) ** 2 / exp
+    return cells.select(
+        "n_users",
+        "n_arm0",
+        "n_arm1",
+        F.round(chi2, 6).alias("chi2"),
+        (chi2 < 3.841459).alias("srm_pass"),
+    )
+
+
+#: declared schema contract for q294 — intentionally includes one column the
+#: testdata doesn't have and one wrong type, so every status value is exercised
+_SCHEMA_CONTRACT = {
+    "orders": {
+        "o_orderkey": "bigint",
+        "o_custkey": "bigint",
+        "o_totalprice": "double",
+        "o_orderdate": "timestamp_ntz",
+        "o_shipmode": "string",  # not in the testdata -> 'missing'
+    },
+    "events": {
+        "event_id": "bigint",
+        "ts": "timestamp_ntz",
+        "user_id": "string",  # actual is bigint -> 'type_mismatch'
+        "value": "double",
+    },
+}
+
+
+def q294_schema_contract_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema data-contract enforcement [EXT]: diff each table's ACTUAL
+    parquet schema (catalog introspection, zero data read) against a
+    declared contract — per (table, column): ok / type_mismatch /
+    missing (contracted, absent) / unexpected (present, uncontracted) —
+    the producer/consumer contract check a lakehouse runs on every
+    publish, built on the same StructType machinery as the reference's
+    schema derivation (schema.py; reference hubverse-transform
+    model_output.py schema section).
+
+    Scale shape: pure metadata — reads footers only; the diff itself is
+    driver-side over |columns| entries, then parallelized as a
+    createDataFrame so downstream composition stays in-engine."""
+    rows = []
+    for table, contract in _SCHEMA_CONTRACT.items():
+        actual = {
+            f.name: f.dataType.simpleString()
+            for f in spark.read.parquet(f"{sf_dir}/{table}.parquet").schema.fields
+        }
+        for col_name, want in contract.items():
+            if col_name not in actual:
+                rows.append((table, col_name, "missing", want, None))
+            elif actual[col_name] != want:
+                rows.append(
+                    (table, col_name, "type_mismatch", want, actual[col_name])
+                )
+            else:
+                rows.append((table, col_name, "ok", want, actual[col_name]))
+        for col_name in sorted(set(actual) - set(contract)):
+            rows.append((table, col_name, "unexpected", None, actual[col_name]))
+    return spark.createDataFrame(
+        rows,
+        "table_name string, column_name string, status string,"
+        " expected_type string, actual_type string",
+    )
+
+
 # =============================================================================
 # Driver contract
 # =============================================================================
@@ -8658,6 +8916,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q286_wilson_ranking": q286_wilson_ranking,
         "q287_forecast_accuracy": q287_forecast_accuracy,
         "q288_late_dim_unknown_member": q288_late_dim_unknown_member,
+        "q289_partial_agg_merge": q289_partial_agg_merge,
+        "q290_median_ci_order_stats": q290_median_ci_order_stats,
+        "q291_target_encoding_loo": q291_target_encoding_loo,
+        "q292_stream_state_sizing": q292_stream_state_sizing,
+        "q293_srm_guardrail": q293_srm_guardrail,
+        "q294_schema_contract_audit": q294_schema_contract_audit,
     }
 
 
@@ -13986,6 +14250,103 @@ def oracle_sql() -> dict[str, str]:
                round(count(*) FILTER (bloom_pass AND NOT is_member) * 1.0
                      / (count(*) - count(*) FILTER (is_member)), 6) AS fp_rate
         FROM audit
+    """
+    sqls["q289_partial_agg_merge"] = """
+        SELECT event_type,
+               count(DISTINCT date_trunc('day', ts)) AS n_partials,
+               count(*) AS n_rows,
+               round(avg(value), 6) AS mean_value,
+               round(var_pop(value), 4) AS var_pop_value
+        FROM events GROUP BY 1
+    """
+    sqls["q290_median_ci_order_stats"] = """
+        WITH cnt AS (
+            SELECT o_orderpriority, count(*) AS n,
+                   CAST(floor((count(*) - 1.959964 * sqrt(count(*))) / 2)
+                        AS BIGINT) AS lo,
+                   CAST(ceil((count(*) + 1.959964 * sqrt(count(*))) / 2)
+                        AS BIGINT) + 1 AS hi
+            FROM orders GROUP BY 1
+        ), ranked AS (
+            SELECT o_orderpriority, o_totalprice,
+                   row_number() OVER (PARTITION BY o_orderpriority
+                                      ORDER BY o_totalprice, o_orderkey) AS rk
+            FROM orders
+        ), med AS (
+            SELECT o_orderpriority,
+                   round(quantile_cont(o_totalprice, 0.5), 4) AS median_value
+            FROM orders GROUP BY 1
+        )
+        SELECT cnt.o_orderpriority, cnt.n AS n_orders,
+               round(max(CASE WHEN rk = lo THEN o_totalprice END), 2) AS ci_lo,
+               any_value(med.median_value) AS median_value,
+               round(max(CASE WHEN rk = hi THEN o_totalprice END), 2) AS ci_hi
+        FROM ranked
+        JOIN cnt USING (o_orderpriority)
+        JOIN med USING (o_orderpriority)
+        WHERE rk = lo OR rk = hi
+        GROUP BY 1, 2
+    """
+    sqls["q291_target_encoding_loo"] = """
+        WITH prior AS (SELECT avg(o_totalprice) AS p FROM orders),
+        g AS (
+            SELECT o_orderpriority, count(*) AS n, sum(o_totalprice) AS s,
+                   min(o_totalprice) AS mn, max(o_totalprice) AS mx
+            FROM orders GROUP BY 1
+        )
+        SELECT o_orderpriority, n,
+               round((s + p * 20) / (n + 20), 4) AS smoothed_encoding,
+               round((s - mx) / (n - 1), 4) AS loo_min,
+               round((s - mn) / (n - 1), 4) AS loo_max
+        FROM g, prior
+    """
+    sqls["q292_stream_state_sizing"] = """
+        WITH widths AS (
+            SELECT CAST(unnest([60, 300, 3600]) AS INT) AS width_s
+        ), per_win AS (
+            SELECT width_s, floor(epoch(ts) / width_s) AS win,
+                   count(DISTINCT user_id) AS keys
+            FROM events, widths GROUP BY 1, 2
+        )
+        SELECT width_s, count(*) AS n_windows,
+               CAST(sum(keys) AS BIGINT) AS total_keys,
+               max(keys) AS peak_keys,
+               round(max(keys) * 48 / 1024.0, 4) AS peak_state_kb
+        FROM per_win GROUP BY 1
+    """
+    sqls["q293_srm_guardrail"] = """
+        WITH u AS (SELECT DISTINCT user_id FROM events),
+        cells AS (
+            SELECT count(*) AS n_users,
+                   count(*) FILTER (user_id % 2 = 0) AS n_arm0,
+                   count(*) FILTER (user_id % 2 <> 0) AS n_arm1
+            FROM u
+        )
+        SELECT n_users, n_arm0, n_arm1,
+               round(power(n_arm0 - n_users / 2.0, 2) / (n_users / 2.0)
+                     + power(n_arm1 - n_users / 2.0, 2) / (n_users / 2.0),
+                     6) AS chi2,
+               (power(n_arm0 - n_users / 2.0, 2) / (n_users / 2.0)
+                + power(n_arm1 - n_users / 2.0, 2) / (n_users / 2.0))
+               < 3.841459 AS srm_pass
+        FROM cells
+    """
+    sqls["q294_schema_contract_audit"] = """
+        SELECT * FROM (VALUES
+            ('orders', 'o_orderkey', 'ok', 'bigint', 'bigint'),
+            ('orders', 'o_custkey', 'ok', 'bigint', 'bigint'),
+            ('orders', 'o_totalprice', 'ok', 'double', 'double'),
+            ('orders', 'o_orderdate', 'ok', 'timestamp_ntz', 'timestamp_ntz'),
+            ('orders', 'o_shipmode', 'missing', 'string', NULL),
+            ('orders', 'o_orderpriority', 'unexpected', NULL, 'string'),
+            ('orders', 'o_orderstatus', 'unexpected', NULL, 'string'),
+            ('events', 'event_id', 'ok', 'bigint', 'bigint'),
+            ('events', 'ts', 'ok', 'timestamp_ntz', 'timestamp_ntz'),
+            ('events', 'user_id', 'type_mismatch', 'string', 'bigint'),
+            ('events', 'value', 'ok', 'double', 'double'),
+            ('events', 'event_type', 'unexpected', NULL, 'string'),
+            ('events', 'props', 'unexpected', NULL, 'string')
+        ) AS t(table_name, column_name, status, expected_type, actual_type)
     """
     sqls["q283_dq_scorecard"] = """
         WITH o AS (
