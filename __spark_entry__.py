@@ -8616,6 +8616,291 @@ def q294_schema_contract_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q295_cbo_estimation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cost-based-optimizer estimation audit [EXT]: the textbook
+    cardinality estimates — join size |A|·|B|/max(ndv_A, ndv_B), and
+    conjunctive selectivity under the independence assumption
+    sel(p₁∧p₂)=sel(p₁)·sel(p₂) — computed from q281-style stats and
+    compared against ACTUAL row counts, per case. The ratio column is the
+    number a plan-regression harness alarms on (independence violations
+    and FK skew are exactly what blows up real plans at 100 TB).
+
+    Scale shape: each estimate needs only per-table 1-row stat aggs; each
+    actual is one count (the joins co-partition on their keys)."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+
+    def join_case(name, a, ak, b, bk):
+        stats_a = a.agg(
+            F.count(F.lit(1)).alias("na"), F.countDistinct(ak).alias("da")
+        )
+        stats_b = b.agg(
+            F.count(F.lit(1)).alias("nb"), F.countDistinct(bk).alias("db")
+        )
+        actual = (
+            a.select(F.col(ak).alias("_k"))
+            .join(b.select(F.col(bk).alias("_k")), "_k")
+            .agg(F.count(F.lit(1)).alias("actual_rows"))
+        )
+        return (
+            stats_a.crossJoin(stats_b)
+            .crossJoin(actual)
+            .select(
+                F.lit(name).alias("case_name"),
+                F.round(
+                    F.col("na") * F.col("nb") / F.greatest("da", "db"), 2
+                ).alias("est_rows"),
+                "actual_rows",
+            )
+        )
+
+    def conj_case(name, df, p1, p2):
+        s = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.avg(F.when(p1, 1.0).otherwise(0.0)).alias("s1"),
+            F.avg(F.when(p2, 1.0).otherwise(0.0)).alias("s2"),
+            F.sum(F.when(p1 & p2, 1).otherwise(0)).alias("actual_rows"),
+        )
+        return s.select(
+            F.lit(name).alias("case_name"),
+            F.round(F.col("n") * F.col("s1") * F.col("s2"), 2).alias("est_rows"),
+            "actual_rows",
+        )
+
+    cases = [
+        join_case("join_orders_customer", o, "o_custkey", c, "c_custkey"),
+        join_case("join_lineitem_part", li, "l_partkey", p, "p_partkey"),
+        conj_case(
+            "conj_lineitem_disc_qty",
+            li,
+            F.col("l_discount") > 0.05,
+            F.col("l_quantity") < 25,
+        ),
+        conj_case(
+            "conj_orders_prio_price",
+            o,
+            F.col("o_orderpriority") == "1-URGENT",
+            F.col("o_totalprice") > 100000,
+        ),
+    ]
+    out = cases[0]
+    for x in cases[1:]:
+        out = out.unionByName(x)
+    return out.select(
+        "case_name",
+        "est_rows",
+        "actual_rows",
+        F.round(F.col("est_rows") / F.col("actual_rows"), 4).alias("est_ratio"),
+    )
+
+
+def q296_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience-overlap matrix [EXT]: pairwise Jaccard between the
+    distinct-user audiences of each event type — the segment-overlap
+    readout an activation/advertising stack computes before assuming two
+    triggers reach different people. Intersections via a self-join of the
+    deduped (type, user) table ON THE USER KEY (co-partitioned), sizes
+    broadcast back into the pair rollup.
+
+    Scale shape: the only corpus-sized work is one distinct; the
+    user-keyed self-join fans out by per-user type count (≤|types|);
+    audience sizes are a tiny broadcast."""
+    ev = _t(spark, sf_dir, "events")
+    tu = ev.select("event_type", "user_id").distinct()
+    sizes = tu.groupBy("event_type").agg(F.count(F.lit(1)).alias("_n"))
+    inter = (
+        tu.alias("a")
+        .join(tu.alias("b"), "user_id")
+        .filter(F.col("a.event_type") < F.col("b.event_type"))
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        inter.join(
+            F.broadcast(sizes.withColumnsRenamed({"event_type": "type_a", "_n": "n_a"})),
+            "type_a",
+        )
+        .join(
+            F.broadcast(sizes.withColumnsRenamed({"event_type": "type_b", "_n": "n_b"})),
+            "type_b",
+        )
+        .select(
+            "type_a",
+            "type_b",
+            "n_a",
+            "n_b",
+            "n_common",
+            F.round(
+                F.col("n_common")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+def q297_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit [EXT]: group customers by the quasi-identifier
+    tuple (nation, market segment, balance bucket) and report, for k ∈
+    {2, 5, 10}, how many equivalence classes fall below k and how many
+    ROWS sit in them — the re-identification exposure a privacy review
+    quantifies before any 'anonymized' extract ships.
+
+    Scale shape: one QI aggregation; the k sweep explodes the bounded
+    group-size table ×3, never the raw rows."""
+    c = _t(spark, sf_dir, "customer")
+    groups = c.groupBy(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 1000).alias("_bb"),
+    ).agg(F.count(F.lit(1)).alias("_gs"))
+    ks = F.explode(F.array(F.lit(2), F.lit(5), F.lit(10))).alias("k")
+    return (
+        groups.select("_gs", ks)
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("n_groups"),
+            F.sum(F.when(F.col("_gs") < F.col("k"), 1).otherwise(0)).alias(
+                "n_groups_below_k"
+            ),
+            F.sum(
+                F.when(F.col("_gs") < F.col("k"), F.col("_gs")).otherwise(0)
+            ).alias("n_rows_at_risk"),
+        )
+    )
+
+
+def q298_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private noisy counts, calibration run [EXT]:
+    per-nation customer counts with Laplace(1/ε) noise, ε=1, drawn by
+    inverse-CDF from a deterministic md5 uniform — noise as a MAP
+    expression, reproducible across engines (the release pipeline swaps
+    in a real RNG; THIS run publishes true+noisy side by side to verify
+    the mechanism's error envelope, which is why it may).
+
+    Scale shape: one keyed count; noise is constant arithmetic per
+    group."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    cnt = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("true_count"))
+    )
+    u = (
+        F.conv(F.substring(F.md5(F.concat_ws("-", F.col("n_name"), F.lit("dp1"))), 1, 8), 16, 10)
+        .cast("double")
+        / F.lit(4294967296.0)
+    )
+    centered = u - 0.5
+    noise = -F.signum(centered) * F.log(1 - 2 * F.abs(centered))
+    return cnt.select(
+        "n_name",
+        "true_count",
+        F.round(F.col("true_count") + noise, 4).alias("noisy_count"),
+        F.round(F.abs(noise), 4).alias("abs_noise"),
+    )
+
+
+def q299_lsh_scurve_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH banding planner [EXT]: the analytic S-curve
+    P(candidate) = 1−(1−s^r)^b for candidate (bands, rows) configs over a
+    similarity grid, plus each config's threshold estimate (1/b)^(1/r) —
+    the table you read BEFORE picking q23/q228's banding, where q203
+    measures the same trade-off empirically. Generated entirely
+    in-engine from literal grids (no table scan).
+
+    Scale shape: a 5×9 literal explode; pure arithmetic."""
+    spark_range = spark.range(1)
+    cfgs = F.explode(
+        F.array(
+            *[
+                F.struct(F.lit(b).alias("b"), F.lit(r).alias("r"))
+                for b, r in ((4, 8), (8, 4), (16, 2), (16, 8), (32, 4))
+            ]
+        )
+    ).alias("_c")
+    svals = F.explode(
+        F.array(*[F.lit(round(s / 10.0, 1)) for s in range(1, 10)])
+    ).alias("s")
+    grid = (
+        spark_range.select(cfgs)
+        .select("_c.b", "_c.r", svals)
+    )
+    return grid.select(
+        "b",
+        "r",
+        "s",
+        F.round(
+            1 - F.pow(1 - F.pow(F.col("s"), F.col("r")), F.col("b")), 6
+        ).alias("p_candidate"),
+        F.round(F.pow(1.0 / F.col("b"), 1.0 / F.col("r")), 4).alias(
+            "est_threshold"
+        ),
+    )
+
+
+def q300_feature_store_materialization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-store materialization audit [EXT]: denormalize the star
+    schema into the wide per-order training table (order value, customer
+    balance, nation/region attributes, order weekday) and emit a
+    per-region row count + order-insensitive md5 content checksum +
+    feature sums — the publish-gate a feature platform runs so training
+    and serving provably read the SAME materialization (q263's checksum
+    machinery applied to a derived table instead of a base one).
+
+    Scale shape: fact→dim joins are all broadcast (dims bounded); the
+    audit rollup is one keyed agg over ≤|regions| keys — the wide table
+    itself never collects."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_acctbal", "c_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    r = _t(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    wide = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select(
+            "r_name",
+            "o_orderkey",
+            "o_totalprice",
+            "c_acctbal",
+            "n_name",
+            F.weekday("o_orderdate").alias("_dow"),
+        )
+    )
+    rowhash = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    "o_orderkey",
+                    "n_name",
+                    # integer cents, not a formatted double: both engines
+                    # stringify BIGINT identically; double->string repr differs
+                    F.round(F.col("o_totalprice") * 100).cast("long"),
+                    "_dow",
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    return wide.groupBy("r_name").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.bit_xor(rowhash).alias("content_checksum32"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        F.round(F.sum("c_acctbal"), 2).alias("sum_acctbal"),
+    )
+
+
 # =============================================================================
 # Driver contract
 # =============================================================================
@@ -8922,6 +9207,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q292_stream_state_sizing": q292_stream_state_sizing,
         "q293_srm_guardrail": q293_srm_guardrail,
         "q294_schema_contract_audit": q294_schema_contract_audit,
+        "q295_cbo_estimation_audit": q295_cbo_estimation_audit,
+        "q296_audience_overlap": q296_audience_overlap,
+        "q297_k_anonymity_audit": q297_k_anonymity_audit,
+        "q298_dp_noisy_counts": q298_dp_noisy_counts,
+        "q299_lsh_scurve_planner": q299_lsh_scurve_planner,
+        "q300_feature_store_materialization": q300_feature_store_materialization,
     }
 
 
@@ -14250,6 +14541,132 @@ def oracle_sql() -> dict[str, str]:
                round(count(*) FILTER (bloom_pass AND NOT is_member) * 1.0
                      / (count(*) - count(*) FILTER (is_member)), 6) AS fp_rate
         FROM audit
+    """
+    sqls["q295_cbo_estimation_audit"] = """
+        WITH so AS (
+            SELECT count(*) AS n, count(DISTINCT o_custkey) AS d FROM orders
+        ), sc AS (
+            SELECT count(*) AS n, count(DISTINCT c_custkey) AS d FROM customer
+        ), sl AS (
+            SELECT count(*) AS n, count(DISTINCT l_partkey) AS d FROM lineitem
+        ), sp AS (
+            SELECT count(*) AS n, count(DISTINCT p_partkey) AS d FROM part
+        ), j1 AS (
+            SELECT count(*) AS a FROM orders o
+            JOIN customer c ON c.c_custkey = o.o_custkey
+        ), j2 AS (
+            SELECT count(*) AS a FROM lineitem l
+            JOIN part p ON p.p_partkey = l.l_partkey
+        ), f1 AS (
+            SELECT count(*) AS n,
+                   avg(CASE WHEN l_discount > 0.05 THEN 1.0 ELSE 0.0 END) AS s1,
+                   avg(CASE WHEN l_quantity < 25 THEN 1.0 ELSE 0.0 END) AS s2,
+                   count(*) FILTER (l_discount > 0.05 AND l_quantity < 25) AS a
+            FROM lineitem
+        ), f2 AS (
+            SELECT count(*) AS n,
+                   avg(CASE WHEN o_orderpriority = '1-URGENT'
+                            THEN 1.0 ELSE 0.0 END) AS s1,
+                   avg(CASE WHEN o_totalprice > 100000
+                            THEN 1.0 ELSE 0.0 END) AS s2,
+                   count(*) FILTER (o_orderpriority = '1-URGENT'
+                                    AND o_totalprice > 100000) AS a
+            FROM orders
+        ), cases AS (
+            SELECT 'join_orders_customer' AS case_name,
+                   round(so.n * sc.n * 1.0 / greatest(so.d, sc.d), 2) AS est_rows,
+                   j1.a AS actual_rows
+            FROM so, sc, j1
+            UNION ALL
+            SELECT 'join_lineitem_part',
+                   round(sl.n * sp.n * 1.0 / greatest(sl.d, sp.d), 2), j2.a
+            FROM sl, sp, j2
+            UNION ALL
+            SELECT 'conj_lineitem_disc_qty', round(n * s1 * s2, 2), a FROM f1
+            UNION ALL
+            SELECT 'conj_orders_prio_price', round(n * s1 * s2, 2), a FROM f2
+        )
+        SELECT case_name, est_rows, actual_rows,
+               round(est_rows / actual_rows, 4) AS est_ratio
+        FROM cases
+    """
+    sqls["q296_audience_overlap"] = """
+        WITH tu AS (SELECT DISTINCT event_type, user_id FROM events),
+        sizes AS (SELECT event_type, count(*) AS n FROM tu GROUP BY 1),
+        inter AS (
+            SELECT a.event_type AS type_a, b.event_type AS type_b,
+                   count(*) AS n_common
+            FROM tu a JOIN tu b ON a.user_id = b.user_id
+                               AND a.event_type < b.event_type
+            GROUP BY 1, 2
+        )
+        SELECT type_a, type_b, sa.n AS n_a, sb.n AS n_b, n_common,
+               round(n_common * 1.0 / (sa.n + sb.n - n_common), 6) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.event_type = type_a
+        JOIN sizes sb ON sb.event_type = type_b
+    """
+    sqls["q297_k_anonymity_audit"] = """
+        WITH groups AS (
+            SELECT count(*) AS gs
+            FROM customer
+            GROUP BY c_nationkey, c_mktsegment, floor(c_acctbal / 1000)
+        ), ks AS (SELECT CAST(unnest([2, 5, 10]) AS INT) AS k)
+        SELECT k, count(*) AS n_groups,
+               CAST(sum(CASE WHEN gs < k THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_groups_below_k,
+               CAST(sum(CASE WHEN gs < k THEN gs ELSE 0 END) AS BIGINT)
+                   AS n_rows_at_risk
+        FROM groups, ks GROUP BY 1
+    """
+    sqls["q298_dp_noisy_counts"] = """
+        WITH cnt AS (
+            SELECT n.n_name, count(*) AS true_count
+            FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
+            GROUP BY 1
+        ), noise AS (
+            SELECT n_name, true_count,
+                   CAST('0x' || substring(md5(n_name || '-dp1'), 1, 8) AS BIGINT)
+                       / 4294967296.0 - 0.5 AS centered
+            FROM cnt
+        )
+        SELECT n_name, true_count,
+               round(true_count
+                     + (-sign(centered) * ln(1 - 2 * abs(centered))),
+                     4) AS noisy_count,
+               round(abs(-sign(centered) * ln(1 - 2 * abs(centered))),
+                     4) AS abs_noise
+        FROM noise
+    """
+    sqls["q299_lsh_scurve_planner"] = """
+        WITH cfg AS (
+            SELECT * FROM (VALUES (4, 8), (8, 4), (16, 2), (16, 8), (32, 4))
+                AS t(b, r)
+        ), sg AS (
+            SELECT CAST(unnest(range(1, 10)) AS INT) / 10.0 AS s
+        )
+        SELECT b, r, s,
+               round(1 - power(1 - power(s, r), b), 6) AS p_candidate,
+               round(power(1.0 / b, 1.0 / r), 4) AS est_threshold
+        FROM cfg, sg
+    """
+    sqls["q300_feature_store_materialization"] = """
+        WITH wide AS (
+            SELECT r.r_name, o.o_orderkey, o.o_totalprice, c.c_acctbal,
+                   n.n_name, isodow(o.o_orderdate) - 1 AS dow
+            FROM orders o
+            JOIN customer c ON c.c_custkey = o.o_custkey
+            JOIN nation n ON n.n_nationkey = c.c_nationkey
+            JOIN region r ON r.r_regionkey = n.n_regionkey
+        )
+        SELECT r_name, count(*) AS n_rows,
+               bit_xor(CAST('0x' || substring(
+                   md5(o_orderkey || '|' || n_name || '|'
+                       || CAST(round(o_totalprice * 100) AS BIGINT)
+                       || '|' || dow), 1, 8) AS BIGINT)) AS content_checksum32,
+               round(sum(o_totalprice), 2) AS sum_price,
+               round(sum(c_acctbal), 2) AS sum_acctbal
+        FROM wide GROUP BY 1
     """
     sqls["q289_partial_agg_merge"] = """
         SELECT event_type,
