@@ -8901,6 +8901,254 @@ def q300_feature_store_materialization(spark: SparkSession, sf_dir: str) -> Data
     )
 
 
+def q301_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-card statistics [EXT]: the per-language table a model
+    datasheet publishes — document counts, exact-duplicate exposure,
+    token totals, median document length, vocabulary size, mean token
+    length — computed in one pass over the token explosion plus one
+    content-hash aggregation (the 'datasheets for datasets' numbers,
+    generated by the engine that owns the data rather than a side
+    script).
+
+    Scale shape: one token explode feeding (lang, token) and (lang, doc)
+    aggregations; dup exposure reuses q20's content-hash grouping; the
+    per-lang rollup is bounded by |langs|."""
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select(
+        "lang",
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("w"),
+    ).filter(F.col("w") != "")
+    per_doc = tok.groupBy("lang", "doc_id").agg(
+        F.count(F.lit(1)).alias("_nt"), F.sum(F.length("w")).alias("_chars")
+    )
+    doc_stats = per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("_nt").alias("total_tokens"),
+        F.round(F.expr("percentile(_nt, 0.5)"), 1).alias("median_tokens"),
+        F.round(F.sum("_chars") / F.sum("_nt"), 4).alias("avg_token_len"),
+    )
+    vocab = tok.select("lang", "w").distinct().groupBy("lang").agg(
+        F.count(F.lit(1)).alias("vocab_size")
+    )
+    dups = (
+        d.groupBy("lang", F.sha2("text", 256).alias("_h"))
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .groupBy("lang")
+        .agg(
+            F.sum(F.when(F.col("_c") > 1, F.col("_c")).otherwise(0)).alias(
+                "n_exact_dup_docs"
+            )
+        )
+    )
+    return (
+        doc_stats.join(vocab, "lang")
+        .join(dups, "lang")
+        .select(
+            "lang",
+            "n_docs",
+            "n_exact_dup_docs",
+            "total_tokens",
+            "median_tokens",
+            "vocab_size",
+            "avg_token_len",
+        )
+    )
+
+
+def q302_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training [EXT]: per query
+    vector, the top-3 most-similar corpus vectors whose LABEL differs —
+    the 'confusable but wrong' examples an embedding trainer feeds as
+    negatives (library operator similarity.hard_negative_topk; the
+    label-exclusion predicate composes unchanged with the IVF/LSH
+    candidate paths at lake scale).
+
+    Scale shape: queries broadcast, scoring map-only over the corpus,
+    per-query top-k is the only exchange."""
+    from hubverse_transform_spark.operators.similarity import hard_negative_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = hard_negative_topk(
+        emb, emb.filter(F.col("vec_id") < 50), k=3
+    )
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        "neighbor_label",
+        F.round("cosine_sim", 6).alias("cosine_sim"),
+        "rank",
+    )
+
+
+def q303_dedup_method_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-method overlap structure (UpSet matrix) [EXT]: every
+    candidate duplicate PAIR flagged by exact content hash, MinHash-LSH
+    (q23's config) or SimHash (q37's config), bucketed by the exact
+    METHOD COMBINATION that caught it (bitmask: exact=4, minhash=2,
+    simhash=1) — q199 counts per-method doc yields; this shows which
+    methods agree on WHICH pairs, the evidence for dropping a redundant
+    signal from the cascade.
+
+    Scale shape: reuses the three independently-oracled pair generators
+    (each banding/blocking-bounded); the mask join runs over the tiny
+    union of caught pairs."""
+    d = _t(spark, sf_dir, "documents")
+    ex = (
+        d.select(F.sha2("text", 256).alias("_h"), "doc_id").alias("a")
+        .join(
+            d.select(F.sha2("text", 256).alias("_h"), F.col("doc_id").alias("doc_b")),
+            "_h",
+        )
+        .filter(F.col("doc_id") < F.col("doc_b"))
+        .select(F.col("doc_id").alias("id_a"), F.col("doc_b").alias("id_b"))
+    )
+    mh = minhash_lsh_pairs(
+        d, "doc_id", "text", ngram=3, num_hashes=8, bands=4, threshold=0.1
+    ).select("id_a", "id_b")
+    sh = simhash_near_dup_pairs(
+        d, "doc_id", "text", bits=32, ngram=2, max_hamming=3
+    ).select("id_a", "id_b")
+    allp = ex.unionByName(mh).unionByName(sh).distinct()
+
+    def mark(pairs, name):
+        return pairs.distinct().withColumn(name, F.lit(1))
+
+    masked = (
+        allp.join(mark(ex, "_e"), ["id_a", "id_b"], "left")
+        .join(mark(mh, "_m"), ["id_a", "id_b"], "left")
+        .join(mark(sh, "_s"), ["id_a", "id_b"], "left")
+        .select(
+            (
+                F.coalesce("_e", F.lit(0)) * 4
+                + F.coalesce("_m", F.lit(0)) * 2
+                + F.coalesce("_s", F.lit(0))
+            ).alias("method_mask")
+        )
+    )
+    return masked.groupBy("method_mask").agg(F.count(F.lit(1)).alias("n_pairs"))
+
+
+def q304_seasonal_adjusted_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality-adjusted anomaly detection [EXT]: daily event counts
+    per type, divided by that type's day-of-week index (q241's
+    decomposition) BEFORE z-scoring — per type, how many days flag at
+    |z| ≥ 2 raw vs adjusted, and how many days FLIP — the direct measure
+    of how many 'anomalies' q154's unadjusted detector hallucinates out
+    of plain weekly seasonality.
+
+    Scale shape: one daily rollup; dow index and moments are bounded
+    aggregations joined back on the type key."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("_day")
+    ).agg(F.count(F.lit(1)).cast("double").alias("_v"))
+    daily = daily.withColumn("_dow", F.weekday("_day"))
+    dow_idx = (
+        daily.groupBy("event_type", "_dow")
+        .agg(F.avg("_v").alias("_dmu"))
+        .join(
+            daily.groupBy("event_type").agg(F.avg("_v").alias("_mu")), "event_type"
+        )
+        .select("event_type", "_dow", (F.col("_dmu") / F.col("_mu")).alias("_idx"))
+    )
+    adj = daily.join(dow_idx, ["event_type", "_dow"]).select(
+        "event_type", "_v", (F.col("_v") / F.col("_idx")).alias("_adj")
+    )
+    moments = adj.groupBy("event_type").agg(
+        F.avg("_v").alias("_rm"),
+        F.stddev_pop("_v").alias("_rs"),
+        F.avg("_adj").alias("_am"),
+        F.stddev_pop("_adj").alias("_as"),
+    )
+    flags = adj.join(F.broadcast(moments), "event_type").select(
+        "event_type",
+        (F.abs((F.col("_v") - F.col("_rm")) / F.col("_rs")) >= 2).alias("_fr"),
+        (F.abs((F.col("_adj") - F.col("_am")) / F.col("_as")) >= 2).alias("_fa"),
+    )
+    return flags.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum(F.when(F.col("_fr"), 1).otherwise(0)).alias("n_raw_anomalies"),
+        F.sum(F.when(F.col("_fa"), 1).otherwise(0)).alias("n_adjusted_anomalies"),
+        F.sum(F.when(F.col("_fr") != F.col("_fa"), 1).otherwise(0)).alias("n_flips"),
+    )
+
+
+def q305_decile_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-segment migration matrix [EXT]: users bucketed into spend
+    quintiles in the first half of the window and again in the second
+    half, cross-tabulated — the churn/upsell movement matrix a growth
+    team reads (who left the top quintile?). Buckets come from broadcast
+    percentile thresholds (q280's scale-correct quintile machinery), the
+    matrix is one 25-cell rollup.
+
+    Scale shape: two conditional sums per user in ONE scan, thresholds
+    are a 1-row broadcast, no global rank window."""
+    ev = _t(spark, sf_dir, "events")
+    cut = F.lit("2024-01-16").cast("timestamp_ntz")
+    per_user = ev.groupBy("user_id").agg(
+        F.sum(F.when(F.col("ts") < cut, F.col("value"))).alias("_x"),
+        F.sum(F.when(F.col("ts") >= cut, F.col("value"))).alias("_y"),
+    ).filter(F.col("_x").isNotNull() & F.col("_y").isNotNull())
+    th = per_user.agg(
+        F.expr("percentile(_x, array(0.2D, 0.4D, 0.6D, 0.8D))").alias("_tx"),
+        F.expr("percentile(_y, array(0.2D, 0.4D, 0.6D, 0.8D))").alias("_ty"),
+    )
+
+    def score(v, t):
+        s = F.lit(1)
+        for i in range(4):
+            s = s + F.when(v > t[i], 1).otherwise(0)
+        return s
+
+    scored = per_user.crossJoin(F.broadcast(th)).select(
+        score(F.col("_x"), F.col("_tx")).alias("pre_quintile"),
+        score(F.col("_y"), F.col("_ty")).alias("post_quintile"),
+    )
+    return scored.groupBy("pre_quintile", "post_quintile").agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
+
+
+def q306_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction [EXT]: the experiment metric (per-user
+    post-period value) adjusted by the pre-period covariate,
+    y' = y − θ(x − x̄) with θ = cov(y,x)/var(x) — per arm: raw and
+    adjusted means plus the variance-reduction ratio, the standard trick
+    that cuts experiment runtimes ~θ²ρ² without touching the treatment
+    effect (complements q230's t-test and q282's power math).
+
+    Scale shape: one per-user conditional aggregation; θ and x̄ are a
+    1-row broadcast; per-arm rollup is two keys."""
+    ev = _t(spark, sf_dir, "events")
+    cut = F.lit("2024-01-16").cast("timestamp_ntz")
+    per_user = ev.groupBy("user_id").agg(
+        F.sum(F.when(F.col("ts") < cut, F.col("value"))).alias("_x"),
+        F.sum(F.when(F.col("ts") >= cut, F.col("value"))).alias("_y"),
+    ).filter(F.col("_x").isNotNull() & F.col("_y").isNotNull())
+    g = per_user.agg(
+        (F.covar_pop("_y", "_x") / F.var_pop("_x")).alias("_theta"),
+        F.avg("_x").alias("_xbar"),
+    )
+    adj = per_user.crossJoin(F.broadcast(g)).select(
+        (F.col("user_id") % 2).alias("arm"),
+        "_y",
+        (
+            F.col("_y") - F.col("_theta") * (F.col("_x") - F.col("_xbar"))
+        ).alias("_yadj"),
+        "_theta",
+    )
+    return adj.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.round(F.avg("_y"), 6).alias("mean_y"),
+        F.round(F.avg("_yadj"), 6).alias("mean_y_cuped"),
+        F.round(F.lit(1) - F.var_pop("_yadj") / F.var_pop("_y"), 6).alias(
+            "var_reduction"
+        ),
+        F.round(F.max("_theta"), 6).alias("theta"),
+    )
+
+
 # =============================================================================
 # Driver contract
 # =============================================================================
@@ -9213,6 +9461,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q298_dp_noisy_counts": q298_dp_noisy_counts,
         "q299_lsh_scurve_planner": q299_lsh_scurve_planner,
         "q300_feature_store_materialization": q300_feature_store_materialization,
+        "q301_dataset_card": q301_dataset_card,
+        "q302_hard_negative_mining": q302_hard_negative_mining,
+        "q303_dedup_method_overlap": q303_dedup_method_overlap,
+        "q304_seasonal_adjusted_anomalies": q304_seasonal_adjusted_anomalies,
+        "q305_decile_migration": q305_decile_migration,
+        "q306_cuped_adjustment": q306_cuped_adjustment,
     }
 
 
@@ -14541,6 +14795,176 @@ def oracle_sql() -> dict[str, str]:
                round(count(*) FILTER (bloom_pass AND NOT is_member) * 1.0
                      / (count(*) - count(*) FILTER (is_member)), 6) AS fp_rate
         FROM audit
+    """
+    sqls["q301_dataset_card"] = r"""
+        WITH tok AS (
+            SELECT lang, doc_id,
+                   unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS w
+            FROM documents
+        ), tok2 AS (
+            SELECT lang, doc_id, w FROM tok WHERE w <> ''
+        ), per_doc AS (
+            SELECT lang, doc_id, count(*) AS nt, sum(len(w)) AS chars
+            FROM tok2 GROUP BY 1, 2
+        ), ds AS (
+            SELECT lang, count(*) AS n_docs,
+                   CAST(sum(nt) AS BIGINT) AS total_tokens,
+                   round(quantile_cont(nt, 0.5), 1) AS median_tokens,
+                   round(sum(chars) * 1.0 / sum(nt), 4) AS avg_token_len
+            FROM per_doc GROUP BY 1
+        ), vocab AS (
+            SELECT lang, count(*) AS vocab_size
+            FROM (SELECT DISTINCT lang, w FROM tok2) GROUP BY 1
+        ), dups AS (
+            SELECT lang,
+                   CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT)
+                       AS n_exact_dup_docs
+            FROM (SELECT lang, sha256(text) AS h, count(*) AS c
+                  FROM documents GROUP BY 1, 2)
+            GROUP BY 1
+        )
+        SELECT ds.lang, n_docs, n_exact_dup_docs, total_tokens,
+               median_tokens, vocab_size, avg_token_len
+        FROM ds JOIN vocab USING (lang) JOIN dups USING (lang)
+    """
+    sqls["q302_hard_negative_mining"] = """
+        WITH q AS (
+            SELECT vec_id AS query_id, embedding AS qv, label AS ql
+            FROM embeddings WHERE vec_id < 50
+        ), c AS (
+            SELECT vec_id AS neighbor_id, embedding AS cv,
+                   label AS neighbor_label
+            FROM embeddings
+        ), s AS (
+            -- widen to DOUBLE[] first: on FLOAT[] DuckDB accumulates the dot
+            -- product in float32, which drifts past the round-6 tolerance
+            SELECT query_id, neighbor_id, neighbor_label,
+                   list_cosine_similarity(CAST(qv AS DOUBLE[]),
+                                           CAST(cv AS DOUBLE[])) AS sim
+            FROM q JOIN c ON ql <> neighbor_label
+        ), r AS (
+            SELECT query_id, neighbor_id, neighbor_label, sim,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY sim DESC, neighbor_id) AS rank
+            FROM s
+        )
+        SELECT query_id, neighbor_id, neighbor_label,
+               round(sim, 6) AS cosine_sim, rank
+        FROM r WHERE rank <= 3
+    """
+    sqls["q303_dedup_method_overlap"] = f"""
+        WITH mh_full AS ({sqls["q23_minhash_lsh_pairs"]}),
+        sh_full AS ({sqls["q37_simhash_neardup"]}),
+        ex AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM documents a JOIN documents b
+              ON sha256(a.text) = sha256(b.text) AND a.doc_id < b.doc_id
+        ), mh AS (SELECT DISTINCT id_a, id_b FROM mh_full),
+        sh AS (SELECT DISTINCT id_a, id_b FROM sh_full),
+        exd AS (SELECT DISTINCT id_a, id_b FROM ex),
+        allp AS (
+            SELECT id_a, id_b FROM exd
+            UNION SELECT id_a, id_b FROM mh
+            UNION SELECT id_a, id_b FROM sh
+        ), masked AS (
+            SELECT (CASE WHEN e.id_a IS NOT NULL THEN 4 ELSE 0 END
+                    + CASE WHEN m.id_a IS NOT NULL THEN 2 ELSE 0 END
+                    + CASE WHEN s.id_a IS NOT NULL THEN 1 ELSE 0 END)
+                       AS method_mask
+            FROM allp p
+            LEFT JOIN exd e ON e.id_a = p.id_a AND e.id_b = p.id_b
+            LEFT JOIN mh m ON m.id_a = p.id_a AND m.id_b = p.id_b
+            LEFT JOIN sh s ON s.id_a = p.id_a AND s.id_b = p.id_b
+        )
+        SELECT method_mask, count(*) AS n_pairs FROM masked GROUP BY 1
+    """
+    sqls["q304_seasonal_adjusted_anomalies"] = """
+        WITH daily AS (
+            SELECT event_type, date_trunc('day', ts) AS day,
+                   CAST(count(*) AS DOUBLE) AS v
+            FROM events GROUP BY 1, 2
+        ), d2 AS (
+            SELECT event_type, v, isodow(day) - 1 AS dow FROM daily
+        ), idx AS (
+            SELECT a.event_type, a.dow, a.dmu / b.mu AS idx
+            FROM (SELECT event_type, dow, avg(v) AS dmu
+                  FROM d2 GROUP BY 1, 2) a
+            JOIN (SELECT event_type, avg(v) AS mu
+                  FROM d2 GROUP BY 1) b USING (event_type)
+        ), adj AS (
+            SELECT d2.event_type, d2.v, d2.v / idx.idx AS adjv
+            FROM d2 JOIN idx ON idx.event_type = d2.event_type
+                            AND idx.dow = d2.dow
+        ), m AS (
+            SELECT event_type, avg(v) AS rm, stddev_pop(v) AS rs,
+                   avg(adjv) AS am, stddev_pop(adjv) AS asd
+            FROM adj GROUP BY 1
+        ), f AS (
+            SELECT adj.event_type,
+                   abs((v - rm) / rs) >= 2 AS fr,
+                   abs((adjv - am) / asd) >= 2 AS fa
+            FROM adj JOIN m USING (event_type)
+        )
+        SELECT event_type, count(*) AS n_days,
+               count(*) FILTER (fr) AS n_raw_anomalies,
+               count(*) FILTER (fa) AS n_adjusted_anomalies,
+               count(*) FILTER (fr <> fa) AS n_flips
+        FROM f GROUP BY 1
+    """
+    sqls["q305_decile_migration"] = """
+        WITH per_user AS (
+            SELECT user_id,
+                   sum(CASE WHEN ts < TIMESTAMP '2024-01-16'
+                            THEN value END) AS x,
+                   sum(CASE WHEN ts >= TIMESTAMP '2024-01-16'
+                            THEN value END) AS y
+            FROM events GROUP BY 1
+        ), pu AS (
+            SELECT * FROM per_user WHERE x IS NOT NULL AND y IS NOT NULL
+        ), th AS (
+            SELECT quantile_cont(x, 0.2) AS x1, quantile_cont(x, 0.4) AS x2,
+                   quantile_cont(x, 0.6) AS x3, quantile_cont(x, 0.8) AS x4,
+                   quantile_cont(y, 0.2) AS y1, quantile_cont(y, 0.4) AS y2,
+                   quantile_cont(y, 0.6) AS y3, quantile_cont(y, 0.8) AS y4
+            FROM pu
+        ), scored AS (
+            SELECT 1 + CASE WHEN x > x1 THEN 1 ELSE 0 END
+                     + CASE WHEN x > x2 THEN 1 ELSE 0 END
+                     + CASE WHEN x > x3 THEN 1 ELSE 0 END
+                     + CASE WHEN x > x4 THEN 1 ELSE 0 END AS pre_quintile,
+                   1 + CASE WHEN y > y1 THEN 1 ELSE 0 END
+                     + CASE WHEN y > y2 THEN 1 ELSE 0 END
+                     + CASE WHEN y > y3 THEN 1 ELSE 0 END
+                     + CASE WHEN y > y4 THEN 1 ELSE 0 END AS post_quintile
+            FROM pu, th
+        )
+        SELECT pre_quintile, post_quintile, count(*) AS n_users
+        FROM scored GROUP BY 1, 2
+    """
+    sqls["q306_cuped_adjustment"] = """
+        WITH per_user AS (
+            SELECT user_id,
+                   sum(CASE WHEN ts < TIMESTAMP '2024-01-16'
+                            THEN value END) AS x,
+                   sum(CASE WHEN ts >= TIMESTAMP '2024-01-16'
+                            THEN value END) AS y
+            FROM events GROUP BY 1
+        ), pu AS (
+            SELECT * FROM per_user WHERE x IS NOT NULL AND y IS NOT NULL
+        ), g AS (
+            SELECT covar_pop(y, x) / var_pop(x) AS theta, avg(x) AS xbar
+            FROM pu
+        ), adj AS (
+            SELECT user_id % 2 AS arm, y,
+                   y - theta * (x - xbar) AS yadj, theta
+            FROM pu, g
+        )
+        SELECT arm, count(*) AS n_users,
+               round(avg(y), 6) AS mean_y,
+               round(avg(yadj), 6) AS mean_y_cuped,
+               round(1 - var_pop(yadj) / var_pop(y), 6) AS var_reduction,
+               round(max(theta), 6) AS theta
+        FROM adj GROUP BY 1
     """
     sqls["q295_cbo_estimation_audit"] = """
         WITH so AS (
