@@ -9149,6 +9149,373 @@ def q306_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q307_ipw_treatment_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverse-propensity-weighted ATE [EXT]: stratify users by pre-period
+    activity quintile, estimate per-stratum propensity P(treat|stratum),
+    then the Horvitz-Thompson estimate avg(t·y/p − (1−t)·y/(1−p)) — the
+    observational-causal counterpart of q306's CUPED and q278's
+    diff-in-diff, with positivity diagnostics (min/max propensity).
+
+    Scale shape: per-user conditional aggregation, then two broadcast
+    joins (4 quintile cuts; ≤5 stratum propensities); final 1-row agg."""
+    ev = _t(spark, sf_dir, "events")
+    cut = F.lit("2024-01-16").cast("timestamp_ntz")
+    per_user = ev.groupBy("user_id").agg(
+        F.sum(F.when(F.col("ts") < cut, F.col("value"))).alias("_x"),
+        F.sum(F.when(F.col("ts") >= cut, F.col("value"))).alias("_y"),
+    ).filter(F.col("_x").isNotNull() & F.col("_y").isNotNull())
+    cuts = per_user.agg(
+        F.expr("percentile(_x, array(0.2, 0.4, 0.6, 0.8))").alias("_c")
+    )
+    strat = per_user.crossJoin(F.broadcast(cuts)).select(
+        (F.col("user_id") % 2).cast("double").alias("_t"),
+        "_y",
+        F.aggregate(
+            "_c",
+            F.lit(0),
+            lambda acc, c: acc + F.when(F.col("_x") > c, 1).otherwise(0),
+        ).alias("_stratum"),
+    )
+    prop = strat.groupBy("_stratum").agg(F.avg("_t").alias("_p"))
+    scored = strat.join(F.broadcast(prop), "_stratum")
+    return scored.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.round(
+            F.avg(F.when(F.col("_t") == 1, F.col("_y")))
+            - F.avg(F.when(F.col("_t") == 0, F.col("_y"))),
+            6,
+        ).alias("naive_diff"),
+        F.round(
+            F.avg(
+                F.col("_t") * F.col("_y") / F.col("_p")
+                - (1 - F.col("_t")) * F.col("_y") / (1 - F.col("_p"))
+            ),
+            6,
+        ).alias("ipw_ate"),
+        F.round(F.min("_p"), 6).alias("min_propensity"),
+        F.round(F.max("_p"), 6).alias("max_propensity"),
+    )
+
+
+def q308_l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit [EXT]: complement of q297's k-anonymity — within
+    each quasi-identifier equivalence class (nation, balance bucket), the
+    SENSITIVE attribute (market segment) must take ≥ l distinct values
+    (distinct l-diversity) with entropy ≥ ln(l) (entropy l-diversity), or
+    a homogeneity attack reads the sensitive value straight off the QI.
+    Reports, for l ∈ {2, 3}, the failing classes under both criteria.
+
+    Scale shape: two cascaded aggregations (QI+sensitive → QI); the l
+    sweep explodes only the bounded per-class table."""
+    c = _t(spark, sf_dir, "customer")
+    cells = c.groupBy(
+        "c_nationkey",
+        F.floor(F.col("c_acctbal") / 1000).alias("_bb"),
+        "c_mktsegment",
+    ).agg(F.count(F.lit(1)).alias("_n"))
+    # round the entropy to 9 decimals: uniform groups land EXACTLY at
+    # ln(d) in infinite precision, and summation-order noise would
+    # otherwise flip the h < ln(l) boundary between engines
+    groups = cells.groupBy("c_nationkey", "_bb").agg(
+        F.count(F.lit(1)).alias("_d"),
+        F.sum("_n").alias("_tot"),
+        F.round(
+            F.log(F.sum("_n"))
+            - F.sum(F.col("_n") * F.log("_n")) / F.sum("_n"),
+            9,
+        ).alias("_h"),
+    )
+    ls = F.explode(F.array(F.lit(2), F.lit(3))).alias("l")
+    return (
+        groups.select("_d", "_tot", "_h", ls)
+        .groupBy("l")
+        .agg(
+            F.count(F.lit(1)).alias("n_groups"),
+            F.sum(F.when(F.col("_d") < F.col("l"), 1).otherwise(0)).alias(
+                "n_below_distinct_l"
+            ),
+            F.sum(
+                F.when(
+                    F.col("_h") < F.round(F.log(F.col("l").cast("double")), 9), 1
+                ).otherwise(0)
+            ).alias("n_below_entropy_l"),
+            F.sum(
+                F.when(F.col("_d") < F.col("l"), F.col("_tot")).otherwise(0)
+            ).alias("n_rows_at_risk"),
+        )
+    )
+
+
+def q309_blocking_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record-linkage blocking audit [EXT]: evaluate candidate-generation
+    strategies against exact ground truth (3-gram Jaccard ≥ 0.5 pairs,
+    inverted-index join). Per strategy — length bucket (n_chars/100) vs
+    first token — report candidate volume, reduction ratio vs all-pairs,
+    and pairs completeness (recall of true pairs whose two docs share a
+    block). The standard pre-flight before committing to a blocking key
+    in entity resolution (complements q245's Fellegi-Sunter scoring).
+
+    Scale shape: candidate volume is Σ n·(n−1)/2 over block sizes — an
+    aggregation, never a materialized pair set; completeness joins the
+    (small) truth-pair table to per-doc block keys twice."""
+    d = _t(spark, sf_dir, "documents")
+    truth = ngram_jaccard_pairs(
+        d, "doc_id", "text", ngram=3, threshold=0.5, block_col=None
+    ).select("id_a", "id_b")
+    keyed = d.select(
+        "doc_id",
+        F.floor(F.col("n_chars") / 100).cast("string").alias("len_bucket"),
+        F.split(F.lower(F.trim(F.col("text"))), r"\s+").getItem(0).alias(
+            "first_token"
+        ),
+    )
+    n_docs = d.count()
+    total_pairs = n_docs * (n_docs - 1) // 2
+    strategies = [("len_bucket", "len_bucket"), ("first_token", "first_token")]
+    outs = []
+    for name, col in strategies:
+        cand = (
+            keyed.groupBy(col)
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .agg(
+                F.sum(F.col("_n") * (F.col("_n") - 1) / 2)
+                .cast("long")
+                .alias("n_candidate_pairs")
+            )
+        )
+        compl = (
+            keyed.select(F.col("doc_id").alias("id_a"), F.col(col).alias("_ka"))
+            .join(F.broadcast(truth), "id_a")
+            .join(
+                keyed.select(F.col("doc_id").alias("id_b"),
+                             F.col(col).alias("_kb")).hint("shuffle_hash"),
+                "id_b",
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n_true_pairs"),
+                F.coalesce(
+                    F.round(F.avg((F.col("_ka") == F.col("_kb")).cast("double")), 6),
+                    F.lit(0.0),
+                ).alias("pairs_completeness"),
+            )
+        )
+        outs.append(
+            cand.crossJoin(compl).select(
+                F.lit(name).alias("strategy"),
+                "n_candidate_pairs",
+                F.round(
+                    1 - F.col("n_candidate_pairs") / F.lit(float(total_pairs)), 6
+                ).alias("reduction_ratio"),
+                "n_true_pairs",
+                "pairs_completeness",
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
+def q310_bigram_backoff_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stupid-backoff bigram LM scoring [EXT]: corpus-fit bigram model with
+    Brants-style backoff — score(w2|w1) = ln(c(w1,w2)/c(w1)) when the
+    bigram was seen, else ln(0.4·c(w2)/N) — rolled up per language as the
+    fluency signal one tier above q114's unigram filter. Also reports the
+    backoff rate (unseen-bigram share), the usual LM-coverage diagnostic.
+
+    Scale shape: token stream shuffles once per count table; the bigram
+    model is corpus-sized so it shuffle-joins on (w1, w2), while the
+    vocab-bounded unigram table broadcasts; per-lang rollup is 2-key."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        "lang",
+        F.posexplode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias(
+            "pos", "w"
+        ),
+    ).filter(F.col("w") != "")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    bg = toks.select(
+        "lang", F.lag("w").over(w).alias("w1"), F.col("w").alias("w2")
+    ).filter(F.col("w1").isNotNull())
+    uni = toks.groupBy(F.col("w").alias("w1")).agg(F.count(F.lit(1)).alias("c1"))
+    big = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    n_total = toks.agg(F.count(F.lit(1)).alias("n")).select("n")
+    scored = (
+        bg.join(big.hint("shuffle_hash"), ["w1", "w2"], "left")
+        .join(F.broadcast(uni), "w1")
+        .join(
+            F.broadcast(uni.select(F.col("w1").alias("w2"),
+                                   F.col("c1").alias("c1_w2"))),
+            "w2",
+        )
+        .crossJoin(F.broadcast(n_total))
+        .select(
+            "lang",
+            F.when(
+                F.col("c2").isNotNull(), F.log(F.col("c2") / F.col("c1"))
+            ).otherwise(
+                F.log(F.lit(0.4)) + F.log(F.col("c1_w2") / F.col("n"))
+            ).alias("lp"),
+            F.col("c2").isNull().cast("double").alias("backed_off"),
+        )
+    )
+    return scored.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(F.avg("lp"), 6).alias("avg_logprob"),
+        F.round(F.avg("backed_off"), 6).alias("backoff_rate"),
+    )
+
+
+def q311_ann_hubness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN hubness audit [EXT]: the k-occurrence distribution — how often
+    each vector appears in other vectors' exact top-10 cosine neighbor
+    lists. High-dimensional corpora grow 'hubs' (vectors in everyone's
+    neighbor list) and antihubs (in nobody's); a skewed k-occurrence
+    histogram predicts poor ANN recall before an index is ever built
+    (Radovanović et al., JMLR 2010). Buckets: 0, 1–4, 5–9, 10–19, 20+.
+
+    Scale shape: capped probe set (vec_id < 2000) keeps the all-pairs
+    score bounded; one side broadcasts (2000×64 floats ≈ 0.5 MB), ranks
+    are per-query windows, in-degree is one aggregation over k·n rows."""
+    e = (
+        _t(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 2000)
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    )
+    q = e.select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"))
+    dot = F.aggregate(
+        F.zip_with("qv", "v", lambda a, b: a * b), F.lit(0.0), lambda s, x: s + x
+    )
+    nrm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(F.zip_with(c, c, lambda a, b: a * b), F.lit(0.0),
+                    lambda s, x: s + x)
+    )
+    scored = (
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            # round before ranking: both engines agree on 9-decimal sims, so
+            # near-tie rank order is decided by the id tie-break, not by
+            # 1e-16 summation-order noise
+            F.round(dot / (nrm(F.col("qv")) * nrm(F.col("v"))), 9).alias("sim"),
+        )
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id")
+    )
+    topk = scored.withColumn("rank", F.row_number().over(wq)).filter(
+        F.col("rank") <= 10
+    )
+    indeg = (
+        e.select(F.col("vec_id").alias("neighbor_id"))
+        .join(topk.groupBy("neighbor_id").agg(F.count(F.lit(1)).alias("_k")),
+              "neighbor_id", "left")
+        .select(F.coalesce(F.col("_k"), F.lit(0)).alias("k_occ"))
+    )
+    bucket = (
+        F.when(F.col("k_occ") == 0, "0_antihub")
+        .when(F.col("k_occ") < 5, "1-4")
+        .when(F.col("k_occ") < 10, "5-9")
+        .when(F.col("k_occ") < 20, "10-19")
+        .otherwise("20+_hub")
+    )
+    return indeg.groupBy(bucket.alias("k_occurrence_bucket")).agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.max("k_occ").alias("max_k_occurrence"),
+    )
+
+
+def q312_attribution_model_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-touch attribution comparison [EXT]: the same purchases as
+    q145, credited under three standard models at once — first-touch,
+    last-touch, and linear (cents split evenly over every qualifying
+    touch in the preceding hour via largest-remainder integer division;
+    'direct' when none) — the side-by-side a marketing team reads before
+    picking a model. All three credits are exact integer cents.
+
+    Scale shape: one RANGE-framed window per user collects the touch
+    structs (no self-join); linear explodes only purchase rows × their
+    bounded touch lists; final rollup is channel-keyed."""
+    from hubverse_transform_spark.operators.sessions import _epoch_seconds
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        _epoch_seconds(F.col("ts")).alias("_t"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("_cents"),
+    )
+    w = Window.partitionBy("user_id").orderBy("_t").rangeBetween(-3600, 0)
+    touches = F.array_sort(
+        F.collect_list(
+            F.when(
+                F.col("event_type") != "purchase",
+                F.struct(F.col("_t").alias("t"), F.col("event_type").alias("et")),
+            )
+        ).over(w)
+    )
+    purchases = (
+        ev.withColumn("_touches", touches)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "_cents",
+            F.coalesce(F.get("_touches", 0).getField("et"),
+                       F.lit("direct")).alias("_first"),
+            F.coalesce(
+                F.try_element_at("_touches", F.lit(-1)).getField("et"),
+                F.lit("direct"),
+            ).alias("_last"),
+            F.when(
+                F.size("_touches") == 0, F.array(F.lit("direct"))
+            ).otherwise(F.transform("_touches", lambda s: s.getField("et"))).alias(
+                "_chs"
+            ),
+        )
+    )
+    first = purchases.groupBy(F.col("_first").alias("channel")).agg(
+        F.sum("_cents").alias("_fc")
+    )
+    last = purchases.groupBy(F.col("_last").alias("channel")).agg(
+        F.sum("_cents").alias("_lc")
+    )
+    # exact integer cents: cents div n to every touch, remainder cents to the
+    # first (cents mod n) touches in sorted order — largest-remainder
+    # distribution keeps the per-channel sums hash-stable (no 1/n floats)
+    linear = (
+        purchases.select(
+            "_cents",
+            F.size("_chs").alias("_n"),
+            F.posexplode("_chs").alias("_pos", "channel"),
+        )
+        .groupBy("channel")
+        .agg(
+            F.sum(
+                F.expr("_cents div _n")
+                + F.when(F.col("_pos") < F.col("_cents") % F.col("_n"), 1)
+                .otherwise(0)
+            ).alias("_nc")
+        )
+    )
+    # linear's channel set is a superset of first/last (a first or last touch
+    # is always an element of the touch list), so left joins are lossless
+    return (
+        linear.join(first, "channel", "left")
+        .join(last, "channel", "left")
+        .select(
+            "channel",
+            F.round(F.coalesce(F.col("_fc"), F.lit(0)) / 100.0, 2).alias(
+                "first_touch_value"
+            ),
+            F.round(F.coalesce(F.col("_lc"), F.lit(0)) / 100.0, 2).alias(
+                "last_touch_value"
+            ),
+            F.round(F.col("_nc") / 100.0, 2).alias("linear_value"),
+        )
+    )
+
+
 # =============================================================================
 # Driver contract
 # =============================================================================
@@ -9467,6 +9834,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q304_seasonal_adjusted_anomalies": q304_seasonal_adjusted_anomalies,
         "q305_decile_migration": q305_decile_migration,
         "q306_cuped_adjustment": q306_cuped_adjustment,
+        "q307_ipw_treatment_effect": q307_ipw_treatment_effect,
+        "q308_l_diversity_audit": q308_l_diversity_audit,
+        "q309_blocking_quality_audit": q309_blocking_quality_audit,
+        "q310_bigram_backoff_logprob": q310_bigram_backoff_logprob,
+        "q311_ann_hubness_audit": q311_ann_hubness_audit,
+        "q312_attribution_model_compare": q312_attribution_model_compare,
     }
 
 
@@ -14965,6 +15338,217 @@ def oracle_sql() -> dict[str, str]:
                round(1 - var_pop(yadj) / var_pop(y), 6) AS var_reduction,
                round(max(theta), 6) AS theta
         FROM adj GROUP BY 1
+    """
+    sqls["q307_ipw_treatment_effect"] = """
+        WITH per_user AS (
+            SELECT user_id,
+                   sum(CASE WHEN ts < TIMESTAMP '2024-01-16'
+                            THEN value END) AS x,
+                   sum(CASE WHEN ts >= TIMESTAMP '2024-01-16'
+                            THEN value END) AS y
+            FROM events GROUP BY 1
+        ), pu AS (
+            SELECT * FROM per_user WHERE x IS NOT NULL AND y IS NOT NULL
+        ), cuts AS (
+            SELECT quantile_cont(x, [0.2, 0.4, 0.6, 0.8]) AS c FROM pu
+        ), strat AS (
+            SELECT CAST(user_id % 2 AS DOUBLE) AS t, y,
+                   (CASE WHEN x > c[1] THEN 1 ELSE 0 END
+                    + CASE WHEN x > c[2] THEN 1 ELSE 0 END
+                    + CASE WHEN x > c[3] THEN 1 ELSE 0 END
+                    + CASE WHEN x > c[4] THEN 1 ELSE 0 END) AS stratum
+            FROM pu, cuts
+        ), prop AS (
+            SELECT stratum, avg(t) AS p FROM strat GROUP BY 1
+        )
+        SELECT count(*) AS n_users,
+               round(avg(CASE WHEN t = 1 THEN y END)
+                     - avg(CASE WHEN t = 0 THEN y END), 6) AS naive_diff,
+               round(avg(t * y / p - (1 - t) * y / (1 - p)), 6) AS ipw_ate,
+               round(min(p), 6) AS min_propensity,
+               round(max(p), 6) AS max_propensity
+        FROM strat JOIN prop USING (stratum)
+    """
+    sqls["q308_l_diversity_audit"] = """
+        WITH cells AS (
+            SELECT c_nationkey, floor(c_acctbal / 1000) AS bb,
+                   c_mktsegment, count(*) AS n
+            FROM customer GROUP BY 1, 2, 3
+        ), groups AS (
+            SELECT c_nationkey, bb, count(*) AS d,
+                   CAST(sum(n) AS BIGINT) AS tot,
+                   round(ln(sum(n)) - sum(n * ln(n)) / sum(n), 9) AS h
+            FROM cells GROUP BY 1, 2
+        ), ls AS (SELECT CAST(unnest([2, 3]) AS INT) AS l)
+        SELECT l, count(*) AS n_groups,
+               CAST(sum(CASE WHEN d < l THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_below_distinct_l,
+               CAST(sum(CASE WHEN h < round(ln(CAST(l AS DOUBLE)), 9)
+                            THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_below_entropy_l,
+               CAST(sum(CASE WHEN d < l THEN tot ELSE 0 END) AS BIGINT)
+                   AS n_rows_at_risk
+        FROM groups, ls GROUP BY 1
+    """
+    sqls["q309_blocking_quality_audit"] = f"""
+        WITH tok AS (
+            SELECT doc_id, {_TOKS} AS toks FROM documents
+        ), sh AS (
+            SELECT doc_id, {_SHINGLES3} AS s FROM tok
+        ), truth AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            WHERE len(list_intersect(a.s, b.s)) * 1.0
+                  / len(list_distinct(list_concat(a.s, b.s))) >= 0.5
+        ), keyed AS (
+            SELECT doc_id,
+                   CAST(n_chars // 100 AS VARCHAR) AS len_bucket,
+                   ({_TOKS})[1] AS first_token
+            FROM documents
+        ), tot AS (
+            SELECT count(*) AS n FROM documents
+        ), strategies AS (
+            SELECT 'len_bucket' AS strategy, len_bucket AS k, doc_id FROM keyed
+            UNION ALL
+            SELECT 'first_token', first_token, doc_id FROM keyed
+        ), cand AS (
+            SELECT strategy,
+                   CAST(sum(n * (n - 1) / 2) AS BIGINT) AS n_candidate_pairs
+            FROM (SELECT strategy, k, count(*) AS n
+                  FROM strategies GROUP BY 1, 2)
+            GROUP BY 1
+        ), joined AS (
+            SELECT k1.len_bucket AS la, k2.len_bucket AS lb,
+                   k1.first_token AS fa, k2.first_token AS fb
+            FROM truth t
+            JOIN keyed k1 ON k1.doc_id = t.id_a
+            JOIN keyed k2 ON k2.doc_id = t.id_b
+        ), compl AS (
+            SELECT 'len_bucket' AS strategy, count(*) AS n_true_pairs,
+                   coalesce(round(avg(CASE WHEN la = lb THEN 1.0
+                                           ELSE 0.0 END), 6), 0.0) AS pc
+            FROM joined
+            UNION ALL
+            SELECT 'first_token', count(*),
+                   coalesce(round(avg(CASE WHEN fa = fb THEN 1.0
+                                           ELSE 0.0 END), 6), 0.0)
+            FROM joined
+        )
+        SELECT c.strategy, c.n_candidate_pairs,
+               round(1 - c.n_candidate_pairs / (tot.n * (tot.n - 1) / 2.0), 6)
+                   AS reduction_ratio,
+               p.n_true_pairs, p.pc AS pairs_completeness
+        FROM cand c JOIN compl p ON p.strategy = c.strategy, tot
+    """
+    sqls["q310_bigram_backoff_logprob"] = f"""
+        WITH tok AS (
+            SELECT doc_id, lang,
+                   list_filter({_TOKS}, t -> t != '') AS toks
+            FROM documents
+        ), uni AS (
+            SELECT w1, count(*) AS c1
+            FROM (SELECT unnest(toks) AS w1 FROM tok) GROUP BY 1
+        ), tot AS (
+            SELECT CAST(sum(len(toks)) AS DOUBLE) AS n FROM tok
+        ), bg AS (
+            SELECT lang,
+                   unnest(list_transform(range(1, len(toks)),
+                          i -> toks[i])) AS w1,
+                   unnest(list_transform(range(1, len(toks)),
+                          i -> toks[i+1])) AS w2
+            FROM tok
+        ), big AS (
+            SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY 1, 2
+        ), scored AS (
+            SELECT bg.lang,
+                   CASE WHEN big.c2 IS NOT NULL
+                        THEN ln(big.c2 * 1.0 / u1.c1)
+                        ELSE ln(0.4) + ln(u2.c1 / tot.n) END AS lp,
+                   CASE WHEN big.c2 IS NULL THEN 1.0 ELSE 0.0 END
+                       AS backed_off
+            FROM bg
+            LEFT JOIN big ON big.w1 = bg.w1 AND big.w2 = bg.w2
+            JOIN uni u1 ON u1.w1 = bg.w1
+            JOIN uni u2 ON u2.w1 = bg.w2
+            CROSS JOIN tot
+        )
+        SELECT lang, count(*) AS n_bigrams,
+               round(avg(lp), 6) AS avg_logprob,
+               round(avg(backed_off), 6) AS backoff_rate
+        FROM scored GROUP BY 1
+    """
+    sqls["q311_ann_hubness_audit"] = """
+        WITH e AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+            FROM embeddings WHERE vec_id < 2000
+        ), scored AS (
+            SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+                   round(list_cosine_similarity(q.v, e.v), 9) AS sim
+            FROM e q, e WHERE e.vec_id != q.vec_id
+        ), topk AS (
+            SELECT neighbor_id
+            FROM (SELECT query_id, neighbor_id,
+                         row_number() OVER (PARTITION BY query_id
+                                            ORDER BY sim DESC, neighbor_id)
+                             AS r
+                  FROM scored)
+            WHERE r <= 10
+        ), indeg AS (
+            SELECT e.vec_id, coalesce(k.c, 0) AS k_occ
+            FROM e LEFT JOIN (SELECT neighbor_id, count(*) AS c
+                              FROM topk GROUP BY 1) k
+              ON k.neighbor_id = e.vec_id
+        )
+        SELECT CASE WHEN k_occ = 0 THEN '0_antihub'
+                    WHEN k_occ < 5 THEN '1-4'
+                    WHEN k_occ < 10 THEN '5-9'
+                    WHEN k_occ < 20 THEN '10-19'
+                    ELSE '20+_hub' END AS k_occurrence_bucket,
+               count(*) AS n_vectors,
+               CAST(max(k_occ) AS BIGINT) AS max_k_occurrence
+        FROM indeg GROUP BY 1
+    """
+    sqls["q312_attribution_model_compare"] = """
+        WITH ev AS (
+            SELECT user_id, event_type, epoch(ts) AS t,
+                   CAST(round(value * 100, 0) AS BIGINT) AS cents
+            FROM events
+        ), touched AS (
+            SELECT user_id, event_type, cents,
+                   list_sort(list({'t': t, 'et': event_type})
+                             FILTER (WHERE event_type <> 'purchase')
+                             OVER (PARTITION BY user_id ORDER BY t
+                                   RANGE BETWEEN 3600 PRECEDING
+                                         AND CURRENT ROW)) AS touches
+            FROM ev
+        ), pur AS (
+            SELECT cents,
+                   coalesce(touches[1].et, 'direct') AS first_ch,
+                   coalesce(touches[len(touches)].et, 'direct') AS last_ch,
+                   CASE WHEN touches IS NULL OR len(touches) = 0
+                        THEN ['direct']
+                        ELSE list_transform(touches, s -> s.et) END AS chs
+            FROM touched WHERE event_type = 'purchase'
+        ), firsts AS (
+            SELECT first_ch AS channel, sum(cents) AS fc FROM pur GROUP BY 1
+        ), lasts AS (
+            SELECT last_ch AS channel, sum(cents) AS lc FROM pur GROUP BY 1
+        ), lin AS (
+            SELECT ch AS channel,
+                   sum(cents // len
+                       + CASE WHEN i <= cents % len THEN 1 ELSE 0 END) AS nc
+            FROM (SELECT cents, len(chs) AS len, unnest(chs) AS ch,
+                         generate_subscripts(chs, 1) AS i
+                  FROM pur)
+            GROUP BY 1
+        )
+        SELECT n.channel,
+               round(coalesce(f.fc, 0) / 100.0, 2) AS first_touch_value,
+               round(coalesce(l.lc, 0) / 100.0, 2) AS last_touch_value,
+               round(n.nc / 100.0, 2) AS linear_value
+        FROM lin n
+        LEFT JOIN firsts f ON f.channel = n.channel
+        LEFT JOIN lasts l ON l.channel = n.channel
     """
     sqls["q295_cbo_estimation_audit"] = """
         WITH so AS (
