@@ -6397,7 +6397,11 @@ def q245_fellegi_sunter(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the self-join is bounded by the blocking key (per-nation
     pair count, NOT corpus-quadratic; at lake scale block on
     nation × phone-prefix to cap block width), weights are map-side CASE
-    arithmetic, result is a TakeOrdered top-20."""
+    arithmetic with the edit distance in THRESHOLD form (banded DP,
+    abandons past 2 — ~1.7× over the full matrix; a SymSpell
+    candidate-first split was measured and rejected: this corpus has 163k
+    lev≤2 pairs, so the neighborhood join costs more than it saves);
+    result is a TakeOrdered top-20."""
     c = _t(spark, sf_dir, "customer").select(
         "c_custkey",
         "c_nationkey",
@@ -6424,7 +6428,7 @@ def q245_fellegi_sunter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("c_mktsegment") == F.col("_seg2"), F.lit(1.504077))
         .otherwise(F.lit(-2.079442))
         + F.when(
-            F.levenshtein(F.col("c_name"), F.col("_name2")) <= 2,
+            F.levenshtein(F.col("c_name"), F.col("_name2"), 2) >= 0,
             F.lit(6.856462),
         ).otherwise(F.lit(-2.995632))
         + F.when(F.col("_bal") == F.col("_bal2"), F.lit(2.079442))
@@ -8063,11 +8067,13 @@ def q281_column_stats_collection(spark: SparkSession, sf_dir: str) -> DataFrame:
     array-of-structs pattern so ONE corpus scan feeds every column's
     stats (q259's trick, turned into the engine's stats collector).
 
-    Scale shape: one scan, explode ×4 (column count, not data driven);
-    the NDV is exact here (distinct on (col, value)) with
-    approx_count_distinct as the documented lake-scale swap; quartiles
-    buffer per column — q206's rank-selection is the declared scale
-    twin."""
+    Scale shape: one scan, explode ×4 (column count, not data driven),
+    then a pre-aggregation to (col, value, count) so the final per-column
+    agg sees only distinct values: NDV becomes a plain count (no
+    countDistinct expand), quartiles use frequency-weighted
+    percentile(v, p, cnt) — identical order statistics, but the
+    imperative-agg buffer holds distinct values, not rows. NDV is exact
+    with approx_count_distinct as the documented lake-scale swap."""
     li = _t(spark, sf_dir, "lineitem")
     cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
     melted = li.select(
@@ -8083,15 +8089,27 @@ def q281_column_stats_collection(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("_s")
     ).select("_s.col_name", "_s.v")
-    return melted.groupBy("col_name").agg(
-        F.count(F.lit(1)).alias("n_rows"),
-        F.sum(F.when(F.col("v").isNull(), 1).otherwise(0)).alias("n_null"),
-        F.countDistinct("v").alias("ndv"),
-        F.round(F.min("v"), 4).alias("min_v"),
-        F.round(F.max("v"), 4).alias("max_v"),
-        F.round(F.expr("percentile(v, 0.25)"), 4).alias("p25"),
-        F.round(F.expr("percentile(v, 0.5)"), 4).alias("p50"),
-        F.round(F.expr("percentile(v, 0.75)"), 4).alias("p75"),
+    cnts = melted.groupBy("col_name", "v").agg(F.count(F.lit(1)).alias("cnt"))
+    return (
+        cnts.groupBy("col_name")
+        .agg(
+            F.sum("cnt").alias("n_rows"),
+            F.sum(F.when(F.col("v").isNull(), F.col("cnt")).otherwise(0)).alias(
+                "n_null"
+            ),
+            F.count("v").alias("ndv"),
+            F.round(F.min("v"), 4).alias("min_v"),
+            F.round(F.max("v"), 4).alias("max_v"),
+            F.round(
+                F.expr("percentile(v, array(0.25, 0.5, 0.75), cnt)").getItem(0), 4
+            ).alias("p25"),
+            F.round(
+                F.expr("percentile(v, array(0.25, 0.5, 0.75), cnt)").getItem(1), 4
+            ).alias("p50"),
+            F.round(
+                F.expr("percentile(v, array(0.25, 0.5, 0.75), cnt)").getItem(2), 4
+            ).alias("p75"),
+        )
     )
 
 

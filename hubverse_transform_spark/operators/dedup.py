@@ -807,32 +807,35 @@ def edit_distance_pairs(
     text_col: str,
     *,
     max_dist: int = 1,
+    block_col: str | None = None,
 ) -> DataFrame:
     """SymSpell-style edit-distance similarity join: all pairs with
     ``levenshtein <= max_dist`` via a deletion-neighborhood equi-join.
 
-    Candidate completeness (max_dist=1): any two strings within one edit
-    share at least one member of {self} ∪ {single-character deletions} —
-    a substitution at position i means both sides' delete-at-i agree; an
+    Candidate completeness: any two strings within k edits share a common
+    member of their k-deletion closures (the SymSpell invariant — a
+    substitution at position i means both sides' delete-at-i agree; an
     insertion/deletion means the longer string's deletion equals the
-    shorter string itself. So exploding the ~L+1 variants per row (linear
-    side: the HOF runs once per ROW, never per pair) turns the similarity
-    join into an equi-join on the variant key, and the exact ``levenshtein``
-    verify runs only on candidates. 100 TB posture: |corpus|·L join rows
-    instead of |corpus|² comparisons; the variant key is the shuffle
-    partition key, and hot variants can take a df-cap + residual join
-    (``containment_prefix_pairs`` pattern) unchanged.
+    shorter string). So exploding the closure per row (linear side: the
+    HOF runs once per ROW, never per pair) turns the similarity join into
+    an equi-join on the variant key, and the exact ``levenshtein`` verify
+    (threshold form — banded DP) runs only on candidates. Closure sizes:
+    L+1 variants at k=1, 1+L+L(L−1)/2 at k=2. 100 TB posture: |corpus|·L^k
+    join rows instead of |corpus|² comparisons; the variant key is the
+    shuffle partition key, and hot variants can take a df-cap + residual
+    join (``containment_prefix_pairs`` pattern) unchanged. An optional
+    ``block_col`` additionally restricts pairs to equal blocks.
 
     Returns ``(id_a, id_b, dist)`` with ``id_a < id_b``, deduplicated
     across shared variants before the verify.
     """
-    if max_dist != 1:
+    if max_dist not in (1, 2):
         raise NotImplementedError(
-            "deletion neighborhoods are generated for max_dist=1; higher "
-            "distances need the full d-deletion closure (|variants| ~ L^d)"
+            "deletion neighborhoods are generated for max_dist in (1, 2); "
+            "higher distances need the full d-deletion closure (~L^d)"
         )
     text = F.col(text_col)
-    deletions = F.when(
+    del1 = F.when(
         F.length(text) >= 1,
         F.transform(
             F.sequence(F.lit(1), F.length(text)),
@@ -842,19 +845,41 @@ def edit_distance_pairs(
             ),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    variants = F.array_union(F.array(text), deletions)
+    variants = F.array_union(F.array(text), del1)
+    if max_dist == 2:
+        # delete positions i < j in one expression (applying del1 to the
+        # del1 variants would need a lambda-var-relative inner sequence;
+        # the (i, j) form stays one flat HOF over the original string)
+        del2 = F.when(
+            F.length(text) >= 2,
+            F.flatten(
+                F.transform(
+                    F.sequence(F.lit(1), F.length(text) - 1),
+                    lambda i: F.transform(
+                        F.sequence(i + 1, F.length(text)),
+                        lambda j: F.concat(
+                            F.substring(text, F.lit(1), i - 1),
+                            text.substr(i + 1, j - i - 1),
+                            text.substr(j + 1, F.length(text)),
+                        ),
+                    ),
+                )
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        variants = F.array_union(variants, F.array_distinct(del2))
+    keys = ["_v"] + (["_blk"] if block_col else [])
     v = df.select(
         F.col(id_col).alias("_id"),
+        *([F.col(block_col).alias("_blk")] if block_col else []),
         text.alias("_txt"),
         F.explode(variants).alias("_v"),
     )
     a, b = v.alias("a"), v.alias("b")
+    cond = F.col("a._id") < F.col("b._id")
+    for k in keys:
+        cond = (F.col(f"a.{k}") == F.col(f"b.{k}")) & cond
     cand = (
-        a.join(
-            b,
-            (F.col("a._v") == F.col("b._v"))
-            & (F.col("a._id") < F.col("b._id")),
-        )
+        a.join(b, cond)
         .select(
             F.col("a._id").alias("id_a"),
             F.col("b._id").alias("id_b"),
@@ -864,8 +889,8 @@ def edit_distance_pairs(
         .distinct()
     )
     return (
-        cand.withColumn("dist", F.levenshtein("_ta", "_tb"))
-        .filter(F.col("dist") <= max_dist)
+        cand.withColumn("dist", F.levenshtein("_ta", "_tb", max_dist))
+        .filter(F.col("dist") >= 0)
         .select("id_a", "id_b", "dist")
     )
 

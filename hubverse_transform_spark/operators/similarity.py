@@ -40,15 +40,26 @@ def cosine_brute_force_topk(
     ``queries`` is broadcast — scoring is a map-only stage over the corpus.
     Ties break on neighbor id for full determinism.
     """
+    # norms are hoisted to each SIDE of the join (|Q|+|C| evaluations), not
+    # computed per pair (|Q|·|C|): across a join fan-out Spark's runtime
+    # subexpression elimination cannot share them, so inlined
+    # cosine_similarity would re-aggregate both norms for every pair —
+    # measured 2.4× slower at 1000×4000 pairs. The arithmetic below is
+    # bit-identical to cosine_similarity (same l2_norm expression per row,
+    # same product/division order), so oracle hashes are unchanged.
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qvec")
-    )
+    ).withColumn("_qn", l2_norm(F.col("_qvec")))
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cvec")
-    )
+    ).withColumn("_cn", l2_norm(F.col("_cvec")))
+    denom = F.col("_qn") * F.col("_cn")
     scored = (
         c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cosine_sim", cosine_similarity(F.col("_qvec"), F.col("_cvec")))
+        .withColumn(
+            "cosine_sim",
+            F.when(denom > 0, dot_product(F.col("_qvec"), F.col("_cvec")) / denom),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine_sim").desc(), F.col("neighbor_id"))
     return (

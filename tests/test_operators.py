@@ -737,6 +737,54 @@ def test_edit_distance_pairs_equals_bruteforce(spark):
     assert got[(1, 9)] == 0 and got[(1, 2)] == 1 and got[(6, 7)] == 1
 
 
+def test_edit_distance_pairs_k2_equals_bruteforce(spark):
+    """The 2-deletion closure is COMPLETE for levenshtein<=2, including
+    mixed-edit cases (sub+del, two insertions, transposition-as-2-edits),
+    and the block_col restricts pairs to equal blocks."""
+    from pyspark.sql import functions as F
+
+    from hubverse_transform_spark.operators.dedup import edit_distance_pairs
+
+    rows = [
+        (1, "kitten", "x"),
+        (2, "sitten", "x"),    # 1 sub vs 1
+        (3, "sittin", "x"),    # 2 subs vs 1
+        (4, "kittenab", "x"),  # 2 insertions vs 1
+        (5, "itten", "x"),     # del vs 1; del+sub vs 2
+        (6, "ikttne", "x"),    # scrambled, dist > 2 from 1
+        (7, "kitten", "y"),    # other block: no pair with 1 despite dist 0
+        (8, "ktiten", "x"),    # transposition = 2 edits vs 1
+        (9, "ab", "x"),
+        (10, "", "x"),         # empty string: 2 deletions away from 9
+    ]
+    df = spark.createDataFrame(rows, ["id", "s", "blk"])
+    got = {
+        (r["id_a"], r["id_b"]): r["dist"]
+        for r in edit_distance_pairs(
+            df, "id", "s", max_dist=2, block_col="blk"
+        ).collect()
+    }
+    a, b = df.alias("a"), df.alias("b")
+    brute = {
+        (r["id_a"], r["id_b"]): r["dist"]
+        for r in a.join(
+            b, (F.col("a.id") < F.col("b.id")) & (F.col("a.blk") == F.col("b.blk"))
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.levenshtein("a.s", "b.s").alias("dist"),
+        )
+        .filter(F.col("dist") <= 2)
+        .collect()
+    }
+    assert got == brute
+    assert (1, 8) in got and got[(1, 8)] == 2      # transposition
+    assert (9, 10) in got and got[(9, 10)] == 2    # down to empty
+    assert (1, 7) not in got                       # blocked
+    assert (1, 6) not in got                       # dist > 2
+
+
 def test_heavy_hitters_equals_exact_with_eviction(spark):
     """Misra-Gries candidate phase + exact recount == plain groupBy filter,
     on skewed data where vocab (40) exceeds the counter budget (k=20) so
