@@ -9534,6 +9534,350 @@ def q312_attribution_model_compare(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+def q313_mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance retrieval [EXT]: re-rank the query's
+    top-12 cosine candidates by greedily picking 5 that balance relevance
+    against redundancy — score = λ·sim(q,d) − (1−λ)·max over selected of
+    sim(d,s), λ=0.7 (Carbonell & Goldstein 1998) — the diversification a
+    RAG stack applies so 5 retrieved chunks aren't 5 near-copies
+    (composes with q208's chunking and q167's re-rank).
+
+    Scale shape: candidate generation is the broadcast brute-force top-k
+    (IVF/LSH swap in at lake scale); the greedy runs driver-side over the
+    k-BOUNDED candidate set (12 ids + 144 pair sims — same bounded-collect
+    posture as the IVF centroid pull, never data-sized)."""
+    e = (
+        _t(spark, sf_dir, "embeddings")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    )
+    qv = e.filter(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
+    dot = F.aggregate(
+        F.zip_with("qv", "v", lambda a, b: a * b), F.lit(0.0), lambda s, x: s + x
+    )
+    nrm2 = lambda c: F.aggregate(  # noqa: E731
+        c, F.lit(0.0), lambda s, x: s + x * x
+    )
+    cand = (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            "vec_id",
+            "v",
+            F.round(
+                dot / F.sqrt(nrm2(F.col("qv")) * nrm2(F.col("v"))), 9
+            ).alias("simq"),
+        )
+        .orderBy(F.col("simq").desc(), "vec_id")
+        .limit(12)
+    )
+    rows = cand.collect()  # bounded: 12 candidates
+    ids = [r["vec_id"] for r in rows]
+    simq = {r["vec_id"]: float(r["simq"]) for r in rows}
+    vecs = {r["vec_id"]: [float(x) for x in r["v"]] for r in rows}
+
+    def _cos(a: list[float], b: list[float]) -> float:
+        d = sum(x * y for x, y in zip(a, b))
+        na = sum(x * x for x in a)
+        nb = sum(x * x for x in b)
+        return round(d / (na * nb) ** 0.5, 9)
+
+    lam = 0.7
+    selected: list[tuple[int, int, float]] = []
+    remaining = sorted(ids)
+    while len(selected) < 5 and remaining:
+        best = None
+        for cid in remaining:
+            pen = max(
+                (_cos(vecs[cid], vecs[s]) for s, _, _ in selected), default=0.0
+            )
+            score = lam * simq[cid] - (1 - lam) * pen
+            if best is None or score > best[1]:
+                best = (cid, score)
+        selected.append((best[0], len(selected) + 1, best[1]))
+        remaining.remove(best[0])
+    return spark.createDataFrame(
+        [(rank, cid, round(score, 6)) for cid, rank, score in selected],
+        "rank int, neighbor_id bigint, mmr_score double",
+    )
+
+
+def q314_obf_sequential_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-sequential monitoring audit [EXT]: daily interim looks at the
+    running A/B experiment (arm = user_id parity) with an O'Brien-Fleming-
+    shaped spending boundary z_bound = 2.2414/√t at information fraction t
+    — reports each day's cumulative Welch z against its boundary and
+    whether naive fixed-α peeking (|z| > 1.959964) would have "won" early
+    where OBF correctly keeps the gate closed. Complements q230 (final
+    t-test), q282 (power), q293 (SRM).
+
+    Scale shape: one (day, arm) aggregation; cumulative moments are
+    arm-partitioned windows over ~30 day rows; the boundary is constant
+    arithmetic."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.to_date("ts").alias("day"), (F.col("user_id") % 2).alias("arm")
+    ).agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum("value").alias("_s"),
+        F.sum(F.col("value") * F.col("value")).alias("_s2"),
+    )
+    w = (
+        Window.partitionBy("arm")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = daily.select(
+        "day",
+        "arm",
+        F.sum("_n").over(w).alias("_cn"),
+        F.sum("_s").over(w).alias("_cs"),
+        F.sum("_s2").over(w).alias("_cs2"),
+    )
+    a = cum.filter(F.col("arm") == 0).select(
+        "day",
+        F.col("_cn").alias("_na"),
+        (F.col("_cs") / F.col("_cn")).alias("_ma"),
+        (
+            (F.col("_cs2") - F.col("_cs") * F.col("_cs") / F.col("_cn"))
+            / (F.col("_cn") - 1)
+        ).alias("_va"),
+    )
+    b = cum.filter(F.col("arm") == 1).select(
+        "day",
+        F.col("_cn").alias("_nb"),
+        (F.col("_cs") / F.col("_cn")).alias("_mb"),
+        (
+            (F.col("_cs2") - F.col("_cs") * F.col("_cs") / F.col("_cn"))
+            / (F.col("_cn") - 1)
+        ).alias("_vb"),
+    )
+    tot = a.agg(F.max("_na").alias("_ta")).crossJoin(
+        b.agg(F.max("_nb").alias("_tb"))
+    )
+    z = (F.col("_ma") - F.col("_mb")) / F.sqrt(
+        F.col("_va") / F.col("_na") + F.col("_vb") / F.col("_nb")
+    )
+    return (
+        a.join(b, "day")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.round(
+                (F.col("_na") + F.col("_nb"))
+                / (F.col("_ta") + F.col("_tb")).cast("double"),
+                6,
+            ).alias("info_frac"),
+            F.round(z, 6).alias("z_stat"),
+            F.round(
+                F.lit(2.2414)
+                / F.sqrt(
+                    (F.col("_na") + F.col("_nb"))
+                    / (F.col("_ta") + F.col("_tb")).cast("double")
+                ),
+                6,
+            ).alias("obf_bound"),
+            (
+                F.abs(z)
+                > F.lit(2.2414)
+                / F.sqrt(
+                    (F.col("_na") + F.col("_nb"))
+                    / (F.col("_ta") + F.col("_tb")).cast("double")
+                )
+            ).alias("obf_crossed"),
+            (F.abs(z) > 1.959964).alias("naive_crossed"),
+        )
+    )
+
+
+def q315_ecod_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ECOD outlier scoring [EXT] (Li et al., TKDE 2022): per feature,
+    the empirical tail probability min(P(X≤v), P(X≥v)); outlier score =
+    Σ −ln(tailp) over features (l_quantity, l_discount, l_tax) — the
+    parameter-free anomaly detector that needs only per-column CDFs.
+    Top-10 most anomalous lineitems with full-key tie-break.
+
+    Scale shape: the CDFs live on (col, value, count) tables — windows
+    partition on col_name and scan VALUE-granularity rows (≤70 total),
+    never data; scoring joins three broadcast CDF maps; result is a
+    TakeOrdered top-10."""
+    li = _t(spark, sf_dir, "lineitem")
+    cols = ["l_quantity", "l_discount", "l_tax"]
+    melted = li.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("col_name"),
+                        F.col(c).cast("double").alias("v"),
+                    )
+                    for c in cols
+                ]
+            )
+        ).alias("_s")
+    ).select("_s.col_name", "_s.v")
+    cnts = melted.groupBy("col_name", "v").agg(F.count(F.lit(1)).alias("_c"))
+    wcdf = (
+        Window.partitionBy("col_name")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wtot = Window.partitionBy("col_name")
+    cdf = cnts.select(
+        "col_name",
+        "v",
+        (F.sum("_c").over(wcdf) / F.sum("_c").over(wtot)).alias("_pl"),
+        (
+            (F.sum("_c").over(wtot) - F.sum("_c").over(wcdf) + F.col("_c"))
+            / F.sum("_c").over(wtot)
+        ).alias("_pr"),
+    ).select(
+        "col_name",
+        "v",
+        (-F.log(F.least("_pl", "_pr"))).alias("_nll"),
+    )
+    scored = li.select("l_orderkey", "l_linenumber", *cols)
+    for c in cols:
+        scored = scored.join(
+            F.broadcast(
+                cdf.filter(F.col("col_name") == c).select(
+                    F.col("v").alias(c), F.col("_nll").alias(f"_nll_{c}")
+                )
+            ),
+            c,
+        )
+    return (
+        scored.select(
+            "l_orderkey",
+            "l_linenumber",
+            F.round(
+                sum(F.col(f"_nll_{c}") for c in cols), 6
+            ).alias("ecod_score"),
+        )
+        .orderBy(F.col("ecod_score").desc(), "l_orderkey", "l_linenumber")
+        .limit(10)
+    )
+
+
+def q316_partial_topk_merge_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed top-k merge audit [EXT]: shard the corpus (doc_id mod
+    8), take each shard's LOCAL top-20 tokens, merge by summing the local
+    counts that survived, and compare the merged top-20 against the exact
+    global top-20 — recall@20 and the worst undercount. This is THE
+    approximation every "top terms per hour" dashboard quietly makes;
+    the audit measures what the shard cut actually costs.
+
+    Scale shape: local top-k is a shard-partitioned window; exact and
+    merged top-20 are sort-limits (TakeOrdered); the candidate set is
+    ≤ shards×k rows."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        (F.col("doc_id") % 8).alias("shard"),
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("w"),
+    ).filter(F.col("w") != "")
+    local = toks.groupBy("shard", "w").agg(F.count(F.lit(1)).alias("_lc"))
+    wl = Window.partitionBy("shard").orderBy(F.col("_lc").desc(), "w")
+    survived = local.withColumn("_r", F.row_number().over(wl)).filter(
+        F.col("_r") <= 20
+    )
+    merged = (
+        survived.groupBy("w")
+        .agg(F.sum("_lc").alias("_mc"))
+        .orderBy(F.col("_mc").desc(), "w")
+        .limit(20)
+    )
+    exact = (
+        toks.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("_ec"))
+        .orderBy(F.col("_ec").desc(), "w")
+        .limit(20)
+    )
+    joined = exact.join(F.broadcast(merged), "w", "left")
+    return joined.agg(
+        F.count(F.lit(1)).alias("n_exact"),
+        F.round(F.count("_mc") / 20.0, 6).alias("recall_at_20"),
+        F.max(
+            F.when(F.col("_mc").isNotNull(), F.col("_ec") - F.col("_mc"))
+        ).alias("max_undercount"),
+    )
+
+
+def q317_fd_discovery_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency discovery audit [EXT]: for candidate FDs
+    A→B, holds iff ndv(A) == ndv(A,B) (Metanome-style profiling); also
+    reports how many LHS values violate (map to >1 RHS) — the
+    data-profiling pass a catalog runs before trusting "key" claims
+    (complements q264's referential integrity and q294's contracts).
+
+    Scale shape: per FD one (A,B) aggregation then one A aggregation —
+    counts only, no row materialization; the 6-FD sweep unions 1-row
+    frames."""
+    fds = [
+        ("orders", "o_orderkey", "o_orderstatus"),
+        ("customer", "c_custkey", "c_mktsegment"),
+        ("part", "p_name", "p_brand"),
+        ("lineitem", "l_partkey", "l_suppkey"),
+        ("lineitem", "l_orderkey", "l_returnflag"),
+        ("events", "user_id", "event_type"),
+    ]
+    outs = []
+    for tbl, lhs, rhs in fds:
+        t = _t(spark, sf_dir, tbl)
+        per_lhs = t.groupBy(lhs).agg(F.countDistinct(rhs).alias("_nd"))
+        outs.append(
+            per_lhs.agg(
+                F.count(F.lit(1)).alias("lhs_ndv"),
+                F.sum("_nd").alias("pair_ndv"),
+                (F.sum("_nd") == F.count(F.lit(1))).alias("holds"),
+                F.sum(F.when(F.col("_nd") > 1, 1).otherwise(0)).alias(
+                    "n_violating_lhs"
+                ),
+            ).select(
+                F.lit(f"{tbl}.{lhs}->{rhs}").alias("fd"),
+                "lhs_ndv",
+                "pair_ndv",
+                "holds",
+                "n_violating_lhs",
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
+def q318_quantile_normalization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile normalization audit [EXT]: map each source's document-
+    length distribution onto a shared reference (the cross-source mean of
+    per-source centile means — the microarray-style QN recipe adapted to
+    unequal group sizes via ntile(100)). Reports, per centile, the
+    reference value and the worst per-source deviation — the
+    "are these sources even comparable" check before pooling corpora.
+
+    Scale shape: ntile is a source-partitioned window; everything after
+    lives on the 100-row-per-source centile grid."""
+    d = _t(spark, sf_dir, "documents")
+    wn = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    centiles = d.select(
+        "source", "n_chars", F.ntile(100).over(wn).alias("centile")
+    )
+    per_sc = centiles.groupBy("source", "centile").agg(
+        F.avg("n_chars").alias("_m")
+    )
+    wc = Window.partitionBy("centile")
+    return (
+        per_sc.select(
+            "centile", "_m", F.avg("_m").over(wc).alias("_ref")
+        )
+        .groupBy("centile")
+        .agg(
+            F.round(F.max("_ref"), 6).alias("ref_value"),
+            F.round(F.max(F.abs(F.col("_m") - F.col("_ref"))), 6).alias(
+                "max_source_deviation"
+            ),
+        )
+    )
+
+
 # =============================================================================
 # Driver contract
 # =============================================================================
@@ -9858,6 +10202,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q310_bigram_backoff_logprob": q310_bigram_backoff_logprob,
         "q311_ann_hubness_audit": q311_ann_hubness_audit,
         "q312_attribution_model_compare": q312_attribution_model_compare,
+        "q313_mmr_diversified_topk": q313_mmr_diversified_topk,
+        "q314_obf_sequential_audit": q314_obf_sequential_audit,
+        "q315_ecod_outliers": q315_ecod_outliers,
+        "q316_partial_topk_merge_audit": q316_partial_topk_merge_audit,
+        "q317_fd_discovery_audit": q317_fd_discovery_audit,
+        "q318_quantile_normalization": q318_quantile_normalization,
     }
 
 
@@ -15567,6 +15917,195 @@ def oracle_sql() -> dict[str, str]:
         FROM lin n
         LEFT JOIN firsts f ON f.channel = n.channel
         LEFT JOIN lasts l ON l.channel = n.channel
+    """
+    # MMR greedy unrolled: sK picks rank K's candidate given sel(K-1);
+    # each step's argmax ties break on id (matches the driver-side greedy,
+    # which scans candidates in ascending id with strict >)
+    sqls["q313_mmr_diversified_topk"] = """
+        WITH e AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ), qv AS (SELECT v FROM e WHERE vec_id = 0),
+        cand AS (
+            SELECT e.vec_id AS id,
+                   round(list_cosine_similarity(e.v, qv.v), 9) AS simq, e.v
+            FROM e, qv WHERE e.vec_id != 0
+            ORDER BY simq DESC, id LIMIT 12
+        ), ps AS (
+            SELECT a.id AS ia, b.id AS ib,
+                   round(list_cosine_similarity(a.v, b.v), 9) AS s
+            FROM cand a, cand b WHERE a.id != b.id
+        ), s1 AS (
+            SELECT id, 0.7 * simq AS score FROM cand
+            ORDER BY simq DESC, id LIMIT 1
+        ), s2 AS (
+            SELECT c.id, 0.7 * c.simq - 0.3 * max(ps.s) AS score
+            FROM cand c JOIN ps ON ps.ia = c.id
+            WHERE ps.ib IN (SELECT id FROM s1)
+              AND c.id NOT IN (SELECT id FROM s1)
+            GROUP BY c.id, c.simq ORDER BY score DESC, c.id LIMIT 1
+        ), sel2 AS (SELECT id FROM s1 UNION ALL SELECT id FROM s2),
+        s3 AS (
+            SELECT c.id, 0.7 * c.simq - 0.3 * max(ps.s) AS score
+            FROM cand c JOIN ps ON ps.ia = c.id
+            WHERE ps.ib IN (SELECT id FROM sel2)
+              AND c.id NOT IN (SELECT id FROM sel2)
+            GROUP BY c.id, c.simq ORDER BY score DESC, c.id LIMIT 1
+        ), sel3 AS (SELECT id FROM sel2 UNION ALL SELECT id FROM s3),
+        s4 AS (
+            SELECT c.id, 0.7 * c.simq - 0.3 * max(ps.s) AS score
+            FROM cand c JOIN ps ON ps.ia = c.id
+            WHERE ps.ib IN (SELECT id FROM sel3)
+              AND c.id NOT IN (SELECT id FROM sel3)
+            GROUP BY c.id, c.simq ORDER BY score DESC, c.id LIMIT 1
+        ), sel4 AS (SELECT id FROM sel3 UNION ALL SELECT id FROM s4),
+        s5 AS (
+            SELECT c.id, 0.7 * c.simq - 0.3 * max(ps.s) AS score
+            FROM cand c JOIN ps ON ps.ia = c.id
+            WHERE ps.ib IN (SELECT id FROM sel4)
+              AND c.id NOT IN (SELECT id FROM sel4)
+            GROUP BY c.id, c.simq ORDER BY score DESC, c.id LIMIT 1
+        )
+        SELECT CAST(1 AS INT) AS rank, id AS neighbor_id,
+               round(score, 6) AS mmr_score FROM s1
+        UNION ALL SELECT 2, id, round(score, 6) FROM s2
+        UNION ALL SELECT 3, id, round(score, 6) FROM s3
+        UNION ALL SELECT 4, id, round(score, 6) FROM s4
+        UNION ALL SELECT 5, id, round(score, 6) FROM s5
+    """
+    sqls["q314_obf_sequential_audit"] = """
+        WITH daily AS (
+            SELECT CAST(ts AS DATE) AS day, user_id % 2 AS arm,
+                   count(*) AS n, sum(value) AS s, sum(value * value) AS s2
+            FROM events GROUP BY 1, 2
+        ), cum AS (
+            SELECT day, arm,
+                   sum(n) OVER w AS cn, sum(s) OVER w AS cs,
+                   sum(s2) OVER w AS cs2
+            FROM daily
+            WINDOW w AS (PARTITION BY arm ORDER BY day
+                         ROWS UNBOUNDED PRECEDING)
+        ), a AS (
+            SELECT day, cn AS na, cs / cn AS ma,
+                   (cs2 - cs * cs / cn) / (cn - 1) AS va
+            FROM cum WHERE arm = 0
+        ), b AS (
+            SELECT day, cn AS nb, cs / cn AS mb,
+                   (cs2 - cs * cs / cn) / (cn - 1) AS vb
+            FROM cum WHERE arm = 1
+        ), tot AS (
+            SELECT (SELECT max(na) FROM a) + (SELECT max(nb) FROM b) AS t
+        )
+        SELECT strftime(a.day, '%Y-%m-%d') AS day,
+               round((na + nb) / CAST(t AS DOUBLE), 6) AS info_frac,
+               round((ma - mb) / sqrt(va / na + vb / nb), 6) AS z_stat,
+               round(2.2414 / sqrt((na + nb) / CAST(t AS DOUBLE)), 6)
+                   AS obf_bound,
+               abs((ma - mb) / sqrt(va / na + vb / nb))
+                   > 2.2414 / sqrt((na + nb) / CAST(t AS DOUBLE))
+                   AS obf_crossed,
+               abs((ma - mb) / sqrt(va / na + vb / nb)) > 1.959964
+                   AS naive_crossed
+        FROM a JOIN b USING (day), tot
+    """
+    sqls["q315_ecod_outliers"] = """
+        WITH cnts AS (
+            SELECT col_name, v, count(*) AS c
+            FROM (
+                SELECT 'l_quantity' AS col_name,
+                       CAST(l_quantity AS DOUBLE) AS v FROM lineitem
+                UNION ALL
+                SELECT 'l_discount', CAST(l_discount AS DOUBLE) FROM lineitem
+                UNION ALL
+                SELECT 'l_tax', CAST(l_tax AS DOUBLE) FROM lineitem
+            ) GROUP BY 1, 2
+        ), cdf AS (
+            SELECT col_name, v,
+                   -ln(least(
+                       sum(c) OVER wc * 1.0 / sum(c) OVER wt,
+                       (sum(c) OVER wt - sum(c) OVER wc + c) * 1.0
+                           / sum(c) OVER wt)) AS nll
+            FROM cnts
+            WINDOW wc AS (PARTITION BY col_name ORDER BY v
+                          ROWS UNBOUNDED PRECEDING),
+                   wt AS (PARTITION BY col_name)
+        )
+        SELECT l.l_orderkey, l.l_linenumber,
+               round(q.nll + d.nll + t.nll, 6) AS ecod_score
+        FROM lineitem l
+        JOIN cdf q ON q.col_name = 'l_quantity'
+                  AND q.v = CAST(l.l_quantity AS DOUBLE)
+        JOIN cdf d ON d.col_name = 'l_discount'
+                  AND d.v = CAST(l.l_discount AS DOUBLE)
+        JOIN cdf t ON t.col_name = 'l_tax'
+                  AND t.v = CAST(l.l_tax AS DOUBLE)
+        ORDER BY ecod_score DESC, l.l_orderkey, l.l_linenumber
+        LIMIT 10
+    """
+    sqls["q316_partial_topk_merge_audit"] = f"""
+        WITH toks AS (
+            SELECT shard, w FROM (
+                SELECT doc_id % 8 AS shard,
+                       unnest({_TOKS}) AS w
+                FROM documents
+            ) WHERE w != ''
+        ), local AS (
+            SELECT shard, w, count(*) AS lc FROM toks GROUP BY 1, 2
+        ), survived AS (
+            SELECT shard, w, lc FROM (
+                SELECT shard, w, lc,
+                       row_number() OVER (PARTITION BY shard
+                                          ORDER BY lc DESC, w) AS r
+                FROM local) WHERE r <= 20
+        ), merged AS (
+            SELECT w, sum(lc) AS mc FROM survived GROUP BY 1
+            ORDER BY mc DESC, w LIMIT 20
+        ), exact AS (
+            SELECT w, count(*) AS ec FROM toks GROUP BY 1
+            ORDER BY ec DESC, w LIMIT 20
+        )
+        SELECT count(*) AS n_exact,
+               round(count(mc) / 20.0, 6) AS recall_at_20,
+               CAST(max(CASE WHEN mc IS NOT NULL THEN ec - mc END) AS BIGINT)
+                   AS max_undercount
+        FROM exact LEFT JOIN merged USING (w)
+    """
+    _fd_sqls = []
+    for _tbl, _lhs, _rhs in [
+        ("orders", "o_orderkey", "o_orderstatus"),
+        ("customer", "c_custkey", "c_mktsegment"),
+        ("part", "p_name", "p_brand"),
+        ("lineitem", "l_partkey", "l_suppkey"),
+        ("lineitem", "l_orderkey", "l_returnflag"),
+        ("events", "user_id", "event_type"),
+    ]:
+        _fd_sqls.append(f"""
+            SELECT '{_tbl}.{_lhs}->{_rhs}' AS fd,
+                   count(*) AS lhs_ndv,
+                   CAST(sum(nd) AS BIGINT) AS pair_ndv,
+                   sum(nd) = count(*) AS holds,
+                   CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_violating_lhs
+            FROM (SELECT {_lhs}, count(DISTINCT {_rhs}) AS nd
+                  FROM {_tbl} GROUP BY 1)
+        """)
+    sqls["q317_fd_discovery_audit"] = " UNION ALL ".join(_fd_sqls)
+    sqls["q318_quantile_normalization"] = """
+        WITH centiles AS (
+            SELECT source, n_chars,
+                   ntile(100) OVER (PARTITION BY source
+                                    ORDER BY n_chars, doc_id) AS centile
+            FROM documents
+        ), per_sc AS (
+            SELECT source, centile, avg(n_chars) AS m
+            FROM centiles GROUP BY 1, 2
+        ), wref AS (
+            SELECT centile, m,
+                   avg(m) OVER (PARTITION BY centile) AS ref
+            FROM per_sc
+        )
+        SELECT centile, round(max(ref), 6) AS ref_value,
+               round(max(abs(m - ref)), 6) AS max_source_deviation
+        FROM wref GROUP BY 1
     """
     sqls["q295_cbo_estimation_audit"] = """
         WITH so AS (
