@@ -9878,6 +9878,271 @@ def q318_quantile_normalization(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q319_mann_whitney_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U / rank-biserial effect size per event type [EXT]:
+    the nonparametric twin of q230's Welch t-test — U computed from the
+    value-granularity histogram (values quantized to 1 decimal), never
+    from a global rank: U_A = Σ_v nA(v)·(cumB(<v) + ½·nB(v)), and the
+    rank-biserial correlation r = 2U/(nA·nB) − 1 reads as a directional
+    effect size robust to outliers.
+
+    Scale shape: one (type, arm, value) aggregation; the cumulative walk
+    is a type-partitioned window over the bounded value grid; ½-ties stay
+    exact by carrying 2U as an integer."""
+    ev = _t(spark, sf_dir, "events")
+    hist = ev.groupBy(
+        "event_type",
+        F.round(F.col("value"), 1).alias("_v"),
+    ).agg(
+        F.sum(F.when(F.col("user_id") % 2 == 0, 1).otherwise(0)).alias("_na"),
+        F.sum(F.when(F.col("user_id") % 2 == 1, 1).otherwise(0)).alias("_nb"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("_v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    # 2U stays integral: 2·nA·cumB(<v) + nA·nB(v)
+    stepped = hist.select(
+        "event_type",
+        "_na",
+        "_nb",
+        (F.sum("_nb").over(w) - F.col("_nb")).alias("_cumb_less"),
+    )
+    return (
+        stepped.groupBy("event_type")
+        .agg(
+            F.sum("_na").alias("n_a"),
+            F.sum("_nb").alias("n_b"),
+            F.sum(
+                2 * F.col("_na") * F.col("_cumb_less")
+                + F.col("_na") * F.col("_nb")
+            ).alias("_u2"),
+        )
+        .select(
+            "event_type",
+            "n_a",
+            "n_b",
+            (F.col("_u2") / 2.0).alias("u_stat"),
+            F.round(
+                F.col("_u2") / (F.col("n_a") * F.col("n_b")).cast("double")
+                - 1.0,
+                6,
+            ).alias("rank_biserial"),
+        )
+    )
+
+
+def q320_equi_depth_histogram_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth histogram construction audit [EXT]: build the 10-bucket
+    equi-depth histogram a cost-based optimizer keeps for o_totalprice
+    (cut points = exact deciles) and measure how equi the depths actually
+    came out — heavy value ties pile rows into one bucket, and the skew
+    ratio tells the planner how much to trust uniform-depth selectivity
+    math (feeds q295's estimation audit; q281 collects the moments).
+
+    Scale shape: one exact-percentile aggregation (1×9 cuts, broadcast),
+    one bucket-assignment pass (CASE sums against the cut array), one
+    10-row rollup."""
+    o = _t(spark, sf_dir, "orders")
+    cuts = o.agg(
+        F.expr(
+            "percentile(o_totalprice, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9))"
+        ).alias("_c")
+    )
+    binned = o.crossJoin(F.broadcast(cuts)).select(
+        "o_totalprice",
+        F.aggregate(
+            "_c",
+            F.lit(0),
+            lambda acc, c: acc + F.when(F.col("o_totalprice") > c, 1).otherwise(0),
+        ).alias("bucket"),
+    )
+    n_total = o.count()
+    return (
+        binned.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.min("o_totalprice"), 2).alias("lo"),
+            F.round(F.max("o_totalprice"), 2).alias("hi"),
+        )
+        .select(
+            "bucket",
+            "n_rows",
+            F.lit(n_total // 10).cast("long").alias("expected_rows"),
+            F.round(F.col("n_rows") / F.lit(n_total / 10.0), 6).alias(
+                "depth_ratio"
+            ),
+            "lo",
+            "hi",
+        )
+    )
+
+
+def q321_markov_next_event_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov next-event prediction accuracy [EXT]: train the first-order
+    transition table (q226's matrix), predict each transition's next type
+    by the argmax row, and score in-sample accuracy per current type —
+    the 'is a Markov assumption even useful here' read a sequence-model
+    team takes before anything fancier.
+
+    Scale shape: transitions are a user-partitioned lead window; the
+    argmax is a 25-row window over the aggregated matrix; scoring joins
+    the broadcast 5-row prediction map."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = (
+        ev.select(
+            F.col("event_type").alias("cur"),
+            F.lead("event_type").over(w).alias("nxt"),
+        )
+        .filter(F.col("nxt").isNotNull())
+    )
+    counts = trans.groupBy("cur", "nxt").agg(F.count(F.lit(1)).alias("_n"))
+    wr = Window.partitionBy("cur").orderBy(F.col("_n").desc(), "nxt")
+    pred = (
+        counts.withColumn("_r", F.row_number().over(wr))
+        .filter(F.col("_r") == 1)
+        .select("cur", F.col("nxt").alias("predicted_next"))
+    )
+    return (
+        trans.join(F.broadcast(pred), "cur")
+        .groupBy(F.col("cur").alias("event_type"), "predicted_next")
+        .agg(
+            F.count(F.lit(1)).alias("n_transitions"),
+            F.round(
+                F.avg((F.col("nxt") == F.col("predicted_next")).cast("double")),
+                6,
+            ).alias("accuracy"),
+        )
+    )
+
+
+def q322_ngram_novelty_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram novelty rate [EXT]: per document, the share of its distinct
+    3-grams whose FIRST corpus occurrence (min doc_id) is this document —
+    the curation signal that separates content-adding documents from
+    recombinations of already-seen text (the incremental view of what
+    q121's duplicate-fraction measures in aggregate). Rolled up per lang.
+
+    Scale shape: shingle postings shuffle once for the min-doc table and
+    once joining back (both keyed on the shingle); the per-doc and
+    per-lang rollups are keyed aggregations."""
+    d = _t(spark, sf_dir, "documents")
+    sh = d.select(
+        "doc_id",
+        "lang",
+        F.explode_outer(shingle_ngrams(F.col("text"), 3)).alias("_s"),
+    ).filter(F.col("_s").isNotNull())
+    first = sh.groupBy("_s").agg(F.min("doc_id").alias("_first"))
+    per_doc = (
+        sh.join(first.hint("shuffle_hash"), "_s")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.avg((F.col("_first") == F.col("doc_id")).cast("double")).alias(
+                "_nov"
+            )
+        )
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("_nov"), 6).alias("avg_novelty_rate"),
+        F.round(F.min("_nov"), 6).alias("min_novelty_rate"),
+    )
+
+
+def q323_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate span detection [EXT]: per source, the 5-gram spans
+    appearing in more than 5% of that source's documents — the
+    CommonCrawl-style header/footer/template signal a cleaning pipeline
+    strips before dedup (distinct from q126's chunk dedup: this flags the
+    repeated UNIT, not the duplicated document). Top-10 per source by
+    document frequency.
+
+    Scale shape: distinct 5-grams per doc explode once; the (source,
+    ngram) df table aggregates, joins the broadcast per-source doc
+    counts, and ranks inside a source-partitioned window."""
+    d = _t(spark, sf_dir, "documents")
+    sh = d.select(
+        "doc_id",
+        "source",
+        F.explode_outer(shingle_ngrams(F.col("text"), 5)).alias("_g"),
+    ).filter(F.col("_g").isNotNull())
+    df_tbl = sh.groupBy("source", "_g").agg(
+        F.countDistinct("doc_id").alias("_df")
+    )
+    per_src = d.groupBy("source").agg(F.count(F.lit(1)).alias("_nd"))
+    wr = Window.partitionBy("source").orderBy(F.col("_df").desc(), "_g")
+    return (
+        df_tbl.join(F.broadcast(per_src), "source")
+        .filter(F.col("_df") > 0.05 * F.col("_nd"))
+        .withColumn("_r", F.row_number().over(wr))
+        .filter(F.col("_r") <= 10)
+        .select(
+            "source",
+            F.col("_g").alias("ngram"),
+            F.col("_df").alias("doc_freq"),
+            F.round(F.col("_df") / F.col("_nd").cast("double"), 6).alias(
+                "df_share"
+            ),
+        )
+    )
+
+
+def q324_weighted_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted (multiset) Jaccard similarity join [EXT]: J_w(A,B) =
+    Σ_g min(cA,cB) / Σ_g max(cA,cB) over 3-gram OCCURRENCE-count vectors —
+    the repetition-aware near-dup measure that set Jaccard (q21) is blind
+    to (a doc that repeats one paragraph 10× looks distinct as a set but
+    not as a multiset). Blocked by lang, threshold 0.3. n-grams (not
+    unigrams) keep the measure selective AND the postings shallow — the
+    unigram variant was measured at 21k pairs ≥0.3 on this corpus with
+    stopword-depth postings, a quadratic blow-up at scale.
+
+    Scale shape: Σmax needs no pair materialization — Σmax = totA + totB
+    − Σmin, so only the shared-gram join (inverted index, same posture
+    as ngram_jaccard_pairs) ever runs; per-doc totals ride along as
+    grouping keys."""
+    from hubverse_transform_spark.operators.textstats import _ngram_occurrences
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        "lang",
+        F.explode_outer(_ngram_occurrences(F.col("text"), 3)).alias("w"),
+    ).filter(F.col("w").isNotNull())
+    counts = toks.groupBy("doc_id", "lang", "w").agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    wt = Window.partitionBy("doc_id")
+    sides = counts.withColumn("_tot", F.sum("_c").over(wt))
+    a = sides.alias("a")
+    b = sides.hint("shuffle_hash").alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.w") == F.col("b.w"))
+            & (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.col("a._tot").alias("_ta"),
+            F.col("b._tot").alias("_tb"),
+        )
+        .agg(F.sum(F.least("a._c", "b._c")).alias("_smin"))
+    )
+    wj = F.col("_smin") / (
+        F.col("_ta") + F.col("_tb") - F.col("_smin")
+    ).cast("double")
+    return (
+        inter.withColumn("_wj", wj)
+        .filter(F.col("_wj") >= 0.3)
+        .select("id_a", "id_b", F.round("_wj", 6).alias("weighted_jaccard"))
+    )
+
+
 # =============================================================================
 # Driver contract
 # =============================================================================
@@ -10208,6 +10473,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q316_partial_topk_merge_audit": q316_partial_topk_merge_audit,
         "q317_fd_discovery_audit": q317_fd_discovery_audit,
         "q318_quantile_normalization": q318_quantile_normalization,
+        "q319_mann_whitney_by_type": q319_mann_whitney_by_type,
+        "q320_equi_depth_histogram_audit": q320_equi_depth_histogram_audit,
+        "q321_markov_next_event_accuracy": q321_markov_next_event_accuracy,
+        "q322_ngram_novelty_rate": q322_ngram_novelty_rate,
+        "q323_boilerplate_ngrams": q323_boilerplate_ngrams,
+        "q324_weighted_jaccard_pairs": q324_weighted_jaccard_pairs,
     }
 
 
@@ -16106,6 +16377,145 @@ def oracle_sql() -> dict[str, str]:
         SELECT centile, round(max(ref), 6) AS ref_value,
                round(max(abs(m - ref)), 6) AS max_source_deviation
         FROM wref GROUP BY 1
+    """
+    sqls["q319_mann_whitney_by_type"] = """
+        WITH hist AS (
+            SELECT event_type, round(value, 1) AS v,
+                   sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS na,
+                   sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS nb
+            FROM events GROUP BY 1, 2
+        ), stepped AS (
+            SELECT event_type, na, nb,
+                   sum(nb) OVER (PARTITION BY event_type ORDER BY v
+                                 ROWS UNBOUNDED PRECEDING) - nb AS cumb_less
+            FROM hist
+        )
+        SELECT event_type,
+               CAST(sum(na) AS BIGINT) AS n_a,
+               CAST(sum(nb) AS BIGINT) AS n_b,
+               sum(2 * na * cumb_less + na * nb) / 2.0 AS u_stat,
+               round(sum(2 * na * cumb_less + na * nb)
+                     / CAST(sum(na) * sum(nb) AS DOUBLE) - 1.0, 6)
+                   AS rank_biserial
+        FROM stepped GROUP BY 1
+    """
+    _bucket9 = " + ".join(
+        f"CASE WHEN o_totalprice > c[{i}] THEN 1 ELSE 0 END"
+        for i in range(1, 10)
+    )
+    sqls["q320_equi_depth_histogram_audit"] = f"""
+        WITH cuts AS (
+            SELECT quantile_cont(o_totalprice,
+                [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS c
+            FROM orders
+        ), tot AS (SELECT count(*) AS n FROM orders),
+        binned AS (
+            SELECT o_totalprice, ({_bucket9}) AS bucket
+            FROM orders, cuts
+        )
+        SELECT bucket, count(*) AS n_rows,
+               CAST(n // 10 AS BIGINT) AS expected_rows,
+               round(count(*) / (n / 10.0), 6) AS depth_ratio,
+               round(min(o_totalprice), 2) AS lo,
+               round(max(o_totalprice), 2) AS hi
+        FROM binned, tot
+        GROUP BY bucket, n
+    """
+    sqls["q321_markov_next_event_accuracy"] = """
+        WITH trans AS (
+            SELECT event_type AS cur,
+                   lead(event_type) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) AS nxt
+            FROM events
+        ), t2 AS (SELECT * FROM trans WHERE nxt IS NOT NULL),
+        counts AS (SELECT cur, nxt, count(*) AS n FROM t2 GROUP BY 1, 2),
+        pred AS (
+            SELECT cur, nxt AS predicted_next FROM (
+                SELECT cur, nxt,
+                       row_number() OVER (PARTITION BY cur
+                                          ORDER BY n DESC, nxt) AS r
+                FROM counts) WHERE r = 1
+        )
+        SELECT t2.cur AS event_type, p.predicted_next,
+               count(*) AS n_transitions,
+               round(avg(CASE WHEN t2.nxt = p.predicted_next
+                              THEN 1.0 ELSE 0.0 END), 6) AS accuracy
+        FROM t2 JOIN pred p ON p.cur = t2.cur
+        GROUP BY 1, 2
+    """
+    sqls["q322_ngram_novelty_rate"] = f"""
+        WITH tok AS (
+            SELECT doc_id, lang, {_TOKS} AS toks FROM documents
+        ), sh AS (
+            SELECT doc_id, lang, unnest({_SHINGLES3}) AS s FROM tok
+        ), first AS (
+            SELECT s, min(doc_id) AS fd FROM sh GROUP BY 1
+        ), per_doc AS (
+            SELECT sh.doc_id, sh.lang,
+                   avg(CASE WHEN f.fd = sh.doc_id THEN 1.0 ELSE 0.0 END)
+                       AS nov
+            FROM sh JOIN first f ON f.s = sh.s
+            GROUP BY 1, 2
+        )
+        SELECT lang, count(*) AS n_docs,
+               round(avg(nov), 6) AS avg_novelty_rate,
+               round(min(nov), 6) AS min_novelty_rate
+        FROM per_doc GROUP BY 1
+    """
+    _SHINGLES5 = (
+        "list_distinct(list_transform(range(1, greatest(len(toks)-5,0)+2), "
+        "i -> array_to_string(toks[i:i+4], ' ')))"
+    )
+    sqls["q323_boilerplate_ngrams"] = f"""
+        WITH tok AS (
+            SELECT doc_id, source, {_TOKS} AS toks FROM documents
+        ), sh AS (
+            SELECT doc_id, source, unnest({_SHINGLES5}) AS g FROM tok
+        ), df_tbl AS (
+            SELECT source, g, count(DISTINCT doc_id) AS df
+            FROM sh GROUP BY 1, 2
+        ), per_src AS (
+            SELECT source, count(*) AS nd FROM documents GROUP BY 1
+        )
+        SELECT source, g AS ngram,
+               CAST(df AS BIGINT) AS doc_freq,
+               round(df / CAST(nd AS DOUBLE), 6) AS df_share
+        FROM (
+            SELECT d.source, d.g, d.df, p.nd,
+                   row_number() OVER (PARTITION BY d.source
+                                      ORDER BY d.df DESC, d.g) AS r
+            FROM df_tbl d JOIN per_src p ON p.source = d.source
+            WHERE d.df > 0.05 * p.nd
+        ) WHERE r <= 10
+    """
+    sqls["q324_weighted_jaccard_pairs"] = f"""
+        WITH tok AS (
+            SELECT doc_id, lang, {_TOKS} AS toks FROM documents
+        ), toks AS (
+            SELECT doc_id, lang,
+                   unnest(list_transform(range(1, len(toks) - 3 + 2),
+                          i -> array_to_string(toks[i:i+2], ' '))) AS w
+            FROM tok
+        ), counts AS (
+            SELECT doc_id, lang, w, count(*) AS c
+            FROM toks GROUP BY 1, 2, 3
+        ), sides AS (
+            SELECT doc_id, lang, w, c,
+                   sum(c) OVER (PARTITION BY doc_id) AS tot
+            FROM counts
+        ), inter AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   a.tot AS ta, b.tot AS tb,
+                   sum(least(a.c, b.c)) AS smin
+            FROM sides a JOIN sides b
+              ON a.w = b.w AND a.lang = b.lang AND a.doc_id < b.doc_id
+            GROUP BY 1, 2, 3, 4
+        )
+        SELECT id_a, id_b,
+               round(smin / CAST(ta + tb - smin AS DOUBLE), 6)
+                   AS weighted_jaccard
+        FROM inter
+        WHERE smin / CAST(ta + tb - smin AS DOUBLE) >= 0.3
     """
     sqls["q295_cbo_estimation_audit"] = """
         WITH so AS (
