@@ -9400,6 +9400,8 @@ def q311_ann_hubness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "embeddings")
         .filter(F.col("vec_id") < 2000)
         .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+        # one-file scans serialize the all-pairs loop onto one task
+        .repartition(spark.sparkContext.defaultParallelism)
     )
     q = e.select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"))
     dot = F.aggregate(
@@ -9549,6 +9551,8 @@ def q313_mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = (
         _t(spark, sf_dir, "embeddings")
         .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+        # one-file scans serialize the scoring loop onto one task
+        .repartition(spark.sparkContext.defaultParallelism)
     )
     qv = e.filter(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
     dot = F.aggregate(
@@ -10143,6 +10147,362 @@ def q324_weighted_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q325_hodges_lehmann_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hodges-Lehmann shift estimator per event type [EXT]: the median of
+    all pairwise differences (arm1 − arm0) — the robust location-shift
+    companion to q319's rank-biserial, computed WITHOUT materializing
+    n²/4 pairs: both arms collapse to integer-floor value grids, the
+    difference histogram is the grid×grid join (≤ |grid|² weighted rows),
+    and the weighted median walks the cumulative weights.
+
+    Scale shape: grids are value-granularity (floor() keeps ~560 rows per
+    type); the convolution join and the cumulative walk both partition by
+    event_type."""
+    ev = _t(spark, sf_dir, "events")
+    grid = ev.groupBy(
+        "event_type",
+        (F.col("user_id") % 2).alias("_arm"),
+        F.floor("value").alias("_v"),
+    ).agg(F.count(F.lit(1)).alias("_n"))
+    ga = grid.filter(F.col("_arm") == 0).select(
+        "event_type", F.col("_v").alias("_va"), F.col("_n").alias("_na")
+    )
+    gb = grid.filter(F.col("_arm") == 1).select(
+        "event_type", F.col("_v").alias("_vb"), F.col("_n").alias("_nb")
+    )
+    diffs = (
+        ga.join(gb.hint("shuffle_hash"), "event_type")
+        .groupBy("event_type", (F.col("_vb") - F.col("_va")).alias("_d"))
+        .agg(F.sum(F.col("_na") * F.col("_nb")).alias("_w"))
+    )
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("_d")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wtot = Window.partitionBy("event_type")
+    walked = diffs.select(
+        "event_type",
+        "_d",
+        F.sum("_w").over(wcum).alias("_cum"),
+        F.sum("_w").over(wtot).alias("_tot"),
+    )
+    # weighted lower median: smallest d whose cumulative weight reaches
+    # half the total (percentile_disc convention, integer weights exact)
+    return (
+        walked.filter(2 * F.col("_cum") >= F.col("_tot"))
+        .groupBy("event_type")
+        .agg(
+            F.min("_d").alias("hl_shift"),
+            F.max("_tot").alias("n_pairs"),
+        )
+    )
+
+
+def q326_meta_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-effects meta-analysis across experiment slices [EXT]: treat
+    each event type as a study (arm mean difference + its variance),
+    pool by inverse-variance weighting, and report Cochran's Q and I² —
+    the heterogeneity read that says whether 'the' treatment effect is
+    one number or five (the cross-slice sequel to q230/q278/q306).
+
+    Scale shape: one (type, arm) moment aggregation; everything after is
+    5-row arithmetic."""
+    ev = _t(spark, sf_dir, "events")
+    m = ev.groupBy("event_type", (F.col("user_id") % 2).alias("_arm")).agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.avg("value").alias("_mean"),
+        F.var_samp("value").alias("_var"),
+    )
+    a = m.filter(F.col("_arm") == 1).select(
+        "event_type",
+        F.col("_mean").alias("_m1"),
+        (F.col("_var") / F.col("_n")).alias("_se1"),
+    )
+    b = m.filter(F.col("_arm") == 0).select(
+        "event_type",
+        F.col("_mean").alias("_m0"),
+        (F.col("_var") / F.col("_n")).alias("_se0"),
+    )
+    studies = a.join(b, "event_type").select(
+        "event_type",
+        (F.col("_m1") - F.col("_m0")).alias("_eff"),
+        (F.lit(1.0) / (F.col("_se1") + F.col("_se0"))).alias("_w"),
+    )
+    pooled = studies.agg(
+        (F.sum(F.col("_w") * F.col("_eff")) / F.sum("_w")).alias("_pool"),
+        F.sum("_w").alias("_sw"),
+        F.count(F.lit(1)).alias("n_studies"),
+    )
+    return (
+        studies.crossJoin(F.broadcast(pooled))
+        .agg(
+            F.max("n_studies").alias("n_studies"),
+            F.round(F.max("_pool"), 6).alias("pooled_effect"),
+            F.round(F.sqrt(F.lit(1.0) / F.max("_sw")), 6).alias("pooled_se"),
+            F.round(
+                F.sum(
+                    F.col("_w")
+                    * (F.col("_eff") - F.col("_pool"))
+                    * (F.col("_eff") - F.col("_pool"))
+                ),
+                6,
+            ).alias("q_stat"),
+        )
+        .select(
+            "n_studies",
+            "pooled_effect",
+            "pooled_se",
+            "q_stat",
+            F.round(
+                F.greatest(
+                    F.lit(0.0),
+                    (F.col("q_stat") - (F.col("n_studies") - 1))
+                    / F.col("q_stat"),
+                ),
+                6,
+            ).alias("i_squared"),
+        )
+    )
+
+
+def q327_mutual_knn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual-kNN audit [EXT]: of each vector's exact top-10 cosine
+    neighbors, how many reciprocate (both directions in each other's
+    top-10)? Mutual-kNN edges are the standard graph for semantic dedup /
+    clustering (one-way edges are hub artifacts — see q311); the per-label
+    mutuality rate says how symmetric the neighborhood structure is
+    before building on it.
+
+    Scale shape: capped probe set (vec_id < 1000), hoisted-norm broadcast
+    scoring, per-query rank windows; the reciprocity check is a self-join
+    of the k·n top-k table on the reversed pair."""
+    e = (
+        _t(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 1000)
+        .select(
+            "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+        )
+        # one-file scans serialize the all-pairs loop onto one task
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    q = e.select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"))
+    dot = F.aggregate(
+        F.zip_with("qv", "v", lambda a, b: a * b), F.lit(0.0), lambda s, x: s + x
+    )
+    nrm2 = lambda c: F.aggregate(  # noqa: E731
+        c, F.lit(0.0), lambda s, x: s + x * x
+    )
+    scored = (
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(dot / F.sqrt(nrm2(F.col("qv")) * nrm2(F.col("v"))), 9).alias(
+                "sim"
+            ),
+        )
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id")
+    )
+    topk = (
+        scored.withColumn("_r", F.row_number().over(wq))
+        .filter(F.col("_r") <= 10)
+        .select("query_id", "neighbor_id")
+    )
+    rev = topk.select(
+        F.col("neighbor_id").alias("query_id"),
+        F.col("query_id").alias("neighbor_id"),
+        F.lit(1).alias("_mutual"),
+    )
+    marked = topk.join(rev.hint("shuffle_hash"), ["query_id", "neighbor_id"], "left")
+    per_node = marked.groupBy("query_id").agg(
+        (F.sum(F.coalesce(F.col("_mutual"), F.lit(0))) / 10.0).alias("_mrate")
+    )
+    return (
+        per_node.join(
+            F.broadcast(e.select(F.col("vec_id").alias("query_id"), "label")),
+            "query_id",
+        )
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.round(F.avg("_mrate"), 6).alias("avg_mutual_rate"),
+            F.round(F.min("_mrate"), 6).alias("min_mutual_rate"),
+        )
+    )
+
+
+def q328_countmin_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch audit [EXT]: build a d=4 × w=256 CMS over the
+    token stream (md5-derived row hashes, engine-reproducible), read back
+    the exact top-15 tokens through it, and report each token's
+    overcount — CMS never undercounts, and the measured inflation tells
+    you whether 4×256 counters suffice at this skew (the sketch sibling
+    of q227's Misra-Gries and q38's HLL).
+
+    Scale shape: the sketch is a (row, bucket) aggregation to 1024
+    counters; the probe joins 15×4 bucket lookups against the broadcast
+    counter table."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("w")
+    ).filter(F.col("w") != "")
+
+    def bucket(j: int):
+        return F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"{j}|"), F.col("w"))), 1, 8),
+            16,
+            10,
+        ).cast("long") % 256
+
+    rows = [
+        toks.groupBy(bucket(j).alias("_b")).agg(
+            F.count(F.lit(1)).alias("_c")
+        ).select(F.lit(j).alias("_j"), "_b", "_c")
+        for j in range(4)
+    ]
+    counters = rows[0]
+    for r in rows[1:]:
+        counters = counters.unionByName(r)
+    exact = (
+        toks.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("exact_count"))
+        .orderBy(F.col("exact_count").desc(), "w")
+        .limit(15)
+    )
+    probes = exact.select(
+        "w",
+        "exact_count",
+        F.explode(F.array(*[F.lit(j) for j in range(4)])).alias("_j"),
+    ).withColumn(
+        "_b",
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("_j").cast("string"), F.lit("|"),
+                               F.col("w"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 256,
+    )
+    return (
+        probes.join(F.broadcast(counters), ["_j", "_b"])
+        .groupBy("w", "exact_count")
+        .agg(F.min("_c").alias("cms_estimate"))
+        .select(
+            F.col("w").alias("token"),
+            "exact_count",
+            "cms_estimate",
+            (F.col("cms_estimate") - F.col("exact_count")).alias("overcount"),
+        )
+    )
+
+
+def q329_overdispersion_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count overdispersion audit [EXT]: per event type, the dispersion
+    index var/mean of DAILY event counts — 1 under a Poisson arrival
+    model; >1 flags bursty/clustered traffic where Poisson-based alerting
+    (and q282's power math) understates variance. Complements q258's
+    per-user burstiness with the fleet-level view.
+
+    Scale shape: one (type, day) count aggregation, then a 5-row moment
+    rollup."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("_day")).agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    return daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.round(F.avg("_n"), 6).alias("mean_daily"),
+        F.round(F.var_samp("_n"), 6).alias("var_daily"),
+        F.round(F.var_samp("_n") / F.avg("_n"), 6).alias("dispersion_index"),
+        (F.var_samp("_n") / F.avg("_n") > 1.5).alias("overdispersed"),
+    )
+
+
+def q330_dedup_threshold_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup threshold sweep [EXT]: precision/recall/F1 of the MinHash
+    ESTIMATE (signature agreement fraction) as the dedup decision rule,
+    against exact Jaccard ≥ 0.7 as truth, for estimate thresholds
+    {0.5, 0.625, 0.75, 0.875} over the LSH candidate set — the curve a
+    pipeline owner reads to pick the knob q188 calibrates and q203/q299
+    plan around.
+
+    Scale shape: candidates come from banding (never all-pairs); the
+    sweep explodes the scored pair set ×4 thresholds."""
+    d = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        d, "doc_id", "text", ngram=3, num_hashes=8, bands=4, threshold=0.0
+    )
+    sigs = d.select(
+        F.col("doc_id").alias("_id"),
+        minhash_signature(shingle_ngrams(F.col("text"), 3), num_hashes=8).alias(
+            "_sig"
+        ),
+    )
+    sa = sigs.select(F.col("_id").alias("id_a"), F.col("_sig").alias("_siga"))
+    sb = sigs.select(F.col("_id").alias("id_b"), F.col("_sig").alias("_sigb"))
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with(F.col("_siga"), F.col("_sigb"), lambda x, y: x == y),
+                lambda v: v,
+            )
+        )
+        / F.lit(8.0)
+    )
+    scored = (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            est.alias("_est"), (F.col("jaccard") >= 0.7).alias("_truth")
+        )
+    )
+    swept = scored.select(
+        "_est",
+        "_truth",
+        F.explode(
+            F.array(F.lit(0.5), F.lit(0.625), F.lit(0.75), F.lit(0.875))
+        ).alias("threshold"),
+    )
+    agg = swept.groupBy("threshold").agg(
+        F.sum(
+            F.when(F.col("_est") >= F.col("threshold"), 1).otherwise(0)
+        ).alias("n_predicted"),
+        F.sum(F.when(F.col("_truth"), 1).otherwise(0)).alias("n_true"),
+        F.sum(
+            F.when(
+                F.col("_truth") & (F.col("_est") >= F.col("threshold")), 1
+            ).otherwise(0)
+        ).alias("_tp"),
+    )
+    prec = F.when(
+        F.col("n_predicted") > 0, F.col("_tp") / F.col("n_predicted")
+    ).otherwise(F.lit(0.0))
+    rec = F.when(F.col("n_true") > 0, F.col("_tp") / F.col("n_true")).otherwise(
+        F.lit(0.0)
+    )
+    return agg.select(
+        "threshold",
+        "n_predicted",
+        "n_true",
+        F.round(prec, 6).alias("precision"),
+        F.round(rec, 6).alias("recall"),
+        F.round(
+            F.when(prec + rec > 0, 2 * prec * rec / (prec + rec)).otherwise(
+                F.lit(0.0)
+            ),
+            6,
+        ).alias("f1"),
+    )
+
+
 # =============================================================================
 # Driver contract
 # =============================================================================
@@ -10479,6 +10839,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q322_ngram_novelty_rate": q322_ngram_novelty_rate,
         "q323_boilerplate_ngrams": q323_boilerplate_ngrams,
         "q324_weighted_jaccard_pairs": q324_weighted_jaccard_pairs,
+        "q325_hodges_lehmann_shift": q325_hodges_lehmann_shift,
+        "q326_meta_analysis": q326_meta_analysis,
+        "q327_mutual_knn_rate": q327_mutual_knn_rate,
+        "q328_countmin_audit": q328_countmin_audit,
+        "q329_overdispersion_index": q329_overdispersion_index,
+        "q330_dedup_threshold_pr_curve": q330_dedup_threshold_pr_curve,
     }
 
 
@@ -16516,6 +16882,198 @@ def oracle_sql() -> dict[str, str]:
                    AS weighted_jaccard
         FROM inter
         WHERE smin / CAST(ta + tb - smin AS DOUBLE) >= 0.3
+    """
+    sqls["q325_hodges_lehmann_shift"] = """
+        WITH grid AS (
+            SELECT event_type, user_id % 2 AS arm, floor(value) AS v,
+                   count(*) AS n
+            FROM events GROUP BY 1, 2, 3
+        ), ga AS (
+            SELECT event_type, v AS va, n AS na FROM grid WHERE arm = 0
+        ), gb AS (
+            SELECT event_type, v AS vb, n AS nb FROM grid WHERE arm = 1
+        ), diffs AS (
+            SELECT ga.event_type, vb - va AS d, sum(na * nb) AS w
+            FROM ga JOIN gb USING (event_type) GROUP BY 1, 2
+        ), walked AS (
+            SELECT event_type, d,
+                   sum(w) OVER (PARTITION BY event_type ORDER BY d
+                                ROWS UNBOUNDED PRECEDING) AS cum,
+                   sum(w) OVER (PARTITION BY event_type) AS tot
+            FROM diffs
+        )
+        SELECT event_type, CAST(min(d) AS BIGINT) AS hl_shift,
+               CAST(max(tot) AS BIGINT) AS n_pairs
+        FROM walked WHERE 2 * cum >= tot GROUP BY 1
+    """
+    sqls["q326_meta_analysis"] = """
+        WITH m AS (
+            SELECT event_type, user_id % 2 AS arm, count(*) AS n,
+                   avg(value) AS mean, var_samp(value) AS var
+            FROM events GROUP BY 1, 2
+        ), a AS (
+            SELECT event_type, mean AS m1, var / n AS se1 FROM m WHERE arm = 1
+        ), b AS (
+            SELECT event_type, mean AS m0, var / n AS se0 FROM m WHERE arm = 0
+        ), studies AS (
+            SELECT a.event_type, m1 - m0 AS eff, 1.0 / (se1 + se0) AS w
+            FROM a JOIN b USING (event_type)
+        ), pooled AS (
+            SELECT sum(w * eff) / sum(w) AS pool, sum(w) AS sw,
+                   count(*) AS k
+            FROM studies
+        ), qs AS (
+            SELECT CAST(max(k) AS BIGINT) AS n_studies,
+                   round(max(pool), 6) AS pooled_effect,
+                   round(sqrt(1.0 / max(sw)), 6) AS pooled_se,
+                   round(sum(w * (eff - pool) * (eff - pool)), 6) AS q_stat
+            FROM studies, pooled
+        )
+        SELECT n_studies, pooled_effect, pooled_se, q_stat,
+               round(greatest(0.0, (q_stat - (n_studies - 1)) / q_stat), 6)
+                   AS i_squared
+        FROM qs
+    """
+    sqls["q327_mutual_knn_rate"] = """
+        WITH e AS (
+            SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+            FROM embeddings WHERE vec_id < 1000
+        ), scored AS (
+            SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+                   round(list_cosine_similarity(q.v, e.v), 9) AS sim
+            FROM e q, e WHERE e.vec_id != q.vec_id
+        ), topk AS (
+            SELECT query_id, neighbor_id FROM (
+                SELECT query_id, neighbor_id,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY sim DESC, neighbor_id)
+                           AS r
+                FROM scored) WHERE r <= 10
+        ), marked AS (
+            SELECT t.query_id,
+                   CASE WHEN rv.query_id IS NOT NULL THEN 1 ELSE 0 END
+                       AS mutual
+            FROM topk t LEFT JOIN topk rv
+              ON rv.query_id = t.neighbor_id
+             AND rv.neighbor_id = t.query_id
+        ), per_node AS (
+            SELECT query_id, sum(mutual) / 10.0 AS mrate
+            FROM marked GROUP BY 1
+        )
+        SELECT e.label, count(*) AS n_vectors,
+               round(avg(mrate), 6) AS avg_mutual_rate,
+               round(min(mrate), 6) AS min_mutual_rate
+        FROM per_node p JOIN e ON e.vec_id = p.query_id
+        GROUP BY 1
+    """
+    sqls["q328_countmin_audit"] = f"""
+        WITH toks AS (
+            SELECT w FROM (SELECT unnest({_TOKS}) AS w FROM documents)
+            WHERE w != ''
+        ), js AS (SELECT unnest([0, 1, 2, 3]) AS j),
+        counters AS (
+            SELECT j,
+                   CAST('0x' || substring(md5(CAST(j AS VARCHAR) || '|' || w),
+                                          1, 8) AS BIGINT) % 256 AS b,
+                   count(*) AS c
+            FROM toks, js GROUP BY 1, 2
+        ), exact AS (
+            SELECT w, count(*) AS exact_count FROM toks GROUP BY 1
+            ORDER BY exact_count DESC, w LIMIT 15
+        ), probes AS (
+            SELECT e.w, e.exact_count, js.j,
+                   CAST('0x' || substring(md5(CAST(js.j AS VARCHAR) || '|'
+                                              || e.w),
+                                          1, 8) AS BIGINT) % 256 AS b
+            FROM exact e, js
+        )
+        SELECT p.w AS token, p.exact_count,
+               CAST(min(c.c) AS BIGINT) AS cms_estimate,
+               CAST(min(c.c) - p.exact_count AS BIGINT) AS overcount
+        FROM probes p JOIN counters c ON c.j = p.j AND c.b = p.b
+        GROUP BY 1, 2
+    """
+    sqls["q329_overdispersion_index"] = """
+        WITH daily AS (
+            SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+            FROM events GROUP BY 1, 2
+        )
+        SELECT event_type, count(*) AS n_days,
+               round(avg(n), 6) AS mean_daily,
+               round(var_samp(n), 6) AS var_daily,
+               round(var_samp(n) / avg(n), 6) AS dispersion_index,
+               var_samp(n) / avg(n) > 1.5 AS overdispersed
+        FROM daily GROUP BY 1
+    """
+    sqls["q330_dedup_threshold_pr_curve"] = f"""
+        WITH tok AS (
+            SELECT doc_id, {_TOKS} AS toks FROM documents
+        ), shg AS (
+            SELECT doc_id, {_SHINGLES3} AS sh FROM tok
+        ), sig AS (
+            SELECT doc_id, {_sig_exprs(8)} AS sg
+            FROM (SELECT doc_id, {_SHINGLE_HASH} AS hs FROM shg)
+        ), banded AS (
+            SELECT doc_id,
+                   CAST(b AS VARCHAR) || '|' ||
+                   array_to_string(sg[b*2+1:b*2+2], '|') AS band
+            FROM sig, (SELECT unnest(range(0, 4)) AS b)
+        ), cand AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM banded a JOIN banded b
+              ON a.band = b.band AND a.doc_id < b.doc_id
+        ), scored AS (
+            SELECT len(list_filter(range(1, 9),
+                                   i -> sx.sg[CAST(i AS INT)]
+                                        = sy.sg[CAST(i AS INT)])) / 8.0
+                       AS est,
+                   len(list_intersect(x.sh, y.sh)) * 1.0
+                       / len(list_distinct(list_concat(x.sh, y.sh))) >= 0.7
+                       AS truth
+            FROM cand c
+            JOIN shg x ON x.doc_id = c.id_a
+            JOIN shg y ON y.doc_id = c.id_b
+            JOIN sig sx ON sx.doc_id = c.id_a
+            JOIN sig sy ON sy.doc_id = c.id_b
+        ), swept AS (
+            SELECT est, truth, t.threshold
+            FROM scored,
+                 (SELECT unnest(CAST([0.5, 0.625, 0.75, 0.875] AS DOUBLE[]))
+                      AS threshold) t
+        ), agg AS (
+            SELECT threshold,
+                   CAST(sum(CASE WHEN est >= threshold THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_predicted,
+                   CAST(sum(CASE WHEN truth THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_true,
+                   sum(CASE WHEN truth AND est >= threshold
+                            THEN 1 ELSE 0 END) AS tp
+            FROM swept GROUP BY 1
+        )
+        SELECT threshold, n_predicted, n_true,
+               round(CASE WHEN n_predicted > 0
+                          THEN tp * 1.0 / n_predicted ELSE 0.0 END, 6)
+                   AS precision,
+               round(CASE WHEN n_true > 0
+                          THEN tp * 1.0 / n_true ELSE 0.0 END, 6) AS recall,
+               round(CASE WHEN (CASE WHEN n_predicted > 0
+                                     THEN tp * 1.0 / n_predicted
+                                     ELSE 0.0 END)
+                          + (CASE WHEN n_true > 0 THEN tp * 1.0 / n_true
+                                  ELSE 0.0 END) > 0
+                          THEN 2 * (CASE WHEN n_predicted > 0
+                                         THEN tp * 1.0 / n_predicted
+                                         ELSE 0.0 END)
+                               * (CASE WHEN n_true > 0
+                                       THEN tp * 1.0 / n_true ELSE 0.0 END)
+                               / ((CASE WHEN n_predicted > 0
+                                        THEN tp * 1.0 / n_predicted
+                                        ELSE 0.0 END)
+                                  + (CASE WHEN n_true > 0
+                                          THEN tp * 1.0 / n_true
+                                          ELSE 0.0 END))
+                          ELSE 0.0 END, 6) AS f1
+        FROM agg
     """
     sqls["q295_cbo_estimation_audit"] = """
         WITH so AS (
