@@ -19,10 +19,27 @@ Scale design notes (100 TB posture):
 
 from __future__ import annotations
 
+import functools
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from hubverse_transform_spark.caching import compute_release
+from hubverse_transform_spark.session import spread_small_scan
+
+
+def _spread_input(fn):
+    """Route the operator's input DataFrame through ``spread_small_scan``:
+    every operator below opens with an expensive per-row map stage (regex
+    shingling / hashing), which a one-file scan would serialize onto a
+    single task regardless of core count. No-op when the input is already
+    at least defaultParallelism partitions (the many-file 100 TB case)."""
+
+    @functools.wraps(fn)
+    def wrapped(df, *args, **kwargs):
+        return fn(spread_small_scan(df), *args, **kwargs)
+
+    return wrapped
 
 
 def exact_dedup(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
@@ -139,6 +156,7 @@ def jaccard_expr(a: Column, b: Column) -> Column:
     return F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(0.0))
 
 
+@_spread_input
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -193,6 +211,7 @@ def minhash_lsh_pairs(
     )
 
 
+@_spread_input
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,
@@ -248,6 +267,7 @@ def ngram_jaccard_pairs(
     )
 
 
+@_spread_input
 def prefix_filter_jaccard_pairs(
     df: DataFrame,
     id_col: str,
@@ -379,6 +399,7 @@ def simhash(text: Column, *, bits: int = 16, ngram: int = 2) -> Column:
     )
 
 
+@_spread_input
 def winnow_fingerprints(
     df: DataFrame,
     id_col: str,
@@ -424,6 +445,7 @@ def winnow_fingerprints(
     )
 
 
+@_spread_input
 def winnow_overlap_pairs(
     df: DataFrame,
     id_col: str,
@@ -488,6 +510,7 @@ def hamming_distance(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
 
 
+@_spread_input
 def simhash_near_dup_pairs(
     df: DataFrame,
     id_col: str,
@@ -595,6 +618,7 @@ def ngram_containment(
     )
 
 
+@_spread_input
 def containment_prefix_pairs(
     df: DataFrame,
     id_col: str,
@@ -740,6 +764,7 @@ def containment_prefix_pairs(
     return compute_release(result, *to_release)
 
 
+@_spread_input
 def chunk_dup_stats(
     df: DataFrame,
     id_col: str = "doc_id",

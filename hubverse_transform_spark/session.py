@@ -94,3 +94,20 @@ def load_table(spark: SparkSession, sf_dir: str, name: str):
         if field.name == "ts" and field.dataType.typeName() in ("long", "bigint"):
             df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
     return df
+
+
+def spread_small_scan(df):
+    """Ensure ``df`` has at least ``defaultParallelism`` partitions before an
+    expensive per-row stage (regex shingling, HOF vector math).
+
+    A small table often arrives as ONE parquet file below
+    ``maxPartitionBytes`` — a single scan partition — which serializes any
+    heavy map-side expression onto one task no matter how many cores exist
+    (parquet can't split below the row group). The repartition moves only
+    the (tiny) table itself; when the scan is already parallel (the 100 TB
+    case: thousands of files) this is a no-op with zero added exchange.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
