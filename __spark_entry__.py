@@ -10503,6 +10503,337 @@ def q330_dedup_threshold_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+def q331_item_item_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item collaborative filtering [EXT]: part-part cosine
+    similarity over order-interaction vectors (binary "ordered together"
+    profiles) — sim(i,j) = co(i,j) / √(n_i·n_j), the classic
+    neighborhood-CF precompute (Sarwar et al., WWW'01). Top-3 neighbors
+    for each of the 20 most-ordered parts. q119's co-purchase lift is the
+    statistical read of the same co-occurrence; this is the recommender
+    read.
+
+    Scale shape: co-occurrence comes from the order-blocked self-join
+    (pairs bounded by per-order line width, never corpus-quadratic);
+    per-item norms broadcast; final is a per-item top-3 window over the
+    candidate slice."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    n_i = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("_n"))
+    b = li.select(
+        F.col("l_orderkey").alias("_ok"), F.col("l_partkey").alias("_pb")
+    )
+    co = (
+        li.join(
+            b.hint("shuffle_hash"),
+            (F.col("l_orderkey") == F.col("_ok"))
+            & (F.col("l_partkey") != F.col("_pb")),
+        )
+        .groupBy(F.col("l_partkey").alias("item_a"), F.col("_pb").alias("item_b"))
+        .agg(F.count(F.lit(1)).alias("_co"))
+    )
+    top_items = (
+        n_i.orderBy(F.col("_n").desc(), "l_partkey")
+        .limit(20)
+        .select(F.col("l_partkey").alias("item_a"), F.col("_n").alias("_na"))
+    )
+    scored = (
+        co.join(F.broadcast(top_items), "item_a")
+        .join(
+            F.broadcast(n_i.select(F.col("l_partkey").alias("item_b"),
+                                   F.col("_n").alias("_nb"))),
+            "item_b",
+        )
+        .select(
+            "item_a",
+            "item_b",
+            F.round(
+                F.col("_co") / F.sqrt(F.col("_na") * F.col("_nb")), 9
+            ).alias("_sim"),
+        )
+    )
+    wr = Window.partitionBy("item_a").orderBy(F.col("_sim").desc(), "item_b")
+    return (
+        scored.withColumn("_r", F.row_number().over(wr))
+        .filter(F.col("_r") <= 3)
+        .select(
+            "item_a",
+            "item_b",
+            F.round("_sim", 6).alias("cosine_sim"),
+            F.col("_r").alias("rank"),
+        )
+    )
+
+
+def q332_t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit [EXT]: the third privacy gate after q297's
+    k-anonymity and q308's l-diversity — each QI equivalence class's
+    sensitive-attribute distribution must sit within total-variation
+    distance t of the GLOBAL distribution (for categorical attributes,
+    EMD = TVD = ½·L1). Reports failing classes for t ∈ {0.2, 0.35, 0.5}.
+
+    Scale shape: one QI×sensitive aggregation joined to the broadcast
+    5-row global distribution; the t sweep explodes only the per-class
+    distance table."""
+    c = _t(spark, sf_dir, "customer")
+    cells = c.groupBy(
+        "c_nationkey",
+        F.floor(F.col("c_acctbal") / 1000).alias("_bb"),
+        "c_mktsegment",
+    ).agg(F.count(F.lit(1)).alias("_n"))
+    glob = c.groupBy("c_mktsegment").agg(F.count(F.lit(1)).alias("_gn"))
+    glob_tot = c.agg(F.count(F.lit(1)).alias("_gt"))
+    classes = cells.groupBy("c_nationkey", "_bb").agg(
+        F.sum("_n").alias("_ct")
+    )
+    # cross the class list with the full 5-segment global distribution so
+    # segments MISSING from a class contribute their whole global share
+    grid = classes.crossJoin(F.broadcast(glob.crossJoin(glob_tot)))
+    joined = grid.join(
+        cells, ["c_nationkey", "_bb", "c_mktsegment"], "left"
+    )
+    tvd = joined.groupBy("c_nationkey", "_bb").agg(
+        F.max("_ct").alias("_ct"),
+        F.round(
+            0.5
+            * F.sum(
+                F.abs(
+                    F.coalesce(F.col("_n"), F.lit(0)) / F.col("_ct")
+                    - F.col("_gn") / F.col("_gt")
+                )
+            ),
+            9,
+        ).alias("_tvd"),
+    )
+    ts = F.explode(F.array(F.lit(0.2), F.lit(0.35), F.lit(0.5))).alias("t")
+    return (
+        tvd.select("_ct", "_tvd", ts)
+        .groupBy("t")
+        .agg(
+            F.count(F.lit(1)).alias("n_groups"),
+            F.sum(F.when(F.col("_tvd") > F.col("t"), 1).otherwise(0)).alias(
+                "n_above_t"
+            ),
+            F.sum(
+                F.when(F.col("_tvd") > F.col("t"), F.col("_ct")).otherwise(0)
+            ).alias("n_rows_at_risk"),
+        )
+    )
+
+
+def q333_importance_weight_ess(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Importance-reweighting health check [EXT]: when a corpus is
+    reweighted toward a target mix (here: quality-bucket shares toward a
+    uniform target, the q219 DSIR posture), the effective sample size
+    ESS = (Σw)²/Σw² says how many samples the weighted set is really
+    worth — the first diagnostic before trusting any reweighted metric.
+    Reports per lang: raw n, ESS, ESS ratio, and the clipped-weight
+    (w ≤ 5× median... w capped at 5) variant a production pipeline uses.
+
+    Scale shape: per-(lang, bucket) shares aggregate once; weights join
+    back broadcast; ESS is a per-lang moment rollup."""
+    d = _t(spark, sf_dir, "documents")
+    bucketed = d.select(
+        "lang", F.least(F.floor(F.col("n_chars") / 200), F.lit(4)).alias("_b")
+    )
+    shares = bucketed.groupBy("lang", "_b").agg(F.count(F.lit(1)).alias("_n"))
+    wl = Window.partitionBy("lang")
+    weighted = shares.select(
+        "lang",
+        "_b",
+        "_n",
+        # target: uniform over the lang's observed buckets; actual: _n/lang
+        # total -> w = target/actual = lang_total / (n_buckets * _n)
+        (
+            F.sum("_n").over(wl)
+            / (F.count(F.lit(1)).over(wl) * F.col("_n")).cast("double")
+        ).alias("_w"),
+    )
+    rows = bucketed.join(F.broadcast(weighted), ["lang", "_b"]).select(
+        "lang", "_w", F.least(F.col("_w"), F.lit(5.0)).alias("_wc")
+    )
+    return rows.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(
+            F.sum("_w") * F.sum("_w") / F.sum(F.col("_w") * F.col("_w")), 6
+        ).alias("ess"),
+        F.round(
+            F.sum("_w") * F.sum("_w")
+            / (F.sum(F.col("_w") * F.col("_w")) * F.count(F.lit(1))),
+            6,
+        ).alias("ess_ratio"),
+        F.round(
+            F.sum("_wc") * F.sum("_wc") / F.sum(F.col("_wc") * F.col("_wc")),
+            6,
+        ).alias("ess_clipped"),
+    )
+
+
+def q334_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average local clustering coefficient per brand [EXT] over the
+    part co-order graph: cc(v) = 2·triangles(v) / (deg(v)·(deg(v)−1)) —
+    how clique-like each part's neighborhood is (q137 counts the
+    triangles; this normalizes them into the standard small-world
+    statistic, Watts & Strogatz 1998).
+
+    Scale shape: edges come from the order-blocked self-join (bounded by
+    order width); triangles enumerate via the oriented two-path join
+    (each triangle counted once, low→high orientation); degrees and the
+    rollup are keyed aggs."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    b = li.select(
+        F.col("l_orderkey").alias("_ok"), F.col("l_partkey").alias("_pb")
+    )
+    edges = (
+        li.join(
+            b.hint("shuffle_hash"),
+            (F.col("l_orderkey") == F.col("_ok"))
+            & (F.col("l_partkey") < F.col("_pb")),
+        )
+        .select(F.col("l_partkey").alias("src"), F.col("_pb").alias("dst"))
+        .distinct()
+    )
+    deg = (
+        edges.select(F.col("src").alias("v"))
+        .unionAll(edges.select(F.col("dst").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("_d"))
+    )
+    e1 = edges.alias("e1")
+    e2 = edges.alias("e2")
+    wedges = e1.join(
+        e2.hint("shuffle_hash"), F.col("e1.dst") == F.col("e2.src")
+    ).select(
+        F.col("e1.src").alias("a"), F.col("e1.dst").alias("b"),
+        F.col("e2.dst").alias("c"),
+    )
+    tri = wedges.join(
+        edges.select(F.col("src").alias("a"), F.col("dst").alias("c")),
+        ["a", "c"],
+    )
+    tri_per_node = (
+        tri.select(F.col("a").alias("v"))
+        .unionAll(tri.select(F.col("b").alias("v")))
+        .unionAll(tri.select(F.col("c").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("_t"))
+    )
+    cc = (
+        deg.join(tri_per_node, "v", "left")
+        .filter(F.col("_d") >= 2)
+        .select(
+            "v",
+            (
+                2.0
+                * F.coalesce(F.col("_t"), F.lit(0))
+                / (F.col("_d") * (F.col("_d") - 1))
+            ).alias("_cc"),
+        )
+    )
+    parts = _t(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("v"), "p_brand"
+    )
+    return (
+        cc.join(F.broadcast(parts), "v")
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.round(F.avg("_cc"), 6).alias("avg_clustering_coeff"),
+            F.round(F.max("_cc"), 6).alias("max_clustering_coeff"),
+        )
+    )
+
+
+def q335_knapsack_data_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy budgeted data selection [EXT]: under a per-lang token
+    budget (2000 tokens), select documents by descending quality-per-
+    token ratio until the budget is spent — the greedy knapsack that is
+    the standard first cut for 'best corpus under a budget' (q129 mixes
+    by fixed shares; this OPTIMIZES within the share). Reports what the
+    greedy kept vs dropped per lang.
+
+    Scale shape: ratio rank and running token sum are lang-partitioned
+    windows; the rollup is conditional aggregation."""
+    d = _t(spark, sf_dir, "documents")
+    scored = d.select(
+        "lang",
+        "doc_id",
+        quality_score(F.col("text")).alias("_q"),
+        F.size(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("_tok"),
+    ).select(
+        "lang",
+        "doc_id",
+        "_q",
+        "_tok",
+        (F.col("_q") / F.col("_tok")).alias("_ratio"),
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy(F.col("_ratio").desc(), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    budget = 2000
+    selected = scored.withColumn("_cum", F.sum("_tok").over(w)).withColumn(
+        "_keep", F.col("_cum") <= budget
+    )
+    return selected.groupBy("lang").agg(
+        F.sum(F.when(F.col("_keep"), 1).otherwise(0)).alias("n_selected"),
+        F.sum(F.when(F.col("_keep"), F.col("_tok")).otherwise(0)).alias(
+            "tokens_used"
+        ),
+        F.round(
+            F.avg(F.when(F.col("_keep"), F.col("_q"))), 6
+        ).alias("avg_quality_selected"),
+        F.round(
+            F.avg(F.when(~F.col("_keep"), F.col("_q"))), 6
+        ).alias("avg_quality_dropped"),
+    )
+
+
+def q336_source_distribution_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level source similarity [EXT]: histogram intersection
+    Σ_t min(p_a(t), p_b(t)) between source token DISTRIBUTIONS — which
+    sources are near-copies of each other at the distribution level
+    (doc-level dedup can miss a source that paraphrases another but
+    shares its vocabulary mix). Top-10 most similar source pairs.
+
+    Scale shape: per-(source, token) shares aggregate once; the pair join
+    is token-keyed (inverted index over the bounded vocab), Σmin needs no
+    missing-token terms (min with an absent token is 0); TakeOrdered
+    top-10."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "source",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("w"),
+    ).filter(F.col("w") != "")
+    ws = Window.partitionBy("source")
+    shares = (
+        toks.groupBy("source", "w")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .select(
+            "source", "w", (F.col("_n") / F.sum("_n").over(ws)).alias("_p")
+        )
+    )
+    a = shares.alias("a")
+    b = shares.hint("shuffle_hash").alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.w") == F.col("b.w"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(
+            F.round(F.sum(F.least("a._p", "b._p")), 6).alias(
+                "hist_intersection"
+            )
+        )
+        .orderBy(F.col("hist_intersection").desc(), "source_a", "source_b")
+        .limit(10)
+    )
+
+
 # =============================================================================
 # Driver contract
 # =============================================================================
@@ -10845,6 +11176,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q328_countmin_audit": q328_countmin_audit,
         "q329_overdispersion_index": q329_overdispersion_index,
         "q330_dedup_threshold_pr_curve": q330_dedup_threshold_pr_curve,
+        "q331_item_item_cf": q331_item_item_cf,
+        "q332_t_closeness_audit": q332_t_closeness_audit,
+        "q333_importance_weight_ess": q333_importance_weight_ess,
+        "q334_clustering_coefficient": q334_clustering_coefficient,
+        "q335_knapsack_data_selection": q335_knapsack_data_selection,
+        "q336_source_distribution_similarity": q336_source_distribution_similarity,
     }
 
 
@@ -17074,6 +17411,162 @@ def oracle_sql() -> dict[str, str]:
                                           ELSE 0.0 END))
                           ELSE 0.0 END, 6) AS f1
         FROM agg
+    """
+    sqls["q331_item_item_cf"] = """
+        WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        ni AS (SELECT l_partkey, count(*) AS n FROM li GROUP BY 1),
+        co AS (
+            SELECT a.l_partkey AS item_a, b.l_partkey AS item_b,
+                   count(*) AS c
+            FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+                               AND a.l_partkey != b.l_partkey
+            GROUP BY 1, 2
+        ), top_items AS (
+            SELECT l_partkey AS item_a, n AS na FROM ni
+            ORDER BY n DESC, l_partkey LIMIT 20
+        ), scored AS (
+            SELECT c.item_a, c.item_b,
+                   round(c.c / sqrt(t.na * nb.n), 9) AS sim
+            FROM co c
+            JOIN top_items t ON t.item_a = c.item_a
+            JOIN ni nb ON nb.l_partkey = c.item_b
+        )
+        SELECT item_a, item_b, round(sim, 6) AS cosine_sim,
+               CAST(r AS INT) AS rank
+        FROM (SELECT item_a, item_b, sim,
+                     row_number() OVER (PARTITION BY item_a
+                                        ORDER BY sim DESC, item_b) AS r
+              FROM scored) WHERE r <= 3
+    """
+    sqls["q332_t_closeness_audit"] = """
+        WITH cells AS (
+            SELECT c_nationkey, floor(c_acctbal / 1000) AS bb,
+                   c_mktsegment, count(*) AS n
+            FROM customer GROUP BY 1, 2, 3
+        ), gseg AS (
+            SELECT c_mktsegment, count(*) AS gn FROM customer GROUP BY 1
+        ), gtot AS (SELECT count(*) AS gt FROM customer),
+        classes AS (
+            SELECT c_nationkey, bb, CAST(sum(n) AS BIGINT) AS ct
+            FROM cells GROUP BY 1, 2
+        ), grid AS (
+            SELECT cl.c_nationkey, cl.bb, cl.ct, g.c_mktsegment, g.gn,
+                   gtot.gt
+            FROM classes cl, gseg g, gtot
+        ), tvd AS (
+            SELECT c_nationkey, bb, max(ct) AS ct,
+                   round(0.5 * sum(abs(coalesce(n, 0) * 1.0 / ct
+                                       - gn * 1.0 / gt)), 9) AS tvd
+            FROM grid LEFT JOIN cells USING (c_nationkey, bb, c_mktsegment)
+            GROUP BY 1, 2
+        )
+        SELECT t, count(*) AS n_groups,
+               CAST(sum(CASE WHEN tvd > t THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_above_t,
+               CAST(sum(CASE WHEN tvd > t THEN ct ELSE 0 END) AS BIGINT)
+                   AS n_rows_at_risk
+        FROM tvd, (SELECT unnest(CAST([0.2, 0.35, 0.5] AS DOUBLE[])) AS t)
+        GROUP BY 1
+    """
+    sqls["q333_importance_weight_ess"] = """
+        WITH bucketed AS (
+            SELECT lang,
+                   least(CAST(floor(n_chars / 200) AS BIGINT), 4) AS b
+            FROM documents
+        ), shares AS (
+            SELECT lang, b, count(*) AS n FROM bucketed GROUP BY 1, 2
+        ), weighted AS (
+            SELECT lang, b,
+                   sum(n) OVER (PARTITION BY lang) * 1.0
+                       / (count(*) OVER (PARTITION BY lang) * n) AS w
+            FROM shares
+        ), rows_w AS (
+            SELECT bk.lang, w.w, least(w.w, 5.0) AS wc
+            FROM bucketed bk JOIN weighted w
+              ON w.lang = bk.lang AND w.b = bk.b
+        )
+        SELECT lang, count(*) AS n_docs,
+               round(sum(w) * sum(w) / sum(w * w), 6) AS ess,
+               round(sum(w) * sum(w) / (sum(w * w) * count(*)), 6)
+                   AS ess_ratio,
+               round(sum(wc) * sum(wc) / sum(wc * wc), 6) AS ess_clipped
+        FROM rows_w GROUP BY 1
+    """
+    sqls["q334_clustering_coefficient"] = """
+        WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        edges AS (
+            SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+            FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+                               AND a.l_partkey < b.l_partkey
+        ), deg AS (
+            SELECT v, count(*) AS d FROM (
+                SELECT src AS v FROM edges
+                UNION ALL SELECT dst FROM edges
+            ) GROUP BY 1
+        ), tri AS (
+            SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+            FROM edges e1
+            JOIN edges e2 ON e2.src = e1.dst
+            JOIN edges e3 ON e3.src = e1.src AND e3.dst = e2.dst
+        ), tpn AS (
+            SELECT v, count(*) AS t FROM (
+                SELECT a AS v FROM tri
+                UNION ALL SELECT b FROM tri
+                UNION ALL SELECT c FROM tri
+            ) GROUP BY 1
+        ), cc AS (
+            SELECT deg.v,
+                   2.0 * coalesce(tpn.t, 0) / (deg.d * (deg.d - 1)) AS cc
+            FROM deg LEFT JOIN tpn ON tpn.v = deg.v
+            WHERE deg.d >= 2
+        )
+        SELECT p.p_brand, count(*) AS n_parts,
+               round(avg(cc.cc), 6) AS avg_clustering_coeff,
+               round(max(cc.cc), 6) AS max_clustering_coeff
+        FROM cc JOIN part p ON p.p_partkey = cc.v
+        GROUP BY 1
+    """
+    sqls["q335_knapsack_data_selection"] = f"""
+        WITH scored AS (
+            SELECT lang, doc_id, {_quality_sql("text")} AS q,
+                   len(regexp_split_to_array(lower(trim(text)), '\\s+'))
+                       AS tok
+            FROM documents
+        ), ranked AS (
+            SELECT lang, doc_id, q, tok,
+                   sum(tok) OVER (PARTITION BY lang
+                                  ORDER BY q / tok DESC, doc_id
+                                  ROWS UNBOUNDED PRECEDING) AS cum
+            FROM scored
+        )
+        SELECT lang,
+               CAST(sum(CASE WHEN cum <= 2000 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_selected,
+               CAST(sum(CASE WHEN cum <= 2000 THEN tok ELSE 0 END) AS BIGINT)
+                   AS tokens_used,
+               round(avg(CASE WHEN cum <= 2000 THEN q END), 6)
+                   AS avg_quality_selected,
+               round(avg(CASE WHEN cum > 2000 THEN q END), 6)
+                   AS avg_quality_dropped
+        FROM ranked GROUP BY 1
+    """
+    sqls["q336_source_distribution_similarity"] = f"""
+        WITH toks AS (
+            SELECT source, w FROM (
+                SELECT source, unnest({_TOKS}) AS w FROM documents
+            ) WHERE w != ''
+        ), shares AS (
+            SELECT source, w,
+                   count(*) * 1.0
+                       / sum(count(*)) OVER (PARTITION BY source) AS p
+            FROM toks GROUP BY 1, 2
+        )
+        SELECT a.source AS source_a, b.source AS source_b,
+               round(sum(least(a.p, b.p)), 6) AS hist_intersection
+        FROM shares a JOIN shares b ON a.w = b.w AND a.source < b.source
+        GROUP BY 1, 2
+        ORDER BY hist_intersection DESC, source_a, source_b
+        LIMIT 10
     """
     sqls["q295_cbo_estimation_audit"] = """
         WITH so AS (
