@@ -10834,6 +10834,310 @@ def q336_source_distribution_similarity(spark: SparkSession, sf_dir: str) -> Dat
     )
 
 
+def q337_temporal_motifs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal motif counting [EXT]: consecutive event-type TRIPLES per
+    user completing within 30 minutes — the 3-event sequential patterns
+    (Paranjape et al., WSDM'17 restricted to consecutive events) that
+    q226's pair matrix can't see (a→b→c ≠ a→b plus b→c when timing
+    matters). Top-10 motifs.
+
+    Scale shape: two lead windows over the same user partition (one sort,
+    both windows share it); motif rollup is a 3-key agg; TakeOrdered."""
+    from hubverse_transform_spark.operators.sessions import _epoch_seconds
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    triples = ev.select(
+        F.col("event_type").alias("e1"),
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+        _epoch_seconds(F.col("ts")).alias("_t1"),
+        F.lead(_epoch_seconds(F.col("ts")), 2).over(w).alias("_t3"),
+    ).filter(
+        F.col("e3").isNotNull() & (F.col("_t3") - F.col("_t1") <= 1800)
+    )
+    return (
+        triples.groupBy("e1", "e2", "e3")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .orderBy(F.col("n_occurrences").desc(), "e1", "e2", "e3")
+        .limit(10)
+    )
+
+
+def q338_ols_residual_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regression residual diagnostics [EXT]: after q222's per-brand OLS
+    of retail price on size, flag the parts whose residual exceeds 2
+    residual-σ — the 'mispriced vs the brand's own price curve' read a
+    catalog-quality pass produces. Per brand: outlier count and the worst
+    standardized residual.
+
+    Scale shape: one moment aggregation fits each brand's line; the
+    5-number model broadcasts back for the residual pass; σ and the
+    outlier rollup are a second keyed agg."""
+    p = _t(spark, sf_dir, "part")
+    fit = p.groupBy("p_brand").agg(
+        (
+            F.covar_pop("p_size", "p_retailprice") / F.var_pop("p_size")
+        ).alias("_slope"),
+        F.avg("p_retailprice").alias("_my"),
+        F.avg("p_size").alias("_mx"),
+    )
+    resid = p.join(F.broadcast(fit), "p_brand").select(
+        "p_brand",
+        (
+            F.col("p_retailprice")
+            - (
+                F.col("_my")
+                + F.col("_slope") * (F.col("p_size") - F.col("_mx"))
+            )
+        ).alias("_r"),
+    )
+    sigma = resid.groupBy("p_brand").agg(
+        F.stddev_samp("_r").alias("_sig")
+    )
+    return (
+        resid.join(F.broadcast(sigma), "p_brand")
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.round(F.max("_sig"), 6).alias("resid_sigma"),
+            F.sum(
+                F.when(F.abs(F.col("_r")) > 2 * F.col("_sig"), 1).otherwise(0)
+            ).alias("n_outliers"),
+            F.round(F.max(F.abs(F.col("_r")) / F.col("_sig")), 6).alias(
+                "max_std_resid"
+            ),
+        )
+    )
+
+
+def q339_transition_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence predictability audit [EXT]: the conditional entropy
+    H(next | current) per current event type — how much signal q321's
+    Markov argmax is even working with (H = 0: deterministic follow-up;
+    H = ln(5): next event is noise). Reports entropy, the argmax share,
+    and the normalized predictability 1 − H/ln(5).
+
+    Scale shape: one lead-window pass, one (cur, next) aggregation, then
+    entropy from the cascaded per-cur rollup (ln(tot) − Σ n·ln(n)/tot —
+    no window needed)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = (
+        ev.select(
+            F.col("event_type").alias("cur"),
+            F.lead("event_type").over(w).alias("nxt"),
+        )
+        .filter(F.col("nxt").isNotNull())
+    )
+    counts = trans.groupBy("cur", "nxt").agg(F.count(F.lit(1)).alias("_n"))
+    return counts.groupBy("cur").agg(
+        F.sum("_n").alias("n_transitions"),
+        F.round(
+            F.log(F.sum("_n"))
+            - F.sum(F.col("_n") * F.log("_n")) / F.sum("_n"),
+            6,
+        ).alias("entropy"),
+        F.round(F.max("_n") / F.sum("_n").cast("double"), 6).alias(
+            "top_share"
+        ),
+        F.round(
+            1
+            - (
+                F.log(F.sum("_n"))
+                - F.sum(F.col("_n") * F.log("_n")) / F.sum("_n")
+            )
+            / F.log(F.lit(5.0)),
+            6,
+        ).alias("predictability"),
+    )
+
+
+def q340_bh_fdr_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini-Hochberg FDR audit [EXT]: Welch z per event type (the
+    5 parallel A/B readouts of q230), two-sided p-values via the
+    Abramowitz-Stegun 26.2.17 polynomial normal tail (literal
+    coefficients — both engines evaluate identical arithmetic, no erf
+    needed), then the BH step-up rule at α=0.1 — the multiple-testing
+    correction any metrics platform applies before declaring 5 slices
+    'significant'.
+
+    Scale shape: one (type, arm) moment agg; ranks over the 5-row p
+    table come from a count-self-join (no global window); the step-up
+    cutoff is a 1-row broadcast."""
+    ev = _t(spark, sf_dir, "events")
+    m = ev.groupBy("event_type", (F.col("user_id") % 2).alias("_arm")).agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.avg("value").alias("_mean"),
+        F.var_samp("value").alias("_var"),
+    )
+    a = m.filter(F.col("_arm") == 1).select(
+        "event_type", F.col("_mean").alias("_m1"),
+        (F.col("_var") / F.col("_n")).alias("_s1"),
+    )
+    b = m.filter(F.col("_arm") == 0).select(
+        "event_type", F.col("_mean").alias("_m0"),
+        (F.col("_var") / F.col("_n")).alias("_s0"),
+    )
+    z = (F.col("_m1") - F.col("_m0")) / F.sqrt(F.col("_s1") + F.col("_s0"))
+    # A&S 26.2.17: 1-Phi(x) = phi(x)(b1 t + ... + b5 t^5), t = 1/(1+px)
+    x = F.abs(F.col("_z"))
+    t = 1 / (1 + 0.2316419 * x)
+    phi = F.exp(-x * x / 2) / F.lit(2.5066282746310002)
+    tail = phi * (
+        0.319381530 * t
+        - 0.356563782 * t * t
+        + 1.781477937 * t * t * t
+        - 1.821255978 * t * t * t * t
+        + 1.330274429 * t * t * t * t * t
+    )
+    pvals = (
+        a.join(b, "event_type")
+        .select("event_type", z.alias("_z"))
+        .select("event_type", "_z", (2 * tail).alias("_p"))
+    )
+    ranked = pvals.alias("x").join(
+        pvals.select(F.col("_p").alias("_p2")).alias("y"),
+        F.col("y._p2") <= F.col("x._p"),
+    ).groupBy("event_type", "_z", "_p").agg(
+        F.count(F.lit(1)).alias("p_rank")
+    )
+    kmax = ranked.agg(
+        F.max(
+            F.when(
+                F.col("_p") <= F.col("p_rank") * 0.1 / 5, F.col("p_rank")
+            )
+        ).alias("_kmax")
+    )
+    return (
+        ranked.crossJoin(F.broadcast(kmax))
+        .select(
+            "event_type",
+            F.round("_z", 6).alias("z_stat"),
+            F.round("_p", 6).alias("p_value"),
+            "p_rank",
+            F.round(F.col("p_rank") * 0.1 / 5, 6).alias("bh_cutoff"),
+            F.coalesce(
+                F.col("p_rank") <= F.col("_kmax"), F.lit(False)
+            ).alias("significant"),
+        )
+    )
+
+
+#: deterministic consistent-hash ring: 2 vnodes per shard, md5-positioned.
+#: shared literal between the Spark plan and the SQL oracle.
+def _hash_ring(n_shards: int, vnodes: int = 2) -> list[tuple[int, int]]:
+    import hashlib as _hl
+
+    pts = []
+    for s in range(n_shards):
+        for vn in range(vnodes):
+            pos = int(_hl.md5(f"s{s}|v{vn}".encode()).hexdigest()[:8], 16)
+            pts.append((pos, s))
+    return sorted(pts)
+
+
+def q341_shard_rebalance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shard rebalance audit [EXT]: when a keyspace grows from 8 to 10
+    shards, what fraction of keys MOVE under (a) mod-hash placement
+    (expected ~9/10 — the classic resharding disaster) vs (b) a
+    consistent-hash ring with 2 vnodes/shard (only segments claimed by
+    the new shards move) — the Karger et al. argument, measured on the
+    actual user keyspace.
+
+    Scale shape: one pass computes old/new owners per key from literal
+    ring points (HOF over ≤20 broadcast constants); the rollup is a
+    2-row aggregation."""
+    ev = _t(spark, sf_dir, "events").select("user_id").distinct()
+    khash = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10
+    ).cast("long")
+
+    def ring_owner(ring: list[tuple[int, int]]):
+        arr = F.array(
+            *[
+                F.struct(F.lit(pos).alias("pos"), F.lit(s).alias("shard"))
+                for pos, s in ring
+            ]
+        )
+        nxt = F.array_sort(
+            F.filter(arr, lambda r: r.getField("pos") >= F.col("_kh"))
+        )
+        return F.coalesce(
+            F.get(nxt, 0).getField("shard"),
+            F.lit(ring[0][1]),
+        )
+
+    keyed = ev.select(khash.alias("_kh"), F.col("user_id").alias("_k"))
+    modded = keyed.select(
+        F.lit("mod").alias("strategy"),
+        ((F.col("_kh") % 8) != (F.col("_kh") % 10)).alias("_moved"),
+    )
+    ringed = keyed.select(
+        F.lit("ring").alias("strategy"),
+        (
+            ring_owner(_hash_ring(8)) != ring_owner(_hash_ring(10))
+        ).alias("_moved"),
+    )
+    return (
+        modded.unionByName(ringed)
+        .groupBy("strategy")
+        .agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            F.sum(F.when(F.col("_moved"), 1).otherwise(0)).alias("n_moved"),
+            F.round(
+                F.avg(F.col("_moved").cast("double")), 6
+            ).alias("moved_frac"),
+        )
+    )
+
+
+def q342_ttl_cache_hit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TTL cache planning from access logs [EXT]: if responses were
+    cached per (user, event type) with TTL T, what hit rate would the
+    event history have seen? hit = previous same-key access within T;
+    swept for T ∈ {60s, 300s, 1800s} — the capacity-vs-freshness curve
+    an infra team reads before sizing a cache tier.
+
+    Scale shape: one lag window per (user, type); the TTL sweep explodes
+    each event ×3 after the gap is computed."""
+    from hubverse_transform_spark.operators.sessions import _epoch_seconds
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    gaps = ev.select(
+        (
+            _epoch_seconds(F.col("ts"))
+            - F.lag(_epoch_seconds(F.col("ts"))).over(w)
+        ).alias("_gap")
+    )
+    swept = gaps.select(
+        "_gap",
+        F.explode(
+            F.array(F.lit(60), F.lit(300), F.lit(1800))
+        ).alias("ttl_seconds"),
+    )
+    return swept.groupBy("ttl_seconds").agg(
+        F.count(F.lit(1)).alias("n_accesses"),
+        F.sum(
+            F.when(
+                F.col("_gap").isNotNull() & (F.col("_gap") <= F.col("ttl_seconds")),
+                1,
+            ).otherwise(0)
+        ).alias("n_hits"),
+        F.round(
+            F.avg(
+                F.when(
+                    F.col("_gap").isNotNull()
+                    & (F.col("_gap") <= F.col("ttl_seconds")),
+                    1.0,
+                ).otherwise(0.0)
+            ),
+            6,
+        ).alias("hit_rate"),
+    )
+
+
 # =============================================================================
 # Driver contract
 # =============================================================================
@@ -11182,6 +11486,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q334_clustering_coefficient": q334_clustering_coefficient,
         "q335_knapsack_data_selection": q335_knapsack_data_selection,
         "q336_source_distribution_similarity": q336_source_distribution_similarity,
+        "q337_temporal_motifs": q337_temporal_motifs,
+        "q338_ols_residual_outliers": q338_ols_residual_outliers,
+        "q339_transition_entropy": q339_transition_entropy,
+        "q340_bh_fdr_audit": q340_bh_fdr_audit,
+        "q341_shard_rebalance_audit": q341_shard_rebalance_audit,
+        "q342_ttl_cache_hit_audit": q342_ttl_cache_hit_audit,
     }
 
 
@@ -17567,6 +17877,148 @@ def oracle_sql() -> dict[str, str]:
         GROUP BY 1, 2
         ORDER BY hist_intersection DESC, source_a, source_b
         LIMIT 10
+    """
+    sqls["q337_temporal_motifs"] = """
+        WITH seq AS (
+            SELECT event_type AS e1,
+                   lead(event_type, 1) OVER w AS e2,
+                   lead(event_type, 2) OVER w AS e3,
+                   epoch(ts) AS t1,
+                   lead(epoch(ts), 2) OVER w AS t3
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        )
+        SELECT e1, e2, e3, count(*) AS n_occurrences
+        FROM seq WHERE e3 IS NOT NULL AND t3 - t1 <= 1800
+        GROUP BY 1, 2, 3
+        ORDER BY n_occurrences DESC, e1, e2, e3
+        LIMIT 10
+    """
+    sqls["q338_ols_residual_outliers"] = """
+        WITH fit AS (
+            SELECT p_brand,
+                   covar_pop(p_size, p_retailprice) / var_pop(p_size)
+                       AS slope,
+                   avg(p_retailprice) AS my, avg(p_size) AS mx
+            FROM part GROUP BY 1
+        ), resid AS (
+            SELECT p.p_brand,
+                   p_retailprice - (my + slope * (p_size - mx)) AS r
+            FROM part p JOIN fit USING (p_brand)
+        ), sigma AS (
+            SELECT p_brand, stddev_samp(r) AS sig FROM resid GROUP BY 1
+        )
+        SELECT r.p_brand, count(*) AS n_parts,
+               round(max(sig), 6) AS resid_sigma,
+               CAST(sum(CASE WHEN abs(r.r) > 2 * sig THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_outliers,
+               round(max(abs(r.r) / sig), 6) AS max_std_resid
+        FROM resid r JOIN sigma USING (p_brand)
+        GROUP BY 1
+    """
+    sqls["q339_transition_entropy"] = """
+        WITH trans AS (
+            SELECT event_type AS cur,
+                   lead(event_type) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) AS nxt
+            FROM events
+        ), t2 AS (SELECT * FROM trans WHERE nxt IS NOT NULL),
+        counts AS (SELECT cur, nxt, count(*) AS n FROM t2 GROUP BY 1, 2)
+        SELECT cur, CAST(sum(n) AS BIGINT) AS n_transitions,
+               round(ln(sum(n)) - sum(n * ln(n)) / sum(n), 6) AS entropy,
+               round(max(n) * 1.0 / sum(n), 6) AS top_share,
+               round(1 - (ln(sum(n)) - sum(n * ln(n)) / sum(n)) / ln(5.0), 6)
+                   AS predictability
+        FROM counts GROUP BY 1
+    """
+    sqls["q340_bh_fdr_audit"] = """
+        WITH m AS (
+            SELECT event_type, user_id % 2 AS arm, count(*) AS n,
+                   avg(value) AS mean, var_samp(value) AS var
+            FROM events GROUP BY 1, 2
+        ), a AS (
+            SELECT event_type, mean AS m1, var / n AS s1 FROM m WHERE arm = 1
+        ), b AS (
+            SELECT event_type, mean AS m0, var / n AS s0 FROM m WHERE arm = 0
+        ), zt AS (
+            SELECT event_type, (m1 - m0) / sqrt(s1 + s0) AS z
+            FROM a JOIN b USING (event_type)
+        ), pv AS (
+            SELECT event_type, z,
+                   2 * (exp(-abs(z) * abs(z) / 2) / 2.5066282746310002
+                        * (0.319381530 * (1 / (1 + 0.2316419 * abs(z)))
+                           - 0.356563782 * (1 / (1 + 0.2316419 * abs(z)))
+                             * (1 / (1 + 0.2316419 * abs(z)))
+                           + 1.781477937 * (1 / (1 + 0.2316419 * abs(z)))
+                             * (1 / (1 + 0.2316419 * abs(z)))
+                             * (1 / (1 + 0.2316419 * abs(z)))
+                           - 1.821255978 * (1 / (1 + 0.2316419 * abs(z)))
+                             * (1 / (1 + 0.2316419 * abs(z)))
+                             * (1 / (1 + 0.2316419 * abs(z)))
+                             * (1 / (1 + 0.2316419 * abs(z)))
+                           + 1.330274429 * (1 / (1 + 0.2316419 * abs(z)))
+                             * (1 / (1 + 0.2316419 * abs(z)))
+                             * (1 / (1 + 0.2316419 * abs(z)))
+                             * (1 / (1 + 0.2316419 * abs(z)))
+                             * (1 / (1 + 0.2316419 * abs(z))))) AS p
+            FROM zt
+        ), ranked AS (
+            SELECT x.event_type, x.z, x.p, count(*) AS p_rank
+            FROM pv x JOIN pv y ON y.p <= x.p
+            GROUP BY 1, 2, 3
+        ), kmax AS (
+            SELECT max(CASE WHEN p <= p_rank * 0.1 / 5 THEN p_rank END)
+                AS kmax
+            FROM ranked
+        )
+        SELECT event_type, round(z, 6) AS z_stat, round(p, 6) AS p_value,
+               CAST(p_rank AS BIGINT) AS p_rank,
+               round(p_rank * 0.1 / 5, 6) AS bh_cutoff,
+               coalesce(p_rank <= kmax, false) AS significant
+        FROM ranked, kmax
+    """
+    _r8 = _hash_ring(8)
+    _r10 = _hash_ring(10)
+
+    def _ring_case(ring: list[tuple[int, int]]) -> str:
+        cases = " ".join(f"WHEN kh <= {pos} THEN {s}" for pos, s in ring)
+        return f"(CASE {cases} ELSE {ring[0][1]} END)"
+
+    sqls["q341_shard_rebalance_audit"] = f"""
+        WITH keys AS (SELECT DISTINCT user_id FROM events),
+        keyed AS (
+            SELECT CAST('0x' || substring(md5(CAST(user_id AS VARCHAR)),
+                                          1, 8) AS BIGINT) AS kh
+            FROM keys
+        ), flags AS (
+            SELECT 'mod' AS strategy, (kh % 8) != (kh % 10) AS moved
+            FROM keyed
+            UNION ALL
+            SELECT 'ring', {_ring_case(_r8)} != {_ring_case(_r10)}
+            FROM keyed
+        )
+        SELECT strategy, count(*) AS n_keys,
+               CAST(sum(CASE WHEN moved THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_moved,
+               round(avg(CASE WHEN moved THEN 1.0 ELSE 0.0 END), 6)
+                   AS moved_frac
+        FROM flags GROUP BY 1
+    """
+    sqls["q342_ttl_cache_hit_audit"] = """
+        WITH gaps AS (
+            SELECT epoch(ts) - lag(epoch(ts))
+                       OVER (PARTITION BY user_id, event_type
+                             ORDER BY ts, event_id) AS gap
+            FROM events
+        )
+        SELECT ttl_seconds, count(*) AS n_accesses,
+               CAST(sum(CASE WHEN gap IS NOT NULL AND gap <= ttl_seconds
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+               round(avg(CASE WHEN gap IS NOT NULL AND gap <= ttl_seconds
+                              THEN 1.0 ELSE 0.0 END), 6) AS hit_rate
+        FROM gaps,
+             (SELECT CAST(unnest([60, 300, 1800]) AS INT) AS ttl_seconds)
+        GROUP BY 1
     """
     sqls["q295_cbo_estimation_audit"] = """
         WITH so AS (
