@@ -11138,6 +11138,351 @@ def q342_ttl_cache_hit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q343_competing_risks_cif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Competing-risks cumulative incidence [EXT]: from each user's first
+    event, the time to FIRST purchase (risk 1) vs first error (risk 2),
+    censored at the last observed event — the Aalen-Johansen estimator
+    CIF_k(t) = Σ_{s≤t} S(s⁻)·d_k(s)/n(s) on a daily grid, per arm. Naive
+    1−KM per risk OVERSTATES incidence when risks compete; this is the
+    correct decomposition (complements q237's single-risk KM).
+
+    Scale shape: per-user collapse is one keyed agg; the estimator runs
+    on the bounded (arm × distinct-day) grid with arm-partitioned
+    windows; ln-sum-exp realizes the running product (q237's trick)."""
+    ev = _t(spark, sf_dir, "events")
+    per_ev = ev.select(
+        "user_id",
+        (F.col("user_id") % 2).alias("arm"),
+        F.to_date("ts").alias("_d"),
+        "event_type",
+    )
+    firsts = per_ev.groupBy("user_id", "arm").agg(
+        F.min("_d").alias("_start"),
+        F.max("_d").alias("_last"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("_d"))).alias(
+            "_p"
+        ),
+        F.min(F.when(F.col("event_type") == "error", F.col("_d"))).alias(
+            "_e"
+        ),
+    )
+    # exit day + cause: earliest of first-purchase/first-error, else
+    # censored at the last observed day (cause 0)
+    exits = firsts.select(
+        "arm",
+        F.when(
+            F.col("_p").isNotNull()
+            & (F.col("_e").isNull() | (F.col("_p") <= F.col("_e"))),
+            F.struct(
+                F.datediff("_p", "_start").alias("t"), F.lit(1).alias("k")
+            ),
+        )
+        .when(
+            F.col("_e").isNotNull(),
+            F.struct(
+                F.datediff("_e", "_start").alias("t"), F.lit(2).alias("k")
+            ),
+        )
+        .otherwise(
+            F.struct(
+                F.datediff("_last", "_start").alias("t"), F.lit(0).alias("k")
+            )
+        )
+        .alias("_x"),
+    ).select("arm", F.col("_x.t").alias("t"), F.col("_x.k").alias("k"))
+    grid = exits.groupBy("arm", "t").agg(
+        F.sum(F.when(F.col("k") == 1, 1).otherwise(0)).alias("d1"),
+        F.sum(F.when(F.col("k") == 2, 1).otherwise(0)).alias("d2"),
+        F.count(F.lit(1)).alias("_all"),
+    )
+    warm = Window.partitionBy("arm")
+    wcum = Window.partitionBy("arm").orderBy("t")
+    wprev = wcum.rowsBetween(Window.unboundedPreceding, -1)
+    stepped = grid.select(
+        "arm",
+        "t",
+        "d1",
+        "d2",
+        (
+            F.sum("_all").over(warm)
+            - F.coalesce(F.sum("_all").over(wprev), F.lit(0))
+        ).alias("n_risk"),
+    )
+    hazarded = stepped.select(
+        "arm",
+        "t",
+        "d1",
+        "d2",
+        "n_risk",
+        F.exp(
+            F.coalesce(
+                F.sum(
+                    F.log(
+                        F.greatest(
+                            F.lit(1.0)
+                            - (F.col("d1") + F.col("d2")) / F.col("n_risk"),
+                            F.lit(1e-300),
+                        )
+                    )
+                ).over(wprev),
+                F.lit(0.0),
+            )
+        ).alias("_s_prev"),
+    )
+    return (
+        hazarded.select(
+            "arm",
+            "t",
+            "n_risk",
+            F.round(
+                F.sum(
+                    F.col("_s_prev") * F.col("d1") / F.col("n_risk")
+                ).over(wcum.rowsBetween(Window.unboundedPreceding, 0)),
+                6,
+            ).alias("cif_purchase"),
+            F.round(
+                F.sum(
+                    F.col("_s_prev") * F.col("d2") / F.col("n_risk")
+                ).over(wcum.rowsBetween(Window.unboundedPreceding, 0)),
+                6,
+            ).alias("cif_error"),
+            (F.col("d1") + F.col("d2") > 0).alias("_ev"),
+        )
+        .filter(F.col("_ev"))
+        .drop("_ev")
+    )
+
+
+def q344_retention_decay_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention decay-law fit [EXT]: weekly cohort retention (q100 at
+    week grain), averaged per week offset, then the power-law fit
+    ln r(k) = a + b·ln k over offsets k ≥ 1 — the 'is churn power-law or
+    exponential' read a growth team uses to extrapolate LTV beyond the
+    observed horizon.
+
+    Scale shape: cohort matrix is q100's shape (agg + broadcast join);
+    the fit is closed-form OLS moments over the ≤5-row offset table."""
+    e = _t(spark, sf_dir, "events").select(
+        "user_id", F.date_trunc("week", "ts").alias("_wk")
+    )
+    cohort = e.groupBy("user_id").agg(F.min("_wk").alias("_c0"))
+    joined = e.join(F.broadcast(cohort), "user_id").select(
+        "user_id",
+        "_c0",
+        (F.datediff("_wk", "_c0") / 7).cast("int").alias("_k"),
+    )
+    sizes = cohort.groupBy("_c0").agg(F.countDistinct("user_id").alias("_n0"))
+    matrix = (
+        joined.groupBy("_c0", "_k")
+        .agg(F.countDistinct("user_id").alias("_nk"))
+        .join(F.broadcast(sizes), "_c0")
+        .filter(F.col("_k") >= 1)
+        .groupBy("_k")
+        .agg(F.avg(F.col("_nk") / F.col("_n0")).alias("_r"))
+    )
+    pts = matrix.select(
+        F.log(F.col("_k").cast("double")).alias("_x"),
+        F.log("_r").alias("_y"),
+    )
+    fit = pts.agg(
+        F.count(F.lit(1)).alias("n_offsets"),
+        (F.covar_pop("_y", "_x") / F.var_pop("_x")).alias("_b"),
+        F.avg("_y").alias("_my"),
+        F.avg("_x").alias("_mx"),
+        F.corr("_x", "_y").alias("_rho"),
+    )
+    return fit.select(
+        "n_offsets",
+        F.round("_b", 6).alias("decay_exponent"),
+        F.round(
+            F.exp(F.col("_my") - F.col("_b") * F.col("_mx")), 6
+        ).alias("week1_retention"),
+        F.round(F.col("_rho") * F.col("_rho"), 6).alias("r_squared"),
+    )
+
+
+def q345_moore_lewis_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moore-Lewis data selection [EXT]: score every out-of-domain
+    document by the cross-entropy DIFFERENCE between an in-domain unigram
+    LM (lang='en' docs) and the general-corpus LM — the canonical
+    'select general data that looks like my domain' filter (Moore &
+    Lewis, ACL 2010; q114 is the single-model fluency version). Top-10
+    most domain-like non-English documents.
+
+    Scale shape: both LMs are vocab-bounded broadcast tables over the
+    shared union vocabulary (add-1 smoothing keeps OOV finite); scoring
+    is one token-stream join; TakeOrdered top-10."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        "lang",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("w"),
+    ).filter(F.col("w") != "")
+    vocab = toks.select("w").distinct()
+    vsize = vocab.agg(F.count(F.lit(1)).alias("_v"))
+    dom = toks.filter(F.col("lang") == "en").groupBy("w").agg(
+        F.count(F.lit(1)).alias("_cd")
+    )
+    dom_tot = dom.agg(F.sum("_cd").alias("_nd"))
+    gen = toks.groupBy("w").agg(F.count(F.lit(1)).alias("_cg"))
+    gen_tot = gen.agg(F.sum("_cg").alias("_ng"))
+    model = (
+        vocab.join(F.broadcast(dom), "w", "left")
+        .join(F.broadcast(gen), "w", "left")
+        .crossJoin(F.broadcast(vsize))
+        .crossJoin(F.broadcast(dom_tot))
+        .crossJoin(F.broadcast(gen_tot))
+        .select(
+            "w",
+            (
+                -F.log(
+                    (F.coalesce(F.col("_cd"), F.lit(0)) + 1.0)
+                    / (F.col("_nd") + F.col("_v"))
+                )
+            ).alias("_nll_d"),
+            (
+                -F.log(
+                    (F.coalesce(F.col("_cg"), F.lit(0)) + 1.0)
+                    / (F.col("_ng") + F.col("_v"))
+                )
+            ).alias("_nll_g"),
+        )
+    )
+    scored = (
+        toks.filter(F.col("lang") != "en")
+        .join(F.broadcast(model), "w")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(
+                F.avg("_nll_d") - F.avg("_nll_g"), 6
+            ).alias("ce_difference"),
+        )
+    )
+    return scored.orderBy("ce_difference", "doc_id").limit(10)
+
+
+def q346_error_retry_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-recovery funnel [EXT]: after each 'error' event, what does
+    the user do within 10 minutes — retry into success (a non-error
+    event), hit another error, or go silent ('none')? The ops metric
+    behind 'are errors churning users'. Per outcome: count and share.
+
+    Scale shape: one lead window per user; the rollup is a 1-key agg over
+    error rows only."""
+    from hubverse_transform_spark.operators.sessions import _epoch_seconds
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nexts = ev.select(
+        "event_type",
+        _epoch_seconds(F.col("ts")).alias("_t"),
+        F.lead("event_type").over(w).alias("_nt"),
+        F.lead(_epoch_seconds(F.col("ts"))).over(w).alias("_nts"),
+    ).filter(F.col("event_type") == "error")
+    outcome = F.when(
+        F.col("_nt").isNull() | (F.col("_nts") - F.col("_t") > 600),
+        F.lit("none"),
+    ).otherwise(F.col("_nt"))
+    grouped = nexts.groupBy(outcome.alias("next_within_10m")).agg(
+        F.count(F.lit(1)).alias("n_errors")
+    )
+    tot = grouped.agg(F.sum("n_errors").alias("_tot"))
+    return grouped.crossJoin(F.broadcast(tot)).select(
+        "next_within_10m",
+        "n_errors",
+        F.round(F.col("n_errors") / F.col("_tot"), 6).alias("share"),
+    )
+
+
+def q347_window_funnel_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict-order window funnel [EXT]: the ClickHouse-windowFunnel
+    semantics — per user, the deepest prefix of signup → click → purchase
+    completed with each step within 1 hour of the PREVIOUS step (q80/q201
+    funnels count step membership; this enforces order and per-step
+    timeout). Histogram of funnel levels 0–3.
+
+    Scale shape: three cascaded min-aggregations (each step's earliest
+    qualifying timestamp), keyed on user; the histogram is a 1-key agg."""
+    from hubverse_transform_spark.operators.sessions import _epoch_seconds
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_type", _epoch_seconds(F.col("ts")).alias("_t")
+    )
+    users = ev.select("user_id").distinct()
+    t1 = ev.filter(F.col("event_type") == "signup").groupBy("user_id").agg(
+        F.min("_t").alias("_t1")
+    )
+    t2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(t1.hint("shuffle_hash"), "user_id")
+        .filter((F.col("_t") > F.col("_t1")) & (F.col("_t") - F.col("_t1") <= 3600))
+        .groupBy("user_id")
+        .agg(F.min("_t").alias("_t2"))
+    )
+    t3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(t2.hint("shuffle_hash"), "user_id")
+        .filter((F.col("_t") > F.col("_t2")) & (F.col("_t") - F.col("_t2") <= 3600))
+        .groupBy("user_id")
+        .agg(F.min("_t").alias("_t3"))
+    )
+    level = (
+        F.when(F.col("_t3").isNotNull(), 3)
+        .when(F.col("_t2").isNotNull(), 2)
+        .when(F.col("_t1").isNotNull(), 1)
+        .otherwise(0)
+    )
+    grouped = (
+        users.join(t1, "user_id", "left")
+        .join(t2, "user_id", "left")
+        .join(t3, "user_id", "left")
+        .groupBy(level.alias("funnel_level"))
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+    tot = grouped.agg(F.sum("n_users").alias("_tot"))
+    return grouped.crossJoin(F.broadcast(tot)).select(
+        "funnel_level",
+        "n_users",
+        F.round(F.col("n_users") / F.col("_tot"), 6).alias("share"),
+    )
+
+
+def q348_seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality strength [EXT]: the STL-style variance decomposition
+    of daily order revenue — seasonal component = day-of-week mean
+    (q241's index), strength = max(0, 1 − Var(residual)/Var(series))
+    (Wang, Smith & Hyndman 2006) — one number that says whether the DOW
+    pattern is worth modeling at all (feeds q304's seasonal anomalies).
+
+    Scale shape: daily rollup, broadcast 7-row DOW means, then a 1-row
+    variance aggregation."""
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(F.to_date("o_orderdate").alias("_day")).agg(
+        F.round(F.sum("o_totalprice"), 2).alias("_rev")
+    )
+    dow = daily.groupBy(F.dayofweek("_day").alias("_dw")).agg(
+        F.avg("_rev").alias("_smean")
+    )
+    resid = daily.select(F.dayofweek("_day").alias("_dw"), "_rev").join(
+        F.broadcast(dow), "_dw"
+    )
+    return resid.agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.round(F.var_pop("_rev"), 2).alias("var_daily"),
+        F.round(F.var_pop(F.col("_rev") - F.col("_smean")), 2).alias(
+            "var_residual"
+        ),
+        F.round(
+            F.greatest(
+                F.lit(0.0),
+                1 - F.var_pop(F.col("_rev") - F.col("_smean")) / F.var_pop("_rev"),
+            ),
+            6,
+        ).alias("seasonality_strength"),
+    )
+
+
 # =============================================================================
 # Driver contract
 # =============================================================================
@@ -11492,6 +11837,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q340_bh_fdr_audit": q340_bh_fdr_audit,
         "q341_shard_rebalance_audit": q341_shard_rebalance_audit,
         "q342_ttl_cache_hit_audit": q342_ttl_cache_hit_audit,
+        "q343_competing_risks_cif": q343_competing_risks_cif,
+        "q344_retention_decay_fit": q344_retention_decay_fit,
+        "q345_moore_lewis_selection": q345_moore_lewis_selection,
+        "q346_error_retry_rate": q346_error_retry_rate,
+        "q347_window_funnel_levels": q347_window_funnel_levels,
+        "q348_seasonality_strength": q348_seasonality_strength,
     }
 
 
@@ -18019,6 +18370,199 @@ def oracle_sql() -> dict[str, str]:
         FROM gaps,
              (SELECT CAST(unnest([60, 300, 1800]) AS INT) AS ttl_seconds)
         GROUP BY 1
+    """
+    sqls["q343_competing_risks_cif"] = """
+        WITH pe AS (
+            SELECT user_id, user_id % 2 AS arm, CAST(ts AS DATE) AS d,
+                   event_type
+            FROM events
+        ), firsts AS (
+            SELECT user_id, arm, min(d) AS start, max(d) AS last,
+                   min(CASE WHEN event_type = 'purchase' THEN d END) AS p,
+                   min(CASE WHEN event_type = 'error' THEN d END) AS e
+            FROM pe GROUP BY 1, 2
+        ), exits AS (
+            SELECT arm,
+                   CAST(CASE WHEN p IS NOT NULL AND (e IS NULL OR p <= e)
+                             THEN datediff('day', start, p)
+                             WHEN e IS NOT NULL
+                             THEN datediff('day', start, e)
+                             ELSE datediff('day', start, last) END AS INT)
+                       AS t,
+                   CASE WHEN p IS NOT NULL AND (e IS NULL OR p <= e) THEN 1
+                        WHEN e IS NOT NULL THEN 2 ELSE 0 END AS k
+            FROM firsts
+        ), grid AS (
+            SELECT arm, t,
+                   sum(CASE WHEN k = 1 THEN 1 ELSE 0 END) AS d1,
+                   sum(CASE WHEN k = 2 THEN 1 ELSE 0 END) AS d2,
+                   count(*) AS alln
+            FROM exits GROUP BY 1, 2
+        ), stepped AS (
+            SELECT arm, t, d1, d2,
+                   sum(alln) OVER (PARTITION BY arm)
+                   - coalesce(sum(alln)
+                       OVER (PARTITION BY arm ORDER BY t
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND 1 PRECEDING), 0) AS n_risk
+            FROM grid
+        ), hz AS (
+            SELECT arm, t, d1, d2, n_risk,
+                   exp(coalesce(sum(ln(greatest(
+                           1.0 - (d1 + d2) * 1.0 / n_risk, 1e-300)))
+                       OVER (PARTITION BY arm ORDER BY t
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND 1 PRECEDING), 0.0)) AS s_prev
+            FROM stepped
+        ), cif AS (
+            SELECT arm, t, d1, d2, n_risk,
+                   round(sum(s_prev * d1 * 1.0 / n_risk)
+                         OVER (PARTITION BY arm ORDER BY t
+                               ROWS UNBOUNDED PRECEDING), 6)
+                       AS cif_purchase,
+                   round(sum(s_prev * d2 * 1.0 / n_risk)
+                         OVER (PARTITION BY arm ORDER BY t
+                               ROWS UNBOUNDED PRECEDING), 6) AS cif_error
+            FROM hz
+        )
+        SELECT arm, t, CAST(n_risk AS BIGINT) AS n_risk,
+               cif_purchase, cif_error
+        FROM cif WHERE d1 + d2 > 0
+    """
+    sqls["q344_retention_decay_fit"] = """
+        WITH e AS (
+            SELECT user_id, date_trunc('week', ts) AS wk FROM events
+        ), cohort AS (
+            SELECT user_id, min(wk) AS c0 FROM e GROUP BY 1
+        ), joined AS (
+            SELECT e.user_id, c.c0,
+                   CAST(datediff('day', c.c0, e.wk) / 7 AS INT) AS k
+            FROM e JOIN cohort c USING (user_id)
+        ), sizes AS (
+            SELECT c0, count(DISTINCT user_id) AS n0 FROM cohort GROUP BY 1
+        ), matrix AS (
+            SELECT k, avg(nk * 1.0 / n0) AS r
+            FROM (SELECT c0, k, count(DISTINCT user_id) AS nk
+                  FROM joined GROUP BY 1, 2) m
+            JOIN sizes USING (c0)
+            WHERE k >= 1 GROUP BY 1
+        ), pts AS (
+            SELECT ln(CAST(k AS DOUBLE)) AS x, ln(r) AS y FROM matrix
+        ), fit AS (
+            SELECT count(*) AS n_offsets,
+                   covar_pop(y, x) / var_pop(x) AS b,
+                   avg(y) AS my, avg(x) AS mx, corr(x, y) AS rho
+            FROM pts
+        )
+        SELECT n_offsets, round(b, 6) AS decay_exponent,
+               round(exp(my - b * mx), 6) AS week1_retention,
+               round(rho * rho, 6) AS r_squared
+        FROM fit
+    """
+    sqls["q345_moore_lewis_selection"] = f"""
+        WITH toks AS (
+            SELECT doc_id, lang, w FROM (
+                SELECT doc_id, lang, unnest({_TOKS}) AS w FROM documents
+            ) WHERE w != ''
+        ), vocab AS (SELECT DISTINCT w FROM toks),
+        vs AS (SELECT count(*) AS v FROM vocab),
+        dom AS (
+            SELECT w, count(*) AS cd FROM toks WHERE lang = 'en' GROUP BY 1
+        ), dt AS (SELECT CAST(sum(cd) AS BIGINT) AS nd FROM dom),
+        gen AS (SELECT w, count(*) AS cg FROM toks GROUP BY 1),
+        gt AS (SELECT CAST(sum(cg) AS BIGINT) AS ng FROM gen),
+        model AS (
+            SELECT v2.w,
+                   -ln((coalesce(d.cd, 0) + 1.0) / (dt.nd + vs.v)) AS nll_d,
+                   -ln((coalesce(g.cg, 0) + 1.0) / (gt.ng + vs.v)) AS nll_g
+            FROM vocab v2
+            LEFT JOIN dom d ON d.w = v2.w
+            LEFT JOIN gen g ON g.w = v2.w
+            CROSS JOIN vs CROSS JOIN dt CROSS JOIN gt
+        )
+        SELECT t.doc_id, t.lang, count(*) AS n_tokens,
+               round(avg(m.nll_d) - avg(m.nll_g), 6) AS ce_difference
+        FROM toks t JOIN model m ON m.w = t.w
+        WHERE t.lang != 'en'
+        GROUP BY 1, 2
+        ORDER BY ce_difference, doc_id
+        LIMIT 10
+    """
+    sqls["q346_error_retry_rate"] = """
+        WITH nexts AS (
+            SELECT event_type, epoch(ts) AS t,
+                   lead(event_type) OVER w AS nt,
+                   lead(epoch(ts)) OVER w AS nts
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), errs AS (
+            SELECT CASE WHEN nt IS NULL OR nts - t > 600 THEN 'none'
+                        ELSE nt END AS next_within_10m
+            FROM nexts WHERE event_type = 'error'
+        ), grouped AS (
+            SELECT next_within_10m, count(*) AS n_errors
+            FROM errs GROUP BY 1
+        ), tot AS (
+            SELECT CAST(sum(n_errors) AS BIGINT) AS tot FROM grouped
+        )
+        SELECT next_within_10m, n_errors,
+               round(n_errors * 1.0 / tot, 6) AS share
+        FROM grouped, tot
+    """
+    sqls["q347_window_funnel_levels"] = """
+        WITH ev AS (
+            SELECT user_id, event_type, epoch(ts) AS t FROM events
+        ), users AS (SELECT DISTINCT user_id FROM ev),
+        t1 AS (
+            SELECT user_id, min(t) AS t1 FROM ev
+            WHERE event_type = 'signup' GROUP BY 1
+        ), t2 AS (
+            SELECT e.user_id, min(e.t) AS t2
+            FROM ev e JOIN t1 ON t1.user_id = e.user_id
+            WHERE e.event_type = 'click' AND e.t > t1.t1
+              AND e.t - t1.t1 <= 3600
+            GROUP BY 1
+        ), t3 AS (
+            SELECT e.user_id, min(e.t) AS t3
+            FROM ev e JOIN t2 ON t2.user_id = e.user_id
+            WHERE e.event_type = 'purchase' AND e.t > t2.t2
+              AND e.t - t2.t2 <= 3600
+            GROUP BY 1
+        ), levels AS (
+            SELECT CASE WHEN t3.t3 IS NOT NULL THEN 3
+                        WHEN t2.t2 IS NOT NULL THEN 2
+                        WHEN t1.t1 IS NOT NULL THEN 1 ELSE 0 END
+                       AS funnel_level
+            FROM users u
+            LEFT JOIN t1 ON t1.user_id = u.user_id
+            LEFT JOIN t2 ON t2.user_id = u.user_id
+            LEFT JOIN t3 ON t3.user_id = u.user_id
+        ), grouped AS (
+            SELECT funnel_level, count(*) AS n_users
+            FROM levels GROUP BY 1
+        ), tot AS (
+            SELECT CAST(sum(n_users) AS BIGINT) AS tot FROM grouped
+        )
+        SELECT funnel_level, n_users,
+               round(n_users * 1.0 / tot, 6) AS share
+        FROM grouped, tot
+    """
+    sqls["q348_seasonality_strength"] = """
+        WITH daily AS (
+            SELECT CAST(o_orderdate AS DATE) AS day,
+                   round(sum(o_totalprice), 2) AS rev
+            FROM orders GROUP BY 1
+        ), dw AS (
+            SELECT dayofweek(day) AS dwk, avg(rev) AS smean
+            FROM daily GROUP BY 1
+        )
+        SELECT count(*) AS n_days,
+               round(var_pop(rev), 2) AS var_daily,
+               round(var_pop(rev - smean), 2) AS var_residual,
+               round(greatest(0.0,
+                     1 - var_pop(rev - smean) / var_pop(rev)), 6)
+                   AS seasonality_strength
+        FROM daily d JOIN dw ON dw.dwk = dayofweek(d.day)
     """
     sqls["q295_cbo_estimation_audit"] = """
         WITH so AS (
