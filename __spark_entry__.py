@@ -7354,9 +7354,15 @@ def q266_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     |groups|×40 keys per partition; the replicate-mean table (200 rows)
     is the only thing that ever shuffles. At 100 TB this is one corpus
     scan, same cost as a plain GROUP BY."""
+    from hubverse_transform_spark.session import spread_small_scan
+
     t = _POISSON1_T
-    o = _t(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_orderpriority", "o_totalprice"
+    # spread BEFORE the 40x explode: a one-file scan would otherwise run
+    # all 6M md5 evaluations on a single task
+    o = spread_small_scan(
+        _t(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderpriority", "o_totalprice"
+        )
     )
     reps = o.select(
         "*", F.explode(F.sequence(F.lit(0), F.lit(39))).alias("r")
