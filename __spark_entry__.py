@@ -11489,6 +11489,387 @@ def q348_seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q349_partition_layout_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition layout planner [EXT]: for candidate time-partitioning
+    grains (day / week / month) of the event stream, how many partitions
+    exist in total and how many a typical 7-day predicate
+    ('2024-01-10'..'2024-01-16') actually touches — the pruning-ratio
+    table a lake admin reads before choosing a layout (finer grain prunes
+    harder but multiplies small files; pairs with q268's z-order and
+    q133's completeness audits).
+
+    Scale shape: three 1-row distinct-count aggregations unioned."""
+    ev = _t(spark, sf_dir, "events")
+    lo = F.lit("2024-01-10").cast("timestamp_ntz")
+    hi = F.lit("2024-01-17").cast("timestamp_ntz")
+    outs = []
+    for grain in ("day", "week", "month"):
+        agg = ev.agg(
+            F.countDistinct(F.date_trunc(grain, "ts")).alias("n_partitions"),
+            F.countDistinct(
+                F.when(
+                    (F.col("ts") >= lo) & (F.col("ts") < hi),
+                    F.date_trunc(grain, "ts"),
+                )
+            ).alias("n_touched"),
+        ).select(
+            F.lit(grain).alias("grain"),
+            "n_partitions",
+            "n_touched",
+            F.round(
+                1 - F.col("n_touched") / F.col("n_partitions").cast("double"),
+                6,
+            ).alias("pruning_ratio"),
+        )
+        outs.append(agg)
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
+def q350_encoding_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column encoding planner [EXT]: per lineitem column, the NDV ratio
+    and the dictionary key width that drive a columnar writer's
+    dictionary-vs-plain decision (dictionary pays when the key width
+    beats the value width and the page dictionary fits) — the ANALYZE
+    output feeding a parquet/ORC writer's encoding chooser (q281 collects
+    the value stats; this is the storage read of them).
+
+    Scale shape: one melt + (col, value) pre-aggregation (q281's shape);
+    the per-column rollup sees distinct values only."""
+    li = _t(spark, sf_dir, "lineitem")
+    cols = [
+        "l_returnflag",
+        "l_linestatus",
+        "l_partkey",
+        "l_quantity",
+        "l_shipdate",
+    ]
+    melted = li.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("col_name"),
+                        F.col(c).cast("string").alias("v"),
+                    )
+                    for c in cols
+                ]
+            )
+        ).alias("_s")
+    ).select("_s.col_name", "_s.v")
+    cnts = melted.groupBy("col_name", "v").agg(F.count(F.lit(1)).alias("_c"))
+    stats = cnts.groupBy("col_name").agg(
+        F.sum("_c").alias("n_rows"),
+        F.count(F.lit(1)).alias("ndv"),
+    )
+    dict_bits = F.ceil(F.log2(F.col("ndv").cast("double")))
+    return stats.select(
+        "col_name",
+        "n_rows",
+        "ndv",
+        F.round(F.col("ndv") / F.col("n_rows").cast("double"), 6).alias(
+            "ndv_ratio"
+        ),
+        dict_bits.alias("dict_key_bits"),
+        F.when(
+            (F.col("ndv") <= 65536)
+            & (F.col("ndv") / F.col("n_rows").cast("double") < 0.5),
+            F.lit("dictionary"),
+        )
+        .otherwise(F.lit("plain"))
+        .alias("recommendation"),
+    )
+
+
+def q351_peak_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-activity peak detection [EXT]: per event type, the days that
+    are strict local maxima AND at least 1.1× their centered 7-day mean —
+    the alerting primitive behind 'traffic spiked on X' (q154's z-score
+    flags level shifts; this flags shape). Emits the peak days with their
+    prominence ratio.
+
+    Scale shape: one daily rollup; neighbors and the centered mean are
+    type-partitioned windows over ~30 day rows."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    w7 = w.rowsBetween(-3, 3)
+    flagged = daily.select(
+        "event_type",
+        "day",
+        "n_events",
+        F.lag("n_events").over(w).alias("_prev"),
+        F.lead("n_events").over(w).alias("_next"),
+        F.avg("n_events").over(w7).alias("_avg7"),
+    )
+    return (
+        flagged.filter(
+            F.col("_prev").isNotNull()
+            & F.col("_next").isNotNull()
+            & (F.col("n_events") > F.col("_prev"))
+            & (F.col("n_events") > F.col("_next"))
+            & (F.col("n_events") > 1.1 * F.col("_avg7"))
+        )
+        .select(
+            "event_type",
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "n_events",
+            F.round("_avg7", 2).alias("avg_7d"),
+            F.round(F.col("n_events") / F.col("_avg7"), 6).alias(
+                "prominence_ratio"
+            ),
+        )
+    )
+
+
+def q352_variance_reduction_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Estimator bake-off [EXT]: the same A/B effect estimated three ways
+    — raw difference of means, CUPED (q306), and post-stratification on
+    pre-period quintiles (q307's strata) — each with its standard error,
+    so the variance-reduction choice is read off one table instead of
+    three dashboards.
+
+    Scale shape: one per-user aggregation feeds all three estimators;
+    every model table (θ, cuts, strata moments) is a broadcast; output is
+    3 rows."""
+    ev = _t(spark, sf_dir, "events")
+    cut = F.lit("2024-01-16").cast("timestamp_ntz")
+    per_user = ev.groupBy("user_id").agg(
+        F.sum(F.when(F.col("ts") < cut, F.col("value"))).alias("_x"),
+        F.sum(F.when(F.col("ts") >= cut, F.col("value"))).alias("_y"),
+    ).filter(F.col("_x").isNotNull() & F.col("_y").isNotNull()).select(
+        (F.col("user_id") % 2).alias("_t"), "_x", "_y", "user_id"
+    )
+    theta = per_user.agg(
+        (F.covar_pop("_y", "_x") / F.var_pop("_x")).alias("_th"),
+        F.avg("_x").alias("_xbar"),
+        F.expr("percentile(_x, array(0.2, 0.4, 0.6, 0.8))").alias("_cuts"),
+    )
+    enriched = per_user.crossJoin(F.broadcast(theta)).select(
+        "_t",
+        "_y",
+        (F.col("_y") - F.col("_th") * (F.col("_x") - F.col("_xbar"))).alias(
+            "_yc"
+        ),
+        F.aggregate(
+            "_cuts",
+            F.lit(0),
+            lambda acc, c: acc + F.when(F.col("_x") > c, 1).otherwise(0),
+        ).alias("_s"),
+    )
+
+    def _arm_diff(col: str, name: str) -> DataFrame:
+        m = enriched.groupBy("_t").agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.avg(col).alias("_m"),
+            F.var_samp(col).alias("_v"),
+        )
+        a = m.filter(F.col("_t") == 1).select(
+            F.col("_m").alias("_m1"), (F.col("_v") / F.col("_n")).alias("_s1")
+        )
+        b = m.filter(F.col("_t") == 0).select(
+            F.col("_m").alias("_m0"), (F.col("_v") / F.col("_n")).alias("_s0")
+        )
+        return a.crossJoin(b).select(
+            F.lit(name).alias("method"),
+            F.round(F.col("_m1") - F.col("_m0"), 6).alias("effect"),
+            F.round(F.sqrt(F.col("_s1") + F.col("_s0")), 6).alias("se"),
+        )
+
+    raw = _arm_diff("_y", "raw")
+    cuped = _arm_diff("_yc", "cuped")
+    strata = enriched.groupBy("_s", "_t").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.avg("_y").alias("_m"),
+        F.var_samp("_y").alias("_v"),
+    )
+    s1 = strata.filter(F.col("_t") == 1).select(
+        "_s", F.col("_m").alias("_m1"),
+        (F.col("_v") / F.col("_n")).alias("_se1"),
+        F.col("_n").alias("_n1"),
+    )
+    s0 = strata.filter(F.col("_t") == 0).select(
+        "_s", F.col("_m").alias("_m0"),
+        (F.col("_v") / F.col("_n")).alias("_se0"),
+        F.col("_n").alias("_n0"),
+    )
+    post = (
+        s1.join(s0, "_s")
+        .select(
+            "_s",
+            (F.col("_m1") - F.col("_m0")).alias("_d"),
+            (F.col("_se1") + F.col("_se0")).alias("_var"),
+            (F.col("_n1") + F.col("_n0")).alias("_ns"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("_d") * F.col("_ns")) / F.sum("_ns"), 6
+            ).alias("effect"),
+            F.round(
+                F.sqrt(
+                    F.sum(
+                        F.col("_var") * F.col("_ns") * F.col("_ns")
+                    )
+                    / (F.sum("_ns") * F.sum("_ns"))
+                ),
+                6,
+            ).alias("se"),
+        )
+        .select(F.lit("post_stratified").alias("method"), "effect", "se")
+    )
+    return raw.unionByName(cuped).unionByName(post)
+
+
+def q353_cf_holdout_hitrate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recommender holdout evaluation [EXT]: train q331's item-item CF on
+    orders BEFORE 1998-01-01, then measure hit-rate@3 on the held-out
+    period — of the test-period co-purchases involving a trained head
+    item, how many land in its trained top-3 list? The temporal-split
+    eval that separates 'my similarity table is pretty' from 'it
+    predicts'.
+
+    Scale shape: train/test are date-pruned scans of the same order-
+    blocked co-occurrence shape; the trained top-3 table (60 rows)
+    broadcasts into the test-pair probe."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    odate = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate"
+    )
+    keyed = li.join(
+        odate.hint("shuffle_hash"),
+        li.l_orderkey == odate.o_orderkey,
+    ).select(
+        "l_orderkey",
+        "l_partkey",
+        (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp_ntz")).alias(
+            "_train"
+        ),
+    )
+    train = keyed.filter(F.col("_train")).select("l_orderkey", "l_partkey")
+    test = keyed.filter(~F.col("_train")).select("l_orderkey", "l_partkey")
+    n_i = train.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("_n"))
+    b = train.select(
+        F.col("l_orderkey").alias("_ok"), F.col("l_partkey").alias("_pb")
+    )
+    co = (
+        train.join(
+            b.hint("shuffle_hash"),
+            (F.col("l_orderkey") == F.col("_ok"))
+            & (F.col("l_partkey") != F.col("_pb")),
+        )
+        .groupBy(F.col("l_partkey").alias("item_a"), F.col("_pb").alias("item_b"))
+        .agg(F.count(F.lit(1)).alias("_co"))
+    )
+    top_items = (
+        n_i.orderBy(F.col("_n").desc(), "l_partkey")
+        .limit(20)
+        .select(F.col("l_partkey").alias("item_a"), F.col("_n").alias("_na"))
+    )
+    wr = Window.partitionBy("item_a").orderBy(
+        F.col("_sim").desc(), "item_b"
+    )
+    top3 = (
+        co.join(F.broadcast(top_items), "item_a")
+        .join(
+            F.broadcast(n_i.select(F.col("l_partkey").alias("item_b"),
+                                   F.col("_n").alias("_nb"))),
+            "item_b",
+        )
+        .select(
+            "item_a",
+            "item_b",
+            F.round(F.col("_co") / F.sqrt(F.col("_na") * F.col("_nb")), 9).alias(
+                "_sim"
+            ),
+        )
+        .withColumn("_r", F.row_number().over(wr))
+        .filter(F.col("_r") <= 3)
+        .select("item_a", "item_b")
+    )
+    tb = test.select(
+        F.col("l_orderkey").alias("_ok"), F.col("l_partkey").alias("_pb")
+    )
+    test_pairs = (
+        test.join(
+            tb.hint("shuffle_hash"),
+            (F.col("l_orderkey") == F.col("_ok"))
+            & (F.col("l_partkey") != F.col("_pb")),
+        )
+        .select(
+            F.col("l_partkey").alias("item_a"), F.col("_pb").alias("item_b")
+        )
+        .distinct()
+        .join(F.broadcast(top_items.select("item_a")), "item_a")
+    )
+    hits = test_pairs.join(
+        F.broadcast(top3.withColumn("_hit", F.lit(1))),
+        ["item_a", "item_b"],
+        "left",
+    )
+    return hits.agg(
+        F.count(F.lit(1)).alias("n_test_pairs"),
+        F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("n_hits"),
+        F.round(
+            F.avg(F.coalesce(F.col("_hit"), F.lit(0)).cast("double")), 6
+        ).alias("hit_rate_at_3"),
+    )
+
+
+def q354_bpe_merge_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE merge simulation [EXT]: three unrolled merge steps of
+    byte-pair-encoding training at WORD granularity — each step counts
+    adjacent token pairs corpus-wide (q265 is one such step), merges the
+    most frequent pair everywhere (left-to-right literal replacement on
+    the space-sentineled normalized text), and recounts. Returns the
+    3-step merge table a tokenizer trainer would emit.
+
+    Scale shape: each step is one shuffle (pair counts) + a map-side
+    literal replace; the argmax pair is a bounded 1-row driver pull, the
+    merge token embeds '@@' so later steps can't split it."""
+    d = _t(spark, sf_dir, "documents")
+    norm = F.concat(
+        F.lit(" "),
+        F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "),
+        F.lit(" "),
+    )
+    corpus = d.select(F.col("doc_id").alias("_doc"), norm.alias("_txt"))
+    rows = []
+    for step in range(1, 4):
+        toks = corpus.select(
+            "_doc",
+            F.posexplode(F.split(F.trim(F.col("_txt")), r"\s+")).alias(
+                "_p", "_w"
+            ),
+        )
+        w = Window.partitionBy("_doc").orderBy("_p")
+        pairs = (
+            toks.select(
+                F.lag("_w").over(w).alias("_w1"), F.col("_w").alias("_w2")
+            )
+            .filter(F.col("_w1").isNotNull())
+            .groupBy("_w1", "_w2")
+            .agg(F.count(F.lit(1)).alias("_n"))
+        )
+        top = pairs.orderBy(
+            F.col("_n").desc(), "_w1", "_w2"
+        ).limit(1).collect()[0]
+        w1, w2, n = top["_w1"], top["_w2"], top["_n"]
+        rows.append((step, f"{w1} {w2}", f"{w1}@@{w2}", int(n)))
+        corpus = corpus.select(
+            "_doc",
+            F.replace(
+                F.col("_txt"), F.lit(f" {w1} {w2} "), F.lit(f" {w1}@@{w2} ")
+            ).alias("_txt"),
+        )
+    return spark.createDataFrame(
+        rows, "step int, merged_pair string, new_token string, pair_count bigint"
+    )
+
+
 # =============================================================================
 # Driver contract
 # =============================================================================
@@ -11849,6 +12230,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q346_error_retry_rate": q346_error_retry_rate,
         "q347_window_funnel_levels": q347_window_funnel_levels,
         "q348_seasonality_strength": q348_seasonality_strength,
+        "q349_partition_layout_planner": q349_partition_layout_planner,
+        "q350_encoding_planner": q350_encoding_planner,
+        "q351_peak_detection": q351_peak_detection,
+        "q352_variance_reduction_methods": q352_variance_reduction_methods,
+        "q353_cf_holdout_hitrate": q353_cf_holdout_hitrate,
+        "q354_bpe_merge_steps": q354_bpe_merge_steps,
     }
 
 
@@ -18570,6 +18957,216 @@ def oracle_sql() -> dict[str, str]:
                    AS seasonality_strength
         FROM daily d JOIN dw ON dw.dwk = dayofweek(d.day)
     """
+    _grain_sqls = []
+    for _g in ("day", "week", "month"):
+        _touch = (
+            f"count(DISTINCT CASE WHEN ts >= TIMESTAMP '2024-01-10' "
+            f"AND ts < TIMESTAMP '2024-01-17' "
+            f"THEN date_trunc('{_g}', ts) END)"
+        )
+        _grain_sqls.append(f"""
+            SELECT '{_g}' AS grain,
+                   count(DISTINCT date_trunc('{_g}', ts)) AS n_partitions,
+                   {_touch} AS n_touched,
+                   round(1 - {_touch} * 1.0
+                         / count(DISTINCT date_trunc('{_g}', ts)), 6)
+                       AS pruning_ratio
+            FROM events
+        """)
+    sqls["q349_partition_layout_planner"] = " UNION ALL ".join(_grain_sqls)
+    sqls["q350_encoding_planner"] = """
+        WITH melted AS (
+            SELECT 'l_returnflag' AS col_name,
+                   CAST(l_returnflag AS VARCHAR) AS v FROM lineitem
+            UNION ALL SELECT 'l_linestatus',
+                   CAST(l_linestatus AS VARCHAR) FROM lineitem
+            UNION ALL SELECT 'l_partkey',
+                   CAST(l_partkey AS VARCHAR) FROM lineitem
+            UNION ALL SELECT 'l_quantity',
+                   CAST(l_quantity AS VARCHAR) FROM lineitem
+            UNION ALL SELECT 'l_shipdate',
+                   CAST(l_shipdate AS VARCHAR) FROM lineitem
+        ), cnts AS (
+            SELECT col_name, v, count(*) AS c FROM melted GROUP BY 1, 2
+        ), stats AS (
+            SELECT col_name, CAST(sum(c) AS BIGINT) AS n_rows,
+                   count(*) AS ndv
+            FROM cnts GROUP BY 1
+        )
+        SELECT col_name, n_rows, ndv,
+               round(ndv * 1.0 / n_rows, 6) AS ndv_ratio,
+               CAST(ceil(log2(ndv)) AS BIGINT) AS dict_key_bits,
+               CASE WHEN ndv <= 65536 AND ndv * 1.0 / n_rows < 0.5
+                    THEN 'dictionary' ELSE 'plain' END AS recommendation
+        FROM stats
+    """
+    sqls["q351_peak_detection"] = """
+        WITH daily AS (
+            SELECT event_type, CAST(ts AS DATE) AS day,
+                   count(*) AS n_events
+            FROM events GROUP BY 1, 2
+        ), flagged AS (
+            SELECT event_type, day, n_events,
+                   lag(n_events) OVER w AS prev,
+                   lead(n_events) OVER w AS nxt,
+                   avg(n_events) OVER (PARTITION BY event_type ORDER BY day
+                                       ROWS BETWEEN 3 PRECEDING
+                                            AND 3 FOLLOWING) AS avg7
+            FROM daily
+            WINDOW w AS (PARTITION BY event_type ORDER BY day)
+        )
+        SELECT event_type, strftime(day, '%Y-%m-%d') AS day, n_events,
+               round(avg7, 2) AS avg_7d,
+               round(n_events / avg7, 6) AS prominence_ratio
+        FROM flagged
+        WHERE prev IS NOT NULL AND nxt IS NOT NULL
+          AND n_events > prev AND n_events > nxt
+          AND n_events > 1.1 * avg7
+    """
+    sqls["q352_variance_reduction_methods"] = """
+        WITH per_user AS (
+            SELECT user_id,
+                   sum(CASE WHEN ts < TIMESTAMP '2024-01-16'
+                            THEN value END) AS x,
+                   sum(CASE WHEN ts >= TIMESTAMP '2024-01-16'
+                            THEN value END) AS y
+            FROM events GROUP BY 1
+        ), pu AS (
+            SELECT * FROM per_user WHERE x IS NOT NULL AND y IS NOT NULL
+        ), model AS (
+            SELECT covar_pop(y, x) / var_pop(x) AS th, avg(x) AS xbar,
+                   quantile_cont(x, [0.2, 0.4, 0.6, 0.8]) AS cuts
+            FROM pu
+        ), enr AS (
+            SELECT user_id % 2 AS t, y,
+                   y - th * (x - xbar) AS yc,
+                   (CASE WHEN x > cuts[1] THEN 1 ELSE 0 END
+                    + CASE WHEN x > cuts[2] THEN 1 ELSE 0 END
+                    + CASE WHEN x > cuts[3] THEN 1 ELSE 0 END
+                    + CASE WHEN x > cuts[4] THEN 1 ELSE 0 END) AS s
+            FROM pu, model
+        ), rawm AS (
+            SELECT t, count(*) AS n, avg(y) AS m, var_samp(y) AS v
+            FROM enr GROUP BY 1
+        ), cupm AS (
+            SELECT t, count(*) AS n, avg(yc) AS m, var_samp(yc) AS v
+            FROM enr GROUP BY 1
+        ), strm AS (
+            SELECT s, t, count(*) AS n, avg(y) AS m, var_samp(y) AS v
+            FROM enr GROUP BY 1, 2
+        ), s1 AS (
+            SELECT s, m AS m1, v / n AS se1, n AS n1 FROM strm WHERE t = 1
+        ), s0 AS (
+            SELECT s, m AS m0, v / n AS se0, n AS n0 FROM strm WHERE t = 0
+        )
+        SELECT 'raw' AS method,
+               round((SELECT m FROM rawm WHERE t = 1)
+                     - (SELECT m FROM rawm WHERE t = 0), 6) AS effect,
+               round(sqrt((SELECT v / n FROM rawm WHERE t = 1)
+                          + (SELECT v / n FROM rawm WHERE t = 0)), 6) AS se
+        UNION ALL
+        SELECT 'cuped',
+               round((SELECT m FROM cupm WHERE t = 1)
+                     - (SELECT m FROM cupm WHERE t = 0), 6),
+               round(sqrt((SELECT v / n FROM cupm WHERE t = 1)
+                          + (SELECT v / n FROM cupm WHERE t = 0)), 6)
+        UNION ALL
+        SELECT 'post_stratified',
+               round(sum((m1 - m0) * (n1 + n0)) / sum(n1 + n0), 6),
+               round(sqrt(sum((se1 + se0) * (n1 + n0) * (n1 + n0))
+                          / (sum(n1 + n0) * sum(n1 + n0))), 6)
+        FROM s1 JOIN s0 USING (s)
+    """
+    sqls["q353_cf_holdout_hitrate"] = """
+        WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        keyed AS (
+            SELECT li.l_orderkey, li.l_partkey,
+                   o.o_orderdate < TIMESTAMP '1998-01-01' AS train
+            FROM li JOIN orders o ON o.o_orderkey = li.l_orderkey
+        ), tr AS (SELECT l_orderkey, l_partkey FROM keyed WHERE train),
+        te AS (SELECT l_orderkey, l_partkey FROM keyed WHERE NOT train),
+        ni AS (SELECT l_partkey, count(*) AS n FROM tr GROUP BY 1),
+        co AS (
+            SELECT a.l_partkey AS item_a, b.l_partkey AS item_b,
+                   count(*) AS c
+            FROM tr a JOIN tr b ON a.l_orderkey = b.l_orderkey
+                               AND a.l_partkey != b.l_partkey
+            GROUP BY 1, 2
+        ), top_items AS (
+            SELECT l_partkey AS item_a, n AS na FROM ni
+            ORDER BY n DESC, l_partkey LIMIT 20
+        ), top3 AS (
+            SELECT item_a, item_b FROM (
+                SELECT c.item_a, c.item_b,
+                       row_number() OVER (
+                           PARTITION BY c.item_a
+                           ORDER BY round(c.c / sqrt(t.na * nb.n), 9) DESC,
+                                    c.item_b) AS r
+                FROM co c
+                JOIN top_items t ON t.item_a = c.item_a
+                JOIN ni nb ON nb.l_partkey = c.item_b
+            ) WHERE r <= 3
+        ), test_pairs AS (
+            SELECT DISTINCT a.l_partkey AS item_a, b.l_partkey AS item_b
+            FROM te a
+            JOIN te b ON a.l_orderkey = b.l_orderkey
+                     AND a.l_partkey != b.l_partkey
+            JOIN top_items t ON t.item_a = a.l_partkey
+        )
+        SELECT count(*) AS n_test_pairs,
+               CAST(sum(CASE WHEN t3.item_a IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_hits,
+               round(avg(CASE WHEN t3.item_a IS NOT NULL
+                              THEN 1.0 ELSE 0.0 END), 6) AS hit_rate_at_3
+        FROM test_pairs tp LEFT JOIN top3 t3
+          ON t3.item_a = tp.item_a AND t3.item_b = tp.item_b
+    """
+    _bpe_ctes = [
+        """c0 AS (
+            SELECT doc_id AS doc,
+                   ' ' || regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')
+                       || ' ' AS txt
+            FROM documents
+        )"""
+    ]
+    for _i in (1, 2, 3):
+        _prev = f"c{_i - 1}"
+        _bpe_ctes.append(f"""p{_i} AS (
+            SELECT w1, w2, count(*) AS n FROM (
+                SELECT lag(w) OVER (PARTITION BY doc ORDER BY p) AS w1,
+                       w AS w2
+                FROM (SELECT doc,
+                             unnest(regexp_split_to_array(trim(txt),
+                                                          '\\s+')) AS w,
+                             generate_subscripts(
+                                 regexp_split_to_array(trim(txt), '\\s+'),
+                                 1) AS p
+                      FROM {_prev}))
+            WHERE w1 IS NOT NULL GROUP BY 1, 2
+        )""")
+        _bpe_ctes.append(
+            f"t{_i} AS (SELECT w1, w2, n FROM p{_i} "
+            f"ORDER BY n DESC, w1, w2 LIMIT 1)"
+        )
+        if _i < 3:
+            _bpe_ctes.append(f"""c{_i} AS (
+                SELECT doc, replace(txt,
+                    ' ' || (SELECT w1 FROM t{_i}) || ' '
+                        || (SELECT w2 FROM t{_i}) || ' ',
+                    ' ' || (SELECT w1 FROM t{_i}) || '@@'
+                        || (SELECT w2 FROM t{_i}) || ' ') AS txt
+                FROM {_prev}
+            )""")
+    _bpe_steps = " UNION ALL ".join(
+        f"""SELECT CAST({_i} AS INT) AS step,
+               (SELECT w1 || ' ' || w2 FROM t{_i}) AS merged_pair,
+               (SELECT w1 || '@@' || w2 FROM t{_i}) AS new_token,
+               (SELECT n FROM t{_i}) AS pair_count"""
+        for _i in (1, 2, 3)
+    )
+    sqls["q354_bpe_merge_steps"] = (
+        "WITH " + ",\n".join(_bpe_ctes) + "\n" + _bpe_steps
+    )
     sqls["q295_cbo_estimation_audit"] = """
         WITH so AS (
             SELECT count(*) AS n, count(DISTINCT o_custkey) AS d FROM orders
