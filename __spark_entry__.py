@@ -11870,6 +11870,376 @@ def q354_bpe_merge_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q355_three_itemset_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules over 3-itemsets [EXT]: {a, b} → c rules from
+    order baskets with support ≥ 2 orders, ranked by lift — the market-
+    basket step past q119's pair lift (pair rules miss 'a AND b together
+    imply c'). Top-10 rules by lift with full tie-break.
+
+    Scale shape: triples enumerate via the order-blocked double self-join
+    with a < b orientation (bounded by basket width³, never corpus-
+    quadratic); supports join broadcast; TakeOrdered top-10."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    n_orders = li.select("l_orderkey").distinct().count()
+    b = li.select(
+        F.col("l_orderkey").alias("_ok"), F.col("l_partkey").alias("_pb")
+    )
+    c = li.select(
+        F.col("l_orderkey").alias("_ok2"), F.col("l_partkey").alias("_pc")
+    )
+    triples = (
+        li.join(
+            b.hint("shuffle_hash"),
+            (F.col("l_orderkey") == F.col("_ok"))
+            & (F.col("l_partkey") < F.col("_pb")),
+        )
+        .join(
+            c.hint("shuffle_hash"),
+            (F.col("l_orderkey") == F.col("_ok2"))
+            & (F.col("_pc") != F.col("l_partkey"))
+            & (F.col("_pc") != F.col("_pb")),
+        )
+        .groupBy(
+            F.col("l_partkey").alias("item_a"),
+            F.col("_pb").alias("item_b"),
+            F.col("_pc").alias("item_c"),
+        )
+        .agg(F.count(F.lit(1)).alias("_sup_abc"))
+        .filter(F.col("_sup_abc") >= 2)
+    )
+    pair_sup = (
+        li.join(
+            b.hint("shuffle_hash"),
+            (F.col("l_orderkey") == F.col("_ok"))
+            & (F.col("l_partkey") < F.col("_pb")),
+        )
+        .groupBy(
+            F.col("l_partkey").alias("item_a"), F.col("_pb").alias("item_b")
+        )
+        .agg(F.count(F.lit(1)).alias("_sup_ab"))
+    )
+    item_sup = li.groupBy(F.col("l_partkey").alias("item_c")).agg(
+        F.count(F.lit(1)).alias("_sup_c")
+    )
+    scored = (
+        triples.join(pair_sup.hint("shuffle_hash"), ["item_a", "item_b"])
+        .join(F.broadcast(item_sup), "item_c")
+        .select(
+            "item_a",
+            "item_b",
+            "item_c",
+            F.col("_sup_abc").alias("support"),
+            F.round(F.col("_sup_abc") / F.col("_sup_ab"), 6).alias(
+                "confidence"
+            ),
+            F.round(
+                F.col("_sup_abc")
+                * F.lit(float(n_orders))
+                / (F.col("_sup_ab") * F.col("_sup_c")),
+                6,
+            ).alias("lift"),
+        )
+    )
+    return scored.orderBy(
+        F.col("lift").desc(), "item_a", "item_b", "item_c"
+    ).limit(10)
+
+
+def q356_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Growth accounting [EXT]: per week, users decomposed into NEW
+    (first week ever), RETAINED (active previous week too), and
+    RESURRECTED (active before, but not last week) — plus the churned
+    count (active last week, absent now) — the standard MAU/WAU
+    decomposition a growth team reads weekly (q100's cohort matrix is
+    the long view; this is the ledger).
+
+    Scale shape: one (user, week) distinct pass; the state classification
+    is a lag window per user over week rows; churn joins the previous
+    week's actives."""
+    ev = _t(spark, sf_dir, "events")
+    uw = ev.select(
+        "user_id", F.date_trunc("week", "ts").alias("_wk")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("_wk")
+    classified = uw.select(
+        "user_id",
+        "_wk",
+        F.lag("_wk").over(w).alias("_prev_active"),
+        F.min("_wk").over(
+            Window.partitionBy("user_id")
+        ).alias("_first"),
+    ).select(
+        "_wk",
+        F.when(F.col("_wk") == F.col("_first"), "new")
+        .when(
+            F.datediff("_wk", "_prev_active") == 7, "retained"
+        )
+        .otherwise("resurrected")
+        .alias("state"),
+    )
+    counts = classified.groupBy(
+        F.date_format("_wk", "yyyy-MM-dd").alias("week")
+    ).agg(
+        F.sum(F.when(F.col("state") == "new", 1).otherwise(0)).alias("new_users"),
+        F.sum(F.when(F.col("state") == "retained", 1).otherwise(0)).alias(
+            "retained_users"
+        ),
+        F.sum(F.when(F.col("state") == "resurrected", 1).otherwise(0)).alias(
+            "resurrected_users"
+        ),
+    )
+    # churned(w) = active in w-7 and not in w
+    prev = uw.select(
+        F.date_format(F.date_add(F.col("_wk").cast("date"), 7), "yyyy-MM-dd").alias(
+            "week"
+        ),
+        "user_id",
+    )
+    cur = uw.select(
+        F.date_format(F.col("_wk").cast("date"), "yyyy-MM-dd").alias("week"),
+        "user_id",
+    )
+    churned = (
+        prev.join(cur.hint("shuffle_hash"), ["week", "user_id"], "left_anti")
+        .groupBy("week")
+        .agg(F.count(F.lit(1)).alias("churned_users"))
+    )
+    return (
+        counts.join(churned, "week", "left")
+        .select(
+            "week",
+            "new_users",
+            "retained_users",
+            "resurrected_users",
+            F.coalesce(F.col("churned_users"), F.lit(0)).alias(
+                "churned_users"
+            ),
+        )
+    )
+
+
+def q357_conversion_regression_detector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion-regression detector [EXT]: weekly purchase-per-user
+    conversion with Wilson 95% intervals (q286's machinery over time),
+    flagged when a week's upper bound falls below the previous week's
+    lower bound — the CI-disjointness rule that pages a team only on
+    statistically real drops, not noise.
+
+    Scale shape: one (week, user) distinct pass, weekly rollup, Wilson
+    arithmetic per row, one lag window over ~5 week rows."""
+    ev = _t(spark, sf_dir, "events")
+    weekly = ev.groupBy(F.date_trunc("week", "ts").alias("_wk")).agg(
+        F.countDistinct("user_id").alias("_n"),
+        F.countDistinct(
+            F.when(F.col("event_type") == "purchase", F.col("user_id"))
+        ).alias("_k"),
+    )
+    z2 = 1.959964 * 1.959964
+    p = F.col("_k") / F.col("_n")
+    denom = 1 + z2 / F.col("_n")
+    center = (p + z2 / (2 * F.col("_n"))) / denom
+    half = (
+        F.lit(1.959964)
+        * F.sqrt(
+            p * (1 - p) / F.col("_n") + z2 / (4 * F.col("_n") * F.col("_n"))
+        )
+        / denom
+    )
+    banded = weekly.select(
+        "_wk",
+        "_n",
+        "_k",
+        F.round(p, 6).alias("conversion"),
+        (center - half).alias("_lo"),
+        (center + half).alias("_hi"),
+    )
+    # lag over the ~5 week rows; the year partition keeps the window off
+    # the unpartitioned path (single year in this corpus, bounded weeks)
+    w = Window.partitionBy(F.year("_wk")).orderBy("_wk")
+    flagged = banded.select(
+        F.date_format("_wk", "yyyy-MM-dd").alias("week"),
+        F.col("_n").alias("n_users"),
+        F.col("_k").alias("n_converted"),
+        "conversion",
+        F.round("_lo", 6).alias("wilson_lo"),
+        F.round("_hi", 6).alias("wilson_hi"),
+        F.coalesce(
+            F.col("_hi") < F.lag("_lo").over(w), F.lit(False)
+        ).alias("regression_flag"),
+    )
+    return flagged
+
+
+def q358_depth_conversion_monotonicity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engagement-depth monotonicity audit [EXT]: conversion rate by
+    event-count quintile — deeper users should convert more, and the
+    number of ADJACENT DECREASES (isotonic violations) says whether the
+    'engagement drives conversion' narrative survives contact with data.
+
+    Scale shape: per-user rollup, quintile cuts via one exact-percentile
+    agg (broadcast), per-bucket rates, one lag over 5 rows."""
+    ev = _t(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("_depth"),
+        F.max(
+            (F.col("event_type") == "purchase").cast("int")
+        ).alias("_converted"),
+    )
+    cuts = per_user.agg(
+        F.expr("percentile(_depth, array(0.2, 0.4, 0.6, 0.8))").alias("_c")
+    )
+    bucketed = per_user.crossJoin(F.broadcast(cuts)).select(
+        F.aggregate(
+            "_c",
+            F.lit(0),
+            lambda acc, c: acc + F.when(F.col("_depth") > c, 1).otherwise(0),
+        ).alias("depth_quintile"),
+        "_converted",
+    )
+    rates = bucketed.groupBy("depth_quintile").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.round(F.avg(F.col("_converted").cast("double")), 6).alias(
+            "conversion_rate"
+        ),
+    )
+    # global window over exactly 5 quintile rows (whitelisted in the
+    # plan-audit census)
+    w = Window.orderBy("depth_quintile")
+    return rates.select(
+        "depth_quintile",
+        "n_users",
+        "conversion_rate",
+        F.coalesce(
+            F.col("conversion_rate") < F.lag("conversion_rate").over(w),
+            F.lit(False),
+        ).alias("isotonic_violation"),
+    )
+
+
+def q359_ewma_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA control chart [EXT]: exponentially weighted moving average of
+    daily order counts (λ=0.3) with ±3σ_EWMA limits, σ_EWMA² =
+    σ²·λ/(2−λ)·(1−(1−λ)^{2t}) — the SPC chart that catches small
+    sustained shifts CUSUM-style charts (q232) and point z-scores (q154)
+    trade off differently. The recursion is realized as an explicit
+    decay-weighted prefix sum, exact on the bounded day grid.
+
+    Scale shape: daily rollup, then day-rank windows over the ~2400-row
+    date grid (calendar span, not data volume); the decay weights come
+    from pow() on the rank delta, never a true recursion."""
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    lam = 0.3
+    base = daily.agg(
+        F.avg("_n").alias("_mu"), F.stddev_samp("_n").alias("_sd")
+    )
+    # global window over the bounded day grid (~80 rows; whitelisted in
+    # the plan-audit census)
+    w = Window.orderBy("day")
+    ranked = daily.withColumn("_r", F.row_number().over(w))
+    a = ranked.alias("a")
+    bseq = ranked.select(
+        F.col("_r").alias("_rb"), F.col("_n").alias("_nb")
+    ).alias("b")
+    # EWMA_t = λ Σ_{i<=t} (1-λ)^(t-i) x_i + (1-λ)^t μ0 (μ0 = grand mean)
+    ewma = (
+        a.join(bseq.hint("shuffle_hash"), F.col("_rb") <= F.col("_r"))
+        .groupBy("a.day", "a._n", "a._r")
+        .agg(
+            F.sum(
+                F.lit(lam)
+                * F.pow(F.lit(1 - lam), F.col("_r") - F.col("_rb"))
+                * F.col("_nb")
+            ).alias("_wsum")
+        )
+    )
+    return (
+        ewma.crossJoin(F.broadcast(base))
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.col("_n").alias("n_orders"),
+            F.round(
+                F.col("_wsum")
+                + F.pow(F.lit(1 - lam), F.col("_r")) * F.col("_mu"),
+                4,
+            ).alias("ewma"),
+            F.round(
+                F.col("_mu")
+                - 3
+                * F.col("_sd")
+                * F.sqrt(
+                    F.lit(lam / (2 - lam))
+                    * (1 - F.pow(F.lit(1 - lam), 2 * F.col("_r")))
+                ),
+                4,
+            ).alias("lcl"),
+            F.round(
+                F.col("_mu")
+                + 3
+                * F.col("_sd")
+                * F.sqrt(
+                    F.lit(lam / (2 - lam))
+                    * (1 - F.pow(F.lit(1 - lam), 2 * F.col("_r")))
+                ),
+                4,
+            ).alias("ucl"),
+        )
+        .withColumn(
+            "out_of_control",
+            (F.col("ewma") < F.col("lcl")) | (F.col("ewma") > F.col("ucl")),
+        )
+    )
+
+
+def q360_sample_fidelity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample fidelity audit [EXT]: a deterministic 1000-row 'reservoir'
+    (the 1000 smallest md5(orderkey) hashes — the fixed-size analogue of
+    q51's rate-based hash sample) vs the full table, compared on mean /
+    p50 / p90 of order value — the 'can dashboards run on the sample'
+    check that should precede any sampled rollout.
+
+    Scale shape: the sample is a TakeOrdered by hash (no shuffle of the
+    full data beyond the top-k); both sides collapse to 1-row moment
+    aggregates before the compare."""
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    sample = o.select(
+        "o_totalprice", F.md5(F.col("o_orderkey").cast("string")).alias("_h")
+    ).orderBy("_h").limit(1000)
+    full_stats = o.agg(
+        F.count(F.lit(1)).alias("full_n"),
+        F.round(F.avg("o_totalprice"), 4).alias("full_mean"),
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("full_p50"),
+        F.round(F.expr("percentile(o_totalprice, 0.9)"), 4).alias("full_p90"),
+    )
+    samp_stats = sample.agg(
+        F.count(F.lit(1)).alias("sample_n"),
+        F.round(F.avg("o_totalprice"), 4).alias("sample_mean"),
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias(
+            "sample_p50"
+        ),
+        F.round(F.expr("percentile(o_totalprice, 0.9)"), 4).alias(
+            "sample_p90"
+        ),
+    )
+    return full_stats.crossJoin(samp_stats).select(
+        "full_n",
+        "sample_n",
+        "full_mean",
+        "sample_mean",
+        F.round(
+            F.abs(F.col("sample_mean") - F.col("full_mean"))
+            / F.col("full_mean"),
+            6,
+        ).alias("mean_rel_err"),
+        "full_p50",
+        "sample_p50",
+        "full_p90",
+        "sample_p90",
+    )
+
+
 # =============================================================================
 # Driver contract
 # =============================================================================
@@ -12236,6 +12606,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q352_variance_reduction_methods": q352_variance_reduction_methods,
         "q353_cf_holdout_hitrate": q353_cf_holdout_hitrate,
         "q354_bpe_merge_steps": q354_bpe_merge_steps,
+        "q355_three_itemset_rules": q355_three_itemset_rules,
+        "q356_growth_accounting": q356_growth_accounting,
+        "q357_conversion_regression_detector": q357_conversion_regression_detector,
+        "q358_depth_conversion_monotonicity": q358_depth_conversion_monotonicity,
+        "q359_ewma_control_chart": q359_ewma_control_chart,
+        "q360_sample_fidelity_audit": q360_sample_fidelity_audit,
     }
 
 
@@ -19167,6 +19543,203 @@ def oracle_sql() -> dict[str, str]:
     sqls["q354_bpe_merge_steps"] = (
         "WITH " + ",\n".join(_bpe_ctes) + "\n" + _bpe_steps
     )
+    sqls["q355_three_itemset_rules"] = """
+        WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        no AS (SELECT count(DISTINCT l_orderkey) AS n FROM li),
+        triples AS (
+            SELECT a.l_partkey AS item_a, b.l_partkey AS item_b,
+                   c.l_partkey AS item_c, count(*) AS sup_abc
+            FROM li a
+            JOIN li b ON b.l_orderkey = a.l_orderkey
+                     AND a.l_partkey < b.l_partkey
+            JOIN li c ON c.l_orderkey = a.l_orderkey
+                     AND c.l_partkey != a.l_partkey
+                     AND c.l_partkey != b.l_partkey
+            GROUP BY 1, 2, 3
+            HAVING count(*) >= 2
+        ), pair_sup AS (
+            SELECT a.l_partkey AS item_a, b.l_partkey AS item_b,
+                   count(*) AS sup_ab
+            FROM li a JOIN li b ON b.l_orderkey = a.l_orderkey
+                               AND a.l_partkey < b.l_partkey
+            GROUP BY 1, 2
+        ), item_sup AS (
+            SELECT l_partkey AS item_c, count(*) AS sup_c FROM li GROUP BY 1
+        )
+        SELECT t.item_a, t.item_b, t.item_c,
+               CAST(t.sup_abc AS BIGINT) AS support,
+               round(t.sup_abc * 1.0 / p.sup_ab, 6) AS confidence,
+               round(t.sup_abc * CAST(no.n AS DOUBLE)
+                     / (p.sup_ab * i.sup_c), 6) AS lift
+        FROM triples t
+        JOIN pair_sup p ON p.item_a = t.item_a AND p.item_b = t.item_b
+        JOIN item_sup i ON i.item_c = t.item_c, no
+        ORDER BY lift DESC, t.item_a, t.item_b, t.item_c
+        LIMIT 10
+    """
+    sqls["q356_growth_accounting"] = """
+        WITH uw AS (
+            SELECT DISTINCT user_id, date_trunc('week', ts) AS wk
+            FROM events
+        ), cls AS (
+            SELECT wk,
+                   CASE WHEN wk = min(wk) OVER (PARTITION BY user_id)
+                        THEN 'new'
+                        WHEN datediff('day',
+                                      lag(wk) OVER (PARTITION BY user_id
+                                                    ORDER BY wk), wk) = 7
+                        THEN 'retained'
+                        ELSE 'resurrected' END AS state
+            FROM uw
+        ), counts AS (
+            SELECT strftime(wk, '%Y-%m-%d') AS week,
+                   CAST(sum(CASE WHEN state = 'new' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS new_users,
+                   CAST(sum(CASE WHEN state = 'retained' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS retained_users,
+                   CAST(sum(CASE WHEN state = 'resurrected'
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS resurrected_users
+            FROM cls GROUP BY 1
+        ), prev AS (
+            SELECT strftime(CAST(wk AS DATE) + 7, '%Y-%m-%d') AS week,
+                   user_id
+            FROM uw
+        ), cur AS (
+            SELECT strftime(CAST(wk AS DATE), '%Y-%m-%d') AS week, user_id
+            FROM uw
+        ), churned AS (
+            SELECT p.week, count(*) AS churned_users
+            FROM prev p LEFT JOIN cur c
+              ON c.week = p.week AND c.user_id = p.user_id
+            WHERE c.user_id IS NULL
+            GROUP BY 1
+        )
+        SELECT counts.week, new_users, retained_users, resurrected_users,
+               CAST(coalesce(ch.churned_users, 0) AS BIGINT)
+                   AS churned_users
+        FROM counts LEFT JOIN churned ch ON ch.week = counts.week
+    """
+    _z = 1.959964
+    _z2 = _z * _z
+    sqls["q357_conversion_regression_detector"] = f"""
+        WITH weekly AS (
+            SELECT date_trunc('week', ts) AS wk,
+                   count(DISTINCT user_id) AS n,
+                   count(DISTINCT CASE WHEN event_type = 'purchase'
+                                       THEN user_id END) AS k
+            FROM events GROUP BY 1
+        ), banded AS (
+            SELECT wk, n, k,
+                   round(k * 1.0 / n, 6) AS conversion,
+                   ((k * 1.0 / n) + {_z2!r} / (2 * n)) / (1 + {_z2!r} / n)
+                   - {_z!r} * sqrt((k * 1.0 / n) * (1 - k * 1.0 / n) / n
+                                   + {_z2!r} / (4 * n * n))
+                     / (1 + {_z2!r} / n) AS lo,
+                   ((k * 1.0 / n) + {_z2!r} / (2 * n)) / (1 + {_z2!r} / n)
+                   + {_z!r} * sqrt((k * 1.0 / n) * (1 - k * 1.0 / n) / n
+                                   + {_z2!r} / (4 * n * n))
+                     / (1 + {_z2!r} / n) AS hi
+            FROM weekly
+        )
+        SELECT strftime(wk, '%Y-%m-%d') AS week,
+               CAST(n AS BIGINT) AS n_users,
+               CAST(k AS BIGINT) AS n_converted,
+               conversion,
+               round(lo, 6) AS wilson_lo, round(hi, 6) AS wilson_hi,
+               coalesce(hi < lag(lo) OVER (PARTITION BY year(wk)
+                                           ORDER BY wk), false)
+                   AS regression_flag
+        FROM banded
+    """
+    sqls["q358_depth_conversion_monotonicity"] = """
+        WITH per_user AS (
+            SELECT user_id, count(*) AS depth,
+                   max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                       AS converted
+            FROM events GROUP BY 1
+        ), cuts AS (
+            SELECT quantile_cont(depth, [0.2, 0.4, 0.6, 0.8]) AS c
+            FROM per_user
+        ), bucketed AS (
+            SELECT (CASE WHEN depth > c[1] THEN 1 ELSE 0 END
+                    + CASE WHEN depth > c[2] THEN 1 ELSE 0 END
+                    + CASE WHEN depth > c[3] THEN 1 ELSE 0 END
+                    + CASE WHEN depth > c[4] THEN 1 ELSE 0 END)
+                       AS depth_quintile,
+                   converted
+            FROM per_user, cuts
+        ), rates AS (
+            SELECT depth_quintile, count(*) AS n_users,
+                   round(avg(converted * 1.0), 6) AS conversion_rate
+            FROM bucketed GROUP BY 1
+        )
+        SELECT depth_quintile, n_users, conversion_rate,
+               coalesce(conversion_rate < lag(conversion_rate)
+                            OVER (ORDER BY depth_quintile), false)
+                   AS isotonic_violation
+        FROM rates
+    """
+    _lam = 0.3
+    _oml = 1 - _lam
+    _lfac = _lam / (2 - _lam)
+    sqls["q359_ewma_control_chart"] = f"""
+        WITH daily AS (
+            SELECT CAST(o_orderdate AS DATE) AS day, count(*) AS n
+            FROM orders GROUP BY 1
+        ), base AS (
+            SELECT avg(n) AS mu, stddev_samp(n) AS sd FROM daily
+        ), ranked AS (
+            SELECT day, n, row_number() OVER (ORDER BY day) AS r
+            FROM daily
+        ), ew AS (
+            SELECT a.day, a.n, a.r,
+                   sum({_lam!r} * pow({_oml!r}, a.r - b.r) * b.n) AS wsum
+            FROM ranked a JOIN ranked b ON b.r <= a.r
+            GROUP BY 1, 2, 3
+        )
+        SELECT strftime(day, '%Y-%m-%d') AS day,
+               CAST(n AS BIGINT) AS n_orders,
+               round(wsum + pow({_oml!r}, r) * mu, 4) AS ewma,
+               round(mu - 3 * sd * sqrt({_lfac!r}
+                     * (1 - pow({_oml!r}, 2 * r))), 4) AS lcl,
+               round(mu + 3 * sd * sqrt({_lfac!r}
+                     * (1 - pow({_oml!r}, 2 * r))), 4) AS ucl,
+               (round(wsum + pow({_oml!r}, r) * mu, 4)
+                < round(mu - 3 * sd * sqrt({_lfac!r}
+                        * (1 - pow({_oml!r}, 2 * r))), 4))
+               OR (round(wsum + pow({_oml!r}, r) * mu, 4)
+                   > round(mu + 3 * sd * sqrt({_lfac!r}
+                           * (1 - pow({_oml!r}, 2 * r))), 4))
+                   AS out_of_control
+        FROM ew, base
+    """
+    sqls["q360_sample_fidelity_audit"] = """
+        WITH o AS (SELECT o_orderkey, o_totalprice FROM orders),
+        sample AS (
+            SELECT o_totalprice FROM (
+                SELECT o_totalprice,
+                       md5(CAST(o_orderkey AS VARCHAR)) AS h
+                FROM o ORDER BY h LIMIT 1000)
+        ), fs AS (
+            SELECT count(*) AS full_n,
+                   round(avg(o_totalprice), 4) AS full_mean,
+                   round(quantile_cont(o_totalprice, 0.5), 4) AS full_p50,
+                   round(quantile_cont(o_totalprice, 0.9), 4) AS full_p90
+            FROM o
+        ), ss AS (
+            SELECT count(*) AS sample_n,
+                   round(avg(o_totalprice), 4) AS sample_mean,
+                   round(quantile_cont(o_totalprice, 0.5), 4) AS sample_p50,
+                   round(quantile_cont(o_totalprice, 0.9), 4) AS sample_p90
+            FROM sample
+        )
+        SELECT full_n, sample_n, full_mean, sample_mean,
+               round(abs(sample_mean - full_mean) / full_mean, 6)
+                   AS mean_rel_err,
+               full_p50, sample_p50, full_p90, sample_p90
+        FROM fs, ss
+    """
     sqls["q295_cbo_estimation_audit"] = """
         WITH so AS (
             SELECT count(*) AS n, count(DISTINCT o_custkey) AS d FROM orders

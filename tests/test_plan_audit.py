@@ -70,6 +70,10 @@ _GLOBAL_WINDOW_OK = {
     "q244_gain_lift_table": (1, "cumsum over <=1001-row score grid"),
     # scalar modularity total over the 25-row per-brand contribution table
     "q248_graph_modularity": (1, "sum over 25 brand-community rows"),
+    # lag over exactly 5 depth-quintile rate rows
+    "q358_depth_conversion_monotonicity": (1, "lag over 5 quintile rows"),
+    # day-rank over the bounded order-date grid (date span, not data volume)
+    "q359_ewma_control_chart": (1, "rank over ~2400 distinct-day rows"),
 }
 
 

@@ -72,6 +72,22 @@ HEADLINE = [
     "q213_spearman_length_ttr", # tie-corrected rank correlation
     "q214_ks_drift",            # two-sample KS over value histogram
     "q215_vocab_gini",          # exact Gini from distinct-frequency blocks
+    # round-7 second extension: every remaining >=2s bench query
+    "q193_degree_distribution", # log-bucketed degree histogram
+    "q236_bfs_reach",           # iterative frontier BFS
+    "q245_fellegi_sunter",      # nation-blocked pair scoring, banded lev
+    "q249_kcore_peel",          # iterative k-core peeling
+    "q251_hits_bipartite",      # iterative HITS hub/authority
+    "q252_label_propagation",   # iterative label propagation
+    "q253_degree_assortativity",  # degree-degree correlation
+    "q266_poisson_bootstrap_ci",  # 40x Poisson-resample bootstrap
+    "q267_adamic_adar",         # common-neighbor link prediction
+    "q281_column_stats_collection",  # ANALYZE stats from (col,value,count)
+    "q302_hard_negative_mining",  # band-blocked near-miss mining
+    "q303_dedup_method_overlap",  # 3-method dedup pair overlap
+    "q309_blocking_quality_audit",  # blocking reduction/completeness
+    "q311_ann_hubness_audit",   # k-occurrence hubness histogram
+    "q330_dedup_threshold_pr_curve",  # MinHash-estimate PR sweep
 ]
 
 
