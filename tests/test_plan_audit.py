@@ -72,8 +72,10 @@ _GLOBAL_WINDOW_OK = {
     "q248_graph_modularity": (1, "sum over 25 brand-community rows"),
     # lag over exactly 5 depth-quintile rate rows
     "q358_depth_conversion_monotonicity": (1, "lag over 5 quintile rows"),
-    # day-rank over the bounded order-date grid (date span, not data volume)
-    "q359_ewma_control_chart": (1, "rank over ~2400 distinct-day rows"),
+    # day-rank over the bounded order-date grid (date span, not data
+    # volume); the ranked grid feeds BOTH sides of the decay join, so the
+    # window appears twice in the plan
+    "q359_ewma_control_chart": (2, "rank over ~2400 distinct-day rows, x2"),
 }
 
 
