@@ -12240,6 +12240,327 @@ def q360_sample_fidelity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q361_kendall_tau_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall's τ-b between daily order count and daily revenue [EXT]:
+    the concordant/discordant-pair rank correlation with tie correction —
+    the robust alternative to Pearson (q41) and the pairwise sibling of
+    Spearman (q213), computed from the day-grid self-join (bounded by the
+    calendar span squared, never by row count).
+
+    Scale shape: one daily rollup, one grid×grid join with i<j
+    orientation, then 1-row tie-corrected arithmetic."""
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(F.to_date("o_orderdate").alias("_day")).agg(
+        F.count(F.lit(1)).alias("_x"),
+        F.round(F.sum("o_totalprice"), 2).alias("_y"),
+    )
+    b = daily.select(
+        F.col("_day").alias("_day2"),
+        F.col("_x").alias("_x2"),
+        F.col("_y").alias("_y2"),
+    )
+    pairs = daily.join(b.hint("shuffle_hash"), F.col("_day") < F.col("_day2"))
+    sgn = (
+        F.signum((F.col("_x") - F.col("_x2")).cast("double"))
+        * F.signum(F.col("_y") - F.col("_y2"))
+    )
+    stats = pairs.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(sgn).alias("_s"),
+        F.sum(
+            F.when(F.col("_x") == F.col("_x2"), 1).otherwise(0)
+        ).alias("_tx"),
+        F.sum(
+            F.when(F.col("_y") == F.col("_y2"), 1).otherwise(0)
+        ).alias("_ty"),
+    )
+    return stats.select(
+        "n_pairs",
+        F.col("_s").cast("long").alias("concordant_minus_discordant"),
+        F.round(
+            F.col("_s")
+            / F.sqrt(
+                (F.col("n_pairs") - F.col("_tx")).cast("double")
+                * (F.col("n_pairs") - F.col("_ty"))
+            ),
+            6,
+        ).alias("kendall_tau_b"),
+    )
+
+
+def q362_hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hill tail-index estimator [EXT]: α̂ = 1/mean(ln(x_i/x_(k))) over
+    the top-k order statistics of order value (k=500) — the standard
+    heavy-tail exponent read (Hill 1975) that says whether revenue
+    concentration (q204's Pareto share) comes from a power law and how
+    fat the tail is (α ≤ 2: infinite variance — percentile dashboards
+    over means).
+
+    Scale shape: top-k is a TakeOrdered; the threshold x_(k) is a 1-row
+    broadcast; the estimator is one aggregation over k rows."""
+    o = _t(spark, sf_dir, "orders")
+    k = 500
+    topk = o.select("o_totalprice").orderBy(
+        F.col("o_totalprice").desc(), "o_totalprice"
+    ).limit(k)
+    xk = topk.agg(F.min("o_totalprice").alias("_xk"))
+    return (
+        topk.crossJoin(F.broadcast(xk))
+        .agg(
+            F.count(F.lit(1)).alias("k"),
+            F.round(F.max("_xk"), 2).alias("threshold"),
+            F.round(
+                F.lit(1.0)
+                / F.avg(F.log(F.col("o_totalprice") / F.col("_xk"))),
+                6,
+            ).alias("hill_alpha"),
+        )
+    )
+
+
+def q363_rolling_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling cross-metric correlation [EXT]: the trailing-14-day
+    Pearson correlation between each event-type pair's daily counts —
+    the co-movement monitor that flags when two product surfaces start
+    moving together (or stop). Emits each pair's LATEST rolling value
+    plus its min/max over the window history.
+
+    Scale shape: daily (type, day) rollup, pair join on day (types ×
+    types, bounded), rolling moments via pair-partitioned 14-row
+    windows."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("_day")).agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    b = daily.select(
+        F.col("event_type").alias("_et2"),
+        F.col("_day").alias("_day2"),
+        F.col("_n").alias("_n2"),
+    )
+    paired = daily.join(
+        b.hint("shuffle_hash"),
+        (F.col("_day") == F.col("_day2"))
+        & (F.col("event_type") < F.col("_et2")),
+    )
+    w = (
+        Window.partitionBy("event_type", "_et2")
+        .orderBy("_day")
+        .rowsBetween(-13, 0)
+    )
+    # manual Pearson from window moments: Spark's corr window throws on
+    # zero-variance frames under ANSI; the explicit form guards the
+    # denominator and matches the SQL twin term-for-term
+    x = F.col("_n").cast("double")
+    y = F.col("_n2").cast("double")
+    moments = paired.select(
+        "event_type",
+        "_et2",
+        "_day",
+        F.count(F.lit(1)).over(w).alias("_cnt"),
+        F.sum(x).over(w).alias("_sx"),
+        F.sum(y).over(w).alias("_sy"),
+        F.sum(x * x).over(w).alias("_sxx"),
+        F.sum(y * y).over(w).alias("_syy"),
+        F.sum(x * y).over(w).alias("_sxy"),
+    ).filter(F.col("_cnt") >= 14)
+    varx = F.col("_cnt") * F.col("_sxx") - F.col("_sx") * F.col("_sx")
+    vary = F.col("_cnt") * F.col("_syy") - F.col("_sy") * F.col("_sy")
+    rolled = moments.select(
+        "event_type",
+        "_et2",
+        "_day",
+        F.when(
+            varx * vary > 0,
+            (F.col("_cnt") * F.col("_sxy") - F.col("_sx") * F.col("_sy"))
+            / F.sqrt(varx * vary),
+        ).alias("_rc"),
+    )
+    return rolled.groupBy(
+        F.col("event_type").alias("type_a"), F.col("_et2").alias("type_b")
+    ).agg(
+        F.round(F.max_by("_rc", "_day"), 6).alias("latest_corr_14d"),
+        F.round(F.min("_rc"), 6).alias("min_corr_14d"),
+        F.round(F.max("_rc"), 6).alias("max_corr_14d"),
+    )
+
+
+def q364_bayes_ab_normal_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bayesian A/B readout [EXT]: Beta(1,1)-posterior conversion rates
+    per arm and P(B > A) under the normal approximation to the posterior
+    difference — the 'probability B is better' number a product team
+    actually asks for, next to q230's p-value (Φ via the same
+    Abramowitz-Stegun polynomial as q340, identical literal arithmetic
+    in both engines).
+
+    Scale shape: one per-arm conversion aggregation; everything after is
+    1-row arithmetic."""
+    ev = _t(spark, sf_dir, "events")
+    per_arm = ev.groupBy((F.col("user_id") % 2).alias("_arm")).agg(
+        F.countDistinct("user_id").alias("_n"),
+        F.countDistinct(
+            F.when(F.col("event_type") == "purchase", F.col("user_id"))
+        ).alias("_k"),
+    )
+    a = per_arm.filter(F.col("_arm") == 0).select(
+        F.col("_n").alias("_na"), F.col("_k").alias("_ka")
+    )
+    b = per_arm.filter(F.col("_arm") == 1).select(
+        F.col("_n").alias("_nb"), F.col("_k").alias("_kb")
+    )
+    j = a.crossJoin(b)
+    # Beta(1+k, 1+n-k) posterior moments
+    ma = (F.col("_ka") + 1) / (F.col("_na") + 2)
+    mb = (F.col("_kb") + 1) / (F.col("_nb") + 2)
+    va = ma * (1 - ma) / (F.col("_na") + 3)
+    vb = mb * (1 - mb) / (F.col("_nb") + 3)
+    z = (mb - ma) / F.sqrt(va + vb)
+    x = F.abs(F.col("_z"))
+    t = 1 / (1 + 0.2316419 * x)
+    tail = (
+        F.exp(-x * x / 2)
+        / F.lit(2.5066282746310002)
+        * (
+            0.319381530 * t
+            - 0.356563782 * t * t
+            + 1.781477937 * t * t * t
+            - 1.821255978 * t * t * t * t
+            + 1.330274429 * t * t * t * t * t
+        )
+    )
+    p_b_gt_a = F.when(F.col("_z") >= 0, 1 - tail).otherwise(tail)
+    return (
+        j.select(
+            F.round(ma, 6).alias("posterior_mean_a"),
+            F.round(mb, 6).alias("posterior_mean_b"),
+            z.alias("_z"),
+        )
+        .select(
+            "posterior_mean_a",
+            "posterior_mean_b",
+            F.round("_z", 6).alias("z_stat"),
+            F.round(p_b_gt_a, 6).alias("p_b_beats_a"),
+        )
+    )
+
+
+def q365_rec_novelty_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recommendation novelty & catalog coverage [EXT]: for q331's
+    item-item top-3 lists, the mean self-information −log2(popularity)
+    of recommended items (novelty — are we just recommending
+    bestsellers?) and the share of the catalog that appears in any list
+    (coverage) — the two beyond-accuracy metrics that expose popularity
+    bias (complements q353's hit-rate).
+
+    Scale shape: re-derives the bounded top-3 table (q331's shape), joins
+    broadcast popularity, and collapses to one row."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    n_orders = li.select("l_orderkey").distinct().count()
+    n_catalog = _t(spark, sf_dir, "part").count()
+    n_i = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("_n"))
+    b = li.select(
+        F.col("l_orderkey").alias("_ok"), F.col("l_partkey").alias("_pb")
+    )
+    co = (
+        li.join(
+            b.hint("shuffle_hash"),
+            (F.col("l_orderkey") == F.col("_ok"))
+            & (F.col("l_partkey") != F.col("_pb")),
+        )
+        .groupBy(F.col("l_partkey").alias("item_a"), F.col("_pb").alias("item_b"))
+        .agg(F.count(F.lit(1)).alias("_co"))
+    )
+    top_items = (
+        n_i.orderBy(F.col("_n").desc(), "l_partkey")
+        .limit(20)
+        .select(F.col("l_partkey").alias("item_a"), F.col("_n").alias("_na"))
+    )
+    wr = Window.partitionBy("item_a").orderBy(F.col("_sim").desc(), "item_b")
+    recs = (
+        co.join(F.broadcast(top_items), "item_a")
+        .join(
+            F.broadcast(n_i.select(F.col("l_partkey").alias("item_b"),
+                                   F.col("_n").alias("_nb"))),
+            "item_b",
+        )
+        .select(
+            "item_a",
+            "item_b",
+            F.round(
+                F.col("_co") / F.sqrt(F.col("_na") * F.col("_nb")), 9
+            ).alias("_sim"),
+            F.col("_nb"),
+        )
+        .withColumn("_r", F.row_number().over(wr))
+        .filter(F.col("_r") <= 3)
+    )
+    return recs.agg(
+        F.count(F.lit(1)).alias("n_recommendations"),
+        F.round(
+            F.avg(-F.log2(F.col("_nb") / F.lit(float(n_orders)))), 6
+        ).alias("mean_novelty_bits"),
+        F.round(
+            F.countDistinct("item_b") / F.lit(float(n_catalog)), 6
+        ).alias("catalog_coverage"),
+    )
+
+
+def q366_dedup_storage_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup ROI ledger [EXT]: bytes (chars) reclaimed by exact dedup vs
+    near-dup clustering — per method, the characters of every NON-KEEPER
+    document (keeper = smallest doc_id per group, q20/q45 semantics) and
+    the share of the corpus that is — the storage/compute savings
+    number a dedup rollout is justified with (q199 counts documents;
+    this prices them).
+
+    Scale shape: both group tables come from existing operator shapes
+    (hash groupBy; SimHash components); the savings rollup is one keyed
+    agg per method over (doc, group) rows."""
+    d = _t(spark, sf_dir, "documents")
+    total = d.agg(F.sum("n_chars").alias("_tot"))
+    exact_groups = d.select(
+        F.sha2(F.col("text"), 256).alias("_g"), "doc_id", "n_chars"
+    )
+    near = dedup_clusters(
+        simhash_near_dup_pairs(d, "doc_id", "text", bits=32, ngram=2,
+                               max_hamming=3)
+    )
+    near_groups = near.select(
+        F.col("component").cast("string").alias("_g"),
+        F.col("node").alias("doc_id"),
+    ).join(d.select("doc_id", "n_chars"), "doc_id")
+
+    def savings(groups: DataFrame, method: str) -> DataFrame:
+        wk = Window.partitionBy("_g")
+        marked = groups.select(
+            "_g",
+            "n_chars",
+            (F.col("doc_id") == F.min("doc_id").over(wk)).alias("_keep"),
+        )
+        return (
+            marked.agg(
+                F.sum(
+                    F.when(~F.col("_keep"), F.col("n_chars")).otherwise(0)
+                ).alias("chars_saved"),
+                F.sum(
+                    F.when(~F.col("_keep"), 1).otherwise(0)
+                ).alias("docs_removed"),
+            )
+            .crossJoin(F.broadcast(total))
+            .select(
+                F.lit(method).alias("method"),
+                "docs_removed",
+                "chars_saved",
+                F.round(F.col("chars_saved") / F.col("_tot"), 6).alias(
+                    "corpus_share_saved"
+                ),
+            )
+        )
+
+    return savings(exact_groups, "exact_sha256").unionByName(
+        savings(near_groups, "simhash_components")
+    )
+
+
 # =============================================================================
 # Driver contract
 # =============================================================================
@@ -12612,6 +12933,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q358_depth_conversion_monotonicity": q358_depth_conversion_monotonicity,
         "q359_ewma_control_chart": q359_ewma_control_chart,
         "q360_sample_fidelity_audit": q360_sample_fidelity_audit,
+        "q361_kendall_tau_daily": q361_kendall_tau_daily,
+        "q362_hill_tail_index": q362_hill_tail_index,
+        "q363_rolling_correlation": q363_rolling_correlation,
+        "q364_bayes_ab_normal_approx": q364_bayes_ab_normal_approx,
+        "q365_rec_novelty_coverage": q365_rec_novelty_coverage,
+        "q366_dedup_storage_savings": q366_dedup_storage_savings,
     }
 
 
@@ -19739,6 +20066,213 @@ def oracle_sql() -> dict[str, str]:
                    AS mean_rel_err,
                full_p50, sample_p50, full_p90, sample_p90
         FROM fs, ss
+    """
+    sqls["q361_kendall_tau_daily"] = """
+        WITH daily AS (
+            SELECT CAST(o_orderdate AS DATE) AS day, count(*) AS x,
+                   round(sum(o_totalprice), 2) AS y
+            FROM orders GROUP BY 1
+        ), pairs AS (
+            SELECT a.x, a.y, b.x AS x2, b.y AS y2
+            FROM daily a JOIN daily b ON a.day < b.day
+        )
+        SELECT count(*) AS n_pairs,
+               CAST(sum(sign(CAST(x - x2 AS DOUBLE)) * sign(y - y2))
+                    AS BIGINT) AS concordant_minus_discordant,
+               round(sum(sign(CAST(x - x2 AS DOUBLE)) * sign(y - y2))
+                     / sqrt(CAST(count(*)
+                                 - sum(CASE WHEN x = x2 THEN 1 ELSE 0 END)
+                                 AS DOUBLE)
+                            * (count(*)
+                               - sum(CASE WHEN y = y2 THEN 1 ELSE 0 END))),
+                     6) AS kendall_tau_b
+        FROM pairs
+    """
+    sqls["q362_hill_tail_index"] = """
+        WITH topk AS (
+            SELECT o_totalprice FROM orders
+            ORDER BY o_totalprice DESC LIMIT 500
+        ), xk AS (SELECT min(o_totalprice) AS xk FROM topk)
+        SELECT count(*) AS k,
+               round(max(xk.xk), 2) AS threshold,
+               round(1.0 / avg(ln(o_totalprice / xk.xk)), 6) AS hill_alpha
+        FROM topk, xk
+    """
+    sqls["q363_rolling_correlation"] = """
+        WITH daily AS (
+            SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+            FROM events GROUP BY 1, 2
+        ), paired AS (
+            SELECT a.event_type AS ta, b.event_type AS tb, a.day,
+                   a.n AS na, b.n AS nb
+            FROM daily a JOIN daily b
+              ON a.day = b.day AND a.event_type < b.event_type
+        ), moments AS (
+            SELECT ta, tb, day,
+                   count(*) OVER w AS cnt,
+                   sum(CAST(na AS DOUBLE)) OVER w AS sx,
+                   sum(CAST(nb AS DOUBLE)) OVER w AS sy,
+                   sum(CAST(na AS DOUBLE) * CAST(na AS DOUBLE)) OVER w
+                       AS sxx,
+                   sum(CAST(nb AS DOUBLE) * CAST(nb AS DOUBLE)) OVER w
+                       AS syy,
+                   sum(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) OVER w
+                       AS sxy
+            FROM paired
+            WINDOW w AS (PARTITION BY ta, tb ORDER BY day
+                         ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+        ), rolled AS (
+            SELECT ta, tb, day,
+                   CASE WHEN (cnt * sxx - sx * sx) * (cnt * syy - sy * sy)
+                             > 0
+                        THEN (cnt * sxy - sx * sy)
+                             / sqrt((cnt * sxx - sx * sx)
+                                    * (cnt * syy - sy * sy)) END AS rc
+            FROM moments WHERE cnt >= 14
+        )
+        SELECT ta AS type_a, tb AS type_b,
+               round(max_by(rc, day), 6) AS latest_corr_14d,
+               round(min(rc), 6) AS min_corr_14d,
+               round(max(rc), 6) AS max_corr_14d
+        FROM rolled
+        GROUP BY 1, 2
+    """
+    sqls["q364_bayes_ab_normal_approx"] = """
+        WITH per_arm AS (
+            SELECT user_id % 2 AS arm,
+                   count(DISTINCT user_id) AS n,
+                   count(DISTINCT CASE WHEN event_type = 'purchase'
+                                       THEN user_id END) AS k
+            FROM events GROUP BY 1
+        ), a AS (SELECT n AS na, k AS ka FROM per_arm WHERE arm = 0),
+        b AS (SELECT n AS nb, k AS kb FROM per_arm WHERE arm = 1),
+        j AS (
+            SELECT (ka + 1) * 1.0 / (na + 2) AS ma,
+                   (kb + 1) * 1.0 / (nb + 2) AS mb,
+                   na, nb
+            FROM a, b
+        ), zt AS (
+            SELECT round(ma, 6) AS posterior_mean_a,
+                   round(mb, 6) AS posterior_mean_b,
+                   (mb - ma) / sqrt(ma * (1 - ma) / (na + 3)
+                                    + mb * (1 - mb) / (nb + 3)) AS z
+            FROM j
+        ), pz AS (
+            SELECT posterior_mean_a, posterior_mean_b, z,
+                   exp(-abs(z) * abs(z) / 2) / 2.5066282746310002
+                   * (0.319381530 * (1 / (1 + 0.2316419 * abs(z)))
+                      - 0.356563782 * (1 / (1 + 0.2316419 * abs(z)))
+                        * (1 / (1 + 0.2316419 * abs(z)))
+                      + 1.781477937 * (1 / (1 + 0.2316419 * abs(z)))
+                        * (1 / (1 + 0.2316419 * abs(z)))
+                        * (1 / (1 + 0.2316419 * abs(z)))
+                      - 1.821255978 * (1 / (1 + 0.2316419 * abs(z)))
+                        * (1 / (1 + 0.2316419 * abs(z)))
+                        * (1 / (1 + 0.2316419 * abs(z)))
+                        * (1 / (1 + 0.2316419 * abs(z)))
+                      + 1.330274429 * (1 / (1 + 0.2316419 * abs(z)))
+                        * (1 / (1 + 0.2316419 * abs(z)))
+                        * (1 / (1 + 0.2316419 * abs(z)))
+                        * (1 / (1 + 0.2316419 * abs(z)))
+                        * (1 / (1 + 0.2316419 * abs(z)))) AS tail
+            FROM zt
+        )
+        SELECT posterior_mean_a, posterior_mean_b,
+               round(z, 6) AS z_stat,
+               round(CASE WHEN z >= 0 THEN 1 - tail ELSE tail END, 6)
+                   AS p_b_beats_a
+        FROM pz
+    """
+    sqls["q365_rec_novelty_coverage"] = """
+        WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        no AS (SELECT count(DISTINCT l_orderkey) AS n FROM li),
+        nc AS (SELECT count(*) AS n FROM part),
+        ni AS (SELECT l_partkey, count(*) AS n FROM li GROUP BY 1),
+        co AS (
+            SELECT a.l_partkey AS item_a, b.l_partkey AS item_b,
+                   count(*) AS c
+            FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+                               AND a.l_partkey != b.l_partkey
+            GROUP BY 1, 2
+        ), top_items AS (
+            SELECT l_partkey AS item_a, n AS na FROM ni
+            ORDER BY n DESC, l_partkey LIMIT 20
+        ), recs AS (
+            SELECT item_b, nbn FROM (
+                SELECT c.item_a, c.item_b, nb.n AS nbn,
+                       row_number() OVER (
+                           PARTITION BY c.item_a
+                           ORDER BY round(c.c / sqrt(t.na * nb.n), 9) DESC,
+                                    c.item_b) AS r
+                FROM co c
+                JOIN top_items t ON t.item_a = c.item_a
+                JOIN ni nb ON nb.l_partkey = c.item_b
+            ) WHERE r <= 3
+        )
+        SELECT count(*) AS n_recommendations,
+               round(avg(-log2(nbn * 1.0 / (SELECT n FROM no))), 6)
+                   AS mean_novelty_bits,
+               round(count(DISTINCT item_b) * 1.0 / (SELECT n FROM nc), 6)
+                   AS catalog_coverage
+        FROM recs
+    """
+    sqls["q366_dedup_storage_savings"] = f"""
+        WITH RECURSIVE tok AS (
+            SELECT doc_id, {_TOKS} AS toks FROM documents
+        ), shg AS (
+            SELECT doc_id, {_SHINGLES2} AS sh FROM tok
+        ), hashed AS (
+            SELECT doc_id,
+                   list_transform(sh, s ->
+                       CAST('0x' || substr(md5(s), 1, 15) AS BIGINT)) AS hs
+            FROM shg
+        ), fp AS (
+            SELECT doc_id, CAST({_simhash_sql(32)} AS BIGINT) AS f
+            FROM hashed
+        ), prs AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.f, b.f)) <= 3
+        ), edges AS (
+            SELECT id_a AS src, id_b AS dst FROM prs
+            UNION ALL
+            SELECT id_b AS src, id_a AS dst FROM prs
+        ), walk AS (
+            SELECT DISTINCT src AS node, src AS label FROM edges
+            UNION
+            SELECT e.src AS node, w.label
+            FROM edges e JOIN walk w ON e.dst = w.node
+        ), comp AS (
+            SELECT node, min(label) AS component FROM walk GROUP BY node
+        ), total AS (
+            SELECT CAST(sum(n_chars) AS BIGINT) AS tot FROM documents
+        ), exact_m AS (
+            SELECT n_chars,
+                   doc_id = min(doc_id) OVER (PARTITION BY sha256(text))
+                       AS keep
+            FROM documents
+        ), near_m AS (
+            SELECT d.n_chars,
+                   c.node = min(c.node) OVER (PARTITION BY c.component)
+                       AS keep
+            FROM comp c JOIN documents d ON d.doc_id = c.node
+        )
+        SELECT 'exact_sha256' AS method,
+               CAST(sum(CASE WHEN NOT keep THEN 1 ELSE 0 END) AS BIGINT)
+                   AS docs_removed,
+               CAST(sum(CASE WHEN NOT keep THEN n_chars ELSE 0 END)
+                    AS BIGINT) AS chars_saved,
+               round(sum(CASE WHEN NOT keep THEN n_chars ELSE 0 END) * 1.0
+                     / (SELECT tot FROM total), 6) AS corpus_share_saved
+        FROM exact_m
+        UNION ALL
+        SELECT 'simhash_components',
+               CAST(sum(CASE WHEN NOT keep THEN 1 ELSE 0 END) AS BIGINT),
+               CAST(sum(CASE WHEN NOT keep THEN n_chars ELSE 0 END)
+                    AS BIGINT),
+               round(sum(CASE WHEN NOT keep THEN n_chars ELSE 0 END) * 1.0
+                     / (SELECT tot FROM total), 6)
+        FROM near_m
     """
     sqls["q295_cbo_estimation_audit"] = """
         WITH so AS (
