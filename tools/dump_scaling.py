@@ -88,6 +88,9 @@ HEADLINE = [
     "q309_blocking_quality_audit",  # blocking reduction/completeness
     "q311_ann_hubness_audit",   # k-occurrence hubness histogram
     "q330_dedup_threshold_pr_curve",  # MinHash-estimate PR sweep
+    "q334_clustering_coefficient",  # degree-oriented triangle enumeration
+    "q365_rec_novelty_coverage",    # CF top-3 novelty/coverage rollup
+    "q366_dedup_storage_savings",   # exact + SimHash-component savings
 ]
 
 
