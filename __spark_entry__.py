@@ -12595,6 +12595,344 @@ def q366_dedup_storage_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q367_cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort LTV curve [EXT]: cumulative purchase value per user by
+    weekly cohort and week offset — the financial overlay on q100's
+    retention matrix (retention says who came back; this says what they
+    were worth), the curve LTV extrapolation (q344) is fit against.
+
+    Scale shape: per-(user, offset) rollup, broadcast cohort join,
+    cohort-partitioned cumulative window over ≤5 offset rows each."""
+    ev = _t(spark, sf_dir, "events")
+    keyed = ev.select(
+        "user_id",
+        F.date_trunc("week", "ts").alias("_wk"),
+        F.when(
+            F.col("event_type") == "purchase",
+            F.round(F.col("value") * 100, 0).cast("long"),
+        ).otherwise(0).alias("_cents"),
+    )
+    cohort = keyed.groupBy("user_id").agg(F.min("_wk").alias("_c0"))
+    sizes = cohort.groupBy("_c0").agg(F.count(F.lit(1)).alias("_n0"))
+    per_offset = (
+        keyed.join(F.broadcast(cohort), "user_id")
+        .groupBy(
+            "_c0",
+            (F.datediff("_wk", "_c0") / 7).cast("int").alias("week_offset"),
+        )
+        .agg(F.sum("_cents").alias("_rev"))
+    )
+    w = (
+        Window.partitionBy("_c0")
+        .orderBy("week_offset")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        per_offset.join(F.broadcast(sizes), "_c0")
+        .select(
+            F.date_format("_c0", "yyyy-MM-dd").alias("cohort_week"),
+            "week_offset",
+            F.col("_n0").alias("cohort_size"),
+            F.round(
+                F.sum("_rev").over(w) / (100.0 * F.col("_n0")), 4
+            ).alias("cum_ltv_per_user"),
+        )
+    )
+
+
+def q368_ljung_box_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ljung-Box residual-autocorrelation audit [EXT]: after removing the
+    day-of-week seasonal mean from daily revenue (q348's residuals), the
+    Q statistic n(n+2)·Σ_{k≤7} ρ̂_k²/(n−k) — if Q stays small the
+    residuals are white and the seasonal model is sufficient; a large Q
+    says structure remains (feeds back into q272/q304's model choices).
+    Emits the per-lag autocorrelations and the cumulative Q.
+
+    Scale shape: residuals via broadcast DOW means; each lag is a 1-day
+    self-join on the bounded date grid; the Q rollup is 7 rows."""
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(F.to_date("o_orderdate").alias("_day")).agg(
+        F.round(F.sum("o_totalprice"), 2).alias("_rev")
+    )
+    dow = daily.groupBy(F.dayofweek("_day").alias("_dw")).agg(
+        F.avg("_rev").alias("_sm")
+    )
+    resid = (
+        daily.select(F.dayofweek("_day").alias("_dw"), "_day", "_rev")
+        .join(F.broadcast(dow), "_dw")
+        .select("_day", (F.col("_rev") - F.col("_sm")).alias("_r"))
+    )
+    mu = resid.agg(
+        F.count(F.lit(1)).alias("_n"), F.avg("_r").alias("_mu")
+    )
+    base = (
+        resid.crossJoin(F.broadcast(mu))
+        .agg(
+            F.max("_n").alias("_n"),
+            F.max("_mu").alias("_mu"),
+            F.sum(
+                (F.col("_r") - F.col("_mu")) * (F.col("_r") - F.col("_mu"))
+            ).alias("_ss"),
+        )
+    )
+    outs = []
+    for lag in range(1, 8):
+        shifted = resid.select(
+            F.date_add("_day", lag).alias("_day"), F.col("_r").alias("_rl")
+        )
+        rho = (
+            resid.join(shifted.hint("shuffle_hash"), "_day")
+            .crossJoin(F.broadcast(base))
+            .agg(
+                F.max("_n").alias("_n"),
+                (
+                    F.sum(
+                        (F.col("_r") - F.col("_mu"))
+                        * (F.col("_rl") - F.col("_mu"))
+                    )
+                    / F.max("_ss")
+                ).alias("_rho"),
+            )
+            .select(
+                F.lit(lag).alias("lag"),
+                "_n",
+                F.round("_rho", 6).alias("autocorr"),
+                (
+                    F.col("_rho") * F.col("_rho") / (F.col("_n") - lag)
+                ).alias("_term"),
+            )
+        )
+        outs.append(rho)
+    terms = outs[0]
+    for o2 in outs[1:]:
+        terms = terms.unionByName(o2)
+    w = Window.orderBy("lag").rowsBetween(Window.unboundedPreceding, 0)
+    return terms.select(
+        "lag",
+        "autocorr",
+        F.round(
+            F.col("_n") * (F.col("_n") + 2) * F.sum("_term").over(w), 6
+        ).alias("ljung_box_q"),
+    )
+
+
+def q369_pinball_quantile_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-forecast backtest [EXT]: forecast each event type's daily
+    count quantiles (τ = 0.5, 0.9) from the TRAIN period's day-of-week
+    empirical quantiles, score the final week with pinball loss
+    L_τ(y, ŷ) = max(τ(y−ŷ), (τ−1)(y−ŷ)) — the proper scoring rule for
+    quantile forecasts that q287's point-error metrics can't grade.
+
+    Scale shape: train quantiles via one exact-percentile agg per
+    (type, dow) — a bounded 35-row model table broadcast into the
+    holdout; the loss rollup is per (type, τ)."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("_day")
+    ).agg(F.count(F.lit(1)).alias("_n"))
+    split = F.lit("2024-01-25").cast("date")
+    train = daily.filter(F.col("_day") < split)
+    test = daily.filter(F.col("_day") >= split)
+    model = train.groupBy(
+        "event_type", F.dayofweek("_day").alias("_dw")
+    ).agg(
+        F.expr("percentile(_n, 0.5)").alias("_q50"),
+        F.expr("percentile(_n, 0.9)").alias("_q90"),
+    )
+    scored = (
+        test.select("event_type", F.dayofweek("_day").alias("_dw"), "_n")
+        .join(F.broadcast(model), ["event_type", "_dw"])
+        .select(
+            "event_type",
+            "_n",
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit(0.5).alias("tau"), F.col("_q50").alias("yhat")
+                    ),
+                    F.struct(
+                        F.lit(0.9).alias("tau"), F.col("_q90").alias("yhat")
+                    ),
+                )
+            ).alias("_f"),
+        )
+        .select(
+            "event_type",
+            F.col("_f.tau").alias("tau"),
+            F.greatest(
+                F.col("_f.tau") * (F.col("_n") - F.col("_f.yhat")),
+                (F.col("_f.tau") - 1) * (F.col("_n") - F.col("_f.yhat")),
+            ).alias("_loss"),
+            (F.col("_n") <= F.col("_f.yhat")).cast("double").alias("_cov"),
+        )
+    )
+    return scored.groupBy("event_type", "tau").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.round(F.avg("_loss"), 6).alias("mean_pinball_loss"),
+        F.round(F.avg("_cov"), 6).alias("empirical_coverage"),
+    )
+
+
+def q370_ranker_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranker agreement audit [EXT]: for each head item, Kendall's τ
+    between its CF-similarity ranking (q331) and plain popularity ranking
+    over the same candidate set — τ near 1 means the expensive CF table
+    is just popularity in disguise (and q365's novelty will be low); the
+    sanity check before shipping a second ranker.
+
+    Scale shape: the candidate lists are the bounded top-20×top-10
+    slices; pair enumeration for τ runs inside each head item's ≤10-row
+    list (self-join on the head key)."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    n_i = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("_n"))
+    b = li.select(
+        F.col("l_orderkey").alias("_ok"), F.col("l_partkey").alias("_pb")
+    )
+    co = (
+        li.join(
+            b.hint("shuffle_hash"),
+            (F.col("l_orderkey") == F.col("_ok"))
+            & (F.col("l_partkey") != F.col("_pb")),
+        )
+        .groupBy(F.col("l_partkey").alias("item_a"), F.col("_pb").alias("item_b"))
+        .agg(F.count(F.lit(1)).alias("_co"))
+    )
+    top_items = (
+        n_i.orderBy(F.col("_n").desc(), "l_partkey")
+        .limit(10)
+        .select(F.col("l_partkey").alias("item_a"), F.col("_n").alias("_na"))
+    )
+    cand = (
+        co.join(F.broadcast(top_items), "item_a")
+        .join(
+            F.broadcast(n_i.select(F.col("l_partkey").alias("item_b"),
+                                   F.col("_n").alias("_nb"))),
+            "item_b",
+        )
+        .select(
+            "item_a",
+            "item_b",
+            F.round(
+                F.col("_co") / F.sqrt(F.col("_na") * F.col("_nb")), 9
+            ).alias("_sim"),
+            "_nb",
+        )
+    )
+    wr = Window.partitionBy("item_a").orderBy(F.col("_sim").desc(), "item_b")
+    top10 = cand.withColumn("_r", F.row_number().over(wr)).filter(
+        F.col("_r") <= 10
+    )
+    p = top10.select("item_a", F.col("item_b").alias("_ib1"),
+                     F.col("_sim").alias("_s1"), F.col("_nb").alias("_p1"))
+    q = top10.select("item_a", F.col("item_b").alias("_ib2"),
+                     F.col("_sim").alias("_s2"), F.col("_nb").alias("_p2"))
+    pairs = p.join(q.hint("shuffle_hash"), "item_a").filter(
+        F.col("_ib1") < F.col("_ib2")
+    )
+    sgn = F.signum(F.col("_s1") - F.col("_s2")) * F.signum(
+        (F.col("_p1") - F.col("_p2")).cast("double")
+    )
+    return (
+        pairs.groupBy("item_a")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(F.sum(sgn) / F.count(F.lit(1)), 6).alias(
+                "kendall_tau_sim_vs_popularity"
+            ),
+        )
+    )
+
+
+def q371_bloom_size_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom filter sizing planner [EXT]: for the join keys a semijoin
+    pushdown would filter (q275 measures the FPR of one configuration),
+    the textbook m = −n·ln(p)/(ln 2)² bits and k = (m/n)·ln 2 hashes for
+    target FPRs {1%, 0.1%} against each key's MEASURED NDV — the sizing
+    table a planner consults before emitting a runtime filter.
+
+    Scale shape: one exact-NDV aggregation per key column; the sizing
+    sweep is constant arithmetic over a 3×2 grid."""
+    import math
+
+    keys = [
+        ("lineitem", "l_partkey"),
+        ("lineitem", "l_suppkey"),
+        ("orders", "o_custkey"),
+    ]
+    ln2sq = math.log(2) ** 2
+    outs = []
+    for tbl, col in keys:
+        t = _t(spark, sf_dir, tbl)
+        ndv = t.agg(F.countDistinct(col).alias("ndv"))
+        for fpr in (0.01, 0.001):
+            bits_per_key = -math.log(fpr) / ln2sq
+            outs.append(
+                ndv.select(
+                    F.lit(f"{tbl}.{col}").alias("key"),
+                    "ndv",
+                    F.lit(fpr).alias("target_fpr"),
+                    F.ceil(F.col("ndv") * F.lit(bits_per_key)).alias(
+                        "filter_bits"
+                    ),
+                    F.lit(round(bits_per_key * math.log(2), 2)).alias(
+                        "n_hashes"
+                    ),
+                    F.round(
+                        F.col("ndv") * F.lit(bits_per_key) / 8 / 1024.0, 2
+                    ).alias("filter_kib"),
+                )
+            )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
+def q372_erasure_impact_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-erasure impact audit [EXT]: if the 1% most active users
+    requested deletion, how much of the event lake gets rewritten under a
+    daily-partitioned layout — rows removed, days (partitions) touched,
+    and the rewrite amplification (partition rows rewritten per row
+    actually deleted) — the privacy-ops capacity number behind GDPR/CCPA
+    erasure SLAs (pairs with q349's layout planner).
+
+    Scale shape: per-user activity rollup, exact-percentile cutoff
+    (1-row broadcast), then two keyed aggregations over flagged rows."""
+    ev = _t(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("_n"))
+    cut = per_user.agg(F.expr("percentile(_n, 0.99)").alias("_p99"))
+    heavy = (
+        per_user.crossJoin(F.broadcast(cut))
+        .filter(F.col("_n") > F.col("_p99"))
+        .select("user_id")
+    )
+    flagged = ev.join(
+        F.broadcast(heavy.withColumn("_del", F.lit(1))), "user_id", "left"
+    ).select(
+        F.to_date("ts").alias("_day"),
+        F.coalesce(F.col("_del"), F.lit(0)).alias("_del"),
+    )
+    per_day = flagged.groupBy("_day").agg(
+        F.count(F.lit(1)).alias("_rows"),
+        F.sum("_del").alias("_del_rows"),
+    )
+    return per_day.agg(
+        F.sum("_del_rows").alias("rows_deleted"),
+        F.sum(F.when(F.col("_del_rows") > 0, 1).otherwise(0)).alias(
+            "partitions_touched"
+        ),
+        F.count(F.lit(1)).alias("partitions_total"),
+        F.sum(
+            F.when(F.col("_del_rows") > 0, F.col("_rows")).otherwise(0)
+        ).alias("rows_rewritten"),
+        F.round(
+            F.sum(F.when(F.col("_del_rows") > 0, F.col("_rows")).otherwise(0))
+            / F.sum("_del_rows").cast("double"),
+            6,
+        ).alias("rewrite_amplification"),
+    )
+
+
 # =============================================================================
 # Driver contract
 # =============================================================================
@@ -12973,6 +13311,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q364_bayes_ab_normal_approx": q364_bayes_ab_normal_approx,
         "q365_rec_novelty_coverage": q365_rec_novelty_coverage,
         "q366_dedup_storage_savings": q366_dedup_storage_savings,
+        "q367_cohort_ltv_curve": q367_cohort_ltv_curve,
+        "q368_ljung_box_residuals": q368_ljung_box_residuals,
+        "q369_pinball_quantile_backtest": q369_pinball_quantile_backtest,
+        "q370_ranker_agreement": q370_ranker_agreement,
+        "q371_bloom_size_planner": q371_bloom_size_planner,
+        "q372_erasure_impact_audit": q372_erasure_impact_audit,
     }
 
 
@@ -20307,6 +20651,182 @@ def oracle_sql() -> dict[str, str]:
                round(sum(CASE WHEN NOT keep THEN n_chars ELSE 0 END) * 1.0
                      / (SELECT tot FROM total), 6)
         FROM near_m
+    """
+    sqls["q367_cohort_ltv_curve"] = """
+        WITH keyed AS (
+            SELECT user_id, date_trunc('week', ts) AS wk,
+                   CASE WHEN event_type = 'purchase'
+                        THEN CAST(round(value * 100, 0) AS BIGINT)
+                        ELSE 0 END AS cents
+            FROM events
+        ), cohort AS (
+            SELECT user_id, min(wk) AS c0 FROM keyed GROUP BY 1
+        ), sizes AS (
+            SELECT c0, count(*) AS n0 FROM cohort GROUP BY 1
+        ), per_offset AS (
+            SELECT c.c0,
+                   CAST(datediff('day', c.c0, k.wk) / 7 AS INT)
+                       AS week_offset,
+                   sum(k.cents) AS rev
+            FROM keyed k JOIN cohort c USING (user_id)
+            GROUP BY 1, 2
+        )
+        SELECT strftime(p.c0, '%Y-%m-%d') AS cohort_week, p.week_offset,
+               CAST(s.n0 AS BIGINT) AS cohort_size,
+               round(sum(p.rev) OVER (PARTITION BY p.c0
+                                      ORDER BY p.week_offset
+                                      ROWS UNBOUNDED PRECEDING)
+                     / (100.0 * s.n0), 4) AS cum_ltv_per_user
+        FROM per_offset p JOIN sizes s ON s.c0 = p.c0
+    """
+    _lb_lags = " UNION ALL ".join(
+        f"""
+        SELECT lag, n, round(rho, 6) AS autocorr,
+               rho * rho / (n - lag) AS term
+        FROM (SELECT {k} AS lag, max(b.n) AS n,
+                     sum((a.r - b.mu) * (l.r - b.mu)) / max(b.ss) AS rho
+              FROM resid a
+              JOIN resid l ON a.day = l.day + {k}, base b)
+        """
+        for k in range(1, 8)
+    )
+    sqls["q368_ljung_box_residuals"] = f"""
+        WITH daily AS (
+            SELECT CAST(o_orderdate AS DATE) AS day,
+                   round(sum(o_totalprice), 2) AS rev
+            FROM orders GROUP BY 1
+        ), dow AS (
+            SELECT dayofweek(day) AS dwk, avg(rev) AS sm
+            FROM daily GROUP BY 1
+        ), resid AS (
+            SELECT d.day, d.rev - w.sm AS r
+            FROM daily d JOIN dow w ON w.dwk = dayofweek(d.day)
+        ), mu AS (
+            SELECT count(*) AS n, avg(r) AS mu FROM resid
+        ), base AS (
+            SELECT max(m.n) AS n, max(m.mu) AS mu,
+                   sum((r.r - m.mu) * (r.r - m.mu)) AS ss
+            FROM resid r, mu m
+        ), terms AS ({_lb_lags})
+        SELECT lag, autocorr,
+               round(n * (n + 2) * sum(term)
+                     OVER (ORDER BY lag ROWS UNBOUNDED PRECEDING), 6)
+                   AS ljung_box_q
+        FROM terms
+    """
+    sqls["q369_pinball_quantile_backtest"] = """
+        WITH daily AS (
+            SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+            FROM events GROUP BY 1, 2
+        ), train AS (
+            SELECT * FROM daily WHERE day < DATE '2024-01-25'
+        ), test AS (
+            SELECT * FROM daily WHERE day >= DATE '2024-01-25'
+        ), model AS (
+            SELECT event_type, dayofweek(day) AS dw,
+                   quantile_cont(n, 0.5) AS q50,
+                   quantile_cont(n, 0.9) AS q90
+            FROM train GROUP BY 1, 2
+        ), scored AS (
+            SELECT t.event_type, 0.5 AS tau,
+                   greatest(0.5 * (t.n - m.q50),
+                            (0.5 - 1) * (t.n - m.q50)) AS loss,
+                   CASE WHEN t.n <= m.q50 THEN 1.0 ELSE 0.0 END AS cov
+            FROM test t JOIN model m
+              ON m.event_type = t.event_type AND m.dw = dayofweek(t.day)
+            UNION ALL
+            SELECT t.event_type, 0.9,
+                   greatest(0.9 * (t.n - m.q90),
+                            (0.9 - 1) * (t.n - m.q90)),
+                   CASE WHEN t.n <= m.q90 THEN 1.0 ELSE 0.0 END
+            FROM test t JOIN model m
+              ON m.event_type = t.event_type AND m.dw = dayofweek(t.day)
+        )
+        SELECT event_type, tau, count(*) AS n_days,
+               round(avg(loss), 6) AS mean_pinball_loss,
+               round(avg(cov), 6) AS empirical_coverage
+        FROM scored GROUP BY 1, 2
+    """
+    sqls["q370_ranker_agreement"] = """
+        WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        ni AS (SELECT l_partkey, count(*) AS n FROM li GROUP BY 1),
+        co AS (
+            SELECT a.l_partkey AS item_a, b.l_partkey AS item_b,
+                   count(*) AS c
+            FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+                               AND a.l_partkey != b.l_partkey
+            GROUP BY 1, 2
+        ), top_items AS (
+            SELECT l_partkey AS item_a, n AS na FROM ni
+            ORDER BY n DESC, l_partkey LIMIT 10
+        ), cand AS (
+            SELECT c.item_a, c.item_b,
+                   round(c.c / sqrt(t.na * nb.n), 9) AS sim, nb.n AS nb
+            FROM co c
+            JOIN top_items t ON t.item_a = c.item_a
+            JOIN ni nb ON nb.l_partkey = c.item_b
+        ), top10 AS (
+            SELECT item_a, item_b, sim, nb FROM (
+                SELECT item_a, item_b, sim, nb,
+                       row_number() OVER (PARTITION BY item_a
+                                          ORDER BY sim DESC, item_b) AS r
+                FROM cand) WHERE r <= 10
+        ), pairs AS (
+            SELECT a.item_a, a.sim AS s1, a.nb AS p1,
+                   b.sim AS s2, b.nb AS p2
+            FROM top10 a JOIN top10 b
+              ON a.item_a = b.item_a AND a.item_b < b.item_b
+        )
+        SELECT item_a, count(*) AS n_pairs,
+               round(sum(sign(s1 - s2) * sign(CAST(p1 - p2 AS DOUBLE)))
+                     / count(*), 6) AS kendall_tau_sim_vs_popularity
+        FROM pairs GROUP BY 1
+    """
+    import math as _math
+
+    _bloom_sqls = []
+    for _tbl, _col in [
+        ("lineitem", "l_partkey"),
+        ("lineitem", "l_suppkey"),
+        ("orders", "o_custkey"),
+    ]:
+        for _fpr in (0.01, 0.001):
+            _bpk = -_math.log(_fpr) / (_math.log(2) ** 2)
+            _nh = round(_bpk * _math.log(2), 2)
+            _bloom_sqls.append(f"""
+                SELECT '{_tbl}.{_col}' AS key, ndv,
+                       {_fpr!r} AS target_fpr,
+                       CAST(ceil(ndv * {_bpk!r}) AS BIGINT) AS filter_bits,
+                       {_nh!r} AS n_hashes,
+                       round(ndv * {_bpk!r} / 8 / 1024.0, 2) AS filter_kib
+                FROM (SELECT count(DISTINCT {_col}) AS ndv FROM {_tbl})
+            """)
+    sqls["q371_bloom_size_planner"] = " UNION ALL ".join(_bloom_sqls)
+    sqls["q372_erasure_impact_audit"] = """
+        WITH per_user AS (
+            SELECT user_id, count(*) AS n FROM events GROUP BY 1
+        ), cut AS (
+            SELECT quantile_cont(n, 0.99) AS p99 FROM per_user
+        ), heavy AS (
+            SELECT user_id FROM per_user, cut WHERE n > p99
+        ), flagged AS (
+            SELECT CAST(ts AS DATE) AS day,
+                   CASE WHEN h.user_id IS NOT NULL THEN 1 ELSE 0 END
+                       AS del
+            FROM events e LEFT JOIN heavy h ON h.user_id = e.user_id
+        ), per_day AS (
+            SELECT day, count(*) AS rows_, sum(del) AS del_rows
+            FROM flagged GROUP BY 1
+        )
+        SELECT CAST(sum(del_rows) AS BIGINT) AS rows_deleted,
+               CAST(sum(CASE WHEN del_rows > 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS partitions_touched,
+               count(*) AS partitions_total,
+               CAST(sum(CASE WHEN del_rows > 0 THEN rows_ ELSE 0 END)
+                    AS BIGINT) AS rows_rewritten,
+               round(sum(CASE WHEN del_rows > 0 THEN rows_ ELSE 0 END) * 1.0
+                     / sum(del_rows), 6) AS rewrite_amplification
+        FROM per_day
     """
     sqls["q295_cbo_estimation_audit"] = """
         WITH so AS (

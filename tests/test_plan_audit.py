@@ -72,6 +72,8 @@ _GLOBAL_WINDOW_OK = {
     "q248_graph_modularity": (1, "sum over 25 brand-community rows"),
     # lag over exactly 5 depth-quintile rate rows
     "q358_depth_conversion_monotonicity": (1, "lag over 5 quintile rows"),
+    # cumulative Q over exactly 7 lag rows
+    "q368_ljung_box_residuals": (1, "cumsum over 7 lag rows"),
     # day-rank over the bounded order-date grid (date span, not data
     # volume); the ranked grid feeds BOTH sides of the decay join, so the
     # window appears twice in the plan
