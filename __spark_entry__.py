@@ -12933,6 +12933,328 @@ def q372_erasure_impact_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q373_price_indices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Price index triple [EXT]: Laspeyres (base-period quantity
+    weights), Paasche (current weights), and Fisher (geometric mean)
+    indices of per-part unit prices between the first and second half of
+    the order history — the econ-style price-level read that a plain avg
+    price confounds with mix shift (q180's bridge decomposes revenue;
+    this isolates price).
+
+    Scale shape: two conditional aggregations per part, one inner join
+    on the bounded part dimension, 1-row index arithmetic."""
+    li = _t(spark, sf_dir, "lineitem")
+    cut = F.lit("1998-01-01").cast("timestamp_ntz")
+    per_part = li.groupBy("l_partkey").agg(
+        F.sum(F.when(F.col("l_shipdate") < cut, F.col("l_quantity"))).alias(
+            "_q0"
+        ),
+        F.sum(
+            F.when(F.col("l_shipdate") < cut, F.col("l_extendedprice"))
+        ).alias("_v0"),
+        F.sum(
+            F.when(F.col("l_shipdate") >= cut, F.col("l_quantity"))
+        ).alias("_q1"),
+        F.sum(
+            F.when(F.col("l_shipdate") >= cut, F.col("l_extendedprice"))
+        ).alias("_v1"),
+    ).filter(
+        F.col("_q0").isNotNull()
+        & F.col("_q1").isNotNull()
+        & (F.col("_q0") > 0)
+        & (F.col("_q1") > 0)
+    )
+    priced = per_part.select(
+        (F.col("_v0") / F.col("_q0")).alias("_p0"),
+        (F.col("_v1") / F.col("_q1")).alias("_p1"),
+        "_q0",
+        "_q1",
+    )
+    agg = priced.agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        (F.sum(F.col("_p1") * F.col("_q0"))
+         / F.sum(F.col("_p0") * F.col("_q0"))).alias("_lasp"),
+        (F.sum(F.col("_p1") * F.col("_q1"))
+         / F.sum(F.col("_p0") * F.col("_q1"))).alias("_paas"),
+    )
+    return agg.select(
+        "n_parts",
+        F.round("_lasp", 6).alias("laspeyres"),
+        F.round("_paas", 6).alias("paasche"),
+        F.round(F.sqrt(F.col("_lasp") * F.col("_paas")), 6).alias("fisher"),
+    )
+
+
+def q374_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak session concurrency per day [EXT]: the classic +1/−1 sweep —
+    sessions (30-min-gap, q50 semantics) emit a +1 at start and −1 at
+    end, and the running sum over each day's ordered boundary stream is
+    the live-session count; its max is the capacity number an SRE sizes
+    for (q329's dispersion says arrivals are bursty; this says how high
+    the bursts stack).
+
+    Scale shape: sessionization is the standard lag/flag/sum windows per
+    user; the sweep's running sum partitions by DAY (calendar-bounded
+    partitions, each a within-day boundary stream)."""
+    from hubverse_transform_spark.operators.sessions import _epoch_seconds
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = ev.select(
+        "user_id",
+        _epoch_seconds(F.col("ts")).alias("_t"),
+        F.when(
+            F.lag(_epoch_seconds(F.col("ts"))).over(w).isNull()
+            | (
+                _epoch_seconds(F.col("ts"))
+                - F.lag(_epoch_seconds(F.col("ts"))).over(w)
+                >= 1800
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("_new"),
+    )
+    ws = Window.partitionBy("user_id").orderBy("_t").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    sessions = (
+        flagged.withColumn("_sid", F.sum("_new").over(ws))
+        .groupBy("user_id", "_sid")
+        .agg(F.min("_t").alias("_start"), F.max("_t").alias("_end"))
+    )
+    boundaries = sessions.select(
+        F.col("_start").alias("_t"), F.lit(1).alias("_d")
+    ).unionByName(
+        # end bound +1s so zero-length sessions still count at their instant
+        sessions.select((F.col("_end") + 1).alias("_t"), F.lit(-1).alias("_d"))
+    )
+    wd = (
+        Window.partitionBy("_day")
+        .orderBy("_t", F.col("_d").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    swept = boundaries.select(
+        F.to_date(F.timestamp_seconds("_t")).alias("_day"), "_t", "_d"
+    ).select("_day", F.sum("_d").over(wd).alias("_live"))
+    return swept.groupBy(
+        F.date_format("_day", "yyyy-MM-dd").alias("day")
+    ).agg(F.max("_live").alias("peak_concurrent_sessions"))
+
+
+def q375_order_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table financial reconciliation [EXT]: o_totalprice vs the
+    lineitem-derived total Σ extendedprice·(1−discount)·(1+tax) per
+    order — the books-balance audit every warehouse runs between a
+    header table and its detail table. Reports the mismatch-rate
+    histogram (relative error buckets) rather than pretending the
+    numbers tie.
+
+    Scale shape: one lineitem rollup, one key join to orders, bucket
+    rollup — nothing wider than the fact scan."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    derived = li.groupBy("l_orderkey").agg(
+        F.sum(
+            F.col("l_extendedprice")
+            * (1 - F.col("l_discount"))
+            * (1 + F.col("l_tax"))
+        ).alias("_derived")
+    )
+    joined = o.join(
+        derived.hint("shuffle_hash"),
+        o.o_orderkey == derived.l_orderkey,
+        "left",
+    ).select(
+        "o_totalprice",
+        F.coalesce(F.col("_derived"), F.lit(0.0)).alias("_derived"),
+    )
+    rel = F.abs(F.col("_derived") - F.col("o_totalprice")) / F.col(
+        "o_totalprice"
+    )
+    bucket = (
+        F.when(rel < 0.0001, "exact_1e-4")
+        .when(rel < 0.01, "lt_1pct")
+        .when(rel < 0.10, "lt_10pct")
+        .otherwise("gte_10pct")
+    )
+    tot = o.count()
+    return (
+        joined.groupBy(bucket.alias("mismatch_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.avg(rel), 6).alias("avg_rel_error"),
+        )
+        .select(
+            "mismatch_bucket",
+            "n_orders",
+            F.round(F.col("n_orders") / F.lit(float(tot)), 6).alias(
+                "share"
+            ),
+            "avg_rel_error",
+        )
+    )
+
+
+def q376_entry_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entry-event bounce rate [EXT]: per session ENTRY event type, the
+    share of sessions that end after that single event — the landing-
+    surface quality read (q178's click abandonment is one cell of this
+    table; q50 builds the same sessions).
+
+    Scale shape: sessionization windows per user, then a (session →
+    first type, size) collapse and a 5-row rollup."""
+    from hubverse_transform_spark.operators.sessions import _epoch_seconds
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = ev.select(
+        "user_id",
+        "event_type",
+        "ts",
+        "event_id",
+        F.when(
+            F.lag(_epoch_seconds(F.col("ts"))).over(w).isNull()
+            | (
+                _epoch_seconds(F.col("ts"))
+                - F.lag(_epoch_seconds(F.col("ts"))).over(w)
+                >= 1800
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("_new"),
+    )
+    ws = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    sess = flagged.withColumn("_sid", F.sum("_new").over(ws))
+    per_session = sess.groupBy("user_id", "_sid").agg(
+        F.min_by("event_type", F.struct("ts", "event_id")).alias(
+            "entry_type"
+        ),
+        F.count(F.lit(1)).alias("_len"),
+    )
+    return per_session.groupBy("entry_type").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.round(
+            F.avg((F.col("_len") == 1).cast("double")), 6
+        ).alias("bounce_rate"),
+        F.round(F.avg("_len"), 6).alias("avg_session_events"),
+    )
+
+
+def q377_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capture-recapture population estimate [EXT]: two independent
+    deterministic hash 'captures' of the user space (disjoint md5
+    criteria, ~20% each) yield the Lincoln-Petersen estimate
+    N̂ = n1·n2/m from their overlap — the mark-recapture trick for
+    estimating a population you can't scan twice, audited against the
+    true distinct count (the estimator q38's HLL replaces at scale;
+    this one needs only two cheap membership predicates).
+
+    Scale shape: one distinct-user pass with two hash predicates; the
+    estimate is 1-row arithmetic."""
+    ev = _t(spark, sf_dir, "events")
+    users = ev.select("user_id").distinct()
+    h1 = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("c1|"),
+                                       F.col("user_id").cast("string"))),
+                        1, 8),
+            16,
+            10,
+        ).cast("long")
+        % 100
+        < 20
+    )
+    h2 = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("c2|"),
+                                       F.col("user_id").cast("string"))),
+                        1, 8),
+            16,
+            10,
+        ).cast("long")
+        % 100
+        < 20
+    )
+    marked = users.select(
+        h1.cast("int").alias("_c1"), h2.cast("int").alias("_c2")
+    )
+    return marked.agg(
+        F.count(F.lit(1)).alias("true_population"),
+        F.sum("_c1").alias("n_capture1"),
+        F.sum("_c2").alias("n_capture2"),
+        F.sum(F.col("_c1") * F.col("_c2")).alias("n_recaptured"),
+        F.round(
+            F.sum("_c1")
+            * F.sum("_c2")
+            / F.sum(F.col("_c1") * F.col("_c2")).cast("double"),
+            2,
+        ).alias("lincoln_petersen_estimate"),
+    )
+
+
+def q378_asof_feature_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of feature matrix generation [EXT]: per user, trailing 7/14/28-
+    day activity counts and purchase value AS OF a training cutoff
+    (2024-01-25), with the post-cutoff purchase flag as the label — the
+    point-in-time-correct feature/label build every churn/propensity
+    model needs (leakage-free by construction: features read strictly
+    before the cutoff, the label strictly after; q300 materializes such
+    features, q124 audits the leakage this avoids). Output is the
+    aggregated feature-space census (label × activity-band counts), not
+    the matrix itself.
+
+    Scale shape: one pass of conditional aggregations per user (each
+    trailing window is a CASE bound, no self-joins), then a bounded
+    census rollup."""
+    ev = _t(spark, sf_dir, "events")
+    cutoff = F.lit("2024-01-25").cast("timestamp_ntz")
+    day = lambda n: F.lit(f"2024-01-{25 - n:02d}").cast("timestamp_ntz")  # noqa: E731
+    per_user = ev.groupBy("user_id").agg(
+        F.sum(
+            F.when((F.col("ts") >= day(7)) & (F.col("ts") < cutoff), 1)
+            .otherwise(0)
+        ).alias("_n7"),
+        F.sum(
+            F.when((F.col("ts") >= day(14)) & (F.col("ts") < cutoff), 1)
+            .otherwise(0)
+        ).alias("_n14"),
+        F.sum(F.when(F.col("ts") < cutoff, 1).otherwise(0)).alias("_n_all"),
+        F.round(
+            F.sum(
+                F.when(
+                    (F.col("ts") >= day(7))
+                    & (F.col("ts") < cutoff)
+                    & (F.col("event_type") == "purchase"),
+                    F.col("value"),
+                ).otherwise(0.0)
+            ),
+            2,
+        ).alias("_v7"),
+        F.max(
+            F.when(
+                (F.col("ts") >= cutoff)
+                & (F.col("event_type") == "purchase"),
+                1,
+            ).otherwise(0)
+        ).alias("label"),
+    )
+    band = (
+        F.when(F.col("_n7") == 0, "inactive_7d")
+        .when(F.col("_n7") < 5, "low")
+        .when(F.col("_n7") < 15, "mid")
+        .otherwise("high")
+    )
+    return per_user.groupBy("label", band.alias("activity_band")).agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.round(F.avg("_n14"), 6).alias("avg_n14"),
+        F.round(F.avg("_v7"), 6).alias("avg_purchase_value_7d"),
+    )
+
+
 # =============================================================================
 # Driver contract
 # =============================================================================
@@ -13317,6 +13639,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q370_ranker_agreement": q370_ranker_agreement,
         "q371_bloom_size_planner": q371_bloom_size_planner,
         "q372_erasure_impact_audit": q372_erasure_impact_audit,
+        "q373_price_indices": q373_price_indices,
+        "q374_peak_concurrency": q374_peak_concurrency,
+        "q375_order_reconciliation": q375_order_reconciliation,
+        "q376_entry_bounce_rate": q376_entry_bounce_rate,
+        "q377_capture_recapture": q377_capture_recapture,
+        "q378_asof_feature_matrix": q378_asof_feature_matrix,
     }
 
 
@@ -20827,6 +21155,171 @@ def oracle_sql() -> dict[str, str]:
                round(sum(CASE WHEN del_rows > 0 THEN rows_ ELSE 0 END) * 1.0
                      / sum(del_rows), 6) AS rewrite_amplification
         FROM per_day
+    """
+    sqls["q373_price_indices"] = """
+        WITH per_part AS (
+            SELECT l_partkey,
+                   sum(CASE WHEN l_shipdate < TIMESTAMP '1998-01-01'
+                            THEN l_quantity END) AS q0,
+                   sum(CASE WHEN l_shipdate < TIMESTAMP '1998-01-01'
+                            THEN l_extendedprice END) AS v0,
+                   sum(CASE WHEN l_shipdate >= TIMESTAMP '1998-01-01'
+                            THEN l_quantity END) AS q1,
+                   sum(CASE WHEN l_shipdate >= TIMESTAMP '1998-01-01'
+                            THEN l_extendedprice END) AS v1
+            FROM lineitem GROUP BY 1
+        ), priced AS (
+            SELECT v0 / q0 AS p0, v1 / q1 AS p1, q0, q1
+            FROM per_part
+            WHERE q0 IS NOT NULL AND q1 IS NOT NULL AND q0 > 0 AND q1 > 0
+        ), agg AS (
+            SELECT count(*) AS n_parts,
+                   sum(p1 * q0) / sum(p0 * q0) AS lasp,
+                   sum(p1 * q1) / sum(p0 * q1) AS paas
+            FROM priced
+        )
+        SELECT n_parts, round(lasp, 6) AS laspeyres,
+               round(paas, 6) AS paasche,
+               round(sqrt(lasp * paas), 6) AS fisher
+        FROM agg
+    """
+    sqls["q374_peak_concurrency"] = """
+        WITH flagged AS (
+            SELECT user_id, epoch(ts) AS t,
+                   CASE WHEN lag(epoch(ts)) OVER w IS NULL
+                             OR epoch(ts) - lag(epoch(ts)) OVER w >= 1800
+                        THEN 1 ELSE 0 END AS new_s
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), sess AS (
+            SELECT user_id,
+                   sum(new_s) OVER (PARTITION BY user_id ORDER BY t
+                                    ROWS UNBOUNDED PRECEDING) AS sid,
+                   t
+            FROM flagged
+        ), sessions AS (
+            SELECT user_id, sid, min(t) AS s, max(t) AS e
+            FROM sess GROUP BY 1, 2
+        ), boundaries AS (
+            SELECT s AS t, 1 AS d FROM sessions
+            UNION ALL
+            SELECT e + 1 AS t, -1 AS d FROM sessions
+        ), swept AS (
+            SELECT CAST(to_timestamp(t) AS DATE) AS day,
+                   sum(d) OVER (PARTITION BY CAST(to_timestamp(t) AS DATE)
+                                ORDER BY t, d DESC
+                                ROWS UNBOUNDED PRECEDING) AS live
+            FROM boundaries
+        )
+        SELECT strftime(day, '%Y-%m-%d') AS day,
+               CAST(max(live) AS BIGINT) AS peak_concurrent_sessions
+        FROM swept GROUP BY 1
+    """
+    sqls["q375_order_reconciliation"] = """
+        WITH derived AS (
+            SELECT l_orderkey,
+                   sum(l_extendedprice * (1 - l_discount) * (1 + l_tax))
+                       AS derived
+            FROM lineitem GROUP BY 1
+        ), joined AS (
+            SELECT o.o_totalprice, coalesce(d.derived, 0.0) AS derived
+            FROM orders o LEFT JOIN derived d
+              ON d.l_orderkey = o.o_orderkey
+        ), tot AS (SELECT count(*) AS n FROM orders),
+        bucketed AS (
+            SELECT abs(derived - o_totalprice) / o_totalprice AS rel,
+                   CASE WHEN abs(derived - o_totalprice) / o_totalprice
+                             < 0.0001 THEN 'exact_1e-4'
+                        WHEN abs(derived - o_totalprice) / o_totalprice
+                             < 0.01 THEN 'lt_1pct'
+                        WHEN abs(derived - o_totalprice) / o_totalprice
+                             < 0.10 THEN 'lt_10pct'
+                        ELSE 'gte_10pct' END AS mismatch_bucket
+            FROM joined
+        )
+        SELECT mismatch_bucket, count(*) AS n_orders,
+               round(count(*) * 1.0 / (SELECT n FROM tot), 6) AS share,
+               round(avg(rel), 6) AS avg_rel_error
+        FROM bucketed GROUP BY 1
+    """
+    sqls["q376_entry_bounce_rate"] = """
+        WITH flagged AS (
+            SELECT user_id, event_type, ts, event_id,
+                   CASE WHEN lag(epoch(ts)) OVER w IS NULL
+                             OR epoch(ts) - lag(epoch(ts)) OVER w >= 1800
+                        THEN 1 ELSE 0 END AS new_s
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), sess AS (
+            SELECT user_id, event_type, ts, event_id,
+                   sum(new_s) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+            FROM flagged
+        ), per_session AS (
+            SELECT user_id, sid,
+                   max(CASE WHEN rn = 1 THEN event_type END) AS entry_type,
+                   count(*) AS len
+            FROM (SELECT *,
+                         row_number() OVER (PARTITION BY user_id, sid
+                                            ORDER BY ts, event_id) AS rn
+                  FROM sess)
+            GROUP BY 1, 2
+        )
+        SELECT entry_type, count(*) AS n_sessions,
+               round(avg(CASE WHEN len = 1 THEN 1.0 ELSE 0.0 END), 6)
+                   AS bounce_rate,
+               round(avg(len * 1.0), 6) AS avg_session_events
+        FROM per_session GROUP BY 1
+    """
+    sqls["q377_capture_recapture"] = """
+        WITH users AS (SELECT DISTINCT user_id FROM events),
+        marked AS (
+            SELECT CASE WHEN CAST('0x' || substring(
+                                md5('c1|' || CAST(user_id AS VARCHAR)),
+                                1, 8) AS BIGINT) % 100 < 20
+                        THEN 1 ELSE 0 END AS c1,
+                   CASE WHEN CAST('0x' || substring(
+                                md5('c2|' || CAST(user_id AS VARCHAR)),
+                                1, 8) AS BIGINT) % 100 < 20
+                        THEN 1 ELSE 0 END AS c2
+            FROM users
+        )
+        SELECT count(*) AS true_population,
+               CAST(sum(c1) AS BIGINT) AS n_capture1,
+               CAST(sum(c2) AS BIGINT) AS n_capture2,
+               CAST(sum(c1 * c2) AS BIGINT) AS n_recaptured,
+               round(sum(c1) * sum(c2) * 1.0 / sum(c1 * c2), 2)
+                   AS lincoln_petersen_estimate
+        FROM marked
+    """
+    sqls["q378_asof_feature_matrix"] = """
+        WITH per_user AS (
+            SELECT user_id,
+                   sum(CASE WHEN ts >= TIMESTAMP '2024-01-18'
+                             AND ts < TIMESTAMP '2024-01-25'
+                            THEN 1 ELSE 0 END) AS n7,
+                   sum(CASE WHEN ts >= TIMESTAMP '2024-01-11'
+                             AND ts < TIMESTAMP '2024-01-25'
+                            THEN 1 ELSE 0 END) AS n14,
+                   round(sum(CASE WHEN ts >= TIMESTAMP '2024-01-18'
+                                   AND ts < TIMESTAMP '2024-01-25'
+                                   AND event_type = 'purchase'
+                                  THEN value ELSE 0.0 END), 2) AS v7,
+                   max(CASE WHEN ts >= TIMESTAMP '2024-01-25'
+                             AND event_type = 'purchase'
+                            THEN 1 ELSE 0 END) AS label
+            FROM events GROUP BY 1
+        )
+        SELECT label,
+               CASE WHEN n7 = 0 THEN 'inactive_7d'
+                    WHEN n7 < 5 THEN 'low'
+                    WHEN n7 < 15 THEN 'mid'
+                    ELSE 'high' END AS activity_band,
+               count(*) AS n_users,
+               round(avg(n14), 6) AS avg_n14,
+               round(avg(v7), 6) AS avg_purchase_value_7d
+        FROM per_user GROUP BY 1, 2
     """
     sqls["q295_cbo_estimation_audit"] = """
         WITH so AS (
