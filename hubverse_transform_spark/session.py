@@ -96,9 +96,61 @@ def load_table(spark: SparkSession, sf_dir: str, name: str):
     return df
 
 
+def _scan_shaped(df) -> bool:
+    """True when ``df`` is projections/filters over a file relation only —
+    the shape whose partition count is governed by file layout rather than
+    by shuffle configuration.
+
+    Inspects the OPTIMIZED LOGICAL plan (pure Catalyst work — no jobs),
+    never ``df.rdd``: under AQE, converting a plan that contains exchanges
+    to an RDD eagerly materializes the upstream query stages at
+    DataFrame-composition time, and that work is not reused by the later
+    repartition plan.
+    """
+    try:
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+    except Exception:  # pragma: no cover - plan not inspectable: stay safe
+        return False
+    heavy = (
+        "Join", "Aggregate", "Window", "Repartition", "Sort", "Generate",
+        "Union", "Expand", "Deduplicate", "GlobalLimit", "CoGroup",
+        "MapInPandas", "MapInArrow", "FlatMapGroupsInPandas",
+    )
+    return not any(tok in plan for tok in heavy)
+
+
+def _estimated_scan_partitions(spark, files) -> int | None:
+    """Lower bound on the scan's partition count from file sizes alone.
+
+    Each file contributes at least ``ceil(size / maxPartitionBytes)``
+    splits (Spark's ``maxSplitBytes`` is capped by ``maxPartitionBytes``),
+    so the sum is a lower bound on the real split count — if the bound
+    already reaches ``defaultParallelism`` the scan is parallel enough and
+    no repartition is needed. File sizes come from the Hadoop FileSystem
+    (listing metadata only — no job); ``None`` on any FS error.
+    """
+    try:
+        max_bytes = int(spark.conf.get("spark.sql.files.maxPartitionBytes"))
+    except Exception:
+        max_bytes = 128 * 1024 * 1024
+    try:
+        jvm = spark._jvm
+        hconf = spark._jsc.hadoopConfiguration()
+        total = 0
+        for f in files:
+            p = jvm.org.apache.hadoop.fs.Path(f)
+            fs = p.getFileSystem(hconf)
+            size = fs.getFileStatus(p).getLen()
+            total += max(1, -(-size // max_bytes))  # ceil-div, min 1 split
+        return int(total)
+    except Exception:  # pragma: no cover - remote FS stat failed
+        return None
+
+
 def spread_small_scan(df):
-    """Ensure ``df`` has at least ``defaultParallelism`` partitions before an
-    expensive per-row stage (regex shingling, HOF vector math).
+    """Ensure a SCAN-SHAPED ``df`` has at least ``defaultParallelism``
+    partitions before an expensive per-row stage (regex shingling, HOF
+    vector math, deletion-closure generation).
 
     A small table often arrives as ONE parquet file below
     ``maxPartitionBytes`` — a single scan partition — which serializes any
@@ -106,8 +158,28 @@ def spread_small_scan(df):
     (parquet can't split below the row group). The repartition moves only
     the (tiny) table itself; when the scan is already parallel (the 100 TB
     case: thousands of files) this is a no-op with zero added exchange.
+
+    Decision path (no ``df.rdd`` access anywhere — an RDD conversion under
+    AQE eagerly runs upstream stages when exchanges are present):
+
+    1. ``len(inputFiles) >= defaultParallelism`` → enough scan splits, no-op.
+    2. plan not scan-shaped (join/agg/window/... upstream) → no-op: its
+       partitioning is already governed by shuffle config + AQE, not files.
+    3. file-size lower bound on splits ``>= defaultParallelism`` (few but
+       LARGE files that ``maxPartitionBytes`` already splits) → no-op.
+    4. otherwise: genuinely small scan → ``repartition(defaultParallelism)``.
     """
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    try:
+        files = df.inputFiles()
+    except Exception:  # pragma: no cover - fileless source
+        return df
+    if not files or len(files) >= target:
+        return df
+    if not _scan_shaped(df):
+        return df
+    est = _estimated_scan_partitions(spark, files)
+    if est is not None and est >= target:
+        return df
+    return df.repartition(target)
