@@ -6386,22 +6386,31 @@ def q244_gain_lift_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q245_fellegi_sunter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fellegi–Sunter probabilistic record-linkage scoring [EXT]: customer
-    pairs BLOCKED by nation, scored by summing per-field log-likelihood
-    match weights (agree → ln(m/u), disagree → ln((1−m)/(1−u)), literal
-    6-decimal weights so both engines add identical doubles) over three
-    comparison fields — market segment, name edit-distance (lev ≤ 2),
-    acctbal 500-bucket. Top-20 by weight with full key tie-break: the
-    classic ER decision model (Fellegi & Sunter 1969) on top of the
-    blocking the repo's fuzzy-join ops already use.
+    pairs (semantically: every within-nation pair), scored by summing
+    per-field log-likelihood match weights (agree → ln(m/u), disagree →
+    ln((1−m)/(1−u)), literal 6-decimal weights so both engines add
+    identical doubles) over three comparison fields — market segment,
+    name edit-distance (lev ≤ 2), acctbal 500-bucket. Top-20 by weight
+    with full key tie-break: the classic ER decision model
+    (Fellegi & Sunter 1969).
 
-    Scale shape: the self-join is bounded by the blocking key (per-nation
-    pair count, NOT corpus-quadratic; at lake scale block on
-    nation × phone-prefix to cap block width), weights are map-side CASE
-    arithmetic with the edit distance in THRESHOLD form (banded DP,
-    abandons past 2 — ~1.7× over the full matrix; a SymSpell
-    candidate-first split was measured and rejected: this corpus has 163k
-    lev≤2 pairs, so the neighborhood join costs more than it saves);
-    result is a TakeOrdered top-20."""
+    Scale shape — WEIGHT-PRUNED blocking, not all-pairs: nation has FIXED
+    cardinality (25), so a nation-blocked self-join grows quadratically
+    with data (measured ×100 ratio 42.0 in round 7 — the repo's one
+    super-linear plan). The weights themselves prove a far smaller
+    candidate set exact: the lowest possible weight of a NAME-AGREEING
+    pair is −2.079442 + 6.856462 − 1.504077 = 3.272943, while the highest
+    possible weight of a name-DISagreeing pair is
+    1.504077 − 2.995632 + 2.079442 = 0.587887 < 3.272943. So whenever at
+    least 20 name-agreeing pairs exist, the global top-20 is a subset of
+    them, and the quadratic comparison space collapses to the lev≤2
+    similarity join — ``edit_distance_pairs``' deletion-neighborhood
+    equi-join (|corpus|·L² candidate rows, variant key = shuffle key,
+    data-scaling cardinality), nation-blocked to preserve the pair
+    predicate. The candidate count is one scalar aggregate action
+    (adaptive plan choice, the same pattern as dedup's auto ``max_df``);
+    the all-pairs fallback only ever runs on degenerate corpora with
+    fewer than 20 near-identical names."""
     c = _t(spark, sf_dir, "customer").select(
         "c_custkey",
         "c_nationkey",
@@ -6409,6 +6418,63 @@ def q245_fellegi_sunter(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_name",
         F.floor(F.col("c_acctbal") / 500).alias("_bal"),
     )
+    # ln(m/u), ln((1-m)/(1-u)) at 6 decimals: seg m=.9 u=.2, name-lev<=2
+    # m=.95 u=.001, bal-bucket m=.8 u=.1 — literal weights, not engine
+    # ln(), so both engines sum identical doubles
+    seg_w = (1.504077, -2.079442)
+    name_w = (6.856462, -2.995632)
+    bal_w = (2.079442, -1.504077)
+    from hubverse_transform_spark.caching import compute_release
+
+    # persist: the count() that picks the plan is also the job that fills
+    # the cache, so the scoring pass reads candidates back instead of
+    # re-running the variant self-join (compute_release frees it on exit)
+    cand = edit_distance_pairs(
+        c, "c_custkey", "c_name", max_dist=2, block_col="c_nationkey"
+    ).persist()
+    if cand.count() >= 20:
+        attrs = c.select(
+            "c_custkey", "c_mktsegment", "_bal"
+        )
+        scored = (
+            cand.join(
+                attrs.select(
+                    F.col("c_custkey").alias("id_a"),
+                    F.col("c_mktsegment").alias("_seg1"),
+                    F.col("_bal").alias("_bal1"),
+                ),
+                "id_a",
+            )
+            .join(
+                attrs.select(
+                    F.col("c_custkey").alias("id_b"),
+                    F.col("c_mktsegment").alias("_seg2"),
+                    F.col("_bal").alias("_bal2"),
+                ),
+                "id_b",
+            )
+            .select(
+                F.col("id_a").alias("cust1"),
+                F.col("id_b").alias("cust2"),
+                F.round(
+                    F.when(F.col("_seg1") == F.col("_seg2"), F.lit(seg_w[0]))
+                    .otherwise(F.lit(seg_w[1]))
+                    + F.lit(name_w[0])  # lev<=2 holds for every candidate
+                    + F.when(F.col("_bal1") == F.col("_bal2"), F.lit(bal_w[0]))
+                    .otherwise(F.lit(bal_w[1])),
+                    6,
+                ).alias("match_weight"),
+            )
+        )
+        return compute_release(
+            scored.orderBy(
+                F.col("match_weight").desc(), "cust1", "cust2"
+            ).limit(20),
+            cand,
+        )
+    cand.unpersist()
+    # degenerate-corpus fallback: all within-nation pairs (tiny by
+    # precondition — fewer than 20 name-agreeing pairs exist at all)
     b = c.select(
         F.col("c_custkey").alias("_k2"),
         F.col("c_nationkey").alias("_n2"),
@@ -6421,26 +6487,13 @@ def q245_fellegi_sunter(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("c_nationkey") == F.col("_n2"))
         & (F.col("c_custkey") < F.col("_k2")),
     )
-    # ln(m/u), ln((1-m)/(1-u)) at 6 decimals: seg m=.9 u=.2, name-lev<=2
-    # m=.95 u=.001, bal-bucket m=.8 u=.1 — literal weights, not engine
-    # ln(), so both engines sum identical doubles
-    # edit distance is invariant under a shared prefix, so when the first
-    # 9 chars agree (the corpus's constant-width entity prefix) the banded
-    # DP runs on the 9-char suffixes only — measured 1.75× over the full
-    # 18-char DP, exact in all cases via the fallback branch
-    lev_le2 = F.when(
-        F.substring("c_name", 1, 9) == F.substring("_name2", 1, 9),
-        F.levenshtein(
-            F.substring("c_name", 10, 9), F.substring("_name2", 10, 9), 2
-        )
-        >= 0,
-    ).otherwise(F.levenshtein(F.col("c_name"), F.col("_name2"), 2) >= 0)
+    lev_le2 = F.levenshtein(F.col("c_name"), F.col("_name2"), 2) >= 0
     score = (
-        F.when(F.col("c_mktsegment") == F.col("_seg2"), F.lit(1.504077))
-        .otherwise(F.lit(-2.079442))
-        + F.when(lev_le2, F.lit(6.856462)).otherwise(F.lit(-2.995632))
-        + F.when(F.col("_bal") == F.col("_bal2"), F.lit(2.079442))
-        .otherwise(F.lit(-1.504077))
+        F.when(F.col("c_mktsegment") == F.col("_seg2"), F.lit(seg_w[0]))
+        .otherwise(F.lit(seg_w[1]))
+        + F.when(lev_le2, F.lit(name_w[0])).otherwise(F.lit(name_w[1]))
+        + F.when(F.col("_bal") == F.col("_bal2"), F.lit(bal_w[0]))
+        .otherwise(F.lit(bal_w[1]))
     )
     return (
         pairs.select(

@@ -826,6 +826,7 @@ def chunk_dup_stats(
     )
 
 
+@_spread_input
 def edit_distance_pairs(
     df: DataFrame,
     id_col: str,
