@@ -9460,35 +9460,68 @@ def q311_ann_hubness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     histogram predicts poor ANN recall before an index is ever built
     (Radovanović et al., JMLR 2010). Buckets: 0, 1–4, 5–9, 10–19, 20+.
 
-    Scale shape: capped probe set (vec_id < 2000) keeps the all-pairs
-    score bounded; one side broadcasts (2000×64 floats ≈ 0.5 MB), ranks
-    are per-query windows, in-degree is one aggregation over k·n rows."""
+    Scale shape: capped probe set (vec_id < 2000) bounds the probe matrix
+    (≤2000×64 f64 ≈ 1 MB), collected once and broadcast; the neighbor side
+    streams through ``mapInPandas`` and each Arrow batch is scored with ONE
+    BLAS GEMM — the ``similarity._exact_cosine_pairs_blocked`` pattern,
+    ~100× the interpreted ``aggregate(zip_with(...))`` fold it replaces
+    (round-7 verdict item). Each batch emits only its per-query partial
+    top-10 (with a 2e-9 slack: |x − round9(x)| ≤ 5e-10, so any row whose
+    ROUNDED sim ties the batch's 10th cannot sit below threshold − 1e-9 —
+    rounding ties are never cut), so the finalizing window reads ~10 rows
+    per (query, batch) instead of all n_q·n pairs. Ranking stays
+    Spark-side on ``F.round(sim, 9)`` with the id tie-break, identical to
+    the oracle's."""
+    import numpy as np
+    import pandas as pd
+
     e = (
         _t(spark, sf_dir, "embeddings")
         .filter(F.col("vec_id") < 2000)
         .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
-        # one-file scans serialize the all-pairs loop onto one task
+        # one-file scans serialize the GEMM loop onto one task
         .repartition(spark.sparkContext.defaultParallelism)
     )
-    q = e.select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"))
-    dot = F.aggregate(
-        F.zip_with("qv", "v", lambda a, b: a * b), F.lit(0.0), lambda s, x: s + x
-    )
-    nrm = lambda c: F.sqrt(  # noqa: E731
-        F.aggregate(F.zip_with(c, c, lambda a, b: a * b), F.lit(0.0),
-                    lambda s, x: s + x)
-    )
-    scored = (
-        e.crossJoin(F.broadcast(q))
-        .filter(F.col("vec_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            F.col("vec_id").alias("neighbor_id"),
-            # round before ranking: both engines agree on 9-decimal sims, so
-            # near-tie rank order is decided by the id tie-break, not by
-            # 1e-16 summation-order noise
-            F.round(dot / (nrm(F.col("qv")) * nrm(F.col("v"))), 9).alias("sim"),
-        )
+    probes = e.collect()  # bounded by construction: vec_id < 2000
+    q_ids = np.array([r["vec_id"] for r in probes], dtype=np.int64)
+    qm = np.array([list(r["v"]) for r in probes], dtype=np.float64)
+    qn = np.linalg.norm(qm, axis=1)
+    qn[qn == 0] = np.inf
+    sc = spark.sparkContext
+    b_ids, b_q, b_qn = sc.broadcast(q_ids), sc.broadcast(qm), sc.broadcast(qn)
+
+    def score(batches):
+        qi, mat, nrm = b_ids.value, b_q.value, b_qn.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            a = np.array([list(v) for v in pdf["v"]], dtype=np.float64)
+            an = np.linalg.norm(a, axis=1)
+            an[an == 0] = np.inf
+            s = (a @ mat.T) / (an[:, None] * nrm[None, :])
+            nid = pdf["vec_id"].to_numpy()
+            s[nid[:, None] == qi[None, :]] = -np.inf  # self-pairs out
+            k = min(10, s.shape[0])
+            thr = np.partition(s, -k, axis=0)[-k, :]
+            keep = (s >= (thr[None, :] - 2e-9)) & np.isfinite(s)
+            ii, jj = np.nonzero(keep)
+            yield pd.DataFrame(
+                {
+                    "query_id": qi[jj],
+                    "neighbor_id": nid[ii],
+                    "sim_raw": s[ii, jj],
+                }
+            )
+
+    scored = e.mapInPandas(
+        score, "query_id long, neighbor_id long, sim_raw double"
+    ).select(
+        "query_id",
+        "neighbor_id",
+        # round before ranking: both engines agree on 9-decimal sims, so
+        # near-tie rank order is decided by the id tie-break, not by
+        # 1e-16 summation-order noise
+        F.round("sim_raw", 9).alias("sim"),
     )
     wq = Window.partitionBy("query_id").orderBy(
         F.col("sim").desc(), F.col("neighbor_id")
@@ -10766,15 +10799,19 @@ def q334_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("v")
         .agg(F.count(F.lit(1)).alias("_d"))
     )
+    # no broadcast hint on the degree table: it is |V|-sized, so a forced
+    # broadcast is exactly the local-mode plan that dies at lake scale
+    # (and the explicit hint would forbid AQE from choosing otherwise).
+    # Unhinted, AQE broadcasts while deg is small and falls back to a
+    # co-partitioned shuffle join once it isn't — edges are already keyed
+    # on src/dst, so the shuffle is the one the wedge join needs anyway.
     keyed = (
         edges.join(
-            F.broadcast(deg.select(F.col("v").alias("src"),
-                                   F.col("_d").alias("_ds"))),
+            deg.select(F.col("v").alias("src"), F.col("_d").alias("_ds")),
             "src",
         )
         .join(
-            F.broadcast(deg.select(F.col("v").alias("dst"),
-                                   F.col("_d").alias("_dd"))),
+            deg.select(F.col("v").alias("dst"), F.col("_d").alias("_dd")),
             "dst",
         )
     )

@@ -95,6 +95,56 @@ def main() -> None:
     )
     print(f"wrote {out}/documents.parquet ({N_DOCS}) and embeddings.parquet ({N_VECS})")
 
+    # ---- graph/ER slice (round-8 probe extension): lineitem/part/customer
+    # at 10x sf0.1, driver-style distributions. Only the columns the graph
+    # family (q72/q236/q249/q252/q334: l_orderkey+l_partkey, p_brand) and
+    # q245 (customer comparison fields) actually read.
+    n_orders = 1_500_000          # 10x sf0.1's 150k
+    n_parts = 200_000             # 10x sf0.1's 20k
+    n_cust = 150_000              # 10x sf0.1's 15k
+    widths = rng.integers(1, 8, size=n_orders)   # ~4 items/order like sf0.1
+    orderkeys = np.repeat(np.arange(n_orders, dtype=np.int64), widths)
+    partkeys = rng.integers(0, n_parts, size=len(orderkeys)).astype(np.int64)
+    pq.write_table(
+        pa.table({"l_orderkey": orderkeys, "l_partkey": partkeys}),
+        f"{out}/lineitem.parquet",
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "p_partkey": pa.array(range(n_parts), pa.int64()),
+                "p_brand": pa.array(
+                    [f"Brand#{1 + i % 25}" for i in range(n_parts)]
+                ),
+            }
+        ),
+        f"{out}/part.parquet",
+    )
+    segs = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
+    pq.write_table(
+        pa.table(
+            {
+                "c_custkey": pa.array(range(n_cust), pa.int64()),
+                "c_nationkey": pa.array(
+                    rng.integers(0, 25, size=n_cust), pa.int32()
+                ),
+                "c_mktsegment": pa.array(
+                    [segs[int(i)] for i in rng.integers(0, 5, size=n_cust)]
+                ),
+                "c_name": pa.array([f"Customer#{i:09d}" for i in range(n_cust)]),
+                "c_acctbal": pa.array(
+                    np.round(rng.uniform(-999.99, 9999.99, size=n_cust), 2),
+                    pa.float64(),
+                ),
+            }
+        ),
+        f"{out}/customer.parquet",
+    )
+    print(
+        f"wrote {out}/lineitem.parquet ({len(orderkeys)}), part.parquet "
+        f"({n_parts}), customer.parquet ({n_cust})"
+    )
+
 
 if __name__ == "__main__":
     main()

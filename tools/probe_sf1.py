@@ -33,6 +33,14 @@ FAMILY = [
     "q120_lsh_multitable_topk",
     "q158_prefix_filter_jaccard",
     "q212_containment_pairs",
+    # round 8: the graph family (owns the bench tail) + the re-blocked ER
+    # scorer — sf1 slice now generates lineitem/part/customer too
+    "q72_part_pagerank",
+    "q236_bfs_reach",
+    "q249_kcore_peel",
+    "q252_label_propagation",
+    "q334_clustering_coefficient",
+    "q245_fellegi_sunter",
 ]
 
 BEGIN, END = "<!-- sf1-probe:begin -->", "<!-- sf1-probe:end -->"
@@ -49,11 +57,12 @@ def main() -> None:
     lines = [
         BEGIN,
         "",
-        "## sf1 probe — dedup/ANN family at 1000x sf0.001",
+        "## sf1 probe — dedup/ANN + graph/ER families at 1000x sf0.001",
         "",
         "Local sf1 slice (tools/gen_sf1.py: 50k documents / 20k embeddings,",
-        "driver-style vocabulary + ~10% seeded near-dups) — 10x the largest",
-        "driver SF. `x1000 ratio` = t(sf1)/t(sf0.001) against 1000x data;",
+        "driver-style vocabulary + ~10% seeded near-dups; 6M-row lineitem /",
+        "200k parts / 150k customers for the graph + ER rows) — 10x the",
+        "largest driver SF. `x1000 ratio` = t(sf1)/t(sf0.001) vs 1000x data;",
         "sublinear ratios here are the direct evidence the prefix/banding",
         "joins do not go quadratic as document frequency keeps growing",
         "linearly. Read pair-join rows against the `sf1 rows` column: the",
