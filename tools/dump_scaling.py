@@ -91,6 +91,13 @@ HEADLINE = [
     "q334_clustering_coefficient",  # degree-oriented triangle enumeration
     "q365_rec_novelty_coverage",    # CF top-3 novelty/coverage rollup
     "q366_dedup_storage_savings",   # exact + SimHash-component savings
+    # round-8 extension: the five >=2s bench queries added after the last
+    # dump (r7 verdict item 5)
+    "q353_cf_holdout_hitrate",      # leave-last-out CF hit-rate eval
+    "q354_bpe_merge_steps",         # iterative BPE merge selection
+    "q355_three_itemset_rules",     # 3-itemset association rules
+    "q368_ljung_box_residuals",     # residual autocorrelation Q-stat
+    "q370_ranker_agreement",        # pairwise ranker Kendall agreement
 ]
 
 
