@@ -6410,7 +6410,16 @@ def q245_fellegi_sunter(spark: SparkSession, sf_dir: str) -> DataFrame:
     predicate. The candidate count is one scalar aggregate action
     (adaptive plan choice, the same pattern as dedup's auto ``max_df``);
     the all-pairs fallback only ever runs on degenerate corpora with
-    fewer than 20 near-identical names."""
+    fewer than 20 near-identical names.
+
+    Measured rejection: a tier-1 cascade (block additionally on
+    seg × bal, emit only all-three-agree pairs at the strictly-highest
+    weight) produced 100× fewer candidates at sf1 (25k vs 2.74M) but ran
+    SLOWER (42 s vs 29 s) — the 2×25.8M-row variant explode+shuffle
+    dominates regardless of block tightness, and the composite string
+    block key only widened the shuffle rows. sf1 runtime is paced by the
+    true lev≤2 candidate count (2.74M pairs at 150k names), not by a
+    plan defect."""
     c = _t(spark, sf_dir, "customer").select(
         "c_custkey",
         "c_nationkey",
