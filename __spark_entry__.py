@@ -1956,13 +1956,15 @@ def q100_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort retention matrix: users grouped by first-seen month, counted
     as active per subsequent month — the product-analytics staple. First-
     seen is one aggregation; the (cohort, activity-month) matrix is a
-    distinct-user count after a broadcast join of the small cohort table."""
+    distinct-user count after joining the cohort table back (per-user —
+    data-sized, so unhinted: AQE broadcasts while small, shuffles at lake
+    scale)."""
     e = _t(spark, sf_dir, "events").select(
         "user_id", F.date_format(F.date_trunc("month", "ts"), "yyyy-MM").alias("month")
     )
     cohort = e.groupBy("user_id").agg(F.min("month").alias("cohort_month"))
     return (
-        e.join(F.broadcast(cohort), "user_id")
+        e.join(cohort, "user_id")
         .groupBy("cohort_month", F.col("month").alias("active_month"))
         .agg(F.count_distinct("user_id").alias("n_users"))
     )
@@ -2202,7 +2204,8 @@ def q113_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q18 shape: customers with orders whose total quantity exceeds
     250 — the HAVING-subquery becomes an aggregate on the fact key joined
     back to orders/customer; the big-order key set is tiny, so both
-    enrichment joins broadcast it."""
+    enrichment joins it unhinted (per-order aggregate — fact-sized, so a
+    forced broadcast would be the local-mode plan; AQE picks)."""
     li = _t(spark, sf_dir, "lineitem")
     o = _t(spark, sf_dir, "orders")
     c = _t(spark, sf_dir, "customer")
@@ -2212,7 +2215,7 @@ def q113_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("total_qty") > 250)
     )
     return (
-        o.join(F.broadcast(big), F.col("o_orderkey") == F.col("l_orderkey"))
+        o.join(big, F.col("o_orderkey") == F.col("l_orderkey"))
         .join(c, F.col("o_custkey") == F.col("c_custkey"))
         .select("c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice", "total_qty")
     )
@@ -10623,7 +10626,8 @@ def q331_item_item_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: co-occurrence comes from the order-blocked self-join
     (pairs bounded by per-order line width, never corpus-quadratic);
-    per-item norms broadcast; final is a per-item top-3 window over the
+    per-item norms joined unhinted (|items| grows with data; AQE
+    broadcasts while small); final is a per-item top-3 window over the
     candidate slice."""
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
     n_i = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("_n"))
@@ -10647,8 +10651,8 @@ def q331_item_item_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = (
         co.join(F.broadcast(top_items), "item_a")
         .join(
-            F.broadcast(n_i.select(F.col("l_partkey").alias("item_b"),
-                                   F.col("_n").alias("_nb"))),
+            n_i.select(F.col("l_partkey").alias("item_b"),
+                       F.col("_n").alias("_nb")),
             "item_b",
         )
         .select(
@@ -11399,13 +11403,14 @@ def q344_retention_decay_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     exponential' read a growth team uses to extrapolate LTV beyond the
     observed horizon.
 
-    Scale shape: cohort matrix is q100's shape (agg + broadcast join);
+    Scale shape: cohort matrix is q100's shape (agg + unhinted
+    AQE-gated cohort join);
     the fit is closed-form OLS moments over the ≤5-row offset table."""
     e = _t(spark, sf_dir, "events").select(
         "user_id", F.date_trunc("week", "ts").alias("_wk")
     )
     cohort = e.groupBy("user_id").agg(F.min("_wk").alias("_c0"))
-    joined = e.join(F.broadcast(cohort), "user_id").select(
+    joined = e.join(cohort, "user_id").select(
         "user_id",
         "_c0",
         (F.datediff("_wk", "_c0") / 7).cast("int").alias("_k"),
@@ -11908,8 +11913,8 @@ def q353_cf_holdout_hitrate(spark: SparkSession, sf_dir: str) -> DataFrame:
     top3 = (
         co.join(F.broadcast(top_items), "item_a")
         .join(
-            F.broadcast(n_i.select(F.col("l_partkey").alias("item_b"),
-                                   F.col("_n").alias("_nb"))),
+            n_i.select(F.col("l_partkey").alias("item_b"),
+                       F.col("_n").alias("_nb")),
             "item_b",
         )
         .select(
@@ -12585,7 +12590,7 @@ def q365_rec_novelty_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     bias (complements q353's hit-rate).
 
     Scale shape: re-derives the bounded top-3 table (q331's shape), joins
-    broadcast popularity, and collapses to one row."""
+    unhinted AQE-gated popularity join, and collapses to one row."""
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
     n_orders = li.select("l_orderkey").distinct().count()
     n_catalog = _t(spark, sf_dir, "part").count()
@@ -12611,8 +12616,8 @@ def q365_rec_novelty_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     recs = (
         co.join(F.broadcast(top_items), "item_a")
         .join(
-            F.broadcast(n_i.select(F.col("l_partkey").alias("item_b"),
-                                   F.col("_n").alias("_nb"))),
+            n_i.select(F.col("l_partkey").alias("item_b"),
+                       F.col("_n").alias("_nb")),
             "item_b",
         )
         .select(
@@ -12700,7 +12705,8 @@ def q367_cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     retention matrix (retention says who came back; this says what they
     were worth), the curve LTV extrapolation (q344) is fit against.
 
-    Scale shape: per-(user, offset) rollup, broadcast cohort join,
+    Scale shape: per-(user, offset) rollup, unhinted AQE-gated cohort
+    join (per-user table is data-sized),
     cohort-partitioned cumulative window over ≤5 offset rows each."""
     ev = _t(spark, sf_dir, "events")
     keyed = ev.select(
@@ -12714,7 +12720,7 @@ def q367_cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     cohort = keyed.groupBy("user_id").agg(F.min("_wk").alias("_c0"))
     sizes = cohort.groupBy("_c0").agg(F.count(F.lit(1)).alias("_n0"))
     per_offset = (
-        keyed.join(F.broadcast(cohort), "user_id")
+        keyed.join(cohort, "user_id")
         .groupBy(
             "_c0",
             (F.datediff("_wk", "_c0") / 7).cast("int").alias("week_offset"),
@@ -12904,8 +12910,8 @@ def q370_ranker_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = (
         co.join(F.broadcast(top_items), "item_a")
         .join(
-            F.broadcast(n_i.select(F.col("l_partkey").alias("item_b"),
-                                   F.col("_n").alias("_nb"))),
+            n_i.select(F.col("l_partkey").alias("item_b"),
+                       F.col("_n").alias("_nb")),
             "item_b",
         )
         .select(
