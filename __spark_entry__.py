@@ -10833,7 +10833,12 @@ def q334_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # NOTE: persisting oriented/deg + compute_release was measured SLOWER
     # here (13.1s vs 9.9s at sf0.1) — the checkpoint boundary costs more
-    # than the shared-subtree recomputation it saves on this dense graph
+    # than the shared-subtree recomputation it saves on this dense graph.
+    # Also measured and rejected (round 8): wedge generation via per-node
+    # collect_list adjacency + HOF ordered-pair explode (one shuffle
+    # instead of the o1xo2 self-join) — 9.2s vs 4.9s for the triangle
+    # stages alone at sf0.1, same 1,884,488 triangles; the array
+    # build/explode costs more than the extra shuffle-hash join saves
     oriented = keyed.select(
         F.when(lower_first, F.col("src")).otherwise(F.col("dst")).alias("u"),
         F.when(lower_first, F.col("dst")).otherwise(F.col("src")).alias("w"),
