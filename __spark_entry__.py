@@ -142,7 +142,7 @@ def q02_revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = _t(spark, sf_dir, "region")
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("r_name")
@@ -164,7 +164,7 @@ def q03_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     rev = (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy("o_orderkey")
         .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
     )
@@ -395,7 +395,7 @@ def q19_disjunctive_pred_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         & F.col("l_quantity").between(qlo, qhi)
     )
     return (
-        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        li.join(p, F.col("p_partkey") == F.col("l_partkey"))
         .filter(grp("Brand#11", 15, 1, 11) | grp("Brand#22", 25, 10, 20) | grp("Brand#33", 35, 20, 30))
         .groupBy("p_brand")
         .agg(
@@ -872,7 +872,7 @@ def q53_lone_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         per_order.filter((F.col("n_supp") > 1) & (F.col("n_late") == 1))
         .groupBy("late_supp")
         .agg(F.count(F.lit(1)).alias("numwait"))
-        .join(F.broadcast(s), F.col("late_supp") == s.s_suppkey)
+        .join(s, F.col("late_supp") == s.s_suppkey)
         .select("s_name", "numwait")
         .orderBy(F.col("numwait").desc(), "s_name")
         .limit(20)
@@ -1160,7 +1160,7 @@ def q67_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("l_quantity") < F.col("qty_thresh"))
     )
     return (
-        small.join(F.broadcast(p), small.l_partkey == p.p_partkey)
+        small.join(p, small.l_partkey == p.p_partkey)
         .groupBy("p_brand")
         .agg(
             F.count(F.lit(1)).alias("n_small"),
@@ -1365,8 +1365,8 @@ def q76_binational_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     sn = n.select(F.col("n_nationkey").alias("snk"), F.col("n_name").alias("supp_nation"))
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(cn), c.c_nationkey == F.col("cnk"))
         .join(F.broadcast(sn), s.s_nationkey == F.col("snk"))
         .filter(
@@ -1395,7 +1395,7 @@ def q77_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .groupBy(F.year("o_orderdate").alias("o_year"))
         .agg(
@@ -1658,7 +1658,7 @@ def q88_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     rev = (
-        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        li.join(s, li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .groupBy("n_name")
         .agg(
@@ -1686,7 +1686,7 @@ def q89_returned_item_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = _t(spark, sf_dir, "nation")
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(
@@ -1734,8 +1734,8 @@ def q91_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
         .filter(F.col("c_nationkey") == F.col("s_nationkey"))
         .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
         .groupBy("n_name")
@@ -2162,7 +2162,7 @@ def q111_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     promo = F.when(F.col("p_type").startswith("PROMO"), rev).otherwise(F.lit(0.0))
     return (
-        li.join(F.broadcast(p.select("p_partkey", "p_type")),
+        li.join(p.select("p_partkey", "p_type"),
                 F.col("l_partkey") == F.col("p_partkey"))
         .groupBy(F.date_format(F.date_trunc("month", "l_shipdate"), "yyyy-MM").alias("month"))
         .agg(
@@ -2195,7 +2195,7 @@ def q112_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("total_rev") == F.col("_mx"))
         .drop("_mx")
     )
-    return top.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey")).select(
+    return top.join(s, F.col("l_suppkey") == F.col("s_suppkey")).select(
         "s_suppkey", "s_name", "total_rev"
     )
 
@@ -2325,7 +2325,7 @@ def q119_copurchase_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     p = _t(spark, sf_dir, "part")
     basket = (
-        li.join(F.broadcast(p.select("p_partkey", "p_brand")),
+        li.join(p.select("p_partkey", "p_brand"),
                 F.col("l_partkey") == F.col("p_partkey"))
         .select("l_orderkey", "p_brand")
         .distinct()
@@ -2550,9 +2550,9 @@ def q130_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_quantity") * F.col("p_retailprice") * 20, 0
     ).cast("long")
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .groupBy(
             F.col("n_name").alias("nation"),
@@ -2613,7 +2613,7 @@ def q134_part_supplier_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "s_suppkey"
     )
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .join(
             F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti"
         )
@@ -2692,7 +2692,7 @@ def q137_brand_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     p = _t(spark, sf_dir, "part")
     baskets = (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .select("l_orderkey", F.col("p_brand").alias("brand"))
         .distinct()
     )
@@ -2893,7 +2893,7 @@ def q144_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).cast("long")
     daily = (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("r_name", F.to_date("o_orderdate").alias("day"))
@@ -3099,7 +3099,7 @@ def q150_recursive_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     p = _t(spark, sf_dir, "part")
     baskets = (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .select("l_orderkey", F.col("p_brand").alias("brand"))
         .distinct()
     )
@@ -4369,7 +4369,7 @@ def q193_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     p = _t(spark, sf_dir, "part")
     baskets = (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .select("l_orderkey", F.col("p_brand").alias("brand"))
         .distinct()
     )
@@ -4455,7 +4455,7 @@ def q196_hierarchy_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = _t(spark, sf_dir, "region")
     rev = (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("r_name", "n_name")
@@ -4679,7 +4679,7 @@ def q204_pareto_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _t(spark, sf_dir, "customer")
     per_cust = (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy("c_mktsegment", "c_custkey")
         .agg(
             F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
@@ -5499,7 +5499,7 @@ def q222_brand_price_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     x = F.col("l_quantity").cast("double")
     y = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("double")
     return (
-        li.join(F.broadcast(p.select("p_partkey", "p_brand")),
+        li.join(p.select("p_partkey", "p_brand"),
                 li.l_partkey == p.p_partkey)
         .groupBy("p_brand")
         .agg(
@@ -8304,8 +8304,8 @@ def q284_topk_plus_other(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
     r = _t(spark, sf_dir, "region").select("r_regionkey", "r_name")
     rev = (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("r_name", "p_brand")
@@ -8369,7 +8369,7 @@ def q286_wilson_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
     agg = (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .groupBy("p_brand")
         .agg(
             F.count(F.lit(1)).alias("n"),
@@ -8959,7 +8959,7 @@ def q300_feature_store_materialization(spark: SparkSession, sf_dir: str) -> Data
     n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
     r = _t(spark, sf_dir, "region").select("r_regionkey", "r_name")
     wide = (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        o.join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .select(
