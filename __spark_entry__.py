@@ -2518,16 +2518,32 @@ def q129_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(whitespace_token_count(F.col("text"))).alias("avail_tokens")
     )
     total = per_lang.agg(F.sum("avail_tokens").alias("_total"))
-    wmap = F.create_map(*[F.lit(x) for kv in weights.items() for x in kv])
-    alloc = F.col("_total") * 0.5 * wmap[F.col("lang")]
+    # EXACT-INTEGER allocation (seed-31337 differential fix): the old
+    # double chain total*0.5*w rounds x.xx5 allocations DOWN while
+    # DuckDB's DECIMAL literals round them UP. The budget share in
+    # milli-tokens is an exact BIGINT (every w*1000 is even, so
+    # total*w1000/2 is integral), the 2-decimal allocation is an explicit
+    # half-up integer step, and the rates divide exact integers — every
+    # engine computes identical values by construction.
+    wmap_milli = F.create_map(
+        *[
+            x
+            for k, v in weights.items()
+            for x in (F.lit(k), F.lit(int(round(v * 1000))))
+        ]
+    )
+    # products stay far below 2^53, so the double divisions are exact
+    alloc_milli = (
+        (F.col("_total") * wmap_milli[F.col("lang")]) / F.lit(2)
+    ).cast("long")
+    alloc_cents = F.floor((alloc_milli + F.lit(5)) / F.lit(10)).cast("long")
+    rate = alloc_milli / (F.col("avail_tokens") * F.lit(1000.0))
     return per_lang.crossJoin(F.broadcast(total)).select(
         "lang",
         "avail_tokens",
-        F.round(alloc, 2).alias("alloc_tokens"),
-        F.round(F.least(F.lit(1.0), alloc / F.col("avail_tokens")), 6).alias(
-            "sample_rate"
-        ),
-        F.round(alloc / F.col("avail_tokens"), 6).alias("epochs"),
+        (alloc_cents / F.lit(100.0)).alias("alloc_tokens"),
+        F.round(F.least(F.lit(1.0), rate), 6).alias("sample_rate"),
+        F.round(rate, 6).alias("epochs"),
     )
 
 
@@ -16000,17 +16016,24 @@ def oracle_sql() -> dict[str, str]:
             ), total AS (
                 SELECT CAST(sum(avail_tokens) AS BIGINT) AS t FROM per_lang
             ), weighted AS (
+                -- exact-integer milli-token allocation: t*w1000 is always
+                -- even, so alloc_milli is an exact BIGINT and the
+                -- 2-decimal value is an explicit half-up integer step —
+                -- no double-vs-DECIMAL rounding divergence at x.xx5
                 SELECT lang, avail_tokens,
-                       t * 0.5 * (CASE lang
-                                  WHEN 'en' THEN 0.5 WHEN 'zh' THEN 0.15
-                                  WHEN 'es' THEN 0.15 WHEN 'de' THEN 0.1
-                                  WHEN 'fr' THEN 0.1 END) AS alloc
+                       CAST(t * (CASE lang
+                                 WHEN 'en' THEN 500 WHEN 'zh' THEN 150
+                                 WHEN 'es' THEN 150 WHEN 'de' THEN 100
+                                 WHEN 'fr' THEN 100 END) // 2
+                            AS BIGINT) AS alloc_milli
                 FROM per_lang, total
             )
             SELECT lang, avail_tokens,
-                   round(alloc, 2) AS alloc_tokens,
-                   round(least(1.0, alloc / avail_tokens), 6) AS sample_rate,
-                   round(alloc / avail_tokens, 6) AS epochs
+                   CAST((alloc_milli + 5) // 10 AS BIGINT) / 100.0
+                       AS alloc_tokens,
+                   round(least(1.0, alloc_milli / (avail_tokens * 1000.0)),
+                         6) AS sample_rate,
+                   round(alloc_milli / (avail_tokens * 1000.0), 6) AS epochs
             FROM weighted
         """,
         "q130_product_profit": """
@@ -17336,7 +17359,15 @@ def oracle_sql() -> dict[str, str]:
     )
     # doc-level flags composed from the three signals' own oracles
     sqls["q199_dedup_method_yield"] = f"""
-        WITH mhp AS ({sqls["q23_minhash_lsh_pairs"]}),
+        -- q23's pair SQL bands at the same (ngram=3, hashes=8, bands=4)
+        -- but verifies at threshold 0.1; this query's contract is
+        -- jaccard >= 0.5, so re-filter the embedded pairs (the rounded
+        -- jaccard column is safe to threshold: true jaccards of <=700-
+        -- element shingle sets are rationals nowhere near 0.5 +/- 5e-7).
+        -- The seed-31337 differential caught the unfiltered embed: 3 docs
+        -- flagged only by 0.1<=j<0.5 pairs inflated the oracle's counts.
+        WITH mhp AS (SELECT * FROM ({sqls["q23_minhash_lsh_pairs"]})
+                     WHERE jaccard >= 0.5),
              shp AS ({sqls["q37_simhash_neardup"]}),
              ex AS (
                  SELECT doc_id FROM (
