@@ -7513,7 +7513,13 @@ def q267_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     scored = pr.groupBy("p1", "p2").agg(
-        F.sum("_w").alias("_aa"), F.count(F.lit(1)).alias("n_common")
+        # round BEFORE ranking: pairs sharing a degree multiset are
+        # mathematically tied, but float summation order perturbs the raw
+        # sums by ~1e-16 per engine AND per run (partial-agg order is
+        # nondeterministic), so an unrounded rank-50 cut through a tie
+        # group is a latent flake — the seed-777 differential caught it
+        F.round(F.sum("_w"), 9).alias("_aa"),
+        F.count(F.lit(1)).alias("n_common"),
     )
     return (
         scored.orderBy(F.col("_aa").desc(), "p1", "p2")
@@ -7620,9 +7626,13 @@ def q269_nb_token_logodds(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("w").alias("token"),
         "c_long",
         "c_short",
-        (
+        # round BEFORE ranking: log-odds of identical count tuples are
+        # mathematically tied — an unrounded |score| rank-25 cut through a
+        # tie group is a latent cross-engine flake (q267's class)
+        F.round(
             F.log((F.col("c_long") + 1) / (F.col("_tl") + F.col("_v")))
-            - F.log((F.col("c_short") + 1) / (F.col("_ts") + F.col("_v")))
+            - F.log((F.col("c_short") + 1) / (F.col("_ts") + F.col("_v"))),
+            9,
         ).alias("_lo"),
     )
     return (
@@ -8089,7 +8099,10 @@ def q279_sparse_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2")
         )
         .agg(
-            F.sum(F.col("a._u") * F.col("b._u")).alias("_cos"),
+            # round BEFORE ranking: 31-word count vectors produce
+            # structurally tied cosines, and the raw float sum breaks the
+            # tie differently per engine/run at the LIMIT cut (q267 class)
+            F.round(F.sum(F.col("a._u") * F.col("b._u")), 9).alias("_cos"),
             F.count(F.lit(1)).alias("n_shared_tokens"),
         )
     )
@@ -18876,7 +18889,9 @@ def oracle_sql() -> dict[str, str]:
             FROM lp a JOIN lp b ON a.o = b.o AND a.p < b.p
             JOIN deg d ON d.o = a.o
         ), scored AS (
-            SELECT p1, p2, sum(w) AS aa, count(*) AS n_common
+            -- rank on the 9-decimal-rounded score: degree-multiset ties
+            -- must cut deterministically at the LIMIT boundary
+            SELECT p1, p2, round(sum(w), 9) AS aa, count(*) AS n_common
             FROM pr GROUP BY 1, 2
         )
         SELECT p1, p2, round(aa, 6) AS aa_score, n_common
@@ -18926,9 +18941,11 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS v
             FROM cnt
         ), scored AS (
+            -- rank on the 9-decimal-rounded score: identical count tuples
+            -- are mathematically tied and must cut deterministically
             SELECT w AS token, c_long, c_short,
-                   ln((c_long + 1) * 1.0 / (tl + v))
-                   - ln((c_short + 1) * 1.0 / (ts + v)) AS lo
+                   round(ln((c_long + 1) * 1.0 / (tl + v))
+                         - ln((c_short + 1) * 1.0 / (ts + v)), 9) AS lo
             FROM cnt, tot
         )
         SELECT token, c_long, c_short, round(lo, 6) AS log_odds
@@ -21848,8 +21865,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT wgt.doc_id, wgt.w, wgt.wt / nrm.nn AS u
             FROM wgt JOIN nrm USING (doc_id)
         ), pairs AS (
+            -- rank on the 9-decimal-rounded cosine: structurally tied
+            -- pairs must cut deterministically at the LIMIT boundary
             SELECT a.doc_id AS d1, b.doc_id AS d2,
-                   sum(a.u * b.u) AS cosv, count(*) AS n_shared_tokens
+                   round(sum(a.u * b.u), 9) AS cosv,
+                   count(*) AS n_shared_tokens
             FROM unitv a JOIN unitv b ON a.w = b.w AND a.doc_id < b.doc_id
             GROUP BY 1, 2
         )
