@@ -4108,8 +4108,12 @@ def q183_filtered_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT date_format(l_shipdate, 'yyyy-MM') AS month,
                count(*) AS n_items,
                count(*) FILTER (WHERE l_returnflag = 'R') AS n_returned,
-               round(sum(l_extendedprice) FILTER (WHERE l_returnflag = 'R'), 1)
-                   AS returned_revenue,
+               -- exact-cents money: double sums round x.x5 differently
+               -- across engines (seed-5 differential); the BIGINT cent sum
+               -- is exact and the 1-decimal step is explicit half-up
+               CAST((sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT))
+                         FILTER (WHERE l_returnflag = 'R') + 5) DIV 10
+                    AS DOUBLE) / 10.0 AS returned_revenue,
                round(CAST(count(*) FILTER (WHERE l_returnflag = 'R') AS DOUBLE)
                      / count(*), 6) AS return_rate,
                CASE WHEN CAST(count(*) FILTER (WHERE l_returnflag = 'R') AS DOUBLE)
@@ -11462,20 +11466,32 @@ def q344_retention_decay_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.log(F.col("_k").cast("double")).alias("_x"),
         F.log("_r").alias("_y"),
     )
+    # Pearson/slope from explicit moments, NOT corr()/covar_pop(): a
+    # degenerate offset table (one distinct k — seed-5 differential)
+    # zeroes Var(x), and ANSI-mode corr THROWS DIVIDE_BY_ZERO where
+    # DuckDB quietly NULLs; the guarded moment form returns NULL fits on
+    # both engines and identical doubles everywhere else (same formula,
+    # same exact inputs).
     fit = pts.agg(
         F.count(F.lit(1)).alias("n_offsets"),
-        (F.covar_pop("_y", "_x") / F.var_pop("_x")).alias("_b"),
-        F.avg("_y").alias("_my"),
         F.avg("_x").alias("_mx"),
-        F.corr("_x", "_y").alias("_rho"),
+        F.avg("_y").alias("_my"),
+        F.avg(F.col("_x") * F.col("_x")).alias("_mxx"),
+        F.avg(F.col("_x") * F.col("_y")).alias("_mxy"),
+        F.avg(F.col("_y") * F.col("_y")).alias("_myy"),
     )
+    varx = F.col("_mxx") - F.col("_mx") * F.col("_mx")
+    vary = F.col("_myy") - F.col("_my") * F.col("_my")
+    covxy = F.col("_mxy") - F.col("_mx") * F.col("_my")
+    b = F.when(varx > 0, covxy / varx)
+    rho2 = F.when((varx > 0) & (vary > 0), covxy * covxy / (varx * vary))
     return fit.select(
         "n_offsets",
-        F.round("_b", 6).alias("decay_exponent"),
-        F.round(
-            F.exp(F.col("_my") - F.col("_b") * F.col("_mx")), 6
-        ).alias("week1_retention"),
-        F.round(F.col("_rho") * F.col("_rho"), 6).alias("r_squared"),
+        F.round(b, 6).alias("decay_exponent"),
+        F.round(F.exp(F.col("_my") - b * F.col("_mx")), 6).alias(
+            "week1_retention"
+        ),
+        F.round(rho2, 6).alias("r_squared"),
     )
 
 
@@ -11645,11 +11661,16 @@ def q348_seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
     resid = daily.select(F.dayofweek("_day").alias("_dw"), "_rev").join(
         F.broadcast(dow), "_dw"
     )
+    # variances are ~5e11 here: the engines' var_pop algorithms agree only
+    # to ~1e-14 RELATIVE, so a fixed 2-decimal display demanded 14
+    # significant digits and flipped x.xx5 boundaries per seed (seed-5
+    # differential). Report in billions at 3 decimals — 6 significant
+    # digits, 8 orders of headroom over the cross-engine noise floor.
     return resid.agg(
         F.count(F.lit(1)).alias("n_days"),
-        F.round(F.var_pop("_rev"), 2).alias("var_daily"),
-        F.round(F.var_pop(F.col("_rev") - F.col("_smean")), 2).alias(
-            "var_residual"
+        F.round(F.var_pop("_rev") / 1e9, 3).alias("var_daily_bn"),
+        F.round(F.var_pop(F.col("_rev") - F.col("_smean")) / 1e9, 3).alias(
+            "var_residual_bn"
         ),
         F.round(
             F.greatest(
@@ -17056,8 +17077,9 @@ def oracle_sql() -> dict[str, str]:
         SELECT strftime(l_shipdate, '%Y-%m') AS month,
                count(*) AS n_items,
                count(*) FILTER (WHERE l_returnflag = 'R') AS n_returned,
-               round(sum(l_extendedprice) FILTER (WHERE l_returnflag = 'R'), 1)
-                   AS returned_revenue,
+               CAST((sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT))
+                         FILTER (WHERE l_returnflag = 'R') + 5) // 10
+                    AS BIGINT) / 10.0 AS returned_revenue,
                round(count(*) FILTER (WHERE l_returnflag = 'R') * 1.0
                      / count(*), 6) AS return_rate,
                CASE WHEN count(*) FILTER (WHERE l_returnflag = 'R') * 1.0
@@ -20409,15 +20431,28 @@ def oracle_sql() -> dict[str, str]:
         ), pts AS (
             SELECT ln(CAST(k AS DOUBLE)) AS x, ln(r) AS y FROM matrix
         ), fit AS (
+            -- explicit moments, mirroring the engine formula exactly:
+            -- zero-variance offset tables NULL the fit on both sides
             SELECT count(*) AS n_offsets,
-                   covar_pop(y, x) / var_pop(x) AS b,
-                   avg(y) AS my, avg(x) AS mx, corr(x, y) AS rho
+                   avg(x) AS mx, avg(y) AS my,
+                   avg(x * x) AS mxx, avg(x * y) AS mxy, avg(y * y) AS myy
             FROM pts
+        ), derived AS (
+            SELECT n_offsets, mx, my,
+                   mxx - mx * mx AS varx,
+                   myy - my * my AS vary,
+                   mxy - mx * my AS covxy
+            FROM fit
         )
-        SELECT n_offsets, round(b, 6) AS decay_exponent,
-               round(exp(my - b * mx), 6) AS week1_retention,
-               round(rho * rho, 6) AS r_squared
-        FROM fit
+        SELECT n_offsets,
+               round(CASE WHEN varx > 0 THEN covxy / varx END, 6)
+                   AS decay_exponent,
+               round(exp(my - (CASE WHEN varx > 0 THEN covxy / varx END)
+                              * mx), 6) AS week1_retention,
+               round(CASE WHEN varx > 0 AND vary > 0
+                          THEN covxy * covxy / (varx * vary) END, 6)
+                   AS r_squared
+        FROM derived
     """
     sqls["q345_moore_lewis_selection"] = f"""
         WITH toks AS (
@@ -20517,8 +20552,8 @@ def oracle_sql() -> dict[str, str]:
             FROM daily GROUP BY 1
         )
         SELECT count(*) AS n_days,
-               round(var_pop(rev), 2) AS var_daily,
-               round(var_pop(rev - smean), 2) AS var_residual,
+               round(var_pop(rev) / 1e9, 3) AS var_daily_bn,
+               round(var_pop(rev - smean) / 1e9, 3) AS var_residual_bn,
                round(greatest(0.0,
                      1 - var_pop(rev - smean) / var_pop(rev)), 6)
                    AS seasonality_strength
