@@ -162,13 +162,28 @@ def q03_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp")
     )
     c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    # exact-integer revenue (seed-271828 differential): the 2-dec price x
+    # 2-dec discount product lives on a 1e-4 grid, so double sums rounded
+    # at 2 decimals flip x.xx50 boundaries per engine. Sum exact 1e-4
+    # units as BIGINT, rank on the exact sum, and take the 2-decimal
+    # value by explicit half-up integer step.
+    units = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000, 0
+    ).cast("long")
     rev = (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
         .groupBy("o_orderkey")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .agg(F.sum(units).alias("_u"))
     )
-    return rev.orderBy(F.col("revenue").desc(), F.col("o_orderkey")).limit(10)
+    return (
+        rev.orderBy(F.col("_u").desc(), F.col("o_orderkey"))
+        .limit(10)
+        .select(
+            "o_orderkey",
+            (F.floor((F.col("_u") + 50) / 100) / 100.0).alias("revenue"),
+        )
+    )
 
 
 def q04_priority_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1943,8 +1958,11 @@ def q99_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_mktsegment")
         .agg(
             F.count(F.lit(1)).alias("n_customers"),
-            F.round(F.min("med") / 100.0, 2).alias("median_bal"),
-            F.round(F.min("mad") / 100.0, 2).alias("mad_bal"),
+            # med/mad are exact k or k.5 cents (midpoint interpolation);
+            # round(x.xx5 double, 2) disagrees across engines on the SAME
+            # double, so take whole cents by explicit half-up floor(x+.5)
+            (F.floor(F.min("med") + F.lit(0.5)) / 100.0).alias("median_bal"),
+            (F.floor(F.min("mad") + F.lit(0.5)) / 100.0).alias("mad_bal"),
             F.sum(
                 (F.col("adev") > 3 * F.col("mad")).cast("long")
             ).alias("n_outliers"),
@@ -14007,16 +14025,21 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY r_name
         """,
         "q03_top_orders": """
+            WITH r AS (
+                SELECT o_orderkey,
+                       sum(CAST(round(l_extendedprice * (1 - l_discount)
+                                      * 10000, 0) AS BIGINT)) AS u
+                FROM lineitem
+                JOIN orders ON l_orderkey = o_orderkey
+                JOIN customer ON o_custkey = c_custkey
+                WHERE c_mktsegment = 'BUILDING'
+                  AND o_orderdate < TIMESTAMP '1996-07-01'
+                  AND l_shipdate > TIMESTAMP '1996-07-01'
+                GROUP BY o_orderkey
+            )
             SELECT o_orderkey,
-                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
-            FROM lineitem
-            JOIN orders ON l_orderkey = o_orderkey
-            JOIN customer ON o_custkey = c_custkey
-            WHERE c_mktsegment = 'BUILDING'
-              AND o_orderdate < TIMESTAMP '1996-07-01'
-              AND l_shipdate > TIMESTAMP '1996-07-01'
-            GROUP BY o_orderkey
-            ORDER BY revenue DESC, o_orderkey
+                   CAST((u + 50) // 100 AS BIGINT) / 100.0 AS revenue
+            FROM r ORDER BY u DESC, o_orderkey
             LIMIT 10
         """,
         "q04_priority_semijoin": """
@@ -15452,8 +15475,8 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT d.c_mktsegment,
                    count(*) AS n_customers,
-                   round(min(d.med) / 100.0, 2) AS median_bal,
-                   round(min(m.mad) / 100.0, 2) AS mad_bal,
+                   floor(min(d.med) + 0.5) / 100.0 AS median_bal,
+                   floor(min(m.mad) + 0.5) / 100.0 AS mad_bal,
                    CAST(sum(CASE WHEN d.adev > 3 * m.mad THEN 1 ELSE 0 END)
                         AS BIGINT) AS n_outliers
             FROM dev d JOIN mad m USING (c_mktsegment)
