@@ -6699,8 +6699,10 @@ def q248_graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "brand",
         (F.col("_within2") / 2).cast("long").alias("e_within"),
         F.col("_deg").alias("degree_sum"),
-        F.round("_q", 6).alias("contribution"),
-        F.round("_qtot", 6).alias("modularity"),
+        # +0.0 normalizes IEEE negative zero: round(-1e-9, 6) keeps the
+        # sign bit in one engine and not the other (seed-2718 differential)
+        (F.round("_q", 6) + F.lit(0.0)).alias("contribution"),
+        (F.round("_qtot", 6) + F.lit(0.0)).alias("modularity"),
     )
 
 
@@ -18479,8 +18481,8 @@ def oracle_sql() -> dict[str, str]:
             FROM per, m
         ), tot AS (SELECT sum(q) AS bigq FROM contrib)
         SELECT brand, CAST(within2 / 2 AS BIGINT) AS e_within,
-               deg AS degree_sum, round(q, 6) AS contribution,
-               round(tot.bigq, 6) AS modularity
+               deg AS degree_sum, round(q, 6) + 0.0 AS contribution,
+               round(tot.bigq, 6) + 0.0 AS modularity
         FROM contrib, tot
     """
     sqls["q249_kcore_peel"] = """
