@@ -3091,10 +3091,15 @@ def q148_price_position(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     avg_price = F.col("_c").cast("double") / F.col("_n")
     w = Window.partitionBy("p_type").orderBy(avg_price, "p_brand")
+    # explicit half-up at the 4th decimal: the cent average C/n is a
+    # rational that CAN sit exactly on a x.xxxx5 boundary (seed-7
+    # differential), where round() diverges across engines on the same
+    # double; floor(q+0.5) over the identical IEEE quotient cannot
+    avg4 = F.floor(F.col("_c").cast("double") * 100 / F.col("_n") + 0.5)
     return agg.select(
         "p_type",
         "p_brand",
-        F.round(avg_price / 100.0, 4).alias("avg_price"),
+        (avg4 / 10000.0).alias("avg_price"),
         F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
         F.round(F.cume_dist().over(w), 6).alias("cume_dist"),
     )
@@ -16522,7 +16527,8 @@ def oracle_sql() -> dict[str, str]:
                 FROM part GROUP BY 1, 2
             )
             SELECT p_type, p_brand,
-                   round(CAST(c AS DOUBLE) / n / 100.0, 4) AS avg_price,
+                   floor(CAST(c AS DOUBLE) * 100 / n + 0.5) / 10000.0
+                       AS avg_price,
                    round(percent_rank() OVER
                          (PARTITION BY p_type
                           ORDER BY CAST(c AS DOUBLE) / n, p_brand), 6)
