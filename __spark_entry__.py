@@ -108,6 +108,62 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
+# --- engine-stable rounding of exact rationals -------------------------------
+#
+# round(double, d) of a value that is an exact integer ratio C/n (money
+# averages, count averages, indicator rates) can land exactly on a half
+# boundary, where Spark and DuckDB round the SAME double differently
+# (seed-7 differential, commit 5af76d2).  floor(C * 10^d / n + 0.5)
+# evaluates the identical IEEE operation sequence on both engines over an
+# exact-integer numerator, so it cannot diverge.  Sites that average
+# irrational-derived doubles instead carry a `# half-safe:` justification;
+# tests/test_round_lint.py enforces one or the other on every
+# F.round(F.avg(...))-shaped site.
+
+
+def _half_up(num, den, d: int):
+    """floor(num * 10^d / den + 0.5) / 10^d over an exact-integer numerator.
+
+    ``num`` must be an exact-integer-valued column (e.g. a sum of cents /
+    counts, already a LONG); ``den`` an exact-integer denominator expression
+    (count, count*100, ...).  Oracle-side equivalent::
+
+        floor(CAST(num AS DOUBLE) * 1e<d> / den + 0.5) / 1e<d>
+    """
+    p = F.lit(float(10**d))
+    return F.floor(num.cast("double") * p / den + 0.5) / p
+
+
+def _cents(col):
+    """Exact integer cents of a 2-decimal money double.
+
+    Round before the cast: DuckDB CAST(double AS BIGINT) rounds while Spark
+    truncates, so the pre-round makes the cast exact and identical on both
+    engines.  Oracle-side: CAST(round(col * 100) AS BIGINT).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.round(c * 100).cast("long")
+
+
+def _intval(col):
+    """Exact integer of an integer-valued double (quantities, counts).
+
+    Oracle-side: CAST(round(col) AS BIGINT).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.round(c).cast("long")
+
+
+def _fixed(col, scale: int):
+    """Exact integer of a fixed-grid double (value is a multiple of 1/scale,
+    e.g. a per-row round(x, 4) output with scale=10000).
+
+    Oracle-side: CAST(round(col * <scale>) AS BIGINT).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.round(c * scale).cast("long")
+
+
 # =============================================================================
 # Relational core (TPC-H-flavored; SURVEY.md §2.2 joins/aggs/windows/set-ops)
 # =============================================================================
@@ -123,8 +179,8 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
             F.round(F.sum("l_extendedprice"), 1).alias("sum_base_price"),
             F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 1).alias("sum_disc_price"),
-            F.round(F.avg("l_quantity"), 5).alias("avg_qty"),
-            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            _half_up(F.sum(_intval("l_quantity")), F.count(F.lit(1)), 5).alias("avg_qty"),
+            _half_up(F.sum(_cents("l_discount")), F.count(F.lit(1)) * 100, 6).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -293,7 +349,7 @@ def q12_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("k")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.avg("value"), 6).alias("avg_value"),
+            _half_up(F.sum(_cents("value")), F.count(F.lit(1)) * 100, 6).alias("avg_value"),
         )
     )
 
@@ -306,8 +362,8 @@ def q13_part_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("type_word")
         .agg(
             F.count(F.lit(1)).alias("n_parts"),
-            F.round(F.avg("p_size"), 6).alias("avg_size"),
-            F.round(F.avg("p_retailprice"), 4).alias("avg_price"),
+            _half_up(F.sum("p_size"), F.count(F.lit(1)), 6).alias("avg_size"),
+            _half_up(F.sum(_cents("p_retailprice")), F.count(F.lit(1)) * 100, 4).alias("avg_price"),
         )
     )
 
@@ -350,7 +406,7 @@ def q15_acctbal_above_nation_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(
             F.count(F.lit(1)).alias("n_rich"),
-            F.round(F.avg("c_acctbal"), 4).alias("avg_bal"),
+            _half_up(F.sum(_cents("c_acctbal")), F.count(F.lit(1)) * 100, 4).alias("avg_bal"),
         )
     )
 
@@ -495,8 +551,9 @@ def q26_text_quality_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("docs"),
             F.sum("ws_tokens").alias("total_tokens"),
-            F.round(F.avg("chars"), 4).alias("avg_chars"),
-            F.round(F.avg("quality"), 4).alias("avg_quality"),
+            _half_up(F.sum("chars"), F.count(F.lit(1)), 4).alias("avg_chars"),
+            # quality is a per-row round(x,4) output => exact 1e-4 grid
+            _half_up(F.sum(_fixed("quality", 10000)), F.count(F.lit(1)) * 10000, 4).alias("avg_quality"),
         )
     )
 
@@ -718,6 +775,8 @@ def q43_embedding_component_stats(spark: SparkSession, sf_dir: str) -> DataFrame
         .select("label", "dim", F.col("x").cast("double").alias("x"))
         .groupBy("label", "dim")
         .agg(
+            # half-safe: continuous float32 components, not an integer
+            # ratio; a d=6 half-boundary hit has measure zero
             F.round(F.avg("x"), 6).alias("avg_x"),
             F.round(F.min("x"), 6).alias("min_x"),
             F.round(F.max("x"), 6).alias("max_x"),
@@ -942,7 +1001,11 @@ def q56_moving_avg_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.select(
         "o_custkey",
         "o_orderkey",
-        F.round(F.avg("o_totalprice").over(w), 4).alias("mavg_7d"),
+        _half_up(
+            F.sum(_cents("o_totalprice")).over(w),
+            F.count(F.lit(1)).over(w) * 100,
+            4,
+        ).alias("mavg_7d"),
         F.count(F.lit(1)).over(w).alias("n_7d"),
     )
 
@@ -1045,6 +1108,10 @@ def q62_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return per_doc.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
+        # half-safe: mean of per-doc rationals a_i/b_i with heterogeneous
+        # denominators b_i < 2e6; a d=6 half boundary needs the reduced
+        # denominator to be exactly 2*10^6*odd — unreachable per-doc and
+        # measure-zero for the float sum (seed campaign guards drift)
         F.round(F.avg("rep_ratio"), 6).alias("avg_rep"),
         F.round(F.max("rep_ratio"), 6).alias("max_rep"),
         F.sum(F.when(F.col("rep_ratio") > 0.1, 1).otherwise(0)).cast("bigint").alias("n_repetitive"),
@@ -1086,7 +1153,9 @@ def q64_unpivot_part_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     long = p.unpivot(["p_partkey", "p_brand"], ["size", "retailprice"], "metric", "val")
     return long.groupBy("p_brand", "metric").agg(
         F.count(F.lit(1)).alias("n"),
-        F.round(F.avg("val"), 4).alias("avg_val"),
+        # both unpivoted metrics (int size, 2-dec retailprice) sit on the
+        # exact 0.01 grid, so the avg numerator is an exact integer
+        _half_up(F.sum(_fixed("val", 100)), F.count(F.lit(1)) * 100, 4).alias("avg_val"),
         F.round(F.sum("val"), 2).alias("sum_val"),
     )
 
@@ -1119,6 +1188,8 @@ def q65_kmeans_update_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return assigned.groupBy("cid").agg(
         F.count(F.lit(1)).alias("n_assigned"),
+        # half-safe: continuous float32 embedding components — not an
+        # integer ratio; a d=6 half-boundary hit has measure zero
         *[F.round(F.avg(f"d{i + 1}"), 6).alias(f"c{i + 1}") for i in range(4)],
     )
 
@@ -1326,7 +1397,7 @@ def q74_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", "k_decade")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.avg("value"), 6).alias("avg_value"),
+            _half_up(F.sum(_cents("value")), F.count(F.lit(1)) * 100, 6).alias("avg_value"),
             F.min("k").alias("k_min"),
             F.max("k").alias("k_max"),
         )
@@ -1359,7 +1430,7 @@ def q75_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("violation")
         .agg(
             F.count(F.lit(1)).alias("n_rows"),
-            F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
+            _half_up(F.sum(_cents("l_extendedprice")), F.count(F.lit(1)) * 100, 2).alias("avg_price"),
         )
     )
 
@@ -1468,6 +1539,8 @@ def q79_vector_hof_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return per_vec.groupBy("label").agg(
         F.count(F.lit(1)).alias("n_vecs"),
+        # half-safe: l2 is a sqrt (irrational) — not an integer ratio; a
+        # d=6 half-boundary hit has measure zero
         F.round(F.avg("l2"), 6).alias("avg_l2"),
         F.sum("n_neg").cast("bigint").alias("total_neg"),
         F.round(F.max("max_abs"), 6).alias("corpus_max_abs"),
@@ -1770,12 +1843,17 @@ def q92_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
     order-priority class."""
     li = _t(spark, sf_dir, "lineitem")
     ratio = F.try_divide(F.col("l_discount"), F.col("l_tax"))
+    # the ratio is (disc_cents / tax_cents) with tax_cents in 1..8, so
+    # ratio * 840 (lcm 1..8) is an exact integer — the avg converts to the
+    # engine-stable half-up form over an exact numerator
+    dc, tc = _cents("l_discount"), _cents("l_tax")
+    r840 = F.when(tc != 0, (dc * 840 / tc).cast("long"))
     return (
         li.groupBy("l_returnflag")
         .agg(
             F.count(F.lit(1)).alias("n_rows"),
             F.sum(ratio.isNull().cast("long")).alias("n_null_ratio"),
-            F.round(F.avg(ratio), 6).alias("avg_ratio"),
+            _half_up(F.sum(r840), F.count(r840) * 840, 6).alias("avg_ratio"),
         )
     )
 
@@ -14011,8 +14089,10 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(l_quantity), 2) AS sum_qty,
                    round(sum(l_extendedprice), 1) AS sum_base_price,
                    round(sum(l_extendedprice * (1 - l_discount)), 1) AS sum_disc_price,
-                   round(avg(l_quantity), 5) AS avg_qty,
-                   round(avg(l_discount), 6) AS avg_disc,
+                   floor(CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS DOUBLE)
+                         * 1e5 / count(*) + 0.5) / 1e5 AS avg_qty,
+                   floor(CAST(sum(CAST(round(l_discount * 100) AS BIGINT)) AS DOUBLE)
+                         * 1e6 / (count(*) * 100) + 0.5) / 1e6 AS avg_disc,
                    count(*) AS count_order
             FROM lineitem
             WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -14111,15 +14191,18 @@ def oracle_sql() -> dict[str, str]:
         "q12_events_json": """
             SELECT json_extract_string(props, '$.k') AS k,
                    count(*) AS n_events,
-                   round(avg(value), 6) AS avg_value
+                   floor(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE)
+                         * 1e6 / (count(*) * 100) + 0.5) / 1e6 AS avg_value
             FROM events
             GROUP BY 1
         """,
         "q13_part_type_stats": """
             SELECT string_split(p_type, ' ')[1] AS type_word,
                    count(*) AS n_parts,
-                   round(avg(p_size), 6) AS avg_size,
-                   round(avg(p_retailprice), 4) AS avg_price
+                   floor(CAST(sum(p_size) AS DOUBLE) * 1e6 / count(*) + 0.5)
+                       / 1e6 AS avg_size,
+                   floor(CAST(sum(CAST(round(p_retailprice * 100) AS BIGINT)) AS DOUBLE)
+                         * 1e4 / (count(*) * 100) + 0.5) / 1e4 AS avg_price
             FROM part
             GROUP BY 1
         """,
@@ -14145,7 +14228,8 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT n_name,
                    count(*) AS n_rich,
-                   round(avg(c_acctbal), 4) AS avg_bal
+                   floor(CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS DOUBLE)
+                         * 1e4 / (count(*) * 100) + 0.5) / 1e4 AS avg_bal
             FROM customer
             JOIN avgs ON c_nationkey = nk
             JOIN nation ON c_nationkey = n_nationkey
@@ -14281,8 +14365,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT lang,
                    count(*) AS docs,
                    CAST(sum(ws_tokens) AS BIGINT) AS total_tokens,
-                   round(avg(chars), 4) AS avg_chars,
-                   round(avg(quality), 4) AS avg_quality
+                   floor(CAST(sum(chars) AS DOUBLE) * 1e4 / count(*) + 0.5)
+                       / 1e4 AS avg_chars,
+                   floor(CAST(sum(CAST(round(quality * 10000) AS BIGINT)) AS DOUBLE)
+                         * 1e4 / (count(*) * 10000) + 0.5) / 1e4 AS avg_quality
             FROM ann GROUP BY lang
         """,
         "q27_lang_guess_counts": f"""
@@ -14761,7 +14847,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q56_moving_avg_range_frame": """
             SELECT o_custkey, o_orderkey,
-                   round(avg(o_totalprice) OVER w, 4) AS mavg_7d,
+                   floor(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                              OVER w AS DOUBLE)
+                         * 1e4 / (count(*) OVER w * 100) + 0.5) / 1e4 AS mavg_7d,
                    count(*) OVER w AS n_7d
             FROM orders
             WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate
@@ -14869,7 +14957,8 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT p_brand, metric,
                    count(*) AS n,
-                   round(avg(val), 4) AS avg_val,
+                   floor(CAST(sum(CAST(round(val * 100) AS BIGINT)) AS DOUBLE)
+                         * 1e4 / (count(*) * 100) + 0.5) / 1e4 AS avg_val,
                    round(sum(val), 2) AS sum_val
             FROM base UNPIVOT (val FOR metric IN (size, retailprice))
             GROUP BY 1, 2
@@ -15077,7 +15166,8 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT event_type, k // 10 AS k_decade,
                    count(*) AS n_events,
-                   round(avg(value), 6) AS avg_value,
+                   floor(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE)
+                         * 1e6 / (count(*) * 100) + 0.5) / 1e6 AS avg_value,
                    min(k) AS k_min,
                    max(k) AS k_max
             FROM v GROUP BY event_type, k // 10
@@ -15100,7 +15190,8 @@ def oracle_sql() -> dict[str, str]:
                 WHERE NOT coalesce(l_extendedprice > 0, FALSE)
             )
             SELECT violation, count(*) AS n_rows,
-                   round(avg(l_extendedprice), 2) AS avg_price
+                   floor(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE)
+                         * 1e2 / (count(*) * 100) + 0.5) / 1e2 AS avg_price
             FROM viol GROUP BY violation
         """,
         "q76_binational_volume": """
@@ -15370,7 +15461,11 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_rows,
                    CAST(sum(CASE WHEN l_discount / nullif(l_tax, 0) IS NULL
                                  THEN 1 ELSE 0 END) AS BIGINT) AS n_null_ratio,
-                   round(avg(l_discount / nullif(l_tax, 0)), 6) AS avg_ratio
+                   floor(CAST(sum(CAST(CAST(round(l_discount * 100) AS BIGINT) * 840
+                                       / nullif(CAST(round(l_tax * 100) AS BIGINT), 0)
+                                       AS BIGINT)) AS DOUBLE)
+                         * 1e6 / (count(l_discount / nullif(l_tax, 0)) * 840) + 0.5)
+                       / 1e6 AS avg_ratio
             FROM lineitem GROUP BY l_returnflag
         """,
         "q93_decimal_exact_revenue": """
