@@ -1969,7 +1969,7 @@ def q97_temporal_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_orders"),
             F.sum((F.col("dow") == 1).cast("long")).alias("n_sunday"),
             F.count_distinct("month_end").alias("n_month_ends"),
-            F.round(F.avg("days_to_97"), 4).alias("avg_days_to_97"),
+            _half_up(F.sum("days_to_97"), F.count(F.lit(1)), 4).alias("avg_days_to_97"),
         )
     )
 
@@ -2077,7 +2077,7 @@ def q101_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("split", "lang")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
-            F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+            _half_up(F.sum("n_chars"), F.count(F.lit(1)), 6).alias("avg_chars"),
         )
     )
 
@@ -2222,6 +2222,8 @@ def q108_embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_vec = emb.filter(mx > mn).select("vec_id", "label", mse.alias("mse"))
     return per_vec.groupBy("label").agg(
         F.count(F.lit(1)).alias("n_vecs"),
+        # half-safe: mse is continuous float arithmetic (affine quantization
+        # residuals), not an integer ratio — boundary hits have measure zero
         F.round(F.avg("mse") * 1e6, 6).alias("avg_mse_ppm"),
         F.round(F.max("mse") * 1e6, 6).alias("max_mse_ppm"),
     )
@@ -2894,7 +2896,8 @@ def q139_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.round(F.min("_lo"), 2).alias("p10_cut"),
         F.round(F.min("_hi"), 2).alias("p90_cut"),
-        F.round(F.avg("_v"), 4).alias("winsorized_mean"),
+        # clipped prices stay on the exact cent grid
+        _half_up(F.sum(_cents("_v")), F.count(F.lit(1)) * 100, 4).alias("winsorized_mean"),
     )
 
 
@@ -3288,6 +3291,8 @@ def q151_quality_model(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return scored.groupBy("lang", "tier").agg(
         F.count(F.lit(1)).alias("n_docs"),
+        # half-safe: _p is a sigmoid (exp-based, irrational) — not an
+        # integer ratio; a d=6 half-boundary hit has measure zero
         F.round(F.avg("_p"), 6).alias("avg_p"),
     )
 
@@ -3316,6 +3321,8 @@ def q152_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("label")
         .agg(
             F.count(F.lit(1)).alias("n_vecs"),
+            # half-safe: _r is an L2-norm ratio (sqrt-based, irrational) —
+            # not an integer ratio; a d=6 half-boundary hit has measure zero
             F.round(F.avg("_r"), 6).alias("avg_norm_ratio"),
             F.round(F.min("_r"), 6).alias("min_norm_ratio"),
             F.round(F.max("_r"), 6).alias("max_norm_ratio"),
@@ -3401,7 +3408,8 @@ def q155_lang_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("pred_lang")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
-            F.round(F.avg("_m"), 6).alias("avg_margin"),
+            # margins are integer hit-count differences
+            _half_up(F.sum("_m"), F.count(F.lit(1)), 6).alias("avg_margin"),
             F.sum(F.when(F.col("_m") <= 1, 1).otherwise(0)).alias("n_low_conf"),
         )
     )
@@ -3478,9 +3486,14 @@ def q157_packing_capacity_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return per_window.groupBy("capacity").agg(
         F.count(F.lit(1)).alias("n_windows"),
-        F.round(F.avg(F.col("tok") / F.col("capacity")), 6).alias("avg_fill"),
-        F.round(
-            F.lit(1.0) - F.sum("tok") / (F.count(F.lit(1)) * F.first("capacity")),
+        # capacity is constant per group, so both ratios are exact-integer
+        # rationals: fill = sum(tok)/(n*cap), waste = (n*cap - sum)/(n*cap)
+        _half_up(
+            F.sum("tok"), F.count(F.lit(1)) * F.first("capacity"), 6
+        ).alias("avg_fill"),
+        _half_up(
+            F.count(F.lit(1)) * F.first("capacity") - F.sum("tok"),
+            F.count(F.lit(1)) * F.first("capacity"),
             6,
         ).alias("waste_frac"),
     )
@@ -15534,7 +15547,8 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CASE WHEN dow = 0 THEN 1 ELSE 0 END) AS BIGINT)
                        AS n_sunday,
                    count(DISTINCT month_end) AS n_month_ends,
-                   round(avg(days_to_97), 4) AS avg_days_to_97
+                   floor(CAST(sum(days_to_97) AS DOUBLE) * 1e4 / count(*)
+                         + 0.5) / 1e4 AS avg_days_to_97
             FROM t GROUP BY qtr
         """,
         "q98_forward_fill": """
@@ -15609,7 +15623,8 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents
             )
             SELECT split, lang, count(*) AS n_docs,
-                   round(avg(n_chars), 6) AS avg_chars
+                   floor(CAST(sum(n_chars) AS DOUBLE) * 1e6 / count(*)
+                         + 0.5) / 1e6 AS avg_chars
             FROM s GROUP BY split, lang
         """,
         "q102_decontamination": f"""
@@ -16428,7 +16443,10 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n,
                    round(min(c.lo), 2) AS p10_cut,
                    round(min(c.hi), 2) AS p90_cut,
-                   round(avg(greatest(c.lo, least(c.hi, o.o_totalprice))), 4)
+                   floor(CAST(sum(CAST(round(
+                              greatest(c.lo, least(c.hi, o.o_totalprice)) * 100)
+                              AS BIGINT)) AS DOUBLE)
+                         * 1e4 / (count(*) * 100) + 0.5) / 1e4
                        AS winsorized_mean
             FROM orders o JOIN cuts c USING (o_orderpriority)
             GROUP BY o.o_orderpriority
@@ -16751,7 +16769,8 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         )
         SELECT pred_lang, count(*) AS n_docs,
-               round(avg(l[1] - l[2]), 6) AS avg_margin,
+               floor(CAST(sum(l[1] - l[2]) AS DOUBLE) * 1e6 / count(*)
+                     + 0.5) / 1e6 AS avg_margin,
                count(*) FILTER (WHERE l[1] - l[2] <= 1) AS n_low_conf
         FROM scored GROUP BY pred_lang
     """
@@ -16800,8 +16819,10 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1, 2, 3
         )
         SELECT capacity, count(*) AS n_windows,
-               round(avg(tok * 1.0 / capacity), 6) AS avg_fill,
-               round(1.0 - sum(tok) * 1.0 / (count(*) * capacity), 6)
+               floor(CAST(sum(tok) AS DOUBLE) * 1e6 / (count(*) * capacity)
+                     + 0.5) / 1e6 AS avg_fill,
+               floor(CAST(count(*) * capacity - sum(tok) AS DOUBLE) * 1e6
+                     / (count(*) * capacity) + 0.5) / 1e6
                    AS waste_frac
         FROM pw GROUP BY capacity
     """
