@@ -4132,7 +4132,7 @@ def q179_value_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         peers.groupBy("c_mktsegment")
         .agg(
-            F.round(F.avg("n_peers_within_500"), 4).alias("avg_peers"),
+            _half_up(F.sum("n_peers_within_500"), F.count(F.lit(1)), 4).alias("avg_peers"),
             F.max("n_peers_within_500").alias("max_peers"),
         )
     )
@@ -4254,9 +4254,10 @@ def q184_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("lang")
         .agg(
-            F.round(F.avg("_ws"), 4).alias("avg_ws_tokens"),
-            F.round(F.avg("_bpe"), 4).alias("avg_bpe_tokens"),
-            F.round(F.sum("_bpe") / F.sum("_ws"), 6).alias("fertility"),
+            _half_up(F.sum("_ws"), F.count(F.lit(1)), 4).alias("avg_ws_tokens"),
+            _half_up(F.sum("_bpe"), F.count(F.lit(1)), 4).alias("avg_bpe_tokens"),
+            # fertility is also an exact integer ratio of token sums
+            _half_up(F.sum("_bpe"), F.sum("_ws"), 6).alias("fertility"),
         )
     )
 
@@ -4365,6 +4366,10 @@ def q188_minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return scored.agg(
         F.count(F.lit(1)).alias("n_pairs"),
+        # half-safe: _err is a difference of rationals with heterogeneous
+        # denominators (k/128 signature agreement minus per-pair exact
+        # jaccard a/b); a d=6 half boundary needs the reduced sum
+        # denominator to be exactly 2*10^6*odd — measure-zero, seed-swept
         F.round(F.avg(F.abs(F.col("_err"))), 6).alias("mean_abs_error"),
         F.round(F.avg("_err"), 6).alias("bias"),
     )
@@ -4854,8 +4859,8 @@ def q205_null_aggregate_semantics(spark: SparkSession, sf_dir: str) -> DataFrame
         F.count("_v").alias("n_nonnull"),
         F.count_distinct("_v").alias("n_distinct_nonnull"),
         F.round(F.sum("_v"), 2).alias("sum_v"),
-        F.round(F.avg("_v"), 6).alias("avg_nonnull"),
-        F.round(F.sum("_v") / F.count(F.lit(1)), 6).alias("sum_over_rows"),
+        _half_up(F.sum(_cents("_v")), F.count("_v") * 100, 6).alias("avg_nonnull"),
+        _half_up(F.sum(_cents("_v")), F.count(F.lit(1)) * 100, 6).alias("sum_over_rows"),
     )
 
 
@@ -5540,6 +5545,8 @@ def q219_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return per_doc.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
+        # half-safe: _wgt is a mean of log-probability ratios (irrational)
+        # — not an integer ratio; a d=6 half-boundary hit has measure zero
         F.round(F.avg("_wgt"), 6).alias("avg_importance"),
         F.count(F.when(F.col("_wgt") > 0, 1)).alias("n_selected"),
     )
@@ -5835,6 +5842,8 @@ def q229_logreg_gradient(spark: SparkSession, sf_dir: str) -> DataFrame:
         x1.alias("_x1"), x2.alias("_x2"), y.alias("_y"), s.alias("_s")
     ).agg(
         F.count(F.lit(1)).alias("n_docs"),
+        # half-safe: every gradient term contains the sigmoid _s
+        # (exp-based, irrational) — a d=6 half-boundary hit has measure zero
         F.round(F.avg((F.col("_s") - F.col("_y")) * F.col("_x1")), 6).alias("grad_chars"),
         F.round(F.avg((F.col("_s") - F.col("_y")) * F.col("_x2")), 6).alias("grad_tokens"),
         F.round(F.avg(F.col("_s") - F.col("_y")), 6).alias("grad_bias"),
@@ -5891,19 +5900,24 @@ def q231_twap_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: one lead window PARTITIONED by event type (parallel, one
     row of lookahead state), one 5-key aggregation. Timestamps route via
     epoch seconds (events.ts is TIMESTAMP_NTZ)."""
-    from hubverse_transform_spark.operators.sessions import _epoch_seconds
-
     e = _t(spark, sf_dir, "events")
     w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    # exact integer microseconds (ts is NTZ; pin the wall clock to UTC so
+    # unix_micros is timezone-independent) — the weight unit cancels in
+    # the TWAP ratio, and an integer weight keeps the numerator exact
+    us = F.unix_micros(F.to_utc_timestamp(F.col("ts"), "UTC"))
+    us_next = F.unix_micros(F.to_utc_timestamp(F.lead("ts").over(w), "UTC"))
     iv = e.select(
         "event_type",
         "value",
-        (_epoch_seconds(F.lead("ts").over(w)) - _epoch_seconds(F.col("ts"))).alias("_w"),
+        (us_next - us).alias("_w"),
     ).filter(F.col("_w").isNotNull())
     return iv.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_intervals"),
-        F.round(F.sum(F.col("value") * F.col("_w")) / F.sum("_w"), 6).alias("twap"),
-        F.round(F.avg("value"), 6).alias("plain_avg"),
+        # value sits on the cent grid and _w is integer micros, so both
+        # the weighted and the plain mean have exact-integer numerators
+        _half_up(F.sum(_cents("value") * F.col("_w")), F.sum("_w") * 100, 6).alias("twap"),
+        _half_up(F.sum(_cents("value")), F.count(F.lit(1)) * 100, 6).alias("plain_avg"),
     )
 
 
@@ -6355,7 +6369,11 @@ def q242_robust_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "events")
     daily = e.groupBy(
         "event_type", F.to_date("ts").alias("_day")
-    ).agg(F.round(F.avg("value"), 6).alias("_mu"))
+    ).agg(
+        # exact half-up keeps the 6-decimal grid engine-identical (the
+        # grid is what makes downstream slope ordering deterministic)
+        _half_up(F.sum(_cents("value")), F.count(F.lit(1)) * 100, 6).alias("_mu")
+    )
     b = daily.select(
         F.col("event_type").alias("_t2"),
         F.col("_day").alias("_day2"),
@@ -17175,7 +17193,9 @@ def oracle_sql() -> dict[str, str]:
                        AS n_peers
             FROM customer
         )
-        SELECT c_mktsegment, round(avg(n_peers), 4) AS avg_peers,
+        SELECT c_mktsegment,
+               floor(CAST(sum(n_peers) AS DOUBLE) * 1e4 / count(*) + 0.5)
+                   / 1e4 AS avg_peers,
                max(n_peers) AS max_peers
         FROM peers GROUP BY c_mktsegment
     """
@@ -17246,9 +17266,12 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         )
         SELECT lang,
-               round(avg(ws), 4) AS avg_ws_tokens,
-               round(avg(bpe), 4) AS avg_bpe_tokens,
-               round(sum(bpe) * 1.0 / sum(ws), 6) AS fertility
+               floor(CAST(sum(ws) AS DOUBLE) * 1e4 / count(*) + 0.5)
+                   / 1e4 AS avg_ws_tokens,
+               floor(CAST(sum(bpe) AS DOUBLE) * 1e4 / count(*) + 0.5)
+                   / 1e4 AS avg_bpe_tokens,
+               floor(CAST(sum(bpe) AS DOUBLE) * 1e6 / sum(ws) + 0.5)
+                   / 1e6 AS fertility
         FROM ann GROUP BY lang
     """
     _q = "chocolate"
@@ -17676,8 +17699,10 @@ def oracle_sql() -> dict[str, str]:
                count(v) AS n_nonnull,
                count(DISTINCT v) AS n_distinct_nonnull,
                round(sum(v), 2) AS sum_v,
-               round(avg(v), 6) AS avg_nonnull,
-               round(sum(v) / count(*), 6) AS sum_over_rows
+               floor(CAST(sum(CAST(round(v * 100) AS BIGINT)) AS DOUBLE)
+                     * 1e6 / (count(v) * 100) + 0.5) / 1e6 AS avg_nonnull,
+               floor(CAST(sum(CAST(round(v * 100) AS BIGINT)) AS DOUBLE)
+                     * 1e6 / (count(*) * 100) + 0.5) / 1e6 AS sum_over_rows
         FROM ann GROUP BY event_type
     """
     # q206: same integer rank-selection rule (cum*d >= n*i ⟺ cum >= ceil(n*i/d))
@@ -18143,13 +18168,16 @@ def oracle_sql() -> dict[str, str]:
     sqls["q231_twap_by_type"] = """
         WITH iv AS (
             SELECT event_type, value,
-                   epoch(lead(ts) OVER (PARTITION BY event_type
-                                        ORDER BY ts, event_id)) - epoch(ts) AS w
+                   epoch_us(lead(ts) OVER (PARTITION BY event_type
+                                           ORDER BY ts, event_id))
+                       - epoch_us(ts) AS w
             FROM events
         )
         SELECT event_type, count(*) AS n_intervals,
-               round(sum(value * w) / sum(w), 6) AS twap,
-               round(avg(value), 6) AS plain_avg
+               floor(CAST(sum(CAST(round(value * 100) AS BIGINT) * w) AS DOUBLE)
+                     * 1e6 / (CAST(sum(w) AS DOUBLE) * 100) + 0.5) / 1e6 AS twap,
+               floor(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE)
+                     * 1e6 / (count(*) * 100) + 0.5) / 1e6 AS plain_avg
         FROM iv WHERE w IS NOT NULL
         GROUP BY event_type
     """
@@ -18403,7 +18431,8 @@ def oracle_sql() -> dict[str, str]:
     sqls["q242_robust_trend"] = """
         WITH daily AS (
             SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
-                   round(avg(value), 6) AS mu
+                   floor(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE)
+                         * 1e6 / (count(*) * 100) + 0.5) / 1e6 AS mu
             FROM events GROUP BY 1, 2
         ), pairs AS (
             SELECT a.event_type,
