@@ -7046,7 +7046,7 @@ def q253_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return tagged.agg(
         (F.count(F.lit(1)) / 2).cast("long").alias("n_edges"),
-        F.round(F.avg("_ds"), 4).alias("avg_degree"),
+        _half_up(F.sum("_ds"), F.count(F.lit(1)), 4).alias("avg_degree"),
         F.round(F.corr("_ds", "_dd"), 6).alias("assortativity"),
     )
 
@@ -7115,8 +7115,13 @@ def q255_doc_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return per_doc.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
+        # half-safe: _H is log2-based Shannon entropy (irrational except
+        # degenerate single-token docs) — boundary hits have measure zero
         F.round(F.avg("_H"), 6).alias("avg_entropy"),
         F.round(F.min("_H"), 6).alias("min_entropy"),
+        # half-safe: _dr is a mean of per-doc rationals with heterogeneous
+        # denominators (vocab/total per doc); a d=6 half boundary needs the
+        # reduced sum denominator to be exactly 2*10^6*odd — measure-zero
         F.round(F.avg("_dr"), 6).alias("avg_distinct_ratio"),
     )
 
@@ -7226,7 +7231,7 @@ def q258_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(F.count(F.lit(1)).alias("_n"))
     return hourly.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_hours"),
-        F.round(F.avg("_n"), 6).alias("mean_per_hour"),
+        _half_up(F.sum("_n"), F.count(F.lit(1)), 6).alias("mean_per_hour"),
         F.round(F.var_samp("_n") / F.avg("_n"), 6).alias("fano"),
         F.round(
             (F.sqrt(F.var_samp("_n")) - F.avg("_n"))
@@ -7614,6 +7619,11 @@ def q266_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return means.groupBy("o_orderpriority").agg(
+        # half-safe: m is a mean of 40 per-replicate rationals with
+        # heterogeneous denominators (Poisson weight sums); a d=2 half
+        # boundary needs the reduced sum denominator to be exactly 200*odd
+        # across all 40 replicate denominators at once — measure-zero,
+        # covered by the multi-seed campaign
         F.round(F.avg("m"), 2).alias("boot_mean"),
         F.round(F.stddev("m"), 4).alias("boot_se"),
         F.round(F.expr("percentile(m, 0.05)"), 2).alias("ci_lo"),
@@ -7717,9 +7727,9 @@ def q268_zorder_pruning_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return spans.groupBy("layout").agg(
         F.count(F.lit(1)).alias("n_files"),
-        F.round(F.avg("_sx"), 4).alias("avg_span_x"),
-        F.round(F.avg("_sy"), 4).alias("avg_span_y"),
-        F.round(F.avg(F.greatest("_sx", "_sy")), 4).alias("avg_worst_span"),
+        _half_up(F.sum("_sx"), F.count(F.lit(1)), 4).alias("avg_span_x"),
+        _half_up(F.sum("_sy"), F.count(F.lit(1)), 4).alias("avg_span_y"),
+        _half_up(F.sum(F.greatest("_sx", "_sy")), F.count(F.lit(1)), 4).alias("avg_worst_span"),
     )
 
 
@@ -8583,10 +8593,17 @@ def q287_forecast_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     err = F.abs(F.col("_a") - F.col("_f"))
     return lagged.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_days_scored"),
+        # half-safe: mape/smape average per-day rationals with
+        # heterogeneous denominators (daily counts); a d=6 half boundary
+        # needs the reduced sum denominator to be exactly 2*10^6*odd —
+        # measure-zero, covered by the multi-seed campaign
         F.round(F.avg(err / F.col("_a")), 6).alias("mape"),
         F.round(F.avg(2 * err / (F.col("_a") + F.col("_f"))), 6).alias("smape"),
-        F.round(
-            F.avg(err) / F.avg(F.abs(F.col("_a") - F.col("_p"))), 6
+        # mase reduces to an exact ratio of integer error sums
+        _half_up(
+            F.sum(_intval(err)),
+            F.sum(_intval(F.abs(F.col("_a") - F.col("_p")))),
+            6,
         ).alias("mase"),
     )
 
@@ -9404,7 +9421,11 @@ def q306_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return adj.groupBy("arm").agg(
         F.count(F.lit(1)).alias("n_users"),
-        F.round(F.avg("_y"), 6).alias("mean_y"),
+        # per-user _y is a sum of cent-grid values whose float error is
+        # << half a cent, so round(_y*100) recovers identical exact cents
+        _half_up(F.sum(_fixed("_y", 100)), F.count(F.lit(1)) * 100, 6).alias("mean_y"),
+        # half-safe: _yadj embeds theta = cov/var (irrational) — a d=6
+        # half-boundary hit has measure zero
         F.round(F.avg("_yadj"), 6).alias("mean_y_cuped"),
         F.round(F.lit(1) - F.var_pop("_yadj") / F.var_pop("_y"), 6).alias(
             "var_reduction"
@@ -9558,7 +9579,11 @@ def q309_blocking_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(
                 F.count(F.lit(1)).alias("n_true_pairs"),
                 F.coalesce(
-                    F.round(F.avg((F.col("_ka") == F.col("_kb")).cast("double")), 6),
+                    _half_up(
+                        F.sum((F.col("_ka") == F.col("_kb")).cast("long")),
+                        F.count(F.lit(1)),
+                        6,
+                    ),
                     F.lit(0.0),
                 ).alias("pairs_completeness"),
             )
@@ -9567,8 +9592,10 @@ def q309_blocking_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             cand.crossJoin(compl).select(
                 F.lit(name).alias("strategy"),
                 "n_candidate_pairs",
-                F.round(
-                    1 - F.col("n_candidate_pairs") / F.lit(float(total_pairs)), 6
+                _half_up(
+                    F.lit(total_pairs) - F.col("n_candidate_pairs"),
+                    F.lit(total_pairs),
+                    6,
                 ).alias("reduction_ratio"),
                 "n_true_pairs",
                 "pairs_completeness",
@@ -9621,13 +9648,16 @@ def q310_bigram_backoff_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(
                 F.log(F.lit(0.4)) + F.log(F.col("c1_w2") / F.col("n"))
             ).alias("lp"),
-            F.col("c2").isNull().cast("double").alias("backed_off"),
+            F.col("c2").isNull().cast("long").alias("backed_off"),
         )
     )
     return scored.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_bigrams"),
+        # half-safe: lp is a natural-log probability (irrational) — a d=6
+        # half-boundary hit has measure zero
         F.round(F.avg("lp"), 6).alias("avg_logprob"),
-        F.round(F.avg("backed_off"), 6).alias("backoff_rate"),
+        # the backoff rate is an exact indicator-count ratio
+        _half_up(F.sum("backed_off"), F.count(F.lit(1)), 6).alias("backoff_rate"),
     )
 
 
@@ -18777,7 +18807,8 @@ def oracle_sql() -> dict[str, str]:
             WHERE a.l_partkey <> b.l_partkey
         ), d AS (SELECT src, count(*) AS deg FROM e GROUP BY 1)
         SELECT CAST(count(*) / 2 AS BIGINT) AS n_edges,
-               round(avg(ds.deg), 4) AS avg_degree,
+               floor(CAST(sum(ds.deg) AS DOUBLE) * 1e4 / count(*) + 0.5)
+                   / 1e4 AS avg_degree,
                round(corr(ds.deg, dd.deg), 6) AS assortativity
         FROM e JOIN d ds ON e.src = ds.src JOIN d dd ON e.dst = dd.src
     """
@@ -18873,7 +18904,8 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY 1, 2
         )
         SELECT event_type, count(*) AS n_hours,
-               round(avg(n), 6) AS mean_per_hour,
+               floor(CAST(sum(n) AS DOUBLE) * 1e6 / count(*) + 0.5)
+                   / 1e6 AS mean_per_hour,
                round(var_samp(n) / avg(n), 6) AS fano,
                round((sqrt(var_samp(n)) - avg(n))
                      / (sqrt(var_samp(n)) + avg(n)), 6) AS burstiness
@@ -19114,9 +19146,12 @@ def oracle_sql() -> dict[str, str]:
             FROM assigned GROUP BY 1, 2
         )
         SELECT layout, count(*) AS n_files,
-               round(avg(sx), 4) AS avg_span_x,
-               round(avg(sy), 4) AS avg_span_y,
-               round(avg(greatest(sx, sy)), 4) AS avg_worst_span
+               floor(CAST(sum(sx) AS DOUBLE) * 1e4 / count(*) + 0.5)
+                   / 1e4 AS avg_span_x,
+               floor(CAST(sum(sy) AS DOUBLE) * 1e4 / count(*) + 0.5)
+                   / 1e4 AS avg_span_y,
+               floor(CAST(sum(greatest(sx, sy)) AS DOUBLE) * 1e4 / count(*)
+                     + 0.5) / 1e4 AS avg_worst_span
         FROM spans GROUP BY 1
     """
     sqls["q269_nb_token_logodds"] = r"""
@@ -19494,7 +19529,8 @@ def oracle_sql() -> dict[str, str]:
             FROM pu, g
         )
         SELECT arm, count(*) AS n_users,
-               round(avg(y), 6) AS mean_y,
+               floor(CAST(sum(CAST(round(y * 100) AS BIGINT)) AS DOUBLE)
+                     * 1e6 / (count(*) * 100) + 0.5) / 1e6 AS mean_y,
                round(avg(yadj), 6) AS mean_y_cuped,
                round(1 - var_pop(yadj) / var_pop(y), 6) AS var_reduction,
                round(max(theta), 6) AS theta
@@ -19586,17 +19622,21 @@ def oracle_sql() -> dict[str, str]:
             JOIN keyed k2 ON k2.doc_id = t.id_b
         ), compl AS (
             SELECT 'len_bucket' AS strategy, count(*) AS n_true_pairs,
-                   coalesce(round(avg(CASE WHEN la = lb THEN 1.0
-                                           ELSE 0.0 END), 6), 0.0) AS pc
+                   coalesce(floor(CAST(sum(CASE WHEN la = lb THEN 1
+                                             ELSE 0 END) AS DOUBLE)
+                                  * 1e6 / count(*) + 0.5) / 1e6, 0.0) AS pc
             FROM joined
             UNION ALL
             SELECT 'first_token', count(*),
-                   coalesce(round(avg(CASE WHEN fa = fb THEN 1.0
-                                           ELSE 0.0 END), 6), 0.0)
+                   coalesce(floor(CAST(sum(CASE WHEN fa = fb THEN 1
+                                             ELSE 0 END) AS DOUBLE)
+                                  * 1e6 / count(*) + 0.5) / 1e6, 0.0)
             FROM joined
         )
         SELECT c.strategy, c.n_candidate_pairs,
-               round(1 - c.n_candidate_pairs / (tot.n * (tot.n - 1) / 2.0), 6)
+               floor(CAST(tot.n * (tot.n - 1) // 2 - c.n_candidate_pairs
+                          AS DOUBLE)
+                     * 1e6 / (tot.n * (tot.n - 1) // 2) + 0.5) / 1e6
                    AS reduction_ratio,
                p.n_true_pairs, p.pc AS pairs_completeness
         FROM cand c JOIN compl p ON p.strategy = c.strategy, tot
@@ -19625,7 +19665,7 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN big.c2 IS NOT NULL
                         THEN ln(big.c2 * 1.0 / u1.c1)
                         ELSE ln(0.4) + ln(u2.c1 / tot.n) END AS lp,
-                   CASE WHEN big.c2 IS NULL THEN 1.0 ELSE 0.0 END
+                   CASE WHEN big.c2 IS NULL THEN 1 ELSE 0 END
                        AS backed_off
             FROM bg
             LEFT JOIN big ON big.w1 = bg.w1 AND big.w2 = bg.w2
@@ -19635,7 +19675,8 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT lang, count(*) AS n_bigrams,
                round(avg(lp), 6) AS avg_logprob,
-               round(avg(backed_off), 6) AS backoff_rate
+               floor(CAST(sum(backed_off) AS DOUBLE) * 1e6 / count(*)
+                     + 0.5) / 1e6 AS backoff_rate
         FROM scored GROUP BY 1
     """
     sqls["q311_ann_hubness_audit"] = """
@@ -22006,7 +22047,9 @@ def oracle_sql() -> dict[str, str]:
         SELECT event_type, count(*) AS n_days_scored,
                round(avg(abs(a - f) / a), 6) AS mape,
                round(avg(2 * abs(a - f) / (a + f)), 6) AS smape,
-               round(avg(abs(a - f)) / avg(abs(a - p)), 6) AS mase
+               floor(CAST(sum(CAST(round(abs(a - f)) AS BIGINT)) AS DOUBLE)
+                     * 1e6 / sum(CAST(round(abs(a - p)) AS BIGINT)) + 0.5)
+                   / 1e6 AS mase
         FROM lagged WHERE f IS NOT NULL GROUP BY 1
     """
     sqls["q288_late_dim_unknown_member"] = """
