@@ -10359,6 +10359,9 @@ def q322_ngram_novelty_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return per_doc.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
+        # half-safe: _nov is a mean of per-doc rationals with heterogeneous
+        # denominators (distinct 3-grams per doc); a d=6 half boundary
+        # needs the reduced sum denominator = 2*10^6*odd — measure-zero
         F.round(F.avg("_nov"), 6).alias("avg_novelty_rate"),
         F.round(F.min("_nov"), 6).alias("min_novelty_rate"),
     )
@@ -10628,7 +10631,7 @@ def q327_mutual_knn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     marked = topk.join(rev.hint("shuffle_hash"), ["query_id", "neighbor_id"], "left")
     per_node = marked.groupBy("query_id").agg(
-        (F.sum(F.coalesce(F.col("_mutual"), F.lit(0))) / 10.0).alias("_mrate")
+        F.sum(F.coalesce(F.col("_mutual"), F.lit(0))).alias("_nmut")
     )
     return (
         per_node.join(
@@ -10638,8 +10641,9 @@ def q327_mutual_knn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("label")
         .agg(
             F.count(F.lit(1)).alias("n_vectors"),
-            F.round(F.avg("_mrate"), 6).alias("avg_mutual_rate"),
-            F.round(F.min("_mrate"), 6).alias("min_mutual_rate"),
+            # the mutual rate is an exact integer ratio: sum(mutual)/(10*n)
+            _half_up(F.sum("_nmut"), F.count(F.lit(1)) * 10, 6).alias("avg_mutual_rate"),
+            (F.min("_nmut") / 10.0).alias("min_mutual_rate"),
         )
     )
 
@@ -10728,7 +10732,7 @@ def q329_overdispersion_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return daily.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_days"),
-        F.round(F.avg("_n"), 6).alias("mean_daily"),
+        _half_up(F.sum("_n"), F.count(F.lit(1)), 6).alias("mean_daily"),
         F.round(F.var_samp("_n"), 6).alias("var_daily"),
         F.round(F.var_samp("_n") / F.avg("_n"), 6).alias("dispersion_index"),
         (F.var_samp("_n") / F.avg("_n") > 1.5).alias("overdispersed"),
@@ -11081,6 +11085,9 @@ def q334_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("p_brand")
         .agg(
             F.count(F.lit(1)).alias("n_parts"),
+            # half-safe: _cc is a mean of per-node rationals 2t/(d(d-1))
+            # with heterogeneous denominators; a d=6 half boundary needs
+            # the reduced sum denominator = 2*10^6*odd — measure-zero
             F.round(F.avg("_cc"), 6).alias("avg_clustering_coeff"),
             F.round(F.max("_cc"), 6).alias("max_clustering_coeff"),
         )
@@ -12455,7 +12462,9 @@ def q358_depth_conversion_monotonicity(spark: SparkSession, sf_dir: str) -> Data
     )
     rates = bucketed.groupBy("depth_quintile").agg(
         F.count(F.lit(1)).alias("n_users"),
-        F.round(F.avg(F.col("_converted").cast("double")), 6).alias(
+        _half_up(
+            F.sum(F.col("_converted").cast("long")), F.count(F.lit(1)), 6
+        ).alias(
             "conversion_rate"
         ),
     )
@@ -12566,13 +12575,13 @@ def q360_sample_fidelity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("_h").limit(1000)
     full_stats = o.agg(
         F.count(F.lit(1)).alias("full_n"),
-        F.round(F.avg("o_totalprice"), 4).alias("full_mean"),
+        _half_up(F.sum(_cents("o_totalprice")), F.count(F.lit(1)) * 100, 4).alias("full_mean"),
         F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("full_p50"),
         F.round(F.expr("percentile(o_totalprice, 0.9)"), 4).alias("full_p90"),
     )
     samp_stats = sample.agg(
         F.count(F.lit(1)).alias("sample_n"),
-        F.round(F.avg("o_totalprice"), 4).alias("sample_mean"),
+        _half_up(F.sum(_cents("o_totalprice")), F.count(F.lit(1)) * 100, 4).alias("sample_mean"),
         F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias(
             "sample_p50"
         ),
@@ -13087,13 +13096,16 @@ def q369_pinball_quantile_backtest(spark: SparkSession, sf_dir: str) -> DataFram
                 F.col("_f.tau") * (F.col("_n") - F.col("_f.yhat")),
                 (F.col("_f.tau") - 1) * (F.col("_n") - F.col("_f.yhat")),
             ).alias("_loss"),
-            (F.col("_n") <= F.col("_f.yhat")).cast("double").alias("_cov"),
+            (F.col("_n") <= F.col("_f.yhat")).cast("long").alias("_cov"),
         )
     )
     return scored.groupBy("event_type", "tau").agg(
         F.count(F.lit(1)).alias("n_days"),
-        F.round(F.avg("_loss"), 6).alias("mean_pinball_loss"),
-        F.round(F.avg("_cov"), 6).alias("empirical_coverage"),
+        # pinball losses sit on the exact 1/100 grid (tau in {.5,.9} times
+        # interpolated-percentile residuals on the 1/10 or 1/2 grid), so
+        # round(loss*100) recovers an exact integer numerator
+        _half_up(F.sum(_fixed("_loss", 100)), F.count(F.lit(1)) * 100, 6).alias("mean_pinball_loss"),
+        _half_up(F.sum("_cov"), F.count(F.lit(1)), 6).alias("empirical_coverage"),
     )
 
 
@@ -13407,14 +13419,16 @@ def q375_order_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
         joined.groupBy(bucket.alias("mismatch_bucket"))
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
+            # half-safe: rel is a mean of per-order rationals with
+            # heterogeneous denominators (order totals); a d=6 half
+            # boundary needs the reduced sum denominator = 2*10^6*odd —
+            # measure-zero, covered by the multi-seed campaign
             F.round(F.avg(rel), 6).alias("avg_rel_error"),
         )
         .select(
             "mismatch_bucket",
             "n_orders",
-            F.round(F.col("n_orders") / F.lit(float(tot)), 6).alias(
-                "share"
-            ),
+            _half_up(F.col("n_orders"), F.lit(tot), 6).alias("share"),
             "avg_rel_error",
         )
     )
@@ -13461,10 +13475,10 @@ def q376_entry_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return per_session.groupBy("entry_type").agg(
         F.count(F.lit(1)).alias("n_sessions"),
-        F.round(
-            F.avg((F.col("_len") == 1).cast("double")), 6
+        _half_up(
+            F.sum((F.col("_len") == 1).cast("long")), F.count(F.lit(1)), 6
         ).alias("bounce_rate"),
-        F.round(F.avg("_len"), 6).alias("avg_session_events"),
+        _half_up(F.sum("_len"), F.count(F.lit(1)), 6).alias("avg_session_events"),
     )
 
 
@@ -13574,8 +13588,9 @@ def q378_asof_feature_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return per_user.groupBy("label", band.alias("activity_band")).agg(
         F.count(F.lit(1)).alias("n_users"),
-        F.round(F.avg("_n14"), 6).alias("avg_n14"),
-        F.round(F.avg("_v7"), 6).alias("avg_purchase_value_7d"),
+        _half_up(F.sum("_n14"), F.count(F.lit(1)), 6).alias("avg_n14"),
+        # _v7 is a per-user round(.,2) output — exact cent grid
+        _half_up(F.sum(_fixed("_v7", 100)), F.count(F.lit(1)) * 100, 6).alias("avg_purchase_value_7d"),
     )
 
 
@@ -20154,12 +20169,13 @@ def oracle_sql() -> dict[str, str]:
               ON rv.query_id = t.neighbor_id
              AND rv.neighbor_id = t.query_id
         ), per_node AS (
-            SELECT query_id, sum(mutual) / 10.0 AS mrate
+            SELECT query_id, CAST(sum(mutual) AS BIGINT) AS nmut
             FROM marked GROUP BY 1
         )
         SELECT e.label, count(*) AS n_vectors,
-               round(avg(mrate), 6) AS avg_mutual_rate,
-               round(min(mrate), 6) AS min_mutual_rate
+               floor(CAST(sum(nmut) AS DOUBLE) * 1e6 / (count(*) * 10)
+                     + 0.5) / 1e6 AS avg_mutual_rate,
+               CAST(min(nmut) AS DOUBLE) / 10 AS min_mutual_rate
         FROM per_node p JOIN e ON e.vec_id = p.query_id
         GROUP BY 1
     """
@@ -20196,7 +20212,8 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY 1, 2
         )
         SELECT event_type, count(*) AS n_days,
-               round(avg(n), 6) AS mean_daily,
+               floor(CAST(sum(n) AS DOUBLE) * 1e6 / count(*) + 0.5) / 1e6
+                   AS mean_daily,
                round(var_samp(n), 6) AS var_daily,
                round(var_samp(n) / avg(n), 6) AS dispersion_index,
                var_samp(n) / avg(n) > 1.5 AS overdispersed
@@ -21114,7 +21131,8 @@ def oracle_sql() -> dict[str, str]:
             FROM per_user, cuts
         ), rates AS (
             SELECT depth_quintile, count(*) AS n_users,
-                   round(avg(converted * 1.0), 6) AS conversion_rate
+                   floor(CAST(sum(converted) AS DOUBLE) * 1e6 / count(*)
+                         + 0.5) / 1e6 AS conversion_rate
             FROM bucketed GROUP BY 1
         )
         SELECT depth_quintile, n_users, conversion_rate,
@@ -21166,13 +21184,15 @@ def oracle_sql() -> dict[str, str]:
                 FROM o ORDER BY h LIMIT 1000)
         ), fs AS (
             SELECT count(*) AS full_n,
-                   round(avg(o_totalprice), 4) AS full_mean,
+                   floor(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+                         * 1e4 / (count(*) * 100) + 0.5) / 1e4 AS full_mean,
                    round(quantile_cont(o_totalprice, 0.5), 4) AS full_p50,
                    round(quantile_cont(o_totalprice, 0.9), 4) AS full_p90
             FROM o
         ), ss AS (
             SELECT count(*) AS sample_n,
-                   round(avg(o_totalprice), 4) AS sample_mean,
+                   floor(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+                         * 1e4 / (count(*) * 100) + 0.5) / 1e4 AS sample_mean,
                    round(quantile_cont(o_totalprice, 0.5), 4) AS sample_p50,
                    round(quantile_cont(o_totalprice, 0.9), 4) AS sample_p90
             FROM sample
@@ -21469,20 +21489,23 @@ def oracle_sql() -> dict[str, str]:
             SELECT t.event_type, 0.5 AS tau,
                    greatest(0.5 * (t.n - m.q50),
                             (0.5 - 1) * (t.n - m.q50)) AS loss,
-                   CASE WHEN t.n <= m.q50 THEN 1.0 ELSE 0.0 END AS cov
+                   CASE WHEN t.n <= m.q50 THEN 1 ELSE 0 END AS cov
             FROM test t JOIN model m
               ON m.event_type = t.event_type AND m.dw = dayofweek(t.day)
             UNION ALL
             SELECT t.event_type, 0.9,
                    greatest(0.9 * (t.n - m.q90),
                             (0.9 - 1) * (t.n - m.q90)),
-                   CASE WHEN t.n <= m.q90 THEN 1.0 ELSE 0.0 END
+                   CASE WHEN t.n <= m.q90 THEN 1 ELSE 0 END
             FROM test t JOIN model m
               ON m.event_type = t.event_type AND m.dw = dayofweek(t.day)
         )
         SELECT event_type, tau, count(*) AS n_days,
-               round(avg(loss), 6) AS mean_pinball_loss,
-               round(avg(cov), 6) AS empirical_coverage
+               floor(CAST(sum(CAST(round(loss * 100) AS BIGINT)) AS DOUBLE)
+                     * 1e6 / (count(*) * 100) + 0.5) / 1e6
+                   AS mean_pinball_loss,
+               floor(CAST(sum(cov) AS DOUBLE) * 1e6 / count(*) + 0.5) / 1e6
+                   AS empirical_coverage
         FROM scored GROUP BY 1, 2
     """
     sqls["q370_ranker_agreement"] = """
@@ -21648,7 +21671,8 @@ def oracle_sql() -> dict[str, str]:
             FROM joined
         )
         SELECT mismatch_bucket, count(*) AS n_orders,
-               round(count(*) * 1.0 / (SELECT n FROM tot), 6) AS share,
+               floor(CAST(count(*) AS DOUBLE) * 1e6 / (SELECT n FROM tot)
+                     + 0.5) / 1e6 AS share,
                round(avg(rel), 6) AS avg_rel_error
         FROM bucketed GROUP BY 1
     """
@@ -21677,9 +21701,10 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1, 2
         )
         SELECT entry_type, count(*) AS n_sessions,
-               round(avg(CASE WHEN len = 1 THEN 1.0 ELSE 0.0 END), 6)
-                   AS bounce_rate,
-               round(avg(len * 1.0), 6) AS avg_session_events
+               floor(CAST(sum(CASE WHEN len = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                     * 1e6 / count(*) + 0.5) / 1e6 AS bounce_rate,
+               floor(CAST(sum(len) AS DOUBLE) * 1e6 / count(*) + 0.5) / 1e6
+                   AS avg_session_events
         FROM per_session GROUP BY 1
     """
     sqls["q377_capture_recapture"] = """
@@ -21727,8 +21752,11 @@ def oracle_sql() -> dict[str, str]:
                     WHEN n7 < 15 THEN 'mid'
                     ELSE 'high' END AS activity_band,
                count(*) AS n_users,
-               round(avg(n14), 6) AS avg_n14,
-               round(avg(v7), 6) AS avg_purchase_value_7d
+               floor(CAST(sum(n14) AS DOUBLE) * 1e6 / count(*) + 0.5) / 1e6
+                   AS avg_n14,
+               floor(CAST(sum(CAST(round(v7 * 100) AS BIGINT)) AS DOUBLE)
+                     * 1e6 / (count(*) * 100) + 0.5) / 1e6
+                   AS avg_purchase_value_7d
         FROM per_user GROUP BY 1, 2
     """
     sqls["q295_cbo_estimation_audit"] = """
