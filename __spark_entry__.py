@@ -9463,13 +9463,20 @@ def q307_ipw_treatment_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     prop = strat.groupBy("_stratum").agg(F.avg("_t").alias("_p"))
     scored = strat.join(F.broadcast(prop), "_stratum")
+    # naive diff of means over cent-grid _y: A1/(100 n1) − A0/(100 n0)
+    # = (A1·n0 − A0·n1)/(100·n1·n0) — an exact integer ratio
+    _a1 = F.sum(F.when(F.col("_t") == 1, _fixed("_y", 100)))
+    _n1 = F.count(F.when(F.col("_t") == 1, 1))
+    _a0 = F.sum(F.when(F.col("_t") == 0, _fixed("_y", 100)))
+    _n0 = F.count(F.when(F.col("_t") == 0, 1))
     return scored.agg(
         F.count(F.lit(1)).alias("n_users"),
-        F.round(
-            F.avg(F.when(F.col("_t") == 1, F.col("_y")))
-            - F.avg(F.when(F.col("_t") == 0, F.col("_y"))),
-            6,
-        ).alias("naive_diff"),
+        _half_up(_a1 * _n0 - _a0 * _n1, F.lit(100) * _n1 * _n0, 6).alias(
+            "naive_diff"
+        ),
+        # half-safe: the IPW term divides by the propensity _p (a
+        # heterogeneous per-stratum rational); a d=6 half boundary needs
+        # the reduced sum denominator = 2*10^6*odd — measure-zero
         F.round(
             F.avg(
                 F.col("_t") * F.col("_y") / F.col("_p")
@@ -10323,8 +10330,9 @@ def q321_markov_next_event_accuracy(spark: SparkSession, sf_dir: str) -> DataFra
         .groupBy(F.col("cur").alias("event_type"), "predicted_next")
         .agg(
             F.count(F.lit(1)).alias("n_transitions"),
-            F.round(
-                F.avg((F.col("nxt") == F.col("predicted_next")).cast("double")),
+            _half_up(
+                F.sum((F.col("nxt") == F.col("predicted_next")).cast("long")),
+                F.count(F.lit(1)),
                 6,
             ).alias("accuracy"),
         )
@@ -11131,11 +11139,16 @@ def q335_knapsack_data_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("_keep"), F.col("_tok")).otherwise(0)).alias(
             "tokens_used"
         ),
-        F.round(
-            F.avg(F.when(F.col("_keep"), F.col("_q"))), 6
+        # _q is a per-row round(x,4) quality score — exact 1e-4 grid
+        _half_up(
+            F.sum(F.when(F.col("_keep"), _fixed("_q", 10000))),
+            F.count(F.when(F.col("_keep"), 1)) * 10000,
+            6,
         ).alias("avg_quality_selected"),
-        F.round(
-            F.avg(F.when(~F.col("_keep"), F.col("_q"))), 6
+        _half_up(
+            F.sum(F.when(~F.col("_keep"), _fixed("_q", 10000))),
+            F.count(F.when(~F.col("_keep"), 1)) * 10000,
+            6,
         ).alias("avg_quality_dropped"),
     )
 
@@ -11437,8 +11450,8 @@ def q341_shard_rebalance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_keys"),
             F.sum(F.when(F.col("_moved"), 1).otherwise(0)).alias("n_moved"),
-            F.round(
-                F.avg(F.col("_moved").cast("double")), 6
+            _half_up(
+                F.sum(F.col("_moved").cast("long")), F.count(F.lit(1)), 6
             ).alias("moved_frac"),
         )
     )
@@ -11477,14 +11490,15 @@ def q342_ttl_cache_hit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                 1,
             ).otherwise(0)
         ).alias("n_hits"),
-        F.round(
-            F.avg(
+        _half_up(
+            F.sum(
                 F.when(
                     F.col("_gap").isNotNull()
                     & (F.col("_gap") <= F.col("ttl_seconds")),
-                    1.0,
-                ).otherwise(0.0)
+                    1,
+                ).otherwise(0)
             ),
+            F.count(F.lit(1)),
             6,
         ).alias("hit_rate"),
     )
@@ -11719,6 +11733,8 @@ def q345_moore_lewis_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "lang")
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),
+            # half-safe: cross-entropy difference of log-probability means
+            # (irrational) — a d=6 half-boundary hit has measure zero
             F.round(
                 F.avg("_nll_d") - F.avg("_nll_g"), 6
             ).alias("ce_difference"),
@@ -12177,8 +12193,10 @@ def q353_cf_holdout_hitrate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hits.agg(
         F.count(F.lit(1)).alias("n_test_pairs"),
         F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("n_hits"),
-        F.round(
-            F.avg(F.coalesce(F.col("_hit"), F.lit(0)).cast("double")), 6
+        _half_up(
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0)).cast("long")),
+            F.count(F.lit(1)),
+            6,
         ).alias("hit_rate_at_3"),
     )
 
@@ -12861,6 +12879,8 @@ def q365_rec_novelty_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return recs.agg(
         F.count(F.lit(1)).alias("n_recommendations"),
+        # half-safe: log2-based novelty (irrational) — a d=6 half-boundary
+        # hit has measure zero
         F.round(
             F.avg(-F.log2(F.col("_nb") / F.lit(float(n_orders)))), 6
         ).alias("mean_novelty_bits"),
@@ -14807,15 +14827,18 @@ def oracle_sql() -> dict[str, str]:
                 FROM flagged
             ), per_session AS (
                 SELECT user_id, session_seq, count(*) AS n_events,
-                       max(epoch(ts)) - min(epoch(ts)) AS duration_s
+                       max(epoch_us(ts)) - min(epoch_us(ts)) AS duration_us
                 FROM sess GROUP BY 1, 2
             )
             SELECT user_id,
                    count(*) AS n_sessions,
                    CAST(sum(n_events) AS BIGINT) AS n_events,
                    max(n_events) AS max_session_events,
-                   round(avg(duration_s), 3) AS avg_session_s,
-                   round(max(duration_s), 3) AS max_session_s
+                   floor(CAST(sum(duration_us) AS DOUBLE) * 1e3
+                         / (count(*) * 1000000) + 0.5) / 1e3
+                       AS avg_session_s,
+                   floor(CAST(max(duration_us) AS DOUBLE) / 1e3 + 0.5) / 1e3
+                       AS max_session_s
             FROM per_session GROUP BY user_id
         """,
         "q51_stratified_sample": """
@@ -19574,8 +19597,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT stratum, avg(t) AS p FROM strat GROUP BY 1
         )
         SELECT count(*) AS n_users,
-               round(avg(CASE WHEN t = 1 THEN y END)
-                     - avg(CASE WHEN t = 0 THEN y END), 6) AS naive_diff,
+               floor(CAST(sum(CASE WHEN t = 1
+                                   THEN CAST(round(y * 100) AS BIGINT) END)
+                          * count(CASE WHEN t = 0 THEN 1 END)
+                          - sum(CASE WHEN t = 0
+                                     THEN CAST(round(y * 100) AS BIGINT) END)
+                          * count(CASE WHEN t = 1 THEN 1 END) AS DOUBLE)
+                     * 1e6 / (100 * count(CASE WHEN t = 1 THEN 1 END)
+                              * count(CASE WHEN t = 0 THEN 1 END)) + 0.5)
+                   / 1e6 AS naive_diff,
                round(avg(t * y / p - (1 - t) * y / (1 - p)), 6) AS ipw_ate,
                round(min(p), 6) AS min_propensity,
                round(max(p), 6) AS max_propensity
@@ -20016,8 +20046,9 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT t2.cur AS event_type, p.predicted_next,
                count(*) AS n_transitions,
-               round(avg(CASE WHEN t2.nxt = p.predicted_next
-                              THEN 1.0 ELSE 0.0 END), 6) AS accuracy
+               floor(CAST(sum(CASE WHEN t2.nxt = p.predicted_next
+                                   THEN 1 ELSE 0 END) AS DOUBLE)
+                     * 1e6 / count(*) + 0.5) / 1e6 AS accuracy
         FROM t2 JOIN pred p ON p.cur = t2.cur
         GROUP BY 1, 2
     """
@@ -20421,9 +20452,17 @@ def oracle_sql() -> dict[str, str]:
                    AS n_selected,
                CAST(sum(CASE WHEN cum <= 2000 THEN tok ELSE 0 END) AS BIGINT)
                    AS tokens_used,
-               round(avg(CASE WHEN cum <= 2000 THEN q END), 6)
+               floor(CAST(sum(CASE WHEN cum <= 2000
+                                   THEN CAST(round(q * 10000) AS BIGINT) END)
+                          AS DOUBLE)
+                     * 1e6 / (count(CASE WHEN cum <= 2000 THEN 1 END) * 10000)
+                     + 0.5) / 1e6
                    AS avg_quality_selected,
-               round(avg(CASE WHEN cum > 2000 THEN q END), 6)
+               floor(CAST(sum(CASE WHEN cum > 2000
+                                   THEN CAST(round(q * 10000) AS BIGINT) END)
+                          AS DOUBLE)
+                     * 1e6 / (count(CASE WHEN cum > 2000 THEN 1 END) * 10000)
+                     + 0.5) / 1e6
                    AS avg_quality_dropped
         FROM ranked GROUP BY 1
     """
@@ -20567,7 +20606,8 @@ def oracle_sql() -> dict[str, str]:
         SELECT strategy, count(*) AS n_keys,
                CAST(sum(CASE WHEN moved THEN 1 ELSE 0 END) AS BIGINT)
                    AS n_moved,
-               round(avg(CASE WHEN moved THEN 1.0 ELSE 0.0 END), 6)
+               floor(CAST(sum(CASE WHEN moved THEN 1 ELSE 0 END) AS DOUBLE)
+                     * 1e6 / count(*) + 0.5) / 1e6
                    AS moved_frac
         FROM flags GROUP BY 1
     """
@@ -20581,8 +20621,9 @@ def oracle_sql() -> dict[str, str]:
         SELECT ttl_seconds, count(*) AS n_accesses,
                CAST(sum(CASE WHEN gap IS NOT NULL AND gap <= ttl_seconds
                              THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
-               round(avg(CASE WHEN gap IS NOT NULL AND gap <= ttl_seconds
-                              THEN 1.0 ELSE 0.0 END), 6) AS hit_rate
+               floor(CAST(sum(CASE WHEN gap IS NOT NULL AND gap <= ttl_seconds
+                                   THEN 1 ELSE 0 END) AS DOUBLE)
+                     * 1e6 / count(*) + 0.5) / 1e6 AS hit_rate
         FROM gaps,
              (SELECT CAST(unnest([60, 300, 1800]) AS INT) AS ttl_seconds)
         GROUP BY 1
@@ -20952,8 +20993,9 @@ def oracle_sql() -> dict[str, str]:
         SELECT count(*) AS n_test_pairs,
                CAST(sum(CASE WHEN t3.item_a IS NOT NULL THEN 1 ELSE 0 END)
                     AS BIGINT) AS n_hits,
-               round(avg(CASE WHEN t3.item_a IS NOT NULL
-                              THEN 1.0 ELSE 0.0 END), 6) AS hit_rate_at_3
+               floor(CAST(sum(CASE WHEN t3.item_a IS NOT NULL
+                                   THEN 1 ELSE 0 END) AS DOUBLE)
+                     * 1e6 / count(*) + 0.5) / 1e6 AS hit_rate_at_3
         FROM test_pairs tp LEFT JOIN top3 t3
           ON t3.item_a = tp.item_a AND t3.item_b = tp.item_b
     """

@@ -35,6 +35,16 @@ def _epoch_seconds(col: Column) -> Column:
     return F.unix_micros(F.to_utc_timestamp(col, "UTC")).cast("double") / 1e6
 
 
+def _epoch_micros(col: Column) -> Column:
+    """Timestamp → exact integer epoch microseconds (same NTZ/UTC pinning
+    as ``_epoch_seconds``). Durations derived from this stay exact-integer,
+    so rounded statistics can use the engine-stable floor(x+0.5) half-up
+    instead of round(double) — round(double, d) of a value that can sit on
+    a half boundary (a duration whose micros end in exactly 500) rounds
+    differently across engines on the same double."""
+    return F.unix_micros(F.to_utc_timestamp(col, "UTC"))
+
+
 def sessionize(
     df: DataFrame,
     ts_col: str = "ts",
@@ -81,14 +91,26 @@ def session_stats(
     sess = sessionize(df, ts_col, user_col, gap_seconds, tiebreak_col)
     per_session = sess.groupBy(user_col, "session_seq").agg(
         F.count(F.lit(1)).alias("n_events"),
-        (F.max(_epoch_seconds(F.col(ts_col))) - F.min(_epoch_seconds(F.col(ts_col)))).alias(
-            "duration_s"
+        (F.max(_epoch_micros(F.col(ts_col))) - F.min(_epoch_micros(F.col(ts_col)))).alias(
+            "duration_us"
         ),
     )
+    # exact-integer micros + floor half-up: a duration whose micros end in
+    # exactly 500 sits ON the 3-decimal half boundary, where round(double)
+    # diverges across engines; floor over the identical IEEE quotient cannot
     return per_session.groupBy(user_col).agg(
         F.count(F.lit(1)).alias("n_sessions"),
         F.sum("n_events").alias("n_events"),
         F.max("n_events").alias("max_session_events"),
-        F.round(F.avg("duration_s"), 3).alias("avg_session_s"),
-        F.round(F.max("duration_s"), 3).alias("max_session_s"),
+        (
+            F.floor(
+                F.sum("duration_us").cast("double") * 1e3
+                / (F.count(F.lit(1)) * 1000000)
+                + 0.5
+            )
+            / 1e3
+        ).alias("avg_session_s"),
+        (F.floor(F.max("duration_us").cast("double") / 1e3 + 0.5) / 1e3).alias(
+            "max_session_s"
+        ),
     )

@@ -600,6 +600,8 @@ def pq_reconstruction(
         best.groupBy(F.col("_lbl").alias(label_col))
         .agg(
             F.count(F.lit(1)).alias("n_vecs"),
+            # half-safe: _err is continuous float reconstruction error —
+            # not an integer ratio; a d=6 half-boundary hit has measure zero
             F.round(F.avg("_err"), 6).alias("avg_recon_err"),
             F.round(F.max("_err"), 6).alias("max_recon_err"),
         )

@@ -53,8 +53,27 @@ def corpus_quality_summary(df: DataFrame, text_col: str = "text", group_col: str
         .agg(
             F.count(F.lit(1)).alias("docs"),
             F.sum("ws_tokens").alias("total_tokens"),
-            F.round(F.avg("char_count"), 4).alias("avg_chars"),
-            F.round(F.avg("quality"), 4).alias("avg_quality"),
+            # engine-stable half-up over exact-integer numerators (chars are
+            # ints; quality is a per-row round(x,4) output on the 1e-4 grid)
+            # — see __spark_entry__._half_up for the divergence class
+            (
+                F.floor(
+                    F.sum("char_count").cast("double") * 1e4
+                    / F.count(F.lit(1))
+                    + 0.5
+                )
+                / 1e4
+            ).alias("avg_chars"),
+            (
+                F.floor(
+                    F.sum(F.round(F.col("quality") * 10000).cast("long")).cast(
+                        "double"
+                    )
+                    / F.count(F.lit(1))
+                    + 0.5
+                )
+                / 1e4
+            ).alias("avg_quality"),
         )
     )
 
@@ -271,6 +290,8 @@ def unigram_logprob_scores(
         .groupBy("_id")
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),
+            # half-safe: nll is a natural-log probability (irrational) — a
+            # d=6 half-boundary hit has measure zero
             F.round(F.avg("nll"), 6).alias("avg_neg_logprob"),
         )
         .select(F.col("_id").alias(id_col), "n_tokens", "avg_neg_logprob")
@@ -483,6 +504,8 @@ def perplexity_buckets(
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("n_tokens").alias("total_tokens"),
+            # half-safe: log-probability means (irrational) — a d=6
+            # half-boundary hit has measure zero
             F.round(F.avg("avg_neg_logprob"), 6).alias("avg_score"),
             F.min("avg_neg_logprob").alias("min_score"),
             F.max("avg_neg_logprob").alias("max_score"),
@@ -519,6 +542,8 @@ def perplexity_bucket_thresholds(
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("n_tokens").alias("total_tokens"),
+            # half-safe: log-probability means (irrational) — a d=6
+            # half-boundary hit has measure zero
             F.round(F.avg("avg_neg_logprob"), 6).alias("avg_score"),
         )
     )
@@ -565,6 +590,8 @@ def char_entropy_stats(
     )
     return per_doc.groupBy(group_col).agg(
         F.count(F.lit(1)).alias("n_docs"),
+        # half-safe: _h is log2-based Shannon entropy (irrational except
+        # degenerate docs) — a d=6 half-boundary hit has measure zero
         F.round(F.avg("_h"), 6).alias("avg_entropy"),
         F.round(F.min("_h"), 6).alias("min_entropy"),
         F.round(F.max("_h"), 6).alias("max_entropy"),

@@ -1,0 +1,77 @@
+"""Lint gate for the engine-divergent rounding class (round-9 closure).
+
+``round(double, d)`` of a value that is an exact integer ratio C/n (money
+averages, count averages, indicator rates, fixed-grid means) can sit exactly
+on a half boundary, where Spark (BigDecimal over the shortest decimal repr)
+and DuckDB (scaled-binary) round the SAME double differently — the class the
+multi-seed differential kept finding one site at a time (q148 commit 5af76d2,
+q129/q183/q99 before it).
+
+Round 9 swept every ``F.round(F.avg(...))``-shaped site: integer-ratio
+sources were converted to the exact half-up form (``_half_up`` /
+``floor(C * 10^d / n + 0.5)``, which evaluates the identical IEEE sequence
+on both engines), and irrational/heterogeneous-rational sources carry a
+``# half-safe:`` comment stating why their value cannot sit on a half
+boundary. This test freezes that invariant: any NEW round-of-avg site must
+either use the exact pattern (and thus not match the shape) or carry the
+justification within the preceding comment block.
+"""
+
+from __future__ import annotations
+
+import re
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parents[1]
+FILES = [
+    REPO / "__spark_entry__.py",
+    *sorted((REPO / "hubverse_transform_spark").rglob("*.py")),
+]
+
+# the risky shape: a direct round() of a float average (whitespace/newlines
+# between the tokens included). The exact-integer conversions use
+# _half_up(F.sum(...), ...) and therefore never match.
+PAT = re.compile(r"F\.round\(\s*F\.avg\(")
+
+# a justification must sit on the match line or within this many lines above
+WINDOW = 8
+
+
+def _offenders() -> list[str]:
+    out = []
+    for f in FILES:
+        src = f.read_text()
+        lines = src.splitlines()
+        for m in PAT.finditer(src):
+            ln = src.count("\n", 0, m.start())  # 0-based
+            ctx = "\n".join(lines[max(0, ln - WINDOW) : ln + 1])
+            if "# half-safe:" not in ctx:
+                out.append(f"{f.relative_to(REPO)}:{ln + 1}")
+    return out
+
+
+def test_round_of_avg_sites_are_exact_or_justified():
+    offenders = _offenders()
+    assert not offenders, (
+        "F.round(F.avg(...)) without a '# half-safe:' justification. "
+        "If the averaged value is an exact integer ratio (money cents, "
+        "counts, indicators, fixed-grid values), convert to the "
+        "engine-stable half-up pattern (_half_up in __spark_entry__.py, "
+        "mirrored as floor(CAST(C AS DOUBLE) * 1e<d> / n + 0.5) / 1e<d> in "
+        "the oracle SQL). Otherwise add a '# half-safe: <why no half "
+        "boundary is reachable>' comment directly above the site. "
+        "Offenders: " + ", ".join(offenders)
+    )
+
+
+def test_lint_catches_an_unjustified_site(tmp_path):
+    """The gate itself must fire on the shape it guards (no silent pass)."""
+    sample = 'x = F.round(F.avg("col"), 6).alias("a")\n'
+    assert PAT.search(sample) is not None
+    annotated = '# half-safe: irrational source\nx = F.round(\n    F.avg("col"), 6)\n'
+    m = PAT.search(annotated)
+    assert m is not None  # multi-line shape still matches the pattern
+    lines = annotated.splitlines()
+    ln = annotated.count("\n", 0, m.start())
+    ctx = "\n".join(lines[max(0, ln - WINDOW) : ln + 1])
+    assert "# half-safe:" in ctx
