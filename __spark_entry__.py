@@ -60,6 +60,7 @@ from hubverse_transform_spark.operators.dedup import (
     winnow_fingerprints,
     winnow_overlap_pairs,
 )
+from hubverse_transform_spark.functions.numeric import half_up
 from hubverse_transform_spark.operators.multimodal import decode_features, frame_sample
 from hubverse_transform_spark.plans.curation import curation_funnel
 from hubverse_transform_spark.operators.similarity import (
@@ -493,7 +494,7 @@ def q21_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = ngram_jaccard_pairs(
         d, "doc_id", "text", ngram=3, threshold=0.1, block_col="lang"
     )
-    return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    return pairs.select("id_a", "id_b", half_up(F.col("jaccard"), 6).alias("jaccard"))
 
 
 def q22_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -509,7 +510,7 @@ def q23_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = minhash_lsh_pairs(
         d, "doc_id", "text", ngram=3, num_hashes=8, bands=4, threshold=0.1
     )
-    return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    return pairs.select("id_a", "id_b", half_up(F.col("jaccard"), 6).alias("jaccard"))
 
 
 def q24_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2530,7 +2531,7 @@ def q124_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
             "id_b",
             "split_a",
             "split_b",
-            F.round("jaccard", 6).alias("jaccard"),
+            half_up(F.col("jaccard"), 6).alias("jaccard"),
         )
     )
 
@@ -5767,7 +5768,7 @@ def q228_incremental_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = d.filter(F.col("doc_id") % 10 != 0)
     return minhash_lsh_incremental_pairs(
         new, corpus, "doc_id", "text", ngram=3, num_hashes=8, bands=4, threshold=0.1
-    ).select("new_id", "corpus_id", F.round("jaccard", 6).alias("jaccard"))
+    ).select("new_id", "corpus_id", half_up(F.col("jaccard"), 6).alias("jaccard"))
 
 
 def q226_event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -9016,7 +9017,7 @@ def q296_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_a",
             "n_b",
             "n_common",
-            F.round(
+            half_up(
                 F.col("n_common")
                 / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
                 6,
@@ -14387,8 +14388,8 @@ def oracle_sql() -> dict[str, str]:
                 SELECT doc_id, lang, {_SHINGLES3} AS s FROM tok
             )
             SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-                   round(len(list_intersect(a.s, b.s)) * 1.0
-                         / len(list_distinct(list_concat(a.s, b.s))), 6) AS jaccard
+                   floor((CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                         / len(list_distinct(list_concat(a.s, b.s)))) * 1e6 + 0.5) / 1e6 AS jaccard
             FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
             WHERE len(list_intersect(a.s, b.s)) * 1.0
                   / len(list_distinct(list_concat(a.s, b.s))) >= 0.1
@@ -14421,8 +14422,8 @@ def oracle_sql() -> dict[str, str]:
                 FROM banded a JOIN banded b ON a.band = b.band AND a.doc_id < b.doc_id
             )
             SELECT c.id_a, c.id_b,
-                   round(len(list_intersect(x.sh, y.sh)) * 1.0
-                         / len(list_distinct(list_concat(x.sh, y.sh))), 6) AS jaccard
+                   floor((CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+                         / len(list_distinct(list_concat(x.sh, y.sh)))) * 1e6 + 0.5) / 1e6 AS jaccard
             FROM cand c
             JOIN shg x ON x.doc_id = c.id_a
             JOIN shg y ON y.doc_id = c.id_b
@@ -15732,7 +15733,7 @@ def oracle_sql() -> dict[str, str]:
                 GROUP BY c.doc_id
             )
             SELECT doc_id, n_shingles, n_matched,
-                   round(n_matched * 1.0 / n_shingles, 6) AS containment
+                   floor((CAST(n_matched AS DOUBLE) / n_shingles) * 1e6 + 0.5) / 1e6 AS containment
             FROM per WHERE n_matched * 1.0 / n_shingles >= 0.5
         """,
         "q103_weighted_allocation": """
@@ -16136,8 +16137,8 @@ def oracle_sql() -> dict[str, str]:
                 FROM banded a JOIN banded b ON a.band = b.band AND a.doc_id < b.doc_id
             ), pairs AS (
                 SELECT c.id_a, c.id_b,
-                       round(len(list_intersect(x.sh, y.sh)) * 1.0
-                             / len(list_distinct(list_concat(x.sh, y.sh))), 6) AS jaccard
+                       floor((CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+                             / len(list_distinct(list_concat(x.sh, y.sh)))) * 1e6 + 0.5) / 1e6 AS jaccard
                 FROM cand c
                 JOIN shg x ON x.doc_id = c.id_a
                 JOIN shg y ON y.doc_id = c.id_b
@@ -16197,7 +16198,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    n_chunks,
                    CAST(dup_chunks AS BIGINT) AS dup_chunks,
-                   round(dup_chunks / n_chunks, 6) AS dup_fraction,
+                   floor((CAST(dup_chunks AS DOUBLE) / n_chunks) * 1e6 + 0.5) / 1e6 AS dup_fraction,
                    (dup_chunks / n_chunks) < 0.5 AS keep
             FROM per_doc
         """,
@@ -16926,8 +16927,8 @@ def oracle_sql() -> dict[str, str]:
             FROM post a JOIN post b ON a.g = b.g AND a.doc_id < b.doc_id
         )
         SELECT id_a, id_b,
-               round(len(list_intersect(x.s, y.s)) * 1.0
-                     / len(list_distinct(list_concat(x.s, y.s))), 6) AS jaccard
+               floor((CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
+                     / len(list_distinct(list_concat(x.s, y.s)))) * 1e6 + 0.5) / 1e6 AS jaccard
         FROM cand JOIN sh x ON x.doc_id = id_a JOIN sh y ON y.doc_id = id_b
         WHERE len(list_intersect(x.s, y.s)) * 1.0
               / len(list_distinct(list_concat(x.s, y.s))) >= 0.6
@@ -17894,7 +17895,7 @@ def oracle_sql() -> dict[str, str]:
             FROM post a JOIN post b ON a.g = b.g AND a.doc_id <> b.doc_id
         )
         SELECT id_a, id_b,
-               round(len(list_intersect(x.s, y.s)) * 1.0 / len(x.s), 6)
+               floor((CAST(len(list_intersect(x.s, y.s)) AS DOUBLE) / len(x.s)) * 1e6 + 0.5) / 1e6
                    AS containment
         FROM cand JOIN sh x ON x.doc_id = id_a JOIN sh y ON y.doc_id = id_b
         WHERE len(list_intersect(x.s, y.s)) * 1.0 / len(x.s) >= 0.6
@@ -18190,8 +18191,8 @@ def oracle_sql() -> dict[str, str]:
             WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0
         )
         SELECT c.new_id, c.corpus_id,
-               round(len(list_intersect(x.sh, y.sh)) * 1.0
-                     / len(list_distinct(list_concat(x.sh, y.sh))), 6) AS jaccard
+               floor((CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+                     / len(list_distinct(list_concat(x.sh, y.sh)))) * 1e6 + 0.5) / 1e6 AS jaccard
         FROM cand c
         JOIN shg x ON x.doc_id = c.new_id
         JOIN shg y ON y.doc_id = c.corpus_id
@@ -21860,7 +21861,7 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1, 2
         )
         SELECT type_a, type_b, sa.n AS n_a, sb.n AS n_b, n_common,
-               round(n_common * 1.0 / (sa.n + sb.n - n_common), 6) AS jaccard
+               floor((CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common)) * 1e6 + 0.5) / 1e6 AS jaccard
         FROM inter
         JOIN sizes sa ON sa.event_type = type_a
         JOIN sizes sb ON sb.event_type = type_b

@@ -25,6 +25,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from hubverse_transform_spark.caching import compute_release
+from hubverse_transform_spark.functions.numeric import half_up
 from hubverse_transform_spark.session import spread_small_scan
 
 
@@ -359,7 +360,7 @@ def prefix_filter_jaccard_pairs(
         .join(db, "id_b")
         .withColumn("jaccard", jaccard_expr(F.col("_sha"), F.col("_shb")))
         .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+        .select("id_a", "id_b", half_up(F.col("jaccard"), 6).alias("jaccard"))
     )
     return compute_release(result, docs, prefix)
 
@@ -612,7 +613,9 @@ def ngram_containment(
             F.col("_id").alias(id_col),
             "n_shingles",
             "n_matched",
-            F.round(F.col("n_matched") / F.col("n_shingles"), 6).alias("containment"),
+            # integer-ratio displays reach exact half boundaries (1/128 at
+            # d=6) — use the engine-stable floor half-up, not round()
+            half_up(F.col("n_matched") / F.col("n_shingles"), 6).alias("containment"),
         )
         .filter(F.col("n_matched") / F.col("n_shingles") >= threshold)
     )
@@ -758,7 +761,7 @@ def containment_prefix_pairs(
         .join(db, "id_b")
         .filter(containment >= threshold)
         .select(
-            "id_a", "id_b", F.round(containment, 6).alias("containment")
+            "id_a", "id_b", half_up(containment, 6).alias("containment")
         )
     )
     return compute_release(result, *to_release)
@@ -821,7 +824,7 @@ def chunk_dup_stats(
         F.col("_id").alias(id_col),
         "n_chunks",
         "dup_chunks",
-        F.round(dup_frac, 6).alias("dup_fraction"),
+        half_up(dup_frac, 6).alias("dup_fraction"),
         (dup_frac < drop_threshold).alias("keep"),
     )
 
