@@ -3705,7 +3705,7 @@ def q166_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             "src_a",
             "src_b",
             "n_shared",
-            F.round(
+            half_up(
                 F.col("n_shared")
                 / (F.col("_va") + F.col("_vb") - F.col("n_shared")),
                 6,
@@ -5051,7 +5051,7 @@ def q208_rag_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("doc_id").alias("n_docs"),
         F.count(F.lit(1)).alias("n_chunks"),
         F.sum("_ct").alias("chunk_tokens"),
-        F.round(
+        half_up(
             1.0 - F.count_distinct("_h") / F.count(F.lit(1)), 6
         ).alias("dup_chunk_frac"),
     )
@@ -5063,7 +5063,7 @@ def q208_rag_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
         "chunk_tokens",
         "doc_tokens",
         "dup_chunk_frac",
-        F.round(F.col("chunk_tokens") / F.col("doc_tokens"), 6).alias("expansion"),
+        half_up(F.col("chunk_tokens") / F.col("doc_tokens"), 6).alias("expansion"),
     )
 
 
@@ -5460,7 +5460,7 @@ def q217_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
         "shard_id",
         "n_docs",
         "n_tokens",
-        F.round(
+        half_up(
             F.col("n_docs") / (F.col("_nd") * 1.0 / F.col("_ns")) - 1.0, 6
         ).alias("doc_skew"),
     )
@@ -5800,7 +5800,7 @@ def q226_event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "prev_type",
         "next_type",
         "n",
-        F.round(F.col("n") / F.sum("n").over(wp), 6).alias("prob"),
+        half_up(F.col("n") / F.sum("n").over(wp), 6).alias("prob"),
     )
 
 
@@ -16062,8 +16062,9 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS total_ngrams,
                    CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
                        AS dup_ngrams,
-                   round(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END)
-                         / count(*), 6) AS dup_frac
+                   floor((CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END)
+                               AS DOUBLE) / count(*)) * 1e6 + 0.5) / 1e6
+                       AS dup_frac
             FROM g JOIN gd USING (gram)
             GROUP BY doc_id
         """,
@@ -16992,9 +16993,12 @@ def oracle_sql() -> dict[str, str]:
             ) a USING (cid)
         )
         SELECT cid, n_vecs,
-               round(n_vecs * 1.0 / (SELECT sum(n_vecs) FROM counts), 6) AS share,
-               round(n_vecs * 1.0 * 16
-                     / (SELECT sum(n_vecs) FROM counts), 4) AS skew_vs_uniform
+               floor((CAST(n_vecs AS DOUBLE)
+                      / (SELECT sum(n_vecs) FROM counts)) * 1e6 + 0.5) / 1e6
+                   AS share,
+               floor((CAST(n_vecs AS DOUBLE) * 16
+                      / (SELECT sum(n_vecs) FROM counts)) * 1e4 + 0.5) / 1e4
+                   AS skew_vs_uniform
         FROM counts
     """
     # the bitmap path is exact, so the oracle is plain COUNT(DISTINCT)
@@ -17060,7 +17064,8 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1, 2
         )
         SELECT src_a, src_b, n_shared,
-               round(n_shared * 1.0 / (sa.vsz + sb.vsz - n_shared), 6)
+               floor((CAST(n_shared AS DOUBLE)
+                      / (sa.vsz + sb.vsz - n_shared)) * 1e6 + 0.5) / 1e6
                    AS vocab_jaccard
         FROM inter
         JOIN sizes sa ON sa.source = src_a
@@ -17822,14 +17827,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT source, count(DISTINCT doc_id) AS n_docs,
                    count(*) AS n_chunks,
                    CAST(sum(ct) AS BIGINT) AS chunk_tokens,
-                   round(1.0 - count(DISTINCT h) * 1.0 / count(*), 6) + 0.0
+                   floor((1.0 - CAST(count(DISTINCT h) AS DOUBLE) / count(*))
+                         * 1e6 + 0.5) / 1e6
                        AS dup_chunk_frac
             FROM c2 GROUP BY source),
         dt AS (SELECT source, CAST(sum(n) AS BIGINT) AS doc_tokens
                FROM b2 GROUP BY source)
         SELECT source, n_docs, n_chunks, chunk_tokens, doc_tokens,
                dup_chunk_frac,
-               round(chunk_tokens * 1.0 / doc_tokens, 6) AS expansion
+               floor((CAST(chunk_tokens AS DOUBLE) / doc_tokens) * 1e6 + 0.5)
+                   / 1e6 AS expansion
         FROM per_src JOIN dt USING (source)
     """
     sqls["q209_mixture_weights"] = f"""
@@ -18029,7 +18036,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(sum(n_docs) AS BIGINT) AS nd, count(*) AS ns FROM per
         )
         SELECT shard_id, n_docs, n_tokens,
-               round(n_docs / (nd * 1.0 / ns) - 1.0, 6) AS doc_skew
+               floor((n_docs / (CAST(nd AS DOUBLE) / ns) - 1.0) * 1e6 + 0.5)
+                   / 1e6 AS doc_skew
         FROM per, tot
     """
     sqls["q218_embedding_outliers"] = """
@@ -18297,7 +18305,9 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1, 2
         )
         SELECT prev_type, next_type, n,
-               round(n * 1.0 / sum(n) OVER (PARTITION BY prev_type), 6) AS prob
+               floor((CAST(n AS DOUBLE)
+                      / sum(n) OVER (PARTITION BY prev_type)) * 1e6 + 0.5)
+                   / 1e6 AS prob
         FROM trans
     """
     # the oracle IS the full-vocabulary groupBy the two-phase MG path avoids
@@ -18308,7 +18318,8 @@ def oracle_sql() -> dict[str, str]:
         ), c AS (
             SELECT w, count(*) AS n FROM tok WHERE w <> '' GROUP BY w
         ), t AS (SELECT sum(n) AS tot FROM c)
-        SELECT w AS token, n, round(n * 1.0 / tot, 6) AS share
+        SELECT w AS token, n,
+               floor((CAST(n AS DOUBLE) / tot) * 1e6 + 0.5) / 1e6 AS share
         FROM c, t
         WHERE n >= 0.02 * tot
     """

@@ -19,6 +19,7 @@ import hashlib
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from hubverse_transform_spark.functions.numeric import half_up
 from hubverse_transform_spark.functions.vectors import (
     cosine_similarity,
     dot_product,
@@ -764,8 +765,10 @@ def ivf_list_stats(
         .select(
             "cid",
             "n_vecs",
-            F.round(F.col("n_vecs") / F.col("_tot"), 6).alias("share"),
-            F.round(
+            # integer-ratio displays reach exact half boundaries — use
+            # the engine-stable floor half-up, not round()
+            half_up(F.col("n_vecs") / F.col("_tot"), 6).alias("share"),
+            half_up(
                 F.col("n_vecs") * F.lit(nlists) / F.col("_tot"), 4
             ).alias("skew_vs_uniform"),
         )

@@ -11,6 +11,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from hubverse_transform_spark.functions.numeric import half_up
+
 from hubverse_transform_spark.functions.text import (
     alpha_ratio,
     bpe_ish_token_count,
@@ -352,7 +354,7 @@ def dup_ngram_fraction(
             F.col("_id").alias(id_col),
             "total_ngrams",
             "dup_ngrams",
-            F.round(F.col("dup_ngrams") / F.col("total_ngrams"), 6).alias("dup_frac"),
+            half_up(F.col("dup_ngrams") / F.col("total_ngrams"), 6).alias("dup_frac"),
         )
     )
 
@@ -677,6 +679,6 @@ def heavy_hitter_tokens(
         .select(
             F.col("w").alias("token"),
             "n",
-            F.round(F.col("n") / F.col("_tot"), 6).alias("share"),
+            half_up(F.col("n") / F.col("_tot"), 6).alias("share"),
         )
     )
