@@ -6086,7 +6086,8 @@ def q235_calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bin",
             "n",
             F.round("_conf", 6).alias("confidence"),
-            F.round("_acc", 6).alias("accuracy"),
+            # _acc is an exact indicator ratio k/n — engine-stable half-up
+            half_up(F.col("_acc"), 6).alias("accuracy"),
             F.round(F.abs(F.col("_acc") - F.col("_conf")), 6).alias("gap"),
             F.round(F.col("_werr") / F.col("_tot"), 6).alias("ece"),
         )
@@ -6400,13 +6401,13 @@ def q242_robust_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.withColumn("_rn", F.row_number().over(wm))
         .join(agg, "event_type")
         .filter(F.col("_rn") == F.floor((F.col("n_pairs") + 1) / 2))
-        .select("event_type", F.round("_slope", 6).alias("theil_sen_slope"))
+        .select("event_type", half_up(F.col("_slope"), 6).alias("theil_sen_slope"))
     )
     return agg.join(med, "event_type").select(
         "event_type",
         "n_pairs",
         "mk_s",
-        F.round(F.col("mk_s") / F.col("n_pairs"), 6).alias("kendall_tau"),
+        half_up(F.col("mk_s") / F.col("n_pairs"), 6).alias("kendall_tau"),
         "theil_sen_slope",
     )
 
@@ -6533,8 +6534,8 @@ def q244_gain_lift_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         "decile",
         "n",
         "n_pos",
-        F.round(F.col("_cum_pos") / F.col("_tp"), 6).alias("capture_rate"),
-        F.round(
+        half_up(F.col("_cum_pos") / F.col("_tp"), 6).alias("capture_rate"),
+        half_up(
             (F.col("n_pos") / F.col("n")) / (F.col("_tp") / F.col("_t")), 6
         ).alias("lift"),
     ).orderBy("decile")
@@ -7082,8 +7083,8 @@ def q254_readability_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return totals.join(cx, "lang").select(
         "lang",
         "n_docs",
-        F.round(F.col("_syl") / F.col("_words"), 6).alias("syllables_per_word"),
-        F.round(F.col("_cx") / F.col("_nw"), 6).alias("complex_word_share"),
+        half_up(F.col("_syl") / F.col("_words"), 6).alias("syllables_per_word"),
+        half_up(F.col("_cx") / F.col("_nw"), 6).alias("complex_word_share"),
     )
 
 
@@ -7166,9 +7167,9 @@ def q256_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         "support",
         "tp",
-        F.round(prec, 6).alias("precision"),
-        F.round(rec, 6).alias("recall"),
-        F.round(
+        half_up(prec, 6).alias("precision"),
+        half_up(rec, 6).alias("recall"),
+        half_up(
             F.when(prec + rec > 0, 2 * prec * rec / (prec + rec)).otherwise(0.0), 6
         ).alias("f1"),
     )
@@ -7414,7 +7415,7 @@ def q261_map_hof_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "token",
         F.col("_cs.cnt").alias("cnt"),
-        F.round("_cs.share", 6).alias("share"),
+        half_up(F.col("_cs.share"), 6).alias("share"),
     )
 
 
@@ -8024,7 +8025,7 @@ def q274_cdc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             F.size(F.col("_bs")).alias("n_boundaries"),
             (F.size(F.col("_bs")) + 1).alias("n_chunks"),
-            F.round(F.col("_len") / (F.size(F.col("_bs")) + 1), 4).alias(
+            half_up(F.col("_len") / (F.size(F.col("_bs")) + 1), 4).alias(
                 "avg_chunk_len"
             ),
             F.array_max(F.filter(lens, lambda x: x >= 0)).alias("max_chunk_len"),
@@ -8565,7 +8566,8 @@ def q286_wilson_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_brand",
         "n",
         "s",
-        F.round(ph, 6).alias("p_hat"),
+        half_up(ph, 6).alias("p_hat"),
+        # wilson_lb is sqrt-based (irrational): round() is boundary-safe
         F.round(lb, 6).alias("wilson_lb"),
     )
 
@@ -8931,7 +8933,7 @@ def q295_cbo_estimation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             .crossJoin(actual)
             .select(
                 F.lit(name).alias("case_name"),
-                F.round(
+                half_up(
                     F.col("na") * F.col("nb") / F.greatest("da", "db"), 2
                 ).alias("est_rows"),
                 "actual_rows",
@@ -8947,7 +8949,7 @@ def q295_cbo_estimation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         return s.select(
             F.lit(name).alias("case_name"),
-            F.round(F.col("n") * F.col("s1") * F.col("s2"), 2).alias("est_rows"),
+            half_up(F.col("n") * F.col("s1") * F.col("s2"), 2).alias("est_rows"),
             "actual_rows",
         )
 
@@ -8974,7 +8976,7 @@ def q295_cbo_estimation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "case_name",
         "est_rows",
         "actual_rows",
-        F.round(F.col("est_rows") / F.col("actual_rows"), 4).alias("est_ratio"),
+        half_up(F.col("est_rows") / F.col("actual_rows"), 4).alias("est_ratio"),
     )
 
 
@@ -11773,7 +11775,7 @@ def q346_error_retry_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return grouped.crossJoin(F.broadcast(tot)).select(
         "next_within_10m",
         "n_errors",
-        F.round(F.col("n_errors") / F.col("_tot"), 6).alias("share"),
+        half_up(F.col("n_errors") / F.col("_tot"), 6).alias("share"),
     )
 
 
@@ -11826,7 +11828,7 @@ def q347_window_funnel_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
     return grouped.crossJoin(F.broadcast(tot)).select(
         "funnel_level",
         "n_users",
-        F.round(F.col("n_users") / F.col("_tot"), 6).alias("share"),
+        half_up(F.col("n_users") / F.col("_tot"), 6).alias("share"),
     )
 
 
@@ -11950,7 +11952,7 @@ def q350_encoding_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
         "col_name",
         "n_rows",
         "ndv",
-        F.round(F.col("ndv") / F.col("n_rows").cast("double"), 6).alias(
+        half_up(F.col("ndv") / F.col("n_rows").cast("double"), 6).alias(
             "ndv_ratio"
         ),
         dict_bits.alias("dict_key_bits"),
@@ -12312,10 +12314,10 @@ def q355_three_itemset_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             "item_b",
             "item_c",
             F.col("_sup_abc").alias("support"),
-            F.round(F.col("_sup_abc") / F.col("_sup_ab"), 6).alias(
+            half_up(F.col("_sup_abc") / F.col("_sup_ab"), 6).alias(
                 "confidence"
             ),
-            F.round(
+            half_up(
                 F.col("_sup_abc")
                 * F.lit(float(n_orders))
                 / (F.col("_sup_ab") * F.col("_sup_c")),
@@ -12432,7 +12434,7 @@ def q357_conversion_regression_detector(spark: SparkSession, sf_dir: str) -> Dat
         "_wk",
         "_n",
         "_k",
-        F.round(p, 6).alias("conversion"),
+        half_up(p, 6).alias("conversion"),
         (center - half).alias("_lo"),
         (center + half).alias("_hi"),
     )
@@ -18358,7 +18360,8 @@ def oracle_sql() -> dict[str, str]:
         ), tot AS (
             SELECT sum(n) AS t, sum(abs(acc - conf) * n) AS werr FROM bins
         )
-        SELECT bin, n, round(conf, 6) AS confidence, round(acc, 6) AS accuracy,
+        SELECT bin, n, round(conf, 6) AS confidence,
+               floor(acc * 1e6 + 0.5) / 1e6 AS accuracy,
                round(abs(acc - conf), 6) AS gap, round(werr / t, 6) AS ece
         FROM bins, tot
     """
@@ -18525,7 +18528,8 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(sgn) AS BIGINT) AS mk_s
             FROM pairs GROUP BY 1
         ), med AS (
-            SELECT event_type, round(slope, 6) AS theil_sen_slope
+            SELECT event_type,
+                   floor(slope * 1e6 + 0.5) / 1e6 AS theil_sen_slope
             FROM (
                 SELECT event_type, slope,
                        row_number() OVER (PARTITION BY event_type
@@ -18535,7 +18539,8 @@ def oracle_sql() -> dict[str, str]:
             ) WHERE rn = floor((np + 1) / 2)
         )
         SELECT a.event_type, a.n_pairs, a.mk_s,
-               round(a.mk_s * 1.0 / a.n_pairs, 6) AS kendall_tau,
+               floor((CAST(a.mk_s AS DOUBLE) / a.n_pairs) * 1e6 + 0.5) / 1e6
+                   AS kendall_tau,
                m.theil_sen_slope
         FROM agg a JOIN med m USING (event_type)
     """
@@ -18617,8 +18622,10 @@ def oracle_sql() -> dict[str, str]:
             FROM cum, tot GROUP BY 1
         )
         SELECT decile, CAST(n AS BIGINT) AS n, CAST(n_pos AS BIGINT) AS n_pos,
-               round(cum_pos * 1.0 / tp, 6) AS capture_rate,
-               round((n_pos * 1.0 / n) / (tp * 1.0 / t), 6) AS lift
+               floor((CAST(cum_pos AS DOUBLE) / tp) * 1e6 + 0.5) / 1e6
+                   AS capture_rate,
+               floor(((CAST(n_pos AS DOUBLE) / n) / (CAST(tp AS DOUBLE) / t))
+                     * 1e6 + 0.5) / 1e6 AS lift
         FROM dec ORDER BY decile
     """
     sqls["q245_fellegi_sunter"] = """
@@ -18881,8 +18888,10 @@ def oracle_sql() -> dict[str, str]:
             FROM tok WHERE w <> '' GROUP BY 1
         )
         SELECT t.lang, t.n_docs,
-               round(t.syl * 1.0 / t.words, 6) AS syllables_per_word,
-               round(c.cxw * 1.0 / c.nw, 6) AS complex_word_share
+               floor((CAST(t.syl AS DOUBLE) / t.words) * 1e6 + 0.5) / 1e6
+                   AS syllables_per_word,
+               floor((CAST(c.cxw AS DOUBLE) / c.nw) * 1e6 + 0.5) / 1e6
+                   AS complex_word_share
         FROM totals t JOIN cx c USING (lang)
     """
     sqls["q255_doc_token_entropy"] = r"""
@@ -18921,18 +18930,20 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(pr.npred, 0) AS np
             FROM sup s LEFT JOIN tp USING (lang) LEFT JOIN pr USING (lang)
         )
+        , m AS (
+            SELECT lang, support, tp,
+                   CASE WHEN np > 0 THEN CAST(tp AS DOUBLE) / np
+                        ELSE 0.0 END AS prec,
+                   CAST(tp AS DOUBLE) / support AS rec
+            FROM j
+        )
         SELECT lang, support, tp,
-               round(CASE WHEN np > 0 THEN tp * 1.0 / np ELSE 0.0 END, 6)
-                   AS precision,
-               round(tp * 1.0 / support, 6) AS recall,
-               round(CASE WHEN (CASE WHEN np > 0 THEN tp * 1.0 / np ELSE 0.0 END)
-                               + tp * 1.0 / support > 0
-                          THEN 2 * (CASE WHEN np > 0 THEN tp * 1.0 / np
-                                         ELSE 0.0 END) * (tp * 1.0 / support)
-                               / ((CASE WHEN np > 0 THEN tp * 1.0 / np
-                                        ELSE 0.0 END) + tp * 1.0 / support)
-                          ELSE 0.0 END, 6) AS f1
-        FROM j
+               floor(prec * 1e6 + 0.5) / 1e6 AS precision,
+               floor(rec * 1e6 + 0.5) / 1e6 AS recall,
+               floor((CASE WHEN prec + rec > 0
+                           THEN 2 * prec * rec / (prec + rec)
+                           ELSE 0.0 END) * 1e6 + 0.5) / 1e6 AS f1
+        FROM m
     """
     sqls["q257_time_to_conversion"] = """
         WITH per AS (
@@ -19039,7 +19050,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, sum(c) AS t FROM cnt GROUP BY 1
         )
         SELECT cnt.doc_id, cnt.w AS token, cnt.c AS cnt,
-               round(cnt.c * 1.0 / tot.t, 6) AS share
+               floor((CAST(cnt.c AS DOUBLE) / tot.t) * 1e6 + 0.5) / 1e6
+                   AS share
         FROM cnt JOIN tot USING (doc_id)
         WHERE cnt.c >= 3
     """
@@ -19372,7 +19384,8 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id,
                len(bs) AS n_boundaries,
                len(bs) + 1 AS n_chunks,
-               round(l * 1.0 / (len(bs) + 1), 4) AS avg_chunk_len,
+               floor((CAST(l AS DOUBLE) / (len(bs) + 1)) * 1e4 + 0.5) / 1e4
+                   AS avg_chunk_len,
                list_aggregate(
                    list_transform(range(1, len(e)),
                                   k -> e[CAST(k + 1 AS INT)]
@@ -20788,7 +20801,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(sum(n_errors) AS BIGINT) AS tot FROM grouped
         )
         SELECT next_within_10m, n_errors,
-               round(n_errors * 1.0 / tot, 6) AS share
+               floor((CAST(n_errors AS DOUBLE) / tot) * 1e6 + 0.5) / 1e6 AS share
         FROM grouped, tot
     """
     sqls["q347_window_funnel_levels"] = """
@@ -20826,7 +20839,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(sum(n_users) AS BIGINT) AS tot FROM grouped
         )
         SELECT funnel_level, n_users,
-               round(n_users * 1.0 / tot, 6) AS share
+               floor((CAST(n_users AS DOUBLE) / tot) * 1e6 + 0.5) / 1e6 AS share
         FROM grouped, tot
     """
     sqls["q348_seasonality_strength"] = """
@@ -20883,7 +20896,7 @@ def oracle_sql() -> dict[str, str]:
             FROM cnts GROUP BY 1
         )
         SELECT col_name, n_rows, ndv,
-               round(ndv * 1.0 / n_rows, 6) AS ndv_ratio,
+               floor((CAST(ndv AS DOUBLE) / n_rows) * 1e6 + 0.5) / 1e6 AS ndv_ratio,
                CAST(ceil(log2(ndv)) AS BIGINT) AS dict_key_bits,
                CASE WHEN ndv <= 65536 AND ndv * 1.0 / n_rows < 0.5
                     THEN 'dictionary' ELSE 'plain' END AS recommendation
@@ -21082,9 +21095,10 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT t.item_a, t.item_b, t.item_c,
                CAST(t.sup_abc AS BIGINT) AS support,
-               round(t.sup_abc * 1.0 / p.sup_ab, 6) AS confidence,
-               round(t.sup_abc * CAST(no.n AS DOUBLE)
-                     / (p.sup_ab * i.sup_c), 6) AS lift
+               floor((CAST(t.sup_abc AS DOUBLE) / p.sup_ab) * 1e6 + 0.5) / 1e6
+                   AS confidence,
+               floor((t.sup_abc * CAST(no.n AS DOUBLE)
+                      / (p.sup_ab * i.sup_c)) * 1e6 + 0.5) / 1e6 AS lift
         FROM triples t
         JOIN pair_sup p ON p.item_a = t.item_a AND p.item_b = t.item_b
         JOIN item_sup i ON i.item_c = t.item_c, no
@@ -21145,7 +21159,8 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY 1
         ), banded AS (
             SELECT wk, n, k,
-                   round(k * 1.0 / n, 6) AS conversion,
+                   floor((CAST(k AS DOUBLE) / n) * 1e6 + 0.5) / 1e6
+                       AS conversion,
                    ((k * 1.0 / n) + {_z2!r} / (2 * n)) / (1 + {_z2!r} / n)
                    - {_z!r} * sqrt((k * 1.0 / n) * (1 - k * 1.0 / n) / n
                                    + {_z2!r} / (4 * n * n))
@@ -21845,20 +21860,24 @@ def oracle_sql() -> dict[str, str]:
             FROM orders
         ), cases AS (
             SELECT 'join_orders_customer' AS case_name,
-                   round(so.n * sc.n * 1.0 / greatest(so.d, sc.d), 2) AS est_rows,
+                   floor((CAST(so.n AS DOUBLE) * sc.n / greatest(so.d, sc.d)) * 1e2 + 0.5)
+                       / 1e2 AS est_rows,
                    j1.a AS actual_rows
             FROM so, sc, j1
             UNION ALL
             SELECT 'join_lineitem_part',
-                   round(sl.n * sp.n * 1.0 / greatest(sl.d, sp.d), 2), j2.a
+                   floor((CAST(sl.n AS DOUBLE) * sp.n / greatest(sl.d, sp.d)) * 1e2 + 0.5)
+                       / 1e2, j2.a
             FROM sl, sp, j2
             UNION ALL
-            SELECT 'conj_lineitem_disc_qty', round(n * s1 * s2, 2), a FROM f1
+            SELECT 'conj_lineitem_disc_qty',
+                   floor(n * s1 * s2 * 1e2 + 0.5) / 1e2, a FROM f1
             UNION ALL
-            SELECT 'conj_orders_prio_price', round(n * s1 * s2, 2), a FROM f2
+            SELECT 'conj_orders_prio_price',
+                   floor(n * s1 * s2 * 1e2 + 0.5) / 1e2, a FROM f2
         )
         SELECT case_name, est_rows, actual_rows,
-               round(est_rows / actual_rows, 4) AS est_ratio
+               floor((est_rows / actual_rows) * 1e4 + 0.5) / 1e4 AS est_ratio
         FROM cases
     """
     sqls["q296_audience_overlap"] = """
@@ -22108,7 +22127,7 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1
         )
         SELECT p_brand, n, s,
-               round(s * 1.0 / n, 6) AS p_hat,
+               floor((CAST(s AS DOUBLE) / n) * 1e6 + 0.5) / 1e6 AS p_hat,
                round(((s * 1.0 / n) + (1.959964 * 1.959964 / n) / 2
                       - 1.959964 * sqrt(((s * 1.0 / n) * (1 - s * 1.0 / n)
                                          + (1.959964 * 1.959964 / n) / 4) / n))
