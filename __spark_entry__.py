@@ -9694,14 +9694,17 @@ def q311_ann_hubness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     import pandas as pd
 
-    e = (
+    base = (
         _t(spark, sf_dir, "embeddings")
         .filter(F.col("vec_id") < 2000)
         .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
-        # one-file scans serialize the GEMM loop onto one task
-        .repartition(spark.sparkContext.defaultParallelism)
     )
-    probes = e.collect()  # bounded by construction: vec_id < 2000
+    # collect the probe matrix from the PRE-repartition projection (no
+    # shuffle job just to move <=2000 rows to the driver); only the
+    # mapInPandas GEMM input needs the spread, because a one-file scan
+    # would serialize the scoring loop onto one task
+    e = base.repartition(spark.sparkContext.defaultParallelism)
+    probes = base.collect()  # bounded by construction: vec_id < 2000
     q_ids = np.array([r["vec_id"] for r in probes], dtype=np.int64)
     qm = np.array([list(r["v"]) for r in probes], dtype=np.float64)
     qn = np.linalg.norm(qm, axis=1)
@@ -9761,10 +9764,18 @@ def q311_ann_hubness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("k_occ") < 20, "10-19")
         .otherwise("20+_hub")
     )
-    return indeg.groupBy(bucket.alias("k_occurrence_bucket")).agg(
+    out = indeg.groupBy(bucket.alias("k_occurrence_bucket")).agg(
         F.count(F.lit(1)).alias("n_vectors"),
         F.max("k_occ").alias("max_k_occurrence"),
     )
+    # compute-release (the q245 pattern): materialize the 5-row histogram
+    # eagerly, then DESTROY the three probe broadcasts — otherwise repeated
+    # invocations in a long session (bench loops, test suites) accumulate
+    # ~1 MB of driver+executor broadcast blocks per call
+    out = out.localCheckpoint(eager=True)
+    for b in (b_ids, b_q, b_qn):
+        b.destroy()
+    return out
 
 
 def q312_attribution_model_compare(spark: SparkSession, sf_dir: str) -> DataFrame:

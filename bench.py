@@ -4,6 +4,16 @@ line: {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf":
 
 Each query executes to completion through the noop sink (full computation, no
 driver-side result materialization cost in the timing).
+
+Timing protocol (round 9): one cold pass over every query establishes the
+ranking, then the TOP-N wall-time queries (N=30) get two more executions so
+their reported number is a median-of-3 with an explicit min/max spread —
+"environmental drift" becomes a measured interval instead of an eyeball
+claim. The long tail stays single-run (it contributes little signal and a
+second pass of 348 sub-second queries would double the bench's wall time for
+noise-level information). BENCH.json carries the spread per re-run query
+under "spread"; the headline total sums medians for the top-N and the single
+cold run for the tail.
 """
 
 from __future__ import annotations
@@ -11,6 +21,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import statistics
 import sys
 import time
 
@@ -18,6 +29,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import __spark_entry__ as entry_mod
 from hubverse_transform_spark.session import get_spark
+
+TOP_N_RERUN = 30
 
 
 def main() -> None:
@@ -35,29 +48,47 @@ def main() -> None:
         "r_name"
     ).count().write.mode("overwrite").format("noop").save()
 
-    # two timed executions per query, keep the minimum: the host shows bursty
-    # background load that can inflate a single cold run 3-10x, and min-of-N
-    # is the standard jitter-robust estimator for steady-state latency.
-    # A query that throws is recorded under "errors" and excluded from the
-    # total rather than aborting the whole benchmark (a single regression
-    # must not zero out the round's numbers — round-1 failure mode).
-    timings: dict[str, float] = {}
+    def run_once(fn) -> float:
+        start = time.perf_counter()
+        fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+        return time.perf_counter() - start
+
+    # pass 1: one timed execution per query. A query that throws is recorded
+    # under "errors" and excluded from the total rather than aborting the
+    # whole benchmark (a single regression must not zero out the round's
+    # numbers — round-1 failure mode).
+    first: dict[str, float] = {}
     errors: dict[str, str] = {}
-    for name, fn in entry_mod.queries().items():
+    fns = entry_mod.queries()
+    for name, fn in fns.items():
         try:
-            runs = []
-            for _ in range(2):
-                start = time.perf_counter()
-                fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
-                runs.append(time.perf_counter() - start)
-            if max(runs) > 2.5 * min(runs):
-                # both trials may still straddle a noise burst; one tiebreaker
-                start = time.perf_counter()
-                fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
-                runs.append(time.perf_counter() - start)
-            timings[name] = round(min(runs), 3)
+            first[name] = run_once(fn)
         except Exception as exc:  # noqa: BLE001 - record and keep benching
             errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+
+    # pass 2: the top-N wall-time queries get two more runs — median-of-3
+    # is the drift-robust point estimate, min/max is the measured spread.
+    top = sorted(first, key=first.get, reverse=True)[:TOP_N_RERUN]
+    spread: dict[str, dict[str, float]] = {}
+    timings: dict[str, float] = {}
+    for name, t1 in first.items():
+        if name in top:
+            runs = [t1]
+            try:
+                runs.append(run_once(fns[name]))
+                runs.append(run_once(fns[name]))
+            except Exception as exc:  # noqa: BLE001
+                errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+            med = statistics.median(runs)
+            timings[name] = round(med, 3)
+            spread[name] = {
+                "median": round(med, 3),
+                "min": round(min(runs), 3),
+                "max": round(max(runs), 3),
+                "runs": len(runs),
+            }
+        else:
+            timings[name] = round(t1, 3)
 
     total = round(sum(timings.values()), 3)
     result = {
@@ -65,6 +96,8 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "spread": spread,
+        "timing": f"median-of-3 for top-{TOP_N_RERUN} by wall time, single cold run for the tail",
         "sf": sf,
     }
     if errors:

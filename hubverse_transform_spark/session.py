@@ -108,15 +108,40 @@ def _scan_shaped(df) -> bool:
     repartition plan.
     """
     try:
-        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        plan = df._jdf.queryExecution().optimizedPlan()
+        names = _plan_node_names(plan)
     except Exception:  # pragma: no cover - plan not inspectable: stay safe
         return False
-    heavy = (
-        "Join", "Aggregate", "Window", "Repartition", "Sort", "Generate",
-        "Union", "Expand", "Deduplicate", "GlobalLimit", "CoGroup",
-        "MapInPandas", "MapInArrow", "FlatMapGroupsInPandas",
+    heavy_exact = {
+        "Join", "Aggregate", "Window", "Sort", "Generate", "Union",
+        "Expand", "Deduplicate", "GlobalLimit", "LocalLimit", "CoGroup",
+        "MapInPandas", "PythonMapInArrow", "MapInArrow",
+        "FlatMapGroupsInPandas", "FlatMapGroupsInPandasWithState",
+    }
+    # Repartition appears as Repartition / RepartitionByExpression /
+    # RebalancePartitions depending on the API used
+    return not any(
+        n in heavy_exact or n.startswith(("Repartition", "Rebalance"))
+        for n in names
     )
-    return not any(tok in plan for tok in heavy)
+
+
+def _plan_node_names(plan) -> list[str]:
+    """Operator node names of a logical plan, via a structural tree walk.
+
+    Matching STRUCTURAL ``nodeName()`` values (not substrings of the
+    stringified plan) means a column or alias that happens to contain a
+    capitalized operator token — 'JoinKey', 'SortedIds' — cannot
+    false-positive the scan-shape test and silently skip the parallelism
+    spread."""
+    out, stack = [], [plan]
+    while stack:
+        node = stack.pop()
+        out.append(node.nodeName())
+        kids = node.children()
+        for i in range(kids.size()):
+            stack.append(kids.apply(i))
+    return out
 
 
 def _estimated_scan_partitions(spark, files) -> int | None:
@@ -175,6 +200,15 @@ def spread_small_scan(df):
         files = df.inputFiles()
     except Exception:  # pragma: no cover - fileless source
         return df
+    # len(files) >= target is sound as a no-stat shortcut under Spark's
+    # split packing: partitions ≈ ceil(Σ(size + openCost) / maxSplitBytes)
+    # with maxSplitBytes = min(maxPartitionBytes, max(openCost,
+    # Σ/parallelism)). In the openCost-dominated regime that ratio is
+    # ≥ len(files); in the Σ/parallelism-dominated regime it is
+    # ≈ parallelism — either way ≥ min(len(files), defaultParallelism),
+    # for ANY openCostInBytes setting (a lowered openCost only moves the
+    # regime boundary, not the bound). So many files never pack below the
+    # target here, and the FS stat pass is only paid for few-file scans.
     if not files or len(files) >= target:
         return df
     if not _scan_shaped(df):

@@ -14,22 +14,80 @@ seed-42 data happened to mask. This sweep has caught three such bugs:
   ranked on raw float sums — a per-run flake, not just cross-engine
   (seed 777, second run).
 
-Usage: python tools/seed_sweep.py [seed ...]    (default: 777 5 99 20260815)
+Usage:
+    python tools/seed_sweep.py [seed ...]        (default: 777 5 99 20260815)
+    python tools/seed_sweep.py --fast [seed]     (default fast seed: 90210)
+
+``--fast`` is the per-commit gate (round-9 addition): ONE fresh seed, and
+only the 50 driver-gated queries plus every query a previous campaign
+actually bit (the sentinel set below) — minutes instead of the full
+15-dataset campaign, while still exercising each known divergence class
+on data the fixes were never tuned against. Full sweeps remain the
+round-close tool.
+
 Exit code = total failures across all seeds.
 """
 
 from __future__ import annotations
 
+import re
 import shutil
 import subprocess
 import sys
+import time
 
 DEFAULT_SEEDS = [777, 5, 99, 20260815]
+DEFAULT_FAST_SEED = 90210
+
+# every query a multi-seed campaign has bitten, by divergence class
+# (VERIFY_r08.md §3): decimal-vs-double literals, embedded-SQL parameters,
+# float-tie ranking, money half-up, ANSI zero-variance, magnitude display,
+# -0.0 signs, exact-rational round() — plus q50 (this round's
+# integer-microsecond duration fix) as the duration-class sentinel.
+BITTEN = [
+    "q03_top_orders",
+    "q99_mad_outliers",
+    "q129_token_budget_mix",
+    "q148_price_position",
+    "q183_filtered_aggregates",
+    "q199_dedup_method_yield",
+    "q248_graph_modularity",
+    "q267_adamic_adar",
+    "q269_nb_token_logodds",
+    "q279_sparse_cosine_pairs",
+    "q344_retention_decay_fit",
+    "q348_seasonality_strength",
+    "q50_session_durations",
+]
+
+
+def _fast_query_set() -> list[str]:
+    """The 50 driver-gated queries (q01..q50) plus the bitten sentinels."""
+    sys.path.insert(0, ".")
+    import __spark_entry__ as entry_mod
+
+    names = list(entry_mod.queries())
+    driver = [n for n in names if (m := re.match(r"q(\d+)_", n)) and int(m.group(1)) <= 50]
+    extra = [n for n in BITTEN if n in names and n not in driver]
+    missing = [n for n in BITTEN if n not in names]
+    if missing:
+        print(f"WARNING: bitten sentinels not in queries(): {missing}")
+    return driver + extra
 
 
 def main() -> int:
-    seeds = [int(s) for s in sys.argv[1:]] or DEFAULT_SEEDS
+    args = sys.argv[1:]
+    fast = "--fast" in args
+    args = [a for a in args if a != "--fast"]
+    subset: list[str] = []
+    if fast:
+        seeds = [int(s) for s in args] or [DEFAULT_FAST_SEED]
+        subset = _fast_query_set()
+        print(f"fast gate: {len(subset)} queries on seed(s) {seeds}")
+    else:
+        seeds = [int(s) for s in args] or DEFAULT_SEEDS
     total_fail = 0
+    t0 = time.perf_counter()
     for seed in seeds:
         twin = f".scratch/sweep-{seed}"
         print(f"=== seed {seed} -> {twin}")
@@ -39,7 +97,7 @@ def main() -> int:
             capture_output=True,
         )
         proc = subprocess.run(
-            [sys.executable, "tools/check_oracle.py", twin],
+            [sys.executable, "tools/check_oracle.py", twin, *subset],
             capture_output=True,
             text=True,
         )
@@ -52,7 +110,11 @@ def main() -> int:
             print("   " + ln)
         total_fail += len(fails)
         shutil.rmtree(twin, ignore_errors=True)
-    print(f"sweep done: {total_fail} failures across {len(seeds)} seeds")
+    elapsed = time.perf_counter() - t0
+    print(
+        f"sweep done: {total_fail} failures across {len(seeds)} seeds "
+        f"({'fast gate' if fast else 'full surface'}, {elapsed:.0f}s)"
+    )
     return total_fail
 
 
