@@ -2,11 +2,15 @@
 columns with typed metadata.
 
 The decode kernels (image decode, audio resample, video frame extraction)
-need native libraries that are NOT in this container, so the *kernels* are
-stubbed — a deterministic fake when ``fake=True`` (for tests), else
-NotImplementedError. Everything Spark-side is real and tested: the asset
-schema, Arrow-batched ``mapInPandas`` plumbing, batch shapes, partition-size
-control for large blobs.
+need native libraries that are usually NOT in this container, so the
+*kernels* are stubbed — a deterministic fake when ``fake=True`` (for
+tests), else NotImplementedError. Exception: the IMAGE decode path is
+fully wired — when Pillow is importable on the executor, ``fake=False``
+decodes real payload bytes (width × height × mode feature); the
+NotImplementedError guard remains for environments without the lib and
+for the audio/video kernels. Everything Spark-side is real and tested:
+the asset schema, Arrow-batched ``mapInPandas`` plumbing, batch shapes,
+partition-size control for large blobs.
 
 Scale notes: binary payloads dominate row size, so assets are repartitioned
 by byte budget before any UDF stage (`target_partition_bytes`), and metadata
@@ -88,8 +92,10 @@ def decode_features(
         assets = assets.repartition(int(parts))
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        # self-contained closure: executors unpickle this without needing the
-        # package on their import path (only pandas/hashlib, always present)
+        # fake mode stays self-contained (pandas/hashlib only); the real
+        # path references _real_image_decoder, so executors need the
+        # package importable — true in local mode and on any cluster the
+        # package is deployed to
         import hashlib
 
         import pandas as _pd
@@ -99,18 +105,23 @@ def decode_features(
                 return "empty"
             return f"{modality}:{hashlib.md5(payload).hexdigest()[:12]}"
 
+        real = None
+        if not fake:
+            real = _real_image_decoder()  # None when Pillow is absent
+
         for pdf in batches:
-            if not fake:
+            if not fake and real is None:
                 raise NotImplementedError(
                     "real decode requires image/audio libraries not present in this environment"
                 )
+            decode = fake_decode if fake else real
             out = _pd.DataFrame(
                 {
                     "asset_id": pdf["asset_id"],
                     "modality": pdf["modality"],
                     "byte_len": pdf["payload"].map(lambda b: len(b) if b is not None else 0),
                     "feature": [
-                        fake_decode(b, m)
+                        decode(b, m)
                         for b, m in zip(pdf["payload"], pdf["modality"])
                     ],
                 }
@@ -118,6 +129,35 @@ def decode_features(
             yield out
 
     return assets.mapInPandas(run, FEATURE_SCHEMA)
+
+
+def _real_image_decoder():
+    """Executor-side real image decode kernel, or None when Pillow is absent.
+
+    Returned callable maps (payload, modality) -> feature string: images
+    decode to ``image:<width>x<height>:<mode>`` from the actual bytes; the
+    audio/video kernels stay unimplemented (their codecs are genuinely not
+    wired), and an unparseable image payload raises ValueError rather than
+    silently degrading — a corrupt blob in a curation pipeline should
+    quarantine, not pass."""
+    try:
+        import io
+
+        from PIL import Image
+    except ImportError:
+        return None
+
+    def decode(payload, modality):
+        if payload is None:
+            return "empty"
+        if modality != "image":
+            raise NotImplementedError(
+                f"real decode wired for images only (got modality={modality!r})"
+            )
+        with Image.open(io.BytesIO(bytes(payload))) as img:
+            return f"image:{img.width}x{img.height}:{img.mode.lower()}"
+
+    return decode
 
 
 def decode_features_arrow(assets: DataFrame, *, fake: bool = False) -> DataFrame:
@@ -136,13 +176,22 @@ def decode_features_arrow(assets: DataFrame, *, fake: bool = False) -> DataFrame
 
         import pyarrow as pa
 
+        real = None if fake else _real_image_decoder()
+
         for batch in batches:
-            if not fake:
+            if not fake and real is None:
                 raise NotImplementedError(
                     "real decode requires image/audio libraries not present in this environment"
                 )
             payloads = batch.column("payload").to_pylist()
             modalities = batch.column("modality").to_pylist()
+            if fake:
+                feats = [
+                    f"{m}:{hashlib.md5(b).hexdigest()[:12]}" if b is not None else "empty"
+                    for b, m in zip(payloads, modalities)
+                ]
+            else:
+                feats = [real(b, m) for b, m in zip(payloads, modalities)]
             yield pa.RecordBatch.from_arrays(
                 [
                     batch.column("asset_id"),
@@ -151,15 +200,7 @@ def decode_features_arrow(assets: DataFrame, *, fake: bool = False) -> DataFrame
                         [len(b) if b is not None else 0 for b in payloads],
                         type=pa.int64(),
                     ),
-                    pa.array(
-                        [
-                            f"{m}:{hashlib.md5(b).hexdigest()[:12]}"
-                            if b is not None
-                            else "empty"
-                            for b, m in zip(payloads, modalities)
-                        ],
-                        type=pa.string(),
-                    ),
+                    pa.array(feats, type=pa.string()),
                 ],
                 names=["asset_id", "modality", "byte_len", "feature"],
             )

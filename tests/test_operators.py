@@ -452,7 +452,18 @@ def test_decode_features_fake(spark, assets_df):
     assert again[1] == out[1]["feature"]
 
 
+def _skip_if_pillow_present():
+    # with Pillow installed the image path genuinely decodes; that
+    # environment is covered by tests/test_multimodal_real_codec.py
+    try:
+        import PIL  # noqa: F401
+    except ImportError:
+        return
+    pytest.skip("Pillow present — real decode covered by test_multimodal_real_codec.py")
+
+
 def test_decode_features_real_path_raises(spark, assets_df):
+    _skip_if_pillow_present()
     with pytest.raises(Exception, match="NotImplementedError|decode"):
         decode_features(assets_df, fake=False).collect()
 
@@ -467,6 +478,7 @@ def test_decode_features_arrow_matches_pandas(spark, assets_df):
         tuple(r) for r in decode_features_arrow(assets_df, fake=True).collect()
     )
     assert via_arrow == via_pandas
+    _skip_if_pillow_present()
     with pytest.raises(Exception, match="NotImplementedError|decode"):
         decode_features_arrow(assets_df, fake=False).collect()
 
