@@ -5,15 +5,17 @@ line: {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf":
 Each query executes to completion through the noop sink (full computation, no
 driver-side result materialization cost in the timing).
 
-Timing protocol (round 9): one cold pass over every query establishes the
-ranking, then the TOP-N wall-time queries (N=30) get two more executions so
-their reported number is a median-of-3 with an explicit min/max spread —
-"environmental drift" becomes a measured interval instead of an eyeball
-claim. The long tail stays single-run (it contributes little signal and a
-second pass of 348 sub-second queries would double the bench's wall time for
-noise-level information). BENCH.json carries the spread per re-run query
-under "spread"; the headline total sums medians for the top-N and the single
-cold run for the tail.
+Timing protocol (round 9): every query runs twice (min-of-2, exactly the
+r1–r8 protocol, so the headline total stays comparable across the whole
+BENCH_r* series and against BASELINE.md); the TOP-N wall-time queries
+(N=30) get a third execution so their BENCH.json entry under "spread"
+reports a median-of-3 with an explicit min/max interval — "environmental
+drift" becomes a measured number instead of an eyeball claim. The headline
+"queries"/"value" stay min-based: switching the headline to medians would
+have discontinuously inflated the series by ~30% for a metric change, not
+a performance change (measured: a round-8-tip worktree benches identically
+to HEAD on the same machine). Round-over-round drift adjudication quotes
+median-over-median from "spread".
 """
 
 from __future__ import annotations
@@ -53,42 +55,39 @@ def main() -> None:
         fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
         return time.perf_counter() - start
 
-    # pass 1: one timed execution per query. A query that throws is recorded
-    # under "errors" and excluded from the total rather than aborting the
-    # whole benchmark (a single regression must not zero out the round's
-    # numbers — round-1 failure mode).
-    first: dict[str, float] = {}
+    # pass 1: two timed executions per query (the r1–r8 protocol). A query
+    # that throws is recorded under "errors" and excluded from the total
+    # rather than aborting the whole benchmark (a single regression must
+    # not zero out the round's numbers — round-1 failure mode).
+    all_runs: dict[str, list[float]] = {}
     errors: dict[str, str] = {}
     fns = entry_mod.queries()
     for name, fn in fns.items():
         try:
-            first[name] = run_once(fn)
+            all_runs[name] = [run_once(fn), run_once(fn)]
         except Exception as exc:  # noqa: BLE001 - record and keep benching
             errors[name] = f"{type(exc).__name__}: {exc}"[:300]
 
-    # pass 2: the top-N wall-time queries get two more runs — median-of-3
-    # is the drift-robust point estimate, min/max is the measured spread.
-    top = sorted(first, key=first.get, reverse=True)[:TOP_N_RERUN]
+    # pass 2: the top-N wall-time queries get a third run — median-of-3 is
+    # the drift-robust estimate quoted for round-over-round comparisons,
+    # min/max the measured spread. The headline stays min-based for series
+    # continuity.
+    top = sorted(all_runs, key=lambda n: min(all_runs[n]), reverse=True)[:TOP_N_RERUN]
     spread: dict[str, dict[str, float]] = {}
     timings: dict[str, float] = {}
-    for name, t1 in first.items():
+    for name, runs in all_runs.items():
         if name in top:
-            runs = [t1]
             try:
-                runs.append(run_once(fns[name]))
                 runs.append(run_once(fns[name]))
             except Exception as exc:  # noqa: BLE001
                 errors[name] = f"{type(exc).__name__}: {exc}"[:300]
-            med = statistics.median(runs)
-            timings[name] = round(med, 3)
             spread[name] = {
-                "median": round(med, 3),
+                "median": round(statistics.median(runs), 3),
                 "min": round(min(runs), 3),
                 "max": round(max(runs), 3),
                 "runs": len(runs),
             }
-        else:
-            timings[name] = round(t1, 3)
+        timings[name] = round(min(runs), 3)
 
     total = round(sum(timings.values()), 3)
     result = {
@@ -97,7 +96,10 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "spread": spread,
-        "timing": f"median-of-3 for top-{TOP_N_RERUN} by wall time, single cold run for the tail",
+        "timing": (
+            f"min-of-2 headline (r1-r8 protocol); top-{TOP_N_RERUN} by wall "
+            "time run 3x with median+min/max under 'spread'"
+        ),
         "sf": sf,
     }
     if errors:
