@@ -6,18 +6,18 @@ from __future__ import annotations
 import pytest
 
 import __spark_entry__ as entry
-from hubverse_transform_spark.plans.inspect import explain_str
+from tests.conftest import PLAN_EAGER as _EAGER
 
-SF = "/root/testdata/sf0.001"
-
-# q45 executes eagerly at build time (localCheckpoint loop); its join
-# structure is covered by its own tests
-_EAGER = {"q45_dedup_clusters"}
+# plans come from the shared one-compile-pass fixture
+# (tests/conftest.compiled_surface) — see its docstring; each audit below
+# is a string/int assertion over the precompiled artifact.
 
 
 @pytest.mark.parametrize("name", [q for q in entry.queries() if q not in _EAGER])
-def test_no_cartesian_product(spark, name):
-    plan = explain_str(entry.queries()[name](spark, SF))
+def test_no_cartesian_product(compiled_surface, name):
+    art = compiled_surface[name]
+    assert "error" not in art, f"{name}: plan compile failed: {art.get('error')}"
+    plan = art["plan"]
     assert "CartesianProduct" not in plan, f"{name} plans a CartesianProduct"
     # Python must only enter a plan Arrow-batched (ArrowEvalPython,
     # MapInPandas/Arrow, FlatMapGroupsInPandas) — BatchEvalPython is the
@@ -82,14 +82,14 @@ _GLOBAL_WINDOW_OK = {
 
 
 @pytest.mark.parametrize("name", [q for q in entry.queries() if q not in _EAGER])
-def test_no_unjustified_global_window(spark, name):
+def test_no_unjustified_global_window(compiled_surface, name):
     """Census gate: every unpartitioned Window in every declared query must
     appear in _GLOBAL_WINDOW_OK with its cardinality argument; a whitelisted
     query losing its global window must be removed from the list (keeps the
     census honest both ways)."""
-    from hubverse_transform_spark.plans.inspect import global_window_count
-
-    got = global_window_count(entry.queries()[name](spark, SF))
+    art = compiled_surface[name]
+    assert "error" not in art, f"{name}: plan compile failed: {art.get('error')}"
+    got = art["gwin"]
     want = _GLOBAL_WINDOW_OK.get(name, (0, ""))[0]
     assert got == want, (
         f"{name}: {got} unpartitioned Window ops, whitelist says {want} — "

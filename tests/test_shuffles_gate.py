@@ -1,18 +1,16 @@
 """SHUFFLES.md regression gate: the committed per-query exchange budget IS
-the allowlist. Every declared query's static plan is re-counted (same code
-path as the dump: tools/dump_shuffles.shuffle_row, AQE off, sf0.001) and
-compared against the committed table — an exchange appearing or vanishing
-fails here until `python tools/dump_shuffles.py` regenerates the table in
-the same commit, which is exactly the review the file header promises
-("a diff here is a plan regression unless the change is deliberate").
+the allowlist. Every declared query's static plan is re-counted (same
+string-level counter as the dump: tools/dump_shuffles.count_exchanges, AQE
+off, sf0.001) and compared against the committed table — an exchange
+appearing or vanishing fails here until `python tools/dump_shuffles.py`
+regenerates the table in the same commit, which is exactly the review the
+file header promises ("a diff here is a plan regression unless the change
+is deliberate").
 
-Round-9 restructure: the ~378 static-plan compiles run ONCE in a
-session-scoped fixture (one AQE toggle, one queries() materialization, one
-sequential compile pass) and the per-query cases assert from the resulting
-dict — same per-query failure granularity, a fraction of the wall time the
-378 independently-fixtured cases paid. A compile error in any single query
-surfaces in that query's own case (stored as an ERROR sentinel), not as a
-fixture-wide crash.
+Round-9 restructure: the plans come from the shared one-compile-pass
+fixture (tests/conftest.compiled_surface — threaded, persist-window
+artifacts healed there); the per-query cases assert from the dict, so the
+gate costs string regexes, not a second full Catalyst pass.
 """
 
 from __future__ import annotations
@@ -24,13 +22,14 @@ import sys
 import pytest
 
 import __spark_entry__ as entry
+from tests.conftest import PLAN_EAGER
 
 REPO = pathlib.Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO / "tools"))
 
-from dump_shuffles import _EAGER, shuffle_row  # noqa: E402
+from dump_shuffles import count_exchanges  # noqa: E402
 
-_QUERIES = [q for q in entry.queries() if q not in _EAGER]
+_QUERIES = [q for q in entry.queries() if q not in PLAN_EAGER]
 
 
 def _committed_table() -> dict[str, tuple[str, str]]:
@@ -45,50 +44,6 @@ def _committed_table() -> dict[str, tuple[str, str]]:
 _TABLE = _committed_table()
 
 
-@pytest.fixture(scope="session")
-def computed_budgets(spark):
-    """One pass: compile every declared query's static plan (AQE off) and
-    count its exchanges. Returns {name: (n_ex, n_bc) | ("ERROR", msg)}.
-
-    Compiles run on a thread pool: Catalyst analyzes independent plans
-    concurrently and py4j serves each Python thread over its own gateway
-    connection, so the pass scales with driver cores instead of paying 378
-    sequential round-trips. The AQE toggle is session-global — set once
-    around the whole pool, which every worker wants identically."""
-    from concurrent.futures import ThreadPoolExecutor
-
-    fns = entry.queries()
-    was_aqe = spark.conf.get("spark.sql.adaptive.enabled")
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    out: dict[str, tuple[str, str]] = {}
-
-    def one(name: str) -> tuple[str, tuple[str, str]]:
-        try:
-            n_ex, n_bc, _note = shuffle_row(spark, fns[name])
-            return name, (n_ex, n_bc)
-        except Exception as exc:  # surface per-query, not fixture-wide
-            return name, ("ERROR", f"{type(exc).__name__}: {exc}"[:200])
-
-    try:
-        with ThreadPoolExecutor(max_workers=8) as pool:
-            for name, row in pool.map(one, _QUERIES):
-                out[name] = row
-        # Some operators persist() intermediates during composition and
-        # release them via compute_release; while such a window is open,
-        # a CONCURRENTLY-compiling query whose plan contains the same
-        # subtree picks up InMemoryTableScan fragments and its static
-        # exchange count inflates nondeterministically. Any pooled result
-        # that disagrees with the committed table is therefore recompiled
-        # sequentially (no other compile in flight): a window artifact
-        # heals, a genuine plan regression reproduces and still fails.
-        for name, row in list(out.items()):
-            if row != _TABLE.get(name):
-                out[name] = one(name)[1]
-    finally:
-        spark.conf.set("spark.sql.adaptive.enabled", was_aqe)
-    return out
-
-
 def test_every_declared_query_has_a_committed_row():
     missing = [q for q in _QUERIES if q not in _TABLE]
     assert not missing, (
@@ -98,13 +53,14 @@ def test_every_declared_query_has_a_committed_row():
 
 
 @pytest.mark.parametrize("name", _QUERIES)
-def test_exchange_budget_unchanged(computed_budgets, name):
+def test_exchange_budget_unchanged(compiled_surface, name):
     if name not in _TABLE:
         pytest.skip("covered by test_every_declared_query_has_a_committed_row")
-    got = computed_budgets[name]
-    assert got[0] != "ERROR", f"{name}: plan compile failed: {got[1]}"
-    assert got == _TABLE[name], (
-        f"{name}: static plan now has {got[0]} shuffles / {got[1]} broadcasts, "
+    art = compiled_surface[name]
+    assert "error" not in art, f"{name}: plan compile failed: {art.get('error')}"
+    n_ex, n_bc, _note = count_exchanges(art["plan"])
+    assert (n_ex, n_bc) == _TABLE[name], (
+        f"{name}: static plan now has {n_ex} shuffles / {n_bc} broadcasts, "
         f"SHUFFLES.md says {_TABLE[name]} — if the plan change is "
         "deliberate, regenerate the table (`python tools/dump_shuffles.py`) "
         "in the same commit; otherwise this is a plan regression"
