@@ -2450,7 +2450,7 @@ def q119_copurchase_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "brand_a",
             "brand_b",
             "n_both",
-            F.round(
+            half_up(
                 F.col("n_both") * F.col("_no").cast("double")
                 / (F.col("n_a") * F.col("n_b")),
                 6,
@@ -3873,7 +3873,7 @@ def q171_weekly_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_format("wk", "yyyy-MM-dd").alias("week"),
             "n_active",
             F.coalesce("n_churned", F.lit(0)).alias("n_churned"),
-            F.round(F.coalesce("n_churned", F.lit(0)) / F.col("n_active"), 6).alias(
+            half_up(F.coalesce("n_churned", F.lit(0)) / F.col("n_active"), 6).alias(
                 "churn_rate"
             ),
         )
@@ -4072,7 +4072,7 @@ def q177_token_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("vocab_size")
         .agg(
             F.count(F.lit(1)).alias("n_heavy"),
-            F.round(F.sum("n") / F.first("_total"), 6).alias("occurrence_share"),
+            half_up(F.sum("n") / F.first("_total"), 6).alias("occurrence_share"),
         )
     )
 
@@ -4106,7 +4106,7 @@ def q178_click_abandonment(spark: SparkSession, sf_dir: str) -> DataFrame:
         "day",
         "n_clicks",
         F.coalesce("n_abandoned", F.lit(0)).alias("n_abandoned"),
-        F.round(
+        half_up(
             F.coalesce("n_abandoned", F.lit(0)) / F.col("n_clicks"), 6
         ).alias("abandon_rate"),
     )
@@ -4765,7 +4765,7 @@ def q201_window_aligned_conversion(spark: SparkSession, sf_dir: str) -> DataFram
         "bucket",
         "n_clicks",
         F.coalesce("n_purchases", F.lit(0)).alias("n_purchases"),
-        F.round(
+        half_up(
             F.coalesce("n_purchases", F.lit(0)) / F.col("n_clicks"), 6
         ).alias("conversion"),
     )
@@ -5167,7 +5167,7 @@ def q210_ngram_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_grams",
             "n_hit_grams",
             "n_train_docs",
-            F.round(F.col("n_hit_grams") / F.col("n_grams"), 6).alias(
+            half_up(F.col("n_hit_grams") / F.col("n_grams"), 6).alias(
                 "contamination"
             ),
         )
@@ -16049,8 +16049,8 @@ def oracle_sql() -> dict[str, str]:
                 HAVING count(*) >= 50
             )
             SELECT brand_a, brand_b, n_both,
-                   round(n_both * (SELECT CAST(n AS DOUBLE) FROM n_orders)
-                         / (na.n * nb.n), 6) AS lift
+                   floor((n_both * (SELECT CAST(n AS DOUBLE) FROM n_orders)
+                          / (na.n * nb.n)) * 1e6 + 0.5) / 1e6 AS lift
             FROM pair_n
             JOIN brand_n na ON na.p_brand = brand_a
             JOIN brand_n nb ON nb.p_brand = brand_b
@@ -17152,7 +17152,8 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT strftime(pw.wk, '%Y-%m-%d') AS week, n_active,
                coalesce(n_churned, 0) AS n_churned,
-               round(coalesce(n_churned, 0) * 1.0 / n_active, 6) AS churn_rate
+               floor((CAST(coalesce(n_churned, 0) AS DOUBLE) / n_active) * 1e6
+                     + 0.5) / 1e6 AS churn_rate
         FROM pw LEFT JOIN cc USING (wk)
         WHERE pw.wk < (SELECT max(wk) FROM active)
     """
@@ -17248,7 +17249,8 @@ def oracle_sql() -> dict[str, str]:
             FROM counts
         )
         SELECT vocab_size, count(*) AS n_heavy,
-               round(sum(n) * 1.0 / any_value(total), 6) AS occurrence_share
+               floor((CAST(sum(n) AS DOUBLE) / any_value(total)) * 1e6 + 0.5) / 1e6
+                   AS occurrence_share
         FROM counts, cut
         WHERE n >= p99
         GROUP BY vocab_size
@@ -17267,8 +17269,8 @@ def oracle_sql() -> dict[str, str]:
              ab AS (SELECT strftime(cts, '%Y-%m-%d') AS day,
                            count(*) AS n_abandoned FROM a GROUP BY 1)
         SELECT ad.day, n_clicks, coalesce(n_abandoned, 0) AS n_abandoned,
-               round(coalesce(n_abandoned, 0) * 1.0 / n_clicks, 6)
-                   AS abandon_rate
+               floor((CAST(coalesce(n_abandoned, 0) AS DOUBLE) / n_clicks)
+                     * 1e6 + 0.5) / 1e6 AS abandon_rate
         FROM ad LEFT JOIN ab USING (day)
     """
     sqls["q179_value_range_frame"] = """
@@ -17739,8 +17741,8 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT c.bucket, n_clicks,
                coalesce(n_purchases, 0) AS n_purchases,
-               round(coalesce(n_purchases, 0) * 1.0 / n_clicks, 6)
-                   AS conversion
+               floor((CAST(coalesce(n_purchases, 0) AS DOUBLE) / n_clicks)
+                     * 1e6 + 0.5) / 1e6 AS conversion
         FROM c LEFT JOIN p USING (bucket)
     """
     sqls["q202_cluster_size_distribution"] = sqls["q45_dedup_clusters"].replace(
@@ -17875,8 +17877,10 @@ def oracle_sql() -> dict[str, str]:
                count(DISTINCT CASE WHEN tr.tid IS NOT NULL THEN t.g END)
                    AS n_hit_grams,
                count(DISTINCT tr.tid) AS n_train_docs,
-               round(count(DISTINCT CASE WHEN tr.tid IS NOT NULL THEN t.g END)
-                     * 1.0 / count(DISTINCT t.g), 6) AS contamination
+               floor((CAST(count(DISTINCT CASE WHEN tr.tid IS NOT NULL
+                                          THEN t.g END) AS DOUBLE)
+                      / count(DISTINCT t.g)) * 1e6 + 0.5) / 1e6
+                   AS contamination
         FROM tpost t LEFT JOIN trpost tr USING (g)
         GROUP BY 1, 2
     """
