@@ -5357,7 +5357,7 @@ def q215_vocab_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select(
         F.col("_n").alias("vocab_size"),
         F.col("_tot").alias("total_tokens"),
-        F.round(
+        half_up(
             2.0 * F.col("_ic") / (F.col("_n").cast("double") * F.col("_tot"))
             - (F.col("_n") + 1.0) / F.col("_n"),
             6,
@@ -6041,7 +6041,7 @@ def q234_roc_auc_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_format("_day", "yyyy-MM-dd").alias("day"),
             "n_pos",
             "n_neg",
-            F.round(F.col("_u") / (F.col("n_pos") * F.col("n_neg")), 6).alias("auc"),
+            half_up(F.col("_u") / (F.col("n_pos") * F.col("n_neg")), 6).alias("auc"),
         )
     )
 
@@ -6722,7 +6722,7 @@ def q246_conformal_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_cal",
         "n_test",
         F.round("_qhat", 4).alias("q_hat"),
-        F.round(F.col("_hit") / F.col("n_test"), 6).alias("coverage"),
+        half_up(F.col("_hit") / F.col("n_test"), 6).alias("coverage"),
     )
 
 
@@ -6909,9 +6909,9 @@ def q250_backtest_folds(spark: SparkSession, sf_dir: str) -> DataFrame:
         "fold",
         F.col("train_rows").alias("train_rows"),
         F.col("test_rows").alias("test_rows"),
-        F.round(F.col("train_conv") / F.col("train_rows"), 6).alias("train_conv_rate"),
-        F.round(F.col("test_conv") / F.col("test_rows"), 6).alias("test_conv_rate"),
-        F.round(
+        half_up(F.col("train_conv") / F.col("train_rows"), 6).alias("train_conv_rate"),
+        half_up(F.col("test_conv") / F.col("test_rows"), 6).alias("test_conv_rate"),
+        half_up(
             F.col("test_conv") / F.col("test_rows")
             - F.col("train_conv") / F.col("train_rows"),
             6,
@@ -7211,7 +7211,7 @@ def q257_time_to_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "delay_h",
             "n_users",
-            F.round(F.col("n_users") / F.col("_n"), 6).alias("share"),
+            half_up(F.col("n_users") / F.col("_n"), 6).alias("share"),
         )
     )
 
@@ -17989,7 +17989,8 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT CAST(n AS BIGINT) AS vocab_size,
                CAST(tot AS BIGINT) AS total_tokens,
-               round(2.0 * ic / (n * tot) - (n + 1.0) / n, 6) AS gini
+               floor((2 * CAST(ic AS DOUBLE) / (n * tot)
+                      - CAST(n + 1 AS DOUBLE) / n) * 1e6 + 0.5) / 1e6 AS gini
         FROM agg
     """
     # NOT an f-string: the regex quantifiers {2,} would collide with format
@@ -18357,8 +18358,8 @@ def oracle_sql() -> dict[str, str]:
         SELECT strftime(day, '%Y-%m-%d') AS day,
                CAST(sum(pos) AS BIGINT) AS n_pos,
                CAST(sum(neg) AS BIGINT) AS n_neg,
-               round(sum(pos * (cneg + 0.5 * neg))
-                     / (sum(pos) * sum(neg)), 6) AS auc
+               floor((CAST(sum(pos * (cneg + 0.5 * neg)) AS DOUBLE)
+                      / (sum(pos) * sum(neg))) * 1e6 + 0.5) / 1e6 AS auc
         FROM r GROUP BY day
     """
     sqls["q235_calibration_ece"] = r"""
@@ -18687,8 +18688,9 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT t.event_type, q.n_cal, count(*) AS n_test,
                round(q.qhat, 4) AS q_hat,
-               round(sum(CASE WHEN round(abs(t.value - m.mu), 4) <= q.qhat
-                              THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
+               floor((CAST(sum(CASE WHEN round(abs(t.value - m.mu), 4)
+                                        <= q.qhat THEN 1 ELSE 0 END)
+                           AS DOUBLE) / count(*)) * 1e6 + 0.5) / 1e6
                    AS coverage
         FROM tst t
         JOIN mom m USING (event_type)
@@ -18787,16 +18789,23 @@ def oracle_sql() -> dict[str, str]:
                    AS train_rows,
                CAST(sum(CASE WHEN part = 'test' THEN n END) AS BIGINT)
                    AS test_rows,
-               round(sum(CASE WHEN part = 'train' THEN conv END) * 1.0
-                     / sum(CASE WHEN part = 'train' THEN n END), 6)
+               floor((CAST(sum(CASE WHEN part = 'train' THEN conv END)
+                           AS DOUBLE)
+                      / sum(CASE WHEN part = 'train' THEN n END))
+                     * 1e6 + 0.5) / 1e6
                    AS train_conv_rate,
-               round(sum(CASE WHEN part = 'test' THEN conv END) * 1.0
-                     / sum(CASE WHEN part = 'test' THEN n END), 6)
+               floor((CAST(sum(CASE WHEN part = 'test' THEN conv END)
+                           AS DOUBLE)
+                      / sum(CASE WHEN part = 'test' THEN n END))
+                     * 1e6 + 0.5) / 1e6
                    AS test_conv_rate,
-               round(sum(CASE WHEN part = 'test' THEN conv END) * 1.0
-                     / sum(CASE WHEN part = 'test' THEN n END)
-                     - sum(CASE WHEN part = 'train' THEN conv END) * 1.0
-                       / sum(CASE WHEN part = 'train' THEN n END), 6)
+               floor((CAST(sum(CASE WHEN part = 'test' THEN conv END)
+                           AS DOUBLE)
+                      / sum(CASE WHEN part = 'test' THEN n END)
+                      - CAST(sum(CASE WHEN part = 'train' THEN conv END)
+                             AS DOUBLE)
+                        / sum(CASE WHEN part = 'train' THEN n END))
+                     * 1e6 + 0.5) / 1e6
                    AS label_shift
         FROM tagged WHERE part IS NOT NULL
         GROUP BY fold ORDER BY fold
@@ -18971,7 +18980,8 @@ def oracle_sql() -> dict[str, str]:
             FROM per WHERE tv IS NOT NULL AND tp IS NOT NULL AND tv < tp
         ), tot AS (SELECT count(*) AS n FROM conv)
         SELECT delay_h, count(*) AS n_users,
-               round(count(*) * 1.0 / any_value(tot.n), 6) AS share
+               floor((CAST(count(*) AS DOUBLE) / any_value(tot.n)) * 1e6 + 0.5) / 1e6
+                   AS share
         FROM conv, tot GROUP BY delay_h
     """
     sqls["q258_burstiness"] = """
