@@ -7880,7 +7880,7 @@ def q271_ndcg_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         "n_docs",
         F.round(F.col("_dcg") / F.col("_idcg"), 6).alias("ndcg10"),
-        F.round(F.lit(1.0) / F.col("_first"), 6).alias("mrr"),
+        half_up(F.lit(1.0) / F.col("_first"), 6).alias("mrr"),
     )
 
 
@@ -7975,7 +7975,7 @@ def q273_ann_knn_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             "true_label",
             "n_test",
             "n_correct",
-            F.round(F.col("n_correct") / F.col("n_test"), 4).alias("accuracy"),
+            half_up(F.col("n_correct") / F.col("n_test"), 4).alias("accuracy"),
         )
     )
 
@@ -8093,7 +8093,7 @@ def q275_bloom_semijoin_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("n_false_pos"),
     ).select(
         "*",
-        F.round(
+        half_up(
             F.col("n_false_pos")
             / (F.col("n_probe_keys") - F.col("n_members")),
             6,
@@ -9210,7 +9210,7 @@ def q301_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("_nt").alias("total_tokens"),
         F.round(F.expr("percentile(_nt, 0.5)"), 1).alias("median_tokens"),
-        F.round(F.sum("_chars") / F.sum("_nt"), 4).alias("avg_token_len"),
+        half_up(F.sum("_chars") / F.sum("_nt"), 4).alias("avg_token_len"),
     )
     vocab = tok.select("lang", "w").distinct().groupBy("lang").agg(
         F.count(F.lit(1)).alias("vocab_size")
@@ -9996,7 +9996,7 @@ def q314_obf_sequential_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(tot))
         .select(
             F.date_format("day", "yyyy-MM-dd").alias("day"),
-            F.round(
+            half_up(
                 (F.col("_na") + F.col("_nb"))
                 / (F.col("_ta") + F.col("_tb")).cast("double"),
                 6,
@@ -10258,7 +10258,7 @@ def q319_mann_whitney_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_a",
             "n_b",
             (F.col("_u2") / 2.0).alias("u_stat"),
-            F.round(
+            half_up(
                 F.col("_u2") / (F.col("n_a") * F.col("n_b")).cast("double")
                 - 1.0,
                 6,
@@ -10304,7 +10304,7 @@ def q320_equi_depth_histogram_audit(spark: SparkSession, sf_dir: str) -> DataFra
             "bucket",
             "n_rows",
             F.lit(n_total // 10).cast("long").alias("expected_rows"),
-            F.round(F.col("n_rows") / F.lit(n_total / 10.0), 6).alias(
+            half_up(F.col("n_rows") / F.lit(n_total / 10.0), 6).alias(
                 "depth_ratio"
             ),
             "lo",
@@ -10420,7 +10420,7 @@ def q323_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
             "source",
             F.col("_g").alias("ngram"),
             F.col("_df").alias("doc_freq"),
-            F.round(F.col("_df") / F.col("_nd").cast("double"), 6).alias(
+            half_up(F.col("_df") / F.col("_nd").cast("double"), 6).alias(
                 "df_share"
             ),
         )
@@ -11317,7 +11317,7 @@ def q339_transition_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.sum(F.col("_n") * F.log("_n")) / F.sum("_n"),
             6,
         ).alias("entropy"),
-        F.round(F.max("_n") / F.sum("_n").cast("double"), 6).alias(
+        half_up(F.max("_n") / F.sum("_n").cast("double"), 6).alias(
             "top_share"
         ),
         F.round(
@@ -11910,7 +11910,7 @@ def q349_partition_layout_planner(spark: SparkSession, sf_dir: str) -> DataFrame
             F.lit(grain).alias("grain"),
             "n_partitions",
             "n_touched",
-            F.round(
+            half_up(
                 1 - F.col("n_touched") / F.col("n_partitions").cast("double"),
                 6,
             ).alias("pruning_ratio"),
@@ -12626,7 +12626,7 @@ def q360_sample_fidelity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sample_n",
         "full_mean",
         "sample_mean",
-        F.round(
+        half_up(
             F.abs(F.col("sample_mean") - F.col("full_mean"))
             / F.col("full_mean"),
             6,
@@ -12898,7 +12898,7 @@ def q365_rec_novelty_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             F.avg(-F.log2(F.col("_nb") / F.lit(float(n_orders)))), 6
         ).alias("mean_novelty_bits"),
-        F.round(
+        half_up(
             F.countDistinct("item_b") / F.lit(float(n_catalog)), 6
         ).alias("catalog_coverage"),
     )
@@ -12950,7 +12950,7 @@ def q366_dedup_storage_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(method).alias("method"),
                 "docs_removed",
                 "chars_saved",
-                F.round(F.col("chars_saved") / F.col("_tot"), 6).alias(
+                half_up(F.col("chars_saved") / F.col("_tot"), 6).alias(
                     "corpus_share_saved"
                 ),
             )
@@ -13206,7 +13206,7 @@ def q370_ranker_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.groupBy("item_a")
         .agg(
             F.count(F.lit(1)).alias("n_pairs"),
-            F.round(F.sum(sgn) / F.count(F.lit(1)), 6).alias(
+            half_up(F.sum(sgn) / F.count(F.lit(1)), 6).alias(
                 "kendall_tau_sim_vs_popularity"
             ),
         )
@@ -13247,7 +13247,7 @@ def q371_bloom_size_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.lit(round(bits_per_key * math.log(2), 2)).alias(
                         "n_hashes"
                     ),
-                    F.round(
+                    half_up(
                         F.col("ndv") * F.lit(bits_per_key) / 8 / 1024.0, 2
                     ).alias("filter_kib"),
                 )
@@ -13295,7 +13295,7 @@ def q372_erasure_impact_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(
             F.when(F.col("_del_rows") > 0, F.col("_rows")).otherwise(0)
         ).alias("rows_rewritten"),
-        F.round(
+        half_up(
             F.sum(F.when(F.col("_del_rows") > 0, F.col("_rows")).otherwise(0))
             / F.sum("_del_rows").cast("double"),
             6,
@@ -13559,7 +13559,7 @@ def q377_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("_c1").alias("n_capture1"),
         F.sum("_c2").alias("n_capture2"),
         F.sum(F.col("_c1") * F.col("_c2")).alias("n_recaptured"),
-        F.round(
+        half_up(
             F.sum("_c1")
             * F.sum("_c2")
             / F.sum(F.col("_c1") * F.col("_c2")).cast("double"),
@@ -19319,7 +19319,8 @@ def oracle_sql() -> dict[str, str]:
                      / sum(CASE WHEN irk <= 10
                                 THEN (power(2, rel) - 1) / log2(irk + 1) END),
                      6) AS ndcg10,
-               round(1.0 / min(CASE WHEN rel > 0 THEN rk END), 6) AS mrr
+               floor((CAST(1 AS DOUBLE) / min(CASE WHEN rel > 0 THEN rk END))
+                     * 1e6 + 0.5) / 1e6 AS mrr
         FROM ranked GROUP BY 1
     """
     sqls["q272_holt_linear"] = """
@@ -19378,8 +19379,8 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT t.label AS true_label, count(*) AS n_test,
                count(*) FILTER (p.pred = t.label) AS n_correct,
-               round(count(*) FILTER (p.pred = t.label) * 1.0 / count(*),
-                     4) AS accuracy
+               floor((CAST(count(*) FILTER (p.pred = t.label) AS DOUBLE)
+                      / count(*)) * 1e4 + 0.5) / 1e4 AS accuracy
         FROM test t JOIN pred p ON p.query_id = t.vec_id
         GROUP BY 1
     """
@@ -19449,8 +19450,10 @@ def oracle_sql() -> dict[str, str]:
                count(*) FILTER (is_member) AS n_members,
                count(*) FILTER (bloom_pass) AS n_bloom_pass,
                count(*) FILTER (bloom_pass AND NOT is_member) AS n_false_pos,
-               round(count(*) FILTER (bloom_pass AND NOT is_member) * 1.0
-                     / (count(*) - count(*) FILTER (is_member)), 6) AS fp_rate
+               floor((CAST(count(*) FILTER (bloom_pass AND NOT is_member)
+                           AS DOUBLE)
+                      / (count(*) - count(*) FILTER (is_member)))
+                     * 1e6 + 0.5) / 1e6 AS fp_rate
         FROM audit
     """
     sqls["q301_dataset_card"] = r"""
@@ -19467,7 +19470,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT lang, count(*) AS n_docs,
                    CAST(sum(nt) AS BIGINT) AS total_tokens,
                    round(quantile_cont(nt, 0.5), 1) AS median_tokens,
-                   round(sum(chars) * 1.0 / sum(nt), 4) AS avg_token_len
+                   floor((CAST(sum(chars) AS DOUBLE) / sum(nt)) * 1e4 + 0.5) / 1e4
+                   AS avg_token_len
             FROM per_doc GROUP BY 1
         ), vocab AS (
             SELECT lang, count(*) AS vocab_size
@@ -19925,7 +19929,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT (SELECT max(na) FROM a) + (SELECT max(nb) FROM b) AS t
         )
         SELECT strftime(a.day, '%Y-%m-%d') AS day,
-               round((na + nb) / CAST(t AS DOUBLE), 6) AS info_frac,
+               floor(((na + nb) / CAST(t AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS info_frac,
                round((ma - mb) / sqrt(va / na + vb / nb), 6) AS z_stat,
                round(2.2414 / sqrt((na + nb) / CAST(t AS DOUBLE)), 6)
                    AS obf_bound,
@@ -20052,8 +20056,9 @@ def oracle_sql() -> dict[str, str]:
                CAST(sum(na) AS BIGINT) AS n_a,
                CAST(sum(nb) AS BIGINT) AS n_b,
                sum(2 * na * cumb_less + na * nb) / 2.0 AS u_stat,
-               round(sum(2 * na * cumb_less + na * nb)
-                     / CAST(sum(na) * sum(nb) AS DOUBLE) - 1.0, 6)
+               floor((sum(2 * na * cumb_less + na * nb)
+                      / CAST(sum(na) * sum(nb) AS DOUBLE) - 1.0)
+                     * 1e6 + 0.5) / 1e6
                    AS rank_biserial
         FROM stepped GROUP BY 1
     """
@@ -20073,7 +20078,7 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT bucket, count(*) AS n_rows,
                CAST(n // 10 AS BIGINT) AS expected_rows,
-               round(count(*) / (n / 10.0), 6) AS depth_ratio,
+               floor((count(*) / (n / 10.0)) * 1e6 + 0.5) / 1e6 AS depth_ratio,
                round(min(o_totalprice), 2) AS lo,
                round(max(o_totalprice), 2) AS hi
         FROM binned, tot
@@ -20138,7 +20143,7 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT source, g AS ngram,
                CAST(df AS BIGINT) AS doc_freq,
-               round(df / CAST(nd AS DOUBLE), 6) AS df_share
+               floor((df / CAST(nd AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS df_share
         FROM (
             SELECT d.source, d.g, d.df, p.nd,
                    row_number() OVER (PARTITION BY d.source
@@ -20582,7 +20587,8 @@ def oracle_sql() -> dict[str, str]:
         counts AS (SELECT cur, nxt, count(*) AS n FROM t2 GROUP BY 1, 2)
         SELECT cur, CAST(sum(n) AS BIGINT) AS n_transitions,
                round(ln(sum(n)) - sum(n * ln(n)) / sum(n), 6) AS entropy,
-               round(max(n) * 1.0 / sum(n), 6) AS top_share,
+               floor((CAST(max(n) AS DOUBLE) / sum(n)) * 1e6 + 0.5) / 1e6
+                   AS top_share,
                round(1 - (ln(sum(n)) - sum(n * ln(n)) / sum(n)) / ln(5.0), 6)
                    AS predictability
         FROM counts GROUP BY 1
@@ -20895,8 +20901,9 @@ def oracle_sql() -> dict[str, str]:
             SELECT '{_g}' AS grain,
                    count(DISTINCT date_trunc('{_g}', ts)) AS n_partitions,
                    {_touch} AS n_touched,
-                   round(1 - {_touch} * 1.0
-                         / count(DISTINCT date_trunc('{_g}', ts)), 6)
+                   floor((1 - CAST({_touch} AS DOUBLE)
+                          / count(DISTINCT date_trunc('{_g}', ts)))
+                         * 1e6 + 0.5) / 1e6
                        AS pruning_ratio
             FROM events
         """)
@@ -21292,7 +21299,7 @@ def oracle_sql() -> dict[str, str]:
             FROM sample
         )
         SELECT full_n, sample_n, full_mean, sample_mean,
-               round(abs(sample_mean - full_mean) / full_mean, 6)
+               floor((abs(sample_mean - full_mean) / full_mean) * 1e6 + 0.5) / 1e6
                    AS mean_rel_err,
                full_p50, sample_p50, full_p90, sample_p90
         FROM fs, ss
@@ -21442,7 +21449,8 @@ def oracle_sql() -> dict[str, str]:
         SELECT count(*) AS n_recommendations,
                round(avg(-log2(nbn * 1.0 / (SELECT n FROM no))), 6)
                    AS mean_novelty_bits,
-               round(count(DISTINCT item_b) * 1.0 / (SELECT n FROM nc), 6)
+               floor((CAST(count(DISTINCT item_b) AS DOUBLE) / (SELECT n FROM nc))
+                     * 1e6 + 0.5) / 1e6
                    AS catalog_coverage
         FROM recs
     """
@@ -21492,16 +21500,18 @@ def oracle_sql() -> dict[str, str]:
                    AS docs_removed,
                CAST(sum(CASE WHEN NOT keep THEN n_chars ELSE 0 END)
                     AS BIGINT) AS chars_saved,
-               round(sum(CASE WHEN NOT keep THEN n_chars ELSE 0 END) * 1.0
-                     / (SELECT tot FROM total), 6) AS corpus_share_saved
+               floor((CAST(sum(CASE WHEN NOT keep THEN n_chars ELSE 0 END)
+                           AS DOUBLE)
+                      / (SELECT tot FROM total)) * 1e6 + 0.5) / 1e6 AS corpus_share_saved
         FROM exact_m
         UNION ALL
         SELECT 'simhash_components',
                CAST(sum(CASE WHEN NOT keep THEN 1 ELSE 0 END) AS BIGINT),
                CAST(sum(CASE WHEN NOT keep THEN n_chars ELSE 0 END)
                     AS BIGINT),
-               round(sum(CASE WHEN NOT keep THEN n_chars ELSE 0 END) * 1.0
-                     / (SELECT tot FROM total), 6)
+               floor((CAST(sum(CASE WHEN NOT keep THEN n_chars ELSE 0 END)
+                           AS DOUBLE)
+                      / (SELECT tot FROM total)) * 1e6 + 0.5) / 1e6
         FROM near_m
     """
     sqls["q367_cohort_ltv_curve"] = """
@@ -21633,8 +21643,9 @@ def oracle_sql() -> dict[str, str]:
               ON a.item_a = b.item_a AND a.item_b < b.item_b
         )
         SELECT item_a, count(*) AS n_pairs,
-               round(sum(sign(s1 - s2) * sign(CAST(p1 - p2 AS DOUBLE)))
-                     / count(*), 6) AS kendall_tau_sim_vs_popularity
+               floor((sum(sign(s1 - s2) * sign(CAST(p1 - p2 AS DOUBLE)))
+                      / count(*)) * 1e6 + 0.5) / 1e6
+                   AS kendall_tau_sim_vs_popularity
         FROM pairs GROUP BY 1
     """
     import math as _math
@@ -21653,7 +21664,7 @@ def oracle_sql() -> dict[str, str]:
                        {_fpr!r} AS target_fpr,
                        CAST(ceil(ndv * {_bpk!r}) AS BIGINT) AS filter_bits,
                        {_nh!r} AS n_hashes,
-                       round(ndv * {_bpk!r} / 8 / 1024.0, 2) AS filter_kib
+                       floor((ndv * {_bpk!r} / 8 / 1024.0) * 1e2 + 0.5) / 1e2 AS filter_kib
                 FROM (SELECT count(DISTINCT {_col}) AS ndv FROM {_tbl})
             """)
     sqls["q371_bloom_size_planner"] = " UNION ALL ".join(_bloom_sqls)
@@ -21679,8 +21690,9 @@ def oracle_sql() -> dict[str, str]:
                count(*) AS partitions_total,
                CAST(sum(CASE WHEN del_rows > 0 THEN rows_ ELSE 0 END)
                     AS BIGINT) AS rows_rewritten,
-               round(sum(CASE WHEN del_rows > 0 THEN rows_ ELSE 0 END) * 1.0
-                     / sum(del_rows), 6) AS rewrite_amplification
+               floor((CAST(sum(CASE WHEN del_rows > 0 THEN rows_ ELSE 0 END)
+                           AS DOUBLE) / sum(del_rows)) * 1e6 + 0.5) / 1e6
+                   AS rewrite_amplification
         FROM per_day
     """
     sqls["q373_price_indices"] = """
@@ -21818,7 +21830,8 @@ def oracle_sql() -> dict[str, str]:
                CAST(sum(c1) AS BIGINT) AS n_capture1,
                CAST(sum(c2) AS BIGINT) AS n_capture2,
                CAST(sum(c1 * c2) AS BIGINT) AS n_recaptured,
-               round(sum(c1) * sum(c2) * 1.0 / sum(c1 * c2), 2)
+               floor((sum(c1) * sum(c2) / CAST(sum(c1 * c2) AS DOUBLE))
+                     * 1e2 + 0.5) / 1e2
                    AS lincoln_petersen_estimate
         FROM marked
     """
