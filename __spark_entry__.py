@@ -8761,21 +8761,25 @@ def q291_target_encoding_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = o.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("o_totalprice").alias("_s"),
+        F.sum(_cents("o_totalprice")).alias("_sc"),
         F.min("o_totalprice").alias("_mn"),
         F.max("o_totalprice").alias("_mx"),
     )
     return g.crossJoin(F.broadcast(prior)).select(
         "o_orderpriority",
         "n",
+        # smoothed blends the float global prior — not an exact ratio;
+        # its double is order-dependent only at ~1e-13, absorbed at d=4
         F.round((F.col("_s") + F.col("_p") * 20) / (F.col("n") + 20), 4).alias(
             "smoothed_encoding"
         ),
-        F.round((F.col("_s") - F.col("_mx")) / (F.col("n") - 1), 4).alias(
-            "loo_min"
-        ),
-        F.round((F.col("_s") - F.col("_mn")) / (F.col("n") - 1), 4).alias(
-            "loo_max"
-        ),
+        # the LOO bounds ARE exact integer ratios over cent sums
+        _half_up(
+            F.col("_sc") - _fixed("_mx", 100), (F.col("n") - 1) * 100, 4
+        ).alias("loo_min"),
+        _half_up(
+            F.col("_sc") - _fixed("_mn", 100), (F.col("n") - 1) * 100, 4
+        ).alias("loo_max"),
     )
 
 
@@ -10827,9 +10831,9 @@ def q330_dedup_threshold_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame
         "threshold",
         "n_predicted",
         "n_true",
-        F.round(prec, 6).alias("precision"),
-        F.round(rec, 6).alias("recall"),
-        F.round(
+        half_up(prec, 6).alias("precision"),
+        half_up(rec, 6).alias("recall"),
+        half_up(
             F.when(prec + rec > 0, 2 * prec * rec / (prec + rec)).otherwise(
                 F.lit(0.0)
             ),
@@ -20350,30 +20354,23 @@ def oracle_sql() -> dict[str, str]:
                             THEN 1 ELSE 0 END) AS tp
             FROM swept GROUP BY 1
         )
+        , m AS (
+            SELECT threshold, n_predicted, n_true,
+                   CASE WHEN n_predicted > 0
+                        THEN CAST(tp AS DOUBLE) / n_predicted
+                        ELSE 0.0 END AS prec,
+                   CASE WHEN n_true > 0
+                        THEN CAST(tp AS DOUBLE) / n_true
+                        ELSE 0.0 END AS rec
+            FROM agg
+        )
         SELECT threshold, n_predicted, n_true,
-               round(CASE WHEN n_predicted > 0
-                          THEN tp * 1.0 / n_predicted ELSE 0.0 END, 6)
-                   AS precision,
-               round(CASE WHEN n_true > 0
-                          THEN tp * 1.0 / n_true ELSE 0.0 END, 6) AS recall,
-               round(CASE WHEN (CASE WHEN n_predicted > 0
-                                     THEN tp * 1.0 / n_predicted
-                                     ELSE 0.0 END)
-                          + (CASE WHEN n_true > 0 THEN tp * 1.0 / n_true
-                                  ELSE 0.0 END) > 0
-                          THEN 2 * (CASE WHEN n_predicted > 0
-                                         THEN tp * 1.0 / n_predicted
-                                         ELSE 0.0 END)
-                               * (CASE WHEN n_true > 0
-                                       THEN tp * 1.0 / n_true ELSE 0.0 END)
-                               / ((CASE WHEN n_predicted > 0
-                                        THEN tp * 1.0 / n_predicted
-                                        ELSE 0.0 END)
-                                  + (CASE WHEN n_true > 0
-                                          THEN tp * 1.0 / n_true
-                                          ELSE 0.0 END))
-                          ELSE 0.0 END, 6) AS f1
-        FROM agg
+               floor(prec * 1e6 + 0.5) / 1e6 AS precision,
+               floor(rec * 1e6 + 0.5) / 1e6 AS recall,
+               floor((CASE WHEN prec + rec > 0
+                           THEN 2 * prec * rec / (prec + rec)
+                           ELSE 0.0 END) * 1e6 + 0.5) / 1e6 AS f1
+        FROM m
     """
     sqls["q331_item_item_cf"] = """
         WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
@@ -22036,13 +22033,16 @@ def oracle_sql() -> dict[str, str]:
         WITH prior AS (SELECT avg(o_totalprice) AS p FROM orders),
         g AS (
             SELECT o_orderpriority, count(*) AS n, sum(o_totalprice) AS s,
+                   sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS sc,
                    min(o_totalprice) AS mn, max(o_totalprice) AS mx
             FROM orders GROUP BY 1
         )
         SELECT o_orderpriority, n,
                round((s + p * 20) / (n + 20), 4) AS smoothed_encoding,
-               round((s - mx) / (n - 1), 4) AS loo_min,
-               round((s - mn) / (n - 1), 4) AS loo_max
+               floor(CAST(sc - CAST(round(mx * 100) AS BIGINT) AS DOUBLE)
+                     * 1e4 / ((n - 1) * 100) + 0.5) / 1e4 AS loo_min,
+               floor(CAST(sc - CAST(round(mn * 100) AS BIGINT) AS DOUBLE)
+                     * 1e4 / ((n - 1) * 100) + 0.5) / 1e4 AS loo_max
         FROM g, prior
     """
     sqls["q292_stream_state_sizing"] = """
