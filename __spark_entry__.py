@@ -1070,8 +1070,10 @@ def q60_distribution_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_mktsegment",
         "c_custkey",
         F.ntile(4).over(w).alias("quartile"),
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        # percent_rank/cume_dist are exact integer ratios ((r-1)/(n-1),
+        # c/n) — engine-stable floor half-up, not round()
+        half_up(F.percent_rank().over(w), 6).alias("pct_rank"),
+        half_up(F.cume_dist().over(w), 6).alias("cume"),
     )
 
 
@@ -3182,8 +3184,8 @@ def q148_price_position(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_type",
         "p_brand",
         (avg4 / 10000.0).alias("avg_price"),
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 6).alias("cume_dist"),
+        half_up(F.percent_rank().over(w), 6).alias("pct_rank"),
+        half_up(F.cume_dist().over(w), 6).alias("cume_dist"),
     )
 
 
@@ -14071,9 +14073,10 @@ def _quality_sql(text: str = "text") -> str:
     stop = f"(len(regexp_extract_all(lower({text}), '\\b(?:{en})\\b')) * 1.0 / {ws})"
     band = f"(CASE WHEN {n} >= 50 AND {n} <= 20000 THEN 1.0 WHEN {n} > 0 THEN 0.5 ELSE 0.0 END)"
     return (
-        f"round(0.35 * {band} + 0.30 * least({alpha} * 1.25, 1.0) "
+        f"(floor((0.35 * {band} + 0.30 * least({alpha} * 1.25, 1.0) "
         f"+ 0.20 * least({stop} * 4.0, 1.0) "
-        f"+ 0.15 * (1.0 - least({punct} * 4.0, 1.0)), 4)"
+        f"+ 0.15 * (1.0 - least({punct} * 4.0, 1.0))) * 10000.0 + 0.5) "
+        f"/ 10000.0)"
     )
 
 
@@ -15010,8 +15013,9 @@ def oracle_sql() -> dict[str, str]:
         "q60_distribution_windows": """
             SELECT c_mktsegment, c_custkey,
                    ntile(4) OVER w AS quartile,
-                   round(percent_rank() OVER w, 6) AS pct_rank,
-                   round(cume_dist() OVER w, 6) AS cume
+                   floor(percent_rank() OVER w * 1e6 + 0.5) / 1e6
+                       AS pct_rank,
+                   floor(cume_dist() OVER w * 1e6 + 0.5) / 1e6 AS cume
             FROM customer
             WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
         """,
@@ -16747,13 +16751,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT p_type, p_brand,
                    floor(CAST(c AS DOUBLE) * 100 / n + 0.5) / 10000.0
                        AS avg_price,
-                   round(percent_rank() OVER
+                   floor(percent_rank() OVER
                          (PARTITION BY p_type
-                          ORDER BY CAST(c AS DOUBLE) / n, p_brand), 6)
+                          ORDER BY CAST(c AS DOUBLE) / n, p_brand)
+                         * 1e6 + 0.5) / 1e6
                        AS pct_rank,
-                   round(cume_dist() OVER
+                   floor(cume_dist() OVER
                          (PARTITION BY p_type
-                          ORDER BY CAST(c AS DOUBLE) / n, p_brand), 6)
+                          ORDER BY CAST(c AS DOUBLE) / n, p_brand)
+                         * 1e6 + 0.5) / 1e6
                        AS cume_dist
             FROM agg
         """,

@@ -85,13 +85,17 @@ def quality_score(text: Column) -> Column:
     presence + low punctuation noise. Weights are arbitrary but fixed."""
     n = F.length(text)
     length_band = F.when((n >= 50) & (n <= 20000), F.lit(1.0)).when(n > 0, F.lit(0.5)).otherwise(F.lit(0.0))
-    return F.round(
+    score = (
         0.35 * length_band
         + 0.30 * F.least(alpha_ratio(text) * 1.25, F.lit(1.0))
         + 0.20 * F.least(stopword_ratio(text) * 4.0, F.lit(1.0))
-        + 0.15 * (1.0 - F.least(punct_ratio(text) * 4.0, F.lit(1.0))),
-        4,
+        + 0.15 * (1.0 - F.least(punct_ratio(text) * 4.0, F.lit(1.0)))
     )
+    # the score is a rational of character/token counts — it CAN sit on a
+    # 4-decimal half boundary, where round(double) diverges across engines
+    # on the same double; floor(x*1e4 + 0.5) is the engine-stable half-up
+    # over the bit-identical deterministic input (oracle mirrors verbatim)
+    return F.floor(score * 10000.0 + 0.5) / 10000.0
 
 
 def chargram_min_fingerprint(text: Column, k: int = 8) -> Column:

@@ -37,9 +37,11 @@ def annotate_documents(df: DataFrame, text_col: str = "text") -> DataFrame:
         F.length(t).alias("char_count"),
         whitespace_token_count(t).alias("ws_tokens"),
         bpe_ish_token_count(t).alias("bpe_tokens"),
-        F.round(alpha_ratio(t), 6).alias("alpha_ratio"),
-        F.round(punct_ratio(t), 6).alias("punct_ratio"),
-        F.round(stopword_ratio(t), 6).alias("stopword_ratio"),
+        # char/token-count ratios reach exact half boundaries (k/128 at
+        # d=6) — engine-stable floor half-up, not round()
+        half_up(alpha_ratio(t), 6).alias("alpha_ratio"),
+        half_up(punct_ratio(t), 6).alias("punct_ratio"),
+        half_up(stopword_ratio(t), 6).alias("stopword_ratio"),
         quality_score(t).alias("quality"),
         lang_id_expr(t).alias("lang_guess"),
         doc_fingerprint(t).alias("fingerprint"),
