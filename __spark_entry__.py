@@ -178,8 +178,8 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 1).alias("sum_base_price"),
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 1).alias("sum_disc_price"),
+            _half_up(F.sum(_cents("l_extendedprice")), F.lit(100), 1).alias("sum_base_price"),
+            _half_up(F.sum(_fixed(F.col("l_extendedprice") * (1 - F.col("l_discount")), 10000)), F.lit(10000), 1).alias("sum_disc_price"),
             _half_up(F.sum(_intval("l_quantity")), F.count(F.lit(1)), 5).alias("avg_qty"),
             _half_up(F.sum(_cents("l_discount")), F.count(F.lit(1)) * 100, 6).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
@@ -204,7 +204,7 @@ def q02_revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("r_name")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 1).alias("revenue"),
+            _half_up(F.sum(_fixed(F.col("l_extendedprice") * (1 - F.col("l_discount")), 10000)), F.lit(10000), 1).alias("revenue"),
             F.count(F.lit(1)).alias("n_items"),
         )
     )
@@ -275,7 +275,7 @@ def q06_revenue_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_quantity") < 24)
         )
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"),
+            _half_up(F.sum(_fixed(F.col("l_extendedprice") * F.col("l_discount"), 10000)), F.lit(10000), 2).alias("revenue"),
             F.count(F.lit(1)).alias("n_rows"),
         )
     )
@@ -449,7 +449,7 @@ def q18_range_join_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("band")
         .agg(
             F.count(F.lit(1)).alias("n_items"),
-            F.round(F.sum("l_extendedprice"), 1).alias("sum_price"),
+            _half_up(F.sum(_cents("l_extendedprice")), F.lit(100), 1).alias("sum_price"),
         )
     )
 
@@ -471,7 +471,7 @@ def q19_disjunctive_pred_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(grp("Brand#11", 15, 1, 11) | grp("Brand#22", 25, 10, 20) | grp("Brand#33", 35, 20, 30))
         .groupBy("p_brand")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            _half_up(F.sum(_fixed(F.col("l_extendedprice") * (1 - F.col("l_discount")), 10000)), F.lit(10000), 2).alias("revenue"),
             F.count(F.lit(1)).alias("n_items"),
         )
     )
@@ -1464,8 +1464,10 @@ def q76_binational_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            _half_up(
+                F.sum(_fixed(F.col("l_extendedprice") * (1 - F.col("l_discount")), 10000)),
+                F.lit(10000),
+                2,
             ).alias("revenue"),
             F.count(F.lit(1)).alias("n_lines"),
         )
@@ -1781,8 +1783,10 @@ def q89_returned_item_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            _half_up(
+                F.sum(_fixed(F.col("l_extendedprice") * (1 - F.col("l_discount")), 10000)),
+                F.lit(10000),
+                2,
             ).alias("lost_revenue")
         )
         .orderBy(F.col("lost_revenue").desc(), F.col("c_custkey"))
@@ -1831,8 +1835,10 @@ def q91_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
         .groupBy("n_name")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            _half_up(
+                F.sum(_fixed(F.col("l_extendedprice") * (1 - F.col("l_discount")), 10000)),
+                F.lit(10000),
+                2,
             ).alias("revenue"),
             F.count(F.lit(1)).alias("n_lines"),
         )
@@ -2186,7 +2192,7 @@ def q110_binned_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("band")
         .agg(
             F.count(F.lit(1)).alias("n_items"),
-            F.round(F.sum("l_extendedprice"), 1).alias("sum_price"),
+            _half_up(F.sum(_cents("l_extendedprice")), F.lit(100), 1).alias("sum_price"),
         )
     )
 
@@ -2288,7 +2294,7 @@ def q112_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-07-01")
         )
         .groupBy("l_suppkey")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("total_rev"))
+        .agg(_half_up(F.sum(_fixed(F.col("l_extendedprice") * (1 - F.col("l_discount")), 10000)), F.lit(10000), 2).alias("total_rev"))
     )
     mx = rev.agg(F.max("total_rev").alias("_mx"))
     top = (
@@ -2930,12 +2936,16 @@ def q141_merged_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     (island starts where the current start exceeds every previous end), then
     per-user coverage = Σ island lengths. One window shuffle partitioned by
     user; NTZ-safe epoch math shared with operators/sessions."""
-    from hubverse_transform_spark.operators.sessions import _epoch_seconds
+    from hubverse_transform_spark.operators.sessions import _epoch_micros
 
+    # exact integer microseconds: coverage sums stay exact-integer, so the
+    # 2-decimal display uses the engine-stable floor half-up (a coverage
+    # total whose micros end in exactly 5000 sits ON the d=2 half boundary,
+    # where round(double) diverges across engines)
     ev = _t(spark, sf_dir, "events").select(
-        "user_id", _epoch_seconds(F.col("ts")).alias("_t")
+        "user_id", _epoch_micros(F.col("ts")).alias("_t")
     )
-    span = 300.0
+    span = 300 * 1000000  # 300 s in micros
     w_prev = (
         Window.partitionBy("user_id")
         .orderBy("_t")
@@ -2955,7 +2965,9 @@ def q141_merged_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return islands.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n_islands"),
-        F.round(F.sum(F.col("_end") - F.col("_start")), 2).alias("covered_sec"),
+        _half_up(
+            F.sum(F.col("_end") - F.col("_start")), F.lit(1000000), 2
+        ).alias("covered_sec"),
     )
 
 
@@ -3453,7 +3465,7 @@ def q156_merge_changeset(spark: SparkSession, sf_dir: str) -> DataFrame:
     merged = apply_changeset(base, changes, "o_orderkey", "op")
     return merged.groupBy("o_orderstatus").agg(
         F.count(F.lit(1)).alias("n_orders"),
-        F.round(F.sum("o_totalprice"), 1).alias("sum_price"),
+        _half_up(F.sum(_fixed("o_totalprice", 1000)), F.lit(1000), 1).alias("sum_price"),
     )
 
 
@@ -4386,7 +4398,7 @@ def q189_nearest_event_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     interval join plus a per-left-row rank on |gap|. Rolled up per day:
     matched clicks and total |gap| (the sum stays on the millisecond
     grid, so cross-engine rounding is stable where an average is not)."""
-    from hubverse_transform_spark.operators.sessions import _epoch_seconds
+    from hubverse_transform_spark.operators.sessions import _epoch_micros
 
     e = _t(spark, sf_dir, "events")
     clicks = e.filter(F.col("event_type") == "click").select(
@@ -4397,12 +4409,16 @@ def q189_nearest_event_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     purchases = e.filter(F.col("event_type") == "purchase").select(
         F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
     )
-    gap = _epoch_seconds(F.col("p_ts")) - _epoch_seconds(F.col("c_ts"))
+    # exact integer-microsecond gaps: identical |gap| ordering, and the
+    # summed total stays exact-integer so the 3-decimal display uses the
+    # engine-stable floor half-up (a gap total whose micros end in 500
+    # sits ON the d=3 half boundary)
+    gap_us = _epoch_micros(F.col("p_ts")) - _epoch_micros(F.col("c_ts"))
     joined = clicks.join(
         purchases,
         (F.col("c_user") == F.col("p_user"))
-        & (F.abs(gap) <= 600),
-    ).select("c_id", "c_ts", F.round(gap, 3).alias("_gap"))
+        & (F.abs(gap_us) <= 600 * 1000000),
+    ).select("c_id", "c_ts", gap_us.alias("_gap"))
     w = Window.partitionBy("c_id").orderBy(F.abs(F.col("_gap")), F.col("_gap"))
     nearest = joined.withColumn("_rn", F.row_number().over(w)).filter(
         F.col("_rn") == 1
@@ -4411,7 +4427,9 @@ def q189_nearest_event_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("c_ts", "yyyy-MM-dd").alias("day")
     ).agg(
         F.count(F.lit(1)).alias("n_matched"),
-        F.round(F.sum(F.abs(F.col("_gap"))), 3).alias("total_abs_gap_s"),
+        _half_up(
+            F.sum(F.abs(F.col("_gap"))), F.lit(1000000), 3
+        ).alias("total_abs_gap_s"),
     )
 
 
@@ -8491,7 +8509,9 @@ def q284_topk_plus_other(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("r_name", "p_brand")
         .agg(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("_rev")
+            # exact 1e-4-dollar units: deterministic ranking, boundary-safe
+            # display rounding downstream
+            F.sum(_fixed(F.col("l_extendedprice") * (1 - F.col("l_discount")), 10000)).alias("_rev")
         )
     )
     w = Window.partitionBy("r_name").orderBy(F.col("_rev").desc(), "p_brand")
@@ -8503,7 +8523,7 @@ def q284_topk_plus_other(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return labeled.groupBy("r_name", "brand_label").agg(
         F.count(F.lit(1)).alias("n_brands"),
-        F.round(F.sum("_rev"), 2).alias("revenue"),
+        _half_up(F.sum("_rev"), F.lit(10000), 2).alias("revenue"),
     )
 
 
@@ -8520,13 +8540,13 @@ def q285_hist2d_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").select(
         F.floor(F.col("l_quantity") / 10).cast("int").alias("qb"),
         F.floor(F.col("l_extendedprice") / 10000).cast("int").alias("pb"),
-        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("_rev"),
+        _fixed(F.col("l_extendedprice") * (1 - F.col("l_discount")), 10000).alias("_rev"),
     )
     g = li.groupingSets([["qb", "pb"], ["qb"], ["pb"], []], "qb", "pb").agg(
         F.grouping("qb").alias("_gq"),
         F.grouping("pb").alias("_gp"),
         F.count(F.lit(1)).alias("n_rows"),
-        F.round(F.sum("_rev"), 2).alias("revenue"),
+        _half_up(F.sum("_rev"), F.lit(10000), 2).alias("revenue"),
     )
     return g.select(
         F.when(F.col("_gq") == 1, F.lit(-1)).otherwise(F.col("qb")).alias("qb"),
@@ -13006,8 +13026,8 @@ def q367_cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_format("_c0", "yyyy-MM-dd").alias("cohort_week"),
             "week_offset",
             F.col("_n0").alias("cohort_size"),
-            F.round(
-                F.sum("_rev").over(w) / (100.0 * F.col("_n0")), 4
+            _half_up(
+                F.sum("_rev").over(w), F.lit(100) * F.col("_n0"), 4
             ).alias("cum_ltv_per_user"),
         )
     )
@@ -14204,8 +14224,10 @@ def oracle_sql() -> dict[str, str]:
         "q01_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    round(sum(l_quantity), 2) AS sum_qty,
-                   round(sum(l_extendedprice), 1) AS sum_base_price,
-                   round(sum(l_extendedprice * (1 - l_discount)), 1) AS sum_disc_price,
+                   floor(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE)
+                         * 1e1 / 100 + 0.5) / 1e1 AS sum_base_price,
+                   floor(CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS DOUBLE)
+                         * 1e1 / 10000 + 0.5) / 1e1 AS sum_disc_price,
                    floor(CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS DOUBLE)
                          * 1e5 / count(*) + 0.5) / 1e5 AS avg_qty,
                    floor(CAST(sum(CAST(round(l_discount * 100) AS BIGINT)) AS DOUBLE)
@@ -14217,7 +14239,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q02_revenue_by_region": """
             SELECT r_name,
-                   round(sum(l_extendedprice * (1 - l_discount)), 1) AS revenue,
+                   floor(CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS DOUBLE)
+                         * 1e1 / 10000 + 0.5) / 1e1 AS revenue,
                    count(*) AS n_items
             FROM lineitem
             JOIN orders ON l_orderkey = o_orderkey
@@ -14262,7 +14285,9 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY c_mktsegment
         """,
         "q06_revenue_filter": """
-            SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+            SELECT floor(CAST(sum(CAST(round(l_extendedprice * l_discount * 10000)
+                                      AS BIGINT)) AS DOUBLE)
+                         * 1e2 / 10000 + 0.5) / 1e2 AS revenue,
                    count(*) AS n_rows
             FROM lineitem
             WHERE l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24
@@ -14374,7 +14399,8 @@ def oracle_sql() -> dict[str, str]:
         "q18_range_join_bands": """
             SELECT band,
                    count(*) AS n_items,
-                   round(sum(l_extendedprice), 1) AS sum_price
+                   floor(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE)
+                         * 1e1 / 100 + 0.5) / 1e1 AS sum_price
             FROM lineitem
             JOIN (VALUES ('low', 0, 10), ('mid', 11, 25), ('high', 26, 50))
                  AS b(band, lo, hi)
@@ -14383,7 +14409,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q19_disjunctive_pred_join": """
             SELECT p_brand,
-                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                   floor(CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS DOUBLE)
+                         * 1e2 / 10000 + 0.5) / 1e2 AS revenue,
                    count(*) AS n_items
             FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
             WHERE (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 15
@@ -15319,7 +15346,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT sn.n_name AS supp_nation,
                    cn.n_name AS cust_nation,
                    CAST(year(l_shipdate) AS INT) AS l_year,
-                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                   floor(CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS DOUBLE)
+                         * 1e2 / 10000 + 0.5) / 1e2 AS revenue,
                    count(*) AS n_lines
             FROM lineitem
             JOIN orders ON l_orderkey = o_orderkey
@@ -15538,7 +15566,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q89_returned_item_customers": """
             SELECT c_custkey, c_name, n_name,
-                   round(sum(l_extendedprice * (1 - l_discount)), 2)
+                   floor(CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS DOUBLE)
+                         * 1e2 / 10000 + 0.5) / 1e2
                        AS lost_revenue
             FROM lineitem
             JOIN orders ON l_orderkey = o_orderkey
@@ -15565,7 +15594,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q91_local_supplier_volume": """
             SELECT n_name,
-                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                   floor(CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS DOUBLE)
+                         * 1e2 / 10000 + 0.5) / 1e2 AS revenue,
                    count(*) AS n_lines
             FROM lineitem
             JOIN orders ON l_orderkey = o_orderkey
@@ -15921,7 +15951,8 @@ def oracle_sql() -> dict[str, str]:
                        ('premium', 35000.0, 70000.0)
             )
             SELECT band, count(*) AS n_items,
-                   round(sum(l_extendedprice), 1) AS sum_price
+                   floor(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE)
+                         * 1e1 / 100 + 0.5) / 1e1 AS sum_price
             FROM lineitem JOIN bands
               ON l_extendedprice BETWEEN lo AND hi
             GROUP BY band
@@ -15941,7 +15972,8 @@ def oracle_sql() -> dict[str, str]:
         "q112_top_supplier": """
             WITH rev AS (
                 SELECT l_suppkey,
-                       round(sum(l_extendedprice * (1 - l_discount)), 2)
+                       floor(CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS DOUBLE)
+                             * 1e2 / 10000 + 0.5) / 1e2
                            AS total_rev
                 FROM lineitem
                 WHERE l_shipdate >= TIMESTAMP '1996-01-01'
@@ -16573,14 +16605,14 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q141_merged_intervals": """
             WITH ev AS (
-                SELECT user_id, epoch(ts) AS t FROM events
+                SELECT user_id, epoch_us(ts) AS t FROM events
             ), marked AS (
                 SELECT user_id, t,
-                       CASE WHEN max(t + 300.0) OVER
+                       CASE WHEN max(t + 300000000) OVER
                                  (PARTITION BY user_id ORDER BY t
                                   ROWS BETWEEN UNBOUNDED PRECEDING
                                        AND 1 PRECEDING) IS NULL THEN 1
-                            WHEN t > max(t + 300.0) OVER
+                            WHEN t > max(t + 300000000) OVER
                                  (PARTITION BY user_id ORDER BY t
                                   ROWS BETWEEN UNBOUNDED PRECEDING
                                        AND 1 PRECEDING) THEN 1
@@ -16593,12 +16625,13 @@ def oracle_sql() -> dict[str, str]:
                 FROM marked
             ), merged AS (
                 SELECT user_id, island,
-                       min(t) AS start, max(t) + 300.0 AS fin
+                       min(t) AS start, max(t) + 300000000 AS fin
                 FROM islands GROUP BY user_id, island
             )
             SELECT user_id,
                    count(*) AS n_islands,
-                   round(sum(fin - start), 2) AS covered_sec
+                   floor(CAST(sum(fin - start) AS DOUBLE) * 1e2 / 1000000
+                         + 0.5) / 1e2 AS covered_sec
             FROM merged GROUP BY user_id
         """,
         "q142_brand_mode_type": """
@@ -16909,7 +16942,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT * FROM ins
         )
         SELECT o_orderstatus, count(*) AS n_orders,
-               round(sum(o_totalprice), 1) AS sum_price
+               floor(CAST(sum(CAST(round(o_totalprice * 1000) AS BIGINT)) AS DOUBLE)
+                     * 1e1 / 1000 + 0.5) / 1e1 AS sum_price
         FROM merged GROUP BY o_orderstatus
     """
     sqls["q157_packing_capacity_sweep"] = """
@@ -17459,18 +17493,18 @@ def oracle_sql() -> dict[str, str]:
              p AS (SELECT user_id AS pu, ts AS pts
                    FROM events WHERE event_type = 'purchase'),
              j AS (SELECT c_id, cts,
-                          round((epoch_us(pts) - epoch_us(cts)) / 1e6, 3)
-                              AS gap
+                          epoch_us(pts) - epoch_us(cts) AS gap
                    FROM c JOIN p
                      ON cu = pu
-                    AND abs(epoch_us(pts) - epoch_us(cts)) / 1e6 <= 600),
+                    AND abs(epoch_us(pts) - epoch_us(cts)) <= 600000000),
              n AS (SELECT c_id, cts, gap,
                           row_number() OVER (PARTITION BY c_id
                                              ORDER BY abs(gap), gap) AS rn
                    FROM j)
         SELECT strftime(cts, '%Y-%m-%d') AS day,
                count(*) AS n_matched,
-               round(sum(abs(gap)), 3) AS total_abs_gap_s
+               floor(CAST(sum(abs(gap)) AS DOUBLE) * 1e3 / 1000000 + 0.5)
+                   / 1e3 AS total_abs_gap_s
         FROM n WHERE rn = 1 GROUP BY 1
     """
     sqls["q190_largest_remainder"] = """
@@ -21538,10 +21572,11 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT strftime(p.c0, '%Y-%m-%d') AS cohort_week, p.week_offset,
                CAST(s.n0 AS BIGINT) AS cohort_size,
-               round(sum(p.rev) OVER (PARTITION BY p.c0
-                                      ORDER BY p.week_offset
-                                      ROWS UNBOUNDED PRECEDING)
-                     / (100.0 * s.n0), 4) AS cum_ltv_per_user
+               floor(CAST(sum(p.rev) OVER (PARTITION BY p.c0
+                                           ORDER BY p.week_offset
+                                           ROWS UNBOUNDED PRECEDING)
+                          AS DOUBLE)
+                     * 1e4 / (100 * s.n0) + 0.5) / 1e4 AS cum_ltv_per_user
         FROM per_offset p JOIN sizes s ON s.c0 = p.c0
     """
     _lb_lags = " UNION ALL ".join(
@@ -22132,7 +22167,8 @@ def oracle_sql() -> dict[str, str]:
     sqls["q284_topk_plus_other"] = """
         WITH rev AS (
             SELECT r.r_name, p.p_brand,
-                   sum(l.l_extendedprice * (1 - l.l_discount)) AS rv
+                   sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000)
+                            AS BIGINT)) AS rv
             FROM lineitem l
             JOIN part p ON p.p_partkey = l.l_partkey
             JOIN supplier s ON s.s_suppkey = l.l_suppkey
@@ -22148,19 +22184,21 @@ def oracle_sql() -> dict[str, str]:
             FROM rev
         )
         SELECT r_name, brand_label, count(*) AS n_brands,
-               round(sum(rv), 2) AS revenue
+               floor(CAST(sum(rv) AS DOUBLE) * 1e2 / 10000 + 0.5) / 1e2 AS revenue
         FROM labeled GROUP BY 1, 2
     """
     sqls["q285_hist2d_grouping_sets"] = """
         WITH b AS (
             SELECT CAST(floor(l_quantity / 10) AS INT) AS qb,
                    CAST(floor(l_extendedprice / 10000) AS INT) AS pb,
-                   l_extendedprice * (1 - l_discount) AS rev
+                   CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT) AS rev
             FROM lineitem
         )
         SELECT CASE WHEN grouping(qb) = 1 THEN -1 ELSE qb END AS qb,
                CASE WHEN grouping(pb) = 1 THEN -1 ELSE pb END AS pb,
-               count(*) AS n_rows, round(sum(rev), 2) AS revenue
+               count(*) AS n_rows,
+               floor(CAST(sum(rev) AS DOUBLE) * 1e2 / 10000 + 0.5) / 1e2
+                   AS revenue
         FROM b GROUP BY GROUPING SETS ((qb, pb), (qb), (pb), ())
     """
     sqls["q286_wilson_ranking"] = """
