@@ -1253,7 +1253,12 @@ def q67_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("p_brand")
         .agg(
             F.count(F.lit(1)).alias("n_small"),
-            F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+            # exact cents close the order-dependent float-sum exposure: the
+            # true value C/700 can never sit on a d=2 half boundary (odd
+            # denominator 7), but the double sum's ulp noise is gone too
+            _half_up(F.sum(_cents("l_extendedprice")), F.lit(700), 2).alias(
+                "avg_yearly"
+            ),
         )
     )
 
@@ -1483,16 +1488,20 @@ def q77_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
     s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
-    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    # exact 1e-4 revenue units (the 2-dec price x 2-dec discount grid): both
+    # sums are exact BIGINTs, the share is a deterministic integer ratio, and
+    # the floor half-up evaluates identically on both engines — closes the
+    # order-dependent float-sum share exposure (round-9 share-class sweep)
+    u = _fixed(F.col("l_extendedprice") * (1 - F.col("l_discount")), 10000)
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(s, li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .groupBy(F.year("o_orderdate").alias("o_year"))
         .agg(
-            F.round(
-                F.sum(F.when(F.col("n_name") == target, vol).otherwise(0.0))
-                / F.sum(vol),
+            _half_up(
+                F.sum(F.when(F.col("n_name") == target, u).otherwise(F.lit(0))),
+                F.sum(u),
                 6,
             ).alias("mkt_share"),
             F.count(F.lit(1)).alias("n_lines"),
@@ -1606,13 +1615,16 @@ def q81_trimmed_mean_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     # one agg ([INVALID_PANDAS_UDF_PLACEMENT]); run the two aggregations
     # over the same shuffle key and join the per-brand results (broadcast —
     # brand cardinality is tiny)
+    # the UDAF returns an exact-cents-over-one-IEEE-division double, and
+    # avg_price is the same exact ratio — both can sit ON a d=4 half
+    # boundary, so display via the engine-stable floor half-up, not round()
     trimmed = p.groupBy("p_brand").agg(
-        F.round(trimmed_mean_10("p_retailprice"), 4).alias("trimmed_avg_price")
+        half_up(trimmed_mean_10("p_retailprice"), 4).alias("trimmed_avg_price")
     )
     cents = F.round(F.col("p_retailprice") * 100).cast("bigint")
     plain = p.groupBy("p_brand").agg(
         F.count(F.lit(1)).alias("n_parts"),
-        F.round(
+        half_up(
             F.sum(cents).cast("double") / (100.0 * F.count(F.lit(1))), 4
         ).alias("avg_price"),
     )
@@ -1750,19 +1762,24 @@ def q88_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    # exact 1e-4 revenue units: the d=1 display of a 1e-4-grid sum straddles
+    # x.x5 and the share is a ratio of order-dependent float sums — both
+    # closed by summing exact BIGINT units (round-9 share-class sweep)
     rev = (
         li.join(s, li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .groupBy("n_name")
         .agg(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev")
+            F.sum(
+                _fixed(F.col("l_extendedprice") * (1 - F.col("l_discount")), 10000)
+            ).alias("_u")
         )
     )
     w = Window.partitionBy()
     return rev.select(
         "n_name",
-        F.round("rev", 1).alias("revenue"),
-        F.round(F.col("rev") / F.sum("rev").over(w), 6).alias("share"),
+        _half_up(F.col("_u"), F.lit(10000), 1).alias("revenue"),
+        _half_up(F.col("_u"), F.sum("_u").over(w), 6).alias("share"),
     )
 
 
@@ -2266,14 +2283,22 @@ def q111_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     numerator)."""
     li = _t(spark, sf_dir, "lineitem")
     p = _t(spark, sf_dir, "part")
-    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    promo = F.when(F.col("p_type").startswith("PROMO"), rev).otherwise(F.lit(0.0))
+    # exact 1e-4 revenue units close the float-sum share exposure; the 100x
+    # percent scale folds into the double-side multiplier (1e6 = 100 * 1e4)
+    # so the numerator BIGINT cannot overflow at any scale factor
+    u = _fixed(F.col("l_extendedprice") * (1 - F.col("l_discount")), 10000)
+    promo_u = F.when(F.col("p_type").startswith("PROMO"), u).otherwise(F.lit(0))
     return (
         li.join(p.select("p_partkey", "p_type"),
                 F.col("l_partkey") == F.col("p_partkey"))
         .groupBy(F.date_format(F.date_trunc("month", "l_shipdate"), "yyyy-MM").alias("month"))
         .agg(
-            F.round(100.0 * F.sum(promo) / F.sum(rev), 4).alias("promo_pct"),
+            (
+                F.floor(
+                    F.sum(promo_u).cast("double") * 1e6 / F.sum(u) + F.lit(0.5)
+                )
+                / F.lit(1e4)
+            ).alias("promo_pct"),
             F.count(F.lit(1)).alias("n_items"),
         )
     )
@@ -2394,15 +2419,22 @@ def q117_mom_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     post-aggregation series, so its single-partition sort touches months,
     not orders."""
     o = _t(spark, sf_dir, "orders")
+    # exact cent sums: the monthly series and the percent change both become
+    # deterministic integer ratios (the old float sum was order-dependent
+    # and its round(.,2)/round(.,4) could straddle a half boundary); 1e6 =
+    # 100 (percent) * 1e4 (d=4), applied double-side so no BIGINT overflow
     monthly = o.groupBy(
         F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM").alias("month")
-    ).agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    ).agg(F.sum(_cents("o_totalprice")).alias("_u"))
     w = Window.orderBy("month")
-    prev = F.lag("revenue").over(w)
+    prev = F.lag("_u").over(w)
     return monthly.select(
         "month",
-        "revenue",
-        F.round((F.col("revenue") - prev) / prev * 100.0, 4).alias("mom_pct"),
+        F.round(F.col("_u") / 100.0, 2).alias("revenue"),
+        (
+            F.floor((F.col("_u") - prev).cast("double") * 1e6 / prev + F.lit(0.5))
+            / F.lit(1e4)
+        ).alias("mom_pct"),
     )
 
 
@@ -4042,9 +4074,15 @@ def q176_above_nation_p90(spark: SparkSession, sf_dir: str) -> DataFrame:
     computed once per nation and joined back broadcast). Reports count and
     balance share above the cut per nation."""
     c = _t(spark, sf_dir, "customer")
+    # exact cent sums for the share (balances are a cent grid; the float
+    # sums were order-dependent and the d=6 boundary is reachable); the p90
+    # threshold stays on the raw column — the interpolated value lies a
+    # fixed fraction g in (0,1) between adjacent grid balances (or ON one
+    # when g=0, where strict > excludes it on both engines), so cross-engine
+    # ulp noise cannot flip the filter
     cuts = c.groupBy("c_nationkey").agg(
         F.expr("percentile(c_acctbal, 0.9)").alias("_p90"),
-        F.sum("c_acctbal").alias("_tot"),
+        F.sum(_cents("c_acctbal")).alias("_tot"),
     )
     return (
         c.join(F.broadcast(cuts), "c_nationkey")
@@ -4052,7 +4090,7 @@ def q176_above_nation_p90(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_nationkey")
         .agg(
             F.count(F.lit(1)).alias("n_above"),
-            F.round(F.sum("c_acctbal") / F.first("_tot"), 6).alias(
+            _half_up(F.sum(_cents("c_acctbal")), F.first("_tot"), 6).alias(
                 "balance_share"
             ),
         )
@@ -4620,9 +4658,12 @@ def q196_hierarchy_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("r_name", "n_name")
         .agg(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
-                "_rev"
-            )
+            # exact 1e-4 revenue units: the d=1 display straddles x.x5 on
+            # the 1e-4 grid and both shares are ratios of float sums —
+            # closed by exact BIGINT units (round-9 share-class sweep)
+            F.sum(
+                _fixed(F.col("l_extendedprice") * (1 - F.col("l_discount")), 10000)
+            ).alias("_u")
         )
     )
     wr = Window.partitionBy("r_name")
@@ -4630,12 +4671,12 @@ def q196_hierarchy_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rev.select(
         "r_name",
         "n_name",
-        F.round("_rev", 1).alias("revenue"),
-        F.round(F.col("_rev") / F.sum("_rev").over(wr), 6).alias(
+        _half_up(F.col("_u"), F.lit(10000), 1).alias("revenue"),
+        _half_up(F.col("_u"), F.sum("_u").over(wr), 6).alias(
             "share_of_region"
         ),
-        F.round(
-            F.sum("_rev").over(wr) / F.sum("_rev").over(wall), 6
+        _half_up(
+            F.sum("_u").over(wr), F.sum("_u").over(wall), 6
         ).alias("region_share_of_world"),
     )
 
@@ -4837,14 +4878,19 @@ def q204_pareto_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     o = _t(spark, sf_dir, "orders")
     c = _t(spark, sf_dir, "customer")
+    # exact 1e-4 revenue units end-to-end: per-customer revenue becomes an
+    # exact BIGINT (the old double sum was order-dependent, so the p80
+    # threshold AND the share could flip across engines near ties); the
+    # percentile interpolates between exact integers, where cross-engine
+    # ulp noise cannot move a customer across the strict > filter
     per_cust = (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
         .groupBy("c_mktsegment", "c_custkey")
         .agg(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
-                "_rev"
-            )
+            F.sum(
+                _fixed(F.col("l_extendedprice") * (1 - F.col("l_discount")), 10000)
+            ).alias("_rev")
         )
     )
     cuts = per_cust.groupBy("c_mktsegment").agg(
@@ -4859,7 +4905,7 @@ def q204_pareto_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_top_customers"),
             F.first("n_customers").alias("n_customers"),
-            F.round(F.sum("_rev") / F.first("_tot"), 6).alias(
+            _half_up(F.sum("_rev"), F.first("_tot"), 6).alias(
                 "top20pct_revenue_share"
             ),
         )
@@ -6355,20 +6401,37 @@ def q241_seasonal_dow_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     (date span caps it at any SF); the 7-key weekday aggregation and the
     1-row overall-mean broadcast run on that table. One corpus scan."""
     o = _t(spark, sf_dir, "orders")
+    # exact cent sums: the weekday mean is then an exact integer ratio
+    # Sw/nw and the seasonal index an exact ratio Sw*n/(nw*S) — both were
+    # round()s of order-dependent float averages with reachable half
+    # boundaries; double-side multipliers keep every product overflow-free
     daily = o.groupBy(F.to_date("o_orderdate").alias("_day")).agg(
-        F.sum("o_totalprice").alias("_rev")
+        F.sum(_cents("o_totalprice")).alias("_u")
     )
     dow = daily.groupBy(F.weekday("_day").alias("dow")).agg(
-        F.count(F.lit(1)).alias("n_days"), F.avg("_rev").alias("_mu")
+        F.count(F.lit(1)).alias("n_days"), F.sum("_u").alias("_sw")
     )
-    overall = daily.agg(F.avg("_rev").alias("_all"))
+    overall = daily.agg(
+        F.sum("_u").alias("_s_all"), F.count(F.lit(1)).alias("_n_all")
+    )
     return (
         dow.crossJoin(F.broadcast(overall))
         .select(
             "dow",
             "n_days",
-            F.round("_mu", 2).alias("avg_revenue"),
-            F.round(F.col("_mu") / F.col("_all"), 6).alias("seasonal_index"),
+            _half_up(F.col("_sw"), F.col("n_days") * 100, 2).alias(
+                "avg_revenue"
+            ),
+            (
+                F.floor(
+                    F.col("_sw").cast("double")
+                    * F.col("_n_all")
+                    * 1e6
+                    / (F.col("n_days").cast("double") * F.col("_s_all"))
+                    + F.lit(0.5)
+                )
+                / F.lit(1e6)
+            ).alias("seasonal_index"),
         )
         .orderBy("dow")
     )
@@ -6561,6 +6624,23 @@ def q244_gain_lift_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("decile")
 
 
+# q245's adaptive plan choice (weight-pruned lev<=2 join vs degenerate
+# all-pairs fallback) costs one scalar count() job at composition time.
+# Memoize the decision per customer-table identity (path + mtime + size) so
+# only the FIRST composition per dataset is eager — bench re-runs, repeated
+# test compositions, and plan-dump tooling after a first pass stay lazy.
+_Q245_BRANCH: dict = {}
+
+
+def _q245_branch_key(sf_dir: str):
+    p = os.path.join(sf_dir, "customer.parquet")
+    try:
+        st = os.stat(p)
+        return (os.path.realpath(p), st.st_mtime_ns, st.st_size)
+    except OSError:
+        return (os.path.realpath(p), None, None)
+
+
 def q245_fellegi_sunter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fellegi–Sunter probabilistic record-linkage scoring [EXT]: customer
     pairs (semantically: every within-nation pair), scored by summing
@@ -6614,11 +6694,29 @@ def q245_fellegi_sunter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # persist: the count() that picks the plan is also the job that fills
     # the cache, so the scoring pass reads candidates back instead of
-    # re-running the variant self-join (compute_release frees it on exit)
-    cand = edit_distance_pairs(
-        c, "c_custkey", "c_name", max_dist=2, block_col="c_nationkey"
-    ).persist()
-    if cand.count() >= 20:
+    # re-running the variant self-join (compute_release frees it on exit);
+    # on a memoized repeat the candidate set is composed lazily (it is
+    # consumed exactly once in the scoring DAG, so no persist is needed)
+    key = _q245_branch_key(sf_dir)
+    memoized = _Q245_BRANCH.get(key)
+    if memoized is None:
+        cand = edit_distance_pairs(
+            c, "c_custkey", "c_name", max_dist=2, block_col="c_nationkey"
+        ).persist()
+        big = cand.count() >= 20
+        _Q245_BRANCH[key] = big
+        if not big:
+            cand.unpersist()
+    else:
+        big = memoized
+        cand = (
+            edit_distance_pairs(
+                c, "c_custkey", "c_name", max_dist=2, block_col="c_nationkey"
+            )
+            if big
+            else None
+        )
+    if big:
         attrs = c.select(
             "c_custkey", "c_mktsegment", "_bal"
         )
@@ -6652,13 +6750,16 @@ def q245_fellegi_sunter(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("match_weight"),
             )
         )
-        return compute_release(
-            scored.orderBy(
-                F.col("match_weight").desc(), "cust1", "cust2"
-            ).limit(20),
-            cand,
-        )
-    cand.unpersist()
+        top = scored.orderBy(
+            F.col("match_weight").desc(), "cust1", "cust2"
+        ).limit(20)
+        if memoized is None:
+            # first composition: release the persisted candidates after one
+            # eager materialization of the 20-row output
+            return compute_release(top, cand)
+        # memoized repeat: cand is consumed exactly once in this DAG — stay
+        # fully lazy (no persist to release, no eager job)
+        return top
     # degenerate-corpus fallback: all within-nation pairs (tiny by
     # precondition — fewer than 20 name-agreeing pairs exist at all)
     b = c.select(
@@ -10990,8 +11091,15 @@ def q333_importance_weight_ess(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reports per lang: raw n, ESS, ESS ratio, and the clipped-weight
     (w ≤ 5× median... w capped at 5) variant a production pipeline uses.
 
-    Scale shape: per-(lang, bucket) shares aggregate once; weights join
-    back broadcast; ESS is a per-lang moment rollup."""
+    Scale shape: per-(lang, bucket) shares aggregate once; the weight is
+    constant per bucket, so the per-document Σw/Σw² moments collapse to
+    Σ_b n_b·w_b over the ≤5-row bucket table — the moments fold LEFT over
+    the bucket-sorted term list on BOTH engines (Spark sort_array +
+    F.aggregate, DuckDB list(... ORDER BY b) + list_reduce), which makes
+    each sum a fixed IEEE sequence instead of an order-dependent float
+    aggregate: the ESS ratios are then deterministic doubles and the
+    floor half-up display cannot diverge (round-9 share-class sweep —
+    these rationals CAN sit on a d=6 half boundary)."""
     d = _t(spark, sf_dir, "documents")
     bucketed = d.select(
         "lang", F.least(F.floor(F.col("n_chars") / 200), F.lit(4)).alias("_b")
@@ -11008,24 +11116,31 @@ def q333_importance_weight_ess(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("_n").over(wl)
             / (F.count(F.lit(1)).over(wl) * F.col("_n")).cast("double")
         ).alias("_w"),
+    ).withColumn("_wc", F.least(F.col("_w"), F.lit(5.0)))
+    arr = F.sort_array(
+        F.collect_list(F.struct(F.col("_b"), F.col("_n"), F.col("_w"), F.col("_wc")))
     )
-    rows = bucketed.join(F.broadcast(weighted), ["lang", "_b"]).select(
-        "lang", "_w", F.least(F.col("_w"), F.lit(5.0)).alias("_wc")
+
+    def _fold(term):
+        return F.aggregate(arr, F.lit(0.0), lambda a, x: a + term(x))
+
+    folded = weighted.groupBy("lang").agg(
+        F.sum("_n").alias("n_docs"),
+        _fold(lambda x: x["_n"] * x["_w"]).alias("_sw"),
+        _fold(lambda x: x["_n"] * (x["_w"] * x["_w"])).alias("_sww"),
+        _fold(lambda x: x["_n"] * x["_wc"]).alias("_swc"),
+        _fold(lambda x: x["_n"] * (x["_wc"] * x["_wc"])).alias("_swcc"),
     )
-    return rows.groupBy("lang").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.round(
-            F.sum("_w") * F.sum("_w") / F.sum(F.col("_w") * F.col("_w")), 6
-        ).alias("ess"),
-        F.round(
-            F.sum("_w") * F.sum("_w")
-            / (F.sum(F.col("_w") * F.col("_w")) * F.count(F.lit(1))),
-            6,
+    return folded.select(
+        "lang",
+        "n_docs",
+        half_up(F.col("_sw") * F.col("_sw") / F.col("_sww"), 6).alias("ess"),
+        half_up(
+            F.col("_sw") * F.col("_sw") / (F.col("_sww") * F.col("n_docs")), 6
         ).alias("ess_ratio"),
-        F.round(
-            F.sum("_wc") * F.sum("_wc") / F.sum(F.col("_wc") * F.col("_wc")),
-            6,
-        ).alias("ess_clipped"),
+        half_up(F.col("_swc") * F.col("_swc") / F.col("_swcc"), 6).alias(
+            "ess_clipped"
+        ),
     )
 
 
@@ -15152,7 +15267,8 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT p_brand,
                    count(*) AS n_small,
-                   round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+                   floor(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                              AS DOUBLE) * 1e2 / 700 + 0.5) / 1e2 AS avg_yearly
             FROM lineitem l
             JOIN avgq a ON l.l_partkey = a.l_partkey
             JOIN part p ON l.l_partkey = p.p_partkey
@@ -15361,10 +15477,14 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q77_market_share": """
             SELECT CAST(year(o_orderdate) AS INT) AS o_year,
-                   round(sum(CASE WHEN n_name = 'NATION_5'
-                                  THEN l_extendedprice * (1 - l_discount)
-                                  ELSE 0.0 END)
-                         / sum(l_extendedprice * (1 - l_discount)), 6) AS mkt_share,
+                   floor(CAST(sum(CASE WHEN n_name = 'NATION_5'
+                                       THEN CAST(round(l_extendedprice
+                                                       * (1 - l_discount)
+                                                       * 10000) AS BIGINT)
+                                       ELSE 0 END) AS DOUBLE) * 1e6
+                         / sum(CAST(round(l_extendedprice * (1 - l_discount)
+                                          * 10000) AS BIGINT))
+                         + 0.5) / 1e6 AS mkt_share,
                    count(*) AS n_lines
             FROM lineitem
             JOIN orders ON l_orderkey = o_orderkey
@@ -15451,14 +15571,16 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT p_brand,
                    count(*) AS n_parts,
-                   round(CAST(sum(CAST(round(p_retailprice * 100) AS BIGINT))
+                   floor(CAST(sum(CAST(round(p_retailprice * 100) AS BIGINT))
                                   FILTER (WHERE rk > k AND rk <= n - k)
                               AS DOUBLE)
                          / (100.0 * count(*)
-                                FILTER (WHERE rk > k AND rk <= n - k)), 4)
+                                FILTER (WHERE rk > k AND rk <= n - k))
+                         * 1e4 + 0.5) / 1e4
                        AS trimmed_avg_price,
-                   round(CAST(sum(CAST(round(p_retailprice * 100) AS BIGINT))
-                              AS DOUBLE) / (100.0 * count(*)), 4) AS avg_price
+                   floor(CAST(sum(CAST(round(p_retailprice * 100) AS BIGINT))
+                              AS DOUBLE) / (100.0 * count(*)) * 1e4 + 0.5)
+                       / 1e4 AS avg_price
             FROM cut GROUP BY p_brand
         """,
         "q82_fuzzy_name_pairs": """
@@ -15554,14 +15676,18 @@ def oracle_sql() -> dict[str, str]:
         "q88_revenue_share": """
             WITH rev AS (
                 SELECT n_name,
-                       sum(l_extendedprice * (1 - l_discount)) AS rev
+                       sum(CAST(round(l_extendedprice * (1 - l_discount)
+                                      * 10000) AS BIGINT)) AS u
                 FROM lineitem
                 JOIN supplier ON l_suppkey = s_suppkey
                 JOIN nation ON s_nationkey = n_nationkey
                 GROUP BY n_name
             )
-            SELECT n_name, round(rev, 1) AS revenue,
-                   round(rev / sum(rev) OVER (), 6) AS share
+            SELECT n_name,
+                   floor(CAST(u AS DOUBLE) * 1e1 / 10000 + 0.5) / 1e1
+                       AS revenue,
+                   floor(CAST(u AS DOUBLE) * 1e6 / sum(u) OVER () + 0.5) / 1e6
+                       AS share
             FROM rev
         """,
         "q89_returned_item_customers": """
@@ -15960,11 +16086,14 @@ def oracle_sql() -> dict[str, str]:
         "q111_promo_revenue_share": """
             SELECT strftime(CAST(date_trunc('month', l_shipdate) AS DATE),
                             '%Y-%m') AS month,
-                   round(100.0 * sum(CASE WHEN p_type LIKE 'PROMO%'
-                                          THEN l_extendedprice * (1 - l_discount)
-                                          ELSE 0.0 END)
-                         / sum(l_extendedprice * (1 - l_discount)), 4)
-                       AS promo_pct,
+                   floor(CAST(sum(CASE WHEN p_type LIKE 'PROMO%'
+                                       THEN CAST(round(l_extendedprice
+                                                       * (1 - l_discount)
+                                                       * 10000) AS BIGINT)
+                                       ELSE 0 END) AS DOUBLE) * 1e6
+                         / sum(CAST(round(l_extendedprice * (1 - l_discount)
+                                          * 10000) AS BIGINT))
+                         + 0.5) / 1e4 AS promo_pct,
                    count(*) AS n_items
             FROM lineitem JOIN part ON l_partkey = p_partkey
             GROUP BY 1
@@ -16050,12 +16179,12 @@ def oracle_sql() -> dict[str, str]:
             WITH monthly AS (
                 SELECT strftime(CAST(date_trunc('month', o_orderdate) AS DATE),
                                 '%Y-%m') AS month,
-                       round(sum(o_totalprice), 2) AS revenue
+                       sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS u
                 FROM orders GROUP BY 1
             )
-            SELECT month, revenue,
-                   round((revenue - lag(revenue) OVER (ORDER BY month))
-                         / lag(revenue) OVER (ORDER BY month) * 100.0, 4)
+            SELECT month, round(u / 100.0, 2) AS revenue,
+                   floor(CAST(u - lag(u) OVER (ORDER BY month) AS DOUBLE)
+                         * 1e6 / lag(u) OVER (ORDER BY month) + 0.5) / 1e4
                        AS mom_pct
             FROM monthly
         """,
@@ -17271,11 +17400,13 @@ def oracle_sql() -> dict[str, str]:
     sqls["q176_above_nation_p90"] = """
         WITH cuts AS (
             SELECT c_nationkey, quantile_cont(c_acctbal, 0.9) AS p90,
-                   sum(c_acctbal) AS tot
+                   sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS tot
             FROM customer GROUP BY 1
         )
         SELECT c_nationkey, count(*) AS n_above,
-               round(sum(c_acctbal) / any_value(tot), 6) AS balance_share
+               floor(CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT))
+                          AS DOUBLE) * 1e6 / any_value(tot) + 0.5) / 1e6
+                   AS balance_share
         FROM customer JOIN cuts USING (c_nationkey)
         WHERE c_acctbal > p90
         GROUP BY c_nationkey
@@ -17641,7 +17772,8 @@ def oracle_sql() -> dict[str, str]:
     sqls["q196_hierarchy_share"] = """
         WITH rev AS (
             SELECT r_name, n_name,
-                   sum(l_extendedprice * (1 - l_discount)) AS rv
+                   sum(CAST(round(l_extendedprice * (1 - l_discount)
+                                  * 10000) AS BIGINT)) AS u
             FROM lineitem
             JOIN orders ON l_orderkey = o_orderkey
             JOIN customer ON o_custkey = c_custkey
@@ -17649,11 +17781,13 @@ def oracle_sql() -> dict[str, str]:
             JOIN region ON n_regionkey = r_regionkey
             GROUP BY 1, 2
         )
-        SELECT r_name, n_name, round(rv, 1) AS revenue,
-               round(rv / sum(rv) OVER (PARTITION BY r_name), 6)
+        SELECT r_name, n_name,
+               floor(CAST(u AS DOUBLE) * 1e1 / 10000 + 0.5) / 1e1 AS revenue,
+               floor(CAST(u AS DOUBLE) * 1e6
+                     / sum(u) OVER (PARTITION BY r_name) + 0.5) / 1e6
                    AS share_of_region,
-               round(sum(rv) OVER (PARTITION BY r_name)
-                     / sum(rv) OVER (), 6) AS region_share_of_world
+               floor(CAST(sum(u) OVER (PARTITION BY r_name) AS DOUBLE) * 1e6
+                     / sum(u) OVER () + 0.5) / 1e6 AS region_share_of_world
         FROM rev
     """
     sqls["q197_longest_streak"] = """
@@ -17804,7 +17938,8 @@ def oracle_sql() -> dict[str, str]:
     sqls["q204_pareto_concentration"] = """
         WITH per_cust AS (
             SELECT c_mktsegment, c_custkey,
-                   sum(l_extendedprice * (1 - l_discount)) AS rev
+                   sum(CAST(round(l_extendedprice * (1 - l_discount)
+                                  * 10000) AS BIGINT)) AS rev
             FROM lineitem
             JOIN orders ON l_orderkey = o_orderkey
             JOIN customer ON o_custkey = c_custkey
@@ -17816,7 +17951,8 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT c_mktsegment, count(*) AS n_top_customers,
                any_value(n_customers) AS n_customers,
-               round(sum(rev) / any_value(tot), 6) AS top20pct_revenue_share
+               floor(CAST(sum(rev) AS DOUBLE) * 1e6 / any_value(tot) + 0.5)
+                   / 1e6 AS top20pct_revenue_share
         FROM per_cust JOIN cuts USING (c_mktsegment)
         WHERE rev > p80
         GROUP BY c_mktsegment
@@ -18560,15 +18696,21 @@ def oracle_sql() -> dict[str, str]:
     sqls["q241_seasonal_dow_index"] = """
         WITH daily AS (
             SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
-                   sum(o_totalprice) AS rev
+                   sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS u
             FROM orders GROUP BY 1
         ), dow AS (
             SELECT isodow(day) - 1 AS dow, count(*) AS n_days,
-                   avg(rev) AS mu
+                   sum(u) AS sw
             FROM daily GROUP BY 1
-        ), overall AS (SELECT avg(rev) AS allmu FROM daily)
-        SELECT dow, n_days, round(mu, 2) AS avg_revenue,
-               round(mu / overall.allmu, 6) AS seasonal_index
+        ), overall AS (
+            SELECT sum(u) AS s_all, count(*) AS n_all FROM daily
+        )
+        SELECT dow, n_days,
+               floor(CAST(sw AS DOUBLE) * 1e2 / (n_days * 100) + 0.5) / 1e2
+                   AS avg_revenue,
+               floor(CAST(sw AS DOUBLE) * n_all * 1e6
+                     / (CAST(n_days AS DOUBLE) * s_all) + 0.5) / 1e6
+                   AS seasonal_index
         FROM dow, overall ORDER BY dow
     """
     sqls["q242_robust_trend"] = """
@@ -20476,21 +20618,31 @@ def oracle_sql() -> dict[str, str]:
         ), shares AS (
             SELECT lang, b, count(*) AS n FROM bucketed GROUP BY 1, 2
         ), weighted AS (
-            SELECT lang, b,
+            SELECT lang, b, n,
                    sum(n) OVER (PARTITION BY lang) * 1.0
                        / (count(*) OVER (PARTITION BY lang) * n) AS w
             FROM shares
-        ), rows_w AS (
-            SELECT bk.lang, w.w, least(w.w, 5.0) AS wc
-            FROM bucketed bk JOIN weighted w
-              ON w.lang = bk.lang AND w.b = bk.b
+        ), terms AS (
+            SELECT lang, b, n, w, least(w, 5.0) AS wc FROM weighted
+        ), folded AS (
+            -- left-fold the bucket-sorted term lists: the identical IEEE
+            -- sequence the Spark side evaluates (sort_array + F.aggregate)
+            SELECT lang, CAST(sum(n) AS BIGINT) AS n_docs,
+                   list_reduce(list(n * w ORDER BY b),
+                               (a, x) -> a + x) AS sw,
+                   list_reduce(list(n * (w * w) ORDER BY b),
+                               (a, x) -> a + x) AS sww,
+                   list_reduce(list(n * wc ORDER BY b),
+                               (a, x) -> a + x) AS swc,
+                   list_reduce(list(n * (wc * wc) ORDER BY b),
+                               (a, x) -> a + x) AS swcc
+            FROM terms GROUP BY lang
         )
-        SELECT lang, count(*) AS n_docs,
-               round(sum(w) * sum(w) / sum(w * w), 6) AS ess,
-               round(sum(w) * sum(w) / (sum(w * w) * count(*)), 6)
-                   AS ess_ratio,
-               round(sum(wc) * sum(wc) / sum(wc * wc), 6) AS ess_clipped
-        FROM rows_w GROUP BY 1
+        SELECT lang, n_docs,
+               floor(sw * sw / sww * 1e6 + 0.5) / 1e6 AS ess,
+               floor(sw * sw / (sww * n_docs) * 1e6 + 0.5) / 1e6 AS ess_ratio,
+               floor(swc * swc / swcc * 1e6 + 0.5) / 1e6 AS ess_clipped
+        FROM folded
     """
     sqls["q334_clustering_coefficient"] = """
         WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),

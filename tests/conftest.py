@@ -94,8 +94,16 @@ def compiled_surface(spark):
     names = [q for q in fns if q not in PLAN_EAGER]
     sf = "/root/testdata/sf0.001"
 
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    from dump_shuffles import COMPOSE_REPEAT
+
     def one(name: str):
         try:
+            if name in COMPOSE_REPEAT:
+                # adaptive-choice query: warm the per-dataset memo so the
+                # recorded plan is the deterministic lazy repeat, not the
+                # first composition's compute-release checkpoint
+                fns[name](spark, sf)
             df = fns[name](spark, sf)
             # same df object for both artifacts: the QueryExecution caches
             # its analyzed/optimized plans, so Catalyst runs once
