@@ -10805,33 +10805,42 @@ def q328_countmin_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     you whether 4×256 counters suffice at this skew (the sketch sibling
     of q227's Misra-Gries and q38's HLL).
 
-    Scale shape: the sketch is a (row, bucket) aggregation to 1024
-    counters; the probe joins 15×4 bucket lookups against the broadcast
-    counter table."""
+    Scale shape: ONE tokenization pass — the corpus collapses to the
+    (token, count) vocabulary first, and every CMS counter is the SUM of
+    per-token counts in its bucket (identical integers to hashing the raw
+    stream), so the 4 sketch rows aggregate the vocab table, not 4 more
+    corpus scans; the probe joins 15×4 bucket lookups against the
+    broadcast counter table."""
     d = _t(spark, sf_dir, "documents")
     toks = d.select(
         F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("w")
     ).filter(F.col("w") != "")
-
-    def bucket(j: int):
-        return F.conv(
-            F.substring(F.md5(F.concat(F.lit(f"{j}|"), F.col("w"))), 1, 8),
-            16,
-            10,
-        ).cast("long") % 256
-
-    rows = [
-        toks.groupBy(bucket(j).alias("_b")).agg(
-            F.count(F.lit(1)).alias("_c")
-        ).select(F.lit(j).alias("_j"), "_b", "_c")
-        for j in range(4)
-    ]
-    counters = rows[0]
-    for r in rows[1:]:
-        counters = counters.unionByName(r)
+    wc = toks.groupBy("w").agg(F.count(F.lit(1)).alias("_n"))
+    counters = (
+        wc.select(
+            "w",
+            "_n",
+            F.explode(F.array(*[F.lit(j) for j in range(4)])).alias("_j"),
+        )
+        .withColumn(
+            "_b",
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.col("_j").cast("string"), F.lit("|"),
+                                   F.col("w"))),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 256,
+        )
+        .groupBy("_j", "_b")
+        .agg(F.sum("_n").alias("_c"))
+    )
     exact = (
-        toks.groupBy("w")
-        .agg(F.count(F.lit(1)).alias("exact_count"))
+        wc.select("w", F.col("_n").alias("exact_count"))
         .orderBy(F.col("exact_count").desc(), "w")
         .limit(15)
     )
