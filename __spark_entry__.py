@@ -13165,8 +13165,11 @@ def q368_ljung_box_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
     says structure remains (feeds back into q272/q304's model choices).
     Emits the per-lag autocorrelations and the cumulative Q.
 
-    Scale shape: residuals via broadcast DOW means; each lag is a 1-day
-    self-join on the bounded date grid; the Q rollup is 7 rows."""
+    Scale shape: residuals via broadcast DOW means; ONE lag-exploded
+    self-join on the bounded date grid covers all 7 lags (the per-lag
+    join loop compiled to 52 exchanges of pure job overhead — the
+    exploded form is 7 rows per residual day, one shuffle-hash join, one
+    keyed aggregation); the Q rollup is 7 rows."""
     o = _t(spark, sf_dir, "orders")
     daily = o.groupBy(F.to_date("o_orderdate").alias("_day")).agg(
         F.round(F.sum("o_totalprice"), 2).alias("_rev")
@@ -13192,37 +13195,34 @@ def q368_ljung_box_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("_ss"),
         )
     )
-    outs = []
-    for lag in range(1, 8):
-        shifted = resid.select(
-            F.date_add("_day", lag).alias("_day"), F.col("_r").alias("_rl")
+    shifted = resid.select(
+        F.col("_r").alias("_rl"),
+        F.explode(F.array(*[F.lit(k) for k in range(1, 8)])).alias("lag"),
+        F.col("_day").alias("_d0"),
+    ).select(F.date_add("_d0", F.col("lag")).alias("_day"), "_rl", "lag")
+    terms = (
+        resid.join(shifted.hint("shuffle_hash"), "_day")
+        .crossJoin(F.broadcast(base))
+        .groupBy("lag")
+        .agg(
+            F.max("_n").alias("_n"),
+            (
+                F.sum(
+                    (F.col("_r") - F.col("_mu"))
+                    * (F.col("_rl") - F.col("_mu"))
+                )
+                / F.max("_ss")
+            ).alias("_rho"),
         )
-        rho = (
-            resid.join(shifted.hint("shuffle_hash"), "_day")
-            .crossJoin(F.broadcast(base))
-            .agg(
-                F.max("_n").alias("_n"),
-                (
-                    F.sum(
-                        (F.col("_r") - F.col("_mu"))
-                        * (F.col("_rl") - F.col("_mu"))
-                    )
-                    / F.max("_ss")
-                ).alias("_rho"),
-            )
-            .select(
-                F.lit(lag).alias("lag"),
-                "_n",
-                F.round("_rho", 6).alias("autocorr"),
-                (
-                    F.col("_rho") * F.col("_rho") / (F.col("_n") - lag)
-                ).alias("_term"),
-            )
+        .select(
+            "lag",
+            "_n",
+            F.round("_rho", 6).alias("autocorr"),
+            (
+                F.col("_rho") * F.col("_rho") / (F.col("_n") - F.col("lag"))
+            ).alias("_term"),
         )
-        outs.append(rho)
-    terms = outs[0]
-    for o2 in outs[1:]:
-        terms = terms.unionByName(o2)
+    )
     w = Window.orderBy("lag").rowsBetween(Window.unboundedPreceding, 0)
     return terms.select(
         "lag",
