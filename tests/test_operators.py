@@ -453,8 +453,9 @@ def test_decode_features_fake(spark, assets_df):
 
 
 def _skip_if_pillow_present():
-    # with Pillow installed the image path genuinely decodes; that
-    # environment is covered by tests/test_multimodal_real_codec.py
+    # with Pillow installed the corrupt payload raises PIL's
+    # UnidentifiedImageError (different message); that environment is
+    # covered by tests/test_multimodal_real_codec.py's agreement test
     try:
         import PIL  # noqa: F401
     except ImportError:
@@ -462,7 +463,10 @@ def _skip_if_pillow_present():
     pytest.skip("Pillow present — real decode covered by test_multimodal_real_codec.py")
 
 
-def test_decode_features_real_path_raises(spark, assets_df):
+def test_decode_features_real_path_quarantines_garbage(spark, assets_df):
+    # the fixture's image payload (b"png-bytes") is not a decodable image:
+    # the real path must raise (builtin kernel ValueError), never pass a
+    # corrupt blob through as decoded
     _skip_if_pillow_present()
     with pytest.raises(Exception, match="NotImplementedError|decode"):
         decode_features(assets_df, fake=False).collect()
