@@ -306,20 +306,104 @@ def decode_features_arrow(assets: DataFrame, *, fake: bool = False) -> DataFrame
     return assets.mapInArrow(run, FEATURE_SCHEMA)
 
 
-def resize_images(assets: DataFrame, *, width: int, height: int, fake: bool = False) -> DataFrame:
-    """Image resize stub: same plumbing pattern, payload->payload.
+#: lowercase mode -> (channels, PNG color type) for the stdlib encoder
+_PNG_ENCODE_MODES = {"l": (1, 0), "rgb": (3, 2), "la": (2, 4), "rgba": (4, 6)}
 
-    Fake mode passes payloads through and rewrites metadata (deterministic);
-    real mode raises NotImplementedError in the executor.
-    """
+
+def png_encode(px, mode: str) -> bytes:
+    """Minimal stdlib PNG writer: 8-bit non-interlaced, filter-0 rows,
+    ``px`` a uint8 array of shape (height, width*channels). The inverse of
+    ``png_decode`` (which round-trips it bit-exactly on the pixel side)."""
+    import struct
+    import zlib
+
+    if mode not in _PNG_ENCODE_MODES:
+        raise ValueError(f"png_encode supports modes {sorted(_PNG_ENCODE_MODES)}, got {mode!r}")
+    channels, ctype = _PNG_ENCODE_MODES[mode]
+    h, stride = px.shape
+    w = stride // channels
+
+    def chunk(t: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + t
+            + body
+            + struct.pack(">I", zlib.crc32(t + body) & 0xFFFFFFFF)
+        )
+
+    raw = b"".join(b"\x00" + px[y].tobytes() for y in range(h))
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _decode_pixels(payload: bytes):
+    """(width, height, mode, uint8[h, w*ch]) via Pillow when importable
+    (any format it reads), else the builtin PNG kernel."""
+    try:
+        import io
+
+        import numpy as np
+        from PIL import Image
+
+        with Image.open(io.BytesIO(bytes(payload))) as img:
+            arr = np.asarray(img)
+            mode = img.mode.lower()
+            if arr.ndim == 2:
+                arr = arr.reshape(img.height, img.width)
+                return img.width, img.height, mode, arr.reshape(img.height, -1)
+            return img.width, img.height, mode, arr.reshape(img.height, -1)
+    except ImportError:
+        return png_decode(bytes(payload))
+
+
+def resize_images(assets: DataFrame, *, width: int, height: int, fake: bool = False) -> DataFrame:
+    """Image resize, payload->payload.
+
+    Fake mode passes payloads through and rewrites metadata (deterministic,
+    for plumbing tests). Real mode genuinely resizes: decode to pixels
+    (Pillow when importable, else the builtin PNG kernel), DETERMINISTIC
+    nearest-neighbor sampling (same index math regardless of decode lib —
+    no resampling-filter variance between environments), and re-encode as
+    a filter-0 PNG with the stdlib writer, so the output payload is always
+    a decodable PNG of the target geometry. Palette images (mode 'p')
+    raise ValueError — their PLTE semantics don't survive index
+    resampling; convert upstream."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        def resize_one(payload):
+            if payload is None:
+                return None
+            w0, h0, mode, px = _decode_pixels(bytes(payload))
+            if mode not in _PNG_ENCODE_MODES:
+                raise ValueError(
+                    f"real resize supports modes {sorted(_PNG_ENCODE_MODES)}, got {mode!r}"
+                )
+            ch = _PNG_ENCODE_MODES[mode][0]
+            grid = px.reshape(h0, w0, ch)
+            rows = (np.arange(height, dtype=np.int64) * h0) // height
+            cols = (np.arange(width, dtype=np.int64) * w0) // width
+            out = grid[rows][:, cols].reshape(height, width * ch)
+            return bytearray(png_encode(np.ascontiguousarray(out), mode))
+
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError("image decode libraries unavailable")
             pdf = pdf.copy()
-            pdf["width"] = width
-            pdf["height"] = height
+            if not fake:
+                # only image rows are decoded/resized; other modalities
+                # pass through untouched (payload AND geometry metadata)
+                is_img = pdf["modality"] == "image"
+                pdf.loc[is_img, "payload"] = pdf.loc[is_img, "payload"].map(resize_one)
+                pdf.loc[is_img, "width"] = width
+                pdf.loc[is_img, "height"] = height
+            else:
+                pdf["width"] = width
+                pdf["height"] = height
             yield pdf
 
     return assets.mapInPandas(run, assets.schema)

@@ -23,6 +23,8 @@ from hubverse_transform_spark.operators.multimodal import (
     decode_features,
     decode_features_arrow,
     png_decode,
+    png_encode,
+    resize_images,
 )
 
 
@@ -136,6 +138,40 @@ def test_non_image_modality_still_guarded(spark):
     df = spark.createDataFrame(rows, ASSET_SCHEMA)
     with pytest.raises(Exception, match="NotImplementedError|images only"):
         decode_features(df, fake=False).collect()
+
+
+def test_png_encode_decode_roundtrip():
+    _, px = _png_bytes(6, 4, "RGB")
+    payload = png_encode(px, "rgb")
+    w, h, mode, out = png_decode(payload)
+    assert (w, h, mode) == (6, 4, "rgb")
+    assert np.array_equal(out, px)
+
+
+def test_real_resize_nearest_neighbor(spark):
+    """resize_images(fake=False) decodes, NN-samples, and re-encodes: the
+    output payload is a real PNG of the target geometry whose pixels are
+    the deterministic nearest-neighbor sample of the source."""
+    src_payload, px = _png_bytes(6, 4, "RGB", filters=[0, 1, 2, 4])
+    rows = [(1, "image", "image/png", bytearray(src_payload), 6, 4, None)]
+    df = spark.createDataFrame(rows, ASSET_SCHEMA)
+    out = resize_images(df, width=3, height=2, fake=False).collect()[0]
+    assert (out["width"], out["height"]) == (3, 2)
+    w, h, mode, got = png_decode(bytes(out["payload"]))
+    assert (w, h, mode) == (3, 2, "rgb")
+    grid = px.reshape(4, 6, 3)
+    rows_idx = (np.arange(2) * 4) // 2
+    cols_idx = (np.arange(3) * 6) // 3
+    expect = grid[rows_idx][:, cols_idx].reshape(2, 9)
+    assert np.array_equal(got, expect)
+
+
+def test_real_resize_passes_non_image_rows_through(spark):
+    rows = [(7, "audio", "audio/wav", bytearray(b"RIFF...."), None, None, 500)]
+    df = spark.createDataFrame(rows, ASSET_SCHEMA)
+    out = resize_images(df, width=8, height=8, fake=False).collect()[0]
+    assert bytes(out["payload"]) == b"RIFF...."
+    assert out["width"] is None and out["duration_ms"] == 500
 
 
 def test_builtin_kernel_agrees_with_pillow():
