@@ -11062,16 +11062,23 @@ def q332_t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = grid.join(
         cells, ["c_nationkey", "_bb", "c_mktsegment"], "left"
     )
+    # the five |class share - global share| terms are exact integer ratios
+    # whose sum can sit exactly ON a threshold (1/5 = 0.2 is reachable) —
+    # fold them LEFT in segment order on both engines (sort_array +
+    # F.aggregate / list(ORDER BY) + list_reduce) so the double is a fixed
+    # IEEE sequence, then engine-stable floor half-up instead of round()
+    term = F.abs(
+        F.coalesce(F.col("_n"), F.lit(0)) / F.col("_ct")
+        - F.col("_gn") / F.col("_gt")
+    )
+    arr = F.sort_array(
+        F.collect_list(F.struct(F.col("c_mktsegment"), term.alias("_term")))
+    )
     tvd = joined.groupBy("c_nationkey", "_bb").agg(
         F.max("_ct").alias("_ct"),
-        F.round(
-            0.5
-            * F.sum(
-                F.abs(
-                    F.coalesce(F.col("_n"), F.lit(0)) / F.col("_ct")
-                    - F.col("_gn") / F.col("_gt")
-                )
-            ),
+        half_up(
+            F.lit(0.5)
+            * F.aggregate(arr, F.lit(0.0), lambda a, x: a + x["_term"]),
             9,
         ).alias("_tvd"),
     )
@@ -20605,9 +20612,15 @@ def oracle_sql() -> dict[str, str]:
                    gtot.gt
             FROM classes cl, gseg g, gtot
         ), tvd AS (
+            -- left-fold the segment-sorted terms: the identical IEEE
+            -- sequence the Spark side evaluates; CAST AS DOUBLE division
+            -- (decimal-literal quotients are not bit-identical to double)
             SELECT c_nationkey, bb, max(ct) AS ct,
-                   round(0.5 * sum(abs(coalesce(n, 0) * 1.0 / ct
-                                       - gn * 1.0 / gt)), 9) AS tvd
+                   floor(0.5 * list_reduce(
+                             list(abs(CAST(coalesce(n, 0) AS DOUBLE) / ct
+                                      - CAST(gn AS DOUBLE) / gt)
+                                  ORDER BY c_mktsegment),
+                             (a, x) -> a + x) * 1e9 + 0.5) / 1e9 AS tvd
             FROM grid LEFT JOIN cells USING (c_nationkey, bb, c_mktsegment)
             GROUP BY 1, 2
         )
