@@ -740,11 +740,28 @@ def q40_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q41_corr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Statistical aggregates: correlation + sample stddev/variance."""
     li = _t(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
+    q = _intval("l_quantity")
+    # corr/stddev are sqrt-derived (irrational — d-boundary hits have
+    # measure zero under engine round()); var over INTEGER quantities is
+    # an exact rational, so it moves to exact moments + floor half-up
+    # (var_samp's streaming merge is engine- and order-dependent)
+    m = li.groupBy("l_returnflag").agg(
         F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
         F.round(F.stddev_samp("l_extendedprice"), 2).alias("sd_price"),
-        F.round(F.var_samp("l_quantity"), 4).alias("var_qty"),
         F.count(F.lit(1)).alias("n_rows"),
+        F.sum(q).alias("_s1"),
+        F.sum(q * q).alias("_s2"),
+    )
+    nd = F.col("n_rows").cast("double")
+    var = (nd * F.col("_s2") - F.col("_s1").cast("double") * F.col("_s1")) / (
+        nd * (F.col("n_rows") - 1)
+    )
+    return m.select(
+        "l_returnflag",
+        "corr_qty_price",
+        "sd_price",
+        half_up(var, 4).alias("var_qty"),
+        "n_rows",
     )
 
 
@@ -7352,15 +7369,29 @@ def q258_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     hourly = e.groupBy(
         "event_type", F.date_trunc("hour", "ts").alias("_h")
     ).agg(F.count(F.lit(1)).alias("_n"))
-    return hourly.groupBy("event_type").agg(
+    # exact integer moments (Σn, Σn²) make the variance a DETERMINISTIC
+    # double — n·Σn² − (Σn)² over exact integers, identical IEEE sequence
+    # on both engines (var_samp's streaming merge is engine- and
+    # order-dependent) — so fano and even the sqrt-based burstiness
+    # (sqrt is correctly-rounded IEEE) display via floor half-up
+    moments = hourly.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_hours"),
-        _half_up(F.sum("_n"), F.count(F.lit(1)), 6).alias("mean_per_hour"),
-        F.round(F.var_samp("_n") / F.avg("_n"), 6).alias("fano"),
-        F.round(
-            (F.sqrt(F.var_samp("_n")) - F.avg("_n"))
-            / (F.sqrt(F.var_samp("_n")) + F.avg("_n")),
-            6,
-        ).alias("burstiness"),
+        F.sum("_n").alias("_s1"),
+        F.sum(F.col("_n") * F.col("_n")).alias("_s2"),
+    )
+    nd = F.col("n_hours").cast("double")
+    var = (nd * F.col("_s2") - F.col("_s1").cast("double") * F.col("_s1")) / (
+        nd * (F.col("n_hours") - 1)
+    )
+    mean = F.col("_s1").cast("double") / nd
+    return moments.select(
+        "event_type",
+        "n_hours",
+        _half_up(F.col("_s1"), F.col("n_hours"), 6).alias("mean_per_hour"),
+        half_up(var * nd / F.col("_s1"), 6).alias("fano"),
+        half_up((F.sqrt(var) - mean) / (F.sqrt(var) + mean), 6).alias(
+            "burstiness"
+        ),
     )
 
 
@@ -8504,19 +8535,29 @@ def q282_ab_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetic per group."""
     z = (1.959964 + 0.841621) ** 2
     ev = _t(spark, sf_dir, "events")
+    # exact cent moments: mean, variance, MDE and the sample-size formula
+    # all become deterministic doubles (identical IEEE sequence both
+    # engines) — var_samp/avg merges are engine- and order-dependent and
+    # the d=4/d=6 displays of these grid-derived rationals are reachable
+    c = _cents("value")
     m = ev.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_obs"),
-        F.avg("value").alias("_mean"),
-        F.var_samp("value").alias("_var"),
+        F.sum(c).alias("_s1"),
+        F.sum(c * c).alias("_s2"),
     )
-    delta = F.col("_mean") * 0.05
+    nd = F.col("n_obs").cast("double")
+    meand = F.col("_s1").cast("double") / (100.0 * nd)
+    vard = (
+        nd * F.col("_s2") - F.col("_s1").cast("double") * F.col("_s1")
+    ) / (nd * (F.col("n_obs") - 1)) / 1e4
+    delta = meand * 0.05
     return m.select(
         "event_type",
         "n_obs",
-        F.round("_mean", 6).alias("mean_value"),
-        F.round("_var", 4).alias("var_value"),
-        F.round(delta, 6).alias("mde"),
-        F.round(F.lit(2.0) * F.col("_var") * F.lit(z) / (delta * delta), 4).alias(
+        half_up(meand, 6).alias("mean_value"),
+        half_up(vard, 4).alias("var_value"),
+        half_up(delta, 6).alias("mde"),
+        half_up(F.lit(2.0) * vard * F.lit(z) / (delta * delta), 4).alias(
             "n_per_arm"
         ),
     )
@@ -10888,12 +10929,27 @@ def q329_overdispersion_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = ev.groupBy("event_type", F.to_date("ts").alias("_day")).agg(
         F.count(F.lit(1)).alias("_n")
     )
-    return daily.groupBy("event_type").agg(
+    # exact integer moments: the variance, the dispersion ratio AND the
+    # overdispersed BOOLEAN (a strict > 1.5 threshold that an
+    # engine-dependent var_samp merge could flip near the boundary) all
+    # become deterministic doubles — identical IEEE sequence both engines
+    moments = daily.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_days"),
-        _half_up(F.sum("_n"), F.count(F.lit(1)), 6).alias("mean_daily"),
-        F.round(F.var_samp("_n"), 6).alias("var_daily"),
-        F.round(F.var_samp("_n") / F.avg("_n"), 6).alias("dispersion_index"),
-        (F.var_samp("_n") / F.avg("_n") > 1.5).alias("overdispersed"),
+        F.sum("_n").alias("_s1"),
+        F.sum(F.col("_n") * F.col("_n")).alias("_s2"),
+    )
+    nd = F.col("n_days").cast("double")
+    var = (nd * F.col("_s2") - F.col("_s1").cast("double") * F.col("_s1")) / (
+        nd * (F.col("n_days") - 1)
+    )
+    disp = var * nd / F.col("_s1")
+    return moments.select(
+        "event_type",
+        "n_days",
+        _half_up(F.col("_s1"), F.col("n_days"), 6).alias("mean_daily"),
+        half_up(var, 6).alias("var_daily"),
+        half_up(disp, 6).alias("dispersion_index"),
+        (disp > 1.5).alias("overdispersed"),
     )
 
 
@@ -14798,13 +14854,25 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY l_returnflag
         """,
         "q41_corr_stats": """
-            SELECT l_returnflag,
-                   round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
-                   round(stddev_samp(l_extendedprice), 2) AS sd_price,
-                   round(var_samp(l_quantity), 4) AS var_qty,
-                   count(*) AS n_rows
-            FROM lineitem
-            GROUP BY l_returnflag
+            WITH m AS (
+                SELECT l_returnflag,
+                       round(corr(l_quantity, l_extendedprice), 6)
+                           AS corr_qty_price,
+                       round(stddev_samp(l_extendedprice), 2) AS sd_price,
+                       count(*) AS n,
+                       CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT)
+                           AS s1,
+                       CAST(sum(CAST(round(l_quantity) AS BIGINT)
+                                * CAST(round(l_quantity) AS BIGINT))
+                            AS BIGINT) AS s2
+                FROM lineitem GROUP BY l_returnflag
+            )
+            SELECT l_returnflag, corr_qty_price, sd_price,
+                   floor((CAST(n AS DOUBLE) * s2 - CAST(s1 AS DOUBLE) * s1)
+                         / (CAST(n AS DOUBLE) * (n - 1)) * 1e4 + 0.5) / 1e4
+                       AS var_qty,
+                   n AS n_rows
+            FROM m
         """,
         "q42_multimodal_features": """
             SELECT source AS modality,
@@ -19190,14 +19258,27 @@ def oracle_sql() -> dict[str, str]:
         WITH hourly AS (
             SELECT event_type, date_trunc('hour', ts) AS h, count(*) AS n
             FROM events GROUP BY 1, 2
+        ), m AS (
+            SELECT event_type, count(*) AS nh,
+                   CAST(sum(n) AS BIGINT) AS s1,
+                   CAST(sum(n * n) AS BIGINT) AS s2
+            FROM hourly GROUP BY 1
+        ), v AS (
+            -- exact-moment variance: the identical IEEE sequence the
+            -- Spark side evaluates over exact integer moments
+            SELECT event_type, nh, s1,
+                   (CAST(nh AS DOUBLE) * s2 - CAST(s1 AS DOUBLE) * s1)
+                       / (CAST(nh AS DOUBLE) * (nh - 1)) AS var,
+                   CAST(s1 AS DOUBLE) / CAST(nh AS DOUBLE) AS mean
+            FROM m
         )
-        SELECT event_type, count(*) AS n_hours,
-               floor(CAST(sum(n) AS DOUBLE) * 1e6 / count(*) + 0.5)
-                   / 1e6 AS mean_per_hour,
-               round(var_samp(n) / avg(n), 6) AS fano,
-               round((sqrt(var_samp(n)) - avg(n))
-                     / (sqrt(var_samp(n)) + avg(n)), 6) AS burstiness
-        FROM hourly GROUP BY 1
+        SELECT event_type, nh AS n_hours,
+               floor(CAST(s1 AS DOUBLE) * 1e6 / nh + 0.5) / 1e6
+                   AS mean_per_hour,
+               floor(var * CAST(nh AS DOUBLE) / s1 * 1e6 + 0.5) / 1e6 AS fano,
+               floor((sqrt(var) - mean) / (sqrt(var) + mean) * 1e6 + 0.5)
+                   / 1e6 AS burstiness
+        FROM v
     """
     sqls["q259_feature_ig_ranking"] = """
         WITH base AS (
@@ -20498,14 +20579,26 @@ def oracle_sql() -> dict[str, str]:
         WITH daily AS (
             SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
             FROM events GROUP BY 1, 2
+        ), m AS (
+            SELECT event_type, count(*) AS nd,
+                   CAST(sum(n) AS BIGINT) AS s1,
+                   CAST(sum(n * n) AS BIGINT) AS s2
+            FROM daily GROUP BY 1
+        ), v AS (
+            -- exact-moment variance: the identical IEEE sequence the
+            -- Spark side evaluates over exact integer moments
+            SELECT event_type, nd, s1,
+                   (CAST(nd AS DOUBLE) * s2 - CAST(s1 AS DOUBLE) * s1)
+                       / (CAST(nd AS DOUBLE) * (nd - 1)) AS var
+            FROM m
         )
-        SELECT event_type, count(*) AS n_days,
-               floor(CAST(sum(n) AS DOUBLE) * 1e6 / count(*) + 0.5) / 1e6
-                   AS mean_daily,
-               round(var_samp(n), 6) AS var_daily,
-               round(var_samp(n) / avg(n), 6) AS dispersion_index,
-               var_samp(n) / avg(n) > 1.5 AS overdispersed
-        FROM daily GROUP BY 1
+        SELECT event_type, nd AS n_days,
+               floor(CAST(s1 AS DOUBLE) * 1e6 / nd + 0.5) / 1e6 AS mean_daily,
+               floor(var * 1e6 + 0.5) / 1e6 AS var_daily,
+               floor(var * CAST(nd AS DOUBLE) / s1 * 1e6 + 0.5) / 1e6
+                   AS dispersion_index,
+               var * CAST(nd AS DOUBLE) / s1 > 1.5 AS overdispersed
+        FROM v
     """
     sqls["q330_dedup_threshold_pr_curve"] = f"""
         WITH tok AS (
@@ -22542,14 +22635,31 @@ def oracle_sql() -> dict[str, str]:
     )
     _z2 = (1.959964 + 0.841621) ** 2
     sqls["q282_ab_power_analysis"] = f"""
-        SELECT event_type, count(*) AS n_obs,
-               round(avg(value), 6) AS mean_value,
-               round(var_samp(value), 4) AS var_value,
-               round(avg(value) * 0.05, 6) AS mde,
-               round(2.0 * var_samp(value) * {_z2!r}
-                     / ((avg(value) * 0.05) * (avg(value) * 0.05)),
-                     4) AS n_per_arm
-        FROM events GROUP BY 1
+        WITH m AS (
+            SELECT event_type, count(*) AS n,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                       AS s1,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT)
+                            * CAST(round(value * 100) AS BIGINT))
+                        AS BIGINT) AS s2
+            FROM events GROUP BY 1
+        ), v AS (
+            -- exact-moment mean/variance: the identical IEEE sequence the
+            -- Spark side evaluates over exact cent moments
+            SELECT event_type, n,
+                   CAST(s1 AS DOUBLE) / (100.0 * CAST(n AS DOUBLE)) AS mean,
+                   (CAST(n AS DOUBLE) * s2 - CAST(s1 AS DOUBLE) * s1)
+                       / (CAST(n AS DOUBLE) * (n - 1)) / 1e4 AS var
+            FROM m
+        )
+        SELECT event_type, n AS n_obs,
+               floor(mean * 1e6 + 0.5) / 1e6 AS mean_value,
+               floor(var * 1e4 + 0.5) / 1e4 AS var_value,
+               floor(mean * 0.05 * 1e6 + 0.5) / 1e6 AS mde,
+               floor(2.0 * var * {_z2!r}
+                     / ((mean * 0.05) * (mean * 0.05)) * 1e4 + 0.5) / 1e4
+                   AS n_per_arm
+        FROM v
     """
     sqls["q276_watermark_lateness_audit"] = """
         WITH e AS (
