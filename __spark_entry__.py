@@ -12075,14 +12075,16 @@ def q348_seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
     resid = daily.select(F.dayofweek("_day").alias("_dw"), "_rev").join(
         F.broadcast(dow), "_dw"
     )
-    # variances are ~5e11 here: the engines' var_pop algorithms agree only
-    # to ~1e-14 RELATIVE, so a fixed 2-decimal display demanded 14
-    # significant digits and flipped x.xx5 boundaries per seed (seed-5
-    # differential). Report in billions at 3 decimals — 6 significant
-    # digits, 8 orders of headroom over the cross-engine noise floor.
+    # half-safe: variances are ~5e11 here — the engines' var_pop
+    # algorithms agree only to ~1e-14 RELATIVE, so a fixed 2-decimal
+    # display demanded 14 significant digits and flipped x.xx5 boundaries
+    # per seed (seed-5 differential). Report in billions at 3 decimals —
+    # 6 significant digits, 8 orders of headroom over the cross-engine
+    # noise floor (continuous magnitude, not a reachable grid).
     return resid.agg(
         F.count(F.lit(1)).alias("n_days"),
         F.round(F.var_pop("_rev") / 1e9, 3).alias("var_daily_bn"),
+        # half-safe: same continuous-magnitude rationale as above
         F.round(F.var_pop(F.col("_rev") - F.col("_smean")) / 1e9, 3).alias(
             "var_residual_bn"
         ),

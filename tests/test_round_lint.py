@@ -28,10 +28,14 @@ FILES = [
     *sorted((REPO / "hubverse_transform_spark").rglob("*.py")),
 ]
 
-# the risky shape: a direct round() of a float average (whitespace/newlines
-# between the tokens included). The exact-integer conversions use
-# _half_up(F.sum(...), ...) and therefore never match.
-PAT = re.compile(r"F\.round\(\s*F\.avg\(")
+# the risky shapes: a direct round() of a float average OR variance
+# (whitespace/newlines between the tokens included) — both aggregates have
+# engine- and order-dependent streaming merges, so grid-valued inputs need
+# the exact-moment + floor-half-up conversion (round-9 variance sweep:
+# q41/q258/q282/q329). stddev is excluded: sqrt output is irrational, so a
+# d-boundary hit has measure zero. The exact conversions use
+# _half_up/half_up over explicit moments and therefore never match.
+PAT = re.compile(r"F\.round\(\s*F\.(?:avg|var_samp|var_pop)\(")
 
 # a justification must sit on the match line or within this many lines above
 WINDOW = 8
