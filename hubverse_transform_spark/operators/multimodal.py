@@ -1,17 +1,19 @@
 """Multimodal column plumbing [EXT]: image/audio/video as opaque binary
 columns with typed metadata.
 
-The audio/video decode kernels (resample, frame extraction) need native
-libraries that are usually NOT in this container, so those *kernels* are
-stubbed — a deterministic fake when ``fake=True`` (for tests), else
-NotImplementedError. The IMAGE decode path is fully wired and ALWAYS
-runnable: ``fake=False`` decodes real payload bytes (width × height ×
-mode feature) via Pillow when the executor can import it (any format),
-else via the builtin pure-stdlib PNG kernel (``png_decode``: chunk CRC
-verification, IDAT inflate, full scanline unfilter) — corrupt payloads
-raise ValueError (quarantine) in both paths. Everything Spark-side is real and tested:
-the asset schema, Arrow-batched ``mapInPandas`` plumbing, batch shapes,
-partition-size control for large blobs.
+The VIDEO decode kernel (frame extraction) needs native libraries that are
+not in this container, so that *kernel* is stubbed — a deterministic fake
+when ``fake=True`` (for tests), else NotImplementedError. The IMAGE and
+AUDIO decode paths are fully wired and ALWAYS runnable: ``fake=False``
+decodes real payload bytes — images via Pillow when the executor can
+import it (any format), else via the builtin pure-stdlib PNG kernel
+(``png_decode``: chunk CRC verification, IDAT inflate, full scanline
+unfilter); audio via the builtin pure-stdlib WAV/PCM kernel
+(``wav_decode``: strict RIFF walk, fmt validation, data-chunk geometry
+check). Corrupt payloads raise ValueError (quarantine) in every real
+path. Everything Spark-side is real and tested: the asset schema,
+Arrow-batched ``mapInPandas`` plumbing, batch shapes, partition-size
+control for large blobs.
 
 Scale notes: binary payloads dominate row size, so assets are repartitioned
 by byte budget before any UDF stage (`target_partition_bytes`), and metadata
@@ -232,12 +234,13 @@ def _real_image_decoder():
     decode to ``image:<width>x<height>:<mode>`` from the actual bytes —
     via Pillow when the executor can import it (any format Pillow reads),
     else via the builtin pure-stdlib PNG kernel (``png_decode``: CRC
-    check, IDAT inflate, full scanline unfilter), so the real path is
-    runnable even in codec-less containers. The audio/video kernels stay
-    unimplemented (their codecs are genuinely not wired), and an
-    unparseable image payload raises ValueError rather than silently
-    degrading — a corrupt blob in a curation pipeline should quarantine,
-    not pass."""
+    check, IDAT inflate, full scanline unfilter); audio payloads decode to
+    ``audio:<rate>hz:<ch>ch:<bits>bit:<frames>f`` via the builtin
+    pure-stdlib WAV kernel (``wav_decode``) — so both real paths are
+    runnable even in codec-less containers. The video kernel stays
+    unimplemented (its codecs are genuinely not wired), and an unparseable
+    image/audio payload raises ValueError rather than silently degrading —
+    a corrupt blob in a curation pipeline should quarantine, not pass."""
     try:
         import io
 
@@ -248,9 +251,12 @@ def _real_image_decoder():
     def decode(payload, modality):
         if payload is None:
             return "empty"
+        if modality == "audio":
+            rate, ch, bits, samples = wav_decode(bytes(payload))
+            return f"audio:{rate}hz:{ch}ch:{bits}bit:{samples.size // ch}f"
         if modality != "image":
             raise NotImplementedError(
-                f"real decode wired for images only (got modality={modality!r})"
+                f"real decode wired for image/audio only (got modality={modality!r})"
             )
         if Image is not None:
             with Image.open(io.BytesIO(bytes(payload))) as img:
@@ -339,6 +345,100 @@ def png_encode(px, mode: str) -> bytes:
         + chunk(b"IDAT", zlib.compress(raw))
         + chunk(b"IEND", b"")
     )
+
+
+#: PCM sample widths the builtin WAV kernel handles: bits -> numpy dtype
+_WAV_PCM_DTYPES = {8: "u1", 16: "<i2", 32: "<i4"}
+
+
+def wav_decode(data: bytes):
+    """Pure-stdlib WAV/PCM decode: (sample_rate, n_channels, bits,
+    samples int64[n_frames * n_channels] centered at 0).
+
+    A REAL decode, not a header peek — the RIFF container is walked chunk
+    by chunk with size validation, the ``fmt `` chunk is parsed and checked
+    for integer-PCM consistency (format tag 1, block-align and byte-rate
+    arithmetic must agree with channels × width), and the ``data`` chunk
+    must hold a whole number of frames — so a corrupt or truncated payload
+    raises ValueError (quarantine, never silently pass). Mirrors the PNG
+    kernel (``png_decode``) pattern: stdlib ``struct`` + numpy only, no
+    codec libraries. Supports 8-bit unsigned / 16-bit / 32-bit signed
+    little-endian integer PCM, any channel count; 8-bit samples are
+    re-centered (-128) so every width yields signed amplitudes around 0.
+    """
+    import struct
+
+    import numpy as np
+
+    if len(data) < 12 or bytes(data[:4]) != b"RIFF" or bytes(data[8:12]) != b"WAVE":
+        raise ValueError("audio decode failed: not a RIFF/WAVE signature")
+    (riff_size,) = struct.unpack("<I", data[4:8])
+    if riff_size + 8 > len(data):
+        raise ValueError("audio decode failed: RIFF size exceeds payload")
+    pos = 12
+    fmt = None
+    pcm = None
+    while pos + 8 <= len(data):
+        ctype = bytes(data[pos : pos + 4])
+        (ln,) = struct.unpack("<I", data[pos + 4 : pos + 8])
+        body = bytes(data[pos + 8 : pos + 8 + ln])
+        if len(body) != ln:
+            raise ValueError("audio decode failed: truncated WAV chunk")
+        if ctype == b"fmt ":
+            if ln < 16:
+                raise ValueError("audio decode failed: fmt chunk too short")
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif ctype == b"data":
+            pcm = body
+        pos += 8 + ln + (ln & 1)  # RIFF chunks are word-aligned
+    if fmt is None or pcm is None:
+        raise ValueError("audio decode failed: missing fmt/data chunk")
+    audio_format, n_channels, sample_rate, byte_rate, block_align, bits = fmt
+    if audio_format != 1:
+        raise ValueError(
+            f"audio decode failed: builtin kernel supports integer PCM "
+            f"(format 1), got format {audio_format}"
+        )
+    if bits not in _WAV_PCM_DTYPES or n_channels < 1 or sample_rate < 1:
+        raise ValueError(
+            f"audio decode failed: unsupported geometry (bits={bits}, "
+            f"channels={n_channels}, rate={sample_rate})"
+        )
+    width = bits // 8
+    if block_align != n_channels * width or byte_rate != sample_rate * block_align:
+        raise ValueError("audio decode failed: fmt chunk arithmetic inconsistent")
+    if len(pcm) % block_align != 0:
+        raise ValueError("audio decode failed: data chunk is not whole frames")
+    samples = np.frombuffer(pcm, dtype=_WAV_PCM_DTYPES[bits]).astype(np.int64)
+    if bits == 8:
+        samples = samples - 128  # unsigned storage -> signed amplitude
+    return int(sample_rate), int(n_channels), int(bits), samples
+
+
+def wav_encode(samples, *, sample_rate: int, bits: int = 16, n_channels: int = 1) -> bytes:
+    """Minimal stdlib WAV writer: integer-PCM, little-endian, ``samples`` an
+    integer array of interleaved signed amplitudes (length divisible by
+    ``n_channels``). The inverse of ``wav_decode`` (round-trips bit-exactly
+    on the sample side)."""
+    import struct
+
+    import numpy as np
+
+    if bits not in _WAV_PCM_DTYPES:
+        raise ValueError(f"wav_encode supports bits {sorted(_WAV_PCM_DTYPES)}, got {bits}")
+    arr = np.asarray(samples, dtype=np.int64)
+    if arr.size % n_channels != 0:
+        raise ValueError("wav_encode: sample count not divisible by channel count")
+    if bits == 8:
+        arr = arr + 128  # signed amplitude -> unsigned storage
+    pcm = arr.astype(_WAV_PCM_DTYPES[bits]).tobytes()
+    width = bits // 8
+    block_align = n_channels * width
+    fmt = struct.pack("<HHIIHH", 1, n_channels, sample_rate, sample_rate * block_align, block_align, bits)
+    chunks = b"fmt " + struct.pack("<I", len(fmt)) + fmt + b"data" + struct.pack("<I", len(pcm)) + pcm
+    if len(pcm) & 1:
+        chunks += b"\x00"  # RIFF word alignment pad (not part of data size)
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
 
 
 def _decode_pixels(payload: bytes):
@@ -457,14 +557,19 @@ def asset_metadata_summary(assets: DataFrame) -> DataFrame:
 def audio_window_energy(
     assets: DataFrame, *, window_bytes: int = 1024, fake: bool = False
 ) -> DataFrame:
-    """Audio windowed-energy stub: RMS energy per fixed-size sample window.
+    """Audio windowed RMS energy per fixed-size sample window.
 
     The audio member of the decode trio (image resize / video frame-sample /
     audio windowing): 1->N like ``frame_sample`` but over the PAYLOAD rather
-    than metadata. Real decode (codec -> PCM) is unavailable in this
-    container; fake mode treats the raw payload bytes as unsigned 8-bit PCM,
-    which keeps the whole path — Arrow batch transfer, numpy vectorization
-    per window, 1->N output shape — executable and deterministic.
+    than metadata. Real mode (``fake=False``) genuinely decodes: the payload
+    is parsed by the builtin pure-stdlib WAV kernel (``wav_decode`` — strict
+    RIFF walk, fmt validation, whole-frame data check; corrupt payloads
+    raise ValueError and quarantine the task's row, mirroring the PNG
+    kernel), and windows are cut over the DECODED signed PCM amplitudes:
+    ``window_bytes`` of PCM data per window, i.e.
+    ``window_bytes // (bits/8)`` interleaved sample values. Fake mode
+    treats the raw payload bytes as unsigned 8-bit PCM (deterministic, for
+    plumbing tests against arbitrary blobs).
 
     Output: (asset_id, window_idx, n_samples, rms) — rms rounded to 6
     decimals so results are comparable across runs.
@@ -482,20 +587,24 @@ def audio_window_energy(
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError("audio decode libraries unavailable")
             rows: list[dict[str, Any]] = []
             for _, r in pdf.iterrows():
                 payload = r["payload"]
                 if payload is None:
                     continue
-                samples = np.frombuffer(bytes(payload), dtype=np.uint8).astype(np.float64)
-                for i in range(0, len(samples), window_bytes):
-                    w = samples[i : i + window_bytes]
+                if fake:
+                    samples = np.frombuffer(bytes(payload), dtype=np.uint8).astype(np.float64)
+                    win = window_bytes
+                else:
+                    _rate, _ch, bits, pcm = wav_decode(bytes(payload))
+                    samples = pcm.astype(np.float64)
+                    win = max(1, window_bytes // (bits // 8))
+                for i in range(0, len(samples), win):
+                    w = samples[i : i + win]
                     rows.append(
                         {
                             "asset_id": r["asset_id"],
-                            "window_idx": i // window_bytes,
+                            "window_idx": i // win,
                             "n_samples": len(w),
                             "rms": round(float(np.sqrt(np.mean(w * w))), 6),
                         }

@@ -133,10 +133,21 @@ def test_real_decode_map_in_arrow(assets):
     assert out[3]["feature"] == "empty"
 
 
-def test_non_image_modality_still_guarded(spark):
+def test_video_modality_still_guarded(spark):
+    """Audio became a real decode path in round 10 (wav_decode); video's
+    codecs are genuinely not wired, so it stays the executor guard."""
+    rows = [(9, "video", "video/mp4", bytearray(b"\x00\x00\x00 ftypmp42"), None, None, 1000)]
+    df = spark.createDataFrame(rows, ASSET_SCHEMA)
+    with pytest.raises(Exception, match="NotImplementedError|image/audio only"):
+        decode_features(df, fake=False).collect()
+
+
+def test_corrupt_audio_payload_quarantines(spark):
+    """A non-WAV blob under modality=audio must fail the real decode loudly
+    (ValueError quarantine), not silently pass — same contract as images."""
     rows = [(9, "audio", "audio/wav", bytearray(b"RIFF...."), None, None, 1000)]
     df = spark.createDataFrame(rows, ASSET_SCHEMA)
-    with pytest.raises(Exception, match="NotImplementedError|images only"):
+    with pytest.raises(Exception, match="audio decode failed"):
         decode_features(df, fake=False).collect()
 
 
