@@ -9647,11 +9647,19 @@ def q307_ipw_treatment_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         # half-safe: the IPW term divides by the propensity _p (a
         # heterogeneous per-stratum rational); a d=6 half boundary needs
-        # the reduced sum denominator = 2*10^6*odd — measure-zero
+        # the reduced sum denominator = 2*10^6*odd — measure-zero.
+        # Positivity guard: a stratum that is all-treatment (p=1) or
+        # all-control (p=0) has no defined IPW contribution — its rows are
+        # excluded (CASE short-circuits, so ANSI mode never divides by 0;
+        # unguarded this crashed at sf0.001, where a quintile stratum
+        # genuinely goes single-arm).
         F.round(
             F.avg(
-                F.col("_t") * F.col("_y") / F.col("_p")
-                - (1 - F.col("_t")) * F.col("_y") / (1 - F.col("_p"))
+                F.when(
+                    (F.col("_p") > 0) & (F.col("_p") < 1),
+                    F.col("_t") * F.col("_y") / F.col("_p")
+                    - (1 - F.col("_t")) * F.col("_y") / (1 - F.col("_p")),
+                )
             ),
             6,
         ).alias("ipw_ate"),
@@ -13774,11 +13782,18 @@ def q377_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("_c1").alias("n_capture1"),
         F.sum("_c2").alias("n_capture2"),
         F.sum(F.col("_c1") * F.col("_c2")).alias("n_recaptured"),
-        half_up(
-            F.sum("_c1")
-            * F.sum("_c2")
-            / F.sum(F.col("_c1") * F.col("_c2")).cast("double"),
-            2,
+        # zero recaptures -> the Lincoln-Petersen estimate is undefined:
+        # report NULL instead of dividing by zero (CASE short-circuits, so
+        # ANSI mode never evaluates the division; unguarded this crashed
+        # at sf0.001, where the two 20% captures genuinely miss each other)
+        F.when(
+            F.sum(F.col("_c1") * F.col("_c2")) > 0,
+            half_up(
+                F.sum("_c1")
+                * F.sum("_c2")
+                / F.sum(F.col("_c1") * F.col("_c2")).cast("double"),
+                2,
+            ),
         ).alias("lincoln_petersen_estimate"),
     )
 
@@ -19945,7 +19960,9 @@ def oracle_sql() -> dict[str, str]:
                      * 1e6 / (100 * count(CASE WHEN t = 1 THEN 1 END)
                               * count(CASE WHEN t = 0 THEN 1 END)) + 0.5)
                    / 1e6 AS naive_diff,
-               round(avg(t * y / p - (1 - t) * y / (1 - p)), 6) AS ipw_ate,
+               round(avg(CASE WHEN p > 0 AND p < 1
+                              THEN t * y / p - (1 - t) * y / (1 - p)
+                         END), 6) AS ipw_ate,
                round(min(p), 6) AS min_propensity,
                round(max(p), 6) AS max_propensity
         FROM strat JOIN prop USING (stratum)
@@ -22137,9 +22154,11 @@ def oracle_sql() -> dict[str, str]:
                CAST(sum(c1) AS BIGINT) AS n_capture1,
                CAST(sum(c2) AS BIGINT) AS n_capture2,
                CAST(sum(c1 * c2) AS BIGINT) AS n_recaptured,
-               floor((sum(c1) * sum(c2) / CAST(sum(c1 * c2) AS DOUBLE))
-                     * 1e2 + 0.5) / 1e2
-                   AS lincoln_petersen_estimate
+               CASE WHEN sum(c1 * c2) > 0
+                    THEN floor((sum(c1) * sum(c2)
+                                / CAST(sum(c1 * c2) AS DOUBLE))
+                               * 1e2 + 0.5) / 1e2
+               END AS lincoln_petersen_estimate
         FROM marked
     """
     sqls["q378_asof_feature_matrix"] = """

@@ -5,17 +5,17 @@ line: {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf":
 Each query executes to completion through the noop sink (full computation, no
 driver-side result materialization cost in the timing).
 
-Timing protocol (round 9): every query runs twice (min-of-2, exactly the
-r1–r8 protocol, so the headline total stays comparable across the whole
-BENCH_r* series and against BASELINE.md); the TOP-N wall-time queries
-(N=30) get a third execution so their BENCH.json entry under "spread"
-reports a median-of-3 with an explicit min/max interval — "environmental
-drift" becomes a measured number instead of an eyeball claim. The headline
-"queries"/"value" stay min-based: switching the headline to medians would
-have discontinuously inflated the series by ~30% for a metric change, not
-a performance change (measured: a round-8-tip worktree benches identically
-to HEAD on the same machine). Round-over-round drift adjudication quotes
-median-over-median from "spread".
+Timing protocol (round 10): every query runs THREE times and the headline
+"value"/"queries" are MEDIANS — the drift-robust estimate the round-9
+spread campaign showed is needed (same-tree noise measured at ±11%, larger
+than most round-over-round deltas the headline exists to surface). Each
+query's min/max interval is recorded under "spread" so the noise envelope
+stays a number. For series continuity with the r1–r9 min-of-2 protocol,
+"value_min2" carries the old headline (sum of per-query min of the first
+two runs) exactly once per run — compare r10+ to r9-and-earlier through
+that field, and medians to medians from r9's partial "spread". The
+driver's BENCH_r{N}.json is the single number of record; intermediate
+runs quoted in commit messages or VERIFY notes are working measurements.
 """
 
 from __future__ import annotations
@@ -32,7 +32,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import __spark_entry__ as entry_mod
 from hubverse_transform_spark.session import get_spark
 
-TOP_N_RERUN = 30
+N_RUNS = 3
 
 
 def main() -> None:
@@ -55,50 +55,46 @@ def main() -> None:
         fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
         return time.perf_counter() - start
 
-    # pass 1: two timed executions per query (the r1–r8 protocol). A query
-    # that throws is recorded under "errors" and excluded from the total
-    # rather than aborting the whole benchmark (a single regression must
-    # not zero out the round's numbers — round-1 failure mode).
+    # three timed executions per query. A query that throws is recorded
+    # under "errors" and excluded from the total rather than aborting the
+    # whole benchmark (a single regression must not zero out the round's
+    # numbers — round-1 failure mode).
     all_runs: dict[str, list[float]] = {}
     errors: dict[str, str] = {}
     fns = entry_mod.queries()
     for name, fn in fns.items():
         try:
-            all_runs[name] = [run_once(fn), run_once(fn)]
+            all_runs[name] = [run_once(fn) for _ in range(N_RUNS)]
         except Exception as exc:  # noqa: BLE001 - record and keep benching
             errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+            all_runs.pop(name, None)
 
-    # pass 2: the top-N wall-time queries get a third run — median-of-3 is
-    # the drift-robust estimate quoted for round-over-round comparisons,
-    # min/max the measured spread. The headline stays min-based for series
-    # continuity.
-    top = sorted(all_runs, key=lambda n: min(all_runs[n]), reverse=True)[:TOP_N_RERUN]
-    spread: dict[str, dict[str, float]] = {}
     timings: dict[str, float] = {}
+    spread: dict[str, dict[str, float]] = {}
+    min2_total = 0.0
     for name, runs in all_runs.items():
-        if name in top:
-            try:
-                runs.append(run_once(fns[name]))
-            except Exception as exc:  # noqa: BLE001
-                errors[name] = f"{type(exc).__name__}: {exc}"[:300]
-            spread[name] = {
-                "median": round(statistics.median(runs), 3),
-                "min": round(min(runs), 3),
-                "max": round(max(runs), 3),
-                "runs": len(runs),
-            }
-        timings[name] = round(min(runs), 3)
+        timings[name] = round(statistics.median(runs), 3)
+        spread[name] = {
+            "median": timings[name],
+            "min": round(min(runs), 3),
+            "max": round(max(runs), 3),
+            "runs": len(runs),
+        }
+        min2_total += min(runs[:2])
 
     total = round(sum(timings.values()), 3)
     result = {
         "metric": "total_query_wall_sec",
         "value": total,
+        "value_median": total,
+        "value_min2": round(min2_total, 3),
         "unit": "sec",
         "queries": timings,
         "spread": spread,
         "timing": (
-            f"min-of-2 headline (r1-r8 protocol); top-{TOP_N_RERUN} by wall "
-            "time run 3x with median+min/max under 'spread'"
+            f"median-of-{N_RUNS} headline for every query (r10 protocol); "
+            "'value_min2' = r1-r9 min-of-2 protocol over the same runs for "
+            "series continuity; per-query min/max under 'spread'"
         ),
         "sf": sf,
     }
@@ -118,6 +114,8 @@ def main() -> None:
     compact = {
         "metric": result["metric"],
         "value": result["value"],
+        "value_median": result["value_median"],
+        "value_min2": result["value_min2"],
         "unit": "sec",
         "sf": sf,
         "n_queries": len(timings),

@@ -59,6 +59,20 @@ def test_every_query_analyzes_against_real_testdata(spark, compiled_surface):
     assert not failures, "\n".join(failures)
 
 
+def test_sparse_data_denominator_guards_execute_at_sf0001(spark):
+    """ANSI-mode divide-by-zero on SPARSE data (round-10 class): analysis
+    passes and sf0.01+ execution passes, but at sf0.001 a propensity
+    stratum genuinely goes single-arm (q307: p hits 0/1) and the two 20%
+    captures genuinely miss each other (q377: zero recaptures). Both sites
+    now guard the denominator with CASE (undefined estimate -> NULL) —
+    this test EXECUTES them on the sparse tier, where the unguarded forms
+    crashed with DIVIDE_BY_ZERO."""
+    sf_dir = "/root/testdata/sf0.001"
+    for name in ("q307_ipw_treatment_effect", "q377_capture_recapture"):
+        rows = entry.queries()[name](spark, sf_dir).collect()
+        assert len(rows) == 1, name
+
+
 def test_sketch_queries_estimate_close_to_exact(spark):
     """q38 carries its own in-engine tolerance boolean (must be uniformly
     TRUE — same assertion its DuckDB oracle makes); q109 stays rows-only by
