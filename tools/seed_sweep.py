@@ -58,6 +58,12 @@ BITTEN = [
     "q344_retention_decay_fit",
     "q348_seasonality_strength",
     "q50_session_durations",
+    # round-10 class: ANSI DIVIDE_BY_ZERO reachable only on SPARSE data
+    # (single-arm propensity stratum / zero recaptures at sf0.001) — now
+    # CASE-guarded on both engine sides; kept here so the guards stay
+    # exercised against fresh data every commit
+    "q307_ipw_treatment_effect",
+    "q377_capture_recapture",
 ]
 
 
