@@ -24,6 +24,9 @@ def con():
     c.sql(
         f"CREATE VIEW events AS SELECT * FROM read_parquet('{SF}/events.parquet')"
     )
+    c.sql(
+        f"CREATE VIEW lineitem AS SELECT * FROM read_parquet('{SF}/lineitem.parquet')"
+    )
     return c
 
 
@@ -65,6 +68,18 @@ def test_q207_guarantee_passes_and_perturbation_fails(con):
     assert errs and "rank error" in errs[0]
     errs = tolcheck_q207(good.iloc[:5], con)
     assert errs and "9 deciles" in errs[0]
+    # sparse-tier discreteness (round-10): at n < 10000 the sketch's rank
+    # guarantee is ceil(eps*n) = ONE ROW, so a realized error of exactly
+    # 1/n (even rounded UP at d=6) must PASS, and 2/n must still fail
+    n = con.sql("SELECT count(*) FROM lineitem").fetchone()[0]
+    assert n < 10000, "fixture expects the sf0.001 tier"
+    one_row = good.copy()
+    one_row.loc[2, "max_rank_err"] = round(1.0 / n, 6)
+    assert tolcheck_q207(one_row, con) == []
+    two_rows = good.copy()
+    two_rows.loc[2, "max_rank_err"] = round(2.0 / n, 6)
+    errs = tolcheck_q207(two_rows, con)
+    assert errs and "rank error" in errs[0]
 
 
 def test_every_rows_only_query_has_a_tolerance_check():

@@ -51,15 +51,26 @@ def tolcheck_q109(sdf, con) -> list[str]:
 
 
 def tolcheck_q207(sdf, con) -> list[str]:
-    """approx_percentile(accuracy=10000) guarantees rank error <= 1e-4;
-    the query's own audit column realizes it against a full data pass, so
-    assert it here (with tie-mass slack already folded in by the query)."""
+    """approx_percentile(accuracy=10000) guarantees rank error <= eps=1e-4
+    — but that is a RANK guarantee, discrete in rows: the implementation
+    promises the cut within ceil(eps*n) positions of the target, so for
+    eps*n < 1 (n < 10000, e.g. the sf0.001 tier at ~6k lineitem rows) the
+    achievable fractional error is one row, 1/n > eps. Assert against
+    max(eps, ceil(eps*n)/n) + 5e-7 d=6-rounding slack (the audit column is
+    rounded to 6 decimals, which can round 1/n UP past the exact bound).
+    The query's own audit column realizes the error against a full data
+    pass (tie-mass slack already folded in by the query)."""
     errs = []
+    import math
+
+    n = con.sql("SELECT count(*) FROM lineitem").fetchone()[0]
+    eps = 1e-4
+    bound = max(eps, math.ceil(eps * n) / n) + 5e-7
     for _, r in sdf.iterrows():
-        if float(r["max_rank_err"]) > 1e-4:
+        if float(r["max_rank_err"]) > bound:
             errs.append(
                 f"decile {int(r['decile'])}: realized rank error "
-                f"{r['max_rank_err']} > sketch guarantee 1e-4"
+                f"{r['max_rank_err']} > sketch guarantee {bound:.7f} (n={n})"
             )
     if len(sdf) != 9:
         errs.append(f"expected 9 deciles, got {len(sdf)}")

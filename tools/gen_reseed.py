@@ -21,7 +21,16 @@ unit at every SF); documents share the driver's 31-word vocabulary with ~10% mut
 near-dups; embeddings are 10 Gaussian clusters in R^64 float32 with ~5%
 perturbation near-dups.
 
-Usage: python tools/gen_reseed.py [outdir] [seed]   (default .scratch/sf0.01-reseed, 777)
+Usage: python tools/gen_reseed.py [outdir] [seed] [scale]
+       (default .scratch/sf0.01-reseed, 777, 1.0)
+
+``scale`` multiplies every table's row count (dimension contracts —
+region/nation, value grids, horizons — are untouched): ``0.1`` yields an
+sf0.001-SHAPED fresh-seed twin, the SPARSE tier where denominators that
+are never zero at sf0.01 genuinely hit zero (round-10 class: q307's
+single-arm propensity stratum, q377's zero recaptures — both found by
+executing the surface at sf0.001, neither reachable at the sf0.01 the
+differential usually runs at).
 """
 
 from __future__ import annotations
@@ -43,8 +52,15 @@ DIM = 64
 
 
 def main() -> None:
+    global N_CUST, N_SUPP, N_PART, N_ORDERS, N_EVENTS, N_DOCS, N_VECS
     out = sys.argv[1] if len(sys.argv) > 1 else ".scratch/sf0.01-reseed"
     seed = int(sys.argv[2]) if len(sys.argv) > 2 else 777
+    scale = float(sys.argv[3]) if len(sys.argv) > 3 else 1.0
+    if scale != 1.0:
+        N_CUST, N_SUPP, N_PART, N_ORDERS, N_EVENTS, N_DOCS, N_VECS = (
+            max(20, int(n * scale))
+            for n in (N_CUST, N_SUPP, N_PART, N_ORDERS, N_EVENTS, N_DOCS, N_VECS)
+        )
     os.makedirs(out, exist_ok=True)
     rng = np.random.default_rng(seed)
     con = duckdb.connect()
@@ -255,7 +271,7 @@ def main() -> None:
         f"{out}/embeddings.parquet",
     )
 
-    print(f"wrote re-seeded sf0.01 twin (seed={seed}) to {out}/")
+    print(f"wrote re-seeded twin (seed={seed}, scale={scale}) to {out}/")
 
 
 if __name__ == "__main__":

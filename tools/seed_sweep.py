@@ -17,6 +17,15 @@ seed-42 data happened to mask. This sweep has caught three such bugs:
 Usage:
     python tools/seed_sweep.py [seed ...]        (default: 777 5 99 20260815)
     python tools/seed_sweep.py --fast [seed]     (default fast seed: 90210)
+    python tools/seed_sweep.py --sparse [seed]   (default sparse seed: 271829)
+
+``--sparse`` (round-10 addition) generates the twin at SCALE 0.1 — an
+sf0.001-shaped dataset where per-group denominators genuinely reach zero
+(the tier that exposed q307's single-arm stratum and q377's zero
+recaptures as ANSI DIVIDE_BY_ZERO crashes). The full surface must still
+hash-match its oracle on the sparse twin: empty-group, zero-denominator,
+and degenerate-tie behavior has to agree cross-engine, not just at the
+comfortable density.
 
 ``--fast`` is the per-commit gate (round-9 addition): ONE fresh seed, and
 only the 50 driver-gated queries plus every query a previous campaign
@@ -81,24 +90,32 @@ def _fast_query_set() -> list[str]:
     return driver + extra
 
 
+DEFAULT_SPARSE_SEED = 271829
+
+
 def main() -> int:
     args = sys.argv[1:]
     fast = "--fast" in args
-    args = [a for a in args if a != "--fast"]
+    sparse = "--sparse" in args
+    args = [a for a in args if a not in ("--fast", "--sparse")]
     subset: list[str] = []
     if fast:
         seeds = [int(s) for s in args] or [DEFAULT_FAST_SEED]
         subset = _fast_query_set()
         print(f"fast gate: {len(subset)} queries on seed(s) {seeds}")
+    elif sparse:
+        seeds = [int(s) for s in args] or [DEFAULT_SPARSE_SEED]
+        print(f"sparse sweep (scale 0.1): full surface on seed(s) {seeds}")
     else:
         seeds = [int(s) for s in args] or DEFAULT_SEEDS
+    scale = "0.1" if sparse else "1.0"
     total_fail = 0
     t0 = time.perf_counter()
     for seed in seeds:
         twin = f".scratch/sweep-{seed}"
         print(f"=== seed {seed} -> {twin}")
         subprocess.run(
-            [sys.executable, "tools/gen_reseed.py", twin, str(seed)],
+            [sys.executable, "tools/gen_reseed.py", twin, str(seed), scale],
             check=True,
             capture_output=True,
         )
@@ -117,9 +134,10 @@ def main() -> int:
         total_fail += len(fails)
         shutil.rmtree(twin, ignore_errors=True)
     elapsed = time.perf_counter() - t0
+    kind = "fast gate" if fast else ("sparse full surface" if sparse else "full surface")
     print(
         f"sweep done: {total_fail} failures across {len(seeds)} seeds "
-        f"({'fast gate' if fast else 'full surface'}, {elapsed:.0f}s)"
+        f"({kind}, {elapsed:.0f}s)"
     )
     return total_fail
 
