@@ -5575,6 +5575,13 @@ def q218_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats = dist.groupBy("label").agg(
         F.avg("_d").alias("_mu"), F.stddev_samp("_d").alias("_sd")
     )
+    # degenerate labels carry no outlier signal and cannot be z-scored:
+    # n=1 gives sd NULL, and a 2-member label gives sd EXACTLY 0 (both
+    # members are equidistant from their midpoint centroid by symmetry) —
+    # reachable on sparse data, where the unguarded division crashed under
+    # ANSI (round-10 sparse sweep, seed 271829). Filtering also dodges the
+    # engines' opposite NULL-ordering defaults in the rank window.
+    stats = stats.filter(F.col("_sd").isNotNull() & (F.col("_sd") > 0))
     z = dist.join(F.broadcast(stats), "label").select(
         "label", "vec_id", ((F.col("_d") - F.col("_mu")) / F.col("_sd")).alias("_z")
     )
@@ -18360,6 +18367,7 @@ def oracle_sql() -> dict[str, str]:
         ), z AS (
             SELECT dist.label, vec_id, (d - mu) / sd AS zv FROM dist
             JOIN st USING (label)
+            WHERE sd IS NOT NULL AND sd > 0
         ), r AS (
             SELECT label, vec_id, zv,
                    row_number() OVER (PARTITION BY label

@@ -90,3 +90,22 @@ def test_every_rows_only_query_has_a_tolerance_check():
         "every oracle-less query needs a tolerance assertion in "
         "tools/check_oracle.py TOLERANCE_CHECKS"
     )
+
+
+def test_normalize_canonicalizes_missing_representations():
+    """Spark hands NULL booleans as None, DuckDB's pandas conversion hands
+    NULL doubles/booleans as float NaN — normalize() must hash them
+    identically (round-10: q247's undefined sign_flip on a 1-customer
+    nation), while real values keep distinguishing."""
+    import numpy as np
+
+    from check_oracle import normalize
+
+    spark_rows = [{"a": 1, "flip": None}, {"a": 2, "flip": True}]
+    duck_rows = [{"a": 1, "flip": float("nan")}, {"a": 2, "flip": True}]
+    assert normalize(spark_rows, ["a", "flip"]) == normalize(duck_rows, ["a", "flip"])
+    # NaT (self-unequal) also canonicalizes; lists pass through untouched
+    assert normalize([{"a": np.datetime64("NaT")}], ["a"]) == normalize([{"a": None}], ["a"])
+    assert normalize([{"a": [1, 2]}], ["a"]) == normalize([{"a": [1, 2]}], ["a"])
+    # and a genuine value difference still differs
+    assert normalize([{"a": False}], ["a"]) != normalize([{"a": None}], ["a"])

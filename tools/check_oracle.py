@@ -86,17 +86,33 @@ TOLERANCE_CHECKS = {
 }
 
 
+def _isna(v) -> bool:
+    """Scalar missing-ness across the pandas conversions both engines use:
+    Spark toPandas hands NULL booleans/objects as None, DuckDB .df() hands
+    NULL doubles AND NULL booleans as float NaN — the same semantic value
+    in three spellings (round-10: q247's undefined sign_flip hashed as
+    'None' vs 'nan'). NaN-vs-NULL was never observable anyway: DuckDB's
+    pandas conversion collapses double NULL to NaN before we see it."""
+    if isinstance(v, (list, tuple)) or hasattr(v, "__len__") and not isinstance(v, str):
+        return False
+    if v is None:
+        return True
+    try:
+        return v != v  # NaN/NaT are the only self-unequal scalars
+    except Exception:
+        return False
+
+
 def normalize(rows, cols):
     out = []
     for r in rows:
         vals = []
         for c in sorted(cols):
             v = r[c]
-            if isinstance(v, float):
-                if math.isnan(v):
-                    v = "nan"
-                else:
-                    v = round(v, 9)
+            if _isna(v):
+                v = "null"
+            elif isinstance(v, float):
+                v = round(v, 9)
             vals.append(str(v))
         out.append("|".join(vals))
     return sorted(out)

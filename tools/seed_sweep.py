@@ -73,6 +73,8 @@ BITTEN = [
     # exercised against fresh data every commit
     "q307_ipw_treatment_effect",
     "q377_capture_recapture",
+    "q218_embedding_outliers",
+    "q247_simpson_audit",
 ]
 
 
