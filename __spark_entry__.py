@@ -1066,10 +1066,15 @@ def q59_sql_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     scalar subquery in the predicate — parts priced above the global
     average, counted per brand."""
     _t(spark, sf_dir, "part").createOrReplaceTempView("q59_part")
+    # avg of 2-decimal money is an exact cents ratio that genuinely lands
+    # on the d=2 half boundary (sparse seed 577215: 1034.725 rounded
+    # 1034.73 vs 1034.72 across engines) — exact-integer half-up, the SQL
+    # spelling of _half_up, mirrored verbatim in the oracle
     return spark.sql(
         """
         SELECT p_brand, count(*) AS n_above,
-               round(avg(p_retailprice), 2) AS avg_above_price
+               floor(CAST(sum(CAST(round(p_retailprice * 100) AS BIGINT)) AS DOUBLE)
+                     * 1e2 / (count(*) * 100) + 0.5) / 1e2 AS avg_above_price
         FROM q59_part
         WHERE p_retailprice > (SELECT avg(p_retailprice) FROM q59_part)
         GROUP BY p_brand
@@ -1395,7 +1400,10 @@ def q73_correlated_avg_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         """
         SELECT o_orderpriority, count(*) AS n_big,
-               round(avg(o_totalprice), 2) AS avg_big_price
+               -- money avg -> exact cents ratio: engine-stable half-up
+               -- (same class as q59; oracle mirrors verbatim)
+               floor(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+                     * 1e2 / (count(*) * 100) + 0.5) / 1e2 AS avg_big_price
         FROM q73_orders o
         WHERE o_totalprice > 2.0 * (SELECT avg(o2.o_totalprice)
                                     FROM q73_orders o2
@@ -4298,8 +4306,10 @@ def q183_filtered_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST((sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT))
                          FILTER (WHERE l_returnflag = 'R') + 5) DIV 10
                     AS DOUBLE) / 10.0 AS returned_revenue,
-               round(CAST(count(*) FILTER (WHERE l_returnflag = 'R') AS DOUBLE)
-                     / count(*), 6) AS return_rate,
+               -- count ratio: exact integer ratio, d=6 boundary reachable
+               -- (1/128-style denominators) -> engine-stable half-up
+               floor(CAST(count(*) FILTER (WHERE l_returnflag = 'R') AS DOUBLE)
+                     * 1e6 / count(*) + 0.5) / 1e6 AS return_rate,
                CASE WHEN CAST(count(*) FILTER (WHERE l_returnflag = 'R') AS DOUBLE)
                          / count(*) > 0.3
                     THEN 'high' ELSE 'normal' END AS return_band
@@ -15255,7 +15265,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q59_sql_scalar_subquery": """
             SELECT p_brand, count(*) AS n_above,
-                   round(avg(p_retailprice), 2) AS avg_above_price
+                   floor(CAST(sum(CAST(round(p_retailprice * 100) AS BIGINT)) AS DOUBLE)
+                         * 1e2 / (count(*) * 100) + 0.5) / 1e2 AS avg_above_price
             FROM part
             WHERE p_retailprice > (SELECT avg(p_retailprice) FROM part)
             GROUP BY p_brand
@@ -15523,7 +15534,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q73_correlated_avg_subquery": """
             SELECT o_orderpriority, count(*) AS n_big,
-                   round(avg(o_totalprice), 2) AS avg_big_price
+                   floor(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+                         * 1e2 / (count(*) * 100) + 0.5) / 1e2 AS avg_big_price
             FROM orders o
             WHERE o_totalprice > 2.0 * (SELECT avg(o2.o_totalprice)
                                         FROM orders o2
@@ -17619,8 +17631,8 @@ def oracle_sql() -> dict[str, str]:
                CAST((sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT))
                          FILTER (WHERE l_returnflag = 'R') + 5) // 10
                     AS BIGINT) / 10.0 AS returned_revenue,
-               round(count(*) FILTER (WHERE l_returnflag = 'R') * 1.0
-                     / count(*), 6) AS return_rate,
+               floor(CAST(count(*) FILTER (WHERE l_returnflag = 'R') AS DOUBLE)
+                     * 1e6 / count(*) + 0.5) / 1e6 AS return_rate,
                CASE WHEN count(*) FILTER (WHERE l_returnflag = 'R') * 1.0
                          / count(*) > 0.3
                     THEN 'high' ELSE 'normal' END AS return_band

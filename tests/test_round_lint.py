@@ -37,21 +37,46 @@ FILES = [
 # _half_up/half_up over explicit moments and therefore never match.
 PAT = re.compile(r"F\.round\(\s*F\.(?:avg|var_samp|var_pop)\(")
 
+# the SAME shape spelled in SQL text (spark.sql / F.expr strings) — the
+# Python pattern cannot see it, which is exactly how q59/q73's money
+# averages survived the round-9 sweep until the sparse-seed campaign bit
+# them (seed 577215: 1034.725 -> 1034.73 vs 1034.72). Scanned only in the
+# QUERY region of __spark_entry__.py (before `def oracle_sql`): the oracle
+# region legitimately contains round(avg(...)) as the verbatim mirror of
+# half-safe Spark sites, and both engines then round the same double.
+SQL_PAT = re.compile(r"round\s*\(\s*avg\s*\(|round\s*\(\s*var_samp\s*\(|round\s*\(\s*var_pop\s*\(", re.I)
+
 # a justification must sit on the match line or within this many lines above
 WINDOW = 8
+
+# SQL-text sites inside comments/strings in the SQL itself can't carry a
+# Python comment; the SQL comment form `-- half-safe:` also counts
+JUSTIFIERS = ("# half-safe:", "-- half-safe:")
+
+
+def _query_region(src: str, path) -> str:
+    """For __spark_entry__.py, the part before oracle_sql() (see SQL_PAT
+    note); other files are scanned whole."""
+    if path.name == "__spark_entry__.py":
+        cut = src.find("\ndef oracle_sql(")
+        if cut != -1:
+            return src[:cut]
+    return src
 
 
 def _offenders() -> list[str]:
     out = []
     for f in FILES:
-        src = f.read_text()
-        lines = src.splitlines()
-        for m in PAT.finditer(src):
-            ln = src.count("\n", 0, m.start())  # 0-based
-            ctx = "\n".join(lines[max(0, ln - WINDOW) : ln + 1])
-            if "# half-safe:" not in ctx:
-                out.append(f"{f.relative_to(REPO)}:{ln + 1}")
-    return out
+        full = f.read_text()
+        region = _query_region(full, f)
+        lines = region.splitlines()
+        for pat in (PAT, SQL_PAT):
+            for m in pat.finditer(region):
+                ln = region.count("\n", 0, m.start())  # 0-based
+                ctx = "\n".join(lines[max(0, ln - WINDOW) : ln + 1])
+                if not any(j in ctx for j in JUSTIFIERS):
+                    out.append(f"{f.relative_to(REPO)}:{ln + 1}")
+    return sorted(set(out))
 
 
 def test_round_of_avg_sites_are_exact_or_justified():
@@ -79,3 +104,21 @@ def test_lint_catches_an_unjustified_site(tmp_path):
     ln = annotated.count("\n", 0, m.start())
     ctx = "\n".join(lines[max(0, ln - WINDOW) : ln + 1])
     assert "# half-safe:" in ctx
+
+
+def test_lint_catches_the_sql_text_shape():
+    """The round-10 extension: round(avg(...)) spelled inside SQL strings
+    (how q59/q73 escaped the Python-shape sweep) must match, with either
+    comment dialect accepted as justification, and the oracle region of
+    __spark_entry__.py excluded."""
+    assert SQL_PAT.search("SELECT round(avg(p_retailprice), 2) FROM part")
+    assert SQL_PAT.search("ROUND( VAR_POP( x ), 6)")
+    assert not SQL_PAT.search("floor(CAST(sum(c) AS DOUBLE) * 1e2 / n + 0.5)")
+    sql_annotated = "-- half-safe: irrational source\nround(avg(x), 6)"
+    assert any(j in sql_annotated for j in JUSTIFIERS)
+    # region cut: text after `def oracle_sql(` is not scanned
+    import pathlib
+
+    fake = "round(avg(a),2)\ndef oracle_sql():\n    round(avg(b),2)\n"
+    region = _query_region(fake, pathlib.Path("__spark_entry__.py"))
+    assert "avg(a)" in region and "avg(b)" not in region
