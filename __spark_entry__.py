@@ -11492,12 +11492,26 @@ def q338_ols_residual_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     5-number model broadcasts back for the residual pass; σ and the
     outlier rollup are a second keyed agg."""
     p = _t(spark, sf_dir, "part")
-    fit = p.groupBy("p_brand").agg(
-        (
-            F.covar_pop("p_size", "p_retailprice") / F.var_pop("p_size")
-        ).alias("_slope"),
-        F.avg("p_retailprice").alias("_my"),
-        F.avg("p_size").alias("_mx"),
+    # a brand with no size variance (one part, or all parts the same size
+    # — reachable on sparse data, where the unguarded slope division threw
+    # ANSI DIVIDE_BY_ZERO) cannot be regressed: aggregate the moments
+    # first, drop degenerate brands, and only then form the slope, so the
+    # division never sees a zero denominator
+    fit = (
+        p.groupBy("p_brand")
+        .agg(
+            F.covar_pop("p_size", "p_retailprice").alias("_cxy"),
+            F.var_pop("p_size").alias("_vx"),
+            F.avg("p_retailprice").alias("_my"),
+            F.avg("p_size").alias("_mx"),
+        )
+        .filter(F.col("_vx") > 0)
+        .select(
+            "p_brand",
+            (F.col("_cxy") / F.col("_vx")).alias("_slope"),
+            "_my",
+            "_mx",
+        )
     )
     resid = p.join(F.broadcast(fit), "p_brand").select(
         "p_brand",
@@ -11521,9 +11535,17 @@ def q338_ols_residual_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(
                 F.when(F.abs(F.col("_r")) > 2 * F.col("_sig"), 1).otherwise(0)
             ).alias("n_outliers"),
-            F.round(F.max(F.abs(F.col("_r")) / F.col("_sig")), 6).alias(
-                "max_std_resid"
-            ),
+            # sigma is exactly 0 when every residual in the brand is equal
+            # (2-part brands on sparse data): the standardized residual is
+            # undefined there — NULL, guarded so ANSI never divides by 0
+            F.round(
+                F.max(
+                    F.when(
+                        F.col("_sig") > 0, F.abs(F.col("_r")) / F.col("_sig")
+                    )
+                ),
+                6,
+            ).alias("max_std_resid"),
         )
     )
 
@@ -13535,10 +13557,18 @@ def q372_erasure_impact_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(
             F.when(F.col("_del_rows") > 0, F.col("_rows")).otherwise(0)
         ).alias("rows_rewritten"),
-        half_up(
-            F.sum(F.when(F.col("_del_rows") > 0, F.col("_rows")).otherwise(0))
-            / F.sum("_del_rows").cast("double"),
-            6,
+        # the >p99 cutoff can select ZERO users (p99 == max on sparse /
+        # low-cardinality activity): no deletions -> amplification is
+        # undefined, NULL — guarded so ANSI never divides by zero
+        F.when(
+            F.sum("_del_rows") > 0,
+            half_up(
+                F.sum(
+                    F.when(F.col("_del_rows") > 0, F.col("_rows")).otherwise(0)
+                )
+                / F.sum("_del_rows").cast("double"),
+                6,
+            ),
         ).alias("rewrite_amplification"),
     )
 
@@ -20899,12 +20929,15 @@ def oracle_sql() -> dict[str, str]:
         LIMIT 10
     """
     sqls["q338_ols_residual_outliers"] = """
-        WITH fit AS (
+        WITH moments AS (
             SELECT p_brand,
-                   covar_pop(p_size, p_retailprice) / var_pop(p_size)
-                       AS slope,
+                   covar_pop(p_size, p_retailprice) AS cxy,
+                   var_pop(p_size) AS vx,
                    avg(p_retailprice) AS my, avg(p_size) AS mx
             FROM part GROUP BY 1
+        ), fit AS (
+            SELECT p_brand, cxy / vx AS slope, my, mx
+            FROM moments WHERE vx > 0
         ), resid AS (
             SELECT p.p_brand,
                    p_retailprice - (my + slope * (p_size - mx)) AS r
@@ -20916,7 +20949,8 @@ def oracle_sql() -> dict[str, str]:
                round(max(sig), 6) AS resid_sigma,
                CAST(sum(CASE WHEN abs(r.r) > 2 * sig THEN 1 ELSE 0 END)
                     AS BIGINT) AS n_outliers,
-               round(max(abs(r.r) / sig), 6) AS max_std_resid
+               round(max(CASE WHEN sig > 0 THEN abs(r.r) / sig END), 6)
+                   AS max_std_resid
         FROM resid r JOIN sigma USING (p_brand)
         GROUP BY 1
     """
@@ -22034,9 +22068,12 @@ def oracle_sql() -> dict[str, str]:
                count(*) AS partitions_total,
                CAST(sum(CASE WHEN del_rows > 0 THEN rows_ ELSE 0 END)
                     AS BIGINT) AS rows_rewritten,
-               floor((CAST(sum(CASE WHEN del_rows > 0 THEN rows_ ELSE 0 END)
-                           AS DOUBLE) / sum(del_rows)) * 1e6 + 0.5) / 1e6
-                   AS rewrite_amplification
+               CASE WHEN sum(del_rows) > 0
+                    THEN floor((CAST(sum(CASE WHEN del_rows > 0
+                                             THEN rows_ ELSE 0 END)
+                                     AS DOUBLE) / sum(del_rows))
+                               * 1e6 + 0.5) / 1e6
+               END AS rewrite_amplification
         FROM per_day
     """
     sqls["q373_price_indices"] = """

@@ -75,6 +75,10 @@ BITTEN = [
     "q377_capture_recapture",
     "q218_embedding_outliers",
     "q247_simpson_audit",
+    "q338_ols_residual_outliers",
+    "q372_erasure_impact_audit",
+    "q59_sql_scalar_subquery",
+    "q73_correlated_avg_subquery",
 ]
 
 
