@@ -3442,13 +3442,19 @@ def q154_event_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", F.date_format("ts", "yyyy-MM-dd").alias("day")
     ).agg(F.count(F.lit(1)).alias("n_events"))
     w = Window.partitionBy("event_type")
+    # a type whose daily counts are all EQUAL has stddev exactly 0 (integer
+    # counts — genuinely reachable on sparse data) and a 1-day type has
+    # stddev NULL: both have no anomaly scale, so z is NULL and the |z|
+    # filter drops them. CASE guards the ANSI division; Catalyst folds the
+    # repeated identical window expressions into one Window operator.
     scored = daily.select(
         "event_type",
         "day",
         "n_events",
-        (
+        F.when(
+            F.stddev_samp("n_events").over(w) > 0,
             (F.col("n_events") - F.avg("n_events").over(w))
-            / F.stddev_samp("n_events").over(w)
+            / F.stddev_samp("n_events").over(w),
         ).alias("_z"),
     )
     return scored.filter(F.abs(F.col("_z")) >= 2.0).select(
@@ -9595,9 +9601,16 @@ def q306_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("ts") < cut, F.col("value"))).alias("_x"),
         F.sum(F.when(F.col("ts") >= cut, F.col("value"))).alias("_y"),
     ).filter(F.col("_x").isNotNull() & F.col("_y").isNotNull())
+    # theta is undefined when the covariate has no variance (single
+    # qualifying user on sparse data): aggregate moments, then guard the
+    # division — adjusted columns go NULL rather than ANSI-crashing
     g = per_user.agg(
-        (F.covar_pop("_y", "_x") / F.var_pop("_x")).alias("_theta"),
+        F.covar_pop("_y", "_x").alias("_cyx"),
+        F.var_pop("_x").alias("_vx"),
         F.avg("_x").alias("_xbar"),
+    ).select(
+        F.when(F.col("_vx") > 0, F.col("_cyx") / F.col("_vx")).alias("_theta"),
+        "_xbar",
     )
     adj = per_user.crossJoin(F.broadcast(g)).select(
         (F.col("user_id") % 2).alias("arm"),
@@ -9615,9 +9628,15 @@ def q306_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
         # half-safe: _yadj embeds theta = cov/var (irrational) — a d=6
         # half-boundary hit has measure zero
         F.round(F.avg("_yadj"), 6).alias("mean_y_cuped"),
-        F.round(F.lit(1) - F.var_pop("_yadj") / F.var_pop("_y"), 6).alias(
-            "var_reduction"
-        ),
+        # an arm with one user has var_pop(_y) exactly 0: the reduction
+        # ratio is undefined there — guarded NULL, mirrored in the oracle
+        F.round(
+            F.when(
+                F.var_pop("_y") > 0,
+                F.lit(1) - F.var_pop("_yadj") / F.var_pop("_y"),
+            ),
+            6,
+        ).alias("var_reduction"),
         F.round(F.max("_theta"), 6).alias("theta"),
     )
 
@@ -12135,10 +12154,17 @@ def q348_seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.var_pop(F.col("_rev") - F.col("_smean")) / 1e9, 3).alias(
             "var_residual_bn"
         ),
+        # a 1-day series has var_pop exactly 0: strength is undefined,
+        # guarded NULL (mirrored in the oracle) instead of an ANSI crash
         F.round(
-            F.greatest(
-                F.lit(0.0),
-                1 - F.var_pop(F.col("_rev") - F.col("_smean")) / F.var_pop("_rev"),
+            F.when(
+                F.var_pop("_rev") > 0,
+                F.greatest(
+                    F.lit(0.0),
+                    1
+                    - F.var_pop(F.col("_rev") - F.col("_smean"))
+                    / F.var_pop("_rev"),
+                ),
             ),
             6,
         ).alias("seasonality_strength"),
@@ -12300,10 +12326,16 @@ def q352_variance_reduction_methods(spark: SparkSession, sf_dir: str) -> DataFra
     ).filter(F.col("_x").isNotNull() & F.col("_y").isNotNull()).select(
         (F.col("user_id") % 2).alias("_t"), "_x", "_y", "user_id"
     )
+    # same degenerate-covariate guard as q306: moments first, divide after
     theta = per_user.agg(
-        (F.covar_pop("_y", "_x") / F.var_pop("_x")).alias("_th"),
+        F.covar_pop("_y", "_x").alias("_cyx"),
+        F.var_pop("_x").alias("_vx"),
         F.avg("_x").alias("_xbar"),
         F.expr("percentile(_x, array(0.2, 0.4, 0.6, 0.8))").alias("_cuts"),
+    ).select(
+        F.when(F.col("_vx") > 0, F.col("_cyx") / F.col("_vx")).alias("_th"),
+        "_xbar",
+        "_cuts",
     )
     enriched = per_user.crossJoin(F.broadcast(theta)).select(
         "_t",
@@ -17174,8 +17206,13 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY 1, 2
         ), scored AS (
             SELECT event_type, day, n_events,
-                   (n_events - avg(n_events) OVER (PARTITION BY event_type))
-                   / stddev_samp(n_events) OVER (PARTITION BY event_type) AS z
+                   CASE WHEN stddev_samp(n_events)
+                                 OVER (PARTITION BY event_type) > 0
+                        THEN (n_events - avg(n_events)
+                                  OVER (PARTITION BY event_type))
+                             / stddev_samp(n_events)
+                                   OVER (PARTITION BY event_type)
+                   END AS z
             FROM daily
         )
         SELECT event_type, day, n_events, round(z, 4) AS zscore
@@ -19963,7 +20000,9 @@ def oracle_sql() -> dict[str, str]:
         ), pu AS (
             SELECT * FROM per_user WHERE x IS NOT NULL AND y IS NOT NULL
         ), g AS (
-            SELECT covar_pop(y, x) / var_pop(x) AS theta, avg(x) AS xbar
+            SELECT CASE WHEN var_pop(x) > 0
+                        THEN covar_pop(y, x) / var_pop(x) END AS theta,
+                   avg(x) AS xbar
             FROM pu
         ), adj AS (
             SELECT user_id % 2 AS arm, y,
@@ -19974,7 +20013,9 @@ def oracle_sql() -> dict[str, str]:
                floor(CAST(sum(CAST(round(y * 100) AS BIGINT)) AS DOUBLE)
                      * 1e6 / (count(*) * 100) + 0.5) / 1e6 AS mean_y,
                round(avg(yadj), 6) AS mean_y_cuped,
-               round(1 - var_pop(yadj) / var_pop(y), 6) AS var_reduction,
+               round(CASE WHEN var_pop(y) > 0
+                          THEN 1 - var_pop(yadj) / var_pop(y)
+                     END, 6) AS var_reduction,
                round(max(theta), 6) AS theta
         FROM adj GROUP BY 1
     """
@@ -21262,9 +21303,10 @@ def oracle_sql() -> dict[str, str]:
         SELECT count(*) AS n_days,
                round(var_pop(rev) / 1e9, 3) AS var_daily_bn,
                round(var_pop(rev - smean) / 1e9, 3) AS var_residual_bn,
-               round(greatest(0.0,
-                     1 - var_pop(rev - smean) / var_pop(rev)), 6)
-                   AS seasonality_strength
+               round(CASE WHEN var_pop(rev) > 0
+                          THEN greatest(0.0,
+                               1 - var_pop(rev - smean) / var_pop(rev))
+                     END, 6) AS seasonality_strength
         FROM daily d JOIN dw ON dw.dwk = dayofweek(d.day)
     """
     _grain_sqls = []
@@ -21345,7 +21387,9 @@ def oracle_sql() -> dict[str, str]:
         ), pu AS (
             SELECT * FROM per_user WHERE x IS NOT NULL AND y IS NOT NULL
         ), model AS (
-            SELECT covar_pop(y, x) / var_pop(x) AS th, avg(x) AS xbar,
+            SELECT CASE WHEN var_pop(x) > 0
+                        THEN covar_pop(y, x) / var_pop(x) END AS th,
+                   avg(x) AS xbar,
                    quantile_cont(x, [0.2, 0.4, 0.6, 0.8]) AS cuts
             FROM pu
         ), enr AS (
