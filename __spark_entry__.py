@@ -6147,7 +6147,12 @@ def q234_roc_auc_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_format("_day", "yyyy-MM-dd").alias("day"),
             "n_pos",
             "n_neg",
-            half_up(F.col("_u") / (F.col("n_pos") * F.col("n_neg")), 6).alias("auc"),
+            # a day with no positives (or no negatives) has no ranking to
+            # score: AUC undefined -> NULL (ultra-sparse data reaches this)
+            F.when(
+                (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
+                half_up(F.col("_u") / (F.col("n_pos") * F.col("n_neg")), 6),
+            ).alias("auc"),
         )
     )
 
@@ -8054,7 +8059,11 @@ def q271_ndcg_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select(
         "lang",
         "n_docs",
-        F.round(F.col("_dcg") / F.col("_idcg"), 6).alias("ndcg10"),
+        # a lang with no relevant docs has ideal-DCG 0: NDCG undefined ->
+        # NULL (mrr's 1/NULL already nulls safely) — ultra-sparse reachable
+        F.when(
+            F.col("_idcg") > 0, F.round(F.col("_dcg") / F.col("_idcg"), 6)
+        ).alias("ndcg10"),
         half_up(F.lit(1.0) / F.col("_first"), 6).alias("mrr"),
     )
 
@@ -18726,8 +18735,10 @@ def oracle_sql() -> dict[str, str]:
         SELECT strftime(day, '%Y-%m-%d') AS day,
                CAST(sum(pos) AS BIGINT) AS n_pos,
                CAST(sum(neg) AS BIGINT) AS n_neg,
-               floor((CAST(sum(pos * (cneg + 0.5 * neg)) AS DOUBLE)
-                      / (sum(pos) * sum(neg))) * 1e6 + 0.5) / 1e6 AS auc
+               CASE WHEN sum(pos) > 0 AND sum(neg) > 0
+                    THEN floor((CAST(sum(pos * (cneg + 0.5 * neg)) AS DOUBLE)
+                                / (sum(pos) * sum(neg))) * 1e6 + 0.5) / 1e6
+               END AS auc
         FROM r GROUP BY day
     """
     sqls["q235_calibration_ece"] = r"""
@@ -19701,11 +19712,17 @@ def oracle_sql() -> dict[str, str]:
             FROM feat
         )
         SELECT lang, count(*) AS n_docs,
-               round(sum(CASE WHEN rk <= 10
-                              THEN (power(2, rel) - 1) / log2(rk + 1) END)
-                     / sum(CASE WHEN irk <= 10
-                                THEN (power(2, rel) - 1) / log2(irk + 1) END),
-                     6) AS ndcg10,
+               CASE WHEN sum(CASE WHEN irk <= 10
+                                  THEN (power(2, rel) - 1) / log2(irk + 1)
+                             END) > 0
+                    THEN round(sum(CASE WHEN rk <= 10
+                                        THEN (power(2, rel) - 1)
+                                             / log2(rk + 1) END)
+                               / sum(CASE WHEN irk <= 10
+                                          THEN (power(2, rel) - 1)
+                                               / log2(irk + 1) END),
+                               6)
+               END AS ndcg10,
                floor((CAST(1 AS DOUBLE) / min(CASE WHEN rel > 0 THEN rk END))
                      * 1e6 + 0.5) / 1e6 AS mrr
         FROM ranked GROUP BY 1

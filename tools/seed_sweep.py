@@ -79,6 +79,8 @@ BITTEN = [
     "q372_erasure_impact_audit",
     "q59_sql_scalar_subquery",
     "q73_correlated_avg_subquery",
+    "q234_roc_auc_daily",
+    "q271_ndcg_mrr",
 ]
 
 
