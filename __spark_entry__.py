@@ -2618,14 +2618,21 @@ def q125_price_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     m1, m2, m3 = F.col("_m1"), F.col("_m2"), F.col("_m3")
     var = m2 - m1 * m1
     # sqrt(var)*var, not pow(var, 1.5): sqrt is IEEE correctly-rounded in
-    # every engine, pow is not — cross-engine hash equality needs the former
-    skew = (m3 - 3 * m1 * m2 + 2 * m1 * m1 * m1) / (F.sqrt(var) * var)
+    # every engine, pow is not — cross-engine hash equality needs the former.
+    # A 1-part brand has var EXACTLY 0 (m2 - m1² cancels bit-exactly on the
+    # same double): skewness undefined -> NULL (ultra-sparse reachable).
+    skew = F.when(
+        var > 0, (m3 - 3 * m1 * m2 + 2 * m1 * m1 * m1) / (F.sqrt(var) * var)
+    )
     return agg.select(
         "p_brand",
         "n",
         F.round(m1, 4).alias("mean_price"),
         F.round(var, 4).alias("var_price"),
-        F.round(skew, 6).alias("skew_price"),
+        # + 0.0: a 2-part brand's skew is ±tiny before rounding and the
+        # engines disagree on the residue's SIGN at exactly 0 (-0.0 class,
+        # same normalization as q248)
+        (F.round(skew, 6) + 0.0).alias("skew_price"),
     )
 
 
@@ -16546,9 +16553,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT p_brand, n,
                    round(m1, 4) AS mean_price,
                    round(m2 - m1 * m1, 4) AS var_price,
-                   round((m3 - 3 * m1 * m2 + 2 * m1 * m1 * m1)
-                         / (sqrt(m2 - m1 * m1) * (m2 - m1 * m1)), 6)
-                       AS skew_price
+                   round(CASE WHEN m2 - m1 * m1 > 0
+                              THEN (m3 - 3 * m1 * m2 + 2 * m1 * m1 * m1)
+                                   / (sqrt(m2 - m1 * m1) * (m2 - m1 * m1))
+                         END, 6) + 0.0 AS skew_price
             FROM agg
         """,
         "q126_chunk_dedup": """

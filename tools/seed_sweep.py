@@ -81,6 +81,7 @@ BITTEN = [
     "q73_correlated_avg_subquery",
     "q234_roc_auc_daily",
     "q271_ndcg_mrr",
+    "q125_price_moments",
 ]
 
 
