@@ -11532,15 +11532,20 @@ def q338_ols_residual_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ANSI DIVIDE_BY_ZERO) cannot be regressed: aggregate the moments
     # first, drop degenerate brands, and only then form the slope, so the
     # division never sees a zero denominator
+    # ... and a 2-part brand's line is SATURATED (df = n - 2 = 0): its
+    # residuals are pure float residue whose magnitude/sign differ per
+    # engine (ultra-sparse seed 787: sigma 1e-13 vs exact 0), so the
+    # residual audit additionally requires n >= 3
     fit = (
         p.groupBy("p_brand")
         .agg(
+            F.count(F.lit(1)).alias("_nb"),
             F.covar_pop("p_size", "p_retailprice").alias("_cxy"),
             F.var_pop("p_size").alias("_vx"),
             F.avg("p_retailprice").alias("_my"),
             F.avg("p_size").alias("_mx"),
         )
-        .filter(F.col("_vx") > 0)
+        .filter((F.col("_vx") > 0) & (F.col("_nb") > 2))
         .select(
             "p_brand",
             (F.col("_cxy") / F.col("_vx")).alias("_slope"),
@@ -20996,14 +21001,14 @@ def oracle_sql() -> dict[str, str]:
     """
     sqls["q338_ols_residual_outliers"] = """
         WITH moments AS (
-            SELECT p_brand,
+            SELECT p_brand, count(*) AS nb,
                    covar_pop(p_size, p_retailprice) AS cxy,
                    var_pop(p_size) AS vx,
                    avg(p_retailprice) AS my, avg(p_size) AS mx
             FROM part GROUP BY 1
         ), fit AS (
             SELECT p_brand, cxy / vx AS slope, my, mx
-            FROM moments WHERE vx > 0
+            FROM moments WHERE vx > 0 AND nb > 2
         ), resid AS (
             SELECT p.p_brand,
                    p_retailprice - (my + slope * (p_size - mx)) AS r
