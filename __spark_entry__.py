@@ -6861,30 +6861,37 @@ def q246_conformal_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "events")
     cal = e.filter(F.to_date("ts") < F.lit("2024-01-16"))
     test = e.filter(F.to_date("ts") >= F.lit("2024-01-16"))
+    # EXACT nonconformity: with C = sum of cents and n = n_cal, the score
+    # |value − C/(100n)| scales by the per-type constant 100n to the exact
+    # integer |cents(value)·n − C| — ranking and the coverage comparison run
+    # on integers, so no float average / round-4 grid can diverge across
+    # engines (ultra-sparse seed 787 hit the d=4 half boundary of the old
+    # rounded-score form; the mean itself is order-dependent in float)
     mom = cal.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("n_cal"), F.avg("value").alias("_mu")
+        F.count(F.lit(1)).alias("n_cal"),
+        F.sum(_cents("value")).alias("_c"),
     )
     scores = cal.join(F.broadcast(mom), "event_type").select(
         "event_type",
         "n_cal",
-        F.round(F.abs(F.col("value") - F.col("_mu")), 4).alias("_score"),
+        F.abs(_cents("value") * F.col("n_cal") - F.col("_c")).alias("_si"),
     )
-    wr = Window.partitionBy("event_type").orderBy("_score")
+    wr = Window.partitionBy("event_type").orderBy("_si")
     qhat = (
         scores.withColumn("_rn", F.row_number().over(wr))
         .filter(F.col("_rn") == F.ceil((F.col("n_cal") + 1) * 0.9))
-        .select("event_type", "n_cal", F.col("_score").alias("_qhat"))
+        .select("event_type", "n_cal", F.col("_si").alias("_qi"))
     )
     cov = (
-        test.join(F.broadcast(mom.select("event_type", "_mu")), "event_type")
+        test.join(F.broadcast(mom.select("event_type", "_c")), "event_type")
         .join(F.broadcast(qhat), "event_type")
-        .groupBy("event_type", "n_cal", "_qhat")
+        .groupBy("event_type", "n_cal", "_qi")
         .agg(
             F.count(F.lit(1)).alias("n_test"),
             F.sum(
                 F.when(
-                    F.round(F.abs(F.col("value") - F.col("_mu")), 4)
-                    <= F.col("_qhat"),
+                    F.abs(_cents("value") * F.col("n_cal") - F.col("_c"))
+                    <= F.col("_qi"),
                     1,
                 ).otherwise(0)
             ).alias("_hit"),
@@ -6894,7 +6901,7 @@ def q246_conformal_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "n_cal",
         "n_test",
-        F.round("_qhat", 4).alias("q_hat"),
+        _half_up(F.col("_qi"), F.lit(100) * F.col("n_cal"), 4).alias("q_hat"),
         half_up(F.col("_hit") / F.col("n_test"), 6).alias("coverage"),
     )
 
@@ -19069,31 +19076,36 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, value FROM events
             WHERE CAST(date_trunc('day', ts) AS DATE) >= DATE '2024-01-16'
         ), mom AS (
-            SELECT event_type, count(*) AS n_cal, avg(value) AS mu
+            SELECT event_type, count(*) AS n_cal,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                       AS c
             FROM cal GROUP BY 1
         ), sc AS (
-            SELECT c.event_type, m.n_cal,
-                   round(abs(c.value - m.mu), 4) AS score
-            FROM cal c JOIN mom m USING (event_type)
+            SELECT cl.event_type, m.n_cal,
+                   abs(CAST(round(cl.value * 100) AS BIGINT) * m.n_cal - m.c)
+                       AS si
+            FROM cal cl JOIN mom m USING (event_type)
         ), qh AS (
-            SELECT event_type, n_cal, score AS qhat
+            SELECT event_type, n_cal, si AS qi
             FROM (
-                SELECT event_type, n_cal, score,
+                SELECT event_type, n_cal, si,
                        row_number() OVER (PARTITION BY event_type
-                                          ORDER BY score) AS rn
+                                          ORDER BY si) AS rn
                 FROM sc
             ) WHERE rn = ceil((n_cal + 1) * 0.9)
         )
         SELECT t.event_type, q.n_cal, count(*) AS n_test,
-               round(q.qhat, 4) AS q_hat,
-               floor((CAST(sum(CASE WHEN round(abs(t.value - m.mu), 4)
-                                        <= q.qhat THEN 1 ELSE 0 END)
+               floor(CAST(q.qi AS DOUBLE) * 1e4 / (100 * q.n_cal) + 0.5)
+                   / 1e4 AS q_hat,
+               floor((CAST(sum(CASE WHEN abs(CAST(round(t.value * 100)
+                                                  AS BIGINT) * q.n_cal - m.c)
+                                        <= q.qi THEN 1 ELSE 0 END)
                            AS DOUBLE) / count(*)) * 1e6 + 0.5) / 1e6
                    AS coverage
         FROM tst t
         JOIN mom m USING (event_type)
         JOIN qh q ON q.event_type = t.event_type
-        GROUP BY 1, 2, 4
+        GROUP BY 1, 2, q.qi
     """
     sqls["q247_simpson_audit"] = """
         WITH spend AS (

@@ -82,6 +82,7 @@ BITTEN = [
     "q234_roc_auc_daily",
     "q271_ndcg_mrr",
     "q125_price_moments",
+    "q246_conformal_intervals",
 ]
 
 
