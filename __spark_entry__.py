@@ -3065,7 +3065,10 @@ def q143_event_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("day")
         .agg(
             F.count(F.lit(1)).alias("n_types"),
-            F.round(-F.sum(p * F.log(p)), 6).alias("entropy"),
+            # + 0.0: a single-type day has entropy -1·log(1) = -0.0 in one
+            # engine and 0.0 in the other (tiny-tier seed 2468; the q248
+            # -0.0 normalization class)
+            (F.round(-F.sum(p * F.log(p)), 6) + 0.0).alias("entropy"),
         )
     )
 
@@ -4236,28 +4239,38 @@ def q180_revenue_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
     monthly rollup, one lag window over the tiny aggregate — the FP&A
     decomposition every revenue dashboard runs."""
     li = _t(spark, sf_dir, "lineitem")
+    # exact integer moments per month — V = Σ cents·qty, Q = Σ qty — and
+    # every effect evaluated as ONE pinned IEEE sequence over those
+    # integers, so both engines compute bit-identical doubles and the d=1
+    # half-up cannot flip (the old float avg-price ratio was
+    # order-dependent and its d=1 boundary genuinely flipped on the
+    # tiny-tier twin: 4146262.35 rounded .3 vs .4)
     monthly = li.groupBy(
         "l_returnflag", F.date_format("l_shipdate", "yyyy-MM").alias("month")
     ).agg(
-        F.sum("l_quantity").alias("_qty"),
-        (F.sum(F.col("l_extendedprice") * F.col("l_quantity")) / F.sum("l_quantity")).alias("_avg_price"),
+        F.sum(_intval("l_quantity")).alias("_q"),
+        F.sum(_cents("l_extendedprice") * _intval("l_quantity")).alias("_v"),
     )
     w = Window.partitionBy("l_returnflag").orderBy("month")
-    prev_qty = F.lag("_qty").over(w)
-    prev_price = F.lag("_avg_price").over(w)
+    prev_q = F.lag("_q").over(w)
+    prev_v = F.lag("_v").over(w)
+    vol = (
+        (F.col("_q") - F.col("_pq")).cast("double") * F.col("_pv").cast("double")
+    ) / (F.col("_pq").cast("double") * F.lit(1e2))
+    price = (
+        F.col("_v").cast("double") / (F.col("_q").cast("double") * F.lit(1e2))
+        - F.col("_pv").cast("double") / (F.col("_pq").cast("double") * F.lit(1e2))
+    ) * F.col("_q").cast("double")
     return (
         monthly.select(
-            "l_returnflag",
-            "month",
-            ((F.col("_qty") - prev_qty) * prev_price).alias("_vol_eff"),
-            ((F.col("_avg_price") - prev_price) * F.col("_qty")).alias("_price_eff"),
+            "l_returnflag", "month", "_q", "_v", prev_q.alias("_pq"), prev_v.alias("_pv")
         )
-        .filter(F.col("_vol_eff").isNotNull())
+        .filter(F.col("_pq").isNotNull())
         .select(
             "l_returnflag",
             "month",
-            F.round("_vol_eff", 1).alias("volume_effect"),
-            F.round("_price_eff", 1).alias("price_effect"),
+            half_up(vol, 1).alias("volume_effect"),
+            half_up(price, 1).alias("price_effect"),
         )
     )
 
@@ -6331,12 +6344,29 @@ def q238_acf_daily_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         daily.crossJoin(F.broadcast(lags))
         .join(d2, F.date_sub(F.col("_day"), F.col("lag")) == F.col("_day2"))
     )
+    # engine-native corr() THROWS under ANSI when a series has zero
+    # variance (tiny-tier data: all-equal daily counts at some lag) and a
+    # CASE cannot guard inside an aggregate — compute Pearson from
+    # explicit moments with the variance terms guarded (q344 pattern),
+    # identical formula in the oracle
+    def _pearson(xc: str, yc: str):
+        x = F.col(xc).cast("double")
+        y = F.col(yc).cast("double")
+        n = F.count(F.lit(1)).cast("double")
+        sx, sy = F.sum(x), F.sum(y)
+        sxy, sxx, syy = F.sum(x * y), F.sum(x * x), F.sum(y * y)
+        vx = n * sxx - sx * sx
+        vy = n * syy - sy * sy
+        return F.when(
+            (vx > 0) & (vy > 0), (n * sxy - sx * sy) / F.sqrt(vx * vy)
+        )
+
     return (
         pairs.groupBy("lag")
         .agg(
             F.count(F.lit(1)).alias("n_pairs"),
-            F.round(F.corr("_n", "_n2"), 6).alias("acf_count"),
-            F.round(F.corr("_rev", "_rev2"), 6).alias("acf_revenue"),
+            F.round(_pearson("_n", "_n2"), 6).alias("acf_count"),
+            F.round(_pearson("_rev", "_rev2"), 6).alias("acf_revenue"),
         )
         .orderBy("lag")
     )
@@ -10202,33 +10232,36 @@ def q314_obf_sequential_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("_s").over(w).alias("_cs"),
         F.sum("_s2").over(w).alias("_cs2"),
     )
+    # day-1 interims can have a single cumulative observation per arm
+    # (cn = 1: sample variance undefined) and tied cent-grid values can
+    # zero the pooled SE — both guarded NULL (tiny-tier seed 2468 hit the
+    # cn-1 division), mirrored in the oracle
+    _var = F.when(
+        F.col("_cn") > 1,
+        (F.col("_cs2") - F.col("_cs") * F.col("_cs") / F.col("_cn"))
+        / (F.col("_cn") - 1),
+    )
     a = cum.filter(F.col("arm") == 0).select(
         "day",
         F.col("_cn").alias("_na"),
         (F.col("_cs") / F.col("_cn")).alias("_ma"),
-        (
-            (F.col("_cs2") - F.col("_cs") * F.col("_cs") / F.col("_cn"))
-            / (F.col("_cn") - 1)
-        ).alias("_va"),
+        _var.alias("_va"),
     )
     b = cum.filter(F.col("arm") == 1).select(
         "day",
         F.col("_cn").alias("_nb"),
         (F.col("_cs") / F.col("_cn")).alias("_mb"),
-        (
-            (F.col("_cs2") - F.col("_cs") * F.col("_cs") / F.col("_cn"))
-            / (F.col("_cn") - 1)
-        ).alias("_vb"),
+        _var.alias("_vb"),
     )
     tot = a.agg(F.max("_na").alias("_ta")).crossJoin(
         b.agg(F.max("_nb").alias("_tb"))
     )
-    z = (F.col("_ma") - F.col("_mb")) / F.sqrt(
-        F.col("_va") / F.col("_na") + F.col("_vb") / F.col("_nb")
-    )
+    se = F.sqrt(F.col("_va") / F.col("_na") + F.col("_vb") / F.col("_nb"))
+    z = F.when(F.col("_se") > 0, (F.col("_ma") - F.col("_mb")) / F.col("_se"))
     return (
         a.join(b, "day")
         .crossJoin(F.broadcast(tot))
+        .withColumn("_se", se)
         .select(
             F.date_format("day", "yyyy-MM-dd").alias("day"),
             half_up(
@@ -16998,7 +17031,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT per.day,
                    count(*) AS n_types,
                    round(-sum((n / CAST(t AS DOUBLE))
-                              * ln(n / CAST(t AS DOUBLE))), 6) AS entropy
+                              * ln(n / CAST(t AS DOUBLE))), 6) + 0.0
+                       AS entropy
             FROM per JOIN tot USING (day)
             GROUP BY per.day
         """,
@@ -17682,18 +17716,24 @@ def oracle_sql() -> dict[str, str]:
     sqls["q180_revenue_bridge"] = """
         WITH monthly AS (
             SELECT l_returnflag, strftime(l_shipdate, '%Y-%m') AS month,
-                   sum(l_quantity) AS qty,
-                   sum(l_extendedprice * l_quantity) / sum(l_quantity) AS ap
+                   CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS q,
+                   CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                            * CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS v
             FROM lineitem GROUP BY 1, 2
         ), l AS (
-            SELECT l_returnflag, month, qty, ap,
-                   lag(qty) OVER w AS pq, lag(ap) OVER w AS pp
+            SELECT l_returnflag, month, q, v,
+                   lag(q) OVER w AS pq, lag(v) OVER w AS pv
             FROM monthly
             WINDOW w AS (PARTITION BY l_returnflag ORDER BY month)
         )
         SELECT l_returnflag, month,
-               round((qty - pq) * pp, 1) AS volume_effect,
-               round((ap - pp) * qty, 1) AS price_effect
+               floor(((CAST(q - pq AS DOUBLE) * CAST(pv AS DOUBLE))
+                      / (CAST(pq AS DOUBLE) * 1e2)) * 1e1 + 0.5) / 1e1
+                   AS volume_effect,
+               floor(((CAST(v AS DOUBLE) / (CAST(q AS DOUBLE) * 1e2)
+                       - CAST(pv AS DOUBLE) / (CAST(pq AS DOUBLE) * 1e2))
+                      * CAST(q AS DOUBLE)) * 1e1 + 0.5) / 1e1
+                   AS price_effect
         FROM l WHERE pq IS NOT NULL
     """
     sqls["q181_weighted_sample"] = """
@@ -18852,12 +18892,35 @@ def oracle_sql() -> dict[str, str]:
         ), lags AS (
             SELECT CAST(unnest(range(1, 8)) AS INT) AS lag
         )
-        SELECT l.lag, count(*) AS n_pairs,
-               round(corr(d1.n, d2.n), 6) AS acf_count,
-               round(corr(d1.rev, d2.rev), 6) AS acf_revenue
-        FROM daily d1 CROSS JOIN lags l
-        JOIN daily d2 ON d2.day = d1.day - l.lag * INTERVAL 1 DAY
-        GROUP BY l.lag ORDER BY l.lag
+        , mom AS (
+            SELECT l.lag, count(*) AS np,
+                   sum(CAST(d1.n AS DOUBLE)) AS sx,
+                   sum(CAST(d2.n AS DOUBLE)) AS sy,
+                   sum(CAST(d1.n AS DOUBLE) * CAST(d2.n AS DOUBLE)) AS sxy,
+                   sum(CAST(d1.n AS DOUBLE) * CAST(d1.n AS DOUBLE)) AS sxx,
+                   sum(CAST(d2.n AS DOUBLE) * CAST(d2.n AS DOUBLE)) AS syy,
+                   sum(d1.rev) AS rsx, sum(d2.rev) AS rsy,
+                   sum(d1.rev * d2.rev) AS rsxy,
+                   sum(d1.rev * d1.rev) AS rsxx,
+                   sum(d2.rev * d2.rev) AS rsyy
+            FROM daily d1 CROSS JOIN lags l
+            JOIN daily d2 ON d2.day = d1.day - l.lag * INTERVAL 1 DAY
+            GROUP BY l.lag
+        )
+        SELECT lag, CAST(np AS BIGINT) AS n_pairs,
+               round(CASE WHEN np * sxx - sx * sx > 0
+                           AND np * syy - sy * sy > 0
+                          THEN (np * sxy - sx * sy)
+                               / sqrt((np * sxx - sx * sx)
+                                      * (np * syy - sy * sy))
+                     END, 6) AS acf_count,
+               round(CASE WHEN np * rsxx - rsx * rsx > 0
+                           AND np * rsyy - rsy * rsy > 0
+                          THEN (np * rsxy - rsx * rsy)
+                               / sqrt((np * rsxx - rsx * rsx)
+                                      * (np * rsyy - rsy * rsy))
+                     END, 6) AS acf_revenue
+        FROM mom ORDER BY lag
     """
     sqls["q239_qq_decile_drift"] = """
         WITH coh AS (
@@ -20354,26 +20417,32 @@ def oracle_sql() -> dict[str, str]:
                          ROWS UNBOUNDED PRECEDING)
         ), a AS (
             SELECT day, cn AS na, cs / cn AS ma,
-                   (cs2 - cs * cs / cn) / (cn - 1) AS va
+                   CASE WHEN cn > 1
+                        THEN (cs2 - cs * cs / cn) / (cn - 1) END AS va
             FROM cum WHERE arm = 0
         ), b AS (
             SELECT day, cn AS nb, cs / cn AS mb,
-                   (cs2 - cs * cs / cn) / (cn - 1) AS vb
+                   CASE WHEN cn > 1
+                        THEN (cs2 - cs * cs / cn) / (cn - 1) END AS vb
             FROM cum WHERE arm = 1
         ), tot AS (
             SELECT (SELECT max(na) FROM a) + (SELECT max(nb) FROM b) AS t
+        ), j AS (
+            SELECT a.day, na, ma, va, nb, mb, vb,
+                   sqrt(va / na + vb / nb) AS se
+            FROM a JOIN b USING (day)
         )
-        SELECT strftime(a.day, '%Y-%m-%d') AS day,
+        SELECT strftime(j.day, '%Y-%m-%d') AS day,
                floor(((na + nb) / CAST(t AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS info_frac,
-               round((ma - mb) / sqrt(va / na + vb / nb), 6) AS z_stat,
+               round(CASE WHEN se > 0 THEN (ma - mb) / se END, 6) AS z_stat,
                round(2.2414 / sqrt((na + nb) / CAST(t AS DOUBLE)), 6)
                    AS obf_bound,
-               abs((ma - mb) / sqrt(va / na + vb / nb))
+               abs(CASE WHEN se > 0 THEN (ma - mb) / se END)
                    > 2.2414 / sqrt((na + nb) / CAST(t AS DOUBLE))
                    AS obf_crossed,
-               abs((ma - mb) / sqrt(va / na + vb / nb)) > 1.959964
+               abs(CASE WHEN se > 0 THEN (ma - mb) / se END) > 1.959964
                    AS naive_crossed
-        FROM a JOIN b USING (day), tot
+        FROM j, tot
     """
     sqls["q315_ecod_outliers"] = """
         WITH cnts AS (

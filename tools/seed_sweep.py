@@ -83,6 +83,10 @@ BITTEN = [
     "q271_ndcg_mrr",
     "q125_price_moments",
     "q246_conformal_intervals",
+    "q143_event_entropy",
+    "q180_revenue_bridge",
+    "q238_acf_daily_orders",
+    "q314_obf_sequential_audit",
 ]
 
 
