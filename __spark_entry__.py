@@ -745,8 +745,25 @@ def q41_corr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # measure zero under engine round()); var over INTEGER quantities is
     # an exact rational, so it moves to exact moments + floor half-up
     # (var_samp's streaming merge is engine- and order-dependent)
+    # engine-native corr() throws under ANSI on zero variance (reachable
+    # on degenerate tiers: a 1-row or all-equal group) — explicit guarded
+    # moments, same formula in the oracle (tiny-tier hardening; the
+    # value itself is unchanged where variance is positive)
+    cx = F.col("l_quantity").cast("double")
+    cy = F.col("l_extendedprice").cast("double")
+    cn = F.count(F.lit(1)).cast("double")
+    csx, csy = F.sum(cx), F.sum(cy)
+    csxy, csxx, csyy = F.sum(cx * cy), F.sum(cx * cx), F.sum(cy * cy)
+    cvx = cn * csxx - csx * csx
+    cvy = cn * csyy - csy * csy
     m = li.groupBy("l_returnflag").agg(
-        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+        F.round(
+            F.when(
+                (cvx > 0) & (cvy > 0),
+                (cn * csxy - csx * csy) / F.sqrt(cvx * cvy),
+            ),
+            6,
+        ).alias("corr_qty_price"),
         F.round(F.stddev_samp("l_extendedprice"), 2).alias("sd_price"),
         F.count(F.lit(1)).alias("n_rows"),
         F.sum(q).alias("_s1"),
@@ -5382,9 +5399,26 @@ def q213_spearman_length_ttr(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = b.select(
         "lang", _avg_rank("x").alias("rx"), _avg_rank("y").alias("ry")
     )
+    # explicit guarded moments (ANSI corr throws when all ranks tie)
+    sn = F.count(F.lit(1)).cast("double")
+    ssx, ssy = F.sum("rx"), F.sum("ry")
+    ssxy = F.sum(F.col("rx") * F.col("ry"))
+    ssxx = F.sum(F.col("rx") * F.col("rx"))
+    ssyy = F.sum(F.col("ry") * F.col("ry"))
+    svx = sn * ssxx - ssx * ssx
+    svy = sn * ssyy - ssy * ssy
     return r.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
-        (F.round(F.corr("rx", "ry"), 6) + F.lit(0.0)).alias("spearman_rho"),
+        (
+            F.round(
+                F.when(
+                    (svx > 0) & (svy > 0),
+                    (sn * ssxy - ssx * ssy) / F.sqrt(svx * svy),
+                ),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("spearman_rho"),
     )
 
 
@@ -7256,10 +7290,25 @@ def q253_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumnRenamed("_d", "_ds")
         .join(deg.withColumnRenamed("src", "dst").withColumnRenamed("_d", "_dd"), "dst")
     )
+    # engine-native corr() THROWS under ANSI on zero variance (tiny-tier
+    # graphs: every endpoint degree equal) — explicit guarded moments,
+    # identical formula in the oracle (q238/q344 pattern)
+    x = F.col("_ds").cast("double")
+    y = F.col("_dd").cast("double")
+    n = F.count(F.lit(1)).cast("double")
+    sx, sy = F.sum(x), F.sum(y)
+    sxy, sxx, syy = F.sum(x * y), F.sum(x * x), F.sum(y * y)
+    vx = n * sxx - sx * sx
+    vy = n * syy - sy * sy
     return tagged.agg(
         (F.count(F.lit(1)) / 2).cast("long").alias("n_edges"),
         _half_up(F.sum("_ds"), F.count(F.lit(1)), 4).alias("avg_degree"),
-        F.round(F.corr("_ds", "_dd"), 6).alias("assortativity"),
+        F.round(
+            F.when(
+                (vx > 0) & (vy > 0), (n * sxy - sx * sy) / F.sqrt(vx * vy)
+            ),
+            6,
+        ).alias("assortativity"),
     )
 
 
@@ -15013,8 +15062,17 @@ def oracle_sql() -> dict[str, str]:
         "q41_corr_stats": """
             WITH m AS (
                 SELECT l_returnflag,
-                       round(corr(l_quantity, l_extendedprice), 6)
-                           AS corr_qty_price,
+                       round(CASE WHEN count(*) * sum(l_quantity * l_quantity)
+                                       - sum(l_quantity) * sum(l_quantity) > 0
+                                   AND count(*) * sum(l_extendedprice * l_extendedprice)
+                                       - sum(l_extendedprice) * sum(l_extendedprice) > 0
+                                  THEN (count(*) * sum(l_quantity * l_extendedprice)
+                                        - sum(l_quantity) * sum(l_extendedprice))
+                                       / sqrt((count(*) * sum(l_quantity * l_quantity)
+                                               - sum(l_quantity) * sum(l_quantity))
+                                              * (count(*) * sum(l_extendedprice * l_extendedprice)
+                                                 - sum(l_extendedprice) * sum(l_extendedprice)))
+                             END, 6) AS corr_qty_price,
                        round(stddev_samp(l_extendedprice), 2) AS sd_price,
                        count(*) AS n,
                        CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT)
@@ -16671,7 +16729,9 @@ def oracle_sql() -> dict[str, str]:
             SELECT bucket,
                    count(*) AS n_docs,
                    CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
-                   round(avg(avg_neg_logprob), 6) AS avg_score,
+                   floor(CAST(sum(CAST(round(avg_neg_logprob * 1e6) AS BIGINT))
+                              AS DOUBLE) / count(*) + 0.5) / 1e6
+                       AS avg_score,
                    min(avg_neg_logprob) AS min_score,
                    max(avg_neg_logprob) AS max_score
             FROM tiered GROUP BY bucket
@@ -18374,7 +18434,14 @@ def oracle_sql() -> dict[str, str]:
             FROM b
         )
         SELECT lang, count(*) AS n_docs,
-               round(corr(rx, ry), 6) + 0.0 AS spearman_rho
+               round(CASE WHEN count(*) * sum(rx * rx) - sum(rx) * sum(rx) > 0
+                           AND count(*) * sum(ry * ry) - sum(ry) * sum(ry) > 0
+                          THEN (count(*) * sum(rx * ry) - sum(rx) * sum(ry))
+                               / sqrt((count(*) * sum(rx * rx)
+                                       - sum(rx) * sum(rx))
+                                      * (count(*) * sum(ry * ry)
+                                         - sum(ry) * sum(ry)))
+                     END, 6) + 0.0 AS spearman_rho
         FROM r GROUP BY lang
     """
     sqls["q214_ks_drift"] = f"""
@@ -19359,12 +19426,26 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
             FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
             WHERE a.l_partkey <> b.l_partkey
-        ), d AS (SELECT src, count(*) AS deg FROM e GROUP BY 1)
-        SELECT CAST(count(*) / 2 AS BIGINT) AS n_edges,
-               floor(CAST(sum(ds.deg) AS DOUBLE) * 1e4 / count(*) + 0.5)
-                   / 1e4 AS avg_degree,
-               round(corr(ds.deg, dd.deg), 6) AS assortativity
-        FROM e JOIN d ds ON e.src = ds.src JOIN d dd ON e.dst = dd.src
+        ), d AS (SELECT src, count(*) AS deg FROM e GROUP BY 1),
+        mom AS (
+            SELECT count(*) AS np,
+                   CAST(sum(ds.deg) AS BIGINT) AS sds,
+                   sum(CAST(ds.deg AS DOUBLE)) AS sx,
+                   sum(CAST(dd.deg AS DOUBLE)) AS sy,
+                   sum(CAST(ds.deg AS DOUBLE) * CAST(dd.deg AS DOUBLE)) AS sxy,
+                   sum(CAST(ds.deg AS DOUBLE) * CAST(ds.deg AS DOUBLE)) AS sxx,
+                   sum(CAST(dd.deg AS DOUBLE) * CAST(dd.deg AS DOUBLE)) AS syy
+            FROM e JOIN d ds ON e.src = ds.src JOIN d dd ON e.dst = dd.src
+        )
+        SELECT CAST(np / 2 AS BIGINT) AS n_edges,
+               floor(CAST(sds AS DOUBLE) * 1e4 / np + 0.5) / 1e4 AS avg_degree,
+               round(CASE WHEN np * sxx - sx * sx > 0
+                           AND np * syy - sy * sy > 0
+                          THEN (np * sxy - sx * sy)
+                               / sqrt((np * sxx - sx * sx)
+                                      * (np * syy - sy * sy))
+                     END, 6) AS assortativity
+        FROM mom
     """
     sqls["q254_readability_proxy"] = r"""
         WITH totals AS (

@@ -508,9 +508,20 @@ def perplexity_buckets(
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("n_tokens").alias("total_tokens"),
-            # half-safe: log-probability means (irrational) — a d=6
-            # half-boundary hit has measure zero
-            F.round(F.avg("avg_neg_logprob"), 6).alias("avg_score"),
+            # per-doc scores are PRE-ROUNDED to the 1e-6 grid, so the tier
+            # mean is the exact rational S/(1e6·n) and a d=6 half boundary
+            # is genuinely reachable (tiny-tier seed 97531, 6-doc tier).
+            # Exact-integer half-up: S in 1e-6 units, floor(S/n + 0.5)/1e6.
+            (
+                F.floor(
+                    F.sum(
+                        F.round(F.col("avg_neg_logprob") * 1e6).cast("long")
+                    ).cast("double")
+                    / F.count(F.lit(1))
+                    + 0.5
+                )
+                / F.lit(1e6)
+            ).alias("avg_score"),
             F.min("avg_neg_logprob").alias("min_score"),
             F.max("avg_neg_logprob").alias("max_score"),
         )
@@ -546,9 +557,20 @@ def perplexity_bucket_thresholds(
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("n_tokens").alias("total_tokens"),
-            # half-safe: log-probability means (irrational) — a d=6
-            # half-boundary hit has measure zero
-            F.round(F.avg("avg_neg_logprob"), 6).alias("avg_score"),
+            # per-doc scores are PRE-ROUNDED to the 1e-6 grid, so the tier
+            # mean is the exact rational S/(1e6·n) and a d=6 half boundary
+            # is genuinely reachable (tiny-tier seed 97531, 6-doc tier).
+            # Exact-integer half-up: S in 1e-6 units, floor(S/n + 0.5)/1e6.
+            (
+                F.floor(
+                    F.sum(
+                        F.round(F.col("avg_neg_logprob") * 1e6).cast("long")
+                    ).cast("double")
+                    / F.count(F.lit(1))
+                    + 0.5
+                )
+                / F.lit(1e6)
+            ).alias("avg_score"),
         )
     )
 

@@ -87,6 +87,8 @@ BITTEN = [
     "q180_revenue_bridge",
     "q238_acf_daily_orders",
     "q314_obf_sequential_audit",
+    "q127_perplexity_buckets",
+    "q253_degree_assortativity",
 ]
 
 
