@@ -6094,22 +6094,42 @@ def q232_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     (150 rows); the running CUSUM window, the series-mean broadcast, and
     the argmax ranking all run on that bounded table — the corpus is
     scanned once."""
+    # EXACT integer pipeline (tiny-tier seed 13579 hit a d=6 half boundary
+    # of the old float cusum): daily means round to 1e-6-unit integers
+    # md = half_up(cents_sum/(100·nd), 6)·1e6, and with D days and
+    # T = Σmd the statistic D·cusum_k = D·P_k − k·T is exact integer
+    # arithmetic — the peak argmax ranks on |D·cusum_k| and the display is
+    # the exact rational |M|/(D·1e6) half-up at 6, identical per engine.
     e = _t(spark, sf_dir, "events")
     daily = e.groupBy(
         "event_type", F.date_trunc("day", "ts").alias("_day")
-    ).agg(F.avg("value").alias("_mu"))
-    stats = daily.groupBy("event_type").agg(F.avg("_mu").alias("_gmu"))
+    ).agg(
+        F.floor(
+            F.sum(_cents("value")).cast("double") * 1e4 / F.count(F.lit(1))
+            + 0.5
+        )
+        .cast("long")
+        .alias("_md")
+    )
+    stats = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("_dd"), F.sum("_md").alias("_tt")
+    )
     wc = (
         Window.partitionBy("event_type")
         .orderBy("_day")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
+    wk = Window.partitionBy("event_type").orderBy("_day")
     cusum = (
         daily.join(F.broadcast(stats), "event_type")
-        .withColumn("_c", F.sum(F.col("_mu") - F.col("_gmu")).over(wc))
+        .withColumn(
+            "_m",
+            F.col("_dd") * F.sum("_md").over(wc)
+            - F.row_number().over(wk) * F.col("_tt"),
+        )
     )
     wr = Window.partitionBy("event_type").orderBy(
-        F.abs(F.col("_c")).desc(), "_day"
+        F.abs(F.col("_m")).desc(), "_day"
     )
     return (
         cusum.withColumn("_r", F.row_number().over(wr))
@@ -6117,7 +6137,9 @@ def q232_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "event_type",
             F.date_format("_day", "yyyy-MM-dd").alias("peak_day"),
-            F.round(F.abs(F.col("_c")), 6).alias("cusum_peak"),
+            _half_up(F.abs(F.col("_m")), F.col("_dd") * F.lit(1000000), 6).alias(
+                "cusum_peak"
+            ),
         )
     )
 
@@ -8891,11 +8913,16 @@ def q287_forecast_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
         # measure-zero, covered by the multi-seed campaign
         F.round(F.avg(err / F.col("_a")), 6).alias("mape"),
         F.round(F.avg(2 * err / (F.col("_a") + F.col("_f"))), 6).alias("smape"),
-        # mase reduces to an exact ratio of integer error sums
-        _half_up(
-            F.sum(_intval(err)),
-            F.sum(_intval(F.abs(F.col("_a") - F.col("_p")))),
-            6,
+        # mase reduces to an exact ratio of integer error sums; a CONSTANT
+        # series has zero naive error (tiny-tier reachable) -> undefined,
+        # NULL (mirrored CASE in the oracle)
+        F.when(
+            F.sum(_intval(F.abs(F.col("_a") - F.col("_p")))) > 0,
+            _half_up(
+                F.sum(_intval(err)),
+                F.sum(_intval(F.abs(F.col("_a") - F.col("_p")))),
+                6,
+            ),
         ).alias("mase"),
     )
 
@@ -18782,23 +18809,31 @@ def oracle_sql() -> dict[str, str]:
     """
     sqls["q232_cusum_changepoint"] = """
         WITH daily AS (
-            SELECT event_type, date_trunc('day', ts) AS day, avg(value) AS mu
+            SELECT event_type, date_trunc('day', ts) AS day,
+                   CAST(floor(CAST(sum(CAST(round(value * 100) AS BIGINT))
+                                   AS DOUBLE) * 1e4 / count(*) + 0.5)
+                        AS BIGINT) AS md
             FROM events GROUP BY 1, 2
         ), st AS (
-            SELECT event_type, avg(mu) AS gmu FROM daily GROUP BY 1
+            SELECT event_type, count(*) AS dd,
+                   CAST(sum(md) AS BIGINT) AS tt
+            FROM daily GROUP BY 1
         ), cusum AS (
             SELECT d.event_type, d.day,
-                   sum(d.mu - s.gmu) OVER (PARTITION BY d.event_type
-                                           ORDER BY d.day) AS c
+                   s.dd * sum(d.md) OVER w
+                       - row_number() OVER w * s.tt AS m,
+                   s.dd
             FROM daily d JOIN st s USING (event_type)
+            WINDOW w AS (PARTITION BY d.event_type ORDER BY d.day)
         ), r AS (
-            SELECT event_type, day, c,
+            SELECT event_type, day, m, dd,
                    row_number() OVER (PARTITION BY event_type
-                                      ORDER BY abs(c) DESC, day) AS rk
+                                      ORDER BY abs(m) DESC, day) AS rk
             FROM cusum
         )
         SELECT event_type, strftime(day, '%Y-%m-%d') AS peak_day,
-               round(abs(c), 6) AS cusum_peak
+               floor(CAST(abs(m) AS DOUBLE) * 1e6 / (dd * 1000000) + 0.5)
+                   / 1e6 AS cusum_peak
         FROM r WHERE rk = 1
     """
     sqls["q233_feature_hashing"] = r"""
@@ -22811,9 +22846,12 @@ def oracle_sql() -> dict[str, str]:
         SELECT event_type, count(*) AS n_days_scored,
                round(avg(abs(a - f) / a), 6) AS mape,
                round(avg(2 * abs(a - f) / (a + f)), 6) AS smape,
-               floor(CAST(sum(CAST(round(abs(a - f)) AS BIGINT)) AS DOUBLE)
-                     * 1e6 / sum(CAST(round(abs(a - p)) AS BIGINT)) + 0.5)
-                   / 1e6 AS mase
+               CASE WHEN sum(CAST(round(abs(a - p)) AS BIGINT)) > 0
+                    THEN floor(CAST(sum(CAST(round(abs(a - f)) AS BIGINT))
+                                    AS DOUBLE)
+                               * 1e6 / sum(CAST(round(abs(a - p)) AS BIGINT))
+                               + 0.5) / 1e6
+               END AS mase
         FROM lagged WHERE f IS NOT NULL GROUP BY 1
     """
     sqls["q288_late_dim_unknown_member"] = """

@@ -89,6 +89,8 @@ BITTEN = [
     "q314_obf_sequential_audit",
     "q127_perplexity_buckets",
     "q253_degree_assortativity",
+    "q232_cusum_changepoint",
+    "q287_forecast_accuracy",
 ]
 
 
