@@ -91,6 +91,7 @@ BITTEN = [
     "q253_degree_assortativity",
     "q232_cusum_changepoint",
     "q287_forecast_accuracy",
+    "q38_approx_distinct_users",
 ]
 
 
