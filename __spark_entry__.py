@@ -2632,14 +2632,28 @@ def q125_price_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     moments sidesteps both). Single shuffle, map-side combine."""
     p = _t(spark, sf_dir, "part")
     x = F.col("p_retailprice")
+    # mean and variance of 2-decimal money are exact cents rationals whose
+    # d=4 boundaries are REACHABLE (sparse seed 881199: an 8-part brand's
+    # mean hit x.xxxx5 through the float avg) — they move to exact-integer
+    # moments summed as DECIMAL(38,0) (128-bit: Σcents² stays exact far
+    # past 100 TB row counts; DuckDB's BIGINT sums are HUGEINT already)
+    # and a pinned IEEE sequence. Skewness keeps the float moments: its
+    # sqrt makes the display irrational (half-safe, boundary measure-zero).
+    c = _cents(x)
     agg = p.groupBy("p_brand").agg(
         F.count(F.lit(1)).alias("n"),
+        F.sum(c.cast("decimal(38,0)")).alias("_s1"),
+        F.sum((c * c).cast("decimal(38,0)")).alias("_s2"),
         F.avg(x).alias("_m1"),
         F.avg(x * x).alias("_m2"),
         F.avg(x * x * x).alias("_m3"),
     )
     m1, m2, m3 = F.col("_m1"), F.col("_m2"), F.col("_m3")
     var = m2 - m1 * m1
+    nd = F.col("n").cast("double")
+    s1d = F.col("_s1").cast("double")
+    s2d = F.col("_s2").cast("double")
+    var_pinned = (nd * s2d - s1d * s1d) / (nd * nd * F.lit(1e4))
     # sqrt(var)*var, not pow(var, 1.5): sqrt is IEEE correctly-rounded in
     # every engine, pow is not — cross-engine hash equality needs the former.
     # A 1-part brand has var EXACTLY 0 (m2 - m1² cancels bit-exactly on the
@@ -2650,8 +2664,8 @@ def q125_price_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select(
         "p_brand",
         "n",
-        F.round(m1, 4).alias("mean_price"),
-        F.round(var, 4).alias("var_price"),
+        _half_up(F.col("_s1"), F.col("n") * 100, 4).alias("mean_price"),
+        half_up(var_pinned, 4).alias("var_price"),
         # + 0.0: a 2-part brand's skew is ±tiny before rounding and the
         # engines disagree on the residue's SIGN at exactly 0 (-0.0 class,
         # same normalization as q248)
@@ -16681,14 +16695,21 @@ def oracle_sql() -> dict[str, str]:
             WITH agg AS (
                 SELECT p_brand,
                        count(*) AS n,
+                       sum(CAST(round(p_retailprice * 100) AS BIGINT)) AS s1,
+                       sum(CAST(round(p_retailprice * 100) AS BIGINT)
+                           * CAST(round(p_retailprice * 100) AS BIGINT)) AS s2,
                        avg(p_retailprice) AS m1,
                        avg(p_retailprice * p_retailprice) AS m2,
                        avg(p_retailprice * p_retailprice * p_retailprice) AS m3
                 FROM part GROUP BY p_brand
             )
             SELECT p_brand, n,
-                   round(m1, 4) AS mean_price,
-                   round(m2 - m1 * m1, 4) AS var_price,
+                   floor(CAST(s1 AS DOUBLE) * 1e4 / (n * 100) + 0.5) / 1e4
+                       AS mean_price,
+                   floor(((CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)
+                           - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+                          / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * 1e4))
+                         * 1e4 + 0.5) / 1e4 AS var_price,
                    round(CASE WHEN m2 - m1 * m1 > 0
                               THEN (m3 - 3 * m1 * m2 + 2 * m1 * m1 * m1)
                                    / (sqrt(m2 - m1 * m1) * (m2 - m1 * m1))
