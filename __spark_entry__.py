@@ -2656,10 +2656,16 @@ def q125_price_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     var_pinned = (nd * s2d - s1d * s1d) / (nd * nd * F.lit(1e4))
     # sqrt(var)*var, not pow(var, 1.5): sqrt is IEEE correctly-rounded in
     # every engine, pow is not — cross-engine hash equality needs the former.
-    # A 1-part brand has var EXACTLY 0 (m2 - m1² cancels bit-exactly on the
-    # same double): skewness undefined -> NULL (ultra-sparse reachable).
+    # The degenerate-brand predicate is the EXACT integer variance
+    # n·Σc² − (Σc)² (decimal/HUGEINT on the two engines, bit-identical), not
+    # the float m2 − m1²: for an all-equal multi-row brand the float form's
+    # tiny residue is order-dependent and its SIGN can differ between
+    # engines, flipping one side to NULL while the other divides by ~0
+    # (round-10 advice). Float moments are kept for the value itself.
+    var_exact_pos = F.col("n") * F.col("_s2") - F.col("_s1") * F.col("_s1") > 0
     skew = F.when(
-        var > 0, (m3 - 3 * m1 * m2 + 2 * m1 * m1 * m1) / (F.sqrt(var) * var)
+        var_exact_pos,
+        (m3 - 3 * m1 * m2 + 2 * m1 * m1 * m1) / (F.sqrt(var) * var),
     )
     return agg.select(
         "p_brand",
@@ -16710,7 +16716,7 @@ def oracle_sql() -> dict[str, str]:
                            - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
                           / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * 1e4))
                          * 1e4 + 0.5) / 1e4 AS var_price,
-                   round(CASE WHEN m2 - m1 * m1 > 0
+                   round(CASE WHEN n * s2 - s1 * s1 > 0
                               THEN (m3 - 3 * m1 * m2 + 2 * m1 * m1 * m1)
                                    / (sqrt(m2 - m1 * m1) * (m2 - m1 * m1))
                          END, 6) + 0.0 AS skew_price

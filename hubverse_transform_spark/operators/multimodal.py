@@ -385,10 +385,16 @@ def wav_decode(data: bytes):
         if len(body) != ln:
             raise ValueError("audio decode failed: truncated WAV chunk")
         if ctype == b"fmt ":
+            if fmt is not None:
+                # last-wins would decode a malformed two-fmt payload without
+                # quarantine — strict-quarantine contract says reject it
+                raise ValueError("audio decode failed: duplicate fmt chunk")
             if ln < 16:
                 raise ValueError("audio decode failed: fmt chunk too short")
             fmt = struct.unpack("<HHIIHH", body[:16])
         elif ctype == b"data":
+            if pcm is not None:
+                raise ValueError("audio decode failed: duplicate data chunk")
             pcm = body
         pos += 8 + ln + (ln & 1)  # RIFF chunks are word-aligned
     if fmt is None or pcm is None:
@@ -598,7 +604,13 @@ def audio_window_energy(
                 else:
                     _rate, _ch, bits, pcm = wav_decode(bytes(payload))
                     samples = pcm.astype(np.float64)
+                    # frame-align the window: window_bytes//(bits/8) need
+                    # not be a multiple of the channel count, and a window
+                    # that splits an interleaved frame mixes channels across
+                    # windows (round-10 advice). Round DOWN to whole frames,
+                    # min one frame.
                     win = max(1, window_bytes // (bits // 8))
+                    win = max(_ch, (win // _ch) * _ch)
                 for i in range(0, len(samples), win):
                     w = samples[i : i + win]
                     rows.append(

@@ -172,3 +172,41 @@ def test_real_audio_corrupt_payload_fails_in_window_energy(spark):
     df = spark.createDataFrame(rows, ASSET_SCHEMA)
     with pytest.raises(Exception, match="audio decode failed"):
         audio_window_energy(df, fake=False).collect()
+
+
+def test_wav_decode_rejects_duplicate_chunks():
+    """A payload with two fmt or two data chunks is malformed; last-wins
+    would silently decode the second copy (round-10 advice) — the strict
+    kernel quarantines instead."""
+    samples = _sine_i16(32)
+    payload = wav_encode(samples, sample_rate=8000, bits=16, n_channels=1)
+    body = payload[12:]  # fmt + data chunks
+    fmt_chunk = body[: 8 + 16]
+    data_chunk = body[8 + 16 :]
+    for extra, label in ((fmt_chunk, "fmt"), (data_chunk, "data")):
+        doubled = body + extra
+        dup = b"RIFF" + struct.pack("<I", 4 + len(doubled)) + b"WAVE" + doubled
+        with pytest.raises(ValueError, match=f"duplicate {label} chunk"):
+            wav_decode(dup)
+
+
+def test_real_audio_window_energy_frame_aligned_stereo(spark):
+    """window_bytes that is NOT a whole number of interleaved frames must be
+    rounded down to frame multiples so no window splits a frame and mixes
+    channels (round-10 advice): 16-bit stereo with window_bytes=6 gives a
+    3-sample raw window (splits a frame); alignment rounds down to one
+    whole frame = 2 interleaved samples per window."""
+    inter = np.array([100, -100, 200, -200, 300, -300, 400, -400], dtype=np.int64)
+    payload = wav_encode(inter, sample_rate=8000, bits=16, n_channels=2)
+    rows = [(9, "audio", "audio/wav", bytearray(payload), None, None, 4)]
+    df = spark.createDataFrame(rows, ASSET_SCHEMA)
+    out = sorted(
+        audio_window_energy(df, window_bytes=6, fake=False).collect(),
+        key=lambda r: r["window_idx"],
+    )
+    # raw win would be 3 samples (6B // 2B) -> aligned down to 2 (one frame)
+    assert [r["n_samples"] for r in out] == [2, 2, 2, 2]
+    sf = inter.astype(np.float64)
+    for r in out:
+        seg = sf[r["window_idx"] * 2 : r["window_idx"] * 2 + 2]
+        assert r["rms"] == round(float(np.sqrt(np.mean(seg * seg))), 6)

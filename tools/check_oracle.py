@@ -103,6 +103,29 @@ def _isna(v) -> bool:
         return False
 
 
+def _oracle_nan_audit(con, sql: str) -> list[str]:
+    """Oracles must spell undefined results as explicit CASE->NULL, never
+    rely on float NaN propagation: normalize() hashes Spark NULL and a
+    DuckDB NaN identically ('null'), so an oracle that erroneously computes
+    a genuine NaN where Spark defines NULL would pass the differential
+    silently (round-10 advice). DuckDB's pandas conversion collapses NULL
+    doubles to NaN before we see them, so this audit runs ENGINE-side,
+    where NULL and NaN are distinct: count rows where any float column
+    isnan() (isnan(NULL) is NULL -> not counted). Scalar float columns
+    only — no current oracle emits float arrays."""
+    rel = con.sql(f"SELECT * FROM ({sql}) _q LIMIT 0")
+    float_cols = [
+        c for c, t in zip(rel.columns, rel.types) if str(t) in ("DOUBLE", "FLOAT")
+    ]
+    if not float_cols:
+        return []
+    preds = " OR ".join(f'isnan("{c}")' for c in float_cols)
+    n = con.sql(f"SELECT count(*) FROM ({sql}) _q WHERE {preds}").fetchone()[0]
+    if n:
+        return [f"{n} oracle rows carry genuine NaN (spell undefined as CASE->NULL)"]
+    return []
+
+
 def normalize(rows, cols):
     out = []
     for r in rows:
@@ -151,8 +174,13 @@ def main() -> int:
             continue
         try:
             odf = con.sql(oracles[name]).df()
+            nan_errs = _oracle_nan_audit(con, oracles[name])
         except Exception as e:
             print(f"FAIL {name}: oracle error: {e}")
+            failures += 1
+            continue
+        if nan_errs:
+            print(f"FAIL {name}: {'; '.join(nan_errs)}")
             failures += 1
             continue
         s_cols, o_cols = sorted(sdf.columns), sorted(odf.columns)
