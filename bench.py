@@ -16,6 +16,11 @@ two runs) exactly once per run — compare r10+ to r9-and-earlier through
 that field, and medians to medians from r9's partial "spread". The
 driver's BENCH_r{N}.json is the single number of record; intermediate
 runs quoted in commit messages or VERIFY notes are working measurements.
+
+Ambient-load context (round 11): the "load" field records getloadavg()
+before/after the run and the /proc/stat busy fraction over the timed
+window, so cross-round comparisons can cite the load each number was
+measured under instead of guessing at sandbox weather.
 """
 
 from __future__ import annotations
@@ -33,6 +38,13 @@ import __spark_entry__ as entry_mod
 from hubverse_transform_spark.session import get_spark
 
 N_RUNS = 3
+
+
+def _proc_stat() -> tuple[int, int]:
+    """(total jiffies, idle+iowait jiffies) from the aggregate cpu line."""
+    with open("/proc/stat") as f:
+        vals = [int(x) for x in f.readline().split()[1:]]
+    return sum(vals), vals[3] + (vals[4] if len(vals) > 4 else 0)
 
 
 def main() -> None:
@@ -54,6 +66,17 @@ def main() -> None:
         start = time.perf_counter()
         fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
         return time.perf_counter() - start
+
+    # ambient-load context (round-10 verdict item 2): same-tree totals vary
+    # ±11%+ with sandbox load, so the number of record carries the load it
+    # was measured under — getloadavg at start/end plus the /proc/stat
+    # busy fraction over the whole timed window. cpu_busy_frac ~1.0 means
+    # the 32 cores were saturated (this bench alone saturates them on the
+    # heavy queries; a LOADED machine shows elevated load_pre/load_post
+    # 1-minute values relative to n_cpus and a busy fraction that stays
+    # high even through the cheap single-stage queries).
+    load_pre = os.getloadavg()
+    stat_t0, stat_i0 = _proc_stat()
 
     # three timed executions per query. A query that throws is recorded
     # under "errors" and excluded from the total rather than aborting the
@@ -82,6 +105,16 @@ def main() -> None:
         }
         min2_total += min(runs[:2])
 
+    stat_t1, stat_i1 = _proc_stat()
+    load = {
+        "loadavg_pre": [round(x, 2) for x in load_pre],
+        "loadavg_post": [round(x, 2) for x in os.getloadavg()],
+        "cpu_busy_frac": round(
+            1.0 - (stat_i1 - stat_i0) / max(1, stat_t1 - stat_t0), 4
+        ),
+        "n_cpus": os.cpu_count(),
+    }
+
     total = round(sum(timings.values()), 3)
     result = {
         "metric": "total_query_wall_sec",
@@ -97,6 +130,7 @@ def main() -> None:
             "series continuity; per-query min/max under 'spread'"
         ),
         "sf": sf,
+        "load": load,
     }
     if errors:
         result["errors"] = errors
@@ -120,6 +154,7 @@ def main() -> None:
         "sf": sf,
         "n_queries": len(timings),
         "n_errors": len(errors),
+        "load": load,
         "queries_full": "BENCH.json",
         "queries": {},
     }

@@ -1,15 +1,17 @@
 """Multimodal column plumbing [EXT]: image/audio/video as opaque binary
 columns with typed metadata.
 
-The VIDEO decode kernel (frame extraction) needs native libraries that are
-not in this container, so that *kernel* is stubbed — a deterministic fake
-when ``fake=True`` (for tests), else NotImplementedError. The IMAGE and
-AUDIO decode paths are fully wired and ALWAYS runnable: ``fake=False``
-decodes real payload bytes — images via Pillow when the executor can
-import it (any format), else via the builtin pure-stdlib PNG kernel
-(``png_decode``: chunk CRC verification, IDAT inflate, full scanline
-unfilter); audio via the builtin pure-stdlib WAV/PCM kernel
-(``wav_decode``: strict RIFF walk, fmt validation, data-chunk geometry
+ALL THREE decode paths are fully wired and ALWAYS runnable — no codec
+libraries required: ``fake=False`` decodes real payload bytes. Images via
+Pillow when the executor can import it (any format), else via the builtin
+pure-stdlib PNG kernel (``png_decode``: chunk CRC verification, IDAT
+inflate, full scanline unfilter); video via the builtin pure-stdlib AVI
+kernel (``avi_decode``: strict RIFF walk, header cross-checks,
+uncompressed 24-bit BI_RGB frames — the one AVI flavor expressible without
+entropy coders; compressed codecs would need native libraries and
+quarantine with ValueError); audio via the builtin pure-stdlib WAV/PCM
+kernel (``wav_decode``: strict RIFF walk, fmt validation, data-chunk
+geometry
 check). Corrupt payloads raise ValueError (quarantine) in every real
 path. Everything Spark-side is real and tested: the asset schema,
 Arrow-batched ``mapInPandas`` plumbing, batch shapes, partition-size
@@ -84,8 +86,9 @@ def decode_features(
     Arrow streams column batches into pandas; each batch yields one output
     frame — the UDF never holds more than a batch of payloads in memory.
     With ``fake=False`` image payloads genuinely decode (Pillow, else the
-    builtin PNG kernel); audio/video payloads raise NotImplementedError
-    inside the executor (those codecs are not wired).
+    builtin PNG kernel), audio via the builtin WAV kernel, and video via
+    the builtin AVI kernel; only an unknown modality raises
+    NotImplementedError inside the executor.
 
     ``total_bytes`` (when known, e.g. from table stats) drives a
     repartition so each task holds ~``target_partition_bytes`` of payload.
@@ -236,11 +239,12 @@ def _real_image_decoder():
     else via the builtin pure-stdlib PNG kernel (``png_decode``: CRC
     check, IDAT inflate, full scanline unfilter); audio payloads decode to
     ``audio:<rate>hz:<ch>ch:<bits>bit:<frames>f`` via the builtin
-    pure-stdlib WAV kernel (``wav_decode``) — so both real paths are
-    runnable even in codec-less containers. The video kernel stays
-    unimplemented (its codecs are genuinely not wired), and an unparseable
-    image/audio payload raises ValueError rather than silently degrading —
-    a corrupt blob in a curation pipeline should quarantine, not pass."""
+    pure-stdlib WAV kernel (``wav_decode``); video payloads decode to
+    ``video:<w>x<h>:<frames>f:<us_per_frame>us`` via the builtin
+    pure-stdlib AVI kernel (``avi_decode``) — all three real paths are
+    runnable even in codec-less containers. An unparseable payload raises
+    ValueError rather than silently degrading — a corrupt blob in a
+    curation pipeline should quarantine, not pass."""
     try:
         import io
 
@@ -254,9 +258,13 @@ def _real_image_decoder():
         if modality == "audio":
             rate, ch, bits, samples = wav_decode(bytes(payload))
             return f"audio:{rate}hz:{ch}ch:{bits}bit:{samples.size // ch}f"
+        if modality == "video":
+            w, h, uspf, frames = avi_decode(bytes(payload))
+            return f"video:{w}x{h}:{len(frames)}f:{uspf}us"
         if modality != "image":
             raise NotImplementedError(
-                f"real decode wired for image/audio only (got modality={modality!r})"
+                f"real decode wired for image/audio/video only "
+                f"(got modality={modality!r})"
             )
         if Image is not None:
             with Image.open(io.BytesIO(bytes(payload))) as img:
@@ -447,6 +455,189 @@ def wav_encode(samples, *, sample_rate: int, bits: int = 16, n_channels: int = 1
     return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
 
 
+def avi_decode(data: bytes):
+    """Pure-stdlib AVI decode: (width, height, us_per_frame,
+    frames list of uint8[h, w*3] top-down RGB arrays).
+
+    The video member of the builtin-kernel trio (PNG round 9, WAV round 10,
+    AVI round 11 — same pattern: stdlib ``struct`` + numpy, strict
+    validation, ValueError quarantine on malformed payloads, no codec
+    libraries). A REAL decode of the only AVI flavor expressible without
+    entropy coders: single-stream uncompressed 24-bit BI_RGB DIB frames
+    (``00db`` chunks). The RIFF container is walked chunk by chunk with size
+    validation; ``avih``/``strh``/``strf`` are parsed and cross-checked
+    (stream type ``vids``, BI_RGB compression, geometry agreement between
+    the main and stream headers, frame-count agreement between the headers
+    and the ``movi`` body, row stride arithmetic); bottom-up padded BGR
+    rows are flipped and reordered to top-down RGB. Duplicate headers,
+    extra streams, truncated chunks, and wrong-sized frames all raise.
+    """
+    import struct
+
+    import numpy as np
+
+    if len(data) < 12 or bytes(data[:4]) != b"RIFF" or bytes(data[8:12]) != b"AVI ":
+        raise ValueError("video decode failed: not a RIFF/AVI signature")
+    (riff_size,) = struct.unpack("<I", data[4:8])
+    if riff_size + 8 > len(data):
+        raise ValueError("video decode failed: RIFF size exceeds payload")
+
+    avih = None
+    strh = None
+    strf = None
+    raw_frames: list[bytes] = []
+
+    def walk(buf: bytes, pos: int, end: int, in_movi: bool) -> None:
+        nonlocal avih, strh, strf
+        while pos + 8 <= end:
+            ctype = bytes(buf[pos : pos + 4])
+            (ln,) = struct.unpack("<I", buf[pos + 4 : pos + 8])
+            if pos + 8 + ln > end:
+                raise ValueError("video decode failed: truncated AVI chunk")
+            body = bytes(buf[pos + 8 : pos + 8 + ln])
+            if ctype == b"LIST":
+                if ln < 4:
+                    raise ValueError("video decode failed: LIST chunk too short")
+                walk(buf, pos + 12, pos + 8 + ln, body[:4] == b"movi")
+            elif ctype == b"avih":
+                if avih is not None:
+                    raise ValueError("video decode failed: duplicate avih chunk")
+                if ln < 40:
+                    raise ValueError("video decode failed: avih chunk too short")
+                avih = struct.unpack("<10I", body[:40])
+            elif ctype == b"strh":
+                if strh is not None:
+                    raise ValueError(
+                        "video decode failed: builtin kernel supports a "
+                        "single video stream, got a second strh"
+                    )
+                if ln < 48:
+                    raise ValueError("video decode failed: strh chunk too short")
+                strh = struct.unpack("<4s4sIHH8I", body[:48])
+            elif ctype == b"strf":
+                if strf is not None:
+                    raise ValueError("video decode failed: duplicate strf chunk")
+                if ln < 40:
+                    raise ValueError("video decode failed: strf chunk too short")
+                strf = struct.unpack("<IiiHHIIiiII", body[:40])
+            elif ctype == b"00db":
+                if not in_movi:
+                    raise ValueError("video decode failed: frame chunk outside movi")
+                raw_frames.append(body)
+            elif ctype == b"00dc":
+                raise ValueError(
+                    "video decode failed: builtin kernel supports "
+                    "uncompressed 00db frames, got compressed 00dc"
+                )
+            pos += 8 + ln + (ln & 1)  # RIFF chunks are word-aligned
+
+    walk(data, 12, min(len(data), riff_size + 8), False)
+    if avih is None or strh is None or strf is None:
+        raise ValueError("video decode failed: missing avih/strh/strf header")
+    us_per_frame, _, _, _, total_frames, _, n_streams, _, width, height = avih
+    if us_per_frame < 1:
+        raise ValueError("video decode failed: zero frame duration")
+    if n_streams != 1:
+        raise ValueError(
+            f"video decode failed: builtin kernel supports exactly one "
+            f"stream, header declares {n_streams}"
+        )
+    fcc_type = strh[0]
+    if fcc_type != b"vids":
+        raise ValueError(
+            f"video decode failed: stream type {fcc_type!r} is not 'vids'"
+        )
+    # <4s4sIHH8I fields: type, handler, flags, priority, language,
+    # initial_frames, scale, rate, start, length (index 9), ...
+    strh_length = strh[9]
+    (_, bi_w, bi_h, bi_planes, bi_bits, bi_comp) = strf[:6]
+    if bi_comp != 0 or bi_bits != 24 or bi_planes != 1:
+        raise ValueError(
+            f"video decode failed: builtin kernel supports 24-bit BI_RGB "
+            f"(got bits={bi_bits}, compression={bi_comp}, planes={bi_planes})"
+        )
+    if bi_w != width or abs(bi_h) != height or width < 1 or height < 1:
+        raise ValueError(
+            "video decode failed: avih/strf geometry disagrees "
+            f"({width}x{height} vs {bi_w}x{bi_h})"
+        )
+    if len(raw_frames) != total_frames or strh_length != total_frames:
+        raise ValueError(
+            f"video decode failed: frame count disagrees (movi has "
+            f"{len(raw_frames)}, avih declares {total_frames}, strh "
+            f"declares {strh_length})"
+        )
+    stride = ((width * 3 + 3) // 4) * 4  # DIB rows pad to 4-byte boundary
+    frames = []
+    for i, raw in enumerate(raw_frames):
+        if len(raw) != stride * height:
+            raise ValueError(
+                f"video decode failed: frame {i} is {len(raw)} bytes, "
+                f"expected {stride * height} for {width}x{height}x24"
+            )
+        grid = np.frombuffer(raw, dtype=np.uint8).reshape(height, stride)
+        bgr = grid[:, : width * 3].reshape(height, width, 3)
+        if bi_h > 0:  # positive biHeight = bottom-up row order
+            bgr = bgr[::-1]
+        rgb = bgr[:, :, ::-1]  # BGR storage -> RGB API
+        frames.append(np.ascontiguousarray(rgb.reshape(height, width * 3)))
+    return int(width), int(height), int(us_per_frame), frames
+
+
+def avi_encode(frames, *, us_per_frame: int, width: int, height: int) -> bytes:
+    """Minimal stdlib AVI writer: single-stream uncompressed 24-bit BI_RGB,
+    ``frames`` a sequence of uint8[height, width*3] top-down RGB arrays.
+    The inverse of ``avi_decode`` (round-trips bit-exactly on the pixel
+    side); stores the standard bottom-up padded BGR DIB rows."""
+    import struct
+
+    import numpy as np
+
+    if us_per_frame < 1:
+        raise ValueError("avi_encode: us_per_frame must be >= 1")
+    stride = ((width * 3 + 3) // 4) * 4
+    frame_chunks = b""
+    for f in frames:
+        arr = np.asarray(f, dtype=np.uint8)
+        if arr.shape != (height, width * 3):
+            raise ValueError(
+                f"avi_encode: frame shape {arr.shape} != ({height}, {width * 3})"
+            )
+        rgb = arr.reshape(height, width, 3)
+        bgr = rgb[:, :, ::-1][::-1]  # RGB top-down -> BGR bottom-up
+        padded = np.zeros((height, stride), dtype=np.uint8)
+        padded[:, : width * 3] = bgr.reshape(height, width * 3)
+        body = padded.tobytes()
+        frame_chunks += b"00db" + struct.pack("<I", len(body)) + body
+
+    n = len(frames)
+    avih = struct.pack(
+        "<10I16x", us_per_frame, 0, 0, 0, n, 0, 1, stride * height, width, height
+    )
+    strh = struct.pack(
+        "<4s4sIHH8I4H",
+        b"vids", b"DIB ", 0, 0, 0, 0,
+        us_per_frame, 1_000_000,  # dwScale/dwRate: rate/scale = fps
+        0, n, stride * height, 0, 0,
+        0, 0, width, height,
+    )
+    strf = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, stride * height, 0, 0, 0, 0
+    )
+
+    def chunk(t: bytes, body: bytes) -> bytes:
+        return t + struct.pack("<I", len(body)) + body + (b"\x00" if len(body) & 1 else b"")
+
+    def lst(kind: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", kind + body)
+
+    strl = lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf))
+    hdrl = lst(b"hdrl", chunk(b"avih", avih) + strl)
+    movi = lst(b"movi", frame_chunks)
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
 def _decode_pixels(payload: bytes):
     """(width, height, mode, uint8[h, w*ch]) via Pillow when importable
     (any format it reads), else the builtin PNG kernel."""
@@ -516,10 +707,24 @@ def resize_images(assets: DataFrame, *, width: int, height: int, fake: bool = Fa
 
 
 def frame_sample(assets: DataFrame, *, every_ms: int, fake: bool = False) -> DataFrame:
-    """Video frame-sampling stub: one output row per sampled frame.
+    """Video frame sampling: one output row per sampled frame (1->N explode
+    inside the UDF).
 
-    Demonstrates the 1->N batch shape (explode inside the UDF); fake mode
-    fabricates frame ids from duration metadata.
+    Real mode (``fake=False``) genuinely decodes: the payload is parsed by
+    the builtin pure-stdlib AVI kernel (``avi_decode`` — strict RIFF walk,
+    header cross-checks, uncompressed 24-bit BI_RGB frames; corrupt
+    payloads raise ValueError and quarantine the task's row, the same
+    contract as the PNG and WAV kernels), one frame is selected per
+    ``every_ms`` of video time (the frame whose interval contains the
+    sample timestamp, i.e. floor(ts / frame_duration)), and each sampled
+    frame is re-encoded as a standalone PNG via the sibling stdlib writer
+    (``png_encode``) — so downstream image operators (``resize_images``,
+    the PNG kernel) can consume the ``frame`` payloads directly. Fake mode
+    fabricates frame ids from duration metadata with NULL payloads
+    (deterministic, for plumbing tests against arbitrary blobs).
+
+    Output: (asset_id, frame_idx = sample index, ts_ms = sample timestamp,
+    frame = PNG bytes or NULL in fake mode).
     """
     out_schema = StructType(
         [
@@ -532,14 +737,29 @@ def frame_sample(assets: DataFrame, *, every_ms: int, fake: bool = False) -> Dat
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError("video decode libraries unavailable")
             rows: list[dict[str, Any]] = []
             for _, r in pdf.iterrows():
-                dur = int(r["duration_ms"] or 0)
+                if fake:
+                    dur = int(r["duration_ms"] or 0)
+                    for i, ts in enumerate(range(0, dur, every_ms)):
+                        rows.append(
+                            {"asset_id": r["asset_id"], "frame_idx": i, "ts_ms": ts, "frame": None}
+                        )
+                    continue
+                payload = r["payload"]
+                if payload is None:
+                    continue
+                _w, _h, uspf, frames = avi_decode(bytes(payload))
+                dur = len(frames) * uspf // 1000  # whole-ms video duration
                 for i, ts in enumerate(range(0, dur, every_ms)):
+                    src = min(ts * 1000 // uspf, len(frames) - 1)
                     rows.append(
-                        {"asset_id": r["asset_id"], "frame_idx": i, "ts_ms": ts, "frame": None}
+                        {
+                            "asset_id": r["asset_id"],
+                            "frame_idx": i,
+                            "ts_ms": ts,
+                            "frame": bytearray(png_encode(frames[src], "rgb")),
+                        }
                     )
             yield pd.DataFrame(rows, columns=[f.name for f in out_schema.fields])
 

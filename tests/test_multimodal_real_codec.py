@@ -133,12 +133,16 @@ def test_real_decode_map_in_arrow(assets):
     assert out[3]["feature"] == "empty"
 
 
-def test_video_modality_still_guarded(spark):
-    """Audio became a real decode path in round 10 (wav_decode); video's
-    codecs are genuinely not wired, so it stays the executor guard."""
+def test_video_compressed_container_quarantines(spark):
+    """Video became a real decode path in round 11 (avi_decode —
+    uncompressed BI_RGB AVI); a compressed container like mp4 is not
+    expressible without native codecs, so it quarantines with ValueError
+    (the same contract as corrupt image/audio blobs), no longer the old
+    NotImplementedError guard. The runnable real path is covered by
+    tests/test_video_real_codec.py."""
     rows = [(9, "video", "video/mp4", bytearray(b"\x00\x00\x00 ftypmp42"), None, None, 1000)]
     df = spark.createDataFrame(rows, ASSET_SCHEMA)
-    with pytest.raises(Exception, match="NotImplementedError|image/audio only"):
+    with pytest.raises(Exception, match="video decode failed"):
         decode_features(df, fake=False).collect()
 
 

@@ -102,6 +102,7 @@ HEADLINE = [
 
 
 def main() -> None:
+    full_surface = "--full" in sys.argv
     spark = get_spark("scaling", cpus=None)
     spark.sparkContext.setLogLevel("ERROR")
     qs = entry.queries()
@@ -140,12 +141,67 @@ def main() -> None:
             f"| {name} | {ts[0]:.2f} | {ts[1]:.2f} | {ts[2]:.2f} | {ratio:.1f} |"
         )
     body = "\n".join(out) + "\n"
+
+    import re
+
+    # full-surface cheap tier (round-10 verdict item 4): every query NOT in
+    # the headline table gets ONE warmed sf0.001 run + ONE sf0.1 run — a
+    # growth-ratio tripwire over the whole 378-query surface, so a plan
+    # regression outside the 81-row committed table is caught by the
+    # scaling gate, not only the shuffle gate. One run per cell (the gate's
+    # ceiling formula absorbs the noise); regenerate with
+    # `python tools/dump_scaling.py --full`, else the committed section is
+    # preserved as-is.
+    if full_surface:
+        rest = [n for n in qs if n not in HEADLINE]
+        fs_rows = []
+        for name in rest:
+            qs[name](spark, SFS[0]).collect()  # per-plan compile warm-up
+            t0 = time.time()
+            qs[name](spark, SFS[0]).collect()
+            t_small = time.time() - t0
+            t0 = time.time()
+            qs[name](spark, SFS[2]).collect()
+            t_big = time.time() - t0
+            ratio = t_big / t_small if t_small > 0 else float("inf")
+            fs_rows.append(f"| {name} | {t_small:.2f} | {t_big:.2f} | {ratio:.1f} |")
+            print("full", name, f"{t_small:.2f} {t_big:.2f} {ratio:.1f}")
+        fs_block = "\n".join(
+            [
+                "<!-- full-surface:begin -->",
+                "## Full-surface cheap tier (one run per cell)",
+                "",
+                "Every query not in the headline table: one warmed sf0.001",
+                "run + one sf0.1 run. Gated by tests/test_scaling_gate.py's",
+                "FULL_ALLOWLIST (ceiling = max(committed*1.5, committed+2.0)",
+                "— single-run cells are noisier than the 3-column table,",
+                "which is why the additive floor does the work here).",
+                "Regenerate with `python tools/dump_scaling.py --full`.",
+                "",
+                "| query | sf0.001 s | sf0.1 s | x100 ratio |",
+                "|---|---|---|---|",
+            ]
+            + fs_rows
+            + ["<!-- full-surface:end -->"]
+        )
+    else:
+        fs_block = None
+        try:
+            old = open("SCALING.md").read()
+            m = re.search(
+                r"<!-- full-surface:begin -->.*?<!-- full-surface:end -->", old, re.S
+            )
+            if m:
+                fs_block = m.group(0)
+        except FileNotFoundError:
+            pass
+    if fs_block:
+        body = body.rstrip() + "\n\n" + fs_block + "\n"
+
     # preserve the marker-delimited sf1 probe section (tools/probe_sf1.py)
     # across regenerations — it is measured against a locally generated
     # slice this tool does not have
     try:
-        import re
-
         old = open("SCALING.md").read()
         m = re.search(r"<!-- sf1-probe:begin -->.*?<!-- sf1-probe:end -->", old, re.S)
         if m:
