@@ -108,17 +108,85 @@ def _ceiling(committed: float) -> float:
     return max(committed * 1.5, committed + NOISE_FLOOR)
 
 
+#: round-10 verdict item 4: the cheap full-surface tier — every query NOT in
+#: the headline table, ONE warmed sf0.001 run + ONE sf0.1 run per round
+#: (`python tools/dump_scaling.py --full`). Single-run cells are noisier
+#: than the 3-column table, so the committed values are the measured ratio
+#: and the same ceiling formula applies (the +2.0 additive floor does most
+#: of the work at these magnitudes). The ~300-entry committed dict is
+#: machine-written by `python tools/gen_full_allowlist.py` into
+#: tests/full_scaling_allowlist.py — regenerate ONLY alongside a reviewed
+#: `--full` dump; the review step is reading that diff.
+from full_scaling_allowlist import FULL_ALLOWLIST  # noqa: E402
+
+
 def _measured_ratios(text: str) -> dict[str, float]:
-    """Parse the MAIN x100 table only — the sf1-probe section at the bottom
-    is a different experiment (x1000, different slice) with its own prose
-    adjudication and is deliberately not gated here."""
-    main = text.split("<!-- sf1-probe:begin -->")[0]
+    """Parse the MAIN x100 table only — the full-surface tier and the
+    sf1-probe section are separate experiments with their own parsers/gates
+    (the sf1 probe is x1000 on a different slice with prose adjudication
+    and is deliberately not gated)."""
+    main = text.split("<!-- full-surface:begin -->")[0]
+    main = main.split("<!-- sf1-probe:begin -->")[0]
     rows: dict[str, float] = {}
     for line in main.splitlines():
         m = re.match(r"\| (q\w+) \| [\d.]+ \| [\d.]+ \| [\d.]+ \| ([\d.]+) \|", line)
         if m:
             rows[m.group(1)] = float(m.group(2))
     return rows
+
+
+def _full_surface_ratios(text: str) -> dict[str, float]:
+    """Parse the marker-delimited full-surface cheap tier (4 columns:
+    query | sf0.001 | sf0.1 | ratio)."""
+    m = re.search(r"<!-- full-surface:begin -->(.*?)<!-- full-surface:end -->", text, re.S)
+    if not m:
+        return {}
+    rows: dict[str, float] = {}
+    for line in m.group(1).splitlines():
+        mm = re.match(r"\| (q\w+) \| [\d.]+ \| [\d.]+ \| ([\d.]+|inf) \|", line)
+        if mm:
+            rows[mm.group(1)] = float(mm.group(2))
+    return rows
+
+
+def test_full_surface_ratios_within_committed_ceiling():
+    text = (REPO / "SCALING.md").read_text()
+    measured = _full_surface_ratios(text)
+    assert len(measured) >= 290, (
+        f"full-surface table parse broke or tier missing: {len(measured)} rows "
+        "(regenerate with `python tools/dump_scaling.py --full`)"
+    )
+    offenders = []
+    for name, ratio in measured.items():
+        committed = FULL_ALLOWLIST.get(name)
+        if committed is None:
+            offenders.append(f"{name}: ratio {ratio} has no FULL_ALLOWLIST entry")
+        elif ratio > _ceiling(committed):
+            offenders.append(
+                f"{name}: measured x100 ratio {ratio} exceeds ceiling "
+                f"{_ceiling(committed):.1f} (committed {committed})"
+            )
+    assert not offenders, (
+        "full-surface growth-ratio regression — fix the plan or consciously "
+        "update FULL_ALLOWLIST alongside the --full regeneration:\n  "
+        + "\n  ".join(offenders)
+    )
+
+
+def test_full_surface_gate_fires_on_seeded_ratio_bump():
+    fake = (
+        "<!-- full-surface:begin -->\n"
+        "| query | sf0.001 s | sf0.1 s | x100 ratio |\n"
+        "|---|---|---|---|\n"
+        "| q51_seeded_example | 0.10 | 9.90 | 99.0 |\n"
+        "<!-- full-surface:end -->\n"
+    )
+    measured = _full_surface_ratios(fake)
+    assert measured == {"q51_seeded_example": 99.0}
+    # any committed value this table realistically holds is far below 99
+    assert measured["q51_seeded_example"] > _ceiling(10.0)
+    # the main-table parser must NOT see full-surface rows
+    assert "q51_seeded_example" not in _measured_ratios(fake)
 
 
 def test_scaling_ratios_within_committed_ceiling():
