@@ -179,3 +179,32 @@ def test_real_video_corrupt_payload_fails_in_frame_sample(spark):
     df = spark.createDataFrame(rows, ASSET_SCHEMA)
     with pytest.raises(Exception, match="video decode failed"):
         frame_sample(df, every_ms=10, fake=False).collect()
+
+
+# --- property-based round-trip (pure kernel, no Spark) ---
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=30, deadline=None)
+    @given(
+        w=st.integers(min_value=1, max_value=9),
+        h=st.integers(min_value=1, max_value=7),
+        n=st.integers(min_value=0, max_value=6),
+        uspf=st.integers(min_value=1, max_value=2_000_000),
+        seed=st.integers(min_value=0, max_value=2**31 - 1),
+    )
+    def test_avi_roundtrip_property(w, h, n, uspf, seed):
+        """Any geometry (including odd widths that exercise stride padding
+        and the zero-frame container) round-trips pixel-exact."""
+        rng = np.random.default_rng(seed)
+        frames = [rng.integers(0, 256, (h, w * 3), dtype=np.uint8) for _ in range(n)]
+        payload = avi_encode(frames, us_per_frame=uspf, width=w, height=h)
+        rw, rh, ruspf, out = avi_decode(payload)
+        assert (rw, rh, ruspf) == (w, h, uspf)
+        assert len(out) == n
+        for a, b in zip(frames, out):
+            assert np.array_equal(a, b)
+except ImportError:  # pragma: no cover - hypothesis is baked in here
+    pass
