@@ -2649,7 +2649,6 @@ def q125_price_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.avg(x * x * x).alias("_m3"),
     )
     m1, m2, m3 = F.col("_m1"), F.col("_m2"), F.col("_m3")
-    var = m2 - m1 * m1
     nd = F.col("n").cast("double")
     s1d = F.col("_s1").cast("double")
     s2d = F.col("_s2").cast("double")
@@ -2661,11 +2660,19 @@ def q125_price_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the float m2 − m1²: for an all-equal multi-row brand the float form's
     # tiny residue is order-dependent and its SIGN can differ between
     # engines, flipping one side to NULL while the other divides by ~0
-    # (round-10 advice). Float moments are kept for the value itself.
+    # (round-10 advice). The DIVISOR is the pinned variance too (r11
+    # advice): the order-dependent float m2 − m1² can round to <= 0 on a
+    # near-degenerate brand even when the exact predicate holds, turning
+    # sqrt(var)*var into NaN; var_pinned is computed from the exact integer
+    # sums through one deterministic IEEE sequence, identical on both
+    # engines, and the extra var_pinned > 0 guard covers the case where the
+    # positive exact variance underflows the double subtraction to 0.
+    # Float moments are kept for the skew numerator.
     var_exact_pos = F.col("n") * F.col("_s2") - F.col("_s1") * F.col("_s1") > 0
     skew = F.when(
-        var_exact_pos,
-        (m3 - 3 * m1 * m2 + 2 * m1 * m1 * m1) / (F.sqrt(var) * var),
+        var_exact_pos & (var_pinned > 0),
+        (m3 - 3 * m1 * m2 + 2 * m1 * m1 * m1)
+        / (F.sqrt(var_pinned) * var_pinned),
     )
     return agg.select(
         "p_brand",
@@ -16708,19 +16715,22 @@ def oracle_sql() -> dict[str, str]:
                        avg(p_retailprice * p_retailprice) AS m2,
                        avg(p_retailprice * p_retailprice * p_retailprice) AS m3
                 FROM part GROUP BY p_brand
+            ), moments AS (
+                SELECT agg.*,
+                       (CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)
+                        - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+                       / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * 1e4) AS vp
+                FROM agg
             )
             SELECT p_brand, n,
                    floor(CAST(s1 AS DOUBLE) * 1e4 / (n * 100) + 0.5) / 1e4
                        AS mean_price,
-                   floor(((CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)
-                           - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
-                          / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * 1e4))
-                         * 1e4 + 0.5) / 1e4 AS var_price,
-                   round(CASE WHEN n * s2 - s1 * s1 > 0
+                   floor(vp * 1e4 + 0.5) / 1e4 AS var_price,
+                   round(CASE WHEN n * s2 - s1 * s1 > 0 AND vp > 0
                               THEN (m3 - 3 * m1 * m2 + 2 * m1 * m1 * m1)
-                                   / (sqrt(m2 - m1 * m1) * (m2 - m1 * m1))
+                                   / (sqrt(vp) * vp)
                          END, 6) + 0.0 AS skew_price
-            FROM agg
+            FROM moments
         """,
         "q126_chunk_dedup": """
             WITH words AS (

@@ -488,48 +488,61 @@ def avi_decode(data: bytes):
     raw_frames: list[bytes] = []
 
     def walk(buf: bytes, pos: int, end: int, in_movi: bool) -> None:
+        # Iterative depth-first walk with an explicit segment stack: a
+        # malformed payload nesting thousands of LIST chunks must raise
+        # ValueError (or parse), never RecursionError — the quarantine
+        # contract admits exactly one exception class.
         nonlocal avih, strh, strf
-        while pos + 8 <= end:
-            ctype = bytes(buf[pos : pos + 4])
-            (ln,) = struct.unpack("<I", buf[pos + 4 : pos + 8])
-            if pos + 8 + ln > end:
-                raise ValueError("video decode failed: truncated AVI chunk")
-            body = bytes(buf[pos + 8 : pos + 8 + ln])
-            if ctype == b"LIST":
-                if ln < 4:
-                    raise ValueError("video decode failed: LIST chunk too short")
-                walk(buf, pos + 12, pos + 8 + ln, body[:4] == b"movi")
-            elif ctype == b"avih":
-                if avih is not None:
-                    raise ValueError("video decode failed: duplicate avih chunk")
-                if ln < 40:
-                    raise ValueError("video decode failed: avih chunk too short")
-                avih = struct.unpack("<10I", body[:40])
-            elif ctype == b"strh":
-                if strh is not None:
+        stack: list[tuple[int, int, bool]] = [(pos, end, in_movi)]
+        while stack:
+            pos, end, in_movi = stack.pop()
+            while pos + 8 <= end:
+                ctype = bytes(buf[pos : pos + 4])
+                (ln,) = struct.unpack("<I", buf[pos + 4 : pos + 8])
+                if pos + 8 + ln > end:
+                    raise ValueError("video decode failed: truncated AVI chunk")
+                if ctype == b"LIST":
+                    if ln < 4:
+                        raise ValueError("video decode failed: LIST chunk too short")
+                    # Resume the rest of this segment after the LIST body —
+                    # same chunk order as the recursive formulation.
+                    stack.append((pos + 8 + ln + (ln & 1), end, in_movi))
+                    in_movi = bytes(buf[pos + 8 : pos + 12]) == b"movi"
+                    end = pos + 8 + ln
+                    pos = pos + 12
+                    continue
+                body = bytes(buf[pos + 8 : pos + 8 + ln])
+                if ctype == b"avih":
+                    if avih is not None:
+                        raise ValueError("video decode failed: duplicate avih chunk")
+                    if ln < 40:
+                        raise ValueError("video decode failed: avih chunk too short")
+                    avih = struct.unpack("<10I", body[:40])
+                elif ctype == b"strh":
+                    if strh is not None:
+                        raise ValueError(
+                            "video decode failed: builtin kernel supports a "
+                            "single video stream, got a second strh"
+                        )
+                    if ln < 48:
+                        raise ValueError("video decode failed: strh chunk too short")
+                    strh = struct.unpack("<4s4sIHH8I", body[:48])
+                elif ctype == b"strf":
+                    if strf is not None:
+                        raise ValueError("video decode failed: duplicate strf chunk")
+                    if ln < 40:
+                        raise ValueError("video decode failed: strf chunk too short")
+                    strf = struct.unpack("<IiiHHIIiiII", body[:40])
+                elif ctype == b"00db":
+                    if not in_movi:
+                        raise ValueError("video decode failed: frame chunk outside movi")
+                    raw_frames.append(body)
+                elif ctype == b"00dc":
                     raise ValueError(
-                        "video decode failed: builtin kernel supports a "
-                        "single video stream, got a second strh"
+                        "video decode failed: builtin kernel supports "
+                        "uncompressed 00db frames, got compressed 00dc"
                     )
-                if ln < 48:
-                    raise ValueError("video decode failed: strh chunk too short")
-                strh = struct.unpack("<4s4sIHH8I", body[:48])
-            elif ctype == b"strf":
-                if strf is not None:
-                    raise ValueError("video decode failed: duplicate strf chunk")
-                if ln < 40:
-                    raise ValueError("video decode failed: strf chunk too short")
-                strf = struct.unpack("<IiiHHIIiiII", body[:40])
-            elif ctype == b"00db":
-                if not in_movi:
-                    raise ValueError("video decode failed: frame chunk outside movi")
-                raw_frames.append(body)
-            elif ctype == b"00dc":
-                raise ValueError(
-                    "video decode failed: builtin kernel supports "
-                    "uncompressed 00db frames, got compressed 00dc"
-                )
-            pos += 8 + ln + (ln & 1)  # RIFF chunks are word-aligned
+                pos += 8 + ln + (ln & 1)  # RIFF chunks are word-aligned
 
     walk(data, 12, min(len(data), riff_size + 8), False)
     if avih is None or strh is None or strf is None:
@@ -751,6 +764,10 @@ def frame_sample(assets: DataFrame, *, every_ms: int, fake: bool = False) -> Dat
                     continue
                 _w, _h, uspf, frames = avi_decode(bytes(payload))
                 dur = len(frames) * uspf // 1000  # whole-ms video duration
+                if frames:
+                    # Sub-millisecond videos (e.g. one frame at
+                    # us_per_frame < 1000) still yield the ts=0 sample.
+                    dur = max(1, dur)
                 for i, ts in enumerate(range(0, dur, every_ms)):
                     src = min(ts * 1000 // uspf, len(frames) - 1)
                     rows.append(

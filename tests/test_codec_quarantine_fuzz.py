@@ -73,6 +73,32 @@ def test_truncations_only_raise_valueerror(name, payload, fn):
         _assert_only_valueerror(name, fn, payload[:cut])
 
 
+def test_deeply_nested_lists_do_not_recurse():
+    """An adversarial AVI nesting thousands of LIST chunks must stay inside
+    the ValueError-only contract — the round-11 recursive walk raised
+    RecursionError here (ADVICE r11); the walk is now an explicit stack."""
+    depth = 5000
+    inner = b""
+    for _ in range(depth):
+        body = b"xxxx" + inner
+        inner = b"LIST" + struct.pack("<I", len(body)) + body
+    payload = b"RIFF" + struct.pack("<I", 4 + len(inner)) + b"AVI " + inner
+    with pytest.raises(ValueError):
+        avi_decode(payload)
+    # Same nesting wrapped around a VALID file body: parses clean, because
+    # depth is bounded only by payload size, not the Python stack.
+    frames = [np.arange(36, dtype=np.uint8).reshape(3, 12)]
+    good = avi_encode(frames, us_per_frame=40_000, width=4, height=3)
+    core = good[12:]  # headers+movi chunks of a well-formed file
+    for _ in range(depth):
+        body = b"xxxx" + core
+        core = b"LIST" + struct.pack("<I", len(body)) + body
+    wrapped = b"RIFF" + struct.pack("<I", 4 + len(core)) + b"AVI " + core
+    w, h, uspf, out = avi_decode(wrapped)
+    assert (w, h, uspf, len(out)) == (4, 3, 40_000, 1)
+    assert (out[0] == frames[0]).all()
+
+
 @pytest.mark.parametrize("name,payload,fn", _payloads(), ids=lambda p: p if isinstance(p, str) else "")
 def test_random_mutations_only_raise_valueerror(name, payload, fn):
     rng = random.Random(0xC0DEC)

@@ -166,6 +166,21 @@ def test_real_frame_sample_clamps_to_last_frame(spark):
     assert np.array_equal(px, frames[2])
 
 
+def test_real_frame_sample_submillisecond_video_emits_frame_zero(spark):
+    """A valid video whose total duration is under 1ms (1 frame at
+    us_per_frame < 1000) still emits the ts=0 sample instead of silently
+    producing zero rows (ADVICE r11)."""
+    frames = _frames(1, 2, 2, seed=9)
+    payload = avi_encode(frames, us_per_frame=500, width=2, height=2)
+    df = spark.createDataFrame(
+        [(8, "video", "video/x-msvideo", bytearray(payload), 2, 2, 0)], ASSET_SCHEMA
+    )
+    out = frame_sample(df, every_ms=100, fake=False).collect()
+    assert [(r["asset_id"], r["frame_idx"], r["ts_ms"]) for r in out] == [(8, 0, 0)]
+    _, _, _, px = png_decode(bytes(out[0]["frame"]))
+    assert np.array_equal(px, frames[0])
+
+
 def test_real_video_feature_string(spark, video_assets):
     assets, _ = video_assets
     for fn in (decode_features, decode_features_arrow):
