@@ -190,6 +190,36 @@ def test_wav_decode_rejects_duplicate_chunks():
             wav_decode(dup)
 
 
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _WAV_AMP = {8: 127, 16: 32767, 32: 2**31 - 1}
+
+    @settings(max_examples=30, deadline=None)
+    @given(
+        n_frames=st.integers(min_value=0, max_value=200),
+        rate=st.integers(min_value=1, max_value=192_000),
+        bits=st.sampled_from([8, 16, 32]),
+        ch=st.integers(min_value=1, max_value=4),
+        seed=st.integers(min_value=0, max_value=2**31 - 1),
+    )
+    def test_wav_roundtrip_property(n_frames, rate, bits, ch, seed):
+        """r11 verdict item 4 (AVI property as template): any frame count
+        (incl. zero), rate, sample width, and channel count round-trips
+        sample-exact — odd byte totals exercise the RIFF pad path, 8-bit
+        the signed<->unsigned recentering."""
+        rng = np.random.default_rng(seed)
+        amp = _WAV_AMP[bits]
+        samples = rng.integers(-amp - 1, amp + 1, n_frames * ch, dtype=np.int64)
+        payload = wav_encode(samples, sample_rate=rate, bits=bits, n_channels=ch)
+        r_rate, r_ch, r_bits, out = wav_decode(payload)
+        assert (r_rate, r_ch, r_bits) == (rate, ch, bits)
+        assert np.array_equal(out, samples)
+except ImportError:  # pragma: no cover - hypothesis is baked in here
+    pass
+
+
 def test_real_audio_window_energy_frame_aligned_stereo(spark):
     """window_bytes that is NOT a whole number of interleaved frames must be
     rounded down to frame multiples so no window splits a frame and mixes

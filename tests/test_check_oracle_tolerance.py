@@ -92,6 +92,52 @@ def test_every_rows_only_query_has_a_tolerance_check():
     )
 
 
+def test_spark_nan_audit_fires_on_planted_nan(spark):
+    """r11 verdict item 1: the engine-side NaN audit must fail loudly when
+    the SPARK output carries a genuine float NaN (e.g. an unguarded
+    0.0/0.0) where the convention demands NULL — the class that previously
+    hash-collided silently because toPandas collapses NULL and NaN."""
+    import pyarrow as pa
+    from pyspark.sql import functions as F
+
+    from check_oracle import _spark_nan_audit
+
+    # end-to-end: a planted NaN through a real Spark plan (sqrt of a
+    # negative — ANSI throws on 0.0/0.0 before it can produce NaN, but
+    # sqrt/log/asin out-of-domain NaNs flow through silently, which is
+    # exactly the class this audit exists to catch)
+    planted = (
+        spark.range(2)
+        .select(F.sqrt(F.col("id").cast("double") - F.lit(1.0)).alias("x"))
+        .toArrow()
+    )
+    errs = _spark_nan_audit(planted)
+    assert errs and "genuine NaN" in errs[0] and "x(" in errs[0]
+    # NULL (the convention-compliant spelling) passes
+    ok = (
+        spark.range(2)
+        .select(F.when(F.lit(False), F.lit(1.0)).alias("x"))
+        .toArrow()
+    )
+    assert _spark_nan_audit(ok) == []
+    # list<float> payloads (embedding outputs) are scanned one level deep
+    bad_list = pa.table({"v": [[1.0, float("nan")], None]})
+    assert _spark_nan_audit(bad_list)
+    assert _spark_nan_audit(pa.table({"v": [[1.0, 2.0], None]})) == []
+    # non-float columns are ignored
+    assert _spark_nan_audit(pa.table({"s": ["a", None], "i": [1, None]})) == []
+
+
+def test_oracle_nan_audit_fires_on_planted_nan(con):
+    """The DuckDB-side twin (added r11) keeps its own seeded self-test."""
+    from check_oracle import _oracle_nan_audit
+
+    errs = _oracle_nan_audit(con, "SELECT 'nan'::DOUBLE AS x")
+    assert errs and "NaN" in errs[0]
+    assert _oracle_nan_audit(con, "SELECT CASE WHEN false THEN 1.0 END::DOUBLE AS x") == []
+    assert _oracle_nan_audit(con, "SELECT 'a' AS s, 1 AS i") == []
+
+
 def test_normalize_canonicalizes_missing_representations():
     """Spark hands NULL booleans as None, DuckDB's pandas conversion hands
     NULL doubles/booleans as float NaN — normalize() must hash them

@@ -163,6 +163,33 @@ def test_png_encode_decode_roundtrip():
     assert np.array_equal(out, px)
 
 
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=30, deadline=None)
+    @given(
+        w=st.integers(min_value=1, max_value=16),
+        h=st.integers(min_value=1, max_value=12),
+        mode=st.sampled_from(["l", "la", "rgb", "rgba"]),
+        seed=st.integers(min_value=0, max_value=2**31 - 1),
+    )
+    def test_png_roundtrip_property(w, h, mode, seed):
+        """r11 verdict item 4 (AVI property as template): any geometry and
+        channel count round-trips pixel-exact through the builtin PNG
+        kernel — the codec trio now carries a uniform contract (fuzzed
+        quarantine + property round-trip each)."""
+        channels = {"l": 1, "la": 2, "rgb": 3, "rgba": 4}[mode]
+        rng = np.random.default_rng(seed)
+        px = rng.integers(0, 256, (h, w * channels), dtype=np.uint8)
+        payload = png_encode(px, mode)
+        rw, rh, rmode, out = png_decode(payload)
+        assert (rw, rh, rmode) == (w, h, mode)
+        assert np.array_equal(out, px)
+except ImportError:  # pragma: no cover - hypothesis is baked in here
+    pass
+
+
 def test_real_resize_nearest_neighbor(spark):
     """resize_images(fake=False) decodes, NN-samples, and re-encodes: the
     output payload is a real PNG of the target geometry whose pixels are

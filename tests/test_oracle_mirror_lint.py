@@ -199,6 +199,113 @@ def test_structural_half_up_fires_on_decoy():
     assert _has_structural_half_up(multiline)
 
 
+# --- bespoke exact-integer algebra canaries (round-11 verdict item 5) ---
+#
+# Three sparse-guarded queries carry exact-integer conversions whose algebra
+# is bespoke (not the generic half_up form the lints above cover), so the
+# GUARD_FLOORS count floor in test_sparse_guard_gate.py is their only
+# structural protection — and a count floor is a tripwire, not a proof: an
+# unrelated F.when added in the same function masks a dropped guard. These
+# signature canaries pin the exact algebraic shape on BOTH sides, the same
+# treatment the guarded-Pearson four get above:
+#
+#   q232 CUSUM     : D·cusum_k = D·P_k − k·T  (dd * running-sum − row_number * total)
+#   q246 conformal : |cents·n − C|            (score AND coverage sides, 2 sites)
+#   q287 MASE      : constant series -> NULL  (sum of integer naive errors > 0 guard)
+
+EXACT_INTEGER_CANARIES = {
+    "q232_cusum_changepoint": (
+        re.compile(
+            r"\*\s*F\.sum\([^)]*\)\.over\(\w+\)[\s\S]{0,30}?-\s*F\.row_number\(\)\.over\(\w+\)\s*\*"
+        ),
+        re.compile(
+            r"\*\s*sum\([^)]*\)\s+over\s+\w+[\s\S]{0,40}?-\s*row_number\(\)\s+over\s+\w+\s*\*",
+            re.IGNORECASE,
+        ),
+        1,
+    ),
+    "q246_conformal_intervals": (
+        re.compile(
+            r"F\.abs\(\s*_cents\([^)]*\)\s*\*\s*F\.col\([^)]*\)[\s\S]{0,20}?-\s*F\.col\([^)]*\)\s*\)"
+        ),
+        re.compile(
+            r"abs\(\s*cast\(round\([^)]*\*\s*100\)\s*as\s+bigint\)\s*\*\s*[\w.]+\s*-\s*[\w.]+\)",
+            re.IGNORECASE,
+        ),
+        2,  # the exact score algebra appears on the calibration AND coverage sides
+    ),
+    "q287_forecast_accuracy": (
+        re.compile(
+            r"F\.when\(\s*F\.sum\(_intval\([\s\S]{0,100}?>\s*0,[\s\S]{0,60}?_half_up\("
+        ),
+        re.compile(
+            r"case\s+when\s+sum\(cast\(round\(abs\([\s\S]{0,80}?>\s*0\s*then\s*floor\(",
+            re.IGNORECASE,
+        ),
+        1,
+    ),
+}
+
+
+def test_exact_integer_canaries_pin_both_sides():
+    """Each bespoke-algebra site must match its structural signature on the
+    Spark side AND the oracle side, with the required multiplicity."""
+    fns = entry_mod.queries()
+    sqls = entry_mod.oracle_sql()
+    errs = []
+    for name, (spark_pat, oracle_pat, min_hits) in EXACT_INTEGER_CANARIES.items():
+        src = inspect.getsource(fns[name])
+        sql = sqls[name]
+        s_hits = len(spark_pat.findall(src))
+        o_hits = len(oracle_pat.findall(sql))
+        if s_hits < min_hits:
+            errs.append(
+                f"{name}: Spark source matches the exact-integer signature "
+                f"{s_hits}x, need >= {min_hits} — the bespoke algebra was edited?"
+            )
+        if o_hits < min_hits:
+            errs.append(
+                f"{name}: oracle SQL matches the mirror signature {o_hits}x, "
+                f"need >= {min_hits} — one-sided edit?"
+            )
+    assert not errs, (
+        "bespoke exact-integer algebra desynchronized (see COVERAGE.md "
+        "'Degenerate-input semantics'). Offenders:\n  " + "\n  ".join(errs)
+    )
+
+
+def test_exact_integer_canaries_fire_on_one_sided_edits():
+    """Seeded perturbations: each canary must fail on the exact refactor it
+    exists to catch, and pass on the healthy form."""
+    q232_s, q232_o, _ = EXACT_INTEGER_CANARIES["q232_cusum_changepoint"]
+    # healthy: D·P_k − k·T
+    good = '_dd") * F.sum("_md").over(wc)\n            - F.row_number().over(wk) * F.col("_tt")'
+    assert q232_s.search(good)
+    # reverted to a float running mean deviation — no exact form
+    assert not q232_s.search('F.sum("_md").over(wc) / F.row_number().over(wk) - F.col("_mean")')
+    assert q232_o.search("s.dd * sum(d.md) OVER w\n - row_number() OVER w * s.tt")
+    assert not q232_o.search("sum(d.md - s.mean) OVER w AS cusum")
+
+    q246_s, q246_o, _ = EXACT_INTEGER_CANARIES["q246_conformal_intervals"]
+    assert q246_s.search('F.abs(_cents("value") * F.col("n_cal") - F.col("_c"))')
+    # reverted to the float rounded-score form seed 787 bit
+    assert not q246_s.search('F.abs(F.round(F.col("value") - F.col("_mean"), 4))')
+    assert q246_o.search("abs(CAST(round(cl.value * 100) AS BIGINT) * m.n_cal - m.c)")
+    assert q246_o.search("abs(CAST(round(t.value * 100)\n AS BIGINT) * q.n_cal - m.c)")
+    assert not q246_o.search("abs(round(cl.value - m.mean, 4))")
+
+    q287_s, q287_o, _ = EXACT_INTEGER_CANARIES["q287_forecast_accuracy"]
+    assert q287_s.search(
+        'F.when(\n  F.sum(_intval(F.abs(F.col("_a") - F.col("_p")))) > 0,\n  _half_up('
+    )
+    # guard dropped: bare ratio crashes on a constant series
+    assert not q287_s.search("_half_up(F.sum(_intval(err)), F.sum(_intval(napierr)), 6)")
+    assert q287_o.search(
+        "CASE WHEN sum(CAST(round(abs(a - p)) AS BIGINT)) > 0 THEN floor(x)"
+    )
+    assert not q287_o.search("floor(sum(err) * 1e6 / sum(naive) + 0.5) / 1e6 AS mase")
+
+
 def test_half_up_sites_have_oracle_mirror():
     offenders = _mirror_offenders()
     assert not offenders, (

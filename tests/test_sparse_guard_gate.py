@@ -23,6 +23,16 @@ MINIMUM count of guard constructs on each side: F.when( calls and .filter(
 calls in the Spark source, CASE WHEN in the oracle SQL. Dropping any guard
 decreases a count below its floor and fails loudly; adding guards is always
 allowed.
+
+THIS FLOOR IS A TRIPWIRE, NOT A PROOF (r11 verdict): a refactor that
+deletes the real guard but introduces an unrelated ``F.when`` elsewhere in
+the same function keeps the count and passes. The real backstops are the
+full differential plus the tiny/sparse-tier seed campaign, which execute
+the degenerate paths; and the structurally-pinned subset gets stronger
+treatment in ``test_oracle_mirror_lint.py`` — the guarded-Pearson four
+(q41/q213/q238/q253) via PEARSON_SPARK/PEARSON_ORACLE and the bespoke
+exact-integer three (q232 CUSUM, q246 conformal, q287 MASE) via
+EXACT_INTEGER_CANARIES, each with seeded one-sided-edit self-tests.
 """
 
 from __future__ import annotations

@@ -126,6 +126,40 @@ def _oracle_nan_audit(con, sql: str) -> list[str]:
     return []
 
 
+def _spark_nan_audit(tbl) -> list[str]:
+    """Symmetric twin of _oracle_nan_audit (r11 verdict item 1): the SPARK
+    side must also spell undefined as NULL, never a computed float NaN —
+    normalize() hashes Spark NaN and oracle NULL identically, so a genuine
+    0.0/0.0-style NaN in the engine output where the oracle defines
+    CASE->NULL would pass the differential silently. The audit runs on the
+    Arrow representation (DataFrame.toArrow(), the same single execution
+    that feeds the pandas compare), where NULL keeps its validity bit and
+    NaN is a value — the distinction toPandas destroys. Scans scalar float
+    columns and one level of list<float> (embedding outputs)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    bad = []
+    for field in tbl.schema:
+        col = tbl[field.name]
+        if pa.types.is_floating(field.type):
+            n = pc.sum(pc.is_nan(col)).as_py() or 0  # is_nan(NULL)=NULL, skipped
+        elif pa.types.is_list(field.type) and pa.types.is_floating(
+            field.type.value_type
+        ):
+            n = pc.sum(pc.is_nan(pc.list_flatten(col))).as_py() or 0
+        else:
+            continue
+        if n:
+            bad.append(f"{field.name}({n} rows)")
+    if bad:
+        return [
+            f"Spark output carries genuine NaN in {', '.join(bad)} "
+            "(undefined must be NULL on BOTH engines)"
+        ]
+    return []
+
+
 def normalize(rows, cols):
     out = []
     for r in rows:
@@ -155,9 +189,15 @@ def main() -> int:
         if only and name not in only and name.split("_", 1)[0] not in only:
             continue
         try:
-            sdf = fn(spark, sf).toPandas()
+            stbl = fn(spark, sf).toArrow()
+            spark_nan_errs = _spark_nan_audit(stbl)
+            sdf = stbl.to_pandas()
         except Exception as e:
             print(f"FAIL {name}: spark error: {e}")
+            failures += 1
+            continue
+        if spark_nan_errs:
+            print(f"FAIL {name}: {'; '.join(spark_nan_errs)}")
             failures += 1
             continue
         if name not in oracles:
