@@ -76,23 +76,48 @@ def main() -> None:
         "the driver's); q245's x34 tracks the true lev<=2 candidate count",
         "(2.74M pairs at 150k sequential names vs 163k at 15k) — both are",
         "answer/structure-paced, with sub-data-growth ratios.",
+        "Cells are MIN-OF-2 timed runs (r11 verdict item 3: a single-run",
+        "sf1 cell under ambient load cost two manual re-run adjudications",
+        "in round 11; the second warmed run + the load stamp below retire",
+        "that). `sf1 runs` shows both raw runs so spread stays visible.",
         "Regenerate: `python tools/gen_sf1.py && python tools/probe_sf1.py`.",
         "",
-        "| query | sf0.001 s | sf1 s | x1000 ratio | sf1 rows |",
-        "|---|---|---|---|---|",
+        f"Load context: loadavg_pre {tuple(round(x, 2) for x in os.getloadavg())} "
+        "at probe start,",
+        "loadavg_post stamped at the end of this section.",
+        "",
+        "| query | sf0.001 s (min2) | sf1 s (min2) | sf1 runs | x1000 ratio | sf1 rows |",
+        "|---|---|---|---|---|---|",
     ]
     for name in FAMILY:
         qs[name](spark, SF_SMALL).collect()  # per-plan warmup
-        t0 = time.time()
-        qs[name](spark, SF_SMALL).collect()
-        t_small = time.time() - t0
-        t0 = time.time()
-        n = len(qs[name](spark, SF1).collect())
-        t_big = time.time() - t0
+        small_runs = []
+        for _ in range(2):
+            t0 = time.time()
+            qs[name](spark, SF_SMALL).collect()
+            small_runs.append(time.time() - t0)
+        t_small = min(small_runs)
+        big_runs = []
+        for _ in range(2):
+            t0 = time.time()
+            n = len(qs[name](spark, SF1).collect())
+            big_runs.append(time.time() - t0)
+        t_big = min(big_runs)
         ratio = t_big / t_small if t_small > 0 else float("inf")
-        print(f"{name}: sf0.001 {t_small:.2f}s sf1 {t_big:.2f}s x{ratio:.1f} ({n} rows)")
-        lines.append(f"| {name} | {t_small:.2f} | {t_big:.2f} | {ratio:.1f} | {n} |")
-    lines += ["", END]
+        print(
+            f"{name}: sf0.001 {t_small:.2f}s sf1 min2 {t_big:.2f}s "
+            f"(runs {big_runs[0]:.2f}/{big_runs[1]:.2f}) x{ratio:.1f} ({n} rows)"
+        )
+        lines.append(
+            f"| {name} | {t_small:.2f} | {t_big:.2f} "
+            f"| {big_runs[0]:.2f} / {big_runs[1]:.2f} | {ratio:.1f} | {n} |"
+        )
+    lines += [
+        "",
+        f"loadavg_post {tuple(round(x, 2) for x in os.getloadavg())}.",
+        "",
+        END,
+    ]
     spark.stop()
 
     md = open("SCALING.md").read()
