@@ -71,9 +71,9 @@ def main() -> None:
         "~200x for 1000x docs) — a runtime ratio well under the output",
         "growth means the join is paced by answer size, not plan defects.",
         "Graph rows: the iterative family (pagerank/BFS/k-core/LP) holds",
-        "x4-9 at 1000x data. q334's x29 tracks wedge volume, which grows",
-        "with degree^2, not rows (the slice's co-order graph is denser than",
-        "the driver's); q245's x34 tracks the true lev<=2 candidate count",
+        "single-digit ratios at 1000x data. q334 tracks wedge volume, which",
+        "grows with degree^2, not rows (the slice's co-order graph is denser",
+        "than the driver's); q245 tracks the true lev<=2 candidate count",
         "(2.74M pairs at 150k sequential names vs 163k at 15k) — both are",
         "answer/structure-paced, with sub-data-growth ratios.",
         "Cells are MIN-OF-2 timed runs (r11 verdict item 3: a single-run",
