@@ -12486,15 +12486,28 @@ def q352_variance_reduction_methods(spark: SparkSession, sf_dir: str) -> DataFra
     three dashboards.
 
     Scale shape: one per-user aggregation feeds all three estimators;
-    every model table (θ, cuts, strata moments) is a broadcast; output is
+    θ/cuts ride as a 1-row broadcast; both arms are pivoted in-row via
+    conditional aggregation (no per-arm filter branches — r12: the old
+    filter×crossJoin form re-expanded the corpus lineage 6x), so the
+    whole bake-off is one global agg + one ≤5-row stratum agg; output is
     3 rows."""
     ev = _t(spark, sf_dir, "events")
     cut = F.lit("2024-01-16").cast("timestamp_ntz")
+    # _cy: exact integer cents of the post-period spend (decimal(38,0) —
+    # 128-bit, HUGEINT on the oracle side). The raw and post-stratified
+    # effects are differences of MONEY MEANS, whose exact rationals
+    # C/(100·n) genuinely land on d=6 half boundaries (ultra-sparse seed
+    # 454647 hit -50.5853125 exactly: the engines' float sums straddled
+    # the boundary by 1 ulp each side) — the q183/q232 class, so both
+    # displays move to exact-integer arithmetic below.
     per_user = ev.groupBy("user_id").agg(
         F.sum(F.when(F.col("ts") < cut, F.col("value"))).alias("_x"),
         F.sum(F.when(F.col("ts") >= cut, F.col("value"))).alias("_y"),
+        F.sum(
+            F.when(F.col("ts") >= cut, _cents("value")).cast("decimal(38,0)")
+        ).alias("_cy"),
     ).filter(F.col("_x").isNotNull() & F.col("_y").isNotNull()).select(
-        (F.col("user_id") % 2).alias("_t"), "_x", "_y", "user_id"
+        (F.col("user_id") % 2).alias("_t"), "_x", "_y", "_cy", "user_id"
     )
     # same degenerate-covariate guard as q306: moments first, divide after
     theta = per_user.agg(
@@ -12510,6 +12523,7 @@ def q352_variance_reduction_methods(spark: SparkSession, sf_dir: str) -> DataFra
     enriched = per_user.crossJoin(F.broadcast(theta)).select(
         "_t",
         "_y",
+        "_cy",
         (F.col("_y") - F.col("_th") * (F.col("_x") - F.col("_xbar"))).alias(
             "_yc"
         ),
@@ -12520,52 +12534,88 @@ def q352_variance_reduction_methods(spark: SparkSession, sf_dir: str) -> DataFra
         ).alias("_s"),
     )
 
-    def _arm_diff(col: str, name: str) -> DataFrame:
-        m = enriched.groupBy("_t").agg(
-            F.count(F.lit(1)).alias("_n"),
-            F.avg(col).alias("_m"),
-            F.var_samp(col).alias("_v"),
-        )
-        a = m.filter(F.col("_t") == 1).select(
-            F.col("_m").alias("_m1"), (F.col("_v") / F.col("_n")).alias("_s1")
-        )
-        b = m.filter(F.col("_t") == 0).select(
-            F.col("_m").alias("_m0"), (F.col("_v") / F.col("_n")).alias("_s0")
-        )
-        return a.crossJoin(b).select(
-            F.lit(name).alias("method"),
-            F.round(F.col("_m1") - F.col("_m0"), 6).alias("effect"),
-            F.round(F.sqrt(F.col("_s1") + F.col("_s0")), 6).alias("se"),
-        )
+    # Both arms via CONDITIONAL aggregation (pivoted in-row), not
+    # filter(t=1)×filter(t=0) crossJoins: the filter/crossJoin form
+    # re-expanded the whole per-user lineage once per arm per estimator —
+    # 12 scans of the corpus-sized events table and 26 exchanges for a
+    # 3-row answer. One global agg (raw + cuped) + one per-stratum agg
+    # (post) cuts that to 4 scans; arm-empty inputs now degrade to NULL
+    # effects on BOTH engines instead of dropping rows on one.
+    arm1 = F.col("_t") == 1
+    arm0 = F.col("_t") == 0
 
-    raw = _arm_diff("_y", "raw")
-    cuped = _arm_diff("_yc", "cuped")
-    strata = enriched.groupBy("_s", "_t").agg(
-        F.count(F.lit(1)).alias("_n"),
-        F.avg("_y").alias("_m"),
-        F.var_samp("_y").alias("_v"),
+    # raw effect: exact rational (C1·n0 − C0·n1)/(100·n1·n0) half-up at 6
+    # — a money-mean difference whose d=6 half boundary is REACHABLE
+    # (seed 454647). The SE keeps float variance (sqrt → irrational,
+    # boundary measure-zero). cuped stays float: θ is a ratio of float
+    # covariance moments whose reduced rational denominator dividing
+    # 2·10^6 needs astronomical cancellation (half-safe, seed-covered).
+    g = enriched.agg(
+        F.sum(F.when(arm1, 1).otherwise(0)).alias("_n1"),
+        F.sum(F.when(arm0, 1).otherwise(0)).alias("_n0"),
+        F.sum(F.when(arm1, F.col("_cy"))).alias("_C1"),
+        F.sum(F.when(arm0, F.col("_cy"))).alias("_C0"),
+        F.var_samp(F.when(arm1, F.col("_y"))).alias("_v1"),
+        F.var_samp(F.when(arm0, F.col("_y"))).alias("_v0"),
+        F.avg(F.when(arm1, F.col("_yc"))).alias("_mc1"),
+        F.avg(F.when(arm0, F.col("_yc"))).alias("_mc0"),
+        F.var_samp(F.when(arm1, F.col("_yc"))).alias("_vc1"),
+        F.var_samp(F.when(arm0, F.col("_yc"))).alias("_vc0"),
     )
-    s1 = strata.filter(F.col("_t") == 1).select(
-        "_s", F.col("_m").alias("_m1"),
-        (F.col("_v") / F.col("_n")).alias("_se1"),
-        F.col("_n").alias("_n1"),
+    raw = g.select(
+        F.lit("raw").alias("method"),
+        _half_up(
+            F.col("_C1") * F.col("_n0") - F.col("_C0") * F.col("_n1"),
+            F.lit(100) * F.col("_n1") * F.col("_n0"),
+            6,
+        ).alias("effect"),
+        F.round(
+            F.sqrt(F.col("_v1") / F.col("_n1") + F.col("_v0") / F.col("_n0")),
+            6,
+        ).alias("se"),
     )
-    s0 = strata.filter(F.col("_t") == 0).select(
-        "_s", F.col("_m").alias("_m0"),
-        (F.col("_v") / F.col("_n")).alias("_se0"),
-        F.col("_n").alias("_n0"),
+    cuped = g.select(
+        F.lit("cuped").alias("method"),
+        F.round(F.col("_mc1") - F.col("_mc0"), 6).alias("effect"),
+        F.round(
+            F.sqrt(F.col("_vc1") / F.col("_n1") + F.col("_vc0") / F.col("_n0")),
+            6,
+        ).alias("se"),
     )
+
+    st = enriched.groupBy("_s").agg(
+        F.sum(F.when(arm1, 1).otherwise(0)).alias("_n1"),
+        F.sum(F.when(arm0, 1).otherwise(0)).alias("_n0"),
+        F.sum(F.when(arm1, F.col("_cy"))).alias("_C1"),
+        F.sum(F.when(arm0, F.col("_cy"))).alias("_C0"),
+        F.var_samp(F.when(arm1, F.col("_y"))).alias("_v1"),
+        F.var_samp(F.when(arm0, F.col("_y"))).alias("_v0"),
+    ).filter((F.col("_n1") > 0) & (F.col("_n0") > 0))  # both-arm strata only
+    # post-stratified effect: same money-mean-difference class, one level
+    # deeper (weighted across strata whose small-n denominators CAN divide
+    # 2·10^6 at sparse tiers). q232's pattern: quantize the per-stratum
+    # difference to an exact 1e-7-grid integer (identical floor of an
+    # identical double on both engines), then the weighted mean is exact
+    # integer arithmetic: effect = Σ(dq_s·N_s) / (10^7·N) half-up at 6.
     post = (
-        s1.join(s0, "_s")
-        .select(
-            "_s",
-            (F.col("_m1") - F.col("_m0")).alias("_d"),
-            (F.col("_se1") + F.col("_se0")).alias("_var"),
+        st.select(
+            F.floor(
+                (F.col("_C1") * F.col("_n0") - F.col("_C0") * F.col("_n1"))
+                .cast("double")
+                * F.lit(1e7)
+                / (F.lit(100) * F.col("_n1") * F.col("_n0"))
+                + 0.5
+            ).cast("long").alias("_dq"),
+            (F.col("_v1") / F.col("_n1") + F.col("_v0") / F.col("_n0")).alias(
+                "_var"
+            ),
             (F.col("_n1") + F.col("_n0")).alias("_ns"),
         )
         .agg(
-            F.round(
-                F.sum(F.col("_d") * F.col("_ns")) / F.sum("_ns"), 6
+            _half_up(
+                F.sum(F.col("_dq") * F.col("_ns")),
+                F.lit(10_000_000) * F.sum("_ns"),
+                6,
             ).alias("effect"),
             F.round(
                 F.sqrt(
@@ -21652,7 +21702,9 @@ def oracle_sql() -> dict[str, str]:
                    sum(CASE WHEN ts < TIMESTAMP '2024-01-16'
                             THEN value END) AS x,
                    sum(CASE WHEN ts >= TIMESTAMP '2024-01-16'
-                            THEN value END) AS y
+                            THEN value END) AS y,
+                   sum(CASE WHEN ts >= TIMESTAMP '2024-01-16'
+                            THEN CAST(round(value * 100) AS BIGINT) END) AS cy
             FROM events GROUP BY 1
         ), pu AS (
             SELECT * FROM per_user WHERE x IS NOT NULL AND y IS NOT NULL
@@ -21663,7 +21715,7 @@ def oracle_sql() -> dict[str, str]:
                    quantile_cont(x, [0.2, 0.4, 0.6, 0.8]) AS cuts
             FROM pu
         ), enr AS (
-            SELECT user_id % 2 AS t, y,
+            SELECT user_id % 2 AS t, y, cy,
                    y - th * (x - xbar) AS yc,
                    (CASE WHEN x > cuts[1] THEN 1 ELSE 0 END
                     + CASE WHEN x > cuts[2] THEN 1 ELSE 0 END
@@ -21671,22 +21723,34 @@ def oracle_sql() -> dict[str, str]:
                     + CASE WHEN x > cuts[4] THEN 1 ELSE 0 END) AS s
             FROM pu, model
         ), rawm AS (
-            SELECT t, count(*) AS n, avg(y) AS m, var_samp(y) AS v
+            SELECT t, count(*) AS n, sum(cy) AS c, var_samp(y) AS v
             FROM enr GROUP BY 1
         ), cupm AS (
             SELECT t, count(*) AS n, avg(yc) AS m, var_samp(yc) AS v
             FROM enr GROUP BY 1
         ), strm AS (
-            SELECT s, t, count(*) AS n, avg(y) AS m, var_samp(y) AS v
+            SELECT s, t, count(*) AS n, sum(cy) AS c, var_samp(y) AS v
             FROM enr GROUP BY 1, 2
         ), s1 AS (
-            SELECT s, m AS m1, v / n AS se1, n AS n1 FROM strm WHERE t = 1
+            SELECT s, c AS c1, v / n AS se1, n AS n1 FROM strm WHERE t = 1
         ), s0 AS (
-            SELECT s, m AS m0, v / n AS se0, n AS n0 FROM strm WHERE t = 0
+            SELECT s, c AS c0, v / n AS se0, n AS n0 FROM strm WHERE t = 0
+        ), ps AS (
+            SELECT s,
+                   CAST(floor(CAST(c1 * n0 - c0 * n1 AS DOUBLE) * 1e7
+                              / (100 * n1 * n0) + 0.5) AS BIGINT) AS dq,
+                   se1 + se0 AS vr, n1 + n0 AS ns
+            FROM s1 JOIN s0 USING (s)
         )
         SELECT 'raw' AS method,
-               round((SELECT m FROM rawm WHERE t = 1)
-                     - (SELECT m FROM rawm WHERE t = 0), 6) AS effect,
+               floor(CAST((SELECT c FROM rawm WHERE t = 1)
+                          * (SELECT n FROM rawm WHERE t = 0)
+                          - (SELECT c FROM rawm WHERE t = 0)
+                          * (SELECT n FROM rawm WHERE t = 1) AS DOUBLE)
+                     * 1e6
+                     / (100 * (SELECT n FROM rawm WHERE t = 1)
+                        * (SELECT n FROM rawm WHERE t = 0))
+                     + 0.5) / 1e6 AS effect,
                round(sqrt((SELECT v / n FROM rawm WHERE t = 1)
                           + (SELECT v / n FROM rawm WHERE t = 0)), 6) AS se
         UNION ALL
@@ -21697,10 +21761,11 @@ def oracle_sql() -> dict[str, str]:
                           + (SELECT v / n FROM cupm WHERE t = 0)), 6)
         UNION ALL
         SELECT 'post_stratified',
-               round(sum((m1 - m0) * (n1 + n0)) / sum(n1 + n0), 6),
-               round(sqrt(sum((se1 + se0) * (n1 + n0) * (n1 + n0))
-                          / (sum(n1 + n0) * sum(n1 + n0))), 6)
-        FROM s1 JOIN s0 USING (s)
+               floor(CAST(sum(dq * ns) AS DOUBLE) * 1e6
+                     / (10000000 * sum(ns)) + 0.5) / 1e6,
+               round(sqrt(sum(vr * ns * ns)
+                          / (sum(ns) * sum(ns))), 6)
+        FROM ps
     """
     sqls["q353_cf_holdout_hitrate"] = """
         WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),

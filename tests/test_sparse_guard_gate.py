@@ -68,7 +68,13 @@ GUARD_FLOORS: dict[str, tuple[int, int, int]] = {
     "q314_obf_sequential_audit": (2, 2, 5),
     "q338_ols_residual_outliers": (2, 1, 2),
     "q348_seasonality_strength": (1, 0, 1),
-    "q352_variance_reduction_methods": (4, 5, 7),
+    # r12 conscious update: q352 moved from per-arm filter(t)×crossJoin
+    # branches to conditional (pivoted) aggregation — 21 F.when / 2 .filter
+    # on the new form (the 2 surviving filters are the both-non-null user
+    # filter and the both-arm stratum exclusion); oracle gained the exact
+    # cents CASE. Proven on a sparse-tier differential (ultra-454647 full
+    # re-run exit 0) per this gate's removal contract.
+    "q352_variance_reduction_methods": (21, 2, 8),
     "q372_erasure_impact_audit": (4, 1, 5),
     "q377_capture_recapture": (1, 0, 3),
 }
