@@ -3274,12 +3274,22 @@ def q147_interpolate_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last(v, ignorenulls=True).over(w_prev).alias("_p"),
         F.first(v, ignorenulls=True).over(w_next).alias("_nx"),
     )
-    pd_, pv = F.col("_p.ad"), F.col("_p.av").cast("double")
-    nd, nv = F.col("_nx.ad"), F.col("_nx.av").cast("double")
-    interp = F.when(F.col("n") >= 3, F.col("_cents").cast("double")).otherwise(
-        F.when(F.col("_p").isNull(), nv)
-        .when(F.col("_nx").isNull(), pv)
-        .otherwise(pv + (nv - pv) * (F.col("d") - pd_) / (nd - pd_))
+    pd_, pv = F.col("_p.ad"), F.col("_p.av")
+    nd, nv = F.col("_nx.ad"), F.col("_nx.av")
+    # The interpolated cents N/D (N = pv·D + (nv−pv)·(d−pd), D = nd−pd,
+    # all exact integers) is a rational that CAN land exactly on a
+    # 0.5-cent boundary — ultra-sparse seed 515253 hit 110846.5 cents,
+    # where round(same_double, 2) still diverges across engines (the r8
+    # class). Every branch displays through the exact half-up form:
+    # dollars = floor(N/D + 0.5)/100 via _half_up(N, 100·D, 2); the
+    # anchor/copy branches are the D=1 special case.
+    num = pv * (nd - pd_) + (nv - pv) * (F.col("d") - pd_)
+    den = nd - pd_
+    value = (
+        F.when(F.col("n") >= 3, _half_up(F.col("_cents"), F.lit(100), 2))
+        .when(F.col("_p").isNull(), _half_up(nv, F.lit(100), 2))
+        .when(F.col("_nx").isNull(), _half_up(pv, F.lit(100), 2))
+        .otherwise(_half_up(num, F.lit(100) * den, 2))
     )
     return anchored.select(
         F.date_format(
@@ -3288,7 +3298,7 @@ def q147_interpolate_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("day"),
         "n",
         (F.col("n") < 3).alias("filled"),
-        F.round(interp / 100.0, 2).alias("value_filled"),
+        value.alias("value_filled"),
     )
 
 
@@ -17316,15 +17326,20 @@ def oracle_sql() -> dict[str, str]:
                             '%Y-%m-%d') AS day,
                    n,
                    n < 3 AS filled,
-                   round(CASE WHEN n >= 3 THEN CAST(cents AS DOUBLE)
-                              WHEN p IS NULL THEN CAST(nx.av AS DOUBLE)
-                              WHEN nx IS NULL THEN CAST(p.av AS DOUBLE)
-                              ELSE CAST(p.av AS DOUBLE)
-                                   + (CAST(nx.av AS DOUBLE)
-                                      - CAST(p.av AS DOUBLE))
-                                     * (d - p.ad)
-                                     / (nx.ad - p.ad) END / 100.0, 2)
-                       AS value_filled
+                   CASE WHEN n >= 3
+                        THEN floor(CAST(cents AS DOUBLE) * 1e2 / 100 + 0.5)
+                             / 1e2
+                        WHEN p IS NULL
+                        THEN floor(CAST(nx.av AS DOUBLE) * 1e2 / 100 + 0.5)
+                             / 1e2
+                        WHEN nx IS NULL
+                        THEN floor(CAST(p.av AS DOUBLE) * 1e2 / 100 + 0.5)
+                             / 1e2
+                        ELSE floor(CAST(p.av * (nx.ad - p.ad)
+                                        + (nx.av - p.av) * (d - p.ad)
+                                        AS DOUBLE) * 1e2
+                                   / (100 * (nx.ad - p.ad)) + 0.5) / 1e2
+                   END AS value_filled
             FROM anchored
         """,
         "q148_price_position": """
