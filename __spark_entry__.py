@@ -16950,22 +16950,26 @@ def oracle_sql() -> dict[str, str]:
                 FROM cb_base
             ), dists AS (
                 SELECT s.vec_id, s.label, s.sub_id, c.code,
-                       round(list_sum(list_transform(list_zip(s.sv, c.cv),
-                                      p -> (p[1]-p[2])*(p[1]-p[2]))), 6) AS d
+                       CAST(floor(list_sum(list_transform(list_zip(s.sv, c.cv),
+                                      p -> (p[1]-p[2])*(p[1]-p[2]))) * 1e6
+                                  + 0.5) AS BIGINT) AS k
                 FROM subs s JOIN codebook c USING (sub_id)
             ), best AS (
-                SELECT vec_id, label, sub_id, d,
+                SELECT vec_id, label, sub_id, k,
                        row_number() OVER (PARTITION BY vec_id, sub_id
-                                          ORDER BY d, code) AS rk
+                                          ORDER BY k, code) AS rk
                 FROM dists
             ), err AS (
-                SELECT vec_id, label, round(sum(d), 6) AS e
+                SELECT vec_id, label, CAST(sum(k) AS BIGINT) AS e
                 FROM best WHERE rk = 1 GROUP BY vec_id, label
             )
             SELECT label,
                    count(*) AS n_vecs,
-                   round(avg(e), 6) AS avg_recon_err,
-                   round(max(e), 6) AS max_recon_err
+                   floor(CAST(sum(e) AS DOUBLE) * 1e6
+                         / (count(*) * 1000000) + 0.5) / 1e6
+                       AS avg_recon_err,
+                   floor(CAST(max(e) AS DOUBLE) * 1e6 / 1000000 + 0.5) / 1e6
+                       AS max_recon_err
             FROM err GROUP BY label
         """,
         "q132_pq_adc_topk": """

@@ -581,6 +581,16 @@ def pq_reconstruction(
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
+    # Quantize each subspace distance ONCE to exact integer micro-units
+    # (floor(d·1e6 + 0.5) of a deterministic double — identical on both
+    # engines; the continuous true distance hits the grid's half points
+    # with measure zero). Everything downstream — the argmin ordering, the
+    # per-vector error sum, and the per-label displays — is then exact
+    # integer arithmetic. The previous form rounded to the 1e-6 grid but
+    # kept FLOAT values, so avg() over n grid rationals was itself an
+    # exact rational k·1e-6/n whose d=6 half boundary IS reachable —
+    # ultra-sparse seed 909192 hit it (avg 8.2888545 exactly; the engines'
+    # float averages straddled by 1 ulp).
     assigned = (
         subvectors(
             corpus,
@@ -588,23 +598,40 @@ def pq_reconstruction(
             ["_id", "_lbl"],
         )
         .join(F.broadcast(codebook), "sub_id")
-        .select("_id", "_lbl", "sub_id", "_code", F.round(sq_dist, 6).alias("_d"))
+        .select(
+            "_id",
+            "_lbl",
+            "sub_id",
+            "_code",
+            F.floor(sq_dist * F.lit(1e6) + 0.5).cast("long").alias("_k"),
+        )
     )
-    w = Window.partitionBy("_id", "sub_id").orderBy("_d", "_code")
+    w = Window.partitionBy("_id", "sub_id").orderBy("_k", "_code")
     best = (
         assigned.withColumn("_rk", F.row_number().over(w))
         .filter(F.col("_rk") == 1)
         .groupBy("_id", "_lbl")
-        .agg(F.round(F.sum("_d"), 6).alias("_err"))
+        .agg(F.sum("_k").alias("_e"))
     )
+    micro = F.lit(1_000_000)
     return (
         best.groupBy(F.col("_lbl").alias(label_col))
         .agg(
             F.count(F.lit(1)).alias("n_vecs"),
-            # half-safe: _err is continuous float reconstruction error —
-            # not an integer ratio; a d=6 half-boundary hit has measure zero
-            F.round(F.avg("_err"), 6).alias("avg_recon_err"),
-            F.round(F.max("_err"), 6).alias("max_recon_err"),
+            # exact-integer half-up: value = Σe/(n·1e6), floor(Σe/n + 0.5)/1e6
+            (
+                F.floor(
+                    F.sum("_e").cast("double")
+                    * F.lit(1e6)
+                    / (F.count(F.lit(1)) * micro)
+                    + 0.5
+                )
+                / F.lit(1e6)
+            ).alias("avg_recon_err"),
+            (
+                F.floor(F.max("_e").cast("double") * F.lit(1e6) / micro + 0.5)
+                / F.lit(1e6)
+            ).alias("max_recon_err"),
         )
     )
 
