@@ -96,6 +96,60 @@ def test_pq_reconstruction_error_monotone_in_codes(spark):
     assert many.count() > 0
 
 
+def test_pq_reconstruction_equals_numpy_brute_force(spark):
+    """The r12 exact-integer PQ pipeline (quantize each subspace distance
+    once to floor(d*1e6+0.5) micro-units, integer argmin/sums, half-up
+    displays) must equal an independent numpy reimplementation exactly —
+    including the left-fold summation order the Spark HOF uses, so the
+    quantization boundary cannot be straddled."""
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").filter(
+        F.col("vec_id") < 30
+    )
+    n_sub, n_codes = 4, 4
+    rows = emb.select("vec_id", "label", "embedding").collect()
+    dim = len(rows[0]["embedding"])
+    sub = dim // n_sub
+    vecs = {r["vec_id"]: ([float(x) for x in r["embedding"]], r["label"]) for r in rows}
+    code_ids = sorted(vecs)[:n_codes]
+
+    def fold_sq(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + (x - y) * (x - y)
+        return acc
+
+    import math
+
+    per_label = {}
+    for vid, (v, lbl) in vecs.items():
+        e = 0
+        for s in range(n_sub):
+            sv = v[s * sub : (s + 1) * sub]
+            best = None
+            for c in code_ids:
+                cv = vecs[c][0][s * sub : (s + 1) * sub]
+                k = int(math.floor(fold_sq(sv, cv) * 1e6 + 0.5))
+                if best is None or (k, c) < best:
+                    best = (k, c)
+            e += best[0]
+        n, tot, mx = per_label.get(lbl, (0, 0, 0))
+        per_label[lbl] = (n + 1, tot + e, max(mx, e))
+    expected = {
+        lbl: (
+            n,
+            math.floor(tot / n + 0.5) / 1e6,
+            math.floor(mx + 0.5) / 1e6,
+        )
+        for lbl, (n, tot, mx) in per_label.items()
+    }
+
+    out = {
+        r["label"]: (r["n_vecs"], r["avg_recon_err"], r["max_recon_err"])
+        for r in pq_reconstruction(emb, n_sub=n_sub, n_codes=n_codes).collect()
+    }
+    assert out == expected
+
+
 def test_partition_completeness_flags_gaps(spark):
     from hubverse_transform_spark.operators.quality import partition_completeness
 
