@@ -130,6 +130,14 @@ def _half_up(num, den, d: int):
     (count, count*100, ...).  Oracle-side equivalent::
 
         floor(CAST(num AS DOUBLE) * 1e<d> / den + 0.5) / 1e<d>
+
+    Negative-boundary semantics (deliberate, repo-wide): floor(x + 0.5) is
+    HALF-UP — an exact negative half boundary rounds toward +inf
+    (-50.5853125 at d=6 -> -50.585312), unlike round()'s half-away-from-zero
+    (-> -50.585313).  The convention trades that last-digit display choice
+    for cross-engine determinism; every display branch of a query must use
+    the same form on both sides so the differential pins whichever
+    convention the query uses.
     """
     p = F.lit(float(10**d))
     return F.floor(num.cast("double") * p / den + 0.5) / p
@@ -16965,11 +16973,9 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT label,
                    count(*) AS n_vecs,
-                   floor(CAST(sum(e) AS DOUBLE) * 1e6
-                         / (count(*) * 1000000) + 0.5) / 1e6
+                   floor(CAST(sum(e) AS DOUBLE) / count(*) + 0.5) / 1e6
                        AS avg_recon_err,
-                   floor(CAST(max(e) AS DOUBLE) * 1e6 / 1000000 + 0.5) / 1e6
-                       AS max_recon_err
+                   CAST(max(e) AS DOUBLE) / 1e6 AS max_recon_err
             FROM err GROUP BY label
         """,
         "q132_pq_adc_topk": """

@@ -25,6 +25,14 @@ from pyspark.sql import functions as F
 
 def half_up(col: Column, d: int) -> Column:
     """floor(col * 10^d + 0.5) / 10^d — engine-stable half-up of a
-    deterministic (bit-identical cross-engine) double at d decimals."""
+    deterministic (bit-identical cross-engine) double at d decimals.
+
+    Half-UP, not half-away-from-zero: an exact NEGATIVE half boundary
+    rounds toward +inf (-0.0000005 -> -0.0 at d=6), where ``round()``
+    would round away from zero. Deliberate repo-wide convention (see
+    ``__spark_entry__._half_up``): the boundary direction for negatives is
+    a display choice; cross-engine determinism is the requirement, and the
+    oracle mirrors the same floor form so both sides agree by
+    construction."""
     p = F.lit(float(10**d))
     return F.floor(col * p + 0.5) / p

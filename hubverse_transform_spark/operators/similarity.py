@@ -613,25 +613,26 @@ def pq_reconstruction(
         .groupBy("_id", "_lbl")
         .agg(F.sum("_k").alias("_e"))
     )
-    micro = F.lit(1_000_000)
     return (
         best.groupBy(F.col("_lbl").alias(label_col))
         .agg(
             F.count(F.lit(1)).alias("n_vecs"),
-            # exact-integer half-up: value = Σe/(n·1e6), floor(Σe/n + 0.5)/1e6
+            # half-up of the integer micro-unit mean: value = Σe/(n·1e6),
+            # displayed as floor(Σe/n + 0.5)/1e6 — Σe and n are exact
+            # integers, so the division is the one deterministic double op
+            # and both engines (and the equals-numpy test) evaluate the
+            # identical IEEE sequence. Exact while Σe < 2^53 (per-label
+            # total recon error ≲ 9e9 in micro-units per 2^53/1e6 — far
+            # above anything these float32 vectors produce); beyond that
+            # the display degrades gracefully to nearest-double, still
+            # identically on both engines.
             (
-                F.floor(
-                    F.sum("_e").cast("double")
-                    * F.lit(1e6)
-                    / (F.count(F.lit(1)) * micro)
-                    + 0.5
-                )
+                F.floor(F.sum("_e").cast("double") / F.count(F.lit(1)) + 0.5)
                 / F.lit(1e6)
             ).alias("avg_recon_err"),
-            (
-                F.floor(F.max("_e").cast("double") * F.lit(1e6) / micro + 0.5)
-                / F.lit(1e6)
-            ).alias("max_recon_err"),
+            # max of exact integers needs no rounding step at all: one
+            # deterministic double division for display
+            (F.max("_e").cast("double") / F.lit(1e6)).alias("max_recon_err"),
         )
     )
 

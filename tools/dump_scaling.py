@@ -101,6 +101,15 @@ HEADLINE = [
 ]
 
 
+#: per-row protocol marker for targeted re-measures (see remeasure())
+REMEASURE_MARK = "†"
+REMEASURE_FOOTNOTE = (
+    "† = row re-measured min-of-2 via `python tools/dump_scaling.py "
+    "<query>` (the drift-adjudication protocol); unmarked rows are the "
+    "single-run regeneration."
+)
+
+
 def remeasure(names: list[str]) -> None:
     """Targeted re-measure of HEADLINE rows, min-of-2 per cell, patched
     in place — the adjudication path when a single-run cell trips the
@@ -126,16 +135,30 @@ def remeasure(names: list[str]) -> None:
                 runs.append(time.time() - t0)
             times.append(min(runs))
         ratio = times[2] / times[0] if times[0] > 0 else float("inf")
+        # trailing `†` AFTER the closing pipe marks the stricter min-of-2
+        # protocol per cell (r12 advice: the table preamble says "one run
+        # per cell", so unmarked patches skewed future drift comparisons).
+        # Placement matters: both gate parsers in tests/test_scaling_gate.py
+        # are prefix-anchored re.match calls, so text after the final pipe
+        # is invisible to them.
         row = (
             f"| {name} | {times[0]:.2f} | {times[1]:.2f} | {times[2]:.2f} "
-            f"| {ratio:.1f} |"
+            f"| {ratio:.1f} | {REMEASURE_MARK}"
         )
         import re
 
-        md, n_sub = re.subn(rf"\| {name} \|[^\n]*\|", row, md, count=1)
+        md, n_sub = re.subn(
+            rf"\| {re.escape(name)} \|[^\n]*", row, md, count=1
+        )
         if not n_sub:
             raise SystemExit(f"{name}: row not found in SCALING.md")
         print("remeasured", row)
+    if REMEASURE_FOOTNOTE not in md:
+        # document the marker once, directly under the main table
+        cut = md.find("<!-- full-surface:begin -->")
+        if cut == -1:
+            cut = len(md)
+        md = md[:cut].rstrip() + "\n\n" + REMEASURE_FOOTNOTE + "\n\n" + md[cut:]
     open("SCALING.md", "w").write(md)
     spark.stop()
 
