@@ -9903,6 +9903,10 @@ def q308_l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     # round the entropy to 9 decimals: uniform groups land EXACTLY at
     # ln(d) in infinite precision, and summation-order noise would
     # otherwise flip the h < ln(l) boundary between engines
+    # half-safe: _h and the ln(l) threshold are log-based irrationals (a
+    # 1e-9 half boundary has measure zero), and the downstream sums
+    # aggregate exact 0/1 indicators of the stabilized comparison — the
+    # rounded float itself is never averaged or displayed.
     groups = cells.groupBy("c_nationkey", "_bb").agg(
         F.count(F.lit(1)).alias("_d"),
         F.sum("_n").alias("_tot"),
@@ -11357,6 +11361,10 @@ def q332_t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     arr = F.sort_array(
         F.collect_list(F.struct(F.col("c_mktsegment"), term.alias("_term")))
     )
+    # half-safe: _tvd is half_up of a BIT-IDENTICAL deterministic double
+    # (the sorted left-fold above, mirrored in the oracle), so both
+    # engines hold the same rounded value; the downstream sums aggregate
+    # exact integer indicators/counts conditioned on it, never the float.
     tvd = joined.groupBy("c_nationkey", "_bb").agg(
         F.max("_ct").alias("_ct"),
         half_up(
@@ -12320,6 +12328,11 @@ def q348_seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: daily rollup, broadcast 7-row DOW means, then a 1-row
     variance aggregation."""
     o = _t(spark, sf_dir, "orders")
+    # half-safe: the true daily sum of 2-decimal money is ON the cent
+    # grid, so round(,2) re-snaps each engine's ~1e-9 float-sum noise to
+    # the SAME grid point (0.005 away from any boundary) — _rev is
+    # bit-identical cross-engine; its mean is an undisplayed intermediate
+    # and the variance displays carry the magnitude waivers below.
     daily = o.groupBy(F.to_date("o_orderdate").alias("_day")).agg(
         F.round(F.sum("o_totalprice"), 2).alias("_rev")
     )
@@ -13180,6 +13193,10 @@ def q361_kendall_tau_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: one daily rollup, one grid×grid join with i<j
     orientation, then 1-row tie-corrected arithmetic."""
     o = _t(spark, sf_dir, "orders")
+    # half-safe: the true daily sum of 2-decimal money is ON the cent
+    # grid — round(,2) re-snaps both engines' float sums to the same grid
+    # double (0.005 from any boundary), so the _y == _y2 tie indicators
+    # (exact integer sums) cannot flip cross-engine.
     daily = o.groupBy(F.to_date("o_orderdate").alias("_day")).agg(
         F.count(F.lit(1)).alias("_x"),
         F.round(F.sum("o_totalprice"), 2).alias("_y"),
@@ -13553,6 +13570,10 @@ def q368_ljung_box_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
     exploded form is 7 rows per residual day, one shuffle-hash join, one
     keyed aggregation); the Q rollup is 7 rows."""
     o = _t(spark, sf_dir, "orders")
+    # half-safe: the true daily sum of 2-decimal money is ON the cent
+    # grid, so round(,2) re-snaps each engine's float sum to the SAME
+    # grid double; _rev's mean is an undisplayed intermediate and the
+    # rho/Q displays are continuous residual ratios (their own waivers).
     daily = o.groupBy(F.to_date("o_orderdate").alias("_day")).agg(
         F.round(F.sum("o_totalprice"), 2).alias("_rev")
     )

@@ -713,6 +713,12 @@ def pq_adc_topk(
     )
 
     # per-query LUT: squared distance to every codebook centroid
+    # half-safe: _ld's true value IS a 1e-6 grid point (grid quantization
+    # of a continuous distance — first-order measure-zero), so the 4-term
+    # ADC sum's true value is a grid point too; each float sum sits ~4 ulp
+    # from it — 8 orders from any half boundary — so round(sum, 6)
+    # re-snaps identically on both engines; top-k tiebreaks on _cid
+    # (VERIFY_r12 §10's audited second-order site).
     lut = (
         explode_subs(queries, [F.col(id_col).alias("_qid")], ["_qid"])
         .join(F.broadcast(codebook), "sub_id")
