@@ -306,6 +306,162 @@ def test_exact_integer_canaries_fire_on_one_sided_edits():
     assert not q287_o.search("floor(sum(err) * 1e6 / sum(naive) + 0.5) / 1e6 AS mase")
 
 
+# --- r12-fix structural canaries (round-13 verdict items 4 & 7) -------------
+#
+# The three boundary-class fixes the r12 ultra campaign forced (q352 raw
+# effect, q147 interpolation, q131 PQ micro-units) are bespoke algebra: the
+# differential only re-proves them on a seed that reaches the boundary, so a
+# one-sided refactor would sit latent. Same treatment as q232/q246/q287
+# above — structural signatures pinned on BOTH sides. q131's algebra lives
+# in the OPERATOR (similarity.pq_reconstruction), so its Spark pattern is
+# checked against that source, not the thin entry wrapper.
+
+from hubverse_transform_spark.operators.similarity import (  # noqa: E402
+    pq_reconstruction,
+)
+
+Q147_SPARK_INTERP = re.compile(
+    r"_half_up\(\s*num,\s*F\.lit\(100\)\s*\*\s*den,\s*2\s*\)"
+)
+Q147_ORACLE_INTERP = re.compile(
+    r"floor\(\s*cast\(\s*p\.av\s*\*\s*\(nx\.ad\s*-\s*p\.ad\)"
+    r"[\s\S]{0,400}?/\s*\(100\s*\*\s*\(nx\.ad\s*-\s*p\.ad\)\)\s*\+\s*0\.5\s*\)"
+    r"\s*/\s*1e2",
+    re.IGNORECASE,
+)
+
+Q131_SPARK_QUANT = re.compile(
+    r"F\.floor\(\s*sq_dist\s*\*\s*F\.lit\(1e6\)\s*\+\s*0\.5\s*\)\.cast\(\"long\"\)"
+)
+Q131_SPARK_AVG = re.compile(
+    r"F\.floor\(\s*F\.sum\(\"_e\"\)\.cast\(\"double\"\)\s*/\s*F\.count\(F\.lit\(1\)\)\s*\+\s*0\.5\s*\)"
+)
+Q131_SPARK_MAX = re.compile(
+    r"F\.max\(\"_e\"\)\.cast\(\"double\"\)\s*/\s*F\.lit\(1e6\)"
+)
+Q131_ORACLE_QUANT = re.compile(
+    r"cast\(\s*floor\(\s*list_sum[\s\S]{0,120}?\*\s*1e6\s*\+\s*0\.5\s*\)\s*as\s+bigint\s*\)\s*as\s+k",
+    re.IGNORECASE,
+)
+Q131_ORACLE_AVG = re.compile(
+    r"floor\(\s*cast\(\s*sum\(e\)\s*as\s+double\s*\)\s*/\s*count\(\*\)\s*\+\s*0\.5\s*\)\s*/\s*1e6",
+    re.IGNORECASE,
+)
+Q131_ORACLE_MAX = re.compile(
+    r"cast\(\s*max\(e\)\s*as\s+double\s*\)\s*/\s*1e6",
+    re.IGNORECASE,
+)
+
+# q352's CUPED arm is the one estimator arm DELIBERATELY left float (θ is a
+# ratio of float covariance moments; a d=6 boundary needs its reduced
+# rational denominator to divide 2·10^6 — astronomical cancellation). The
+# canary pins the float FORM and the written JUSTIFICATION together so
+# neither can be edited away without the other (a dropped justification
+# leaves an unexplained float arm; a converted arm leaves a stale waiver).
+Q352_SPARK_CUPED_FLOAT = re.compile(
+    r"F\.round\(\s*F\.col\(\"_mc1\"\)\s*-\s*F\.col\(\"_mc0\"\),\s*6\s*\)"
+)
+Q352_WAIVER_TOKEN = "astronomical cancellation"
+Q352_ORACLE_CUPED_FLOAT = re.compile(
+    r"'cuped'[\s\S]{0,200}?round\(\s*\(select\s+m\s+from\s+cupm[\s\S]{0,120}?,\s*6\s*\)",
+    re.IGNORECASE,
+)
+
+
+def test_r12_fix_canaries_pin_both_sides():
+    fns = entry_mod.queries()
+    sqls = entry_mod.oracle_sql()
+    errs = []
+
+    q147_src = inspect.getsource(fns["q147_interpolate_gaps"])
+    q147_sql = sqls["q147_interpolate_gaps"]
+    if not Q147_SPARK_INTERP.search(q147_src):
+        errs.append("q147: Spark interpolation branch no longer the exact "
+                    "_half_up(num, 100*den, 2) form")
+    if q147_src.count("_half_up(") < 4:
+        errs.append("q147: fewer than 4 _half_up display branches — a "
+                    "branch reverted to float rounding?")
+    if not Q147_ORACLE_INTERP.search(q147_sql):
+        errs.append("q147: oracle lost the mirrored integer-rational "
+                    "floor(...)/1e2 interpolation form")
+
+    q131_src = inspect.getsource(pq_reconstruction)
+    q131_sql = sqls["q131_pq_recon_error"]
+    for pat, what in (
+        (Q131_SPARK_QUANT, "micro-unit quantization (floor(d*1e6+0.5).cast(long))"),
+        (Q131_SPARK_AVG, "integer-mean display (floor(sum_e/n + 0.5))"),
+        (Q131_SPARK_MAX, "integer-max display (max_e/1e6)"),
+    ):
+        if not pat.search(q131_src):
+            errs.append(f"q131/pq_reconstruction: Spark side lost the {what}")
+    for pat, what in (
+        (Q131_ORACLE_QUANT, "micro-unit quantization"),
+        (Q131_ORACLE_AVG, "integer-mean display"),
+        (Q131_ORACLE_MAX, "integer-max display"),
+    ):
+        if not pat.search(q131_sql):
+            errs.append(f"q131: oracle SQL lost the mirrored {what}")
+
+    q352_src = inspect.getsource(fns["q352_variance_reduction_methods"])
+    q352_sql = sqls["q352_variance_reduction_methods"]
+    has_float = bool(Q352_SPARK_CUPED_FLOAT.search(q352_src))
+    has_waiver = Q352_WAIVER_TOKEN in q352_src
+    if has_float and not has_waiver:
+        errs.append("q352: CUPED float arm present but its half-safe "
+                    "justification ('astronomical cancellation') was removed")
+    if has_waiver and not has_float:
+        errs.append("q352: CUPED waiver present but the float form it "
+                    "justifies is gone — stale waiver or one-sided conversion")
+    if not (has_float or has_waiver):
+        errs.append("q352: CUPED arm unrecognizable — if consciously "
+                    "converted to exact arithmetic, update this canary")
+    if has_float and not Q352_ORACLE_CUPED_FLOAT.search(q352_sql):
+        errs.append("q352: Spark CUPED is float but oracle lost the "
+                    "mirrored round(m1 - m0, 6) form")
+
+    assert not errs, (
+        "r12 boundary-class fix desynchronized (see SEEDS.md r12 catches). "
+        "Offenders:\n  " + "\n  ".join(errs)
+    )
+
+
+def test_r12_fix_canaries_fire_on_one_sided_edits():
+    """Each canary must reject the exact refactor it exists to catch and
+    accept the healthy committed form."""
+    # q147: interpolation reverted to float round()
+    assert Q147_SPARK_INTERP.search(".otherwise(_half_up(num, F.lit(100) * den, 2))")
+    assert not Q147_SPARK_INTERP.search(".otherwise(F.round(num / den / 100, 2))")
+    assert Q147_ORACLE_INTERP.search(
+        "ELSE floor(CAST(p.av * (nx.ad - p.ad)\n + (nv) AS DOUBLE) * 1e2\n"
+        " / (100 * (nx.ad - p.ad)) + 0.5) / 1e2"
+    )
+    assert not Q147_ORACLE_INTERP.search(
+        "ELSE round((p.av + (nx.av - p.av) * (d - p.ad) / (nx.ad - p.ad)) / 100, 2)"
+    )
+    # q131: float grid values reintroduced (the pre-fix form)
+    assert Q131_SPARK_QUANT.search('F.floor(sq_dist * F.lit(1e6) + 0.5).cast("long")')
+    assert not Q131_SPARK_QUANT.search("F.round(sq_dist, 6)")
+    assert Q131_ORACLE_AVG.search("floor(CAST(sum(e) AS DOUBLE) / count(*) + 0.5) / 1e6")
+    assert not Q131_ORACLE_AVG.search("round(avg(e_float), 6)")
+    # q352: the two half-states the waiver canary exists for
+    healthy = (
+        '# ... needs astronomical cancellation (half-safe, seed-covered).\n'
+        'F.round(F.col("_mc1") - F.col("_mc0"), 6).alias("effect")'
+    )
+    assert Q352_SPARK_CUPED_FLOAT.search(healthy) and Q352_WAIVER_TOKEN in healthy
+    no_waiver = 'F.round(F.col("_mc1") - F.col("_mc0"), 6)'
+    assert Q352_SPARK_CUPED_FLOAT.search(no_waiver) and Q352_WAIVER_TOKEN not in no_waiver
+    converted = "# needs astronomical cancellation\n_half_up(C1n0 - C0n1, den, 6)"
+    assert not Q352_SPARK_CUPED_FLOAT.search(converted) and Q352_WAIVER_TOKEN in converted
+    assert Q352_ORACLE_CUPED_FLOAT.search(
+        "SELECT 'cuped',\n round((SELECT m FROM cupm WHERE t = 1)\n"
+        " - (SELECT m FROM cupm WHERE t = 0), 6)"
+    )
+    assert not Q352_ORACLE_CUPED_FLOAT.search(
+        "SELECT 'cuped', floor(CAST(mc AS DOUBLE) * 1e6 / n + 0.5) / 1e6"
+    )
+
+
 def test_half_up_sites_have_oracle_mirror():
     offenders = _mirror_offenders()
     assert not offenders, (
