@@ -21,6 +21,22 @@ Ambient-load context (round 11): the "load" field records getloadavg()
 before/after the run and the /proc/stat busy fraction over the timed
 window, so cross-round comparisons can cite the load each number was
 measured under instead of guessing at sandbox weather.
+
+Auto-adjudication (round 13): three manual q334 adjudications in r12 all
+concluded "ambient load" — this closes that loop inside the harness. The
+committed prior (HEAD's BENCH.json per-query medians) is loaded at start;
+any query whose fresh median exceeds its prior by >RATIO_GATE while the
+run started under load (loadavg_pre[0] >= LOAD_GATE) is re-measured
+min-of-2 AT COMPLETION (when a transient burst has had time to pass) and
+both numbers land in BENCH.json under "adjudication" with the loadavg at
+re-measure time — "recovered" movers are machine-attributed to weather,
+"persistent" ones are the short list a human still reads. Movers on a
+quiet machine skip the re-measure and are marked "quiet_baseline" (a
+regression measured quiet is likely real — re-measuring would only
+launder it). Subset runs (SPARK_GRAFT_BENCH_ONLY) write BENCH_partial.json
+so the full-surface artifact of record is never clobbered by a targeted
+session; SPARK_GRAFT_BENCH_PRIOR overrides the prior source for the
+gate's own demonstration runs.
 """
 
 from __future__ import annotations
@@ -38,6 +54,59 @@ import __spark_entry__ as entry_mod
 from hubverse_transform_spark.session import get_spark
 
 N_RUNS = 3
+
+#: auto-adjudication gates (round-13 verdict item 3). RATIO_GATE is the
+#: judge's prescribed >1.25x mover threshold; LOAD_GATE is deliberately
+#: low (1-min loadavg >= 1.0 on a 32-cpu box = any sustained ambient
+#: activity) because the re-measure is cheap and the quiet-machine branch
+#: exists precisely so a genuinely quiet regression is NOT re-measured
+#: away. MAX_REMEASURE bounds the added wall time; overflow is recorded,
+#: never silent.
+RATIO_GATE = 1.25
+LOAD_GATE = 1.0
+MAX_REMEASURE = 15
+
+
+def _load_prior() -> tuple[dict[str, float], str]:
+    """Committed per-query medians: HEAD's BENCH.json (the number of
+    record), overridable via SPARK_GRAFT_BENCH_PRIOR for demonstration
+    runs. Returns ({} , source) when no prior exists (first run)."""
+    import subprocess
+
+    override = os.environ.get("SPARK_GRAFT_BENCH_PRIOR")
+    if override:
+        try:
+            with open(override) as f:
+                return json.load(f).get("queries", {}), override
+        except (OSError, ValueError):
+            return {}, f"unreadable:{override}"
+    try:
+        out = subprocess.run(
+            ["git", "show", "HEAD:BENCH.json"],
+            capture_output=True, text=True, check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        ).stdout
+        return json.loads(out).get("queries", {}), "git:HEAD:BENCH.json"
+    except Exception:  # noqa: BLE001 - no git / no committed artifact yet
+        return {}, "none"
+
+
+def _flag_movers(
+    timings: dict[str, float], prior: dict[str, float]
+) -> list[tuple[str, float, float]]:
+    """(name, prior, median) for every query whose fresh median exceeds
+    its committed prior by >RATIO_GATE, worst ratio first. Queries with no
+    prior (or a zero/negative one) are never flagged — a first run has
+    nothing to adjudicate against."""
+    return sorted(
+        (
+            (name, prior[name], med)
+            for name, med in timings.items()
+            if prior.get(name, 0.0) > 0.0 and med > RATIO_GATE * prior[name]
+        ),
+        key=lambda t: t[2] / t[1],
+        reverse=True,
+    )
 
 
 def _proc_stat() -> tuple[int, int]:
@@ -85,6 +154,10 @@ def main() -> None:
     all_runs: dict[str, list[float]] = {}
     errors: dict[str, str] = {}
     fns = entry_mod.queries()
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
+    if only:
+        keep = {q.strip() for q in only.split(",") if q.strip()}
+        fns = {n: f for n, f in fns.items() if n in keep}
     for name, fn in fns.items():
         try:
             all_runs[name] = [run_once(fn) for _ in range(N_RUNS)]
@@ -104,6 +177,38 @@ def main() -> None:
             "runs": len(runs),
         }
         min2_total += min(runs[:2])
+
+    # --- auto-adjudication (r13): re-measure loaded-run movers min-of-2
+    # at completion, before the post-run load snapshot so `load` still
+    # brackets everything timed.
+    prior, prior_src = _load_prior()
+    movers: dict[str, dict] = {}
+    flagged = _flag_movers(timings, prior)
+    started_loaded = load_pre[0] >= LOAD_GATE
+    for i, (name, p, med) in enumerate(flagged):
+        rec = {"prior": p, "median": med, "ratio": round(med / p, 3)}
+        if not started_loaded:
+            rec["verdict"] = "quiet_baseline"  # measured quiet: likely real
+        elif i >= MAX_REMEASURE:
+            rec["verdict"] = "not_remeasured_cap"  # recorded, never silent
+        else:
+            rec["remeasure_load1"] = round(os.getloadavg()[0], 2)
+            runs2 = [run_once(fns[name]) for _ in range(2)]
+            rec["remeasure"] = [round(r, 3) for r in runs2]
+            rec["remeasure_min"] = round(min(runs2), 3)
+            rec["verdict"] = (
+                "recovered"
+                if min(runs2) <= RATIO_GATE * p
+                else "persistent"
+            )
+        movers[name] = rec
+    adjudication = {
+        "prior_source": prior_src,
+        "ratio_gate": RATIO_GATE,
+        "load_gate": LOAD_GATE,
+        "started_loaded": started_loaded,
+        "movers": movers,
+    }
 
     stat_t1, stat_i1 = _proc_stat()
     load = {
@@ -131,12 +236,16 @@ def main() -> None:
         ),
         "sf": sf,
         "load": load,
+        "adjudication": adjudication,
     }
     if errors:
         result["errors"] = errors
     # Spark/Ivy banners share stdout with the JSON line, so the driver's
     # tail-capture can miss it; also persist a clean machine-readable copy.
-    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH.json"), "w") as f:
+    # Subset runs write BENCH_partial.json — the full-surface artifact of
+    # record must never be clobbered by a targeted session.
+    out_name = "BENCH_partial.json" if only else "BENCH.json"
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), out_name), "w") as f:
         json.dump(result, f)
     print(json.dumps(result))
     # The driver keeps only the last ~2000 chars of stdout; the full line
@@ -155,7 +264,14 @@ def main() -> None:
         "n_queries": len(timings),
         "n_errors": len(errors),
         "load": load,
-        "queries_full": "BENCH.json",
+        "adjudication_summary": {
+            "n_movers": len(movers),
+            "n_remeasured": sum(1 for m in movers.values() if "remeasure" in m),
+            "n_persistent": sum(
+                1 for m in movers.values() if m["verdict"] == "persistent"
+            ),
+        },
+        "queries_full": out_name,
         "queries": {},
     }
     budget = 1700

@@ -33,3 +33,64 @@ def test_committed_bench_json_carries_load_context():
     assert len(load["loadavg_pre"]) == 3 and len(load["loadavg_post"]) == 3
     assert 0.0 <= load["cpu_busy_frac"] <= 1.0
     assert load["n_cpus"] >= 1
+
+
+def test_committed_bench_json_carries_adjudication():
+    """Round-13 contract: the number of record self-adjudicates its movers
+    (r12 spent three manual q334 adjudications on what this field now
+    answers). If this fails after a bench.py edit, re-run the full bench.
+
+    Until the first full-surface refresh lands, the committed artifact may
+    predate the field — the demo artifacts in evidence/ carry the shape in
+    the interim, and this skip deletes itself the moment BENCH.json is
+    regenerated (the emitter always writes the field now)."""
+    data = json.loads((REPO / "BENCH.json").read_text())
+    adj = data.get("adjudication")
+    if adj is None:
+        import pytest
+
+        pytest.skip("BENCH.json predates auto-adjudication — refresh pending")
+    assert adj["ratio_gate"] == bench_mod.RATIO_GATE
+    assert adj["load_gate"] == bench_mod.LOAD_GATE
+    assert isinstance(adj["started_loaded"], bool)
+    assert adj["prior_source"].startswith(("git:", "none"))
+    for name, rec in adj["movers"].items():
+        assert name in data["queries"]
+        assert rec["ratio"] > bench_mod.RATIO_GATE
+        assert rec["verdict"] in {
+            "recovered", "persistent", "quiet_baseline", "not_remeasured_cap"
+        }
+        if rec["verdict"] in {"recovered", "persistent"}:
+            assert len(rec["remeasure"]) == 2
+            assert rec["remeasure_min"] == min(rec["remeasure"])
+            # the verdict is a pure function of the recorded numbers
+            recovered = rec["remeasure_min"] <= bench_mod.RATIO_GATE * rec["prior"]
+            assert rec["verdict"] == ("recovered" if recovered else "persistent")
+
+
+def test_flag_movers_pure_logic():
+    prior = {"qa": 1.0, "qb": 2.0, "qc": 0.5, "qnew": 0.0}
+    timings = {
+        "qa": 1.24,   # below gate — not a mover
+        "qb": 2.51,   # 1.255x — mover
+        "qc": 2.0,    # 4x — mover, worst first
+        "qnew": 9.9,  # zero prior — never flagged
+        "qz": 5.0,    # no prior — never flagged
+    }
+    flagged = bench_mod._flag_movers(timings, prior)
+    assert [f[0] for f in flagged] == ["qc", "qb"]
+    assert flagged[0] == ("qc", 0.5, 2.0)
+
+
+def test_load_prior_override_and_fallback(tmp_path, monkeypatch):
+    p = tmp_path / "prior.json"
+    p.write_text(json.dumps({"queries": {"qa": 1.5}}))
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_PRIOR", str(p))
+    queries, src = bench_mod._load_prior()
+    assert queries == {"qa": 1.5} and src == str(p)
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_PRIOR", str(tmp_path / "missing.json"))
+    queries, src = bench_mod._load_prior()
+    assert queries == {} and src.startswith("unreadable:")
+    monkeypatch.delenv("SPARK_GRAFT_BENCH_PRIOR")
+    queries, src = bench_mod._load_prior()
+    assert src == "git:HEAD:BENCH.json" and len(queries) > 300
