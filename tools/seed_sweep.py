@@ -18,6 +18,8 @@ Usage:
     python tools/seed_sweep.py [seed ...]        (default: 777 5 99 20260815)
     python tools/seed_sweep.py --fast [seed]     (default fast seed: 90210)
     python tools/seed_sweep.py --sparse [seed]   (default sparse seed: 271829)
+    python tools/seed_sweep.py --ultra seed ...  (scale 0.03, r12 campaign tier)
+    python tools/seed_sweep.py --tiny seed ...   (scale 0.01)
 
 ``--sparse`` (round-10 addition) generates the twin at SCALE 0.1 — an
 sf0.001-shaped dataset where per-group denominators genuinely reach zero
@@ -112,22 +114,37 @@ def _fast_query_set() -> list[str]:
 DEFAULT_SPARSE_SEED = 271829
 
 
+#: density tiers (r12 campaign nomenclature — VERIFY_r12 §8, SEEDS.md):
+#: canonical is sf0.01-shaped, the others shrink every table so group
+#: denominators/strata/ties reach the degenerate regimes. Ultra (0.03) is
+#: the tier that caught q352/q147/q131 in r12 — sparse enough for exact
+#: rationals with tiny denominators, dense enough that most groups still
+#: exist.
+TIER_SCALE = {"canonical": "1.0", "sparse": "0.1", "ultra": "0.03", "tiny": "0.01"}
+
+
 def main() -> int:
     args = sys.argv[1:]
     fast = "--fast" in args
-    sparse = "--sparse" in args
-    args = [a for a in args if a not in ("--fast", "--sparse")]
+    tier = next((t for t in TIER_SCALE if f"--{t}" in args), None)
+    args = [a for a in args if a not in ("--fast", "--canonical", "--sparse", "--ultra", "--tiny")]
     subset: list[str] = []
     if fast:
         seeds = [int(s) for s in args] or [DEFAULT_FAST_SEED]
         subset = _fast_query_set()
         print(f"fast gate: {len(subset)} queries on seed(s) {seeds}")
-    elif sparse:
+    elif tier == "sparse":
         seeds = [int(s) for s in args] or [DEFAULT_SPARSE_SEED]
         print(f"sparse sweep (scale 0.1): full surface on seed(s) {seeds}")
+    elif tier:
+        seeds = [int(s) for s in args]
+        if not seeds:
+            print(f"--{tier} needs explicit seed(s) — no default, seeds must be fresh per SEEDS.md")
+            return 2
+        print(f"{tier} sweep (scale {TIER_SCALE[tier]}): full surface on seed(s) {seeds}")
     else:
         seeds = [int(s) for s in args] or DEFAULT_SEEDS
-    scale = "0.1" if sparse else "1.0"
+    scale = TIER_SCALE.get(tier or "canonical", "1.0")
     total_fail = 0
     t0 = time.perf_counter()
     for seed in seeds:
@@ -153,7 +170,7 @@ def main() -> int:
         total_fail += len(fails)
         shutil.rmtree(twin, ignore_errors=True)
     elapsed = time.perf_counter() - t0
-    kind = "fast gate" if fast else ("sparse full surface" if sparse else "full surface")
+    kind = "fast gate" if fast else f"{tier or 'canonical'} full surface"
     print(
         f"sweep done: {total_fail} failures across {len(seeds)} seeds "
         f"({kind}, {elapsed:.0f}s)"
