@@ -92,6 +92,23 @@ def test_gridavg_boundary_on_synthetic_embeddings(tmp_path):
     assert np.array_equal(np.array(emb[100], np.float32), np.array(emb[0], np.float32))
 
 
+@pytest.mark.parametrize("seed", [131317, 131318, 900002])
+def test_poststrat_boundary_across_seeds(tmp_path, seed):
+    spec = gb.build_poststrat(str(tmp_path), np.random.default_rng(seed))
+    t = _events_contract(tmp_path / "events.parquet")
+    assert spec["query"] == "q352_variance_reduction_methods"
+    assert spec["where"] == "method = 'post_stratified'"
+    # the predicted display must sit at an exact .5-of-1e-6 rounding: the
+    # builder asserts the double path internally; re-derive the invariant
+    # from the spec alone — effect*1e6 must be an integer (the half-up of
+    # an exact half boundary)
+    eff = spec["checks"]["effect"]
+    assert eff == round(eff, 6)
+    # arm users: 47 ids below 64, strata clusters intact in the data
+    users = sorted(set(u for u in t["user_id"].to_pylist() if u < 64))
+    assert len(users) == 47
+
+
 def test_meandiff_nudge_branch_fires(tmp_path):
     """At least one seed in a small scan must need the even→odd cent
     nudge, proving the fallback path is live (a dead nudge branch would

@@ -21,6 +21,16 @@ every time instead of waiting for another lucky seed:
   label contains exactly two vectors whose integer micro-unit
   reconstruction errors are {0, 1} — avg = 0.5 micro-units, exactly the
   d=6 boundary of the 1e-6 grid that seed 909192 reached.
+- ``poststrat`` (the weighted-stratum class — q352's post_stratified arm,
+  the q232 quantize-to-grid-then-exact pattern "one level deeper" than
+  meandiff): 47 arm users in 5 pre-sum clusters sized [10,9,9,9,10]
+  (cluster gaps ~1000× the intra-cluster spread so both engines'
+  percentile cuts interpolate inside the gaps and strata are
+  convention-proof), three (7,2)-split odd strata (a single one provably
+  cannot reach the boundary — see the builder's residue analysis), one
+  user's post cents scanned until the weighted sum T = Σ(dq_s·N_s) of
+  the replicated 1e-7-grid quantized diffs satisfies T ≡ 5M (mod 10M) —
+  the exact d=6 half boundary of effect = T/(10^7·M).
 
 Every construction is ASSERTED on-boundary with exact ``fractions``
 arithmetic over the same integer quantities the engines derive (cents via
@@ -37,7 +47,7 @@ Usage::
 
     python tools/gen_boundary.py [family ...] [--seed N] [--keep]
 
-families default to all three; each builds a gen_reseed base twin in
+families default to all four; each builds a gen_reseed base twin in
 .scratch/boundary-<family>-<seed>, replaces/patches the target table,
 asserts the boundary, runs the FULL check_oracle differential on it, and
 deletes the twin (``--keep`` preserves it). Exit code = total failures.
@@ -93,7 +103,7 @@ def _write_events(out: str, rows: list[tuple[int, int, str, int, int]]) -> None:
     )
 
 
-def build_meandiff(out: str, rng: np.random.Generator) -> None:
+def build_meandiff(out: str, rng: np.random.Generator) -> dict:
     """q352 family: raw A/B money-mean difference exactly ON a d=6 half
     boundary. 32 users per arm (ids 0..63), each with pre- AND post-period
     events; background users are strictly single-period so the q352 filter
@@ -159,7 +169,156 @@ def build_meandiff(out: str, rng: np.random.Generator) -> None:
     }
 
 
-def build_interp(out: str, rng: np.random.Generator) -> None:
+def build_poststrat(out: str, rng: np.random.Generator) -> dict:
+    """Weighted-stratum class (q352's post_stratified arm, q232 pattern):
+    the weighted mean of 1e-7-grid quantized per-stratum money-mean diffs
+    lands exactly ON the d=6 half boundary.
+
+    Construction (the residue analysis is load-bearing — see inline):
+    47 arm users in 5 pre-sum clusters sized [10, 9, 9, 9, 10], so the
+    percentile cut positions 0.2/0.4/0.6/0.8 * 46 = 9.2/18.4/27.6/36.8
+    interpolate strictly INSIDE the inter-cluster gaps (between sorted
+    indices (9,10)/(18,19)/(27,28)/(36,37)) under any linear convention —
+    stratum membership is engine-proof. Arm splits: (5,5) for the 10-user
+    strata, (7,2) for the three 9-user strata.
+
+    Why THREE odd strata: the target is T = Sigma(dq_s*N_s) = 5M
+    (mod 10M) with M = 47, so T = 5 (mod 10). (5,5) strata contribute
+    dq = 20000*dC (= 0 mod 10, exact); a (7,2) stratum's
+    dq = floor(num*1e7/1400 + 0.5) has dq mod 10 determined by
+    num mod 7 alone — structurally confined to {0,1,3,4,6,7,9}; 5 is
+    UNREACHABLE for any single odd stratum no matter the draw (the first
+    two drafts of this builder failed their own assertions exactly
+    there). Sums of three values from that set cover all of Z10
+    (1+3+1 = 5), so three N=9 strata make the boundary reachable; one
+    stratum's arm-1 cents are then scanned (its dq walks all of num
+    mod 7, i.e. the full 7-set, while the 7-cycle drift of
+    9e5 = 420 mod 470 with gcd(420,470) = 10 covers every multiple of
+    10 within the class), with the other two odd strata redrawn until
+    the required residue class is compatible.
+
+    Post cents are balanced so |T| stays far below 2^53/1e6: the display
+    floor(cast(T as double)*1e6/(1e7*M) + 0.5) is then EXACT double
+    arithmetic and the constructed half boundary genuinely reaches the
+    display (asserted on the replicated float sequence, not just the
+    rational)."""
+    sizes = [10, 9, 9, 9, 10]
+    splits = [(5, 5), (7, 2), (7, 2), (7, 2), (5, 5)]
+    m_users = sum(sizes)  # 47
+    # id allocation below the background floor (64), parity-exact: the
+    # (7,2) strata need 7 odd ids each -> 14-wide base ranges
+    bases = {1: (0, 14), 2: (14, 14), 3: (28, 14), 0: (42, 10), 4: (52, 10)}
+    strata_ids = []
+    for k, (n1, n0) in enumerate(splits):
+        base, width = bases[k]
+        odds = [base + i for i in range(1, width + 1, 2)][:n1]
+        evens = [base + i for i in range(2, width + 1, 2)][:n0]
+        assert len(odds) == n1 and len(evens) == n0 and max(odds + evens) < 64
+        strata_ids.append((odds, evens))
+
+    rows: list[tuple[int, int, str, int, int]] = []
+    pre_cents: dict[int, int] = {}
+    post_cents: dict[int, int] = {}
+
+    def draw_post(k: int) -> None:
+        # post cents: arm-1 free draws; arm-0 balanced so the stratum num
+        # (C1*n0 - C0*n1) stays small -> |T| << 2^53/1e6 (exact display)
+        n1, n0 = splits[k]
+        odds, evens = strata_ids[k]
+        c1 = 0
+        for u in odds:
+            c = int(rng.integers(15000, 25000))
+            post_cents[u] = c
+            c1 += c
+        target_c0 = round(c1 * n0 / n1) + int(rng.integers(-50, 51))
+        share = target_c0 // n0
+        for i, u in enumerate(evens):
+            post_cents[u] = share + (target_c0 - share * n0 if i == n0 - 1 else 0)
+
+    for k, (odds, evens) in enumerate(strata_ids):
+        for u in odds + evens:
+            pc = 100_000 * (k + 1) + u  # distinct, clustered by stratum
+            pre_cents[u] = pc
+            ts = int(rng.integers(EV_LO, CUT_US - 1))
+            rows.append((ts, u, ETYPES[int(rng.integers(0, 5))], pc,
+                         int(rng.integers(0, 100))))
+        draw_post(k)
+    # background single-period users (excluded by the both-periods filter)
+    for _ in range(5000):
+        if rng.random() < 0.5:
+            u = int(rng.integers(64, 107))
+            ts = int(rng.integers(EV_LO, CUT_US - 1))
+        else:
+            u = int(rng.integers(107, 150))
+            ts = int(rng.integers(CUT_US, EV_HI))
+        rows.append((ts, u, ETYPES[int(rng.integers(0, 5))],
+                     int(rng.integers(1, 49002)), int(rng.integers(0, 100))))
+
+    def dq(k: int) -> int:
+        # identical IEEE sequence to the engine expression:
+        # floor(cast(C1*n0 - C0*n1 as double) * 1e7 / (100*n1*n0) + 0.5)
+        n1, n0 = splits[k]
+        odds, evens = strata_ids[k]
+        c1 = sum(post_cents[u] for u in odds)
+        c0 = sum(post_cents[u] for u in evens)
+        return math.floor(
+            float(c1 * n0 - c0 * n1) * 1e7 / float(100 * n1 * n0) + 0.5
+        )
+
+    def weighted_T() -> int:
+        return sum(dq(k) * sum(splits[k]) for k in range(5))
+
+    tweak_user = strata_ids[1][0][0]  # odd id in the first (7,2) stratum
+    found = False
+    for _attempt in range(60):
+        base_c = post_cents[tweak_user]
+        for delta in range(7 * 10 * m_users):
+            post_cents[tweak_user] = base_c + delta
+            if weighted_T() % (10 * m_users) == 5 * m_users:
+                found = True
+                break
+        if found:
+            break
+        post_cents[tweak_user] = base_c
+        draw_post(2)  # shift the other odd strata's residue class, retry
+        draw_post(3)
+    if not found:
+        raise AssertionError("poststrat scan failed to land the boundary")
+    # post events appended only now, with the final scanned cents
+    for k, (odds, evens) in enumerate(strata_ids):
+        for u in odds + evens:
+            ts = int(rng.integers(CUT_US, EV_HI))
+            rows.append((ts, u, ETYPES[int(rng.integers(0, 5))],
+                         post_cents[u], int(rng.integers(0, 100))))
+
+    t_final = weighted_T()
+    eff = Fraction(t_final, 10**7 * m_users)
+    assert (eff * 10**6) - math.floor(eff * 10**6) == Fraction(1, 2), (
+        f"poststrat construction missed the boundary: T={t_final}"
+    )
+    # the boundary must survive the engines' double display path exactly:
+    x = float(t_final) * 1e6 / float(10**7 * m_users)
+    assert abs(t_final) * 10**6 < 2**53 and x - math.floor(x) == 0.5, (
+        f"display double path off the half point: x={x!r}"
+    )
+    # percentile cuts must interpolate inside the inter-cluster gaps
+    xs = sorted(pre_cents.values())
+    for lo in (9, 18, 27, 36):
+        assert xs[lo + 1] - xs[lo] > 90_000, (
+            f"cluster gap collapsed at sorted index {lo}"
+        )
+    _write_events(out, rows)
+    disp = math.floor(x + 0.5) / 1e6
+    print(f"  poststrat: T = {t_final} = 5M mod 10M (M={m_users}), "
+          f"effect display {disp} (d=6 half boundary)")
+    return {
+        "query": "q352_variance_reduction_methods",
+        "where": "method = 'post_stratified'",
+        "checks": {"effect": disp},
+    }
+
+
+def build_interp(out: str, rng: np.random.Generator) -> dict:
     """q147 family: the gap-filled day's interpolated cents N/D lands on an
     exact half cent. Purchases fully controlled per day; day index 14
     (Jan 15) has ONE purchase (unreliable, n<3), days 13/15 are >=3-row
@@ -210,7 +369,7 @@ def build_interp(out: str, rng: np.random.Generator) -> None:
     }
 
 
-def build_gridavg(out: str, rng: np.random.Generator) -> None:
+def build_gridavg(out: str, rng: np.random.Generator) -> dict:
     """q131 family: one label with exactly two vectors whose integer
     micro-unit reconstruction errors are {0, 1} -> avg exactly 0.5
     micro-units (the 1e-6 grid's half point). The micro-units are computed
@@ -281,6 +440,7 @@ BUILDERS = {
     "meandiff": (1, build_meandiff),
     "interp": (2, build_interp),
     "gridavg": (3, build_gridavg),
+    "poststrat": (4, build_poststrat),
 }
 
 
