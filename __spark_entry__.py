@@ -11280,19 +11280,33 @@ def q331_item_item_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = li.select(
         F.col("l_orderkey").alias("_ok"), F.col("l_partkey").alias("_pb")
     )
+    top_items = (
+        n_i.orderBy(F.col("_n").desc(), "l_partkey")
+        .limit(20)
+        .select(F.col("l_partkey").alias("item_a"), F.col("_n").alias("_na"))
+    )
+    # r13 (guide §3.2/§2.3): the head restriction is pushed BELOW the
+    # co-occurrence self-join — co(i,j) counts shared orders per pair, so
+    # restricting the LEFT side to the k=20 head items before the join
+    # yields bit-identical counts for every surviving (item_a, item_b)
+    # while never materializing the full item×item table. The 20-row head
+    # list is a constant-k broadcast (scale-safe); the order join is
+    # UNHINTED so AQE broadcasts the head order slice while it is small
+    # and falls back to a shuffle join when it is not (q334's deg-join
+    # convention) — Catalyst has no rule to push an inner join below an
+    # aggregate, so the rewrite must be spelled here.
     co = (
         li.join(
-            b.hint("shuffle_hash"),
+            F.broadcast(top_items.select(F.col("item_a").alias("l_partkey"))),
+            "l_partkey",
+        )
+        .join(
+            b,
             (F.col("l_orderkey") == F.col("_ok"))
             & (F.col("l_partkey") != F.col("_pb")),
         )
         .groupBy(F.col("l_partkey").alias("item_a"), F.col("_pb").alias("item_b"))
         .agg(F.count(F.lit(1)).alias("_co"))
-    )
-    top_items = (
-        n_i.orderBy(F.col("_n").desc(), "l_partkey")
-        .limit(20)
-        .select(F.col("l_partkey").alias("item_a"), F.col("_n").alias("_na"))
     )
     scored = (
         co.join(F.broadcast(top_items), "item_a")
@@ -12694,19 +12708,26 @@ def q353_cf_holdout_hitrate(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = train.select(
         F.col("l_orderkey").alias("_ok"), F.col("l_partkey").alias("_pb")
     )
+    top_items = (
+        n_i.orderBy(F.col("_n").desc(), "l_partkey")
+        .limit(20)
+        .select(F.col("l_partkey").alias("item_a"), F.col("_n").alias("_na"))
+    )
+    # r13 (guide §3.2/§2.3): head restriction pushed below the co-occurrence
+    # self-join — counts are per-pair, so restricting the LEFT side to the
+    # k=20 head items is exact (q331's rewrite, same rationale/comment).
     co = (
         train.join(
-            b.hint("shuffle_hash"),
+            F.broadcast(top_items.select(F.col("item_a").alias("l_partkey"))),
+            "l_partkey",
+        )
+        .join(
+            b,
             (F.col("l_orderkey") == F.col("_ok"))
             & (F.col("l_partkey") != F.col("_pb")),
         )
         .groupBy(F.col("l_partkey").alias("item_a"), F.col("_pb").alias("item_b"))
         .agg(F.count(F.lit(1)).alias("_co"))
-    )
-    top_items = (
-        n_i.orderBy(F.col("_n").desc(), "l_partkey")
-        .limit(20)
-        .select(F.col("l_partkey").alias("item_a"), F.col("_n").alias("_na"))
     )
     wr = Window.partitionBy("item_a").orderBy(
         F.col("_sim").desc(), "item_b"
@@ -12732,9 +12753,17 @@ def q353_cf_holdout_hitrate(spark: SparkSession, sf_dir: str) -> DataFrame:
     tb = test.select(
         F.col("l_orderkey").alias("_ok"), F.col("l_partkey").alias("_pb")
     )
+    # r13: same pushdown on the probe side — the head-item restriction
+    # (previously applied after the pair distinct) moves below the test
+    # self-join; distinct over (item_a, item_b) commutes with an item_a
+    # subset restriction, so the surviving pair set is identical.
     test_pairs = (
         test.join(
-            tb.hint("shuffle_hash"),
+            F.broadcast(top_items.select(F.col("item_a").alias("l_partkey"))),
+            "l_partkey",
+        )
+        .join(
+            tb,
             (F.col("l_orderkey") == F.col("_ok"))
             & (F.col("l_partkey") != F.col("_pb")),
         )
@@ -12742,7 +12771,6 @@ def q353_cf_holdout_hitrate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_partkey").alias("item_a"), F.col("_pb").alias("item_b")
         )
         .distinct()
-        .join(F.broadcast(top_items.select("item_a")), "item_a")
     )
     hits = test_pairs.join(
         F.broadcast(top3.withColumn("_hit", F.lit(1))),
@@ -13407,19 +13435,26 @@ def q365_rec_novelty_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = li.select(
         F.col("l_orderkey").alias("_ok"), F.col("l_partkey").alias("_pb")
     )
+    top_items = (
+        n_i.orderBy(F.col("_n").desc(), "l_partkey")
+        .limit(20)
+        .select(F.col("l_partkey").alias("item_a"), F.col("_n").alias("_na"))
+    )
+    # r13 (guide §3.2/§2.3): head restriction pushed below the co-occurrence
+    # self-join — counts are per-pair, so restricting the LEFT side to the
+    # k=20 head items is exact (q331's rewrite, same rationale/comment).
     co = (
         li.join(
-            b.hint("shuffle_hash"),
+            F.broadcast(top_items.select(F.col("item_a").alias("l_partkey"))),
+            "l_partkey",
+        )
+        .join(
+            b,
             (F.col("l_orderkey") == F.col("_ok"))
             & (F.col("l_partkey") != F.col("_pb")),
         )
         .groupBy(F.col("l_partkey").alias("item_a"), F.col("_pb").alias("item_b"))
         .agg(F.count(F.lit(1)).alias("_co"))
-    )
-    top_items = (
-        n_i.orderBy(F.col("_n").desc(), "l_partkey")
-        .limit(20)
-        .select(F.col("l_partkey").alias("item_a"), F.col("_n").alias("_na"))
     )
     wr = Window.partitionBy("item_a").orderBy(F.col("_sim").desc(), "item_b")
     recs = (
@@ -13711,19 +13746,26 @@ def q370_ranker_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = li.select(
         F.col("l_orderkey").alias("_ok"), F.col("l_partkey").alias("_pb")
     )
+    top_items = (
+        n_i.orderBy(F.col("_n").desc(), "l_partkey")
+        .limit(10)
+        .select(F.col("l_partkey").alias("item_a"), F.col("_n").alias("_na"))
+    )
+    # r13 (guide §3.2/§2.3): head restriction pushed below the co-occurrence
+    # self-join — counts are per-pair, so restricting the LEFT side to the
+    # k=10 head items is exact (q331's rewrite, same rationale/comment).
     co = (
         li.join(
-            b.hint("shuffle_hash"),
+            F.broadcast(top_items.select(F.col("item_a").alias("l_partkey"))),
+            "l_partkey",
+        )
+        .join(
+            b,
             (F.col("l_orderkey") == F.col("_ok"))
             & (F.col("l_partkey") != F.col("_pb")),
         )
         .groupBy(F.col("l_partkey").alias("item_a"), F.col("_pb").alias("item_b"))
         .agg(F.count(F.lit(1)).alias("_co"))
-    )
-    top_items = (
-        n_i.orderBy(F.col("_n").desc(), "l_partkey")
-        .limit(10)
-        .select(F.col("l_partkey").alias("item_a"), F.col("_n").alias("_na"))
     )
     cand = (
         co.join(F.broadcast(top_items), "item_a")

@@ -56,7 +56,10 @@ def test_committed_bench_json_carries_adjudication():
     assert adj["prior_source"].startswith(("git:", "none"))
     for name, rec in adj["movers"].items():
         assert name in data["queries"]
-        assert rec["ratio"] > bench_mod.RATIO_GATE
+        # The emitter gates strictly on the unrounded median/prior ratio but
+        # records round(ratio, 3) — a 1.2504x mover lands in the artifact as
+        # exactly 1.25, so the committed value may sit ON the gate.
+        assert rec["ratio"] >= bench_mod.RATIO_GATE
         assert rec["verdict"] in {
             "recovered", "persistent", "quiet_baseline", "not_remeasured_cap"
         }

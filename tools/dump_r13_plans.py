@@ -43,8 +43,11 @@ def main() -> None:
     assert mode in ("before", "after"), mode
     queries = sys.argv[2:] or DEFAULT_QUERIES
 
-    if mode == "before":
+    if mode == "before" and not os.environ.get("SPARK_GRAFT_PLANS_NOFLIP"):
         # r12-tip values for the three knobs r13 changed (Spark defaults).
+        # For CODE-change captures (same config, old vs new query code) set
+        # SPARK_GRAFT_PLANS_NOFLIP=1 and run 'before' from the pre-change
+        # tree: both sides then use the committed r13 session config.
         os.environ["SPARK_GRAFT_AQE_MIN_PARTITION_SIZE"] = "1m"
         os.environ["SPARK_GRAFT_SHJ_LOCAL_MAP_THRESHOLD"] = "0"
         os.environ["SPARK_GRAFT_DF_DEBUGGING"] = "true"
