@@ -4869,32 +4869,46 @@ def q199_dedup_method_yield(spark: SparkSession, sf_dir: str) -> DataFrame:
     mh = minhash_lsh_pairs(
         d, "doc_id", "text", ngram=3, num_hashes=8, bands=4, threshold=0.5
     )
-    mh_docs = mh.select(F.col("id_a").alias("doc_id")).unionByName(
-        mh.select(F.col("id_b").alias("doc_id"))
-    ).distinct()
     sh = simhash_near_dup_pairs(d, "doc_id", "text", bits=32, ngram=2, max_hamming=3)
-    sh_docs = sh.select(F.col("id_a").alias("doc_id")).unionByName(
-        sh.select(F.col("id_b").alias("doc_id"))
-    ).distinct()
-    union_docs = exact_docs.unionByName(mh_docs).unionByName(sh_docs).distinct()
-    rows = [
-        exact_docs.agg(F.count(F.lit(1)).alias("n_docs_flagged")).select(
-            F.lit("exact_hash").alias("method"), "n_docs_flagged"
-        ),
-        mh_docs.agg(F.count(F.lit(1)).alias("n_docs_flagged")).select(
-            F.lit("minhash_lsh").alias("method"), "n_docs_flagged"
-        ),
-        sh_docs.agg(F.count(F.lit(1)).alias("n_docs_flagged")).select(
-            F.lit("simhash").alias("method"), "n_docs_flagged"
-        ),
-        union_docs.agg(F.count(F.lit(1)).alias("n_docs_flagged")).select(
-            F.lit("union").alias("method"), "n_docs_flagged"
-        ),
-    ]
-    out = rows[0]
-    for r in rows[1:]:
-        out = out.unionByName(r)
-    return out
+    # r13 (guide §2.4 "remove shuffles outright"): the old shape evaluated
+    # every pair generator TWICE (its own count + the union count: 2.1 s of
+    # duplicated build at sf0.1). One tagged union -> per-doc method
+    # bitmask -> ONE row of conditional counts, unpivoted to the same
+    # 4-row output: each generator runs once, and the four count
+    # aggregations collapse into one. bit_or over the per-source bit is
+    # idempotent, so a doc flagged by both pair ends (or by multiple
+    # pairs) counts once per method, exactly like the old per-method
+    # distinct. Counts are bit-identical; row set unchanged.
+    pair_docs = lambda p: p.select(  # noqa: E731
+        F.col("id_a").alias("doc_id")
+    ).unionByName(p.select(F.col("id_b").alias("doc_id")))
+    tagged = (
+        exact_docs.select("doc_id", F.lit(4).alias("_bit"))
+        .unionByName(pair_docs(mh).select("doc_id", F.lit(2).alias("_bit")))
+        .unionByName(pair_docs(sh).select("doc_id", F.lit(1).alias("_bit")))
+    )
+    masks = tagged.groupBy("doc_id").agg(F.bit_or("_bit").alias("_mask"))
+    # coalesce: on a corpus with NO flagged docs the old per-method
+    # count(*) returned 0 while sum() over zero rows is NULL — the sparse
+    # tier reaches that shape
+    wide = masks.agg(
+        F.coalesce(
+            F.sum(((F.col("_mask").bitwiseAND(4)) > 0).cast("long")), F.lit(0)
+        ).alias("_exact"),
+        F.coalesce(
+            F.sum(((F.col("_mask").bitwiseAND(2)) > 0).cast("long")), F.lit(0)
+        ).alias("_mh"),
+        F.coalesce(
+            F.sum(((F.col("_mask").bitwiseAND(1)) > 0).cast("long")), F.lit(0)
+        ).alias("_sh"),
+        F.count(F.lit(1)).alias("_union"),
+    )
+    return wide.select(
+        F.expr(
+            "stack(4, 'exact_hash', _exact, 'minhash_lsh', _mh,"
+            " 'simhash', _sh, 'union', _union)"
+        ).alias("method", "n_docs_flagged")
+    )
 
 
 def q200_catalog_rowcounts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -11019,22 +11033,31 @@ def q327_mutual_knn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         # one-file scans serialize the all-pairs loop onto one task
         .repartition(spark.sparkContext.defaultParallelism)
     )
-    q = e.select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"))
     dot = F.aggregate(
         F.zip_with("qv", "v", lambda a, b: a * b), F.lit(0.0), lambda s, x: s + x
     )
     nrm2 = lambda c: F.aggregate(  # noqa: E731
         c, F.lit(0.0), lambda s, x: s + x * x
     )
+    # r13 (guide §1.2 "per-task work"): squared norms hoisted to each side
+    # of the cross join — |Q|+|C| fold evaluations instead of 2·|Q|·|C|
+    # (the docstring said "hoisted-norm"; the code wasn't). Bit-identical:
+    # the same per-vector fold value feeds the same product inside the
+    # same sqrt/divide/round chain, so sims (and the rank order built on
+    # them) are unchanged.
+    q = e.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        nrm2(F.col("v")).alias("_qn2"),
+    )
     scored = (
-        e.crossJoin(F.broadcast(q))
+        e.withColumn("_n2", nrm2(F.col("v")))
+        .crossJoin(F.broadcast(q))
         .filter(F.col("vec_id") != F.col("query_id"))
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            F.round(dot / F.sqrt(nrm2(F.col("qv")) * nrm2(F.col("v"))), 9).alias(
-                "sim"
-            ),
+            F.round(dot / F.sqrt(F.col("_qn2") * F.col("_n2")), 9).alias("sim"),
         )
     )
     wq = Window.partitionBy("query_id").orderBy(
@@ -11530,6 +11553,16 @@ def q334_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     o1 = oriented.alias("o1")
     o2 = oriented.alias("o2")
+    # r13 also measured and rejected (stage-level readout,
+    # tools/stage_profile.py): unhinting the wedge/closure joins so AQE
+    # could broadcast the edge list (~10 MB compressed at sf0.1) against
+    # the 950 MB wedge stream. The closure build side is 6M (a,c) pairs
+    # whose IN-MEMORY UnsafeHashedRelation size sits at the adaptive
+    # broadcast threshold, so AQE's strategy flipped run-to-run: one run
+    # fused map-side at 190 CPU-s, the next sorted 30M wedges for an SMJ
+    # at 385 CPU-s — vs a stable 104 CPU-s for this hinted SHJ shape.
+    # Strictly worse on median and unstable; the hinted pair stays the
+    # measured optimum of four tried shapes.
     wedges = o1.join(
         o2.hint("shuffle_hash"), F.col("o1.w") == F.col("o2.u")
     ).select(

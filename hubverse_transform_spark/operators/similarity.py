@@ -831,19 +831,38 @@ def hard_negative_topk(
     composes with any ANN candidate source because it is a pure predicate
     on the scored pairs.
     """
+    # r13 (guide §1.2 "per-task work"): same two fixes the brute-force
+    # scorer above documents, applied here — (1) norms hoisted to each side
+    # of the join (|Q|+|C| evaluations, not per pair: inlined
+    # cosine_similarity evaluates BOTH norms TWICE per pair — once in the
+    # null-guard, once in the division — 5 HOF folds per pair vs 1 after
+    # hoisting); (2) the corpus spread before the broadcast join so a
+    # one-file embedding scan cannot serialize the |Q|·|C| scoring loop
+    # onto one task (no-op when the scan is already parallel). The
+    # arithmetic is bit-identical to cosine_similarity: same l2_norm
+    # expression per row, same product, same >0 guard on the same product,
+    # same division order — oracle hashes unchanged.
+    from hubverse_transform_spark.session import spread_small_scan
+
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("_qvec"),
         F.col(label_col).alias("_qlabel"),
-    )
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("_cvec"),
-        F.col(label_col).alias("neighbor_label"),
-    )
+    ).withColumn("_qn", l2_norm(F.col("_qvec")))
+    c = spread_small_scan(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("_cvec"),
+            F.col(label_col).alias("neighbor_label"),
+        )
+    ).withColumn("_cn", l2_norm(F.col("_cvec")))
+    denom = F.col("_qn") * F.col("_cn")
     scored = c.join(
         F.broadcast(q), F.col("_qlabel") != F.col("neighbor_label")
-    ).withColumn("cosine_sim", cosine_similarity(F.col("_qvec"), F.col("_cvec")))
+    ).withColumn(
+        "cosine_sim",
+        F.when(denom > 0, dot_product(F.col("_qvec"), F.col("_cvec")) / denom),
+    )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine_sim").desc(), F.col("neighbor_id")
     )
