@@ -483,3 +483,52 @@ def test_gate_fires_on_one_sided_edit():
     assert not _has_structural_half_up(fake_sql)
     # and the healthy form passes
     assert _has_structural_half_up("SELECT floor(x * 1e6 + 0.5) / 1e6 AS x FROM t")
+
+
+# --- r13 catch: q359 EWMA display boundary (seed 565859) -------------------
+# The decay weights λ(1-λ)^k are exact terminating decimals over integer
+# daily counts, and a 7^4-divisible day grid cancels the (1-λ)^t·μ0 tail —
+# the TRUE ewma reaches the d=4 half boundary (565859 day 5 = exactly
+# 5.16975), where round() splits across engines on the same double. The
+# fix is the mirrored floor half-up pair; these patterns pin BOTH sides so
+# a lockstep revert to round() (which the generic desync lint would not
+# see) cannot silently reintroduce the class.
+
+Q359_SPARK_EWMA = re.compile(
+    r"half_up\(\s*F\.col\(\"_wsum\"\)\s*\+\s*F\.pow\("
+)
+Q359_ORACLE_EWMA = re.compile(
+    r"floor\(CAST\(wsum \+ pow\([\s\S]{0,80}?\* 1e4 \+ 0\.5\)\s*/\s*1e4",
+)
+
+
+def test_q359_ewma_boundary_fix_pinned_both_sides():
+    import __spark_entry__ as entry
+
+    src = inspect.getsource(entry.queries()["q359_ewma_control_chart"])
+    sql = entry.oracle_sql()["q359_ewma_control_chart"]
+    assert Q359_SPARK_EWMA.search(src), (
+        "q359: ewma display no longer the half_up(_wsum + pow·mu, 4) form — "
+        "round() reintroduces the seed-565859 d=4 boundary divergence"
+    )
+    assert src.count("F.round(") == 2, (
+        "q359: expected exactly the two lcl/ucl F.round sites (irrational "
+        "sd·sqrt class); the ewma display must stay half_up"
+    )
+    assert len(Q359_ORACLE_EWMA.findall(sql)) == 3, (
+        "q359 oracle: the ewma floor-mirror must appear in the display AND "
+        "both out_of_control comparisons"
+    )
+    assert "round(wsum" not in sql, "q359 oracle: round() on the ewma again"
+
+
+def test_q359_canary_fires_on_one_sided_and_lockstep_edits():
+    assert not Q359_SPARK_EWMA.search(
+        'F.round(\n F.col("_wsum")\n + F.pow(F.lit(1 - lam), F.col("_r"))'
+    )
+    assert not Q359_ORACLE_EWMA.search("round(wsum + pow(0.7, r) * mu, 4)")
+    # healthy forms match
+    assert Q359_SPARK_EWMA.search('half_up(\n    F.col("_wsum")\n    + F.pow(')
+    assert Q359_ORACLE_EWMA.search(
+        "floor(CAST(wsum + pow(0.7, r) * mu AS DOUBLE)\n * 1e4 + 0.5) / 1e4"
+    )
