@@ -563,8 +563,14 @@ def simhash_near_dup_pairs(
             F.col("b._id").alias("id_b"),
             hamming_distance(F.col("a._fp"), F.col("b._fp")).alias("hamming"),
         )
-        .dropDuplicates(["id_a", "id_b"])
+        # r13 (guide 2.3, shuffle fewer bytes): hamming is a pure function
+        # of the pair's two fingerprints, so every duplicate of a pair has
+        # the SAME hamming - filtering before the distinct is equivalent
+        # and the (cheap, map-side xor+bit_count) filter kills most banded
+        # collisions before they reach the distinct's exchange. Catalyst
+        # cannot push this itself: hamming is not one of the dedup keys.
         .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["id_a", "id_b"])
     )
     return compute_release(result, fp)
 
@@ -897,26 +903,64 @@ def edit_distance_pairs(
         ).otherwise(F.array().cast("array<string>"))
         variants = F.array_union(variants, F.array_distinct(del2))
     keys = ["_v"] + (["_blk"] if block_col else [])
+    # r13 (guide 2.3/8, shuffle keys not payloads): at max_dist=2 the
+    # variant explode is the dominant shuffle (|corpus| x ~L^2/2 rows);
+    # carrying the original string through it and through the candidate
+    # distinct roughly doubles those rows' bytes. Explode (id, variant)
+    # only, dedup the id pairs, and re-attach the two texts afterwards -
+    # two joins against the (1/closure smaller) base table that AQE
+    # broadcasts at any realistic dimension size. Pair set, texts, and
+    # distances are unchanged. At max_dist=1 the closure is only L+1 and
+    # the attach joins' fixed cost outweighs the thin shuffle (measured:
+    # q223 0.61->0.73 s with attach, q245 2.89->2.69 without the inline
+    # payload - evidence/ab_r13b_exp2.jsonl), so the k=1 path keeps the
+    # text inline. Static parameter switch, never data-dependent.
+    carry_inline = max_dist == 1
     v = df.select(
         F.col(id_col).alias("_id"),
         *([F.col(block_col).alias("_blk")] if block_col else []),
-        text.alias("_txt"),
+        *([text.alias("_txt")] if carry_inline else []),
         F.explode(variants).alias("_v"),
     )
     a, b = v.alias("a"), v.alias("b")
     cond = F.col("a._id") < F.col("b._id")
     for k in keys:
         cond = (F.col(f"a.{k}") == F.col(f"b.{k}")) & cond
-    cand = (
-        a.join(b, cond)
-        .select(
-            F.col("a._id").alias("id_a"),
-            F.col("b._id").alias("id_b"),
-            F.col("a._txt").alias("_ta"),
-            F.col("b._txt").alias("_tb"),
+    if carry_inline:
+        cand = (
+            a.join(b, cond)
+            .select(
+                F.col("a._id").alias("id_a"),
+                F.col("b._id").alias("id_b"),
+                F.col("a._txt").alias("_ta"),
+                F.col("b._txt").alias("_tb"),
+            )
+            .distinct()
         )
-        .distinct()
-    )
+    else:
+        cand = (
+            a.join(b, cond)
+            .select(
+                F.col("a._id").alias("id_a"),
+                F.col("b._id").alias("id_b"),
+            )
+            .distinct()
+        )
+        texts = df.select(F.col(id_col).alias("_tid"), text.alias("_txt"))
+        cand = (
+            cand.join(
+                texts.select(
+                    F.col("_tid").alias("id_a"), F.col("_txt").alias("_ta")
+                ),
+                "id_a",
+            )
+            .join(
+                texts.select(
+                    F.col("_tid").alias("id_b"), F.col("_txt").alias("_tb")
+                ),
+                "id_b",
+            )
+        )
     return (
         cand.withColumn("dist", F.levenshtein("_ta", "_tb", max_dist))
         .filter(F.col("dist") >= 0)
