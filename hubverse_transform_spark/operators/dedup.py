@@ -167,6 +167,7 @@ def minhash_lsh_pairs(
     num_hashes: int = 8,
     bands: int = 4,
     threshold: float = 0.5,
+    materialize: bool = True,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash banding + exact Jaccard verification.
 
@@ -174,15 +175,64 @@ def minhash_lsh_pairs(
     band key (shuffle on band hash) -> distinct candidate pair -> verify true
     Jaccard >= threshold. Returns (id_a, id_b, jaccard), id_a < id_b.
     """
+    from hubverse_transform_spark.caching import compute_release
+
     rows_per_band = num_hashes // bands
-    sh = df.select(
+    if not materialize:
+        # lazy carry-arrays shape for call sites where the eager
+        # checkpoint measured SLOWER (evidence/ab_r13b_exp4.jsonl,
+        # min-of-12: q330 1.59, q203 1.48 - one eager job per banding
+        # config in its loop - q188 1.42, q124 1.07): the banded
+        # self-join's identical sides share one runtime exchange (the q21
+        # finding), so the arrays move once and the downstream consumers
+        # keep whole-plan AQE across the operator boundary. Static
+        # per-call-site switch, never data-dependent.
+        sh_l = df.select(
+            F.col(id_col).alias("_id"),
+            shingle_ngrams(F.col(text_col), ngram).alias("_shingles"),
+        ).withColumn("_sig", minhash_signature(F.col("_shingles"), num_hashes))
+        banded_l = sh_l.select(
+            "_id",
+            "_shingles",
+            F.explode(
+                F.array(*[_band_key(F.col("_sig"), b, rows_per_band) for b in range(bands)])
+            ).alias("_band"),
+        )
+        a_l, b_l = banded_l.alias("a"), banded_l.hint("shuffle_hash").alias("b")
+        cand_l = (
+            a_l.join(b_l, on="_band")
+            .filter(F.col("a._id") < F.col("b._id"))
+            .select(
+                F.col("a._id").alias("id_a"),
+                F.col("b._id").alias("id_b"),
+                F.col("a._shingles").alias("_sa"),
+                F.col("b._shingles").alias("_sb"),
+            )
+            .dropDuplicates(["id_a", "id_b"])
+        )
+        return (
+            cand_l.withColumn("jaccard", jaccard_expr(F.col("_sa"), F.col("_sb")))
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard")
+        )
+    # r13 (guide 2.3/8, shuffle keys not payloads — the
+    # prefix_filter_jaccard_pairs shape): the banded self-join and the
+    # candidate distinct used to carry BOTH documents' shingle arrays;
+    # the band exchange and the dedup exchange now move (id, band) /
+    # (id_a, id_b) only, and the exact-jaccard verify re-attaches the two
+    # arrays from the persisted shingle table (shingle regex runs once,
+    # in the cache fill; the candidate side is the small one after the
+    # distinct, so AQE broadcasts it and the attach joins never shuffle
+    # the arrays). compute_release materializes the (small) pair output
+    # once and releases the cache - no registration outlives the call.
+    docs = df.select(
         F.col(id_col).alias("_id"),
         shingle_ngrams(F.col(text_col), ngram).alias("_shingles"),
-    ).withColumn("_sig", minhash_signature(F.col("_shingles"), num_hashes))
+    ).persist()
+    sh = docs.withColumn("_sig", minhash_signature(F.col("_shingles"), num_hashes))
 
     banded = sh.select(
         "_id",
-        "_shingles",
         F.explode(
             F.array(*[_band_key(F.col("_sig"), b, rows_per_band) for b in range(bands)])
         ).alias("_band"),
@@ -200,16 +250,23 @@ def minhash_lsh_pairs(
         .select(
             F.col("a._id").alias("id_a"),
             F.col("b._id").alias("id_b"),
-            F.col("a._shingles").alias("_sa"),
-            F.col("b._shingles").alias("_sb"),
         )
         .dropDuplicates(["id_a", "id_b"])
     )
-    return (
-        candidates.withColumn("jaccard", jaccard_expr(F.col("_sa"), F.col("_sb")))
+    result = (
+        candidates.join(
+            docs.select(F.col("_id").alias("id_a"), F.col("_shingles").alias("_sa")),
+            "id_a",
+        )
+        .join(
+            docs.select(F.col("_id").alias("id_b"), F.col("_shingles").alias("_sb")),
+            "id_b",
+        )
+        .withColumn("jaccard", jaccard_expr(F.col("_sa"), F.col("_sb")))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+    return compute_release(result, docs)
 
 
 @_spread_input
