@@ -472,32 +472,60 @@ def winnow_fingerprints(
     of length >= k + window - 1 between two documents shares a fingerprint —
     partial-overlap detection, not just whole-doc near-dup.
 
-    Plan: one regex gram pass (O(len)), posexplode to (doc, pos, hash) rows,
-    a min-over-window frame partitioned by doc (single shuffle on doc id,
-    codegen'd window), then distinct. Trailing windows shorter than
-    ``window`` still emit their clamped min; texts shorter than k yield one
-    fingerprint of the whole normalized text.
+    Plan: one regex gram pass (O(len)), then the sliding window-min runs
+    ENTIRELY map-side on the gram array — md5 each gram once
+    (``transform``), take ``array_min(slice(...))`` per position,
+    ``array_distinct`` within the doc — so the gram stream (O(total chars)
+    rows at window width) never shuffles. [r13 s8, guide §2.3/§2.4: the
+    previous shape posexploded to (doc, pos, hash) rows and ran a
+    min-over-window frame partitioned by doc — a full shuffle+sort of the
+    gram stream, whose ``_id`` partitioning the downstream distinct and
+    per-doc aggregations then rode for free (so the static plan showed ONE
+    big exchange). The array slide trades that for shuffling only the
+    per-doc-distinct minima through the ``.distinct()`` (plus, in a
+    consumer like q46, a re-exchange its final agg previously inherited):
+    one more exchange NODE, but the bytes drop from |grams| rows of
+    (id, pos, md5) to |distinct fps| rows of (id, fp) — a several-fold
+    byte cut with no sort, which is the trade that matters at corpus
+    scale (SHUFFLES.md q46 4 → 6 under the mention-count convention is
+    this, deliberate). The O(window)
+    comparisons per position are interpreted HOF evals; the order-balanced
+    quiet A/B (evidence/ab_r13c_exp4.jsonl, min-of-18 both orders) measured
+    q47 0.85 / q46 0.98 vs the windowed shape — wall-neutral where the
+    operator IS the whole query, a win where the fingerprint table feeds a
+    pipeline, and strictly less shuffled work at scale (the gram stream is
+    the corpus-sized intermediate).] Trailing windows shorter than
+    ``window`` still emit their
+    clamped min (``slice`` clamps at the array end exactly like the old
+    clamped frame); texts shorter than k yield one fingerprint of the
+    whole normalized text.
     """
     norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
     grams = F.regexp_extract_all(norm, F.lit(f"(?=(.{{{k}}}))"), 1)
     grams = F.when(F.size(grams) > 0, grams).otherwise(F.array(norm))
-    # posexplode_outer, not posexplode: the plain form infers a size/notnull
-    # pre-filter that re-evaluates the gram regex per conjunct (see
-    # ngram_jaccard_pairs); outer keeps one eval, nulls filtered after
-    ex = (
-        df.select(F.col(id_col).alias("_id"), grams.alias("_g"))
-        .select("_id", F.posexplode_outer("_g").alias("_pos", "_gram"))
-        .filter(F.col("_gram").isNotNull())
+    # md5 BEFORE the slide: array_min(slice(...)) re-reads ``window``
+    # entries per position, so an inline md5 would hash each gram
+    # ``window`` times; transform hashes each exactly once. The hashed
+    # array is projected in its OWN select before the Generate: inlining
+    # it would spell the transform chain twice in the generator expression
+    # (once under size() for the sequence bound, once in the slice lambda)
+    # and lambda HOFs are never subexpression-eliminated (the q302/q327
+    # finding) — the staged Project keeps one evaluation per row.
+    hashed = F.transform(grams, lambda g: F.md5(g))
+    staged = df.select(F.col(id_col).alias("_id"), hashed.alias("_h"))
+    minima = F.transform(
+        F.sequence(F.lit(0), F.size(F.col("_h")) - 1),
+        lambda i: F.array_min(F.slice(F.col("_h"), i + 1, window)),
     )
-    from pyspark.sql import Window as W
-
-    frame = W.partitionBy("_id").orderBy("_pos").rowsBetween(0, window - 1)
-    # hash BEFORE the window: a sliding-frame min re-evaluates its input
-    # expression at every frame position, so an inline md5 would be computed
-    # ``window`` times per gram
-    hashed = ex.select("_id", "_pos", F.md5("_gram").alias("_h"))
+    fps = F.array_distinct(minima)
+    # explode_outer, not explode: the plain form infers a size/notnull
+    # pre-filter that re-evaluates the slide chain per conjunct (see
+    # ngram_jaccard_pairs); fps is never null/empty by construction (the
+    # short-text branch guarantees >= 1 gram), so outer emits no null rows
     return (
-        hashed.select("_id", F.min("_h").over(frame).alias("fp"))
+        staged.select("_id", F.explode_outer(fps).alias("fp"))
+        # array_distinct makes (id, fp) unique per input row; this distinct
+        # only collapses duplicate input ids (the old cross-row semantics)
         .distinct()
         .select(F.col("_id").alias(id_col), "fp")
     )

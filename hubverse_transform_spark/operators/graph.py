@@ -137,6 +137,14 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
     counting; high-degree hubs only expand toward higher ids).
 
     Returns (node, triangles) for nodes in at least one triangle.
+
+    The canonical edge list feeds THREE join branches (e1/e2/e3) and the
+    engine reuses nothing across plan branches (the r13 zero-ReusedExchange
+    census), so an expensive caller-side edge build — q137's basket
+    self-join — would run three times; ``canon`` is persisted and the
+    (per-node, bounded-by-|V|) output materialized once through
+    ``compute_release`` [r13 s8, guide §2.4/§5: order-balanced quiet A/B
+    min-of-18 ratio 0.89 on q137 at sf0.1, evidence/ab_r13c_exp4.jsonl].
     """
     canon = (
         edges.select(
@@ -145,6 +153,7 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
         )
         .filter(F.col("a") != F.col("b"))
         .distinct()
+        .persist()
     )
     e1 = canon.select(F.col("a").alias("x"), F.col("b").alias("y"))
     e2 = canon.select(F.col("a").alias("y"), F.col("b").alias("z"))
@@ -155,7 +164,7 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("triangles"))
     )
-    return per_node
+    return compute_release(per_node, canon)
 
 
 def bfs_hops(

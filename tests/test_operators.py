@@ -167,6 +167,61 @@ def test_winnow_shared_substring_shares_fingerprint(spark):
     assert len(tiny) == 1
 
 
+def test_winnow_mapside_slide_matches_reference(spark):
+    """The r13 map-side sliding-min rewrite must reproduce the windowed
+    formulation exactly: per position i, min md5 over grams i..i+w-1 with
+    CLAMPED trailing windows, distinct per doc — pinned against a plain
+    Python reference. Duplicate input ids must still collapse (the old
+    cross-row ``.distinct()`` semantics the rewrite preserves)."""
+    import hashlib
+    import re as _re
+
+    k, window = 8, 4
+    texts = [
+        (1, "The quick   brown fox jumps over the lazy dog"),
+        (2, "  MULTI   space   Text here  "),
+        (3, "x" * 15),
+        (3, "x" * 15),  # duplicate id + text: must not duplicate rows
+        (4, "abc"),     # shorter than k -> whole-norm fingerprint
+    ]
+
+    def ref_fps(text: str) -> set[str]:
+        norm = _re.sub(r"\s+", " ", text.strip().lower())
+        grams = [norm[i : i + k] for i in range(len(norm) - k + 1)] or [norm]
+        hs = [hashlib.md5(g.encode()).hexdigest() for g in grams]
+        return {min(hs[i : i + window]) for i in range(len(hs))}
+
+    expect = set()
+    for i, t in texts:
+        expect |= {(i, fp) for fp in ref_fps(t)}
+    df = spark.createDataFrame(texts, ["doc_id", "text"])
+    got = {
+        (r["doc_id"], r["fp"])
+        for r in winnow_fingerprints(df, "doc_id", "text", k=k, window=window).collect()
+    }
+    assert got == expect
+    # exact multiset too: duplicate ids deduplicate, nothing else repeats
+    rows = winnow_fingerprints(df, "doc_id", "text", k=k, window=window).collect()
+    assert len(rows) == len(expect)
+
+
+def test_triangle_count_releases_cache(spark):
+    """triangle_count persists the canonical edge list across its three
+    join branches (r13); nothing may stay registered after the call."""
+    from hubverse_transform_spark.operators.graph import triangle_count
+
+    cm = spark._jsparkSession.sharedState().cacheManager()
+    spark.catalog.clearCache()
+    assert cm.isEmpty()
+    k4 = spark.createDataFrame(
+        [(a, b) for a in range(4) for b in range(4) if a < b], ["src", "dst"]
+    )
+    assert {r.node: r.triangles for r in triangle_count(k4).collect()} == {
+        0: 3, 1: 3, 2: 3, 3: 3
+    }
+    assert cm.isEmpty(), "persisted canonical edge list leaked"
+
+
 def test_winnow_overlap_pairs_finds_shared_passage(spark):
     # docs 1 and 2 share a long passage; doc 3 shares nothing. With
     # min_shared=2 only the (1, 2) pair should survive.
