@@ -33,7 +33,11 @@ re-measure time — "recovered" movers are machine-attributed to weather,
 "persistent" ones are the short list a human still reads. Movers on a
 quiet machine skip the re-measure and are marked "quiet_baseline" (a
 regression measured quiet is likely real — re-measuring would only
-launder it). Subset runs (SPARK_GRAFT_BENCH_ONLY) write BENCH_partial.json
+launder it) — UNLESS the run flags a mass wobble (>= MASS_MOVER_GATE
+simultaneous movers: storms that arrive mid-run after a quiet start
+inflate the whole tail at once, which no code change does; see the
+constant's comment), in which case the top movers are re-measured
+exactly as on a loaded start. Subset runs (SPARK_GRAFT_BENCH_ONLY) write BENCH_partial.json
 so the full-surface artifact of record is never clobbered by a targeted
 session; SPARK_GRAFT_BENCH_PRIOR overrides the prior source for the
 gate's own demonstration runs.
@@ -65,6 +69,22 @@ N_RUNS = 3
 RATIO_GATE = 1.25
 LOAD_GATE = 1.0
 MAX_REMEASURE = 15
+
+#: mass-wobble re-measure (r13 session 8, a measurement-methodology fix —
+#: documented in OPTIMIZATION_r13.md): the load gate reads the loadavg at
+#: START, but this sandbox's storms arrive on ~10-minute cadence MID-run,
+#: and the recorded stamps cannot discriminate (the bench's own 32-core
+#: stages dominate loadavg_post on quiet-weather runs too — the quiet
+#: 240.6 s cell and the stormy 304-338 s cells carry byte-identical load
+#: fields). What does discriminate is the mover COUNT: a code change
+#: touches a handful of queries, so >= MASS_MOVER_GATE simultaneous
+#: >RATIO_GATE movers on one run is ambient weather by construction
+#: (today's storm cells flagged 189-207; genuine quiet baselines flag
+#: single digits). Such runs now get the same top-15 min-of-2 re-measure
+#: as loaded starts instead of a blanket quiet_baseline; each re-measure
+#: records the loadavg it ran under so a still-stormy "persistent" is
+#: readable as such.
+MASS_MOVER_GATE = 25
 
 
 def _load_prior() -> tuple[dict[str, float], str]:
@@ -185,9 +205,10 @@ def main() -> None:
     movers: dict[str, dict] = {}
     flagged = _flag_movers(timings, prior)
     started_loaded = load_pre[0] >= LOAD_GATE
+    mass_wobble = len(flagged) >= MASS_MOVER_GATE
     for i, (name, p, med) in enumerate(flagged):
         rec = {"prior": p, "median": med, "ratio": round(med / p, 3)}
-        if not started_loaded:
+        if not (started_loaded or mass_wobble):
             rec["verdict"] = "quiet_baseline"  # measured quiet: likely real
         elif i >= MAX_REMEASURE:
             rec["verdict"] = "not_remeasured_cap"  # recorded, never silent
@@ -207,6 +228,9 @@ def main() -> None:
         "ratio_gate": RATIO_GATE,
         "load_gate": LOAD_GATE,
         "started_loaded": started_loaded,
+        "mass_mover_gate": MASS_MOVER_GATE,
+        "mass_wobble": mass_wobble,
+        "n_flagged": len(flagged),
         "movers": movers,
     }
 

@@ -54,6 +54,16 @@ def test_committed_bench_json_carries_adjudication():
     assert adj["load_gate"] == bench_mod.LOAD_GATE
     assert isinstance(adj["started_loaded"], bool)
     assert adj["prior_source"].startswith(("git:", "none"))
+    if "mass_wobble" in adj:  # r13 s8 emitter onward
+        assert adj["mass_mover_gate"] == bench_mod.MASS_MOVER_GATE
+        assert adj["n_flagged"] == len(adj["movers"])
+        assert adj["mass_wobble"] == (adj["n_flagged"] >= bench_mod.MASS_MOVER_GATE)
+        if adj["mass_wobble"]:
+            # mass wobbles must not be laundered into quiet_baseline
+            assert not any(
+                rec["verdict"] == "quiet_baseline"
+                for rec in adj["movers"].values()
+            )
     for name, rec in adj["movers"].items():
         assert name in data["queries"]
         # The emitter gates strictly on the unrounded median/prior ratio but
