@@ -16,6 +16,7 @@ from hubverse_transform_spark.operators.dedup import (
     ngram_jaccard_pairs,
     shingle_ngrams,
     simhash,
+    winnow_fingerprint_arrays,
     winnow_fingerprints,
     winnow_overlap_pairs,
 )
@@ -76,6 +77,7 @@ __all__ = [
     "pmi_bigrams",
     "tfidf_top_terms",
     "ngram_containment",
+    "winnow_fingerprint_arrays",
     "winnow_fingerprints",
     "winnow_overlap_pairs",
     "ivf_cosine_topk",

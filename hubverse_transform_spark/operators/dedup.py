@@ -500,14 +500,45 @@ def winnow_fingerprints(
     clamped frame); texts shorter than k yield one fingerprint of the
     whole normalized text.
     """
+    staged = winnow_fingerprint_arrays(df, id_col, text_col, k=k, window=window)
+    # explode_outer, not explode: the plain form infers a size/notnull
+    # pre-filter that re-evaluates the slide chain per conjunct (see
+    # ngram_jaccard_pairs); fps is never null/empty by construction (the
+    # short-text branch guarantees >= 1 gram), so outer emits no null rows
+    return (
+        staged.select(id_col, F.explode_outer("fps").alias("fp"))
+        # the per-row array is already distinct; this distinct only
+        # collapses duplicate input ids (the old cross-row semantics)
+        .distinct()
+    )
+
+
+@_spread_input
+def winnow_fingerprint_arrays(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    k: int = 8,
+    window: int = 4,
+) -> DataFrame:
+    """Per-row winnowing fingerprint SETS as arrays: (id_col, fps) with
+    ``fps`` the distinct window-minima of ``winnow_fingerprints`` — the
+    zero-shuffle form of the same computation (everything happens in two
+    map-side projections), for consumers that aggregate per document and
+    therefore never need the exploded postings (q46: count + min fold
+    directly over the array). One row PER INPUT ROW: callers that must
+    collapse duplicate ids use ``winnow_fingerprints``, whose distinct
+    does exactly that.
+    """
     norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
     grams = F.regexp_extract_all(norm, F.lit(f"(?=(.{{{k}}}))"), 1)
     grams = F.when(F.size(grams) > 0, grams).otherwise(F.array(norm))
     # md5 BEFORE the slide: array_min(slice(...)) re-reads ``window``
     # entries per position, so an inline md5 would hash each gram
     # ``window`` times; transform hashes each exactly once. The hashed
-    # array is projected in its OWN select before the Generate: inlining
-    # it would spell the transform chain twice in the generator expression
+    # array is projected in its OWN select before the slide: inlining
+    # it would spell the transform chain twice in the slide expression
     # (once under size() for the sequence bound, once in the slice lambda)
     # and lambda HOFs are never subexpression-eliminated (the q302/q327
     # finding) — the staged Project keeps one evaluation per row.
@@ -517,17 +548,8 @@ def winnow_fingerprints(
         F.sequence(F.lit(0), F.size(F.col("_h")) - 1),
         lambda i: F.array_min(F.slice(F.col("_h"), i + 1, window)),
     )
-    fps = F.array_distinct(minima)
-    # explode_outer, not explode: the plain form infers a size/notnull
-    # pre-filter that re-evaluates the slide chain per conjunct (see
-    # ngram_jaccard_pairs); fps is never null/empty by construction (the
-    # short-text branch guarantees >= 1 gram), so outer emits no null rows
-    return (
-        staged.select("_id", F.explode_outer(fps).alias("fp"))
-        # array_distinct makes (id, fp) unique per input row; this distinct
-        # only collapses duplicate input ids (the old cross-row semantics)
-        .distinct()
-        .select(F.col("_id").alias(id_col), "fp")
+    return staged.select(
+        F.col("_id").alias(id_col), F.array_distinct(minima).alias("fps")
     )
 
 

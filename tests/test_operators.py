@@ -205,6 +205,38 @@ def test_winnow_mapside_slide_matches_reference(spark):
     assert len(rows) == len(expect)
 
 
+def test_winnow_fingerprint_arrays_matches_exploded_form(spark):
+    """The arrays form is the zero-shuffle twin of winnow_fingerprints:
+    exploding its per-row sets must reproduce the exploded operator exactly
+    (for unique ids), and size/array_min over the array must equal the
+    grouped count/min of the postings — the q46 fold."""
+    from hubverse_transform_spark.operators.dedup import winnow_fingerprint_arrays
+
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "  MULTI   space   Text here  "),
+         (3, "abc"),
+         (4, "")],
+        ["doc_id", "text"],
+    )
+    arrays = winnow_fingerprint_arrays(df, "doc_id", "text", k=8, window=4)
+    exploded = winnow_fingerprints(df, "doc_id", "text", k=8, window=4)
+    via_arrays = {
+        (r["doc_id"], fp) for r in arrays.collect() for fp in r["fps"]
+    }
+    assert via_arrays == {(r["doc_id"], r["fp"]) for r in exploded.collect()}
+    folded = {
+        r["doc_id"]: (len(r["fps"]), min(r["fps"])) for r in arrays.collect()
+    }
+    grouped = {
+        r["doc_id"]: (r["n"], r["m"])
+        for r in exploded.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.min("fp").alias("m"))
+        .collect()
+    }
+    assert folded == grouped
+
+
 def test_triangle_count_releases_cache(spark):
     """triangle_count persists the canonical edge list across its three
     join branches (r13); nothing may stay registered after the call."""
