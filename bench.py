@@ -86,18 +86,35 @@ MAX_REMEASURE = 15
 #: readable as such.
 MASS_MOVER_GATE = 25
 
+#: quiet-start guard (round-14, r13 verdict item 3): the r13 driver run
+#: STARTED at loadavg 8.29 on 32 cpus and its whole per-query map came out
+#: storm-inflated (geomean 0.891 over a losers' bracket the judge spent a
+#: page un-confounding). Starting the timed window under ambient load is
+#: the one weather failure a harness CAN refuse: if the 1-min loadavg is
+#: >= QUIET_START_GATE when the bench begins, wait (poll every 20 s, up to
+#: QUIET_START_MAX_WAIT — one full ~10-min storm cycle) for it to drop
+#: before timing. The wait is recorded in the `load` field
+#: (`quiet_wait_sec`, `loadavg_first`) — never silent — and a machine that
+#: stays loaded past the budget is timed anyway (recorded, not refused:
+#: the driver needs a number either way). Env-overridable so tests and
+#: constrained hosts can disable it; NOT a result filter — it only moves
+#: the start of the window, it never drops or re-labels a measurement.
+QUIET_START_GATE = 4.0
+QUIET_START_MAX_WAIT = 720.0
 
-def _load_prior() -> tuple[dict[str, float], str]:
-    """Committed per-query medians: HEAD's BENCH.json (the number of
-    record), overridable via SPARK_GRAFT_BENCH_PRIOR for demonstration
-    runs. Returns ({} , source) when no prior exists (first run)."""
+
+def _load_prior() -> tuple[dict, str]:
+    """Committed artifact of record: HEAD's BENCH.json (full document, so
+    callers can read both per-query medians and the emitted compact-line
+    key set), overridable via SPARK_GRAFT_BENCH_PRIOR for demonstration
+    runs. Returns ({}, source) when no prior exists (first run)."""
     import subprocess
 
     override = os.environ.get("SPARK_GRAFT_BENCH_PRIOR")
     if override:
         try:
             with open(override) as f:
-                return json.load(f).get("queries", {}), override
+                return json.load(f), override
         except (OSError, ValueError):
             return {}, f"unreadable:{override}"
     try:
@@ -106,9 +123,58 @@ def _load_prior() -> tuple[dict[str, float], str]:
             capture_output=True, text=True, check=True,
             cwd=os.path.dirname(os.path.abspath(__file__)),
         ).stdout
-        return json.loads(out).get("queries", {}), "git:HEAD:BENCH.json"
+        return json.loads(out), "git:HEAD:BENCH.json"
     except Exception:  # noqa: BLE001 - no git / no committed artifact yet
         return {}, "none"
+
+
+def _compact_fill_order(
+    timings: dict[str, float], prior_doc: dict
+) -> list[str]:
+    """Key-stable fill order for the compact stdout line's `queries` map
+    (round-14, r13 verdict item 2: the old slowest-first-only fill churned
+    9 queries out of / 7 into the driver's round-over-round comparison on
+    an unchanged 378-query surface, turning its per-query diff into a
+    losers' bracket).
+
+    Order: every key the COMMITTED prior emitted in ITS compact line
+    (still present in this run), in the prior's order, THEN the current
+    run's remaining queries slowest-first. The budget-limited greedy fill
+    downstream therefore keeps the prior's key set intact before admitting
+    new entries — the driver's common set stops churning while genuinely
+    new slow queries still surface. Priors that predate the
+    `compact_keys` field fall back to the prior's slowest-first order,
+    which reproduces what its compact line emitted."""
+    prior_keys = prior_doc.get("compact_keys")
+    if not prior_keys:
+        # prior predates the field: its compact line emitted its slowest
+        # ~40 entries, so that prefix reproduces the set the driver saw
+        pq = prior_doc.get("queries", {})
+        prior_keys = sorted(pq, key=pq.get, reverse=True)[:40]
+    stable = [k for k in prior_keys if k in timings]
+    rest = sorted(
+        (k for k in timings if k not in set(stable)),
+        key=timings.get,
+        reverse=True,
+    )
+    return stable + rest
+
+
+def _wait_quiet_start(
+    gate: float, max_wait: float, poll: float = 20.0
+) -> tuple[float, float]:
+    """Block until the 1-min loadavg drops below ``gate`` or ``max_wait``
+    seconds elapse. Returns (seconds waited, loadavg first observed) so
+    the caller can record the wait — the guard must never be silent."""
+    first = os.getloadavg()[0]
+    if first < gate or max_wait <= 0:
+        return 0.0, first
+    t0 = time.monotonic()
+    while time.monotonic() - t0 < max_wait:
+        time.sleep(min(poll, max(0.1, max_wait - (time.monotonic() - t0))))
+        if os.getloadavg()[0] < gate:
+            break
+    return round(time.monotonic() - t0, 1), first
 
 
 def _flag_movers(
@@ -140,6 +206,15 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
+
+    # quiet-start guard (r13 verdict item 3) — runs BEFORE the session and
+    # warmup so the whole timed window starts on a quiet machine. Recorded
+    # below in `load`; never silent, never drops a measurement.
+    quiet_gate = float(os.environ.get("SPARK_GRAFT_QUIET_GATE", QUIET_START_GATE))
+    quiet_max_wait = float(
+        os.environ.get("SPARK_GRAFT_QUIET_MAX_WAIT", QUIET_START_MAX_WAIT)
+    )
+    quiet_wait_sec, loadavg_first = _wait_quiet_start(quiet_gate, quiet_max_wait)
 
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -201,7 +276,8 @@ def main() -> None:
     # --- auto-adjudication (r13): re-measure loaded-run movers min-of-2
     # at completion, before the post-run load snapshot so `load` still
     # brackets everything timed.
-    prior, prior_src = _load_prior()
+    prior_doc, prior_src = _load_prior()
+    prior = prior_doc.get("queries", {}) if isinstance(prior_doc, dict) else {}
     movers: dict[str, dict] = {}
     flagged = _flag_movers(timings, prior)
     started_loaded = load_pre[0] >= LOAD_GATE
@@ -242,6 +318,11 @@ def main() -> None:
             1.0 - (stat_i1 - stat_i0) / max(1, stat_t1 - stat_t0), 4
         ),
         "n_cpus": os.cpu_count(),
+        # quiet-start guard record (r14): loadavg when the process began,
+        # the gate it was held to, and how long it waited (0.0 = no wait)
+        "quiet_gate": quiet_gate,
+        "quiet_wait_sec": quiet_wait_sec,
+        "loadavg_first": round(loadavg_first, 2),
     }
 
     total = round(sum(timings.values()), 3)
@@ -264,20 +345,16 @@ def main() -> None:
     }
     if errors:
         result["errors"] = errors
-    # Spark/Ivy banners share stdout with the JSON line, so the driver's
-    # tail-capture can miss it; also persist a clean machine-readable copy.
-    # Subset runs write BENCH_partial.json — the full-surface artifact of
-    # record must never be clobbered by a targeted session.
-    out_name = "BENCH_partial.json" if only else "BENCH.json"
-    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), out_name), "w") as f:
-        json.dump(result, f)
-    print(json.dumps(result))
     # The driver keeps only the last ~2000 chars of stdout; the full line
-    # above (~7 KB at 215 queries) gets front-truncated there and fails to
-    # parse (BENCH_r01-r04 all recorded "parsed": null). Emit a second,
-    # compact line LAST — same contract fields, per-query map trimmed to the
-    # slowest entries that fit the tail budget — so the tail always ends
-    # with one complete parseable JSON line. Full timings stay in BENCH.json.
+    # (~7 KB at 215 queries) gets front-truncated there and fails to
+    # parse (BENCH_r01-r04 all recorded "parsed": null). So a second,
+    # compact line is emitted LAST — same contract fields, per-query map
+    # trimmed to fit the tail budget. r14 (verdict item 2): the fill order
+    # is KEY-STABLE — the committed prior's emitted keys first, then
+    # current slowest — so the driver's round-over-round per-query diff
+    # compares a fixed set instead of churning with the weather; the
+    # emitted key set is recorded in the full artifact as `compact_keys`
+    # (the next run's stable prefix). Full timings stay in BENCH.json.
     compact = {
         "metric": result["metric"],
         "value": result["value"],
@@ -287,7 +364,9 @@ def main() -> None:
         "sf": sf,
         "n_queries": len(timings),
         "n_errors": len(errors),
-        "load": load,
+        # slim copy: quiet_gate is a constant, not a measurement — keep the
+        # compact line's char budget for per-query keys (full copy in BENCH.json)
+        "load": {k: v for k, v in load.items() if k != "quiet_gate"},
         "adjudication_summary": {
             "n_movers": len(movers),
             "n_remeasured": sum(1 for m in movers.values() if "remeasure" in m),
@@ -295,15 +374,24 @@ def main() -> None:
                 1 for m in movers.values() if m["verdict"] == "persistent"
             ),
         },
-        "queries_full": out_name,
+        "queries_full": "BENCH_partial.json" if only else "BENCH.json",
         "queries": {},
     }
     budget = 1700
-    for name in sorted(timings, key=timings.get, reverse=True):
+    for name in _compact_fill_order(timings, prior_doc if isinstance(prior_doc, dict) else {}):
         compact["queries"][name] = timings[name]
         if len(json.dumps(compact)) > budget:
             del compact["queries"][name]
             break
+    result["compact_keys"] = list(compact["queries"])
+    # Spark/Ivy banners share stdout with the JSON line, so the driver's
+    # tail-capture can miss it; also persist a clean machine-readable copy.
+    # Subset runs write BENCH_partial.json — the full-surface artifact of
+    # record must never be clobbered by a targeted session.
+    out_name = compact["queries_full"]
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), out_name), "w") as f:
+        json.dump(result, f)
+    print(json.dumps(result))
     print(json.dumps(compact))
     spark.stop()
     if errors:

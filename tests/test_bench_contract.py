@@ -99,11 +99,72 @@ def test_load_prior_override_and_fallback(tmp_path, monkeypatch):
     p = tmp_path / "prior.json"
     p.write_text(json.dumps({"queries": {"qa": 1.5}}))
     monkeypatch.setenv("SPARK_GRAFT_BENCH_PRIOR", str(p))
-    queries, src = bench_mod._load_prior()
-    assert queries == {"qa": 1.5} and src == str(p)
+    doc, src = bench_mod._load_prior()
+    assert doc.get("queries") == {"qa": 1.5} and src == str(p)
     monkeypatch.setenv("SPARK_GRAFT_BENCH_PRIOR", str(tmp_path / "missing.json"))
-    queries, src = bench_mod._load_prior()
-    assert queries == {} and src.startswith("unreadable:")
+    doc, src = bench_mod._load_prior()
+    assert doc == {} and src.startswith("unreadable:")
     monkeypatch.delenv("SPARK_GRAFT_BENCH_PRIOR")
-    queries, src = bench_mod._load_prior()
-    assert src == "git:HEAD:BENCH.json" and len(queries) > 300
+    doc, src = bench_mod._load_prior()
+    assert src == "git:HEAD:BENCH.json" and len(doc.get("queries", {})) > 300
+
+
+def test_compact_fill_order_is_key_stable():
+    """r14 (r13 verdict item 2): the compact stdout line's per-query map
+    must lead with the committed prior's emitted keys so the driver's
+    round-over-round comparison stops churning with the weather."""
+    timings = {"qa": 1.0, "qb": 9.0, "qc": 0.2, "qd": 5.0}
+    # prior emitted (qc, qa) in its compact line; qgone no longer exists
+    prior_doc = {"compact_keys": ["qc", "qa", "qgone"]}
+    order = bench_mod._compact_fill_order(timings, prior_doc)
+    assert order == ["qc", "qa", "qb", "qd"]  # stable prefix, then slowest-first
+    # prior WITHOUT compact_keys: slowest-~40 of its queries reproduce its
+    # old slowest-first emission; anything else follows by current time
+    prior_doc = {"queries": {"qa": 3.0, "qb": 1.0, "qc": 2.0}}
+    order = bench_mod._compact_fill_order(timings, prior_doc)
+    assert order == ["qa", "qc", "qb", "qd"]
+    # no prior at all: pure current slowest-first (first-run behavior)
+    assert bench_mod._compact_fill_order(timings, {}) == ["qb", "qd", "qa", "qc"]
+    # fallback prefix is capped so a full-surface prior map cannot crowd
+    # out a genuinely new slow query
+    big_prior = {"queries": {f"q{i}": float(i) for i in range(100)}}
+    order = bench_mod._compact_fill_order({f"q{i}": 1.0 for i in range(100)}, big_prior)
+    assert len(order) == 100 and order[0] == "q99" and order[39] == "q60"
+
+
+def test_wait_quiet_start_records_and_bounds(monkeypatch):
+    """r14 (r13 verdict item 3): the quiet-start guard waits for the gate,
+    is bounded, and always reports what it saw — never silent."""
+    # already quiet: no wait at all
+    monkeypatch.setattr(bench_mod.os, "getloadavg", lambda: (0.5, 1.0, 1.0))
+    waited, first = bench_mod._wait_quiet_start(4.0, 720.0)
+    assert waited == 0.0 and first == 0.5
+    # loaded and staying loaded: bounded by max_wait, reports first loadavg
+    monkeypatch.setattr(bench_mod.os, "getloadavg", lambda: (9.9, 9.9, 9.9))
+    waited, first = bench_mod._wait_quiet_start(4.0, 0.3, poll=0.1)
+    assert first == 9.9 and 0.3 <= waited < 2.0
+    # max_wait 0 disables the guard even under load
+    waited, first = bench_mod._wait_quiet_start(4.0, 0.0)
+    assert waited == 0.0 and first == 9.9
+    # loaded then clearing: returns promptly once below the gate
+    seq = iter([(9.0,) * 3, (9.0,) * 3, (0.2,) * 3, (0.2,) * 3])
+    monkeypatch.setattr(bench_mod.os, "getloadavg", lambda: next(seq))
+    waited, first = bench_mod._wait_quiet_start(4.0, 30.0, poll=0.05)
+    assert first == 9.0 and waited < 5.0
+
+
+def test_committed_bench_json_carries_compact_keys():
+    """The artifact of record must carry the emitted compact-line key set
+    (the next run's stable prefix). Skips until the first r14-emitter
+    full-surface refresh lands."""
+    data = json.loads((REPO / "BENCH.json").read_text())
+    keys = data.get("compact_keys")
+    if keys is None:
+        import pytest
+
+        pytest.skip("BENCH.json predates compact_keys — refresh pending")
+    assert isinstance(keys, list) and len(keys) >= 10
+    assert all(k in data["queries"] for k in keys)
+    load = data["load"]
+    assert "quiet_wait_sec" in load and "loadavg_first" in load
+    assert load["quiet_gate"] > 0
