@@ -22,6 +22,7 @@ def pagerank(
     damping: float = 0.85,
     tol: float | None = None,
     truncate_every: int = 8,
+    symmetric: bool = False,
 ) -> DataFrame:
     """PageRank over a directed edge list, fixed iteration count with an
     optional early exit: when ``tol`` is set, iteration stops as soon as
@@ -61,7 +62,35 @@ def pagerank(
     run on a 7-node graph spent >7 min of JVM CPU planning, never
     executing. Short runs (the declared 3-iteration q72 path) never hit a
     truncation point, so their plan and bit-exact output are unchanged.
+
+    ``symmetric=True`` (r14, guide §1.2/§2.4) declares that the caller's
+    edge list is symmetrized (every (a,b) has (b,a); no NULL endpoints) —
+    callers like q72 build exactly that. The declaration licenses three
+    exact plan cuts the general path cannot make:
+
+    - the node set is just the adjacency keys (``distinct(src)`` ==
+      ``distinct(src ∪ dst)``), deleting the union+distinct exchange;
+    - every node has an in-edge, so ``contribs`` already covers ALL nodes
+      and the per-iteration ``nodes LEFT JOIN contribs`` (whose
+      ``coalesce(m, 0)`` provably never fires) is deleted — one join +
+      cache scan per iteration gone;
+    - out-degrees fold via ONE ``collect_list`` aggregation whose keys
+      double as the node list, and the node count is taken once from that
+      cached table and folded into the per-iteration projection as a
+      LITERAL, deleting the per-iteration 1-row crossJoin broadcast jobs
+      (Python and JVM doubles are both IEEE-754 binary64, so
+      ``lit((1-d)/n)`` is bit-identical to the broadcast division).
+
+    The r13 stage readout motivating this: the 3-iteration q72 run
+    executed 33 jobs / ~100 stages — mostly per-iteration broadcast
+    futures and the nodes-join barriers — on a graph whose rank vector is
+    a few hundred KB; the 8-core cell matched the 32-core cell because the
+    job CHAIN, not compute, was the wall.
     """
+    if symmetric:
+        return _pagerank_symmetric(
+            edges, src, dst, iterations, damping, tol, truncate_every
+        )
     # the incoming edge frame is often an expensive build (self-joins,
     # LSH banding); nodes/out-degrees/fraction-folding each scan it, so
     # cache it too — released with everything else on exit (uncached, the
@@ -124,6 +153,74 @@ def pagerank(
                 c.unpersist()
             cached_rounds.clear()
     return compute_release(ranks, e, nodes, e_frac, *cached_rounds)
+
+
+def _pagerank_symmetric(
+    edges: DataFrame,
+    src: str,
+    dst: str,
+    iterations: int,
+    damping: float,
+    tol: float | None,
+    truncate_every: int,
+) -> DataFrame:
+    """The ``symmetric=True`` fast path of :func:`pagerank` — see its
+    docstring for the three exact plan cuts and their licenses. Rank
+    values are the same computation (same joins/aggregations over the
+    same rows; only provably-inert operators deleted)."""
+    # adjacency build: ONE exchange on src with partial collect_list
+    # combining; keys are the complete node set (symmetric input). The
+    # count() fills the cache eagerly — the one scalar this operator pulls
+    # to the driver, replacing 1-row broadcast jobs in every iteration.
+    adj = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .groupBy("src")
+        .agg(F.collect_list("dst").alias("_adj"))
+        .persist()
+    )
+    n = adj.count()
+    # frac = 1/out_degree, exploded map-side from the cached adjacency —
+    # partitioning on src survives the explode, so every iteration's join
+    # reads co-partitioned cache with zero re-exchange
+    e_frac = adj.select(
+        "src",
+        F.explode("_adj").alias("dst"),
+        (F.lit(1.0) / F.size("_adj")).alias("frac"),
+    )
+    ranks = adj.select(F.col("src").alias("node"), F.lit(1.0 / n).alias("pr"))
+    base = (1.0 - damping) / n
+    cached_rounds: list[DataFrame] = []
+    for it in range(iterations):
+        new_ranks = (
+            e_frac.join(ranks, e_frac.src == ranks.node)
+            .select(
+                F.col("dst").alias("node"), (F.col("pr") * F.col("frac")).alias("m")
+            )
+            .groupBy("node")
+            .agg(F.sum("m").alias("m"))
+            .select(
+                "node", (F.lit(base) + damping * F.col("m")).alias("pr")
+            )
+        ).persist()
+        cached_rounds.append(new_ranks)
+        if tol is not None:
+            delta = (
+                new_ranks.select("node", F.col("pr").alias("_new"))
+                .join(ranks.select("node", F.col("pr").alias("_old")), "node")
+                .agg(F.sum(F.abs(F.col("_new") - F.col("_old"))).alias("d"))
+                .first()["d"]
+            )
+            ranks = new_ranks
+            if delta is not None and delta < tol:
+                break
+        else:
+            ranks = new_ranks
+        if (it + 1) % truncate_every == 0 and it + 1 < iterations:
+            ranks = ranks.localCheckpoint(eager=True)
+            for c in cached_rounds:
+                c.unpersist()
+            cached_rounds.clear()
+    return compute_release(ranks, adj, *cached_rounds)
 
 
 def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:

@@ -67,13 +67,16 @@ def test_q69_pushes_filters_both_scans(spark):
     assert "p_size" in pf and "l_shipdate" in pf
 
 
-def test_q72_pagerank_self_join_not_broadcast(spark):
-    # the lineitem self-join must honor the shuffle_hash hint: broadcasting a
-    # corpus-sized side is the local-mode plan that dies on a cluster.
-    # Asserted on the edge-build frame — pagerank() localCheckpoints its
-    # input eagerly, so the final frame's explain no longer shows this join.
+def test_q72_edges_basket_build_no_join(spark):
+    # r14: the pair stream is a basket build (groupBy order -> sorted
+    # distinct part set -> map-side i<j pair explode), NOT a lineitem
+    # self-join — one fact exchange instead of two plus a join, and no
+    # broadcast of a corpus-sized side anywhere. Asserted on the
+    # edge-build frame — pagerank() localCheckpoints its input eagerly,
+    # so the final frame's explain no longer shows this subplan.
     plan = explain_str(entry._q72_edges(spark, SF))
-    assert "ShuffledHashJoin" in plan
+    assert "Join" not in plan and "BroadcastExchange" not in plan
+    assert "collect_set" in plan and "explode" in plan
 
 
 def test_q73_subquery_is_decorrelated(spark):
